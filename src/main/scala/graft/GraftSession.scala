@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Settings chosen for the target deployment (many-executor cluster,
+  * ~100 TB scans) but applied identically in local mode:
+  *   - AQE on: runtime coalescing of shuffle partitions, skew-join
+  *     splitting, dynamic broadcast conversion.
+  *   - shuffle.partitions sized to cores locally (a cluster deploy
+  *     overrides via spark-submit; AQE coalesces either way).
+  *   - UTC session time zone so results are environment-independent.
+  */
+object GraftSession {
+
+  /** Apply graft's defaults to an arbitrary builder. */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read as long and convert in Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests and ad-hoc runs. */
+  def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val s = tune(
+      SparkSession.builder().master(s"local[$cores]").appName(appName),
+      shufflePartitions = cores
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

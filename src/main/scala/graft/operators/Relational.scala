@@ -1,0 +1,408 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Agg._
+import graft.sources.Tables
+
+/** §2.3 Relational analytics core.
+  *
+  * TPC-H-shaped queries over the star schema, written DataFrame-first
+  * so Catalyst owns pushdown / join strategy. Every query carries a
+  * colocated DuckDB oracle with identical aliases and a total ORDER
+  * BY, so the driver's hash compare is deterministic.
+  *
+  * Scale notes (100 TB): dims (region/nation/supplier) are broadcast
+  * — hinted where the stats might not make it obvious; fact-fact
+  * joins shuffle once on the join key and AQE splits skew. Aggregates
+  * are partially applied map-side (declarative groupBy ⇒ Catalyst
+  * emits partial_agg → exchange → final_agg automatically).
+  */
+object Relational {
+
+  private val cutoff = "2001-09-02 00:00:00"
+
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" <= lit(cutoff).cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_base_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+        davg($"l_quantity").as("avg_qty"),
+        davg($"l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  ${davgSql("l_quantity")} AS avg_qty,
+       |  ${davgSql("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '$cutoff'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+    val ord  = Tables.orders(s, dir)
+      .filter($"o_orderdate" < lit("1998-03-15 00:00:00").cast("timestamp"))
+    val li   = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" > lit("1998-03-15 00:00:00").cast("timestamp"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer, orders, lineitem
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+       |  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       |ORDER BY revenue DESC, o_orderkey
+       |LIMIT 10""".stripMargin
+
+  def q5RegionVolume(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val region = Tables.region(s, dir).filter($"r_name" === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val cust   = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+              $"o_orderdate" <  lit("1997-01-01 00:00:00").cast("timestamp"))
+    val li   = Tables.lineitem(s, dir)
+    val supp = Tables.supplier(s, dir)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  val q5Sql: String =
+    s"""SELECT n_name,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM customer, orders, lineitem, supplier, nation, region
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |  AND r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Selective scan: Catalyst pushes both the predicate and the
+    * 4-column projection into the parquet reader (PlanSpec asserts). */
+  def qFilterProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("2000-01-01 00:00:00").cast("timestamp") &&
+              $"l_shipdate" <  lit("2000-02-01 00:00:00").cast("timestamp") &&
+              $"l_discount" >= 0.05 && $"l_quantity" < 10.0)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val qFilterProjectSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '2000-02-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_quantity < 10.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Running totals per supplier — window ordering is made total with
+    * the (orderkey, linenumber) tiebreak so the running sum is
+    * deterministic; explicit ROWS frame on both engines. */
+  def qWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, dir)
+      .filter($"l_suppkey" <= 5)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_qty",
+        sum($"l_quantity".cast("decimal(18,4)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .select($"l_suppkey", $"rn", $"l_orderkey", $"l_linenumber", $"running_qty")
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  val qWindowRunningSql: String =
+    """SELECT l_suppkey,
+      |  row_number() OVER w AS rn,
+      |  l_orderkey, l_linenumber,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+      |       OVER (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |       AS DOUBLE) AS running_qty
+      |FROM lineitem
+      |WHERE l_suppkey <= 5
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, rn""".stripMargin
+
+  /** Top-3 parts by retail price per brand (rank + filter). */
+  def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    Tables.part(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"p_brand", $"rk", $"p_partkey", $"p_name", $"p_retailprice")
+      .orderBy($"p_brand", $"rk")
+  }
+
+  val qTopkPerGroupSql: String =
+    """SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |    row_number() OVER (PARTITION BY p_brand
+      |                       ORDER BY p_retailprice DESC, p_partkey) AS rk
+      |  FROM part) t
+      |WHERE rk <= 3
+      |ORDER BY p_brand, rk""".stripMargin
+
+  /** Region→nation rollup of customer counts and balances. NULL
+    * subtotal keys are coalesced to 'ALL' so ordering is portable
+    * (Spark and DuckDB default NULL placement differs). */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dims = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+    Tables.customer(s, dir)
+      .join(broadcast(dims), $"c_nationkey" === $"n_nationkey")
+      .rollup($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("sum_bal"))
+      .select(
+        coalesce($"r_name", lit("ALL")).as("region"),
+        coalesce($"n_name", lit("ALL")).as("nation"),
+        $"n_cust", $"sum_bal")
+      .orderBy($"region", $"nation")
+  }
+
+  val qRollupSql: String =
+    s"""SELECT coalesce(r_name, 'ALL') AS region,
+       |  coalesce(n_name, 'ALL') AS nation,
+       |  count(*) AS n_cust,
+       |  ${dsumSql("c_acctbal")} AS sum_bal
+       |FROM customer, nation, region
+       |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+       |GROUP BY ROLLUP (r_name, n_name)
+       |ORDER BY region, nation""".stripMargin
+
+  /** Distinct + conditional aggregation per nation. */
+  def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_nationkey")
+      .agg(
+        countDistinct($"o_custkey").as("n_active_cust"),
+        count(lit(1)).as("n_orders"),
+        countIf($"o_orderstatus" === "F").as("n_finished"),
+        dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"c_nationkey")
+  }
+
+  val qDistinctAggSql: String =
+    s"""SELECT c_nationkey,
+       |  count(DISTINCT o_custkey) AS n_active_cust,
+       |  count(*) AS n_orders,
+       |  ${countIfSql("o_orderstatus = 'F'")} AS n_finished,
+       |  ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders, customer
+       |WHERE o_custkey = c_custkey
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
+  /** EXISTS / NOT EXISTS as left-semi / left-anti joins. */
+  def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val urgentCust = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    val withU = cust.join(urgentCust, $"c_custkey" === $"o_custkey", "left_semi")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+      .withColumn("segment", lit("has_urgent"))
+    val withoutU = cust.join(urgentCust, $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+      .withColumn("segment", lit("no_urgent"))
+    withU.unionByName(withoutU)
+      .select($"c_nationkey", $"segment", $"n_cust")
+      .orderBy($"c_nationkey", $"segment")
+  }
+
+  val qSemiAntiSql: String =
+    """SELECT c_nationkey, segment, n_cust FROM (
+      |  SELECT c_nationkey, 'has_urgent' AS segment, count(*) AS n_cust
+      |  FROM customer c
+      |  WHERE EXISTS (SELECT 1 FROM orders o
+      |                WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderpriority = '1-URGENT')
+      |  GROUP BY c_nationkey
+      |  UNION ALL
+      |  SELECT c_nationkey, 'no_urgent' AS segment, count(*) AS n_cust
+      |  FROM customer c
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                    WHERE o.o_custkey = c.c_custkey
+      |                      AND o.o_orderpriority = '1-URGENT')
+      |  GROUP BY c_nationkey) t
+      |ORDER BY c_nationkey, segment""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity): lag + prefix-sum
+    * session ids, one shuffle on user_id. Micro-exact via unix_micros
+    * so both engines compute identical gaps. */
+  def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapUs = 1800L * 1000000L
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("new_sess",
+        when(lag($"us", 1).over(wOrd).isNull, 1L)
+          .when($"us" - lag($"us", 1).over(wOrd) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_sess").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min($"ts").as("session_start"),
+        max($"ts").as("session_end"),
+        dsum($"value").as("sum_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val qEventsSessionizeSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, value, epoch_us(ts) AS us,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+       |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${1800L * 1000000L} THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id, ts, value,
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM flagged)
+       |SELECT user_id, session_id, count(*) AS n_events,
+       |  min(ts) AS session_start, max(ts) AS session_end,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM sess
+       |GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Pivot events by type (conditional aggregation — portable and
+    * map-side combinable, unlike a dynamic pivot). */
+  def qEventsPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "view", "signup", "purchase", "error")
+    val counts = types.map(t => countIf($"event_type" === t).as(s"n_$t"))
+    Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(counts.head, counts.tail :+ dsum($"value").as("sum_value"): _*)
+      .orderBy($"user_id")
+  }
+
+  val qEventsPivotSql: String = {
+    val types = Seq("click", "view", "signup", "purchase", "error")
+    val cols = types.map(t => s"${countIfSql(s"event_type = '$t'")} AS n_$t").mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $cols,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
+  /** As-of join: for every purchase, the user's latest click at or
+    * before it. Spark-first realization: union both streams, one
+    * window ordered by time per user, carry the last click timestamp
+    * forward — linear, a single shuffle on user_id, no range join
+    * explosion (the classic scalable as-of layout; DuckDB oracle uses
+    * its native ASOF JOIN). At equal timestamps the click sorts first
+    * (kind=0) so "at or before" includes ties on both engines. */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(0).as("kind"), lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("kind"), $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("last_click_ts",
+        last(when($"kind" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"kind" === 1)
+      .select($"event_id", $"user_id", $"ts".as("purchase_ts"), $"last_click_ts")
+      .orderBy($"event_id")
+  }
+
+  val qAsofJoinSql: String =
+    """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS last_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_orders"      -> (q3TopOrders _),
+    "q5_region_volume"   -> (q5RegionVolume _),
+    "q_filter_project"   -> (qFilterProject _),
+    "q_window_running"   -> (qWindowRunning _),
+    "q_topk_per_group"   -> (qTopkPerGroup _),
+    "q_rollup"           -> (qRollup _),
+    "q_distinct_agg"     -> (qDistinctAgg _),
+    "q_semi_anti"        -> (qSemiAnti _),
+    "q_events_sessionize"-> (qEventsSessionize _),
+    "q_events_pivot"     -> (qEventsPivot _),
+    "q_asof_join"        -> (qAsofJoin _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_top_orders"      -> q3Sql,
+    "q5_region_volume"   -> q5Sql,
+    "q_filter_project"   -> qFilterProjectSql,
+    "q_window_running"   -> qWindowRunningSql,
+    "q_topk_per_group"   -> qTopkPerGroupSql,
+    "q_rollup"           -> qRollupSql,
+    "q_distinct_agg"     -> qDistinctAggSql,
+    "q_semi_anti"        -> qSemiAntiSql,
+    "q_events_sessionize"-> qEventsSessionizeSql,
+    "q_events_pivot"     -> qEventsPivotSql,
+    "q_asof_join"        -> qAsofJoinSql
+  )
+}

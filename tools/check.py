@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+Runs each oracle_sql.json query in DuckDB against the sfDir parquet
+tables, loads the Spark-written parquet for the same key, sorts both
+by all columns (column names sorted), and compares values exactly
+(doubles to 1e-9 rel tolerance as a diagnostic; exact-equal is the
+goal). Prints one line per query: OK / MISMATCH / ERROR.
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        try:
+            want = con.execute(oracle[name]).df()
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").df()
+            # driver semantics: sort columns by name, then sort rows
+            want = want[sorted(want.columns)]
+            got = got[sorted(got.columns)]
+            if list(want.columns) != list(got.columns):
+                print(f"MISMATCH {name}: cols want={list(want.columns)} got={list(got.columns)}")
+                n_bad += 1; continue
+            want = want.sort_values(by=list(want.columns)).reset_index(drop=True)
+            got = got.sort_values(by=list(got.columns)).reset_index(drop=True)
+            if len(want) != len(got):
+                print(f"MISMATCH {name}: rows want={len(want)} got={len(got)}")
+                n_bad += 1; continue
+            bad = []
+            for c in want.columns:
+                wv, gv = want[c].tolist(), got[c].tolist()
+                for i, (w, g) in enumerate(zip(wv, gv)):
+                    if w is None and g is None: continue
+                    if isinstance(w, float) and isinstance(g, float):
+                        if w != g and not (math.isnan(w) and math.isnan(g)):
+                            rel = abs(w-g)/max(1e-30, abs(w))
+                            bad.append((c, i, w, g, rel))
+                    elif str(w) != str(g):
+                        bad.append((c, i, w, g, None))
+            if bad:
+                exact = all(b[4] is not None and b[4] < 1e-9 for b in bad)
+                tag = "FLOAT-DRIFT" if exact else "MISMATCH"
+                print(f"{tag} {name}: {len(bad)} diffs, first: {bad[0]}")
+                n_bad += 1
+            else:
+                print(f"OK {name} ({len(want)} rows)")
+                n_ok += 1
+        except Exception as e:
+            print(f"ERROR {name}: {e}")
+            n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
