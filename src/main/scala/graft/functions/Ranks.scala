@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable ranking helpers.
+  *
+  * A bare `row_number().over(Window.orderBy(k))` collapses the whole
+  * dataset into ONE partition — fine at 60k rows, fatal at 100 TB.
+  * [[globalRowNumber]] is the classic distributed layout instead:
+  * range-partition by the key (Spark's TeraSort partitioner), number
+  * rows within each sorted partition, and add per-partition offsets
+  * computed from a tiny (numPartitions-row) broadcast side. Total
+  * cost: one range shuffle + one broadcast join; every stage is
+  * data-parallel.
+  */
+object Ranks {
+  private val PID = "__graft_pid"
+  private val OFF = "__graft_off"
+  private val CNT = "__graft_cnt"
+
+  /** Adds a 1-based global row number `out` ordered by `key`.
+    * `key` must be unique for a deterministic result (ties would land
+    * in range-partition-dependent order). */
+  def globalRowNumber(df: DataFrame, key: Column, numPartitions: Int, out: String): DataFrame = {
+    val parted = df.repartitionByRange(numPartitions, key).withColumn(PID, spark_partition_id())
+    // Per-partition counts → exclusive prefix sum. numPartitions rows:
+    // the single-partition window here is over driver-scale data.
+    val offsets = parted.groupBy(col(PID)).agg(count(lit(1)).as(CNT))
+      .withColumn(OFF, coalesce(
+        sum(col(CNT)).over(
+          Window.orderBy(col(PID)).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop(CNT)
+    parted.join(broadcast(offsets), PID)
+      .withColumn(out,
+        row_number().over(Window.partitionBy(col(PID)).orderBy(key)).cast("long") + col(OFF))
+      .drop(PID, OFF)
+  }
+}

@@ -1,0 +1,278 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** §2.1 Batch Accumulator — the reference's batch-collection
+  * semantics (reference: src/component/lib.ts:24-730) re-expressed as
+  * declarative Spark transforms over the `events` table.
+  *
+  * Mapping (SURVEY §3): `batchId` := `event_type`, arrival time :=
+  * `ts`, item := event row. The reference's three flush triggers
+  * become:
+  *   - interval timer  → tumbling event-time windows ([[accTimeFlush]])
+  *   - size threshold  → arrival-ordered chunks of N ([[accSizeFlush]])
+  *   - manual flush    → [[BatchAccumulator.flush]] (driver API)
+  * Sequence numbering (`base::0`, `base::1`, … — lib.ts:513-517) maps
+  * to a per-batchId `seq`; flush bookkeeping (itemCount, flushedAt,
+  * durationMs — lib.ts:599-619) maps to per-batch aggregates.
+  *
+  * Scale: every query shuffles once on `event_type` (the batch key) —
+  * window functions and groupBys share that partitioning; no global
+  * sort anywhere. At 100 TB the per-key window ranking is bounded by
+  * the largest single batchId, the standard keyed-stream layout.
+  */
+object Accumulator {
+
+  /** Size-threshold flush boundary (reference immediateFlushThreshold,
+    * lib.ts:104-109). 250 at sf0.01 yields ~8 sequences per batchId. */
+  val threshold = 250
+  /** Interval-timer flush period (reference flushIntervalMs,
+    * lib.ts:76-83). */
+  val flushIntervalMinutes = 10
+
+  /** Interval-timer flushes: one row per (batchId, tumbling window)
+    * with itemCount and window bounds; seq numbers the flushes per
+    * batchId in time order. */
+  def accTimeFlush(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val flushes = Tables.events(s, dir)
+      .groupBy($"event_type", window($"ts", s"$flushIntervalMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("item_count"),
+           min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+    val seqW = Window.partitionBy($"event_type").orderBy($"w.start")
+    flushes
+      .withColumn("seq", row_number().over(seqW).cast("long") - 1)
+      .select($"event_type".as("batch_id"), $"seq",
+              $"w.start".as("window_start"), $"w.end".as("window_end"),
+              $"item_count", $"first_ts", $"last_ts")
+      .orderBy($"batch_id", $"seq")
+  }
+
+  val accTimeFlushSql: String =
+    s"""WITH flushes AS (
+       |  SELECT event_type AS batch_id,
+       |    time_bucket(INTERVAL '$flushIntervalMinutes minutes', ts) AS window_start,
+       |    count(*) AS item_count, min(ts) AS first_ts, max(ts) AS last_ts
+       |  FROM events GROUP BY 1, 2)
+       |SELECT batch_id,
+       |  row_number() OVER (PARTITION BY batch_id ORDER BY window_start) - 1 AS seq,
+       |  window_start,
+       |  window_start + INTERVAL '$flushIntervalMinutes minutes' AS window_end,
+       |  item_count, first_ts, last_ts
+       |FROM flushes
+       |ORDER BY batch_id, seq""".stripMargin
+
+  /** Arrival-ordered rows chunked into sequences of [[threshold]] per
+    * batchId — the size-trigger semantics, every batch's identity and
+    * bounds. Base for status/list/history below. */
+  private def sizeBatches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val arrival = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(arrival))
+      .withColumn("seq", expr(s"CAST((rn - 1) DIV $threshold AS BIGINT)"))
+      .groupBy($"event_type", $"seq")
+      .agg(count(lit(1)).as("item_count"),
+           min($"ts").as("created_at"), max($"ts").as("last_updated_at"))
+  }
+
+  /** A batch is `completed` once it reached the threshold (it flushed
+    * immediately — lib.ts:104-109); a trailing partial batch is still
+    * `accumulating`. */
+  private def statusCol = when(col("item_count") >= threshold, "completed")
+    .otherwise("accumulating")
+
+  def accSizeFlush(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sizeBatches(s, dir)
+      .select(concat($"event_type", lit("::"), $"seq").as("batch_key"),
+              $"event_type".as("batch_id"), $"seq",
+              $"item_count", $"created_at", $"last_updated_at")
+      .orderBy($"batch_id", $"seq")
+  }
+
+  private def sizeBatchesSql: String =
+    s"""SELECT event_type, (rn - 1) // $threshold AS seq, count(*) AS item_count,
+       |    min(ts) AS created_at, max(ts) AS last_updated_at
+       |  FROM (SELECT event_type, ts,
+       |          row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+       |        FROM events)
+       |  GROUP BY 1, 2""".stripMargin
+
+  val accSizeFlushSql: String =
+    s"""WITH b AS (
+       |  $sizeBatchesSql)
+       |SELECT event_type || '::' || seq AS batch_key, event_type AS batch_id,
+       |  seq, item_count, created_at, last_updated_at
+       |FROM b ORDER BY batch_id, seq""".stripMargin
+
+  /** getBatchStatus (lib.ts:181-244): the active — latest, possibly
+    * partial — batch per batchId. */
+  def accBatchStatus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val latest = Window.partitionBy($"event_type").orderBy($"seq".desc)
+    sizeBatches(s, dir)
+      .withColumn("pos", row_number().over(latest))
+      .filter($"pos" === 1)
+      .select($"event_type".as("batch_id"), $"seq", statusCol.as("status"),
+              $"item_count", $"created_at", $"last_updated_at")
+      .orderBy($"batch_id")
+  }
+
+  val accBatchStatusSql: String =
+    s"""WITH b AS (
+       |  $sizeBatchesSql)
+       |SELECT event_type AS batch_id, seq,
+       |  CASE WHEN item_count >= $threshold THEN 'completed'
+       |       ELSE 'accumulating' END AS status,
+       |  item_count, created_at, last_updated_at
+       |FROM b
+       |QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY seq DESC) = 1
+       |ORDER BY batch_id""".stripMargin
+
+  /** getAllBatchesForBaseId (lib.ts:246-279): every sequence with its
+    * status and lifecycle timestamps. */
+  def accBatchList(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sizeBatches(s, dir)
+      .select(concat($"event_type", lit("::"), $"seq").as("batch_key"),
+              $"event_type".as("batch_id"), $"seq", statusCol.as("status"),
+              $"item_count", $"created_at", $"last_updated_at")
+      .orderBy($"batch_id", $"seq")
+  }
+
+  val accBatchListSql: String =
+    s"""WITH b AS (
+       |  $sizeBatchesSql)
+       |SELECT event_type || '::' || seq AS batch_key, event_type AS batch_id, seq,
+       |  CASE WHEN item_count >= $threshold THEN 'completed'
+       |       ELSE 'accumulating' END AS status,
+       |  item_count, created_at, last_updated_at
+       |FROM b ORDER BY batch_id, seq""".stripMargin
+
+  /** getFlushHistory (lib.ts:281-298, 599-619): completed flushes
+    * with itemCount, flushedAt and duration (batch fill time). */
+  def accFlushHistory(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    sizeBatches(s, dir)
+      .filter($"item_count" >= threshold)
+      .select(concat($"event_type", lit("::"), $"seq").as("batch_key"),
+              $"event_type".as("batch_id"), $"seq", $"item_count",
+              $"last_updated_at".as("flushed_at"),
+              expr("CAST((unix_micros(last_updated_at) - unix_micros(created_at)) DIV 1000 AS BIGINT)")
+                .as("duration_ms"))
+      .orderBy($"batch_id", $"seq")
+  }
+
+  val accFlushHistorySql: String =
+    s"""WITH b AS (
+       |  $sizeBatchesSql)
+       |SELECT event_type || '::' || seq AS batch_key, event_type AS batch_id,
+       |  seq, item_count, last_updated_at AS flushed_at,
+       |  (epoch_us(last_updated_at) - epoch_us(created_at)) // 1000 AS duration_ms
+       |FROM b WHERE item_count >= $threshold
+       |ORDER BY batch_id, seq""".stripMargin
+
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "acc_time_flush"    -> (accTimeFlush _),
+    "acc_size_flush"    -> (accSizeFlush _),
+    "acc_batch_status"  -> (accBatchStatus _),
+    "acc_batch_list"    -> (accBatchList _),
+    "acc_flush_history" -> (accFlushHistory _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "acc_time_flush"    -> accTimeFlushSql,
+    "acc_size_flush"    -> accSizeFlushSql,
+    "acc_batch_status"  -> accBatchStatusSql,
+    "acc_batch_list"    -> accBatchListSql,
+    "acc_flush_history" -> accFlushHistorySql
+  )
+}
+
+/** One completed (or failed) flush — reference flushHistory row
+  * (lib.ts:599-619). */
+final case class FlushRecord(
+  batchId: String, seq: Long, itemCount: Long,
+  flushedAt: Long, durationMs: Long, success: Boolean)
+
+/** Current-batch view — reference getBatchStatus (lib.ts:181-244). */
+final case class AccBatchStatus(
+  batchId: String, seq: Long, status: String, itemCount: Long)
+
+/** §2.1 #6 — the accumulator as a Spark driver API over arbitrary
+  * Datasets (reference client, src/client/index.ts).
+  *
+  * Control flow (sequencing, threshold trigger, failure retention) is
+  * genuine driver-side state — O(#batchIds), never per-item; items
+  * live exclusively in lazy Dataset lineage and `process` sees one
+  * distributed union per flush. A failed flush keeps the buffered
+  * lineage and reverts the batch to `accumulating` (lib.ts:585-598).
+  */
+final class BatchAccumulator[T](
+    threshold: Long,
+    process: Dataset[T] => Unit,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  private case class State(seq: Long, buffers: Vector[Dataset[T]], count: Long, lastError: Option[String])
+  private val state = mutable.Map.empty[String, State]
+  private val completed = mutable.ArrayBuffer.empty[AccBatchStatus]
+  private val history = mutable.ArrayBuffer.empty[FlushRecord]
+
+  /** Adds items to the batchId's accumulating batch; flushes
+    * immediately once the threshold is reached (lib.ts:104-109). */
+  def addItems(batchId: String, items: Dataset[T]): AccBatchStatus = {
+    val n = items.count()
+    val st = state.getOrElse(batchId, State(0, Vector.empty, 0, None))
+    state(batchId) = st.copy(buffers = st.buffers :+ items, count = st.count + n)
+    if (state(batchId).count >= threshold) flush(batchId)
+    getBatchStatus(batchId).get
+  }
+
+  /** Manual flush (lib.ts:246-279). Returns true iff items were
+    * processed successfully; on failure items are retained. */
+  def flush(batchId: String): Boolean = state.get(batchId) match {
+    case Some(st) if st.count > 0 =>
+      val ds = st.buffers.reduce(_ unionByName _)
+      val t0 = clock()
+      val ok =
+        try { process(ds); true }
+        catch { case e: Exception =>
+          state(batchId) = st.copy(lastError = Some(e.getMessage)); false }
+      val t1 = clock()
+      history += FlushRecord(batchId, st.seq, st.count, t1, t1 - t0, ok)
+      if (ok) {
+        completed += AccBatchStatus(batchId, st.seq, "completed", st.count)
+        state(batchId) = State(st.seq + 1, Vector.empty, 0, None)
+      }
+      ok
+    case _ => false
+  }
+
+  def getBatchStatus(batchId: String): Option[AccBatchStatus] =
+    state.get(batchId).map(st => AccBatchStatus(batchId, st.seq, "accumulating", st.count))
+      .orElse(completed.filter(_.batchId == batchId).lastOption)
+
+  def getAllBatchesForBaseId(batchId: String): Seq[AccBatchStatus] =
+    (completed.filter(_.batchId == batchId) ++
+      state.get(batchId).filter(_.count > 0)
+        .map(st => AccBatchStatus(batchId, st.seq, "accumulating", st.count))).toSeq
+
+  def getFlushHistory(batchId: String): Seq[FlushRecord] =
+    history.filter(_.batchId == batchId).toSeq
+
+  /** Drops the accumulating batch and its history (lib.ts:321-360). */
+  def deleteBatch(batchId: String): Unit = {
+    state -= batchId
+    completed.filterInPlace(_.batchId != batchId)
+    history.filterInPlace(_.batchId != batchId)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+import graft.operators.BatchAccumulator
+
+class AccumulatorSpec extends SparkSpec {
+
+  private def acc(sink: collection.mutable.Buffer[Long],
+                  failFirst: Int = 0): BatchAccumulator[java.lang.Long] = {
+    var failures = failFirst
+    new BatchAccumulator[java.lang.Long](
+      threshold = 10,
+      process = (ds: Dataset[java.lang.Long]) => {
+        if (failures > 0) { failures -= 1; throw new RuntimeException("boom") }
+        sink += ds.count()
+      },
+      clock = () => 42L)
+  }
+
+  private def items(n: Int): Dataset[java.lang.Long] = {
+    val s = spark; import s.implicits._
+    s.range(n).map(java.lang.Long.valueOf(_))
+  }
+
+  test("accumulates below threshold, auto-flushes at threshold") {
+    val sink = collection.mutable.Buffer.empty[Long]
+    val a = acc(sink)
+    val st1 = a.addItems("b", items(4))
+    assert(st1.status == "accumulating" && st1.itemCount == 4 && st1.seq == 0)
+    val st2 = a.addItems("b", items(6)) // reaches 10 → immediate flush
+    assert(sink.toList == List(10L))
+    assert(st2.status == "accumulating" && st2.itemCount == 0 && st2.seq == 1)
+    val hist = a.getFlushHistory("b")
+    assert(hist.map(h => (h.seq, h.itemCount, h.success)) == Seq((0L, 10L, true)))
+  }
+
+  test("manual flush of a partial batch; sequences advance") {
+    val sink = collection.mutable.Buffer.empty[Long]
+    val a = acc(sink)
+    a.addItems("b", items(3))
+    assert(a.flush("b"))
+    assert(sink.toList == List(3L))
+    a.addItems("b", items(2))
+    val all = a.getAllBatchesForBaseId("b")
+    assert(all.map(b => (b.seq, b.status, b.itemCount)) ==
+      Seq((0L, "completed", 3L), (1L, "accumulating", 2L)))
+  }
+
+  test("failed flush retains items and records failure") {
+    val sink = collection.mutable.Buffer.empty[Long]
+    val a = acc(sink, failFirst = 1)
+    a.addItems("b", items(5))
+    assert(!a.flush("b"))
+    assert(sink.isEmpty)
+    val st = a.getBatchStatus("b").get
+    assert(st.status == "accumulating" && st.itemCount == 5 && st.seq == 0)
+    // retry succeeds with the SAME retained items
+    assert(a.flush("b"))
+    assert(sink.toList == List(5L))
+    assert(a.getFlushHistory("b").map(_.success) == Seq(false, true))
+  }
+
+  test("flush on empty or unknown batch is a no-op") {
+    val a = acc(collection.mutable.Buffer.empty[Long])
+    assert(!a.flush("nope"))
+  }
+
+  test("deleteBatch drops state and history") {
+    val sink = collection.mutable.Buffer.empty[Long]
+    val a = acc(sink)
+    a.addItems("b", items(12)) // auto-flush at 10 (12 ≥ threshold)
+    a.deleteBatch("b")
+    assert(a.getBatchStatus("b").isEmpty)
+    assert(a.getFlushHistory("b").isEmpty)
+    assert(a.getAllBatchesForBaseId("b").isEmpty)
+  }
+}
