@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Accumulator, Iterators, Relational}
+import graft.operators.{Accumulator, Iterators, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,10 +11,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Accumulator.queries ++ Iterators.queries
+    Relational.queries ++ Accumulator.queries ++ Iterators.queries ++
+      TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Accumulator.oracles ++ Iterators.oracles
+    Relational.oracles ++ Accumulator.oracles ++ Iterators.oracles ++
+      TextAnalysis.oracles
 }

@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** §2.6 Text analysis over the `documents` table — the per-document
+  * scoring passes a training-data pipeline runs before dedup/filter.
+  *
+  * Everything here is row-local column arithmetic: no joins, no
+  * shuffles, whole-stage-codegen'd end to end. At 100 TB each task
+  * scores its parquet split independently — embarrassingly parallel.
+  * All doubles are derived through identical left-to-right IEEE
+  * operations in both engines (and rounded at the edge) so the
+  * DuckDB hash-compare is exact.
+  */
+object TextAnalysis {
+
+  /** Tokens of `text`, whitespace-split. */
+  private val toksExpr = "split(trim(text), '\\\\s+')"
+  private val duckToks = "string_split_regex(trim(text), '\\s+')"
+
+  /** token count / char classes / average token length. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .select(
+        $"doc_id",
+        length($"text").as("n_chars"),
+        size($"toks").cast("long").as("n_tokens"),
+        length(regexp_replace($"text", "[^aeiou]", "")).as("n_vowels"),
+        expr("round(CAST(length(regexp_replace(text, '\\\\s+', '')) AS DOUBLE) / size(toks), 4)")
+          .as("avg_token_len"))
+      .orderBy($"doc_id")
+  }
+
+  val textStatsSql: String =
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len($duckToks) AS n_tokens,
+       |  length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels,
+       |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |        / len($duckToks), 4) AS avg_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality score: stopword ratio, type-token ratio, length score —
+    * the standard cheap pre-filter heuristics. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))").cast("long"))
+      .withColumn("stop_ratio", expr("CAST(n_stop AS DOUBLE) / n_tokens"))
+      .withColumn("ttr", expr("CAST(size(array_distinct(toks)) AS DOUBLE) / n_tokens"))
+      .withColumn("len_score", expr("least(1.0D, CAST(n_tokens AS DOUBLE) / 100.0D)"))
+      .select(
+        $"doc_id", $"n_tokens",
+        round($"stop_ratio", 4).as("stop_ratio"),
+        round($"ttr", 4).as("ttr"),
+        round($"len_score", 4).as("len_score"),
+        expr("round(0.4D * (1.0D - stop_ratio) + 0.4D * ttr + 0.2D * len_score, 4)")
+          .as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  val textQualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToks AS toks,
+       |    len($duckToks) AS n_tokens
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+       |      / n_tokens AS stop_ratio,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS ttr,
+       |    least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS len_score
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  round(stop_ratio, 4) AS stop_ratio, round(ttr, 4) AS ttr,
+       |  round(len_score, 4) AS len_score,
+       |  round(0.4 * (1.0 - stop_ratio) + 0.4 * ttr + 0.2 * len_score, 4) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Marker-token language heuristic: count function-word markers per
+    * language, pick the best (deterministic priority order on ties),
+    * confidence = marker density. */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "to", "and"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "les", "et", "une"),
+    "es" -> Seq("el", "los", "las", "y"))
+
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
+    val scored = markers.foldLeft(
+      Tables.documents(s, dir).withColumn("toks", expr(toksExpr))) {
+      case (df, (lang, ts)) =>
+        df.withColumn(s"s_$lang",
+          expr(s"size(filter(toks, t -> t IN (${inList(ts)})))").cast("long"))
+    }
+    val best = markers.map { case (l, _) => col(s"s_$l") }
+    val guess = markers.foldRight(lit("und")) { case ((l, _), alt) =>
+      when(col(s"s_$l") === greatest(best: _*) && col(s"s_$l") > 0, lit(l)).otherwise(alt)
+    }
+    scored
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .select($"doc_id", guess.as("lang_guess"),
+        round(greatest(best: _*).cast("double") / $"n_tokens", 4).as("confidence"))
+      .orderBy($"doc_id")
+  }
+
+  val textLangidSql: String = {
+    def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
+    val scoreCols = markers.map { case (l, ts) =>
+      s"CAST(len(list_filter(toks, t -> t IN (${inList(ts)}))) AS BIGINT) AS s_$l"
+    }.mkString(",\n    ")
+    val bestExpr = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val guessExpr = markers.foldRight("'und'") { case ((l, _), alt) =>
+      s"CASE WHEN s_$l = $bestExpr AND s_$l > 0 THEN '$l' ELSE $alt END"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToks AS toks,
+       |    len($duckToks) AS n_tokens
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, n_tokens,
+       |    $scoreCols
+       |  FROM t)
+       |SELECT doc_id,
+       |  $guessExpr AS lang_guess,
+       |  round(CAST($bestExpr AS DOUBLE) / n_tokens, 4) AS confidence
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
+  /** Position-weighted rolling fingerprint: token code = polynomial of
+    * first/last char and length, summed with position weights mod a
+    * prime. Pure integer arithmetic — exact on any engine, order-
+    * and partitioning-independent. */
+  private val prime = 1000000007L
+
+  def textFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .select(
+        $"doc_id",
+        expr(
+          s"""aggregate(
+             |  transform(sequence(1, size(toks)),
+             |    i -> (CAST(i AS BIGINT)
+             |          * (ascii(element_at(toks, i)) * 10000L
+             |             + ascii(substring(element_at(toks, i), -1, 1)) * 100L
+             |             + length(element_at(toks, i)))) % ${prime}L),
+             |  0L, (acc, x) -> (acc + x) % ${prime}L)""".stripMargin)
+          .as("fingerprint"))
+      .orderBy($"doc_id")
+  }
+
+  val textFingerprintSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToks AS toks FROM documents)
+       |SELECT doc_id,
+       |  CAST(list_sum(list_transform(range(1, len(toks) + 1),
+       |    i -> (i * (ascii(toks[i]) * 10000
+       |               + ascii(toks[i][-1]) * 100
+       |               + length(toks[i]))) % $prime)) % $prime AS BIGINT)
+       |    AS fingerprint
+       |FROM t ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats"       -> (textStats _),
+    "text_quality"     -> (textQuality _),
+    "text_langid"      -> (textLangid _),
+    "text_fingerprint" -> (textFingerprint _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_stats"       -> textStatsSql,
+    "text_quality"     -> textQualitySql,
+    "text_langid"      -> textLangidSql,
+    "text_fingerprint" -> textFingerprintSql
+  )
+}
