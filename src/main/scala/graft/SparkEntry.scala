@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Accumulator, Iterators, Relational, TextAnalysis}
+import graft.operators.{Accumulator, Dedup, Iterators, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,11 +12,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Accumulator.queries ++ Iterators.queries ++
-      TextAnalysis.queries
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Accumulator.oracles ++ Iterators.oracles ++
-      TextAnalysis.oracles
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles
 }

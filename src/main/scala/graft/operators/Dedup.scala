@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.sources.Tables
+
+/** §2.4 Deduplication suite over `documents` (+ `embeddings`).
+  *
+  * Scale layout (SURVEY §5): signatures (MinHash, SimHash) are
+  * computed row-local in one codegen'd pass — no shuffle. Candidate
+  * generation shuffles only (band, bucket) keys and pairs up within
+  * buckets, the standard LSH near-dup pipeline; nothing ever does a
+  * global cross join. The shingle-Jaccard variant IS quadratic per
+  * shingle bucket — it exists as the oracle-checkable ground truth;
+  * the 100 TB path is [[dedupMinhash]].
+  */
+object Dedup {
+
+  /** Jaccard threshold for the exact n-gram variant. */
+  val jaccardTau = 0.6
+  /** Embedding near-dup cosine threshold. */
+  val cosineTau = 0.4
+  /** MinHash signature length and LSH banding (8 bands × 8 rows). */
+  val minhashK = 64
+  val bands = 8
+  val rowsPerBand = 8
+
+  private val toksExpr = "split(trim(text), '\\\\s+')"
+  private val duckToks = "string_split_regex(trim(text), '\\s+')"
+
+  /** doc_id + distinct word-3-gram shingles (docs shorter than 3
+    * tokens are excluded — they have no 3-gram identity). */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .filter(size($"toks") >= 3)
+      .withColumn("shingles",
+        expr("array_distinct(transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' ')))"))
+      .select($"doc_id", $"shingles")
+  }
+
+  private val shingledSql: String =
+    s"""SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+       |  WHERE len(toks) >= 3""".stripMargin
+
+  /** Exact dedup: group by content hash, keep the smallest doc_id as
+    * canonical. One shuffle on the hash — the 100 TB exact-dedup
+    * layout (hash is uniform → no skew). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(md5($"text".cast("binary")).as("text_hash"))
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"canonical_id")
+  }
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
+
+  /** Ground-truth near-dup pairs: word-3-gram Jaccard ≥ τ via
+    * explode + equi-self-join on the shingle. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir)
+    val sizes = sh.select($"doc_id", size($"shingles").cast("long").as("n_sh"))
+    val ex = sh.select($"doc_id", explode($"shingles").as("s"))
+    val inter = ex.as("a").join(ex.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("s1"), $"doc1" === $"s1.doc_id")
+      .join(sizes.as("s2"), $"doc2" === $"s2.doc_id")
+      .withColumn("jaccard",
+        expr("round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 6)"))
+      .filter($"jaccard" >= jaccardTau)
+      .select($"doc1", $"doc2", $"inter", $"jaccard")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH sh AS (
+       |  $shingledSql),
+       |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+       |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc1, doc2, inter,
+       |  round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
+       |FROM pairs
+       |JOIN sz s1 ON doc1 = s1.doc_id
+       |JOIN sz s2 ON doc2 = s2.doc_id
+       |WHERE round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 6) >= $jaccardTau
+       |ORDER BY doc1, doc2""".stripMargin
+
+  /** doc_id + MinHash signature (k=[[minhashK]]): min over shingles
+    * of xxhash64(shingle, k) per hash index — one row-local pass. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    shingled(s, dir)
+      .withColumn("sig",
+        expr(s"transform(sequence(0, ${minhashK - 1}), k -> array_min(transform(shingles, sh -> xxhash64(sh, k))))"))
+      .select($"doc_id", $"sig")
+  }
+
+  /** MinHash + LSH banding candidate pairs with the signature-
+    * estimated Jaccard. Shuffles only (band, bucket-hash) keys. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = minhashSignatures(s, dir)
+    val banded = sigs.select($"doc_id", $"sig",
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
+        $"a.sig".as("sig1"), $"b.sig".as("sig2"))
+      .distinct()
+    cand
+      .withColumn("est_jaccard",
+        expr(s"round(CAST(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m)) AS DOUBLE) / $minhashK, 4)"))
+      .select($"doc1", $"doc2", $"est_jaccard")
+      .orderBy($"doc1", $"doc2")
+  }
+
+  /** doc_id + 64-bit SimHash over tokens (term-frequency weighted by
+    * construction: repeated tokens vote repeatedly). */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("simhash",
+        expr("""aggregate(sequence(0, 63), 0L, (acc, j) ->
+               |  acc + CASE WHEN aggregate(toks, 0L,
+               |    (a, t) -> a + CASE WHEN ((xxhash64(t) >> j) & 1L) = 1L THEN 1L ELSE -1L END) > 0L
+               |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin))
+      .select($"doc_id", $"simhash")
+  }
+
+  /** SimHash near-dup pairs: Hamming ≤ 3 via 4×16-bit band buckets
+    * (pigeonhole: any pair within distance 3 shares a clean band). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = simhashSignatures(s, dir)
+    val banded = sigs.select($"doc_id", $"simhash",
+        posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535L)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("a").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
+        bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc1", $"doc2")
+  }
+
+  /** Embedding near-dup: exact cosine ≥ τ pairs. The all-pairs join
+    * is the oracle-checkable small-SF variant; at scale candidates
+    * come from [[Similarity.annLsh]]'s buckets instead. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorFns.norm("v")))
+    v.as("a").join(v.as("b"), $"a.vec_id" < $"b.vec_id")
+      .withColumn("cosine",
+        expr(s"round(${VectorFns.dot("a.v", "b.v")} / (a.nrm * b.nrm), 6)"))
+      .filter($"cosine" >= cosineTau)
+      .select($"a.vec_id".as("id1"), $"b.vec_id".as("id2"), $"cosine")
+      .orderBy($"id1", $"id2")
+  }
+
+  val dedupEmbeddingSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v)
+       |SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $cosineTau
+       |ORDER BY id1, id2""".stripMargin
+
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_embedding"     -> (dedupEmbedding _)
+  )
+
+  /** minhash/simhash are hash-function-specific → rows-only check +
+    * ScalaTest semantics (SURVEY §2.4). */
+  def oracles: Map[String, String] = Map(
+    "dedup_exact"         -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_embedding"     -> dedupEmbeddingSql
+  )
+}

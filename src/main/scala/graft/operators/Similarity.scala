@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFns
+import graft.sources.Tables
+
+/** §2.5 Similarity search over the `embeddings` table.
+  *
+  * [[annBruteforce]] is the exact baseline: query-set × corpus cosine
+  * with a per-query top-k window. The join is bounded by |Q| — with a
+  * small query set it is a broadcast of Q against a full corpus scan,
+  * which IS the scalable exact layout (linear in corpus size, no
+  * corpus self-join).
+  *
+  * [[annLsh]] is the scale path: deterministic random-hyperplane
+  * (Rademacher ±1, hash-seeded) signatures — L tables × B bits,
+  * row-local — then candidates only where query and corpus vector
+  * share a bucket, exact cosine re-rank on candidates. Shuffles
+  * (table, bucket) keys only; recall vs. the brute-force baseline is
+  * asserted in SimilaritySpec.
+  */
+object Similarity {
+
+  /** Top-k neighbors returned per query. */
+  val k = 5
+  /** Queries = the first [[nQueries]] vec_ids (deterministic set). */
+  val nQueries = 10
+  /** LSH: [[lshTables]] hash tables × [[lshBits]] hyperplane bits. */
+  val lshTables = 8
+  val lshBits = 6
+
+  private def vectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorFns.norm("v")))
+  }
+
+  /** Exact cosine top-k for the query set. */
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, dir)
+    val q = v.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val scored = v.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("cosine",
+        expr(s"round(${VectorFns.dot("qv", "v")} / (qnrm * nrm), 6)"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val annBruteforceSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+       |  neighbor_id, cosine
+       |FROM scored
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** vec_id + one bucket id per LSH table. Hyperplane component for
+    * (plane p, dim d) is a hash-seeded ±1 — fully deterministic, no
+    * driver-side randomness to ship to executors. */
+  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nPlanes = lshTables * lshBits
+    vectors(s, dir)
+      .withColumn("bits",
+        expr(s"""transform(sequence(0, ${nPlanes - 1}), p ->
+                |  CASE WHEN aggregate(sequence(1, size(v)), 0D,
+                |    (acc, d) -> acc + element_at(v, d)
+                |      * CAST(pmod(xxhash64(p, d), 2) * 2 - 1 AS DOUBLE)) >= 0D
+                |  THEN 1L ELSE 0L END)""".stripMargin))
+      .select($"vec_id", $"v", $"nrm",
+        posexplode(expr(
+          s"""transform(sequence(0, ${lshTables - 1}), t ->
+             |  aggregate(sequence(0, ${lshBits - 1}), 0L,
+             |    (acc, j) -> acc + shiftleft(element_at(bits, t * $lshBits + j + 1), j)))""".stripMargin)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
+  }
+
+  /** Bucketed ANN: candidates share an LSH bucket with the query in
+    * at least one table; exact cosine re-rank, top-k. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = lshBuckets(s, dir)
+    val qb = b.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        $"tbl", $"bucket")
+    val cand = b.join(broadcast(qb),
+        b("tbl") === qb("tbl") && b("bucket") === qb("bucket") &&
+          b("vec_id") =!= qb("query_id"))
+      .select($"query_id", $"qv", $"qnrm", $"vec_id", $"v", $"nrm")
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    cand
+      .withColumn("cosine",
+        expr(s"round(${VectorFns.dot("qv", "v")} / (qnrm * nrm), 6)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> (annBruteforce _),
+    "ann_lsh"        -> (annLsh _)
+  )
+
+  /** ann_lsh is hash-family-specific → rows-only + recall spec. */
+  def oracles: Map[String, String] = Map(
+    "ann_bruteforce" -> annBruteforceSql
+  )
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  /** Crafted corpus written as a documents.parquet so every
+    * doc-operator runs through its real load path: two identical
+    * docs, one near-dup (one word changed), one unrelated. */
+  private lazy val craftedDir: String = {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-docs").toString
+    val base = (1 to 60).map(i => s"tok${i % 17}").mkString(" ")
+    val near = base.split(" ").updated(30, "CHANGED").mkString(" ")
+    val other = (1 to 60).map(i => s"other${i % 13}").mkString(" ")
+    Seq((0L, base, "en", "src0", base.length.toLong),
+        (1L, base, "en", "src0", base.length.toLong),
+        (2L, near, "en", "src0", near.length.toLong),
+        (3L, other, "en", "src0", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_exact groups identical texts under the min doc_id") {
+    val rows = Dedup.dedupExact(spark, craftedDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toList
+    assert(rows == List((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("ngram jaccard: identical pair at 1.0, near-dup high, unrelated absent") {
+    val pairs = Dedup.dedupNgramJaccard(spark, craftedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.8 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("minhash candidates cover all true near-dup pairs with accurate estimates") {
+    val truePairs = Dedup.dedupNgramJaccard(spark, craftedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val est = Dedup.dedupMinhash(spark, craftedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // recall: every pair with Jaccard ≥ τ is a minhash candidate
+    truePairs.foreach { case (p, j) =>
+      assert(est.contains(p), s"missing candidate $p (jaccard $j)")
+      assert(math.abs(est(p) - j) <= 0.25, s"estimate off for $p: est=${est(p)} true=$j")
+    }
+    // the unrelated doc never pairs with anything
+    assert(!est.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash recall of jaccard>=tau pairs is total on the real corpus") {
+    val truePairs = Dedup.dedupNgramJaccard(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.dedupMinhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.nonEmpty, "test corpus should contain planted near-dups")
+    assert((truePairs -- cand).isEmpty,
+      s"minhash missed ${(truePairs -- cand).size} of ${truePairs.size} true pairs")
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated doc absent") {
+    val rows = Dedup.dedupSimhash(spark, craftedDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows((0L, 1L)) == 0L)
+    assert(!rows.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash signature is permutation-sensitive but duplicate-stable") {
+    val s = spark; import s.implicits._
+    val sigs = Dedup.simhashSignatures(spark, craftedDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))        // identical text, identical signature
+    assert(sigs(0L) != sigs(3L))        // unrelated text, different signature
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) <
+           java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))) // near-dup closer than unrelated
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.dedupEmbedding(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= Dedup.cosineTau)
+    }
+  }
+}
