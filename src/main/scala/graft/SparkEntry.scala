@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Accumulator, Dedup, Iterators, Relational, Similarity, TextAnalysis}
+import graft.operators.{Accumulator, Dedup, Iterators, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.streaming.StreamAcc
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -12,11 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Accumulator.queries ++ Iterators.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries ++ StreamAcc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Accumulator.oracles ++ Iterators.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Multimodal.oracles
 }

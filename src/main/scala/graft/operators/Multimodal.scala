@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** A binary media asset with typed metadata — the row shape a
+  * multimodal training pipeline carries (payload stays an opaque
+  * binary column; metadata is queryable). */
+final case class MediaAsset(
+  asset_id: Long, mime: String, byte_size: Long, payload: Array[Byte])
+
+/** One sampled frame/window from an asset. The decode step is a
+  * deterministic STUB (no media codecs in this container) — the
+  * Spark-side plumbing (typed Dataset, per-partition batching,
+  * schema, output shape) is the real, tested part. */
+final case class Frame(
+  asset_id: Long, frame_idx: Long, offset: Long,
+  width: Int, height: Int, checksum: Long)
+
+/** §2.7 Multimodal columns.
+  *
+  * Media payloads are opaque `binary` columns + typed metadata —
+  * Spark's parquet binary type maps 1:1 to how image/audio bytes
+  * ship at 100 TB (payload never parsed by Catalyst, metadata fully
+  * prunable: a query on `mime`/`byte_size` never reads payload bytes
+  * thanks to parquet column pruning).
+  *
+  * Payloads here are deterministic fakes built from document text
+  * (magic header + UTF-8 bytes) so every stage is oracle-checkable.
+  * The decode/frame-sample stage runs as typed `mapPartitions` — the
+  * Scala analog of `mapInPandas` batch UDFs: per-partition iterator,
+  * codec state initialized once per partition, no driver round-trip.
+  */
+object Multimodal {
+
+  /** magic-number → mime, cycled by asset id (deterministic fake). */
+  private val magics = Seq(
+    ("89504e47", "image/png"),
+    ("ffd8ffe0", "image/jpeg"),
+    ("52494646", "audio/wav"))
+
+  /** Frame sampling geometry: one frame per `frameStride` payload
+    * bytes, each `frameSize` bytes long. */
+  val frameSize = 64
+  val frameStride = 48
+
+  /** doc_id + mime + raw payload (magic header ++ text bytes). */
+  private def withPayload(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val magicExpr = magics.zipWithIndex.foldRight(lit(null): org.apache.spark.sql.Column) {
+      case (((hexs, _), i), alt) => when(pmod($"doc_id", lit(magics.size)) === i, unhex(lit(hexs))).otherwise(alt)
+    }
+    val mimeExpr = magics.zipWithIndex.foldRight(lit("application/octet-stream")) {
+      case (((_, mime), i), alt) => when(pmod($"doc_id", lit(magics.size)) === i, lit(mime)).otherwise(alt)
+    }
+    Tables.documents(s, dir)
+      .withColumn("payload", concat(magicExpr, $"text".cast("binary")))
+      .withColumn("mime", mimeExpr)
+  }
+
+  /** Manifest: typed metadata columns (payload digest, not bytes). */
+  def mmManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(s, dir)
+      .select(
+        $"doc_id".as("asset_id"),
+        $"mime",
+        lower(hex(expr("substring(payload, 1, 4)"))).as("magic_hex"),
+        length($"payload").cast("long").as("byte_size"),
+        // digest, not raw bytes: BLOB columns aren't hashable by the
+        // oracle compare (and DuckDB only digests VARCHAR), so hash
+        // the hex encoding; the raw payload ships via assets()
+        md5(hex($"payload")).as("payload_md5"))
+      .orderBy($"asset_id")
+  }
+
+  val mmManifestSql: String = {
+    val magicCase = magics.zipWithIndex.map { case ((hexs, _), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN unhex('$hexs')"
+    }.mkString("CASE ", " ", " END")
+    val mimeCase = magics.zipWithIndex.map { case ((_, mime), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN '$mime'"
+    }.mkString("CASE ", " ", " ELSE 'application/octet-stream' END")
+    s"""WITH m AS (
+       |  SELECT doc_id, $magicCase || CAST(text AS BLOB) AS payload,
+       |    $mimeCase AS mime
+       |  FROM documents)
+       |SELECT doc_id AS asset_id, mime,
+       |  lower(substring(hex(payload), 1, 8)) AS magic_hex,
+       |  octet_length(payload) AS byte_size, md5(hex(payload)) AS payload_md5
+       |FROM m ORDER BY asset_id""".stripMargin
+  }
+
+  /** Typed manifest for the decode stage. */
+  def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
+    import s.implicits._
+    withPayload(s, dir)
+      .select($"doc_id".as("asset_id"), $"mime",
+        length($"payload").cast("long").as("byte_size"), $"payload")
+      .as[MediaAsset]
+  }
+
+  /** STUBBED per-frame "decode": a real pipeline would hand the bytes
+    * to a codec here; the stub derives deterministic fake dimensions
+    * and a rolling checksum so outputs are assertable. */
+  private[graft] def decodeFrame(a: MediaAsset, idx: Long, off: Long): Frame = {
+    val end = math.min(off + frameSize, a.payload.length).toInt
+    var sum = 0L
+    var i = off.toInt
+    while (i < end) { sum = (sum * 31 + (a.payload(i) & 0xff)) & 0x7fffffffffffffffL; i += 1 }
+    Frame(a.asset_id, idx, off,
+      width = 16 + (sum % 16).toInt, height = 16 + ((sum >> 8) % 16).toInt,
+      checksum = sum)
+  }
+
+  /** Frame/window sampling over the binary column: one pass per
+    * partition, codec-style (iterator in, iterator out — the
+    * mapInPandas batch shape). */
+  def frameExtract(s: SparkSession, dir: String): Dataset[Frame] = {
+    import s.implicits._
+    assets(s, dir).mapPartitions { it =>
+      it.flatMap { a =>
+        val n = math.max(1L, (a.byte_size + frameStride - 1) / frameStride)
+        (0L until n).iterator.map(i => decodeFrame(a, i, i * frameStride))
+      }
+    }
+  }
+
+  def mmFrameExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    frameExtract(s, dir).toDF().orderBy($"asset_id", $"frame_idx")
+  }
+
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_manifest"      -> (mmManifest _),
+    "mm_frame_extract" -> (mmFrameExtract _)
+  )
+
+  /** frame extraction is imperative decode plumbing → rows-only +
+    * MultimodalSpec. */
+  def oracles: Map[String, String] = Map(
+    "mm_manifest" -> mmManifestSql
+  )
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+import graft.operators.Accumulator
+
+/** §2.1 #7 — the accumulator's interval-timer flush as Structured
+  * Streaming: the real-time analog of the reference's
+  * `flushIntervalMs` timer (lib.ts:76-83). Tumbling event-time
+  * windows with a watermark bound state: at 100 TB/day the state
+  * store holds only open windows per batchId, and late items beyond
+  * the watermark are dropped exactly like items arriving after a
+  * flush landed in the next sequence.
+  */
+object StreamAcc {
+
+  /** Streaming source over the events parquet data (schema must be
+    * provided explicitly for readStream; reuse the batch schema and
+    * the same nanos→micros conversion as Tables.events). The file
+    * source requires a directory — test data ships single parquet
+    * files, so stage a symlink dir (cheap, no copy; a production
+    * deploy points at the landing directory directly). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val path = s"$dir/events.parquet"
+    val streamDir =
+      if (Files.isDirectory(Paths.get(path))) path
+      else {
+        val d = Paths.get(sys.props("java.io.tmpdir"), "graft-stream",
+          Integer.toHexString(path.hashCode))
+        Files.createDirectories(d)
+        val link = d.resolve("events.parquet")
+        if (!Files.exists(link)) Files.createSymbolicLink(link, Paths.get(path))
+        d.toString
+      }
+    val raw = s.read.parquet(path)
+    val stream = s.readStream.schema(raw.schema).parquet(streamDir)
+    if (raw.schema("ts").dataType == LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+  }
+
+  /** Streaming tumbling-window flush: same grouping as the batch
+    * [[Accumulator.accTimeFlush]] minus the global seq (assigned at
+    * read-out; a streaming sink appends windows as they close). */
+  def streamingFlushes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy($"event_type", window($"ts", s"${Accumulator.flushIntervalMinutes} minutes").as("w"))
+      .agg(count(lit(1)).as("item_count"),
+           min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      .select($"event_type".as("batch_id"),
+              $"w.start".as("window_start"), $"w.end".as("window_end"),
+              $"item_count", $"first_ts", $"last_ts")
+  }
+
+  /** Runs the stream to completion over the existing files
+    * (Trigger.AvailableNow) into an in-memory table; returns the
+    * materialized flushes. Used by the parity spec and the
+    * `stream_acc_time_flush` rows check. */
+  def runToCompletion(s: SparkSession, dir: String, sink: String = "stream_acc"): DataFrame = {
+    val q = streamingFlushes(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  /** Driver-contract entry: rows-only check (parity with the batch
+    * result is asserted in StreamAccSpec). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_acc_time_flush" -> ((s, dir) => runToCompletion(s, dir, sink = "stream_acc_verify"))
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("manifest carries magic-consistent mime and exact byte sizes") {
+    val rows = Multimodal.mmManifest(spark, sfDir).collect()
+    assert(rows.length == 500)
+    val expectMagic = Map(
+      "image/png" -> "89504e47", "image/jpeg" -> "ffd8ffe0", "audio/wav" -> "52494646")
+    rows.foreach { r =>
+      val (mime, magic) = (r.getString(1), r.getString(2))
+      assert(expectMagic(mime) == magic, s"asset ${r.getLong(0)}: $mime vs $magic")
+    }
+    // typed path: payload bytes start with the magic and match byte_size
+    val sizes = rows.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    Multimodal.assets(spark, sfDir).collect().foreach { a =>
+      assert(a.payload.length.toLong == sizes(a.asset_id))
+      val head = a.payload.take(4).map("%02x".format(_)).mkString
+      assert(expectMagic(a.mime) == head)
+    }
+  }
+
+  test("metadata-only query does not read the payload column (pruning)") {
+    val plan = Multimodal.mmManifest(spark, sfDir)
+      .select("asset_id", "mime", "byte_size")
+      .queryExecution.executedPlan.toString
+    // the parquet scan only needs doc_id + text (payload is derived);
+    // the full document text feeds payload, but n_chars/lang/source
+    // must be pruned away
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("n_chars") && !plan.contains("lang"))
+  }
+
+  test("frame extraction covers every payload byte window deterministically") {
+    val assets = Multimodal.assets(spark, sfDir).collect().map(a => a.asset_id -> a).toMap
+    val frames = Multimodal.frameExtract(spark, sfDir).collect()
+    val byAsset = frames.groupBy(_.asset_id)
+    assert(byAsset.keySet == assets.keySet)
+    byAsset.foreach { case (id, fs) =>
+      val a = assets(id)
+      val expectN = math.max(1L, (a.byte_size + Multimodal.frameStride - 1) / Multimodal.frameStride)
+      assert(fs.length.toLong == expectN, s"asset $id: ${fs.length} frames, want $expectN")
+      assert(fs.map(_.frame_idx).sorted.toList == (0L until expectN).toList)
+      fs.foreach { f =>
+        assert(f.offset == f.frame_idx * Multimodal.frameStride)
+        assert(f.width >= 16 && f.width < 32 && f.height >= 16 && f.height < 32)
+        // stub decode is pure: recompute equals
+        assert(f == Multimodal.decodeFrame(a, f.frame_idx, f.offset))
+      }
+    }
+  }
+}
