@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.functions.GraftExpressions
+
 /** Session factory with the engine's tuned defaults.
   *
   * Settings chosen for the target deployment (many-executor cluster,
@@ -16,7 +18,8 @@ object GraftSession {
 
   /** Apply graft's defaults to an arbitrary builder. */
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.adaptive.enabled", "true")
+    b.withExtensions(GraftExpressions.install)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -12,9 +12,9 @@ object VectorFns {
   /** float[] → double[] (exact widening; all math in double). */
   def asDouble(col: String): String = s"transform($col, x -> CAST(x AS DOUBLE))"
 
-  def dot(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  /** Native [[DotProduct]] — same left-to-right order as DuckDB's
+    * list_dot_product, ~100× the throughput of aggregate+zip_with. */
+  def dot(a: String, b: String): String = s"graft_dot($a, $b)"
 
-  def norm(a: String): String =
-    s"sqrt(aggregate(transform($a, x -> x * x), 0D, (acc, x) -> acc + x))"
+  def norm(a: String): String = s"sqrt(graft_dot($a, $a))"
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Agg.rndSql
 import graft.functions.VectorFns
 import graft.sources.Tables
 
@@ -30,15 +31,15 @@ object Dedup {
   private val toksExpr = "split(trim(text), '\\\\s+')"
   private val duckToks = "string_split_regex(trim(text), '\\s+')"
 
-  /** doc_id + distinct word-3-gram shingles (docs shorter than 3
+  /** doc_id + distinct word-3-gram shingles via the native
+    * [[graft.functions.WordShingles]] expression (docs shorter than 3
     * tokens are excluded — they have no 3-gram identity). */
   private def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
       .filter(size($"toks") >= 3)
-      .withColumn("shingles",
-        expr("array_distinct(transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' ')))"))
+      .withColumn("shingles", expr("graft_shingles(toks)"))
       .select($"doc_id", $"shingles")
   }
 
@@ -66,21 +67,21 @@ object Dedup {
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
 
   /** Ground-truth near-dup pairs: word-3-gram Jaccard ≥ τ via
-    * explode + equi-self-join on the shingle. */
+    * explode + equi-self-join on the shingle. The per-doc shingle
+    * count rides along through the explode, so union sizes need no
+    * extra joins (n_sh is functionally dependent on doc_id). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingled(s, dir)
-    val sizes = sh.select($"doc_id", size($"shingles").cast("long").as("n_sh"))
-    val ex = sh.select($"doc_id", explode($"shingles").as("s"))
-    val inter = ex.as("a").join(ex.as("b"),
+    val ex = shingled(s, dir)
+      .select($"doc_id", size($"shingles").cast("long").as("n_sh"),
+        explode($"shingles").as("s"))
+    ex.as("a").join(ex.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .groupBy($"a.doc_id".as("doc1"), $"a.n_sh".as("n1"),
+               $"b.doc_id".as("doc2"), $"b.n_sh".as("n2"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("s1"), $"doc1" === $"s1.doc_id")
-      .join(sizes.as("s2"), $"doc2" === $"s2.doc_id")
       .withColumn("jaccard",
-        expr("round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 6)"))
+        expr(rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)))
       .filter($"jaccard" >= jaccardTau)
       .select($"doc1", $"doc2", $"inter", $"jaccard")
       .orderBy($"doc1", $"doc2")
@@ -96,20 +97,19 @@ object Dedup {
        |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc1, doc2, inter,
-       |  round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 6) AS jaccard
+       |  ${rndSql("CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter)", 6)} AS jaccard
        |FROM pairs
        |JOIN sz s1 ON doc1 = s1.doc_id
        |JOIN sz s2 ON doc2 = s2.doc_id
-       |WHERE round(CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter), 6) >= $jaccardTau
+       |WHERE ${rndSql("CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter)", 6)} >= $jaccardTau
        |ORDER BY doc1, doc2""".stripMargin
 
-  /** doc_id + MinHash signature (k=[[minhashK]]): min over shingles
-    * of xxhash64(shingle, k) per hash index — one row-local pass. */
+  /** doc_id + MinHash signature (k=[[minhashK]]) via the native
+    * single-pass [[graft.functions.MinHashSig]] expression. */
   def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     shingled(s, dir)
-      .withColumn("sig",
-        expr(s"transform(sequence(0, ${minhashK - 1}), k -> array_min(transform(shingles, sh -> xxhash64(sh, k))))"))
+      .withColumn("sig", expr("graft_minhash64(shingles)"))
       .select($"doc_id", $"sig")
   }
 
@@ -129,22 +129,19 @@ object Dedup {
       .distinct()
     cand
       .withColumn("est_jaccard",
-        expr(s"round(CAST(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m)) AS DOUBLE) / $minhashK, 4)"))
+        expr(rndSql(s"CAST(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m)) AS DOUBLE) / $minhashK", 4)))
       .select($"doc1", $"doc2", $"est_jaccard")
       .orderBy($"doc1", $"doc2")
   }
 
   /** doc_id + 64-bit SimHash over tokens (term-frequency weighted by
-    * construction: repeated tokens vote repeatedly). */
+    * construction: repeated tokens vote repeatedly) via the native
+    * [[graft.functions.SimHash64]] expression. */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
-      .withColumn("simhash",
-        expr("""aggregate(sequence(0, 63), 0L, (acc, j) ->
-               |  acc + CASE WHEN aggregate(toks, 0L,
-               |    (a, t) -> a + CASE WHEN ((xxhash64(t) >> j) & 1L) = 1L THEN 1L ELSE -1L END) > 0L
-               |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin))
+      .withColumn("simhash", expr("graft_simhash64(toks)"))
       .select($"doc_id", $"simhash")
   }
 
@@ -176,7 +173,7 @@ object Dedup {
       .withColumn("nrm", expr(VectorFns.norm("v")))
     v.as("a").join(v.as("b"), $"a.vec_id" < $"b.vec_id")
       .withColumn("cosine",
-        expr(s"round(${VectorFns.dot("a.v", "b.v")} / (a.nrm * b.nrm), 6)"))
+        expr(rndSql(s"${VectorFns.dot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)))
       .filter($"cosine" >= cosineTau)
       .select($"a.vec_id".as("id1"), $"b.vec_id".as("id2"), $"cosine")
       .orderBy($"id1", $"id2")
@@ -191,9 +188,9 @@ object Dedup {
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
        |  FROM v)
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
-       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+       |  ${rndSql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cosine
        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= $cosineTau
+       |WHERE ${rndSql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= $cosineTau
        |ORDER BY id1, id2""".stripMargin
 
   // -------------------------------------------------------------------

@@ -60,12 +60,17 @@ object Multimodal {
       .withColumn("mime", mimeExpr)
   }
 
-  /** Manifest: typed metadata columns (payload digest, not bytes). */
+  /** Manifest: typed metadata columns (payload digest, not bytes).
+    * Sorted BEFORE deriving the digest: the range-sort's sampling
+    * pass re-executes its child, so keeping md5 above the sort
+    * boundary computes it exactly once. */
   def mmManifest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     withPayload(s, dir)
+      .select($"doc_id".as("asset_id"), $"mime", $"payload")
+      .orderBy($"asset_id")
       .select(
-        $"doc_id".as("asset_id"),
+        $"asset_id",
         $"mime",
         lower(hex(expr("substring(payload, 1, 4)"))).as("magic_hex"),
         length($"payload").cast("long").as("byte_size"),
@@ -73,7 +78,6 @@ object Multimodal {
         // oracle compare (and DuckDB only digests VARCHAR), so hash
         // the hex encoding; the raw payload ships via assets()
         md5(hex($"payload")).as("payload_md5"))
-      .orderBy($"asset_id")
   }
 
   val mmManifestSql: String = {

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Agg.rndSql
 import graft.functions.VectorFns
 import graft.sources.Tables
 
@@ -47,7 +48,7 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
     val scored = v.join(broadcast(q), $"vec_id" =!= $"query_id")
       .withColumn("cosine",
-        expr(s"round(${VectorFns.dot("qv", "v")} / (qnrm * nrm), 6)"))
+        expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -66,7 +67,7 @@ object Similarity {
        |  FROM v),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+       |    ${rndSql("list_dot_product(q.v, c.v) / (q.nrm * c.nrm)", 6)} AS cosine
        |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
        |  WHERE q.vec_id < $nQueries)
        |SELECT query_id,
@@ -76,19 +77,27 @@ object Similarity {
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
-  /** vec_id + one bucket id per LSH table. Hyperplane component for
-    * (plane p, dim d) is a hash-seeded ±1 — fully deterministic, no
-    * driver-side randomness to ship to executors. */
+  /** Hyperplane component for (plane p, dim d): hash-seeded ±1 —
+    * fully deterministic, the same value as SQL `xxhash64(p, d)`
+    * (computed once on the driver and shipped as a literal matrix
+    * instead of 48×64 hash evals per row). */
+  private[operators] def plane(p: Int, d: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = XxHash64(Seq(Literal(p), Literal(d)), 42L).eval(null).asInstanceOf[Long]
+    (((h % 2) + 2) % 2) * 2.0 - 1.0
+  }
+
+  /** vec_id + one bucket id per LSH table. */
   def lshBuckets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val nPlanes = lshTables * lshBits
+    val dims = 64
+    val planes = typedLit(Seq.tabulate(nPlanes, dims)((p, d) => plane(p, d + 1)))
     vectors(s, dir)
+      .withColumn("planes", planes)
       .withColumn("bits",
-        expr(s"""transform(sequence(0, ${nPlanes - 1}), p ->
-                |  CASE WHEN aggregate(sequence(1, size(v)), 0D,
-                |    (acc, d) -> acc + element_at(v, d)
-                |      * CAST(pmod(xxhash64(p, d), 2) * 2 - 1 AS DOUBLE)) >= 0D
-                |  THEN 1L ELSE 0L END)""".stripMargin))
+        expr("transform(planes, pl -> CASE WHEN graft_dot(v, pl) >= 0D THEN 1L ELSE 0L END)"))
+      .drop("planes")
       .select($"vec_id", $"v", $"nrm",
         posexplode(expr(
           s"""transform(sequence(0, ${lshTables - 1}), t ->
@@ -113,7 +122,7 @@ object Similarity {
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
     cand
       .withColumn("cosine",
-        expr(s"round(${VectorFns.dot("qv", "v")} / (qnrm * nrm), 6)"))
+        expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
