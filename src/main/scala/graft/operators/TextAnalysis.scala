@@ -21,7 +21,15 @@ object TextAnalysis {
   private val toksExpr = "split(trim(text), '\\\\s+')"
   private val duckToks = "string_split_regex(trim(text), '\\s+')"
 
-  /** token count / char classes / average token length. */
+  /** BPE-ish pre-tokenization: letter runs, digit runs, and single
+    * punctuation marks — the shape a subword tokenizer splits on.
+    * (Spark SQL string literals consume one escaping level, DuckDB's
+    * don't — hence the two renderings of \s.) */
+  private val subtokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]"
+  private val duckSubtokRe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  /** token counts (whitespace + BPE-ish) / char classes / average
+    * token length. */
   def textStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -30,6 +38,7 @@ object TextAnalysis {
         $"doc_id",
         length($"text").as("n_chars"),
         size($"toks").cast("long").as("n_tokens"),
+        size(expr(s"regexp_extract_all(text, '$subtokRe', 0)")).cast("long").as("n_subtokens"),
         length(regexp_replace($"text", "[^aeiou]", "")).as("n_vowels"),
         expr("round(CAST(length(regexp_replace(text, '\\\\s+', '')) AS DOUBLE) / size(toks), 4)")
           .as("avg_token_len"))
@@ -40,6 +49,7 @@ object TextAnalysis {
     s"""SELECT doc_id,
        |  length(text) AS n_chars,
        |  len($duckToks) AS n_tokens,
+       |  len(regexp_extract_all(text, '$duckSubtokRe')) AS n_subtokens,
        |  length(regexp_replace(text, '[^aeiou]', '', 'g')) AS n_vowels,
        |  round(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
        |        / len($duckToks), 4) AS avg_token_len

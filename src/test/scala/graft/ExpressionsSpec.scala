@@ -1,0 +1,91 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+/** Randomized (seeded, deterministic) equivalence properties for the
+  * native expressions against their composed-builtin formulations. */
+class ExpressionsSpec extends SparkSpec {
+
+  private val rng = new Random(42)
+
+  test("graft_dot equals the aggregate/zip_with formulation") {
+    val s = spark; import s.implicits._
+    val vecs = Seq.fill(50)((
+      Seq.fill(64)(rng.nextDouble() * 2 - 1),
+      Seq.fill(64)(rng.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("a", "b")
+    val rows = df.select(
+      expr("graft_dot(a, b)"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))
+      .collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // bit-identical
+  }
+
+  test("graft_shingles equals the transform/slice/array_join formulation") {
+    val s = spark; import s.implicits._
+    val docs = Seq.fill(40)(Seq.fill(3 + rng.nextInt(60))(s"w${rng.nextInt(20)}"))
+    val df = docs.toDF("toks")
+    val rows = df.select(
+      expr("graft_shingles(toks)"),
+      expr("array_distinct(transform(sequence(1, size(toks) - 2), i -> array_join(slice(toks, i, 3), ' ')))"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0).toList == r.getSeq[String](1).toList)
+    }
+  }
+
+  test("graft_shingles yields empty for docs shorter than 3 tokens") {
+    val s = spark; import s.implicits._
+    val rows = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"))
+      .toDF("toks").select(expr("graft_shingles(toks)")).collect()
+    assert(rows.map(_.getSeq[String](0).size).toList == List(0, 0, 1))
+  }
+
+  test("minhash signature estimate tracks true jaccard") {
+    val s = spark; import s.implicits._
+    // pairs of shingle sets with controlled overlap
+    val universe = (0 until 400).map(i => s"sh$i")
+    val pairs = (1 to 30).map { _ =>
+      val overlap = rng.nextInt(100)
+      val aOnly = rng.nextInt(80)
+      val bOnly = rng.nextInt(80)
+      val shuffled = rng.shuffle(universe).toIndexedSeq
+      val common = shuffled.take(overlap)
+      val a = common ++ shuffled.slice(overlap, overlap + aOnly)
+      val b = common ++ shuffled.slice(overlap + aOnly, overlap + aOnly + bOnly)
+      (a, b)
+    }.filter { case (a, b) => a.nonEmpty && b.nonEmpty }
+    val df = pairs.toDF("a", "b")
+    val rows = df.select(
+      expr("CAST(size(filter(zip_with(graft_minhash64(a), graft_minhash64(b), (x, y) -> x = y), m -> m)) AS DOUBLE) / 64").as("est"),
+      expr("CAST(size(array_intersect(a, b)) AS DOUBLE) / size(array_union(a, b))").as("true_j"))
+      .collect()
+    rows.foreach { r =>
+      val (est, truth) = (r.getDouble(0), r.getDouble(1))
+      // k=64 → σ ≈ sqrt(j(1-j)/64) ≤ 0.0625; 4σ bound
+      assert(math.abs(est - truth) <= 0.25, s"est=$est true=$truth")
+    }
+    // and it is discriminative on aggregate: high-j pairs estimate higher
+    val (hi, lo) = rows.partition(_.getDouble(1) >= 0.5)
+    if (hi.nonEmpty && lo.nonEmpty) {
+      val hiAvg = hi.map(_.getDouble(0)).sum / hi.length
+      val loAvg = lo.map(_.getDouble(0)).sum / lo.length
+      assert(hiAvg > loAvg)
+    }
+  }
+
+  test("simhash of similar token multisets is closer than dissimilar") {
+    val s = spark; import s.implicits._
+    val base = Seq.fill(80)(s"t${rng.nextInt(30)}")
+    val near = base.updated(5, "XX").updated(50, "YY")
+    val far = Seq.fill(80)(s"u${rng.nextInt(30)}")
+    val rows = Seq((base, near, far)).toDF("a", "b", "c")
+      .select(
+        expr("bit_count(graft_simhash64(a) ^ graft_simhash64(b))"),
+        expr("bit_count(graft_simhash64(a) ^ graft_simhash64(c))"))
+      .head()
+    assert(rows.getInt(0) < rows.getInt(1))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Accumulator, Dedup, Iterators, Relational}
+
+/** Physical-plan assertions: these encode the 100 TB design rules
+  * from SURVEY §5 — if a refactor reintroduces a full-width scan, a
+  * lost broadcast, or a global single-partition sort on the fact
+  * path, these fail long before any benchmark notices. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q_filter_project pushes predicates and prunes columns at the scan") {
+    val p = formatted(Relational.qFilterProject(spark, sfDir))
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,10.0)"), p)
+    // 16-column table, 6 needed (4 projected + 2 filter-only)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_tax"), readSchema)
+  }
+
+  test("q5 six-table join broadcasts every dimension") {
+    val p = plan(Relational.q5RegionVolume(spark, sfDir))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 4, s"want >=4 broadcast joins, got $nBroadcast\n$p")
+    // the only shuffle join permitted is lineitem ⋈ orders (fact-fact)
+    val nSortMerge = "SortMergeJoin".r.findAllIn(p).length
+    assert(nSortMerge <= 1, s"dims must broadcast, got $nSortMerge merge joins\n$p")
+  }
+
+  test("q1 aggregation is map-side partial (two HashAggregate stages)") {
+    val p = plan(Relational.q1PricingSummary(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("accumulator size-flush shares one hash partitioning across window and agg") {
+    val p = plan(Accumulator.accSizeFlush(spark, sfDir))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.size == 1,
+      s"window + groupBy on the batch key must reuse one shuffle, got ${exchanges.size}:\n$p")
+  }
+
+  test("iter_batches ranks via range partitioning, not a single-partition sort") {
+    val p = plan(Iterators.iterBatches(spark, sfDir))
+    assert(p.contains("rangepartitioning"), p)
+    // the only SinglePartition stage allowed is the numPartitions-row
+    // offset prefix sum, never the row-bearing side
+    val single = p.linesIterator.filter(_.contains("SinglePartition")).toList
+    assert(single.size <= 1, s"unexpected single-partition stages:\n${single.mkString("\n")}")
+  }
+
+  test("dedup_exact shuffles once on the content hash") {
+    val p = plan(Dedup.dedupExact(spark, sfDir))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_"), p) // map-side combine before the shuffle
+  }
+
+  test("minhash banding join carries no raw shingle arrays through the shuffle") {
+    val p = plan(Dedup.dedupMinhash(spark, sfDir))
+    // signatures are row-local: the only wide arrays crossing an
+    // exchange are the k=64 signature, never the shingle set
+    assert(!p.contains("shingles#") ||
+      !p.linesIterator.exists(l => l.contains("Exchange") && l.contains("shingles#")), p)
+  }
+}
