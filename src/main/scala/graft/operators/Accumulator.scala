@@ -71,12 +71,12 @@ object Accumulator {
   /** Arrival-ordered rows chunked into sequences of [[threshold]] per
     * batchId — the size-trigger semantics, every batch's identity and
     * bounds. Base for status/list/history below. */
-  private def sizeBatches(s: SparkSession, dir: String): DataFrame = {
+  private def sizeBatches(s: SparkSession, dir: String, thresh: Int = threshold): DataFrame = {
     import s.implicits._
     val arrival = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
     Tables.events(s, dir)
       .withColumn("rn", row_number().over(arrival))
-      .withColumn("seq", expr(s"CAST((rn - 1) DIV $threshold AS BIGINT)"))
+      .withColumn("seq", expr(s"CAST((rn - 1) DIV $thresh AS BIGINT)"))
       .groupBy($"event_type", $"seq")
       .agg(count(lit(1)).as("item_count"),
            min($"ts").as("created_at"), max($"ts").as("last_updated_at"))
@@ -88,9 +88,12 @@ object Accumulator {
   private def statusCol = when(col("item_count") >= threshold, "completed")
     .otherwise("accumulating")
 
-  def accSizeFlush(s: SparkSession, dir: String): DataFrame = {
+  def accSizeFlush(s: SparkSession, dir: String): DataFrame =
+    accSizeFlush(s, dir, threshold)
+
+  def accSizeFlush(s: SparkSession, dir: String, thresh: Int): DataFrame = {
     import s.implicits._
-    sizeBatches(s, dir)
+    sizeBatches(s, dir, thresh)
       .select(concat($"event_type", lit("::"), $"seq").as("batch_key"),
               $"event_type".as("batch_id"), $"seq",
               $"item_count", $"created_at", $"last_updated_at")

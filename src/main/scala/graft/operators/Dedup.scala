@@ -126,7 +126,10 @@ object Dedup {
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
         $"a.sig".as("sig1"), $"b.sig".as("sig2"))
-      .distinct()
+      // dedupe multi-band hits on the id pair only — hashing the two
+      // 64-long signatures per row through the distinct shuffle would
+      // triple the exchanged bytes for no semantic gain
+      .dropDuplicates("doc1", "doc2")
     cand
       .withColumn("est_jaccard",
         expr(rndSql(s"CAST(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m)) AS DOUBLE) / $minhashK", 4)))
@@ -158,8 +161,10 @@ object Dedup {
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
         bit_count($"a.simhash".bitwiseXOR($"b.simhash")).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct so far-apart band collisions never
+      // enter the dedup shuffle
       .filter($"hamming" <= 3)
+      .dropDuplicates("doc1", "doc2")
       .orderBy($"doc1", $"doc2")
   }
 

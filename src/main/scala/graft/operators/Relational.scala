@@ -343,6 +343,43 @@ object Relational {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** Gap sessionization via Spark's native session_window — merges
+    * events closer than the gap into one session; the same operator
+    * runs unchanged under Structured Streaming (parity spec). A
+    * session ends when the next event is ≥ gap away (vs. the
+    * lag-based [[qEventsSessionize]], which uses strictly-greater;
+    * the oracle mirrors ≥). */
+  def qSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"sw.end".as("session_end"), $"n_events", $"sum_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  val qSessionWindowSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+       |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${1800L * 1000000L} THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id, ts, value,
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL '30 minutes' AS session_end,
+       |  count(*) AS n_events,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM sess
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   /** As-of join: for every purchase, the user's latest click at or
     * before it. Spark-first realization: union both streams, one
     * window ordered by time per user, carry the last click timestamp
@@ -387,6 +424,7 @@ object Relational {
     "q_distinct_agg"     -> (qDistinctAgg _),
     "q_semi_anti"        -> (qSemiAnti _),
     "q_events_sessionize"-> (qEventsSessionize _),
+    "q_session_window"   -> (qSessionWindow _),
     "q_events_pivot"     -> (qEventsPivot _),
     "q_asof_join"        -> (qAsofJoin _)
   )
@@ -402,6 +440,7 @@ object Relational {
     "q_distinct_agg"     -> qDistinctAggSql,
     "q_semi_anti"        -> qSemiAntiSql,
     "q_events_sessionize"-> qEventsSessionizeSql,
+    "q_session_window"   -> qSessionWindowSql,
     "q_events_pivot"     -> qEventsPivotSql,
     "q_asof_join"        -> qAsofJoinSql
   )

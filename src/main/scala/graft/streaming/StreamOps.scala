@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.operators.Accumulator
+
+/** Event shape for stateful streaming ops (micros keep the parquet's
+  * sub-millisecond precision through the typed boundary). */
+final case class StreamEvent(event_type: String, ts_us: Long, event_id: Long)
+
+/** State per batchId for the size-threshold flush: current sequence
+  * number and the fill of the open batch. */
+final case class SizeFlushState(seq: Long, count: Long, minUs: Long, maxUs: Long)
+
+/** One completed size-triggered flush (micros; converted to
+  * timestamps at the DataFrame edge). */
+final case class SizeFlushOut(
+  batch_id: String, seq: Long, item_count: Long, min_us: Long, max_us: Long)
+
+/** Stateful streaming counterparts of the batch operators.
+  *
+  * [[sessionWindows]]: Spark's native session_window — the SAME
+  * operator as the batch `q_session_window`, run under Structured
+  * Streaming (the parity spec asserts equality).
+  *
+  * [[sizeFlushes]]: the accumulator's size-threshold trigger
+  * (reference lib.ts:104-109) as `flatMapGroupsWithState` — custom
+  * per-batchId state (open-batch fill + sequence counter) carried
+  * across micro-batches, emitting one record per completed flush.
+  * State is O(1) per batchId; at 100 TB/day the state store holds
+  * one tiny struct per active batch key.
+  */
+object StreamOps {
+
+  /** Streaming gap sessions over events (complete mode sink so the
+    * trailing open sessions are visible, mirroring batch). */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.dsum
+    StreamAcc.eventsStream(s, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .select($"user_id", $"sw.start".as("session_start"),
+        $"sw.end".as("session_end"), $"n_events", $"sum_value")
+  }
+
+  def runSessionsToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_sessions"): DataFrame = {
+    val q = sessionWindows(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
+  private def sizeFlushFn(threshold: Long)(
+      batchId: String,
+      events: Iterator[StreamEvent],
+      state: GroupState[SizeFlushState]): Iterator[SizeFlushOut] = {
+    // events within a micro-batch carry no order guarantee — impose
+    // the accumulator's arrival order (ts, event_id)
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var st = state.getOption.getOrElse(SizeFlushState(0L, 0L, Long.MaxValue, Long.MinValue))
+    val out = Vector.newBuilder[SizeFlushOut]
+    sorted.foreach { e =>
+      st = SizeFlushState(st.seq, st.count + 1,
+        math.min(st.minUs, e.ts_us), math.max(st.maxUs, e.ts_us))
+      if (st.count >= threshold) {
+        out += SizeFlushOut(batchId, st.seq, st.count, st.minUs, st.maxUs)
+        st = SizeFlushState(st.seq + 1, 0L, Long.MaxValue, Long.MinValue)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Completed size-threshold flushes as a stream. */
+  def sizeFlushes(s: SparkSession, dir: String,
+      threshold: Long = Accumulator.threshold): Dataset[SizeFlushOut] = {
+    import s.implicits._
+    StreamAcc.eventsStream(s, dir)
+      .select($"event_type", unix_micros($"ts").as("ts_us"), $"event_id")
+      .as[StreamEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        sizeFlushFn(threshold))
+  }
+
+  def runSizeFlushesToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_size_flush",
+      threshold: Long = Accumulator.threshold): DataFrame = {
+    import s.implicits._
+    val q = sizeFlushes(s, dir, threshold).toDF().writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select($"batch_id", $"seq", $"item_count",
+        timestamp_micros($"min_us").as("created_at"),
+        timestamp_micros($"max_us").as("last_updated_at"))
+  }
+
+  /** Driver-contract entries: rows-only checks (parity with batch
+    * results asserted in StreamOpsSpec). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_sessionize" -> ((s, dir) =>
+      runSessionsToCompletion(s, dir, sink = "stream_sessions_verify")),
+    "stream_acc_size_flush" -> ((s, dir) =>
+      runSizeFlushesToCompletion(s, dir, sink = "stream_size_flush_verify"))
+  )
+}
