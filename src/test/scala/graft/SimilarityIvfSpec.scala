@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Similarity, SimilarityIvf}
+
+class SimilarityIvfSpec extends SparkSpec {
+
+  test("kmeans is deterministic and covers the corpus") {
+    val (c1, a1) = SimilarityIvf.kmeans(spark, sfDir)
+    val (c2, _) = SimilarityIvf.kmeans(spark, sfDir)
+    assert(c1 == c2) // exact-decimal sums → bit-identical centroids
+    val assigned = a1.collect()
+    assert(assigned.length == 500)
+    assert(assigned.forall { r =>
+      val cid = r.getInt(1); cid >= 0 && cid < SimilarityIvf.nlist })
+  }
+
+  test("every vector lands in its nearest centroid list") {
+    val (cents, assigned) = SimilarityIvf.kmeans(spark, sfDir)
+    def d2(v: Seq[Double], c: Seq[Double]): Double =
+      c.map(x => x * x).sum - 2.0 * v.zip(c).map { case (a, b) => a * b }.sum
+    assigned.collect().take(100).foreach { r =>
+      val v = r.getSeq[Double](2)
+      val cid = r.getInt(1)
+      val best = cents.indices.minBy(i => d2(v, cents(i)))
+      assert(cid == best, s"vec ${r.getLong(0)}: assigned $cid, nearest $best")
+    }
+  }
+
+  test("ivf recall@k vs bruteforce clears the floor") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bf = pairs(Similarity.annBruteforce(spark, sfDir))
+    val ivf = pairs(SimilarityIvf.annIvf(spark, sfDir))
+    val recall = (bf & ivf).size.toDouble / bf.size
+    // deterministic; nprobe/nlist = 1/4 of the corpus scanned
+    assert(recall >= 0.30, s"recall@${Similarity.k} = $recall")
+    println(s"ivf recall@${Similarity.k} = $recall")
+  }
+
+  test("ivf results never beat exact search and rank correctly") {
+    val bf = Similarity.annBruteforce(spark, sfDir).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val rows = SimilarityIvf.annIvf(spark, sfDir).collect()
+    rows.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(r.getDouble(3) <= bf(r.getLong(0)) + 1e-12)
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
