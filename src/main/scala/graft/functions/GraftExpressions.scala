@@ -52,6 +52,10 @@ object GraftExpressions {
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
       (es: Seq[Expression]) => WordShingles(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_count_in"),
+      new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
+      (es: Seq[Expression]) => CountIn(es(0), es(1))))
   }
 
   private[functions] def isDoubleArray(t: DataType): Boolean = t match {
@@ -179,6 +183,43 @@ case class WordShingles(child: Expression) extends UnaryExpression with CodegenF
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
+}
+
+/** Occurrence count of array elements within a (foldable) marker
+  * set — `size(filter(toks, t -> t IN (...)))` without the
+  * per-token interpreted lambda. The marker set is materialized once
+  * per expression instance. */
+case class CountIn(left: Expression, right: Expression) extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExpressions.isStringArray(left.dataType) &&
+        GraftExpressions.isStringArray(right.dataType) && right.foldable)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_count_in expects (array<string>, foldable array<string>), got (${left.dataType}, ${right.dataType})")
+
+  @transient private lazy val markers: java.util.HashSet[UTF8String] = {
+    val set = new java.util.HashSet[UTF8String]()
+    val arr = right.eval(null).asInstanceOf[ArrayData]
+    var i = 0
+    while (i < arr.numElements()) { set.add(arr.getUTF8String(i)); i += 1 }
+    set
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var n = 0L
+    var i = 0
+    while (i < arr.numElements()) {
+      if (markers.contains(arr.getUTF8String(i))) n += 1L
+      i += 1
+    }
+    n
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CountIn =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 64-bit SimHash of an array<string>: one xxhash64 (seed 42 — same

@@ -75,7 +75,10 @@ object Dedup {
     val ex = shingled(s, dir)
       .select($"doc_id", size($"shingles").cast("long").as("n_sh"),
         explode($"shingles").as("s"))
-    ex.as("a").join(ex.as("b"),
+    // shuffle-hash, never broadcast: the exploded corpus is the BIG
+    // side at scale — AQE would happily broadcast it at test SF and
+    // that plan dies at 100 TB
+    ex.as("a").hint("shuffle_hash").join(ex.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc1"), $"a.n_sh".as("n1"),
                $"b.doc_id".as("doc2"), $"b.n_sh".as("n2"))
@@ -121,7 +124,7 @@ object Dedup {
     val banded = sigs.select($"doc_id", $"sig",
         posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val cand = banded.as("a").join(banded.as("b"),
+    val cand = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
@@ -156,7 +159,7 @@ object Dedup {
     val banded = sigs.select($"doc_id", $"simhash",
         posexplode(expr("transform(sequence(0, 3), b -> (simhash >> (b * 16)) & 65535L)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    banded.as("a").join(banded.as("b"),
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),

@@ -63,7 +63,7 @@ object TextAnalysis {
       .withColumn("toks", expr(toksExpr))
       .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("n_stop",
-        expr("size(filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and')))").cast("long"))
+        expr("graft_count_in(toks, array('the', 'a', 'of', 'to', 'and'))"))
       .withColumn("stop_ratio", expr("CAST(n_stop AS DOUBLE) / n_tokens"))
       .withColumn("ttr", expr("CAST(size(array_distinct(toks)) AS DOUBLE) / n_tokens"))
       .withColumn("len_score", expr("least(1.0D, CAST(n_tokens AS DOUBLE) / 100.0D)"))
@@ -111,7 +111,7 @@ object TextAnalysis {
       Tables.documents(s, dir).withColumn("toks", expr(toksExpr))) {
       case (df, (lang, ts)) =>
         df.withColumn(s"s_$lang",
-          expr(s"size(filter(toks, t -> t IN (${inList(ts)})))").cast("long"))
+          expr(s"graft_count_in(toks, array(${inList(ts)}))"))
     }
     val best = markers.map { case (l, _) => col(s"s_$l") }
     val guess = markers.foldRight(lit("und")) { case ((l, _), alt) =>
