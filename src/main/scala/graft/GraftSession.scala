@@ -16,6 +16,11 @@ import graft.functions.GraftExpressions
   */
 object GraftSession {
 
+  /** Per-JVM warehouse (managed/bucketed tables): a stable path
+    * collides with leftovers from previous runs on saveAsTable. */
+  private lazy val warehouseDir: String =
+    s"${sys.props("java.io.tmpdir")}/graft-warehouse-${java.util.UUID.randomUUID()}"
+
   /** Apply graft's defaults to an arbitrary builder. */
   def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.withExtensions(GraftExpressions.install)
@@ -25,6 +30,7 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.warehouse.dir", warehouseDir)
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

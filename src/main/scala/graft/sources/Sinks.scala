@@ -1,0 +1,30 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Writers for the engine's output tables.
+  *
+  * [[writeBucketed]] is the co-located-join layout: both sides of a
+  * recurring fact⋈fact join written bucketed (and sorted) by the join
+  * key mean every subsequent join is exchange-free — the shuffle is
+  * paid once at write time, not per query. At 100 TB this is the
+  * difference between a nightly pipeline that reshuffles the world
+  * per stage and one whose stages are all map-side.
+  */
+object Sinks {
+
+  /** Parquet, hash-bucketed and sorted by `key` into the session
+    * catalog as `name`. */
+  def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .mode("overwrite")
+      .saveAsTable(name)
+
+  /** Plain partitioned parquet (directory layout pruning: queries
+    * filtering on `partitionCol` scan only matching directories). */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Skew
+import graft.sources.{Sinks, Tables}
+
+/** The co-location and skew layouts: results must equal their naive
+  * formulations AND the plans must show the scale-shaped shuffle. */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join without an exchange") {
+    val s = spark; import s.implicits._
+    Sinks.writeBucketed(Tables.orders(s, sfDir), "orders_b", "o_custkey", 8)
+    Sinks.writeBucketed(Tables.customer(s, sfDir), "customer_b", "c_custkey", 8)
+    val j = s.table("orders_b").hint("merge")
+      .join(s.table("customer_b"), $"o_custkey" === $"c_custkey")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must be exchange-free:\n$plan")
+    // same rows as the plain join
+    val expected = Tables.orders(s, sfDir)
+      .join(Tables.customer(s, sfDir), $"o_custkey" === $"c_custkey").count()
+    assert(j.count() == expected)
+  }
+
+  test("partitioned write prunes directories on the partition filter") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Sinks.writePartitioned(Tables.events(s, sfDir)
+      .withColumn("ts", $"ts".cast("string")), s"$dir/events", "event_type")
+    val q = s.read.parquet(s"$dir/events").filter($"event_type" === "click")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"), plan)
+    assert(q.count() ==
+      Tables.events(s, sfDir).filter($"event_type" === "click").count())
+  }
+
+  test("salted distinct count is exact and shuffles on (key, salt) first") {
+    val s = spark; import s.implicits._
+    val got = Skew.saltedDistinctCount(
+        Tables.events(s, sfDir), $"event_type", $"user_id", 8, "n_users")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = Tables.events(s, sfDir)
+      .groupBy($"event_type").agg(count_distinct($"user_id").as("n_users"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val plan = Skew.saltedDistinctCount(
+      Tables.events(s, sfDir), $"event_type", $"user_id", 8, "n_users")
+      .queryExecution.executedPlan.toString
+    // the inner (phase-1) exchange must partition on (key, salt) —
+    // Catalyst renames the salt to _groupingexpression
+    val phase1 = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(event_type"))
+      .toList
+    assert(phase1.exists(_.contains("_groupingexpression")),
+      s"phase-1 shuffle must include the salt key:\n$plan")
+  }
+
+  test("salted join returns exactly the plain join's rows") {
+    val s = spark; import s.implicits._
+    val plain = Tables.orders(s, sfDir)
+      .join(Tables.customer(s, sfDir), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    val salted = Skew.saltedJoin(
+        Tables.orders(s, sfDir), Tables.customer(s, sfDir),
+        "o_custkey", "c_custkey", 4)
+      .select($"o_orderkey", $"c_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    assert(salted == plain)
+  }
+}
