@@ -56,6 +56,7 @@ object GraftExpressions {
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
       (es: Seq[Expression]) => CountIn(es(0), es(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 
   private[functions] def isDoubleArray(t: DataType): Boolean = t match {

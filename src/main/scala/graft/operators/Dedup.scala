@@ -201,9 +201,34 @@ object Dedup {
        |WHERE ${rndSql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= $cosineTau
        |ORDER BY id1, id2""".stripMargin
 
+  /** Per-source corpus sketches via the mergeable MinHash-union
+    * aggregate, plus the estimated pairwise source overlap — the
+    * "how much do these two crawls duplicate each other" question
+    * answered from k longs per source instead of a corpus join. */
+  def dedupSourceSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.udf.register("graft_minhash_union",
+      org.apache.spark.sql.functions.udaf(graft.functions.MinHashUnion))
+    val sigs = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .filter(size($"toks") >= 3)
+      .withColumn("sig", expr("graft_minhash64(graft_shingles(toks))"))
+      .select($"source", $"sig")
+    val sketches = sigs.groupBy($"source")
+      .agg(expr("graft_minhash_union(sig)").as("sketch"),
+           count(lit(1)).as("n_docs"))
+    sketches.as("a").join(sketches.as("b"), $"a.source" < $"b.source")
+      .select($"a.source".as("source1"), $"b.source".as("source2"),
+        $"a.n_docs".as("n_docs1"), $"b.n_docs".as("n_docs2"),
+        expr(rndSql(s"CAST(size(filter(zip_with(a.sketch, b.sketch, (x, y) -> x = y), m -> m)) AS DOUBLE) / $minhashK", 4))
+          .as("est_overlap"))
+      .orderBy($"source1", $"source2")
+  }
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),

@@ -187,6 +187,20 @@ object Relational {
       |WHERE rk <= 3
       |ORDER BY p_brand, rk""".stripMargin
 
+  /** Same result as [[qTopkPerGroup]] through the custom
+    * whole-operator plan (graft.plans.TopKPerGroup): bounded per-group
+    * heaps, partial before the shuffle — no WindowExec sort. Shares
+    * the window variant's oracle. */
+  def qTopkNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.plans.TopK.perGroup(Tables.part(s, dir),
+        groupCols = Seq("p_brand"),
+        sortCols = Seq(("p_retailprice", true), ("p_partkey", false)),
+        k = 3, rankName = "rk")
+      .select($"p_brand", $"rk", $"p_partkey", $"p_name", $"p_retailprice")
+      .orderBy($"p_brand", $"rk")
+  }
+
   /** Region→nation rollup of customer counts and balances. NULL
     * subtotal keys are coalesced to 'ALL' so ordering is portable
     * (Spark and DuckDB default NULL placement differs). */
@@ -420,6 +434,7 @@ object Relational {
     "q_filter_project"   -> (qFilterProject _),
     "q_window_running"   -> (qWindowRunning _),
     "q_topk_per_group"   -> (qTopkPerGroup _),
+    "q_topk_native"      -> (qTopkNative _),
     "q_rollup"           -> (qRollup _),
     "q_distinct_agg"     -> (qDistinctAgg _),
     "q_semi_anti"        -> (qSemiAnti _),
@@ -436,6 +451,7 @@ object Relational {
     "q_filter_project"   -> qFilterProjectSql,
     "q_window_running"   -> qWindowRunningSql,
     "q_topk_per_group"   -> qTopkPerGroupSql,
+    "q_topk_native"      -> qTopkPerGroupSql,
     "q_rollup"           -> qRollupSql,
     "q_distinct_agg"     -> qDistinctAggSql,
     "q_semi_anti"        -> qSemiAntiSql,

@@ -81,6 +81,30 @@ class DedupSpec extends SparkSpec {
            java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))) // near-dup closer than unrelated
   }
 
+  test("source sketches merge as elementwise minimum of member signatures") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    s.udf.register("graft_minhash_union",
+      org.apache.spark.sql.functions.udaf(graft.functions.MinHashUnion))
+    val sigs = graft.sources.Tables.documents(s, sfDir)
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .filter(size($"toks") >= 3)
+      .withColumn("sig", expr("graft_minhash64(graft_shingles(toks))"))
+      .select($"source", $"sig")
+    val sketch = sigs.groupBy($"source")
+      .agg(expr("graft_minhash_union(sig)").as("sketch"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // recompute the elementwise min locally from the member sigs
+    val members = sigs.collect().map(r => r.getString(0) -> r.getSeq[Long](1))
+    members.groupBy(_._1).foreach { case (src, ms) =>
+      val expect = ms.map(_._2).reduce((a, b) => a.zip(b).map(t => math.min(t._1, t._2)))
+      assert(sketch(src) == expect, s"sketch mismatch for $src")
+    }
+    val rows = graft.operators.Dedup.dedupSourceSketch(s, sfDir).collect()
+    assert(rows.length == 190) // C(20, 2) source pairs
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedupEmbedding(spark, sfDir).collect()
     assert(rows.nonEmpty)
