@@ -223,9 +223,11 @@ final case class AccBatchStatus(
 final class BatchAccumulator[T](
     threshold: Long,
     process: Dataset[T] => Unit,
+    flushIntervalMs: Option[Long] = None,
     clock: () => Long = () => System.currentTimeMillis()) {
 
-  private case class State(seq: Long, buffers: Vector[Dataset[T]], count: Long, lastError: Option[String])
+  private case class State(seq: Long, buffers: Vector[Dataset[T]], count: Long,
+    lastError: Option[String], openedAt: Long = 0L)
   private val state = mutable.Map.empty[String, State]
   private val completed = mutable.ArrayBuffer.empty[AccBatchStatus]
   private val history = mutable.ArrayBuffer.empty[FlushRecord]
@@ -234,10 +236,24 @@ final class BatchAccumulator[T](
     * immediately once the threshold is reached (lib.ts:104-109). */
   def addItems(batchId: String, items: Dataset[T]): AccBatchStatus = {
     val n = items.count()
-    val st = state.getOrElse(batchId, State(0, Vector.empty, 0, None))
-    state(batchId) = st.copy(buffers = st.buffers :+ items, count = st.count + n)
+    val st = state.getOrElse(batchId, State(0, Vector.empty, 0, None, clock()))
+    val opened = if (st.count == 0) clock() else st.openedAt
+    state(batchId) = st.copy(buffers = st.buffers :+ items, count = st.count + n,
+      openedAt = opened)
     if (state(batchId).count >= threshold) flush(batchId)
     getBatchStatus(batchId).get
+  }
+
+  /** Interval-timer trigger (reference flushIntervalMs, lib.ts:76-83):
+    * flushes every batch whose open batch is older than the interval.
+    * Call from the host's scheduler tick; returns flushed batchIds. */
+  def tick(): Seq[String] = flushIntervalMs match {
+    case None => Seq.empty
+    case Some(interval) =>
+      val now = clock()
+      state.toSeq.collect {
+        case (id, st) if st.count > 0 && now - st.openedAt >= interval && flush(id) => id
+      }
   }
 
   /** Manual flush (lib.ts:246-279). Returns true iff items were
@@ -254,7 +270,7 @@ final class BatchAccumulator[T](
       history += FlushRecord(batchId, st.seq, st.count, t1, t1 - t0, ok)
       if (ok) {
         completed += AccBatchStatus(batchId, st.seq, "completed", st.count)
-        state(batchId) = State(st.seq + 1, Vector.empty, 0, None)
+        state(batchId) = State(st.seq + 1, Vector.empty, 0, None, t1)
       }
       ok
     case _ => false

@@ -155,6 +155,7 @@ final class TableIterator(
     process: DataFrame => Unit,
     maxRetries: Int = 3,
     onComplete: String => Unit = _ => (),
+    delayBetweenBatchesMs: Long = 0L,
     sleeper: Long => Unit = Thread.sleep,
     clock: () => Long = () => System.currentTimeMillis()) {
 
@@ -219,6 +220,9 @@ final class TableIterator(
             val cursor = chunk.agg(max(col(keyCol)).cast("long")).head.getLong(0)
             j.processedCount += n; j.cursor = Some(cursor)
             j.batchesDone += 1; j.lastRunAt = clock()
+            // throttle between batches (reference delayBetweenBatchesMs,
+            // lib.ts — rate-limits the downstream consumer)
+            if (delayBetweenBatchesMs > 0) sleeper(delayBetweenBatchesMs)
             true
           }
       }
@@ -249,7 +253,13 @@ final class TableIterator(
     IterJobStatus(jobId, j.status, j.processedCount, j.cursor,
       j.batchesDone, j.retries, j.lastRunAt))
 
-  def list(): Seq[IterJobStatus] = jobs.keys.toSeq.flatMap(status)
+  /** listIteratorJobs (lib.ts:889-924): optionally filtered by
+    * status, optionally limited. */
+  def list(statusFilter: Option[String] = None, limit: Option[Int] = None): Seq[IterJobStatus] = {
+    val all = jobs.keys.toSeq.flatMap(status)
+    val filtered = statusFilter.fold(all)(f => all.filter(_.status == f))
+    limit.fold(filtered)(filtered.take)
+  }
 
   def delete(jobId: String): Unit = jobs -= jobId
 }

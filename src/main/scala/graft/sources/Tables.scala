@@ -34,4 +34,15 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame  = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
+
+  /** Generic loaders for non-parquet landing formats. Schema is
+    * mandatory: schema inference reads the data twice and guesses —
+    * at 100 TB both are unacceptable. */
+  def readCsv(s: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType,
+      header: Boolean = true): DataFrame =
+    s.read.schema(schema).option("header", header.toString).csv(path)
+
+  def readJsonLines(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.schema(schema).json(path)
 }

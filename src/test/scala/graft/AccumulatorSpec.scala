@@ -66,6 +66,26 @@ class AccumulatorSpec extends SparkSpec {
     assert(!a.flush("nope"))
   }
 
+  test("interval tick flushes only batches older than the interval") {
+    val s = spark; import s.implicits._
+    var now = 1000L
+    val sink = collection.mutable.Buffer.empty[Long]
+    val a = new BatchAccumulator[java.lang.Long](
+      threshold = 100, process = ds => sink += ds.count(),
+      flushIntervalMs = Some(60000L), clock = () => now)
+    a.addItems("old", items(3))
+    now = 30000L
+    a.addItems("young", items(2))
+    now = 70000L                       // old is 69s stale, young 40s
+    assert(a.tick() == Seq("old"))
+    assert(sink.toList == List(3L))
+    assert(a.getBatchStatus("young").get.itemCount == 2)
+    now = 95000L                       // now young crosses the interval
+    assert(a.tick() == Seq("young"))
+    assert(sink.toList == List(3L, 2L))
+    assert(a.tick().isEmpty)           // nothing left accumulating
+  }
+
   test("deleteBatch drops state and history") {
     val sink = collection.mutable.Buffer.empty[Long]
     val a = acc(sink)

@@ -86,14 +86,27 @@ class IteratorSpec extends SparkSpec {
     assert(it.backoffMs(10) == 30000L)
   }
 
-  test("list shows all jobs; delete removes") {
+  test("list shows all jobs with status filter and limit; delete removes") {
     val it = new TableIterator(orders, "o_orderkey", 5000,
       process = _ => (), clock = () => 7L)
-    it.start("a"); it.start("b")
+    it.start("a"); it.start("b"); it.start("c")
     it.runAll("a")
     val byId = it.list().map(s => s.jobId -> s.status).toMap
-    assert(byId == Map("a" -> "completed", "b" -> "running"))
-    it.delete("b")
+    assert(byId == Map("a" -> "completed", "b" -> "running", "c" -> "running"))
+    assert(it.list(statusFilter = Some("running")).map(_.jobId) == Seq("b", "c"))
+    assert(it.list(statusFilter = Some("completed")).map(_.jobId) == Seq("a"))
+    assert(it.list(limit = Some(2)).size == 2)
+    it.delete("b"); it.delete("c")
     assert(it.list().map(_.jobId) == Seq("a"))
+  }
+
+  test("delayBetweenBatchesMs throttles between successful batches") {
+    val sleeps = collection.mutable.Buffer.empty[Long]
+    val it = new TableIterator(orders, "o_orderkey", 400,
+      process = _ => (), delayBetweenBatchesMs = 250L,
+      sleeper = sleeps += _, clock = () => 7L)
+    it.start("j")
+    it.step("j"); it.step("j")
+    assert(sleeps.toList == List(250L, 250L))
   }
 }

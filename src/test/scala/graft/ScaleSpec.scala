@@ -58,6 +58,21 @@ class ScaleSpec extends SparkSpec {
       s"phase-1 shuffle must include the salt key:\n$plan")
   }
 
+  test("csv and json roundtrip the orders table losslessly") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    val orders = Tables.orders(s, sfDir)
+      .withColumn("o_orderdate", $"o_orderdate".cast("string"))
+    orders.write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    orders.write.mode("overwrite").json(s"$dir/json")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(orders.columns.map(col): _*)
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    val want = rows(orders)
+    assert(rows(Tables.readCsv(s, s"$dir/csv", orders.schema)) == want)
+    assert(rows(Tables.readJsonLines(s, s"$dir/json", orders.schema)) == want)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val s = spark; import s.implicits._
     val plain = Tables.orders(s, sfDir)
