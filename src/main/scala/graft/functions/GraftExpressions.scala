@@ -57,6 +57,7 @@ object GraftExpressions {
       new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
       (es: Seq[Expression]) => CountIn(es(0), es(1))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
   }
 
   private[functions] def isDoubleArray(t: DataType): Boolean = t match {

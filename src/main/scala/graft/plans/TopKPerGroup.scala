@@ -89,10 +89,14 @@ case class TopKPerGroupExec(
       } else {
         val join = new JoinedRow
         val rankRow = new GenericInternalRow(1)
+        // the rank attribute is LongType from TopK.perGroup but
+        // IntegerType when substituted for row_number by
+        // RewriteWindowTopK — write whichever the schema declares
+        val intRank = rank.dataType == org.apache.spark.sql.types.IntegerType
         val outProj = UnsafeProjection.create(childOutput :+ rank, childOutput :+ rank)
         heaps.values().iterator().asScala.flatMap { heap =>
           heap.toArray.sorted(ord).iterator.zipWithIndex.map { case (r, i) =>
-            rankRow.update(0, (i + 1).toLong)
+            rankRow.update(0, if (intRank) i + 1 else (i + 1).toLong)
             outProj(join(r, rankRow)).copy()
           }
         }

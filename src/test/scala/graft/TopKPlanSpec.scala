@@ -43,6 +43,31 @@ class TopKPlanSpec extends SparkSpec {
     }
   }
 
+  test("opt-in rule rewrites a window top-k into the heap operator, same rows") {
+    val s = spark; import s.implicits._
+    val window = Relational.qTopkPerGroup(s, sfDir)
+    val before = window.collect().map(_.toSeq).toList
+    s.conf.set(graft.plans.RewriteWindowTopK.confKey, "true")
+    try {
+      val rewritten = Relational.qTopkPerGroup(s, sfDir)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), plan)
+      assert(!plan.contains("Window"), s"window must be rewritten away:\n$plan")
+      assert(rewritten.collect().map(_.toSeq).toList == before)
+    } finally s.conf.unset(graft.plans.RewriteWindowTopK.confKey)
+  }
+
+  test("rule leaves non-top-k windows untouched even when enabled") {
+    val s = spark
+    s.conf.set(graft.plans.RewriteWindowTopK.confKey, "true")
+    try {
+      val plan = Relational.qWindowRunning(s, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Window"), plan) // running sums are not top-k
+      assert(!plan.contains("TopKPerGroup"), plan)
+    } finally s.conf.unset(graft.plans.RewriteWindowTopK.confKey)
+  }
+
   test("ties and duplicate sort values rank deterministically via the tiebreak") {
     val s = spark; import s.implicits._
     val df = Seq(("g", 1.0, 1L), ("g", 1.0, 2L), ("g", 1.0, 3L), ("g", 2.0, 4L))
