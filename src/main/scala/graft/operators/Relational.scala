@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{Agg => Agg0}
 import graft.functions.Agg._
 import graft.sources.Tables
 
@@ -425,9 +426,74 @@ object Relational {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Semi-structured extraction: pull a typed field out of the JSON
+    * props column and aggregate — get_json_object is codegen'd and
+    * runs at scan speed; no UDF, no intermediate parse tree. */
+  def qEventsJson(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+           sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
+      .orderBy($"event_type")
+  }
+
+  val qEventsJsonSql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exact interpolated percentiles per group (both engines use the
+    * same (n-1)·p linear-interpolation definition). */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr(Agg0.rndSql("percentile(l_extendedprice, CAST(0.5 AS DOUBLE))", 4)).as("p50"),
+        expr(Agg0.rndSql("percentile(l_extendedprice, CAST(0.95 AS DOUBLE))", 4)).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qPercentilesSql: String =
+    s"""SELECT l_returnflag,
+       |  ${Agg0.rndSql("quantile_cont(l_extendedprice, 0.5)", 4)} AS p50,
+       |  ${Agg0.rndSql("quantile_cont(l_extendedprice, 0.95)", 4)} AS p95,
+       |  count(*) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Full cube over two order dimensions with portable ALL labels. */
+  def qCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders", $"sum_price")
+      .orderBy($"status", $"priority")
+  }
+
+  val qCubeSql: String =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       |  coalesce(o_orderpriority, 'ALL') AS priority,
+       |  count(*) AS n_orders,
+       |  ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_json"      -> (qEventsJson _),
+    "q_percentiles"      -> (qPercentiles _),
+    "q_cube"             -> (qCube _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders"      -> (q3TopOrders _),
     "q5_region_volume"   -> (q5RegionVolume _),
@@ -445,6 +511,9 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_events_json"      -> qEventsJsonSql,
+    "q_percentiles"      -> qPercentilesSql,
+    "q_cube"             -> qCubeSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders"      -> q3Sql,
     "q5_region_volume"   -> q5Sql,
