@@ -447,7 +447,11 @@ object Relational {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Exact interpolated percentiles per group (both engines use the
-    * same (n-1)·p linear-interpolation definition). */
+    * same (n-1)·p linear-interpolation definition). Exact percentile
+    * state is O(distinct values per group) — fine for an
+    * oracle-checkable gate; at 100 TB swap in approx_percentile
+    * (t-digest sketch, O(1) mergeable state) with an accuracy bound
+    * instead of an equality oracle. */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
