@@ -316,7 +316,7 @@ object Relational {
 
   val qEventsSessionizeSql: String =
     s"""WITH flagged AS (
-       |  SELECT user_id, ts, value, epoch_us(ts) AS us,
+       |  SELECT user_id, ts, value, event_id, epoch_us(ts) AS us,
        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${1800L * 1000000L} THEN 1
        |         ELSE 0 END AS new_sess
@@ -324,7 +324,7 @@ object Relational {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        |), sess AS (
        |  SELECT user_id, ts, value,
-       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |      AS session_id
        |  FROM flagged)
@@ -376,7 +376,7 @@ object Relational {
 
   val qSessionWindowSql: String =
     s"""WITH flagged AS (
-       |  SELECT user_id, ts, value,
+       |  SELECT user_id, ts, value, event_id,
        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= ${1800L * 1000000L} THEN 1
        |         ELSE 0 END AS new_sess
@@ -384,7 +384,7 @@ object Relational {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
        |), sess AS (
        |  SELECT user_id, ts, value,
-       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
        |  FROM flagged)
        |SELECT user_id, min(ts) AS session_start,

@@ -29,11 +29,20 @@ object StreamAcc {
     val streamDir =
       if (Files.isDirectory(Paths.get(path))) path
       else {
-        val d = Paths.get(sys.props("java.io.tmpdir"), "graft-stream",
-          Integer.toHexString(path.hashCode))
+        // Key the staging dir by a strong digest of the full path (a
+        // 32-bit hashCode can collide across dataset paths) and verify
+        // an existing symlink actually points at this dataset,
+        // recreating it when it doesn't.
+        val digest = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(path.getBytes("UTF-8")).take(16)
+          .map("%02x".format(_)).mkString
+        val d = Paths.get(sys.props("java.io.tmpdir"), "graft-stream", digest)
         Files.createDirectories(d)
+        val target = Paths.get(path)
         val link = d.resolve("events.parquet")
-        if (!Files.exists(link)) Files.createSymbolicLink(link, Paths.get(path))
+        if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != target)
+          Files.delete(link)
+        if (!Files.exists(link)) Files.createSymbolicLink(link, target)
         d.toString
       }
     val raw = s.read.parquet(path)
