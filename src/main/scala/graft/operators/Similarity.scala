@@ -87,10 +87,14 @@ object Similarity {
     (((h % 2) + 2) % 2) * 2.0 - 1.0
   }
 
-  /** vec_id + one bucket id per LSH table. */
-  def lshBuckets(s: SparkSession, dir: String): DataFrame = {
+  /** vec_id + one bucket id per LSH table. `tables`×`bits` default to
+    * the top-k ANN tuning; [[Dedup.dedupEmbedding]] passes its own
+    * (more tables, fewer bits) because a τ=0.4 threshold needs much
+    * higher per-pair recall than a top-k search. */
+  def lshBuckets(s: SparkSession, dir: String,
+                 tables: Int = lshTables, bits: Int = lshBits): DataFrame = {
     import s.implicits._
-    val nPlanes = lshTables * lshBits
+    val nPlanes = tables * bits
     val dims = 64
     val planes = typedLit(Seq.tabulate(nPlanes, dims)((p, d) => plane(p, d + 1)))
     vectors(s, dir)
@@ -100,9 +104,9 @@ object Similarity {
       .drop("planes")
       .select($"vec_id", $"v", $"nrm",
         posexplode(expr(
-          s"""transform(sequence(0, ${lshTables - 1}), t ->
-             |  aggregate(sequence(0, ${lshBits - 1}), 0L,
-             |    (acc, j) -> acc + shiftleft(element_at(bits, t * $lshBits + j + 1), j)))""".stripMargin)))
+          s"""transform(sequence(0, ${tables - 1}), t ->
+             |  aggregate(sequence(0, ${bits - 1}), 0L,
+             |    (acc, j) -> acc + shiftleft(element_at(bits, t * $bits + j + 1), j)))""".stripMargin)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
   }
 

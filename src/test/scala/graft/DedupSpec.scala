@@ -113,4 +113,15 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(2) >= Dedup.cosineTau)
     }
   }
+
+  test("bucketed embedding near-dup equals the all-pairs ground truth exactly") {
+    val bucketed = Dedup.dedupEmbedding(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    val allPairs = Dedup.dedupEmbeddingAllPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(allPairs.nonEmpty)
+    assert(bucketed == allPairs,
+      s"LSH banding must have recall 1.0 at spec SF: " +
+        s"missing=${allPairs.toSet -- bucketed.toSet} extra=${bucketed.toSet -- allPairs.toSet}")
+  }
 }

@@ -63,6 +63,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p) // map-side combine before the shuffle
   }
 
+  test("dedup_embedding plan is equi-joins only — no cartesian, no nested loop") {
+    val p = plan(Dedup.dedupEmbedding(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("minhash banding join carries no raw shingle arrays through the shuffle") {
     val p = plan(Dedup.dedupMinhash(spark, sfDir))
     // signatures are row-local: the only wide arrays crossing an
