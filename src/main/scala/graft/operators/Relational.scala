@@ -470,6 +470,26 @@ object Relational {
        |  count(*) AS n
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** approx_percentile sketch size: rank error ≤ 1/accuracy. */
+  val percentileAccuracy = 10000
+
+  /** The 100 TB path for [[qPercentiles]]: approx_percentile keeps a
+    * bounded mergeable quantile sketch (Greenwald-Khanna style,
+    * O(accuracy·log n) state) per group instead of buffering every
+    * value, so one hot group can't blow an aggregation buffer.
+    * Engine-specific sketch → rows-only driver check; ScaleSpec bounds
+    * |approx − exact| by the sketch's rank-error guarantee at sf0.1. */
+  def qPercentilesApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr(s"approx_percentile(l_extendedprice, CAST(0.5 AS DOUBLE), $percentileAccuracy)").as("p50"),
+        expr(s"approx_percentile(l_extendedprice, CAST(0.95 AS DOUBLE), $percentileAccuracy)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Full cube over two order dimensions with portable ALL labels. */
   def qCube(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -497,6 +517,7 @@ object Relational {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
+    "q_percentiles_approx" -> (qPercentilesApprox _),
     "q_cube"             -> (qCube _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_top_orders"      -> (q3TopOrders _),

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Skew
+import graft.operators.Relational
 import graft.sources.{Sinks, Tables}
 
 /** The co-location and skew layouts: results must equal their naive
@@ -71,6 +72,31 @@ class ScaleSpec extends SparkSpec {
     val want = rows(orders)
     assert(rows(Tables.readCsv(s, s"$dir/csv", orders.schema)) == want)
     assert(rows(Tables.readJsonLines(s, s"$dir/json", orders.schema)) == want)
+  }
+
+  test("approx percentiles sit inside the sketch's rank-error bound of exact") {
+    val s = spark; import s.implicits._
+    // sf0.1 (~600k lineitem rows): large enough that the sketch
+    // actually compresses, per the VERDICT's accuracy-bound ask
+    val dir = "/root/testdata/sf0.1"
+    // guarantee is rank error <= 1/accuracy; allow 10x slack so the
+    // spec pins the contract, not one sketch's lucky layout
+    val eps = 10.0 / Relational.percentileAccuracy
+    def exactAt(p: Double, name: String) =
+      expr(s"percentile(l_extendedprice, CAST($p AS DOUBLE))").as(name)
+    val bounds = Tables.lineitem(s, dir).groupBy($"l_returnflag")
+      .agg(exactAt(0.5 - eps, "p50_lo"), exactAt(0.5 + eps, "p50_hi"),
+           exactAt(0.95 - eps, "p95_lo"), exactAt(0.95 + eps, "p95_hi"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = Relational.qPercentilesApprox(s, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(approx.nonEmpty)
+    approx.foreach { case (flag, p50, p95) =>
+      val (lo50, hi50, lo95, hi95) = bounds(flag)
+      assert(p50 >= lo50 && p50 <= hi50, s"$flag p50=$p50 outside [$lo50,$hi50]")
+      assert(p95 >= lo95 && p95 <= hi95, s"$flag p95=$p95 outside [$lo95,$hi95]")
+    }
   }
 
   test("salted join returns exactly the plain join's rows") {
