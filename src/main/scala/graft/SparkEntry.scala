@@ -22,5 +22,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Accumulator.oracles ++ Iterators.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ StreamAcc.oracles ++ StreamOps.oracles
 }

@@ -81,9 +81,28 @@ object StreamAcc {
     s.table(sink)
   }
 
-  /** Driver-contract entry: rows-only check (parity with the batch
-    * result is asserted in StreamAccSpec). */
+  /** Driver-contract entry (parity with the batch result is also
+    * asserted in StreamAccSpec). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_acc_time_flush" -> ((s, dir) => runToCompletion(s, dir, sink = "stream_acc_verify"))
+  )
+
+  /** DuckDB oracle: with AvailableNow + complete mode the streaming
+    * tumbling-window flushes equal the batch grouping — the same SQL
+    * as accTimeFlushSql minus the read-out seq column. */
+  val streamAccTimeFlushSql: String =
+    s"""WITH flushes AS (
+       |  SELECT event_type AS batch_id,
+       |    time_bucket(INTERVAL '${Accumulator.flushIntervalMinutes} minutes', ts) AS window_start,
+       |    count(*) AS item_count, min(ts) AS first_ts, max(ts) AS last_ts
+       |  FROM events GROUP BY 1, 2)
+       |SELECT batch_id, window_start,
+       |  window_start + INTERVAL '${Accumulator.flushIntervalMinutes} minutes' AS window_end,
+       |  item_count, first_ts, last_ts
+       |FROM flushes
+       |ORDER BY batch_id, window_start""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "stream_acc_time_flush" -> streamAccTimeFlushSql
   )
 }

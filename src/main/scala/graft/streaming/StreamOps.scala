@@ -106,12 +106,34 @@ object StreamOps {
         timestamp_micros($"max_us").as("last_updated_at"))
   }
 
-  /** Driver-contract entries: rows-only checks (parity with batch
-    * results asserted in StreamOpsSpec). */
+  /** Driver-contract entries (parity with batch results is also
+    * asserted in StreamOpsSpec). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessionize" -> ((s, dir) =>
       runSessionsToCompletion(s, dir, sink = "stream_sessions_verify")),
     "stream_acc_size_flush" -> ((s, dir) =>
       runSizeFlushesToCompletion(s, dir, sink = "stream_size_flush_verify"))
+  )
+
+  /** DuckDB oracle for the size-threshold flushes: a flush emits
+    * exactly when the per-batchId arrival-ordered count reaches the
+    * threshold, so completed streaming flushes equal the batch
+    * chunking restricted to full chunks. */
+  val streamSizeFlushSql: String =
+    s"""SELECT event_type AS batch_id,
+       |  (rn - 1) // ${Accumulator.threshold} AS seq,
+       |  count(*) AS item_count, min(ts) AS created_at, max(ts) AS last_updated_at
+       |FROM (SELECT event_type, ts,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn
+       |      FROM events)
+       |GROUP BY 1, 2
+       |HAVING count(*) >= ${Accumulator.threshold}
+       |ORDER BY batch_id, seq""".stripMargin
+
+  /** stream_sessionize runs the same session_window operator as the
+    * batch q_session_window, so it shares that oracle verbatim. */
+  def oracles: Map[String, String] = Map(
+    "stream_acc_size_flush" -> streamSizeFlushSql,
+    "stream_sessionize"     -> graft.operators.Relational.qSessionWindowSql
   )
 }
