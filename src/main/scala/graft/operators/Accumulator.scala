@@ -217,8 +217,18 @@ final case class AccBatchStatus(
   * Control flow (sequencing, threshold trigger, failure retention) is
   * genuine driver-side state — O(#batchIds), never per-item; items
   * live exclusively in lazy Dataset lineage and `process` sees one
-  * distributed union per flush. A failed flush keeps the buffered
-  * lineage and reverts the batch to `accumulating` (lib.ts:585-598).
+  * distributed union per flush.
+  *
+  * Flush is the reference's three-state machine (lib.ts:458-545):
+  * `accumulating → flushing → completed`. [[beginFlush]] snapshots the
+  * open batch and makes `flushing` observable; items added while a
+  * flush is in flight are stranded and roll into sequence+1 on
+  * completion (lib.ts:635-664). A failed flush reverts the batch to
+  * `accumulating` and retains every item — the snapshot AND the
+  * stranded adds (lib.ts:699-716; the reference parks stranded items
+  * in a racily-created second accumulating batch, we coalesce them
+  * back into the reverted batch so exactly one batch per batchId is
+  * ever open). [[flush]] = begin + complete for synchronous callers.
   */
 final class BatchAccumulator[T](
     threshold: Long,
@@ -227,20 +237,28 @@ final class BatchAccumulator[T](
     clock: () => Long = () => System.currentTimeMillis()) {
 
   private case class State(seq: Long, buffers: Vector[Dataset[T]], count: Long,
-    lastError: Option[String], openedAt: Long = 0L)
+    lastError: Option[String], openedAt: Long = 0L,
+    status: String = "accumulating",
+    // in-flight snapshot while status == "flushing": the items the
+    // running flush will process; `buffers`/`count` then hold only
+    // the stranded adds that arrived after the flush started
+    inFlight: Vector[Dataset[T]] = Vector.empty, inFlightCount: Long = 0L)
   private val state = mutable.Map.empty[String, State]
   private val completed = mutable.ArrayBuffer.empty[AccBatchStatus]
   private val history = mutable.ArrayBuffer.empty[FlushRecord]
 
-  /** Adds items to the batchId's accumulating batch; flushes
-    * immediately once the threshold is reached (lib.ts:104-109). */
+  /** Adds items to the batchId's open batch. During a flush the add is
+    * stranded: it lands in the buffer that becomes sequence+1 when the
+    * flush completes (lib.ts:635-664). Threshold-triggered flushes
+    * never fire mid-flush (doFlushTransition's not_accumulating guard,
+    * lib.ts:494-498). */
   def addItems(batchId: String, items: Dataset[T]): AccBatchStatus = {
     val n = items.count()
     val st = state.getOrElse(batchId, State(0, Vector.empty, 0, None, clock()))
     val opened = if (st.count == 0) clock() else st.openedAt
     state(batchId) = st.copy(buffers = st.buffers :+ items, count = st.count + n,
       openedAt = opened)
-    if (state(batchId).count >= threshold) flush(batchId)
+    if (st.status == "accumulating" && state(batchId).count >= threshold) flush(batchId)
     getBatchStatus(batchId).get
   }
 
@@ -252,38 +270,82 @@ final class BatchAccumulator[T](
     case Some(interval) =>
       val now = clock()
       state.toSeq.collect {
-        case (id, st) if st.count > 0 && now - st.openedAt >= interval && flush(id) => id
+        case (id, st) if st.status == "accumulating" && st.count > 0 &&
+          now - st.openedAt >= interval && flush(id) => id
       }
+  }
+
+  /** `accumulating → flushing` (doFlushTransition, lib.ts:458-545):
+    * snapshots the open items for the in-flight flush and leaves the
+    * open buffer empty for stranded adds. False if the batch is empty
+    * or a flush is already in flight (not_accumulating). */
+  def beginFlush(batchId: String): Boolean = state.get(batchId) match {
+    case Some(st) if st.status == "accumulating" && st.count > 0 =>
+      state(batchId) = st.copy(status = "flushing",
+        inFlight = st.buffers, inFlightCount = st.count,
+        buffers = Vector.empty, count = 0L)
+      true
+    case _ => false
+  }
+
+  /** `flushing → completed | accumulating` (executeFlush +
+    * recordFlushResult, lib.ts:546-664): processes the snapshot; on
+    * success the stranded adds become sequence+1 (flushing again at
+    * once if they already crossed the threshold, lib.ts:648-651); on
+    * failure the batch reverts to `accumulating` with the snapshot and
+    * the stranded adds both retained. */
+  def completeFlush(batchId: String): Boolean = state.get(batchId) match {
+    case Some(st) if st.status == "flushing" =>
+      val ds = st.inFlight.reduce(_ unionByName _)
+      val t0 = clock()
+      val err =
+        try { process(ds); None }
+        catch { case e: Exception => Some(e.getMessage) }
+      val t1 = clock()
+      history += FlushRecord(batchId, st.seq, st.inFlightCount, t1, t1 - t0, err.isEmpty)
+      if (err.isEmpty) {
+        completed += AccBatchStatus(batchId, st.seq, "completed", st.inFlightCount)
+        state(batchId) = State(st.seq + 1, st.buffers, st.count, None, t1)
+        if (st.count >= threshold) flush(batchId)
+      } else {
+        state(batchId) = st.copy(status = "accumulating",
+          buffers = st.inFlight ++ st.buffers, count = st.inFlightCount + st.count,
+          inFlight = Vector.empty, inFlightCount = 0L,
+          lastError = err)
+      }
+      err.isEmpty
+    case _ => false
   }
 
   /** Manual flush (lib.ts:246-279). Returns true iff items were
     * processed successfully; on failure items are retained. */
-  def flush(batchId: String): Boolean = state.get(batchId) match {
-    case Some(st) if st.count > 0 =>
-      val ds = st.buffers.reduce(_ unionByName _)
-      val t0 = clock()
-      val ok =
-        try { process(ds); true }
-        catch { case e: Exception =>
-          state(batchId) = st.copy(lastError = Some(e.getMessage)); false }
-      val t1 = clock()
-      history += FlushRecord(batchId, st.seq, st.count, t1, t1 - t0, ok)
-      if (ok) {
-        completed += AccBatchStatus(batchId, st.seq, "completed", st.count)
-        state(batchId) = State(st.seq + 1, Vector.empty, 0, None, t1)
-      }
-      ok
-    case _ => false
-  }
+  def flush(batchId: String): Boolean =
+    beginFlush(batchId) && completeFlush(batchId)
 
+  /** The open (or in-flight) batch if any, else the latest completed
+    * one. A `flushing` status reports the in-flight item count
+    * (getBatchStatus, lib.ts:181-244). */
   def getBatchStatus(batchId: String): Option[AccBatchStatus] =
-    state.get(batchId).map(st => AccBatchStatus(batchId, st.seq, "accumulating", st.count))
-      .orElse(completed.filter(_.batchId == batchId).lastOption)
+    state.get(batchId).map { st =>
+      if (st.status == "flushing")
+        AccBatchStatus(batchId, st.seq, "flushing", st.inFlightCount)
+      else AccBatchStatus(batchId, st.seq, "accumulating", st.count)
+    }.orElse(completed.filter(_.batchId == batchId).lastOption)
 
+  /** Every sequence: completed flushes, the in-flight/open batch, and
+    * — mid-flush — the stranded adds as the upcoming sequence+1
+    * accumulating batch (getAllBatchesForBaseId, lib.ts:246-279). */
   def getAllBatchesForBaseId(batchId: String): Seq[AccBatchStatus] =
     (completed.filter(_.batchId == batchId) ++
-      state.get(batchId).filter(_.count > 0)
-        .map(st => AccBatchStatus(batchId, st.seq, "accumulating", st.count))).toSeq
+      state.get(batchId).flatMap { st =>
+        if (st.status == "flushing")
+          Some(AccBatchStatus(batchId, st.seq, "flushing", st.inFlightCount))
+        else if (st.count > 0)
+          Some(AccBatchStatus(batchId, st.seq, "accumulating", st.count))
+        else None
+      } ++
+      state.get(batchId).filter(st => st.status == "flushing" && st.count > 0)
+        .map(st => AccBatchStatus(batchId, st.seq + 1, "accumulating", st.count))).toSeq
 
   def getFlushHistory(batchId: String): Seq[FlushRecord] =
     history.filter(_.batchId == batchId).toSeq

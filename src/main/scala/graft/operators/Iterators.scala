@@ -170,7 +170,9 @@ final class TableIterator(
   def backoffMs(attempt: Int): Long = math.min(1000L << attempt, 30000L)
 
   /** Registers a job and computes its chunk boundaries (one Spark
-    * job; O(#chunks) driver memory). */
+    * job; O(#chunks) driver memory). The job starts `pending`
+    * (reference JobStatus, client/index.ts:9, validator lib.ts:893) —
+    * the first [[step]] transitions it to `running`. */
   def start(jobId: String): IterJobStatus = {
     // boundary keys: every batchSize-th key, ascending; the final
     // (partial) chunk is open-ended.
@@ -179,7 +181,7 @@ final class TableIterator(
       .select(col(keyCol).cast("long"))
       .orderBy(col(keyCol))
       .collect().map(_.getLong(0))
-    jobs(jobId) = Job("running", 0, None, 0, 0, clock(), bRows)
+    jobs(jobId) = Job("pending", 0, None, 0, 0, clock(), bRows)
     status(jobId).get
   }
 
@@ -198,9 +200,11 @@ final class TableIterator(
   }
 
   /** Processes one batch with retry/backoff. Returns false when the
-    * job cannot advance (done, paused, cancelled, failed). */
+    * job cannot advance (done, paused, cancelled, failed). A `pending`
+    * job transitions to `running` on its first step. */
   def step(jobId: String): Boolean = jobs.get(jobId) match {
-    case Some(j) if j.status == "running" =>
+    case Some(j) if j.status == "pending" || j.status == "running" =>
+      j.status = "running"
       chunkFilter(j) match {
         case None => complete(jobId, j); false
         case Some(f) =>
@@ -246,7 +250,8 @@ final class TableIterator(
     jobs.get(jobId).filter(_.status == "paused").foreach(_.status = "running")
 
   def cancel(jobId: String): Unit =
-    jobs.get(jobId).filter(j => j.status == "running" || j.status == "paused")
+    jobs.get(jobId)
+      .filter(j => j.status == "pending" || j.status == "running" || j.status == "paused")
       .foreach(_.status = "cancelled")
 
   def status(jobId: String): Option[IterJobStatus] = jobs.get(jobId).map(j =>

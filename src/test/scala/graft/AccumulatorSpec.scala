@@ -86,6 +86,64 @@ class AccumulatorSpec extends SparkSpec {
     assert(a.tick().isEmpty)           // nothing left accumulating
   }
 
+  test("flushing state is observable and mid-flush adds strand into seq+1") {
+    val sink = collection.mutable.Buffer.empty[Long]
+    val a = acc(sink)
+    a.addItems("b", items(5))
+    assert(a.beginFlush("b"))
+    // flushing is observable, reporting the in-flight snapshot count
+    val mid = a.getBatchStatus("b").get
+    assert(mid.status == "flushing" && mid.itemCount == 5 && mid.seq == 0)
+    // adds during the flush are stranded for the next sequence
+    a.addItems("b", items(3))
+    assert(a.getBatchStatus("b").get.status == "flushing")
+    assert(a.getAllBatchesForBaseId("b").map(b => (b.seq, b.status, b.itemCount)) ==
+      Seq((0L, "flushing", 5L), (1L, "accumulating", 3L)))
+    // a second flush can't start while one is in flight
+    assert(!a.beginFlush("b"))
+    assert(a.completeFlush("b"))
+    assert(sink.toList == List(5L)) // stranded items were NOT in the flush
+    assert(a.getAllBatchesForBaseId("b").map(b => (b.seq, b.status, b.itemCount)) ==
+      Seq((0L, "completed", 5L), (1L, "accumulating", 3L)))
+    // the stranded items flush as their own sequence
+    assert(a.flush("b"))
+    assert(sink.toList == List(5L, 3L))
+    assert(a.getFlushHistory("b").map(h => (h.seq, h.itemCount)) ==
+      Seq((0L, 5L), (1L, 3L)))
+  }
+
+  test("stranded items already past the threshold flush immediately on completion") {
+    val sink = collection.mutable.Buffer.empty[Long]
+    val a = acc(sink)
+    a.addItems("b", items(4))
+    assert(a.beginFlush("b"))
+    a.addItems("b", items(11)) // stranded AND >= threshold(10)
+    assert(sink.isEmpty)       // but nothing flushes mid-flush
+    assert(a.completeFlush("b"))
+    // completion rolled seq+1 over and flushed it straight away
+    assert(sink.toList == List(4L, 11L))
+    assert(a.getFlushHistory("b").map(h => (h.seq, h.itemCount, h.success)) ==
+      Seq((0L, 4L, true), (1L, 11L, true)))
+  }
+
+  test("failed flush reverts to accumulating and retains snapshot plus stranded adds") {
+    val sink = collection.mutable.Buffer.empty[Long]
+    val a = acc(sink, failFirst = 1)
+    a.addItems("b", items(5))
+    assert(a.beginFlush("b"))
+    a.addItems("b", items(2)) // stranded while the failing flush runs
+    assert(!a.completeFlush("b"))
+    assert(sink.isEmpty)
+    // revert: same sequence, accumulating, ALL 7 items retained
+    val st = a.getBatchStatus("b").get
+    assert(st.status == "accumulating" && st.seq == 0 && st.itemCount == 7)
+    // retry processes everything exactly once
+    assert(a.flush("b"))
+    assert(sink.toList == List(7L))
+    assert(a.getFlushHistory("b").map(h => (h.itemCount, h.success)) ==
+      Seq((5L, false), (7L, true)))
+  }
+
   test("deleteBatch drops state and history") {
     val sink = collection.mutable.Buffer.empty[Long]
     val a = acc(sink)

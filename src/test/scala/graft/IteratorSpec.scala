@@ -92,12 +92,44 @@ class IteratorSpec extends SparkSpec {
     it.start("a"); it.start("b"); it.start("c")
     it.runAll("a")
     val byId = it.list().map(s => s.jobId -> s.status).toMap
-    assert(byId == Map("a" -> "completed", "b" -> "running", "c" -> "running"))
-    assert(it.list(statusFilter = Some("running")).map(_.jobId) == Seq("b", "c"))
+    assert(byId == Map("a" -> "completed", "b" -> "pending", "c" -> "pending"))
+    assert(it.list(statusFilter = Some("pending")).map(_.jobId) == Seq("b", "c"))
     assert(it.list(statusFilter = Some("completed")).map(_.jobId) == Seq("a"))
     assert(it.list(limit = Some(2)).size == 2)
     it.delete("b"); it.delete("c")
     assert(it.list().map(_.jobId) == Seq("a"))
+  }
+
+  test("jobs start pending, run on first step; list filters all five statuses") {
+    var fail = false
+    val it = new TableIterator(orders, "o_orderkey", 400,
+      process = _ => if (fail) throw new RuntimeException("boom"),
+      maxRetries = 0, sleeper = _ => (), clock = () => 7L)
+    // pending: started, never stepped
+    it.start("p")
+    assert(it.status("p").get.status == "pending")
+    // running: stepped once, more batches remain
+    it.start("r"); assert(it.step("r"))
+    assert(it.status("r").get.status == "running")
+    // paused
+    it.start("z"); it.step("z"); it.pause("z")
+    // completed
+    it.start("c"); it.runAll("c")
+    // failed
+    it.start("f"); fail = true; it.step("f"); fail = false
+    val want = Map("p" -> "pending", "r" -> "running", "z" -> "paused",
+      "c" -> "completed", "f" -> "failed")
+    assert(it.list().map(s => s.jobId -> s.status).toMap == want)
+    want.foreach { case (id, status) =>
+      assert(it.list(statusFilter = Some(status)).map(_.jobId) == Seq(id),
+        s"filter $status")
+    }
+    // a pending job can be cancelled but not paused (reference allows
+    // pause only from running)
+    it.pause("p")
+    assert(it.status("p").get.status == "pending")
+    it.cancel("p")
+    assert(it.status("p").get.status == "cancelled")
   }
 
   test("delayBetweenBatchesMs throttles between successful batches") {
