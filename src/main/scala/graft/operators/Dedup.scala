@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Agg.rndSql
@@ -23,6 +24,15 @@ object Dedup {
 
   /** Jaccard threshold for the exact n-gram variant. */
   val jaccardTau = 0.6
+  /** Document-frequency cap for [[dedupNgramJaccard]]: shingles that
+    * appear in more than this many documents are dropped before the
+    * self-join. One viral boilerplate 3-gram across a crawl otherwise
+    * turns its bucket quadratic (df² pairs); the cap bounds any bucket
+    * at C(cap, 2). Semantics shift only for degenerate shingles — a
+    * shared 3-gram in >cap docs carries no near-dup signal — and the
+    * oracle mirrors the cap. Max observed df on test data is 25, so
+    * results are unchanged there. */
+  val shingleDfCap = 128
   /** Embedding near-dup cosine threshold. */
   val cosineTau = 0.4
   /** MinHash signature length and LSH banding (8 bands × 8 rows). */
@@ -68,23 +78,33 @@ object Dedup {
       |  count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
 
-  /** Ground-truth near-dup pairs: word-3-gram Jaccard ≥ τ via
-    * explode + equi-self-join on the shingle. The per-doc shingle
-    * count rides along through the explode, so union sizes need no
-    * extra joins (n_sh is functionally dependent on doc_id). */
-  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Ground-truth near-dup pairs: word-3-gram Jaccard ≥ τ over the
+    * df-capped shingle space (explode → df window → equi-self-join on
+    * the shingle). The df window hash-partitions the exploded corpus
+    * on the shingle, and the self-join reuses that exact partitioning
+    * (ReusedExchange — one shuffle of the exploded corpus, not two).
+    * Per-doc sizes are recomputed post-cap and joined onto the pair
+    * set, which is tiny next to the exploded corpus. */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    dedupNgramJaccard(s, dir, shingleDfCap)
+
+  def dedupNgramJaccard(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
     import s.implicits._
-    val ex = shingled(s, dir)
-      .select($"doc_id", size($"shingles").cast("long").as("n_sh"),
-        explode($"shingles").as("s"))
+    val ex = shingled(s, dir).select($"doc_id", explode($"shingles").as("s"))
+    val capped = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
+      .filter($"df" <= dfCap).drop("df")
+    val sizes = capped.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
     // shuffle-hash, never broadcast: the exploded corpus is the BIG
     // side at scale — AQE would happily broadcast it at test SF and
     // that plan dies at 100 TB
-    ex.as("a").hint("shuffle_hash").join(ex.as("b"),
+    val pairs = capped.as("a").hint("shuffle_hash").join(capped.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc1"), $"a.n_sh".as("n1"),
-               $"b.doc_id".as("doc2"), $"b.n_sh".as("n2"))
+      .groupBy($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
       .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
+      .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
       .withColumn("jaccard",
         expr(rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)))
       .filter($"jaccard" >= jaccardTau)
@@ -95,11 +115,15 @@ object Dedup {
   val dedupNgramJaccardSql: String =
     s"""WITH sh AS (
        |  $shingledSql),
-       |sz AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |capped AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM e)
+       |  WHERE df <= $shingleDfCap),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-       |  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc1, doc2, inter,
        |  ${rndSql("CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter)", 6)} AS jaccard

@@ -105,6 +105,46 @@ class DedupSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
   }
 
+  test("df cap bounds the shingle-join blowup on a boilerplate-heavy corpus") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-boiler").toString
+    val rng = new scala.util.Random(7)
+    val boiler = (1 to 20).map(i => s"legal$i").mkString(" ")
+    // 150 docs sharing one viral boilerplate sentence, otherwise unique
+    val viral = (0 until 150).map { d =>
+      val unique = (1 to 40).map(_ => s"w${rng.nextInt(1000000)}").mkString(" ")
+      (d.toLong, s"$boiler $unique")
+    }
+    // one genuine near-dup pair with no boilerplate
+    val base = (1 to 60).map(i => s"pair${i % 31}").mkString(" ")
+    val docs = viral ++ Seq((1000L, base), (1001L, base))
+    docs.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // candidate volume = Σ_s C(df, 2): the cap must collapse the viral
+    // shingles' quadratic buckets while keeping everything else
+    def volume(cap: Option[Int]): Long = {
+      val ex = graft.sources.Tables.documents(s, dir)
+        .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+        .filter(size($"toks") >= 3)
+        .select($"doc_id", explode(expr("graft_shingles(toks)")).as("s"))
+      val df = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+      cap.fold(df)(c => df.filter($"df" <= c))
+        .agg(coalesce(sum(expr("df * (df - 1) / 2")), lit(0L)).cast("long"))
+        .head.getLong(0)
+    }
+    val uncapped = volume(None)
+    val capped = volume(Some(16))
+    assert(uncapped >= 150L * 149 / 2, s"viral corpus must be quadratic uncapped: $uncapped")
+    assert(capped < 2000, s"capped volume must be bounded: $capped")
+    // the capped pipeline still finds the true pair, and no
+    // boilerplate-only pair survives
+    val pairs = Dedup.dedupNgramJaccard(s, dir, dfCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.keySet == Set((1000L, 1001L)), s"got ${pairs.keySet}")
+    assert(pairs((1000L, 1001L)) == 1.0)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedupEmbedding(spark, sfDir).collect()
     assert(rows.nonEmpty)
