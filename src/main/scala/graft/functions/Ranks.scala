@@ -38,4 +38,27 @@ object Ranks {
         row_number().over(Window.partitionBy(col(PID)).orderBy(key)).cast("long") + col(OFF))
       .drop(PID, OFF)
   }
+
+  /** Adds a global running sum `out` of `value` ordered by `key` —
+    * the same two-phase prefix-sum layout as [[globalRowNumber]]:
+    * range-partition on the key, per-partition sums → exclusive
+    * prefix over numPartitions rows, broadcast the offsets back and
+    * finish with a within-partition running sum. No row-bearing stage
+    * is ever a single partition. `key` must be unique (ties would sum
+    * in range-partition-dependent order). */
+  def globalRunningSum(df: DataFrame, key: Column, value: Column,
+                       numPartitions: Int, out: String): DataFrame = {
+    val parted = df.repartitionByRange(numPartitions, key).withColumn(PID, spark_partition_id())
+    val offsets = parted.groupBy(col(PID)).agg(sum(value).as(CNT))
+      .withColumn(OFF, coalesce(
+        sum(col(CNT)).over(
+          Window.orderBy(col(PID)).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop(CNT)
+    parted.join(broadcast(offsets), PID)
+      .withColumn(out,
+        sum(value).over(Window.partitionBy(col(PID)).orderBy(key)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) + col(OFF))
+      .drop(PID, OFF)
+  }
 }

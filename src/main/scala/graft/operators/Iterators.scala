@@ -3,7 +3,6 @@ package graft.operators
 import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Ranks
@@ -54,15 +53,15 @@ object Iterators {
        |FROM rn GROUP BY 1 ORDER BY batch_idx""".stripMargin
 
   /** Running processedCount after each batch (updateJobProgress,
-    * lib.ts:1073-1087). The cumulative window runs over the chunked
-    * result — 1/batchSize of the input, driver-scale at any SF. */
+    * lib.ts:1073-1087). The chunked result is 1/batchSize of the
+    * input — still 10⁸ rows for a 10¹¹-row table at batchSize=1000 —
+    * so the cumulative sum uses the distributed two-phase prefix sum
+    * ([[Ranks.globalRunningSum]]), never a no-partition window. */
   def iterProgress(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    chunked(Tables.orders(s, dir), "o_orderkey")
-      .withColumn("processed_count",
-        sum($"item_count").over(
-          Window.orderBy($"batch_idx")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    Ranks.globalRunningSum(
+        chunked(Tables.orders(s, dir), "o_orderkey"),
+        col("batch_idx"), col("item_count"), 32, "processed_count")
       .select($"batch_idx", $"item_count", $"cursor_key", $"processed_count")
       .orderBy($"batch_idx")
   }

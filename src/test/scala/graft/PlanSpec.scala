@@ -57,6 +57,22 @@ class PlanSpec extends SparkSpec {
     assert(single.size <= 1, s"unexpected single-partition stages:\n${single.mkString("\n")}")
   }
 
+  test("iter_progress prefix sum is two-phase, row-bearing stages never single-partition") {
+    val p = plan(Iterators.iterProgress(spark, sfDir))
+    assert(p.contains("rangepartitioning"), p)
+    // offset prefix sums are the only SinglePartition stages, and each
+    // must sit directly above a pid-keyed aggregate (numPartitions
+    // rows) — never above row-bearing data
+    val lines = p.linesIterator.toVector
+    val idxs = lines.zipWithIndex.collect {
+      case (l, i) if l.contains("Exchange SinglePartition") => i
+    }
+    idxs.foreach { i =>
+      assert(lines(i + 1).contains("HashAggregate(keys=[__graft_pid"),
+        s"SinglePartition over non-pid data:\n${lines.slice(i, i + 2).mkString("\n")}")
+    }
+  }
+
   test("dedup_exact shuffles once on the content hash") {
     val p = plan(Dedup.dedupExact(spark, sfDir))
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)

@@ -20,6 +20,19 @@ class RanksSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("globalRunningSum matches single-partition cumulative sum") {
+    val s = spark; import s.implicits._
+    val df = Tables.orders(s, sfDir).select($"o_orderkey", $"o_custkey")
+    val expected = df
+      .withColumn("run", sum($"o_custkey").over(Window.orderBy($"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val got = Ranks.globalRunningSum(df, $"o_orderkey", $"o_custkey", 7, "run")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("globalRowNumber survives partition counts larger than the data") {
     val s = spark; import s.implicits._
     val df = Seq(5L, 1L, 9L, 3L).toDF("k")
