@@ -8,7 +8,6 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot arithmetic paths.
@@ -27,6 +26,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - [[SimHash64]]: 64-bit SimHash, one xxhash64 per token then 64
   *     counter updates — identical output to the former
   *     aggregate-based formulation (same per-token xxhash64 seed 42).
+  *
+  * Every expression implements doGenCode (the array-returning ones
+  * via a reference-object call into their tight JVM loop, like
+  * Spark's regexp expressions), so none is a CodegenFallback and the
+  * text/dedup projection stages stay inside whole-stage codegen.
   *
   * Registered as SQL functions `graft_dot` / `graft_minhash64` /
   * `graft_simhash64` through [[GraftExpressions.install]]
@@ -114,7 +118,7 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   * Double-hashing family: hₖ = h₁ + k·h₂ (h₂ forced odd), the
   * standard trick that keeps the family pairwise-independent enough
   * for Jaccard estimation at 1/32 the hashing cost. */
-case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFallback {
+case class MinHashSig(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
   val k = 64
@@ -125,8 +129,10 @@ case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFal
     else TypeCheckResult.TypeCheckFailure(
       s"graft_minhash64 expects array<string>, got ${child.dataType}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** The tight loop, shared by interpreted eval and codegen (the
+    * generated code calls it through a reference object — same
+    * pattern as Spark's regexp expressions; JIT inlines it). */
+  def hash(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
@@ -146,6 +152,15 @@ case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFal
     new GenericArrayData(sig)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    hash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSig].getName)
+      s"${ev.value} = $ref.hash($x);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
@@ -155,7 +170,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFal
   * i -> array_join(slice(t, i, 3), ' ')))` but one pass with no
   * per-position array allocations (the interpreted lambda chain costs
   * ~100× this). Tokens shorter than 3 yield an empty array. */
-case class WordShingles(child: Expression) extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -163,8 +178,7 @@ case class WordShingles(child: Expression) extends UnaryExpression with CodegenF
     else TypeCheckResult.TypeCheckFailure(
       s"graft_shingles expects array<string>, got ${child.dataType}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def shingle(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n < 3) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String](n * 2)
@@ -183,6 +197,15 @@ case class WordShingles(child: Expression) extends UnaryExpression with CodegenF
     new GenericArrayData(out)
   }
 
+  override protected def nullSafeEval(input: Any): Any =
+    shingle(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("shingles", this, classOf[WordShingles].getName)
+      s"${ev.value} = $ref.shingle($x);"
+    })
+
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
 }
@@ -191,7 +214,7 @@ case class WordShingles(child: Expression) extends UnaryExpression with CodegenF
   * set — `size(filter(toks, t -> t IN (...)))` without the
   * per-token interpreted lambda. The marker set is materialized once
   * per expression instance. */
-case class CountIn(left: Expression, right: Expression) extends BinaryExpression with CodegenFallback {
+case class CountIn(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -209,8 +232,7 @@ case class CountIn(left: Expression, right: Expression) extends BinaryExpression
     set
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val arr = a.asInstanceOf[ArrayData]
+  def countIn(arr: ArrayData): Long = {
     var n = 0L
     var i = 0
     while (i < arr.numElements()) {
@@ -220,13 +242,24 @@ case class CountIn(left: Expression, right: Expression) extends BinaryExpression
     n
   }
 
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    countIn(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, _) => {
+      // the foldable marker set is baked into the instance; the
+      // generated code only evaluates the data-side array
+      val ref = ctx.addReferenceObj("countIn", this, classOf[CountIn].getName)
+      s"${ev.value} = $ref.countIn($x);"
+    })
+
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CountIn =
     copy(left = newLeft, right = newRight)
 }
 
 /** 64-bit SimHash of an array<string>: one xxhash64 (seed 42 — same
   * as the SQL `xxhash64`) per token, ±1 vote per bit. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression {
   import org.apache.spark.sql.catalyst.expressions.XXH64
 
   override def dataType: DataType = LongType
@@ -236,8 +269,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     else TypeCheckResult.TypeCheckFailure(
       s"graft_simhash64 expects array<string>, got ${child.dataType}")
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  def hash(arr: ArrayData): Long = {
     val n = arr.numElements()
     val votes = new Array[Int](64)
     var i = 0
@@ -259,6 +291,15 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     }
     out
   }
+
+  override protected def nullSafeEval(input: Any): Any =
+    hash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+      s"${ev.value} = $ref.hash($x);"
+    })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)

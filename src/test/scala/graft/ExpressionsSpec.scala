@@ -88,4 +88,22 @@ class ExpressionsSpec extends SparkSpec {
       .head()
     assert(rows.getInt(0) < rows.getInt(1))
   }
+
+  test("native expressions stay inside whole-stage codegen spans") {
+    val df = graft.sources.Tables.documents(spark, sfDir)
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .selectExpr("doc_id",
+        "graft_minhash64(graft_shingles(toks)) AS sig",
+        "graft_simhash64(toks) AS sh",
+        "graft_count_in(toks, array('a', 'b')) AS cnt",
+        "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot")
+    // CodegenFallback expressions force their ProjectExec OUT of
+    // WholeStageCodegen: every Project here must carry the *(n) mark
+    val plan = df.queryExecution.executedPlan.toString
+    val projects = plan.linesIterator.filter(_.contains("Project")).toList
+    assert(projects.nonEmpty)
+    projects.foreach(l =>
+      assert(l.contains("*("), s"Project outside whole-stage codegen:\n$plan"))
+    assert(df.limit(1).collect().length == 1)
+  }
 }
