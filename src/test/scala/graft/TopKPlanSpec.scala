@@ -76,4 +76,110 @@ class TopKPlanSpec extends SparkSpec {
       .select($"rk", $"id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
     assert(got == List((1L, 4L), (2L, 1L), (3L, 2L)))
   }
+
+  /** A tie-rich parquet-backed frame (events has heavy duplicate
+    * user_id counts per type) for rank-semantics equivalence. */
+  private def tieFrame = Tables.events(spark, sfDir)
+    .groupBy("event_type", "user_id")
+    .agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+
+  private def withRewrite[A](body: => A): A = {
+    spark.conf.set(graft.plans.RewriteWindowTopK.confKey, "true")
+    try body finally spark.conf.unset(graft.plans.RewriteWindowTopK.confKey)
+  }
+
+  test("rule rewrites rank() heads and keeps tie semantics exactly") {
+    val df = tieFrame
+    df.createOrReplaceTempView("tie_src")
+    val q = """SELECT * FROM (
+              |  SELECT event_type, user_id, n,
+              |    rank() OVER (PARTITION BY event_type ORDER BY n DESC) AS rk
+              |  FROM tie_src) WHERE rk <= 5""".stripMargin
+    val before = spark.sql(q).collect().map(_.toSeq).toSet
+    withRewrite {
+      val rewritten = spark.sql(q)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), plan)
+      assert(!plan.contains("Window"), s"rank window must be rewritten:\n$plan")
+      assert(rewritten.collect().map(_.toSeq).toSet == before)
+      // with ties at the k-th rank the output may exceed k per group —
+      // the tie-aware mode must reproduce that, not truncate at k
+      assert(before.size >= 5)
+    }
+  }
+
+  test("rule rewrites dense_rank() heads and keeps tie semantics exactly") {
+    val df = tieFrame
+    df.createOrReplaceTempView("tie_src_dense")
+    val q = """SELECT * FROM (
+              |  SELECT event_type, user_id, n,
+              |    dense_rank() OVER (PARTITION BY event_type ORDER BY n DESC) AS rk
+              |  FROM tie_src_dense) WHERE rk <= 3""".stripMargin
+    val before = spark.sql(q).collect().map(_.toSeq).toSet
+    withRewrite {
+      val rewritten = spark.sql(q)
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), plan)
+      assert(!plan.contains("Window"), s"dense_rank window must be rewritten:\n$plan")
+      assert(rewritten.collect().map(_.toSeq).toSet == before)
+    }
+  }
+
+  test("rule accepts a Long literal k through the promotion cast") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    withRewrite {
+      val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+      val df = Tables.part(s, sfDir)
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3L) // long literal: promotion casts the int rank
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), plan)
+      assert(!plan.contains("Window "), plan)
+      assert(df.count() == Relational.qTopkPerGroup(s, sfDir).count())
+    }
+  }
+
+  test("rule leaves a global (no partitionBy) top-k window untouched") {
+    val df = tieFrame
+    df.createOrReplaceTempView("tie_src_global")
+    withRewrite {
+      val plan = spark.sql(
+        """SELECT * FROM (
+          |  SELECT user_id, n, row_number() OVER (ORDER BY n DESC) AS rk
+          |  FROM tie_src_global) WHERE rk <= 5""".stripMargin)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("TopKPerGroup"), plan)
+      assert(plan.contains("Window"), plan)
+    }
+  }
+
+  test("TopK.perGroup rejects empty group columns with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      TopK.perGroup(Tables.part(spark, sfDir), Seq.empty, Seq(("p_retailprice", true)), 3)
+    }
+    assert(e.getMessage.contains("orderBy"))
+  }
+
+  test("native rank modes match the window functions on tie-rich data") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = tieFrame
+    val w = Window.partitionBy($"event_type").orderBy($"n".desc)
+    def normalize(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val wantRank = normalize(df.withColumn("rk", rank().over(w).cast("long"))
+      .filter($"rk" <= 4).collect())
+    val gotRank = normalize(graft.plans.TopK.perGroup(df, Seq("event_type"),
+        Seq(("n", true)), 4, "rk", graft.plans.RankMode.Rank).collect())
+    assert(gotRank == wantRank)
+    val wantDense = normalize(df.withColumn("rk", dense_rank().over(w).cast("long"))
+      .filter($"rk" <= 4).collect())
+    val gotDense = normalize(graft.plans.TopK.perGroup(df, Seq("event_type"),
+        Seq(("n", true)), 4, "rk", graft.plans.RankMode.DenseRank).collect())
+    assert(gotDense == wantDense)
+  }
 }
