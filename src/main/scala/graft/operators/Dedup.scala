@@ -112,8 +112,11 @@ object Dedup {
       .orderBy($"doc1", $"doc2")
   }
 
-  val dedupNgramJaccardSql: String =
-    s"""WITH sh AS (
+  /** Shared CTE chain producing `scored(doc1, doc2, inter, jaccard)` —
+    * the τ-filtered near-dup pair set. Used by both the pair oracle and
+    * the cluster oracle's edge list. */
+  private val ngramPairCtes: String =
+    s"""sh AS (
        |  $shingledSql),
        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
        |capped AS (
@@ -124,13 +127,18 @@ object Dedup {
        |pairs AS (
        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
        |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc1, doc2, inter,
-       |  ${rndSql("CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter)", 6)} AS jaccard
-       |FROM pairs
-       |JOIN sz s1 ON doc1 = s1.doc_id
-       |JOIN sz s2 ON doc2 = s2.doc_id
-       |WHERE ${rndSql("CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter)", 6)} >= $jaccardTau
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc1, doc2, inter,
+       |    ${rndSql("CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter)", 6)} AS jaccard
+       |  FROM pairs
+       |  JOIN sz s1 ON doc1 = s1.doc_id
+       |  JOIN sz s2 ON doc2 = s2.doc_id
+       |  WHERE ${rndSql("CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter)", 6)} >= $jaccardTau)""".stripMargin
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $ngramPairCtes
+       |SELECT doc1, doc2, inter, jaccard FROM scored
        |ORDER BY doc1, doc2""".stripMargin
 
   /** doc_id + MinHash signature (k=[[minhashK]]) via the native
@@ -209,35 +217,39 @@ object Dedup {
 
   /** Embedding near-dup: exact cosine ≥ τ pairs, LSH-bucketed.
     * Candidates come from [[Similarity.lshBuckets]] banding — only
-    * vectors sharing a (table, bucket) pair up, ids-only through the
-    * banding shuffle — then an exact cosine re-rank over the candidate
-    * ids. No stage is all-pairs: the plan is equi-joins end to end
-    * (PlanSpec asserts no BroadcastNestedLoopJoin/CartesianProduct).
+    * vectors sharing a (table, bucket) pair up. No stage is all-pairs:
+    * the plan is equi-joins end to end (PlanSpec asserts no
+    * BroadcastNestedLoopJoin/CartesianProduct).
+    *
+    * The cosine is evaluated INLINE in the banding join, not after a
+    * pair-distinct: at τ-threshold near-dup density the candidate→
+    * survivor ratio is extreme (~0.05% pass), so collision rows stream
+    * through codegen'd join→dot→filter without ever materializing, and
+    * the distinct only sees τ-passing pairs. The alternative (ids-only
+    * through the shuffle, vectors joined back after) pays a full-size
+    * pair-distinct plus two corpus joins — measured 3× slower at sf0.1
+    * despite exchanging fewer bytes, because the big cost is rows
+    * through shuffles, not redundant multiply-adds. The banding
+    * exchange itself is L·n rows (vector payload included) — linear in
+    * corpus size.
+    *
     * Ground truth = [[dedupEmbeddingAllPairs]]; DedupSpec asserts
     * exact equality at spec SF, and the DuckDB oracle is the all-pairs
     * formulation at every driver SF. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = Similarity.lshBuckets(s, dir, dedupLshTables, dedupLshBits)
-      .select($"vec_id", $"tbl", $"bucket")
     // shuffle-hash, never broadcast: both sides are the full corpus
-    val cand = b.as("a").hint("shuffle_hash").join(b.as("b"),
+    b.as("a").hint("shuffle_hash").join(b.as("b"),
         $"a.tbl" === $"b.tbl" && $"a.bucket" === $"b.bucket" &&
           $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("id1"), $"b.vec_id".as("id2"))
-      // multi-table hits dedupe on the id pair alone — vectors join
-      // back after, so no 64-wide array rides the distinct shuffle
-      .dropDuplicates("id1", "id2")
-    val v = Tables.embeddings(s, dir)
-      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
-      .withColumn("nrm", expr(VectorFns.norm("v")))
-    cand
-      .join(v.as("va"), $"id1" === $"va.vec_id")
-      .join(v.as("vb"), $"id2" === $"vb.vec_id")
       .withColumn("cosine",
-        expr(rndSql(s"${VectorFns.dot("va.v", "vb.v")} / (va.nrm * vb.nrm)", 6)))
+        expr(rndSql(s"${VectorFns.dot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)))
       .filter($"cosine" >= cosineTau)
-      .select($"id1", $"id2", $"cosine")
+      .select($"a.vec_id".as("id1"), $"b.vec_id".as("id2"), $"cosine")
+      // multi-table hits are identical rows (cosine is a function of
+      // the pair) — distinct over survivors only
+      .dropDuplicates("id1", "id2")
       .orderBy($"id1", $"id2")
   }
 
@@ -271,6 +283,75 @@ object Dedup {
        |WHERE ${rndSql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= $cosineTau
        |ORDER BY id1, id2""".stripMargin
 
+  /** Safety cap on label-propagation rounds. Hash-min converges in
+    * O(component diameter) rounds; near-dup components are chains of
+    * mutual near-dups and stay shallow in practice (test corpora
+    * converge in ≤3). Adversarial long-chain graphs would need the
+    * large-star/small-star variant (O(log n) rounds) — documented
+    * trade-off, not needed for near-dup canonicalization. */
+  val maxClusterIters = 50
+
+  /** Near-dup cluster canonicalization: connected components over the
+    * [[dedupNgramJaccard]] pair graph, every document labelled with
+    * its component's minimum doc_id (singletons label themselves).
+    * This is the step a training pipeline runs after near-dup pair
+    * generation — "keep one representative per duplicate cluster".
+    *
+    * Layout: hash-min label propagation. Each round is one equi-join
+    * of the (cached, materialized-once) edge list against the current
+    * labels plus a min-aggregate — both shuffle on doc_id only; no
+    * stage is ever all-pairs or single-partition. `localCheckpoint`
+    * truncates the growing lineage each round (standard iterative-
+    * algorithm practice, same as the IVF k-means loop); the
+    * convergence check is a driver-side scalar count per round, like
+    * k-means. Reference analog: the flush canonicalization walk in
+    * lib.ts:635-664 picks one surviving sequence per batch family —
+    * same keep-one-representative semantics, here over a similarity
+    * graph. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = dedupNgramJaccard(s, dir).select($"doc1", $"doc2")
+    val edges = p.union(p.select($"doc2", $"doc1")).toDF("src", "dst").persist()
+    edges.count() // materialize once; every round re-reads the cache
+    var labels = Tables.documents(s, dir)
+      .select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxClusterIters) {
+      val prev = labels
+      val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .select($"dst".as("doc_id"), $"label")
+      labels = prev.union(prop).groupBy($"doc_id")
+        .agg(min($"label").as("label")).localCheckpoint(true)
+      changed = labels.join(prev.select($"doc_id", $"label".as("prev_label")), "doc_id")
+        .filter($"label" =!= $"prev_label").count()
+      prev.unpersist()
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select($"doc_id", $"label".as("canonical_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy($"canonical_id")).cast("long"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: transitive closure via WITH RECURSIVE over the same
+    * τ-filtered pair CTEs, min reachable label per document. */
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |edges AS (
+       |  SELECT doc1 AS src, doc2 AS dst FROM scored
+       |  UNION ALL
+       |  SELECT doc2, doc1 FROM scored),
+       |reach(doc_id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |labs AS (SELECT doc_id, min(lab) AS canonical_id FROM reach GROUP BY 1)
+       |SELECT doc_id, canonical_id,
+       |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+       |FROM labs ORDER BY doc_id""".stripMargin
+
   /** Per-source corpus sketches via the mergeable MinHash-union
     * aggregate, plus the estimated pairwise source overlap — the
     * "how much do these two crawls duplicate each other" question
@@ -303,7 +384,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_simhash"       -> (dedupSimhash _),
-    "dedup_embedding"     -> (dedupEmbedding _)
+    "dedup_embedding"     -> (dedupEmbedding _),
+    "dedup_clusters"      -> (dedupClusters _)
   )
 
   /** minhash/simhash are hash-function-specific → rows-only check +
@@ -311,6 +393,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "dedup_embedding"     -> dedupEmbeddingSql
+    "dedup_embedding"     -> dedupEmbeddingSql,
+    "dedup_clusters"      -> dedupClustersSql
   )
 }
