@@ -313,8 +313,14 @@ object Dedup {
     val p = dedupNgramJaccard(s, dir).select($"doc1", $"doc2")
     val edges = p.union(p.select($"doc2", $"doc1")).toDF("src", "dst").persist()
     edges.count() // materialize once; every round re-reads the cache
-    var labels = Tables.documents(s, dir)
-      .select($"doc_id", $"doc_id".as("label")).localCheckpoint(true)
+    // Propagate over edge-vertices only: a document with no near-dup
+    // pair can never change label, so the per-round state is
+    // O(|pair-graph vertices|) — at 100 TB that is the (small) dup
+    // fraction of the corpus, not the corpus. Singletons rejoin at the
+    // end as their own canonical. Both edge directions exist, so src
+    // alone covers every vertex.
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id").localCheckpoint(true)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxClusterIters) {
@@ -329,7 +335,9 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    labels.select($"doc_id", $"label".as("canonical_id"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"label", $"doc_id").as("canonical_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy($"canonical_id")).cast("long"))
       .orderBy($"doc_id")
