@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{TextAnalysis => TA}
+
+/** Corpus-preparation pipeline operators over `documents` — the
+  * composed passes a training-data build runs after per-document
+  * scoring: stratified downsampling, corpus-level n-gram statistics,
+  * and the end-to-end keep/drop filter.
+  *
+  * Scale layout: everything here is row-local arithmetic plus one
+  * bounded aggregation. [[sampleStratified]] joins a broadcast
+  * per-stratum rate table (|sources| rows); [[corpusNgrams]] is a
+  * partial-aggregated explode→count with a TakeOrdered top-N (no
+  * global sort); [[qualityFilter]] is a single pass over the corpus
+  * plus one hash-shuffle join against the (equally partitioned)
+  * canonical-id side. Reference analog: the client-side batch filter
+  * hooks around processBatch (client/index.ts:204-328) — here the
+  * filter itself is the declarative operator.
+  */
+object Pipeline {
+
+  /** Per-stratum sample target: strata larger than this many expected
+    * keeps are downsampled to it, smaller strata pass whole. */
+  val targetPerStratum = 15
+  /** Composite-quality keep threshold ([[TA.qualityExpr]] scale). */
+  val qualityTau = 0.68
+  val minTokens = 20
+  val maxTokens = 1000
+  /** Top-N bigrams reported by [[corpusNgrams]]. */
+  val ngramTopN = 50
+
+  /** Deterministic stratified sampling: keep a document iff its
+    * content fingerprint lands under the stratum's permille
+    * threshold, thr = 1000·target/|stratum|. Hash-mod sampling is the
+    * 100 TB layout — no shuffle of the corpus, no per-partition RNG
+    * state, reproducible across cluster sizes and reruns; the only
+    * exchanged data is the |sources|-row rate table, broadcast. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val strata = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("thr_permille",
+        expr(s"least(1000L, ${1000L * targetPerStratum} div n_docs)"))
+      .select($"source", $"thr_permille")
+    docs.withColumn("toks", expr(TA.toksExpr))
+      .withColumn("bucket", expr(s"(${TA.fingerprintExpr}) % 1000"))
+      .join(broadcast(strata), "source")
+      .filter($"bucket" < $"thr_permille")
+      .select($"doc_id", $"source", $"bucket", $"thr_permille")
+      .orderBy($"doc_id")
+  }
+
+  val sampleStratifiedSql: String =
+    s"""WITH st AS (
+       |  SELECT source,
+       |    least(1000, ${1000L * targetPerStratum} // count(*)) AS thr_permille
+       |  FROM documents GROUP BY 1),
+       |fp AS (
+       |  SELECT doc_id, source,
+       |    ${TA.fingerprintDuck} % 1000 AS bucket
+       |  FROM (SELECT doc_id, source, ${TA.duckToks} AS toks FROM documents))
+       |SELECT fp.doc_id, fp.source, fp.bucket, st.thr_permille
+       |FROM fp JOIN st ON fp.source = st.source
+       |WHERE fp.bucket < st.thr_permille
+       |ORDER BY fp.doc_id""".stripMargin
+
+  /** Corpus-wide bigram statistics: total occurrences and document
+    * frequency for the top-N bigrams. Partial (map-side) aggregation
+    * on the bigram, two-phase distinct for df, TakeOrdered top-N —
+    * never a global sort of the n-gram space. */
+  def corpusNgrams(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(TA.toksExpr))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))""".stripMargin))
+        .as("bigram"))
+      .groupBy($"bigram")
+      .agg(count(lit(1)).as("cnt"), countDistinct($"doc_id").as("doc_freq"))
+      .orderBy($"cnt".desc, $"bigram")
+      .limit(ngramTopN)
+  }
+
+  val corpusNgramsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TA.duckToks} AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+       |  FROM t WHERE len(toks) >= 2)
+       |SELECT bigram, count(*) AS cnt, count(DISTINCT doc_id) AS doc_freq
+       |FROM bg GROUP BY 1
+       |ORDER BY cnt DESC, bigram LIMIT $ngramTopN""".stripMargin
+
+  /** The end-to-end training-data admission filter: language guess,
+    * token-length band, composite quality, exact-dup canonicalization
+    * — every document labelled keep/drop with the FIRST failing rule
+    * as its reason (rule order: lang → length → quality → duplicate).
+    * Single scoring pass; the only shuffle is the canonical-id join,
+    * hash-partitioned on the content hash like [[Dedup.dedupExact]]. */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val canon = docs
+      .groupBy(md5($"text".cast("binary")).as("text_hash"))
+      .agg(min($"doc_id").as("canonical_id"))
+    val scored = TA.withLangGuess(
+        TA.withQualityMetrics(docs.withColumn("toks", expr(TA.toksExpr))))
+      .withColumn("quality", expr(TA.qualityExpr))
+      .withColumn("text_hash", md5($"text".cast("binary")))
+      .join(canon, "text_hash")
+    scored
+      .withColumn("reason",
+        when($"lang_guess" =!= "en", "lang")
+          .when($"n_tokens" < minTokens || $"n_tokens" > maxTokens, "length")
+          .when($"quality" < qualityTau, "quality")
+          .when($"doc_id" =!= $"canonical_id", "duplicate")
+          .otherwise("kept"))
+      .select($"doc_id",
+        when($"reason" === "kept", 1L).otherwise(0L).as("keep"),
+        $"reason")
+      .orderBy($"doc_id")
+  }
+
+  val qualityFilterSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${TA.duckToks} AS toks,
+       |    len(${TA.duckToks}) AS n_tokens
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, toks, n_tokens,
+       |    ${TA.qualityMetricsDuck}
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, text, n_tokens,
+       |    ${TA.qualityDuck} AS quality,
+       |    ${TA.langScoreColsDuck}
+       |  FROM m),
+       |c AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS canonical_id
+       |  FROM documents GROUP BY 1),
+       |r AS (
+       |  SELECT q.doc_id,
+       |    CASE WHEN (${TA.langGuessDuck}) <> 'en' THEN 'lang'
+       |         WHEN n_tokens < $minTokens OR n_tokens > $maxTokens THEN 'length'
+       |         WHEN quality < CAST($qualityTau AS DOUBLE) THEN 'quality'
+       |         WHEN q.doc_id <> c.canonical_id THEN 'duplicate'
+       |         ELSE 'kept' END AS reason
+       |  FROM q JOIN c ON md5(q.text) = c.h)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN reason = 'kept' THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |  reason
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "corpus_ngrams"     -> (corpusNgrams _),
+    "quality_filter"    -> (qualityFilter _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "sample_stratified" -> sampleStratifiedSql,
+    "corpus_ngrams"     -> corpusNgramsSql,
+    "quality_filter"    -> qualityFilterSql
+  )
+}

@@ -17,9 +17,10 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  /** Tokens of `text`, whitespace-split. */
-  private val toksExpr = "split(trim(text), '\\\\s+')"
-  private val duckToks = "string_split_regex(trim(text), '\\s+')"
+  /** Tokens of `text`, whitespace-split. Operators-visible so
+    * composed pipelines ([[Pipeline]]) reuse the exact tokenizer. */
+  private[operators] val toksExpr = "split(trim(text), '\\\\s+')"
+  private[operators] val duckToks = "string_split_regex(trim(text), '\\s+')"
 
   /** BPE-ish pre-tokenization: letter runs, digit runs, and single
     * punctuation marks — the shape a subword tokenizer splits on.
@@ -55,25 +56,43 @@ object TextAnalysis {
        |        / len($duckToks), 4) AS avg_token_len
        |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Quality score: stopword ratio, type-token ratio, length score —
-    * the standard cheap pre-filter heuristics. */
-  def textQuality(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("n_tokens", size($"toks").cast("long"))
+  /** Adds `n_tokens`, `stop_ratio`, `ttr`, `len_score` (unrounded) to
+    * a frame that already has `toks` — the shared quality-metric pass
+    * used by [[textQuality]] and [[Pipeline.qualityFilter]]. */
+  private[operators] def withQualityMetrics(df: DataFrame): DataFrame =
+    df.withColumn("n_tokens", size(col("toks")).cast("long"))
       .withColumn("n_stop",
         expr("graft_count_in(toks, array('the', 'a', 'of', 'to', 'and'))"))
       .withColumn("stop_ratio", expr("CAST(n_stop AS DOUBLE) / n_tokens"))
       .withColumn("ttr", expr("CAST(size(array_distinct(toks)) AS DOUBLE) / n_tokens"))
       .withColumn("len_score", expr("least(1.0D, CAST(n_tokens AS DOUBLE) / 100.0D)"))
+
+  /** The rounded composite score over [[withQualityMetrics]] columns —
+    * identical formula on both engines. */
+  private[operators] val qualityExpr =
+    "round(0.4D * (1.0D - stop_ratio) + 0.4D * ttr + 0.2D * len_score, 4)"
+  private[operators] val qualityDuck =
+    "round(0.4 * (1.0 - stop_ratio) + 0.4 * ttr + 0.2 * len_score, 4)"
+  /** DuckDB rendering of the metric columns (expects `toks`,
+    * `n_tokens` in scope). */
+  private[operators] val qualityMetricsDuck =
+    """CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+      |      / n_tokens AS stop_ratio,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens AS ttr,
+      |    least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) AS len_score""".stripMargin
+
+  /** Quality score: stopword ratio, type-token ratio, length score —
+    * the standard cheap pre-filter heuristics. */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withQualityMetrics(
+      Tables.documents(s, dir).withColumn("toks", expr(toksExpr)))
       .select(
         $"doc_id", $"n_tokens",
         round($"stop_ratio", 4).as("stop_ratio"),
         round($"ttr", 4).as("ttr"),
         round($"len_score", 4).as("len_score"),
-        expr("round(0.4D * (1.0D - stop_ratio) + 0.4D * ttr + 0.2D * len_score, 4)")
-          .as("quality"))
+        expr(qualityExpr).as("quality"))
       .orderBy($"doc_id")
   }
 
@@ -98,54 +117,66 @@ object TextAnalysis {
   /** Marker-token language heuristic: count function-word markers per
     * language, pick the best (deterministic priority order on ties),
     * confidence = marker density. */
-  private val markers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val markers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "to", "and"),
     "de" -> Seq("der", "die", "das", "und"),
     "fr" -> Seq("le", "les", "et", "une"),
     "es" -> Seq("el", "los", "las", "y"))
 
-  def textLangid(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
-    val scored = markers.foldLeft(
-      Tables.documents(s, dir).withColumn("toks", expr(toksExpr))) {
-      case (df, (lang, ts)) =>
-        df.withColumn(s"s_$lang",
-          expr(s"graft_count_in(toks, array(${inList(ts)}))"))
+  private def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
+
+  /** Adds per-language marker-count columns `s_<lang>` and the
+    * deterministic `lang_guess` to a frame with `toks` — shared with
+    * [[Pipeline.qualityFilter]]. */
+  private[operators] def withLangGuess(df: DataFrame): DataFrame = {
+    val scored = markers.foldLeft(df) { case (d, (lang, ts)) =>
+      d.withColumn(s"s_$lang",
+        expr(s"graft_count_in(toks, array(${inList(ts)}))"))
     }
     val best = markers.map { case (l, _) => col(s"s_$l") }
     val guess = markers.foldRight(lit("und")) { case ((l, _), alt) =>
       when(col(s"s_$l") === greatest(best: _*) && col(s"s_$l") > 0, lit(l)).otherwise(alt)
     }
-    scored
+    scored.withColumn("lang_guess", guess)
+  }
+
+  private[operators] def bestScore: org.apache.spark.sql.Column =
+    greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+
+  /** DuckDB renderings of the marker-score columns and guess CASE
+    * (expect `toks` in scope). */
+  private[operators] val langScoreColsDuck: String = markers.map { case (l, ts) =>
+    s"CAST(len(list_filter(toks, t -> t IN (${inList(ts)}))) AS BIGINT) AS s_$l"
+  }.mkString(",\n    ")
+  private[operators] val langBestDuck: String =
+    markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+  private[operators] val langGuessDuck: String =
+    markers.foldRight("'und'") { case ((l, _), alt) =>
+      s"CASE WHEN s_$l = $langBestDuck AND s_$l > 0 THEN '$l' ELSE $alt END"
+    }
+
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withLangGuess(Tables.documents(s, dir).withColumn("toks", expr(toksExpr)))
       .withColumn("n_tokens", size($"toks").cast("long"))
-      .select($"doc_id", guess.as("lang_guess"),
-        round(greatest(best: _*).cast("double") / $"n_tokens", 4).as("confidence"))
+      .select($"doc_id", $"lang_guess",
+        round(bestScore.cast("double") / $"n_tokens", 4).as("confidence"))
       .orderBy($"doc_id")
   }
 
-  val textLangidSql: String = {
-    def inList(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
-    val scoreCols = markers.map { case (l, ts) =>
-      s"CAST(len(list_filter(toks, t -> t IN (${inList(ts)}))) AS BIGINT) AS s_$l"
-    }.mkString(",\n    ")
-    val bestExpr = markers.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
-    val guessExpr = markers.foldRight("'und'") { case ((l, _), alt) =>
-      s"CASE WHEN s_$l = $bestExpr AND s_$l > 0 THEN '$l' ELSE $alt END"
-    }
+  val textLangidSql: String =
     s"""WITH t AS (
        |  SELECT doc_id, $duckToks AS toks,
        |    len($duckToks) AS n_tokens
        |  FROM documents),
        |sc AS (
        |  SELECT doc_id, n_tokens,
-       |    $scoreCols
+       |    $langScoreColsDuck
        |  FROM t)
        |SELECT doc_id,
-       |  $guessExpr AS lang_guess,
-       |  round(CAST($bestExpr AS DOUBLE) / n_tokens, 4) AS confidence
+       |  $langGuessDuck AS lang_guess,
+       |  round(CAST($langBestDuck AS DOUBLE) / n_tokens, 4) AS confidence
        |FROM sc ORDER BY doc_id""".stripMargin
-  }
 
   /** Position-weighted rolling fingerprint: token code = polynomial of
     * first/last char and length, summed with position weights mod a
@@ -153,21 +184,28 @@ object TextAnalysis {
     * and partitioning-independent. */
   private val prime = 1000000007L
 
+  /** The fingerprint as SQL fragments (expect `toks` in scope) —
+    * shared with [[Pipeline.sampleStratified]], which uses the
+    * fingerprint as its deterministic, content-derived sampling hash. */
+  private[operators] val fingerprintExpr: String =
+    s"""aggregate(
+       |  transform(sequence(1, size(toks)),
+       |    i -> (CAST(i AS BIGINT)
+       |          * (ascii(element_at(toks, i)) * 10000L
+       |             + ascii(substring(element_at(toks, i), -1, 1)) * 100L
+       |             + length(element_at(toks, i)))) % ${prime}L),
+       |  0L, (acc, x) -> (acc + x) % ${prime}L)""".stripMargin
+  private[operators] val fingerprintDuck: String =
+    s"""CAST(list_sum(list_transform(range(1, len(toks) + 1),
+       |    i -> (i * (ascii(toks[i]) * 10000
+       |               + ascii(toks[i][-1]) * 100
+       |               + length(toks[i]))) % $prime)) % $prime AS BIGINT)""".stripMargin
+
   def textFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
-      .select(
-        $"doc_id",
-        expr(
-          s"""aggregate(
-             |  transform(sequence(1, size(toks)),
-             |    i -> (CAST(i AS BIGINT)
-             |          * (ascii(element_at(toks, i)) * 10000L
-             |             + ascii(substring(element_at(toks, i), -1, 1)) * 100L
-             |             + length(element_at(toks, i)))) % ${prime}L),
-             |  0L, (acc, x) -> (acc + x) % ${prime}L)""".stripMargin)
-          .as("fingerprint"))
+      .select($"doc_id", expr(fingerprintExpr).as("fingerprint"))
       .orderBy($"doc_id")
   }
 
@@ -175,11 +213,7 @@ object TextAnalysis {
     s"""WITH t AS (
        |  SELECT doc_id, $duckToks AS toks FROM documents)
        |SELECT doc_id,
-       |  CAST(list_sum(list_transform(range(1, len(toks) + 1),
-       |    i -> (i * (ascii(toks[i]) * 10000
-       |               + ascii(toks[i][-1]) * 100
-       |               + length(toks[i]))) % $prime)) % $prime AS BIGINT)
-       |    AS fingerprint
+       |  $fingerprintDuck AS fingerprint
        |FROM t ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
