@@ -255,6 +255,25 @@ object Relational {
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
 
+  /** HLL++ approximate distinct users per event type. The sketch is
+    * O(1) state per group and mergeable (register-wise max), so the
+    * partial-aggregate tree is partition-count-invariant — the scale
+    * replacement for countDistinct's two-phase exact expand when the
+    * per-group key cardinality is itself huge. Engine-specific sketch
+    * → rows-only driver check; RelationalSpec bounds the error vs the
+    * exact count and asserts partition invariance. */
+  val approxDistinctRsd = 0.02
+
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(
+        approx_count_distinct($"user_id", approxDistinctRsd).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"event_type")
+  }
+
   /** EXISTS / NOT EXISTS as left-semi / left-anti joins. */
   def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -528,6 +547,7 @@ object Relational {
     "q_topk_native"      -> (qTopkNative _),
     "q_rollup"           -> (qRollup _),
     "q_distinct_agg"     -> (qDistinctAgg _),
+    "q_approx_distinct"  -> (qApproxDistinct _),
     "q_semi_anti"        -> (qSemiAnti _),
     "q_events_sessionize"-> (qEventsSessionize _),
     "q_session_window"   -> (qSessionWindow _),

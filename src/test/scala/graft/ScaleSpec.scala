@@ -99,6 +99,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("approx distinct is inside the HLL rsd bound and partition-invariant") {
+    val s = spark; import s.implicits._
+    val dir = "/root/testdata/sf0.01"
+    val exact = Tables.events(s, dir).groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Relational.qApproxDistinct(s, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    approx.foreach { case (et, a) =>
+      val rel = math.abs(a.toDouble - exact(et)) / exact(et)
+      // 5x rsd slack: pin the contract, not one sketch's luck
+      assert(rel <= 5 * Relational.approxDistinctRsd,
+        s"$et approx=$a exact=${exact(et)} rel=$rel")
+    }
+    // HLL merge is register-wise max — result must not depend on the
+    // partial-aggregation tree shape
+    val repart = Tables.events(s, dir).repartition(13)
+      .groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id", Relational.approxDistinctRsd).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(repart == approx)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val s = spark; import s.implicits._
     val plain = Tables.orders(s, sfDir)
