@@ -160,17 +160,103 @@ object Pipeline {
        |  reason
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Token budget of one packed training sequence. */
+  val packBudget = 2048L
+
+  /** Sequence packing: lay the corpus out as one contiguous token
+    * stream (deterministic doc_id order) and chunk it into
+    * fixed-budget bins — each document labelled with its start
+    * offset, bin, and position within the bin. The running offset is
+    * [[graft.functions.Ranks.globalRunningSum]]'s two-phase prefix
+    * sum (range partition → per-partition sums → broadcast offsets),
+    * so no row-bearing stage is single-partition — the same layout
+    * that makes `iter_progress` scale. */
+  def docPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", expr(TA.toksExpr))
+      .select($"doc_id", size($"toks").cast("long").as("n_tokens"))
+    graft.functions.Ranks.globalRunningSum(d, $"doc_id", $"n_tokens", 32, "cum")
+      .withColumn("start_offset", $"cum" - $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"start_offset",
+        expr(s"start_offset div $packBudget").as("bin_id"),
+        expr(s"start_offset % $packBudget").as("bin_pos"))
+      .orderBy($"doc_id")
+  }
+
+  val docPackSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, len(${TA.duckToks}) AS n_tokens FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t)
+       |SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+       |  (cum - n_tokens) // $packBudget AS bin_id,
+       |  (cum - n_tokens) % $packBudget AS bin_pos
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Vocabulary size for [[tokenIds]]. */
+  val vocabSize = 256
+
+  /** Corpus-frequency tokenization: build the top-[[vocabSize]] token
+    * vocabulary (rank = count desc, token asc), then map every token
+    * position to its vocab id (0 = OOV). Vocab build is a bounded
+    * top-N (TakeOrdered + a window over [[vocabSize]] rows); the
+    * mapping join broadcasts the vocabulary — the corpus side stays
+    * embarrassingly parallel, exactly how a fixed BPE vocab ships to
+    * 1000 executors. */
+  def tokenIds(s: SparkSession, dir: String): DataFrame =
+    tokenIds(s, dir, vocabSize)
+
+  def tokenIds(s: SparkSession, dir: String, nVocab: Int): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .withColumn("toks", expr(TA.toksExpr))
+      .select($"doc_id", posexplode($"toks").as(Seq("pos0", "tok")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"tok")
+    val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"tok").limit(nVocab)
+      .withColumn("vid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy($"c".desc, $"tok")).cast("long"))
+      .select($"tok", $"vid")
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select($"doc_id", $"pos", coalesce($"vid", lit(0L)).as("token_id"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val tokenIdsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TA.duckToks} AS toks FROM documents),
+       |e AS (
+       |  SELECT doc_id, generate_subscripts(toks, 1) AS pos,
+       |    unnest(toks) AS tok
+       |  FROM t),
+       |cnt AS (SELECT tok, count(*) AS c FROM e GROUP BY 1),
+       |top AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT $vocabSize),
+       |vocab AS (
+       |  SELECT tok, row_number() OVER (ORDER BY c DESC, tok) AS vid FROM top)
+       |SELECT e.doc_id, CAST(e.pos AS BIGINT) AS pos,
+       |  coalesce(v.vid, 0) AS token_id
+       |FROM e LEFT JOIN vocab v ON e.tok = v.tok
+       |ORDER BY doc_id, pos""".stripMargin
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "corpus_ngrams"     -> (corpusNgrams _),
-    "quality_filter"    -> (qualityFilter _)
+    "quality_filter"    -> (qualityFilter _),
+    "doc_pack"          -> (docPack _),
+    "token_ids"         -> (tokenIds _)
   )
 
   def oracles: Map[String, String] = Map(
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_ngrams"     -> corpusNgramsSql,
-    "quality_filter"    -> qualityFilterSql
+    "quality_filter"    -> qualityFilterSql,
+    "doc_pack"          -> docPackSql,
+    "token_ids"         -> tokenIdsSql
   )
 }

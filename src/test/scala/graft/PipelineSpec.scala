@@ -59,6 +59,50 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < fp.size, "sample must be a proper subset")
   }
 
+  test("doc_pack tiles the corpus token stream without gaps or overlaps") {
+    val rows = Pipeline.docPack(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // offsets are a gapless tiling in doc_id order
+    rows.sliding(2).foreach {
+      case Array((_, n1, o1, _, _), (_, _, o2, _, _)) => assert(o1 + n1 == o2)
+      case _ =>
+    }
+    rows.foreach { case (_, _, off, bin, pos) =>
+      assert(bin == off / Pipeline.packBudget)
+      assert(pos == off % Pipeline.packBudget)
+    }
+    // budget actually splits the corpus into multiple bins
+    assert(rows.map(_._4).distinct.length > 1)
+  }
+
+  test("token_ids ranks vocab by frequency and zeros OOV tokens") {
+    val s = spark; import s.implicits._
+    val ids = Pipeline.tokenIds(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ids.nonEmpty)
+    // reconstruct: most frequent token must map to vid 1
+    val toks = graft.sources.Tables.documents(s, sfDir)
+      .select($"doc_id", explode(expr("split(trim(text), '\\\\s+')")).as("tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val freq = toks.groupBy(_._2).view.mapValues(_.size).toMap
+    val topTok = freq.toSeq.sortBy { case (t, c) => (-c, t) }.head._1
+    val vids = ids.map(_._3)
+    // synthetic corpus vocabulary is smaller than vocabSize → every
+    // distinct token gets an id and no OOV exists
+    assert(vids.max == math.min(Pipeline.vocabSize, freq.size).toLong)
+    // every position of the top token got vid 1
+    val posOfTop = toks.count(_._2 == topTok)
+    assert(ids.count(_._3 == 1L) == posOfTop)
+    // OOV path: with a vocab smaller than the corpus vocabulary, the
+    // rarest tokens map to 0 and exactly nVocab ids are assigned
+    val small = Pipeline.tokenIds(s, sfDir, 5)
+      .collect().map(_.getLong(2))
+    assert(small.max == 5L)
+    assert(small.count(_ == 0L) > 0)
+    assert(small.distinct.sorted.toList == (0L to 5L).toList)
+  }
+
   test("corpus_ngrams counts occurrences and document frequency") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft-ngrams").toString
