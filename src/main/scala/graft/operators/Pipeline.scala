@@ -47,8 +47,12 @@ object Pipeline {
       .withColumn("thr_permille",
         expr(s"least(1000L, ${1000L * targetPerStratum} div n_docs)"))
       .select($"source", $"thr_permille")
+    // coalesce makes bucket non-nullable: without it the join's
+    // inferred isnotnull(bucket) constraint is pushed into a Filter
+    // where `toks` gets inlined — re-running the regex split inside
+    // every fingerprint lambda iteration (measured 23x slower)
     docs.withColumn("toks", expr(TA.toksExpr))
-      .withColumn("bucket", expr(s"(${TA.fingerprintExpr}) % 1000"))
+      .withColumn("bucket", expr(s"coalesce((${TA.fingerprintExpr}) % 1000, 0L)"))
       .join(broadcast(strata), "source")
       .filter($"bucket" < $"thr_permille")
       .select($"doc_id", $"source", $"bucket", $"thr_permille")
@@ -62,7 +66,7 @@ object Pipeline {
        |  FROM documents GROUP BY 1),
        |fp AS (
        |  SELECT doc_id, source,
-       |    ${TA.fingerprintDuck} % 1000 AS bucket
+       |    coalesce(${TA.fingerprintDuck} % 1000, 0) AS bucket
        |  FROM (SELECT doc_id, source, ${TA.duckToks} AS toks FROM documents))
        |SELECT fp.doc_id, fp.source, fp.bucket, st.thr_permille
        |FROM fp JOIN st ON fp.source = st.source

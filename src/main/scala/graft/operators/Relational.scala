@@ -489,6 +489,61 @@ object Relational {
        |  count(*) AS n
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact percentiles with BOUNDED task memory: instead of the
+    * percentile aggregate's O(values per group) buffer, range-partition
+    * (group, value) TeraSort-style, rank with per-(group, partition)
+    * count offsets (the [[graft.functions.Ranks]] two-phase layout,
+    * generalized per group), and join out just the two bracketing
+    * ranks per requested percentile. Every stage is data-parallel and
+    * spill-safe; one hot group spreads over many range partitions
+    * instead of one agg buffer. Interpolation replicates Spark's
+    * Percentile formula term for term — (higher−pos)·v_lo +
+    * (pos−lower)·v_hi — so results are bit-identical to
+    * [[qPercentiles]] and share its oracle. */
+  def qPercentilesDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pid = "__pp_pid"
+    val v = Tables.lineitem(s, dir)
+      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
+    val parted = v.repartitionByRange(32, $"flag", $"x")
+      .withColumn(pid, spark_partition_id())
+    val cnt = parted.groupBy($"flag", col(pid)).agg(count(lit(1)).as("c"))
+    // per-flag exclusive prefix over ≤32 rows/flag — driver-scale window
+    val off = cnt.withColumn("off", coalesce(
+        sum($"c").over(Window.partitionBy($"flag").orderBy(col(pid))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"flag", col(pid), $"off")
+    val tot = cnt.groupBy($"flag").agg(sum($"c").as("n"))
+    val ranked = parted.join(broadcast(off), Seq("flag", pid))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy($"flag", col(pid)).orderBy($"x"))
+          .cast("long") + $"off")
+    val targets = tot
+      .crossJoin(Seq(0.5, 0.95).toDF("p"))
+      .withColumn("pos", $"p" * ($"n" - 1).cast("double"))
+      .withColumn("lower", floor($"pos"))
+      .withColumn("higher", ceil($"pos"))
+      .withColumn("lo_rank", $"lower".cast("long") + 1)
+      .withColumn("hi_rank", $"higher".cast("long") + 1)
+    val picked = ranked.as("r").join(broadcast(targets.as("t")),
+        $"r.flag" === $"t.flag" &&
+          ($"r.rank" === $"t.lo_rank" || $"r.rank" === $"t.hi_rank"))
+      .groupBy($"t.flag".as("flag"), $"t.p".as("p"), $"t.pos".as("pos"),
+        $"t.lower".as("lower"), $"t.higher".as("higher"), $"t.n".as("n"))
+      .agg(min(when($"r.rank" === $"t.lo_rank", $"r.x")).as("vlo"),
+           min(when($"r.rank" === $"t.hi_rank", $"r.x")).as("vhi"))
+    picked.select($"flag", $"p", $"n",
+        when($"lower" === $"higher", $"vlo")
+          .otherwise(($"higher" - $"pos") * $"vlo" + ($"pos" - $"lower") * $"vhi")
+          .as("v"))
+      .groupBy($"flag".as("l_returnflag"), $"n")
+      .agg(
+        expr(Agg0.rndSql("min(CASE WHEN p = CAST(0.5 AS DOUBLE) THEN v END)", 4)).as("p50"),
+        expr(Agg0.rndSql("min(CASE WHEN p = CAST(0.95 AS DOUBLE) THEN v END)", 4)).as("p95"))
+      .select($"l_returnflag", $"p50", $"p95", $"n")
+      .orderBy($"l_returnflag")
+  }
+
   /** approx_percentile sketch size: rank error ≤ 1/accuracy. */
   val percentileAccuracy = 10000
 
@@ -536,6 +591,7 @@ object Relational {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
+    "q_percentiles_dist" -> (qPercentilesDist _),
     "q_percentiles_approx" -> (qPercentilesApprox _),
     "q_cube"             -> (qCube _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -558,6 +614,7 @@ object Relational {
   def oracles: Map[String, String] = Map(
     "q_events_json"      -> qEventsJsonSql,
     "q_percentiles"      -> qPercentilesSql,
+    "q_percentiles_dist" -> qPercentilesSql,
     "q_cube"             -> qCubeSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_top_orders"      -> q3Sql,

@@ -85,6 +85,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_percentiles_dist ranks via range partitioning, no percentile agg buffer") {
+    val p = plan(Relational.qPercentilesDist(spark, sfDir))
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.toLowerCase.contains("percentile("),
+      s"must not fall back to the unbounded percentile aggregate:\n$p")
+  }
+
+  test("sample_stratified broadcasts the rate table; corpus side never shuffle-joins") {
+    val p = plan(graft.operators.Pipeline.sampleStratified(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    // the corpus scan reads only the three needed columns
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("n_chars") && !readSchema.contains("lang"), readSchema)
+  }
+
+  test("token_ids builds a bounded vocab (TakeOrdered) and broadcasts it") {
+    val p = plan(graft.operators.Pipeline.tokenIds(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("corpus_ngrams aggregates map-side and takes top-N without a global sort") {
+    val p = plan(graft.operators.Pipeline.corpusNgrams(spark, sfDir))
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("minhash banding join carries no raw shingle arrays through the shuffle") {
     val p = plan(Dedup.dedupMinhash(spark, sfDir))
     // signatures are row-local: the only wide arrays crossing an

@@ -122,6 +122,15 @@ class ScaleSpec extends SparkSpec {
     assert(repart == approx)
   }
 
+  test("distributed exact percentiles equal the percentile aggregate bit for bit") {
+    val s = spark
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val a = Relational.qPercentiles(s, dir).collect().map(_.toSeq).toList
+      val b = Relational.qPercentilesDist(s, dir).collect().map(_.toSeq).toList
+      assert(b == a, s"mismatch at $dir")
+    }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val s = spark; import s.implicits._
     val plain = Tables.orders(s, sfDir)
