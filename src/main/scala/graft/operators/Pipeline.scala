@@ -111,27 +111,36 @@ object Pipeline {
     * Single scoring pass; the only shuffle is the canonical-id join,
     * hash-partitioned on the content hash like [[Dedup.dedupExact]]. */
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, dir)
-    val canon = docs
-      .groupBy(md5($"text".cast("binary")).as("text_hash"))
-      .agg(min($"doc_id").as("canonical_id"))
+    qualityFilterOn(docs, canonicalIds(docs)).orderBy(col("doc_id"))
+  }
+
+  /** content-hash → min doc_id lookup side of the duplicate rule. */
+  private[graft] def canonicalIds(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+
+  /** The filter transform itself, source-agnostic: `docs` may be a
+    * batch frame or a stream (the canon side must then be a static
+    * lookup — a stream-static broadcast join, stateless under append
+    * mode; see [[graft.streaming.StreamOps]]). No ordering applied —
+    * streaming sinks can't sort; batch callers order at the edge. */
+  private[graft] def qualityFilterOn(docs: DataFrame, canon: DataFrame): DataFrame = {
     val scored = TA.withLangGuess(
         TA.withQualityMetrics(docs.withColumn("toks", expr(TA.toksExpr))))
       .withColumn("quality", expr(TA.qualityExpr))
-      .withColumn("text_hash", md5($"text".cast("binary")))
+      .withColumn("text_hash", md5(col("text").cast("binary")))
       .join(canon, "text_hash")
     scored
       .withColumn("reason",
-        when($"lang_guess" =!= "en", "lang")
-          .when($"n_tokens" < minTokens || $"n_tokens" > maxTokens, "length")
-          .when($"quality" < qualityTau, "quality")
-          .when($"doc_id" =!= $"canonical_id", "duplicate")
+        when(col("lang_guess") =!= "en", "lang")
+          .when(col("n_tokens") < minTokens || col("n_tokens") > maxTokens, "length")
+          .when(col("quality") < qualityTau, "quality")
+          .when(col("doc_id") =!= col("canonical_id"), "duplicate")
           .otherwise("kept"))
-      .select($"doc_id",
-        when($"reason" === "kept", 1L).otherwise(0L).as("keep"),
-        $"reason")
-      .orderBy($"doc_id")
+      .select(col("doc_id"),
+        when(col("reason") === "kept", 1L).otherwise(0L).as("keep"),
+        col("reason"))
   }
 
   val qualityFilterSql: String =

@@ -17,15 +17,14 @@ import graft.operators.Accumulator
   */
 object StreamAcc {
 
-  /** Streaming source over the events parquet data (schema must be
-    * provided explicitly for readStream; reuse the batch schema and
-    * the same nanos→micros conversion as Tables.events). The file
-    * source requires a directory — test data ships single parquet
-    * files, so stage a symlink dir (cheap, no copy; a production
-    * deploy points at the landing directory directly). */
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  /** Streaming source over one test parquet table (schema must be
+    * provided explicitly for readStream; reuse the batch schema). The
+    * file source requires a directory — test data ships single
+    * parquet files, so stage a symlink dir (cheap, no copy; a
+    * production deploy points at the landing directory directly). */
+  def fileStream(s: SparkSession, dir: String, table: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val path = s"$dir/events.parquet"
+    val path = s"$dir/$table.parquet"
     val streamDir =
       if (Files.isDirectory(Paths.get(path))) path
       else {
@@ -39,15 +38,21 @@ object StreamAcc {
         val d = Paths.get(sys.props("java.io.tmpdir"), "graft-stream", digest)
         Files.createDirectories(d)
         val target = Paths.get(path)
-        val link = d.resolve("events.parquet")
+        val link = d.resolve(s"$table.parquet")
         if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != target)
           Files.delete(link)
         if (!Files.exists(link)) Files.createSymbolicLink(link, target)
         d.toString
       }
     val raw = s.read.parquet(path)
-    val stream = s.readStream.schema(raw.schema).parquet(streamDir)
-    if (raw.schema("ts").dataType == LongType)
+    s.readStream.schema(raw.schema).parquet(streamDir)
+  }
+
+  /** Events stream with the same nanos→micros conversion as
+    * Tables.events. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val stream = fileStream(s, dir, "events")
+    if (stream.schema("ts").dataType == LongType)
       stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else stream
   }

@@ -106,13 +106,40 @@ object StreamOps {
         timestamp_micros($"max_us").as("last_updated_at"))
   }
 
+  /** The §2.8 admission filter over a documents STREAM: the same
+    * source-agnostic transform as the batch `quality_filter`, with the
+    * canonical-id side as a static broadcast lookup — a stateless
+    * stream-static join under append mode. This is the deployment
+    * shape of a continuous ingest filter: per-document scoring is
+    * row-local in each micro-batch; only the (bounded) dedup lookup
+    * ships to executors. */
+  def qualityFilterStream(s: SparkSession, dir: String): DataFrame = {
+    val stream = StreamAcc.fileStream(s, dir, "documents")
+    val canon = broadcast(
+      graft.operators.Pipeline.canonicalIds(graft.sources.Tables.documents(s, dir)))
+    graft.operators.Pipeline.qualityFilterOn(stream, canon)
+  }
+
+  def runQualityFilterToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_quality"): DataFrame = {
+    val q = qualityFilterStream(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("doc_id"))
+  }
+
   /** Driver-contract entries (parity with batch results is also
     * asserted in StreamOpsSpec). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_sessionize" -> ((s, dir) =>
       runSessionsToCompletion(s, dir, sink = "stream_sessions_verify")),
     "stream_acc_size_flush" -> ((s, dir) =>
-      runSizeFlushesToCompletion(s, dir, sink = "stream_size_flush_verify"))
+      runSizeFlushesToCompletion(s, dir, sink = "stream_size_flush_verify")),
+    "stream_quality_filter" -> ((s, dir) =>
+      runQualityFilterToCompletion(s, dir, sink = "stream_quality_verify"))
   )
 
   /** DuckDB oracle for the size-threshold flushes: a flush emits
@@ -134,6 +161,8 @@ object StreamOps {
     * batch q_session_window, so it shares that oracle verbatim. */
   def oracles: Map[String, String] = Map(
     "stream_acc_size_flush" -> streamSizeFlushSql,
-    "stream_sessionize"     -> graft.operators.Relational.qSessionWindowSql
+    "stream_sessionize"     -> graft.operators.Relational.qSessionWindowSql,
+    // stateless stream == batch: shares the batch filter's oracle
+    "stream_quality_filter" -> graft.operators.Pipeline.qualityFilterSql
   )
 }

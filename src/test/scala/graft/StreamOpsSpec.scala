@@ -19,6 +19,17 @@ class StreamOpsSpec extends SparkSpec {
         s"diff=${(streamed -- batch).take(2)} / ${(batch -- streamed).take(2)}")
   }
 
+  test("streaming quality filter equals the batch filter exactly") {
+    val s = spark
+    val streamed = StreamOps.runQualityFilterToCompletion(s, sfDir,
+      sink = "quality_parity")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    val batch = graft.operators.Pipeline.qualityFilter(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toList
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful size-threshold flushes equal the batch accumulator's completed batches") {
     val s = spark; import s.implicits._
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
