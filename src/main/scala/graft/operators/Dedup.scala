@@ -46,7 +46,7 @@ object Dedup {
   /** doc_id + distinct word-3-gram shingles via the native
     * [[graft.functions.WordShingles]] expression (docs shorter than 3
     * tokens are excluded — they have no 3-gram identity). */
-  private def shingled(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
@@ -55,7 +55,7 @@ object Dedup {
       .select($"doc_id", $"shingles")
   }
 
-  private val shingledSql: String =
+  private[operators] val shingledSql: String =
     s"""SELECT doc_id,
        |    list_distinct(list_transform(range(1, len(toks) - 1),
        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles

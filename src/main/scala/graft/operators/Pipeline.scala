@@ -255,6 +255,52 @@ object Pipeline {
        |FROM e LEFT JOIN vocab v ON e.tok = v.tok
        |ORDER BY doc_id, pos""".stripMargin
 
+  /** Documents with doc_id below this are the designated eval set. */
+  val evalMaxId = 10L
+
+  /** Eval-set decontamination: flag every training document sharing at
+    * least one word-3-gram with the (small, designated) eval set — the
+    * standard "did the benchmark leak into the training corpus" pass.
+    * Eval shingles are bounded by eval-set size → broadcast; the
+    * corpus side is a row-local explode + broadcast equi-join + one
+    * doc_id-keyed aggregate. The corpus is never self-joined and never
+    * shuffled on shingles — at 100 TB only (doc_id, count) pairs move. */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.shingled(s, dir)
+    val ev = sh.filter($"doc_id" < evalMaxId)
+      .select(explode($"shingles").as("s")).distinct()
+    val corpus = sh.filter($"doc_id" >= evalMaxId)
+      .select($"doc_id", explode($"shingles").as("s"))
+    val hits = corpus.join(broadcast(ev), "s")
+      .groupBy($"doc_id").agg(countDistinct($"s").as("n_shared"))
+    Tables.documents(s, dir).filter($"doc_id" >= evalMaxId).select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"n_shared".isNotNull, 1L).otherwise(0L).as("contaminated"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String =
+    s"""WITH sh AS (
+       |  ${Dedup.shingledSql}),
+       |ev AS (
+       |  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id < $evalMaxId),
+       |hits AS (
+       |  SELECT e.doc_id, count(DISTINCT e.s) AS n_shared
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh
+       |        WHERE doc_id >= $evalMaxId) e
+       |  JOIN ev ON e.s = ev.s
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN h.n_shared IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS contaminated,
+       |  coalesce(h.n_shared, 0) AS n_shared
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.doc_id >= $evalMaxId
+       |ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,7 +308,8 @@ object Pipeline {
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
     "doc_pack"          -> (docPack _),
-    "token_ids"         -> (tokenIds _)
+    "token_ids"         -> (tokenIds _),
+    "decontaminate"     -> (decontaminate _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -270,6 +317,7 @@ object Pipeline {
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,
     "doc_pack"          -> docPackSql,
-    "token_ids"         -> tokenIdsSql
+    "token_ids"         -> tokenIdsSql,
+    "decontaminate"     -> decontaminateSql
   )
 }

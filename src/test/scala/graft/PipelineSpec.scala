@@ -103,6 +103,25 @@ class PipelineSpec extends SparkSpec {
     assert(small.distinct.sorted.toList == (0L to 5L).toList)
   }
 
+  test("decontaminate flags exactly the docs sharing a 3-gram with the eval set") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-decon").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon"),       // eval
+      (10L, "xx beta gamma delta yy zz"),           // shares "beta gamma delta"
+      (11L, "one two three four five six"),         // clean
+      (12L, "alpha beta qq gamma delta rr"))        // bigram overlap only → clean
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.decontaminate(s, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(10L) == (1L, 1L))
+    assert(rows(11L) == (0L, 0L))
+    assert(rows(12L) == (0L, 0L))
+    assert(!rows.contains(0L)) // eval docs are not judged
+  }
+
   test("corpus_ngrams counts occurrences and document frequency") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft-ngrams").toString

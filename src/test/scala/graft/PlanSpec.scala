@@ -108,6 +108,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("decontaminate broadcasts eval shingles; corpus never shuffles on shingles") {
+    val p = plan(graft.operators.Pipeline.decontaminate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("corpus_ngrams aggregates map-side and takes top-N without a global sort") {
     val p = plan(graft.operators.Pipeline.corpusNgrams(spark, sfDir))
     assert(p.contains("partial_"), p)
