@@ -30,6 +30,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // Pinned ON (the default) as a documented invariant: the
+      // two-phase rank layouts (Ranks.globalRowNumber/RunningSum,
+      // Relational.qPercentilesDist) reference one repartitionByRange
+      // from several consumers and require all of them to observe THE
+      // SAME sampled range boundaries — guaranteed by exchange reuse.
+      .config("spark.sql.exchange.reuse", "true")
       .config("spark.sql.warehouse.dir", warehouseDir)
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read as long and convert in Tables.events.

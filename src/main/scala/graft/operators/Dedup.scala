@@ -90,6 +90,16 @@ object Dedup {
 
   def dedupNgramJaccard(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
     import s.implicits._
+    ngramPairs(s, dir, dfCap).orderBy($"doc1", $"doc2")
+  }
+
+  /** The τ-filtered pair set WITHOUT the presentation sort — consumers
+    * that feed the pairs into further processing ([[dedupClusters]]'s
+    * edge list) must not pay a global sort (twice, once per union
+    * branch: EliminateSorts does not strip sorts under Union). Mirrors
+    * the SQL side's shared `ngramPairCtes` core. */
+  private[operators] def ngramPairs(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    import s.implicits._
     val ex = shingled(s, dir).select($"doc_id", explode($"shingles").as("s"))
     val capped = ex
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
@@ -109,7 +119,6 @@ object Dedup {
         expr(rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)))
       .filter($"jaccard" >= jaccardTau)
       .select($"doc1", $"doc2", $"inter", $"jaccard")
-      .orderBy($"doc1", $"doc2")
   }
 
   /** Shared CTE chain producing `scored(doc1, doc2, inter, jaccard)` —
@@ -310,7 +319,7 @@ object Dedup {
     * graph. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p = dedupNgramJaccard(s, dir).select($"doc1", $"doc2")
+    val p = ngramPairs(s, dir, shingleDfCap).select($"doc1", $"doc2")
     val edges = p.union(p.select($"doc2", $"doc1")).toDF("src", "dst").persist()
     edges.count() // materialize once; every round re-reads the cache
     // Propagate over edge-vertices only: a document with no near-dup
@@ -331,10 +340,20 @@ object Dedup {
         .agg(min($"label").as("label")).localCheckpoint(true)
       changed = labels.join(prev.select($"doc_id", $"label".as("prev_label")), "doc_id")
         .filter($"label" =!= $"prev_label").count()
-      prev.unpersist()
+      // Dataset.unpersist is a no-op for localCheckpoint blocks —
+      // free the RDD-level storage behind the superseded snapshot
+      org.apache.spark.sql.classic.GraftPlans.unpersistLocalCheckpoint(prev)
       rounds += 1
     }
     edges.unpersist()
+    // A silent cap-exit would return labels that are NOT component
+    // minima and quietly diverge from the transitive-closure oracle.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxClusterIters rounds " +
+          s"($changed labels still changing): the pair graph has a component " +
+          "with diameter exceeding the cap; raise maxClusterIters or switch " +
+          "to large-star/small-star propagation")
     Tables.documents(s, dir).select($"doc_id")
       .join(labels, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"label", $"doc_id").as("canonical_id"))

@@ -130,7 +130,12 @@ object Pipeline {
         TA.withQualityMetrics(docs.withColumn("toks", expr(TA.toksExpr))))
       .withColumn("quality", expr(TA.qualityExpr))
       .withColumn("text_hash", md5(col("text").cast("binary")))
-      .join(canon, "text_hash")
+      // LEFT join: under the streaming shape the canon side is a
+      // static snapshot — a document whose hash is absent (arrived
+      // after the snapshot) must still get a verdict, as its own
+      // canonical, never be silently dropped
+      .join(canon, Seq("text_hash"), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
     scored
       .withColumn("reason",
         when(col("lang_guess") =!= "en", "lang")

@@ -9,4 +9,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftPlans {
   def ofRows(session: org.apache.spark.sql.SparkSession, plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     Dataset.ofRows(session.asInstanceOf[SparkSession], plan)
+
+  /** Frees the RDD blocks behind a `localCheckpoint(true)`'d frame.
+    * `Dataset.unpersist` only clears CacheManager entries; a local
+    * checkpoint is RDD-level storage referenced by a LogicalRDD leaf,
+    * which must be unpersisted directly or it lingers until GC. */
+  def unpersistLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
 }

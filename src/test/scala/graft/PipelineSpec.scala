@@ -41,6 +41,19 @@ class PipelineSpec extends SparkSpec {
     assert(rows(5L) == (0L, "lang")) // lang checked before length
   }
 
+  test("quality filter still judges documents missing from the canon snapshot") {
+    val s = spark; import s.implicits._
+    val docs = graft.sources.Tables.documents(s, craftedDir)
+    // canon snapshot taken before doc 0 (unique text) existed — the
+    // streaming shape where a new document's hash has no lookup row
+    val staleCanon = Pipeline.canonicalIds(docs.filter($"doc_id" =!= 0L))
+    val rows = Pipeline.qualityFilterOn(docs, staleCanon)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(rows.contains(0L), "unknown-hash doc must not be dropped")
+    assert(rows(0L) == "lang") // judged as its own canonical
+    assert(rows.size == 6)
+  }
+
   test("stratified sample equals the closed-form fingerprint rule") {
     val s = spark; import s.implicits._
     val docs = graft.sources.Tables.documents(s, sfDir)
