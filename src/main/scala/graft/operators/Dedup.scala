@@ -317,7 +317,10 @@ object Dedup {
     * lib.ts:635-664 picks one surviving sequence per batch family —
     * same keep-one-representative semantics, here over a similarity
     * graph. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    dedupClusters(s, dir, maxClusterIters)
+
+  private[graft] def dedupClusters(s: SparkSession, dir: String, maxIters: Int): DataFrame = {
     import s.implicits._
     val p = ngramPairs(s, dir, shingleDfCap).select($"doc1", $"doc2")
     val edges = p.union(p.select($"doc2", $"doc1")).toDF("src", "dst").persist()
@@ -332,7 +335,7 @@ object Dedup {
       .withColumn("label", $"doc_id").localCheckpoint(true)
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < maxClusterIters) {
+    while (changed > 0 && rounds < maxIters) {
       val prev = labels
       val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select($"dst".as("doc_id"), $"label")
@@ -350,7 +353,7 @@ object Dedup {
     // minima and quietly diverge from the transitive-closure oracle.
     if (changed > 0)
       throw new IllegalStateException(
-        s"dedupClusters did not converge in $maxClusterIters rounds " +
+        s"dedupClusters did not converge in $maxIters rounds " +
           s"($changed labels still changing): the pair graph has a component " +
           "with diameter exceeding the cap; raise maxClusterIters or switch " +
           "to large-star/small-star propagation")

@@ -145,11 +145,11 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1000L, 1001L)) == 1.0)
   }
 
-  test("clusters: transitive chain collapses to one canonical; singleton self-labels") {
+  /** A~B and B~C are near-dups but A and C are NOT (jaccard 0.49 < τ):
+    * only transitive closure puts all three in one cluster. */
+  private lazy val chainDir: String = {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft-chain").toString
-    // A~B and B~C are near-dups but A and C are NOT (jaccard 0.49 < τ):
-    // only transitive closure puts all three in one cluster
     val a = (1 to 60).map(i => s"w$i")
     val b = a.zipWithIndex.map { case (w, i) => if (i >= 20 && i < 28) s"bx$i" else w }
     val c = b.zipWithIndex.map { case (w, i) => if (i >= 40 && i < 48) s"cx$i" else w }
@@ -158,6 +158,12 @@ class DedupSpec extends SparkSpec {
       .map { case (id, ts) => val t = ts.mkString(" "); (id, t, "en", "s0", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("clusters: transitive chain collapses to one canonical; singleton self-labels") {
+    val s = spark
+    val dir = chainDir
     val pairs = Dedup.dedupNgramJaccard(s, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((10L, 11L), (11L, 12L)), s"edge set: $pairs")
@@ -165,6 +171,16 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     assert(cl == List((10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), (13L, 13L, 1L)),
       s"clusters: $cl")
+  }
+
+  test("clusters raise loudly when the iteration cap cuts propagation short") {
+    val s = spark
+    // the 3-doc chain needs 2+ rounds; a cap of 1 must throw, never
+    // silently return non-minimal labels
+    val e = intercept[IllegalStateException] {
+      graft.operators.Dedup.dedupClusters(s, chainDir, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
   }
 
   test("embedding near-dup pairs are symmetric-free and above threshold") {
