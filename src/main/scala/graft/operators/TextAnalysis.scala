@@ -216,19 +216,62 @@ object TextAnalysis {
        |  $fingerprintDuck AS fingerprint
        |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Doc-internal repetition signal: how dominated is a document by
+    * its single most frequent word-3-gram — the standard boilerplate/
+    * degenerate-text filter signal. Trigram multiset per doc (NOT the
+    * distinct shingle set), counted via one (doc_id, trigram) shuffle
+    * with map-side partials; docs shorter than 3 tokens have no
+    * trigram identity and are excluded, same as the shingle ops. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tri = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+          |  i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |                 element_at(toks, i + 2)))""".stripMargin)).as("tri"))
+    tri.groupBy($"doc_id", $"tri").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(
+        sum($"c").as("n_tri"),
+        count(lit(1)).as("n_distinct_tri"),
+        max($"c").as("top_count"),
+        expr(graft.functions.Agg.rndSql("CAST(max(c) AS DOUBLE) / sum(c)", 4)).as("rep_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val textRepetitionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $duckToks AS toks FROM documents),
+       |tri AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tri
+       |  FROM t WHERE len(toks) >= 3),
+       |per AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  CAST(sum(c) AS BIGINT) AS n_tri,
+       |  count(*) AS n_distinct_tri,
+       |  CAST(max(c) AS BIGINT) AS top_count,
+       |  ${graft.functions.Agg.rndSql("CAST(max(c) AS DOUBLE) / sum(c)", 4)} AS rep_ratio
+       |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"       -> (textStats _),
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
-    "text_fingerprint" -> (textFingerprint _)
+    "text_fingerprint" -> (textFingerprint _),
+    "text_repetition"  -> (textRepetition _)
   )
 
   def oracles: Map[String, String] = Map(
     "text_stats"       -> textStatsSql,
     "text_quality"     -> textQualitySql,
     "text_langid"      -> textLangidSql,
-    "text_fingerprint" -> textFingerprintSql
+    "text_fingerprint" -> textFingerprintSql,
+    "text_repetition"  -> textRepetitionSql
   )
 }

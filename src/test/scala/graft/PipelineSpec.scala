@@ -135,6 +135,22 @@ class PipelineSpec extends SparkSpec {
     assert(!rows.contains(0L)) // eval docs are not judged
   }
 
+  test("text_repetition scores trigram dominance") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-rep").toString
+    Seq((0L, "x y z x y z x y z"), (1L, "a b c d e f g"))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.textRepetition(s, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // 9 tokens → 7 trigrams: "x y z"×3, "y z x"×2, "z x y"×2
+    assert(rows(0L) == (7L, 3L, 3L, 0.4286))
+    // all-distinct doc: 5 trigrams, top 1
+    assert(rows(1L) == (5L, 5L, 1L, 0.2))
+  }
+
   test("corpus_ngrams counts occurrences and document frequency") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft-ngrams").toString
