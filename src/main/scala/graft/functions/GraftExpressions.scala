@@ -60,6 +60,10 @@ object GraftExpressions {
       FunctionIdentifier("graft_count_in"),
       new ExpressionInfo(classOf[CountIn].getName, "graft_count_in"),
       (es: Seq[Expression]) => CountIn(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[TokenFingerprint].getName, "graft_fingerprint"),
+      (es: Seq[Expression]) => TokenFingerprint(es(0))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
   }
@@ -255,6 +259,59 @@ case class CountIn(left: Expression, right: Expression) extends BinaryExpression
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CountIn =
     copy(left = newLeft, right = newRight)
+}
+
+/** Position-weighted token fingerprint of an array<string> — the
+  * mod-1e9+7 rolling hash behind `text_fingerprint` and the
+  * stratified-sampling bucket, as one tight loop instead of the
+  * interpreted aggregate/transform lambda chain. Bit-identical to the
+  * SQL formula
+  * `aggregate(transform(sequence(1, size(t)), i -> (i * (ascii(t[i])
+  * * 10000 + ascii(substring(t[i], -1, 1)) * 100 + length(t[i]))) %
+  * P), 0, (a, x) -> (a + x) % P)` (code points for first/last char,
+  * char count for length — same as Spark's ascii/length and DuckDB's
+  * ascii/length). */
+case class TokenFingerprint(child: Expression) extends UnaryExpression {
+  private val P = 1000000007L
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExpressions.isStringArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_fingerprint expects array<string>, got ${child.dataType}")
+
+  def fingerprint(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val str = t.toString
+      val len = t.numChars().toLong
+      val first = if (str.isEmpty) 0L else str.codePointAt(0).toLong
+      val last = if (str.isEmpty) 0L else str.codePointBefore(str.length).toLong
+      // the inner product stays far below Long range for any real
+      // token stream (≤ ~1.1e10 per token × position), matching the
+      // SQL engines' non-ANSI BIGINT arithmetic exactly
+      val code = ((i + 1).toLong * (first * 10000L + last * 100L + len)) % P
+      acc = (acc + code) % P
+      i += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    fingerprint(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("fingerprint", this, classOf[TokenFingerprint].getName)
+      s"${ev.value} = $ref.fingerprint($x);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TokenFingerprint =
+    copy(child = newChild)
 }
 
 /** 64-bit SimHash of an array<string>: one xxhash64 (seed 42 — same

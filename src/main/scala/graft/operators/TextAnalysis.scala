@@ -186,8 +186,14 @@ object TextAnalysis {
 
   /** The fingerprint as SQL fragments (expect `toks` in scope) —
     * shared with [[Pipeline.sampleStratified]], which uses the
-    * fingerprint as its deterministic, content-derived sampling hash. */
-  private[operators] val fingerprintExpr: String =
+    * fingerprint as its deterministic, content-derived sampling hash.
+    * Spark side is the native codegen'd
+    * [[graft.functions.TokenFingerprint]]; the composed-builtin
+    * formula it is bit-equal to (property-tested in ExpressionsSpec)
+    * is kept as [[fingerprintFormulaExpr]]. */
+  private[operators] val fingerprintExpr: String = "graft_fingerprint(toks)"
+
+  private[graft] val fingerprintFormulaExpr: String =
     s"""aggregate(
        |  transform(sequence(1, size(toks)),
        |    i -> (CAST(i AS BIGINT)

@@ -36,6 +36,18 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_fingerprint equals the aggregate/transform formula") {
+    val s = spark; import s.implicits._
+    val docs = Seq.fill(60)(
+      Seq.fill(1 + rng.nextInt(80))(
+        rng.alphanumeric.take(1 + rng.nextInt(10)).mkString)) :+ Seq("")
+    val rows = docs.toDF("toks").select(
+      expr("graft_fingerprint(toks)"),
+      expr(graft.operators.TextAnalysis.fingerprintFormulaExpr))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("graft_shingles yields empty for docs shorter than 3 tokens") {
     val s = spark; import s.implicits._
     val rows = Seq(Seq("a"), Seq("a", "b"), Seq("a", "b", "c"))
