@@ -339,10 +339,17 @@ object Dedup {
       val prev = labels
       val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select($"dst".as("doc_id"), $"label")
-      labels = prev.union(prop).groupBy($"doc_id")
-        .agg(min($"label").as("label")).localCheckpoint(true)
-      changed = labels.join(prev.select($"doc_id", $"label".as("prev_label")), "doc_id")
-        .filter($"label" =!= $"prev_label").count()
+      // fold the changed-flag into the checkpointed round plan: one
+      // materialization job per round, the convergence count then
+      // reads the checkpoint instead of re-running the join
+      val next = prev.union(prop).groupBy($"doc_id")
+        .agg(min($"label").as("label"))
+        .join(prev.select($"doc_id", $"label".as("prev_label")), "doc_id")
+        .withColumn("chg", $"label" =!= $"prev_label")
+        .select($"doc_id", $"label", $"chg")
+        .localCheckpoint(true)
+      changed = next.filter($"chg").count()
+      labels = next.select($"doc_id", $"label")
       // Dataset.unpersist is a no-op for localCheckpoint blocks —
       // free the RDD-level storage behind the superseded snapshot
       org.apache.spark.sql.classic.GraftPlans.unpersistLocalCheckpoint(prev)
