@@ -110,9 +110,17 @@ object Pipeline {
     * as its reason (rule order: lang → length → quality → duplicate).
     * Single scoring pass; the only shuffle is the canonical-id join,
     * hash-partitioned on the content hash like [[Dedup.dedupExact]]. */
+  /** Batch shape: ONE scan of the corpus — the canonical id comes
+    * from a min-window over the content hash instead of a second scan
+    * + join (at 100 TB the text-column scan is the dominant cost;
+    * both shapes shuffle the scored rows by hash once either way).
+    * The streaming shape ([[qualityFilterOn]]) keeps the
+    * static-lookup join; the parity spec pins them equal. */
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    qualityFilterOn(docs, canonicalIds(docs)).orderBy(col("doc_id"))
+    val scored = scoredDocs(Tables.documents(s, dir))
+      .withColumn("canonical_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))))
+    verdict(scored).orderBy(col("doc_id"))
   }
 
   /** content-hash → min doc_id lookup side of the duplicate rule. */
@@ -125,17 +133,24 @@ object Pipeline {
     * lookup — a stream-static broadcast join, stateless under append
     * mode; see [[graft.streaming.StreamOps]]). No ordering applied —
     * streaming sinks can't sort; batch callers order at the edge. */
-  private[graft] def qualityFilterOn(docs: DataFrame, canon: DataFrame): DataFrame = {
-    val scored = TA.withLangGuess(
-        TA.withQualityMetrics(docs.withColumn("toks", expr(TA.toksExpr))))
-      .withColumn("quality", expr(TA.qualityExpr))
-      .withColumn("text_hash", md5(col("text").cast("binary")))
+  private[graft] def qualityFilterOn(docs: DataFrame, canon: DataFrame): DataFrame =
+    verdict(scoredDocs(docs)
       // LEFT join: under the streaming shape the canon side is a
       // static snapshot — a document whose hash is absent (arrived
       // after the snapshot) must still get a verdict, as its own
       // canonical, never be silently dropped
       .join(canon, Seq("text_hash"), "left")
-      .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col("doc_id"))))
+
+  /** Per-document scoring columns + content hash (source-agnostic). */
+  private def scoredDocs(docs: DataFrame): DataFrame =
+    TA.withLangGuess(
+        TA.withQualityMetrics(docs.withColumn("toks", expr(TA.toksExpr))))
+      .withColumn("quality", expr(TA.qualityExpr))
+      .withColumn("text_hash", md5(col("text").cast("binary")))
+
+  /** The shared rule cascade over a scored frame with canonical_id. */
+  private def verdict(scored: DataFrame): DataFrame =
     scored
       .withColumn("reason",
         when(col("lang_guess") =!= "en", "lang")
@@ -146,7 +161,6 @@ object Pipeline {
       .select(col("doc_id"),
         when(col("reason") === "kept", 1L).otherwise(0L).as("keep"),
         col("reason"))
-  }
 
   val qualityFilterSql: String =
     s"""WITH t AS (

@@ -108,6 +108,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("quality_filter scans the corpus exactly once") {
+    val p = plan(graft.operators.Pipeline.qualityFilter(spark, sfDir))
+    val scans = "documents\\.parquet".r.findAllIn(p).length
+    assert(scans == 1, s"want one corpus scan, got $scans:\n$p")
+  }
+
   test("decontaminate broadcasts eval shingles; corpus never shuffles on shingles") {
     val p = plan(graft.operators.Pipeline.decontaminate(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p)
