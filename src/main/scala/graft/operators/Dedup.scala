@@ -322,7 +322,35 @@ object Dedup {
 
   private[graft] def dedupClusters(s: SparkSession, dir: String, maxIters: Int): DataFrame = {
     import s.implicits._
-    val p = ngramPairs(s, dir, shingleDfCap).select($"doc1", $"doc2")
+    clustersOf(s, dir, ngramPairs(s, dir, shingleDfCap).select($"doc1", $"doc2"), maxIters)
+  }
+
+  /** The 100 TB path for cluster canonicalization: MinHash banding
+    * candidates → exact Jaccard re-rank on the (bounded) candidate
+    * pairs only → the same propagation. The corpus-quadratic shingle
+    * self-join of [[dedupClusters]]'s ground-truth edge build is
+    * replaced by per-pair `array_intersect` over banding survivors —
+    * the standard candidate/verify/cluster layout. Matches
+    * [[dedupClusters]] exactly wherever banding recall is total and
+    * the df-cap doesn't bind (both hold on test corpora — DedupSpec
+    * asserts equality; the re-rank uses uncapped shingle sets). */
+  def dedupClustersMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingled(s, dir)
+    val verified = dedupMinhash(s, dir).select($"doc1", $"doc2")
+      .join(sh.select($"doc_id".as("doc1"), $"shingles".as("sh1")), "doc1")
+      .join(sh.select($"doc_id".as("doc2"), $"shingles".as("sh2")), "doc2")
+      .withColumn("inter", size(array_intersect($"sh1", $"sh2")).cast("long"))
+      .filter(expr(rndSql("CAST(inter AS DOUBLE) / (size(sh1) + size(sh2) - inter)", 6)) >=
+        jaccardTau)
+      .select($"doc1", $"doc2")
+    clustersOf(s, dir, verified, maxClusterIters)
+  }
+
+  private def clustersOf(s: SparkSession, dir: String, pairDf: DataFrame,
+                         maxIters: Int): DataFrame = {
+    import s.implicits._
+    val p = pairDf.select($"doc1", $"doc2")
     val edges = p.union(p.select($"doc2", $"doc1")).toDF("src", "dst").persist()
     edges.count() // materialize once; every round re-reads the cache
     // Propagate over edge-vertices only: a document with no near-dup
@@ -422,7 +450,8 @@ object Dedup {
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
-    "dedup_clusters"      -> (dedupClusters _)
+    "dedup_clusters"      -> (dedupClusters _),
+    "dedup_clusters_minhash" -> (dedupClustersMinhash _)
   )
 
   /** minhash/simhash are hash-function-specific → rows-only check +
@@ -431,6 +460,10 @@ object Dedup {
     "dedup_exact"         -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_embedding"     -> dedupEmbeddingSql,
-    "dedup_clusters"      -> dedupClustersSql
+    "dedup_clusters"      -> dedupClustersSql,
+    // banding recall is total on the driver corpora (checked at
+    // sf0.01 and sf0.1), so the scale-path clusters share the
+    // transitive-closure oracle verbatim
+    "dedup_clusters_minhash" -> dedupClustersSql
   )
 }

@@ -173,6 +173,20 @@ class DedupSpec extends SparkSpec {
       s"clusters: $cl")
   }
 
+  test("minhash-candidate clusters equal the exact-pair clusters where recall is total") {
+    val s = spark
+    // the real corpus: the recall spec above proves banding catches
+    // every τ-pair there, so the cluster assignments must coincide.
+    // (The crafted chain's 0.71-jaccard edges sit below the 8×8
+    // banding S-curve knee — by design banding trades such borderline
+    // pairs away; the exact variant remains the oracle gate.)
+    val exact = Dedup.dedupClusters(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val banded = Dedup.dedupClustersMinhash(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(banded == exact)
+  }
+
   test("clusters raise loudly when the iteration cap cuts propagation short") {
     val s = spark
     // the 3-doc chain needs 2+ rounds; a cap of 1 must throw, never
