@@ -20,6 +20,15 @@ object Ranks {
   private val OFF = "__graft_off"
   private val CNT = "__graft_cnt"
 
+  /** The deploy-time parallelism knob: two-phase layouts derive their
+    * range-partition counts from `spark.sql.shuffle.partitions`
+    * instead of a hard-coded local constant — 32 range partitions of
+    * a 10¹¹-row table would be ~3×10⁹ rows each; a cluster deploy
+    * that sets shuffle.partitions for its executor count scales these
+    * layouts with it (AQE coalesces the excess locally). */
+  def defaultPartitions(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Adds a 1-based global row number `out` ordered by `key`.
     * `key` must be unique for a deterministic result (ties would land
     * in range-partition-dependent order). */
@@ -36,6 +45,41 @@ object Ranks {
     parted.join(broadcast(offsets), PID)
       .withColumn(out,
         row_number().over(Window.partitionBy(col(PID)).orderBy(key)).cast("long") + col(OFF))
+      .drop(PID, OFF)
+  }
+
+  /** Per-key arrival rank: a 1-based row number `out` within each
+    * `keyCols` group ordered by `order` — the skew-safe replacement
+    * for `row_number().over(Window.partitionBy(key).orderBy(order))`,
+    * which hands EVERY row of one key to a single task's sort (fatal
+    * when keys are low-cardinality "types": one hot key at 100 TB is
+    * a multi-TB single-task sort). Layout, generalizing
+    * [[globalRowNumber]] per group (the same shape as
+    * `Relational.qPercentilesDist`'s rank stage): range-partition on
+    * (key ++ order) so a hot key spreads over many partitions;
+    * per-(key, partition) counts → per-key exclusive prefix sum over
+    * ≤ numPartitions rows per key (tiny, broadcast back); finish with
+    * a within-(key, partition) row_number plus the offset. Every
+    * row-bearing stage is data-parallel. (key ++ order) must be a
+    * unique composite or ties land in range-partition-dependent
+    * order. */
+  def perKeyRowNumber(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
+                      numPartitions: Int, out: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val parted = df.repartitionByRange(numPartitions, keys ++ order: _*)
+      .withColumn(PID, spark_partition_id())
+    val cnt = parted.groupBy(keys :+ col(PID): _*).agg(count(lit(1)).as(CNT))
+    val offsets = cnt.withColumn(OFF, coalesce(
+        sum(col(CNT)).over(
+          Window.partitionBy(keys: _*).orderBy(col(PID))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop(CNT)
+    parted.join(broadcast(offsets), keyCols :+ PID)
+      .withColumn(out,
+        row_number().over(
+          Window.partitionBy(keys :+ col(PID): _*).orderBy(order: _*))
+          .cast("long") + col(OFF))
       .drop(PID, OFF)
   }
 

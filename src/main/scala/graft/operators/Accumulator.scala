@@ -70,12 +70,21 @@ object Accumulator {
 
   /** Arrival-ordered rows chunked into sequences of [[threshold]] per
     * batchId — the size-trigger semantics, every batch's identity and
-    * bounds. Base for status/list/history below. */
+    * bounds. Base for status/list/history below.
+    *
+    * The arrival rank is [[graft.functions.Ranks.perKeyRowNumber]]'s
+    * two-phase layout, NOT a per-batchId window: batchIds are
+    * low-cardinality "types" by construction, so a window partitioned
+    * on event_type alone would hand one hot batchId's entire history
+    * to a single task's sort. Range-partitioned on (event_type, ts,
+    * event_id), a hot batchId spreads across many partitions and only
+    * the per-(key, partition) counts converge. */
   private def sizeBatches(s: SparkSession, dir: String, thresh: Int = threshold): DataFrame = {
     import s.implicits._
-    val arrival = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
-    Tables.events(s, dir)
-      .withColumn("rn", row_number().over(arrival))
+    val ev = Tables.events(s, dir).select($"event_type", $"ts", $"event_id")
+    graft.functions.Ranks.perKeyRowNumber(
+        ev, Seq("event_type"), Seq($"ts", $"event_id"),
+        graft.functions.Ranks.defaultPartitions(ev), "rn")
       .withColumn("seq", expr(s"CAST((rn - 1) DIV $thresh AS BIGINT)"))
       .groupBy($"event_type", $"seq")
       .agg(count(lit(1)).as("item_count"),

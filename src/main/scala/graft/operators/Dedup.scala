@@ -392,11 +392,20 @@ object Dedup {
           s"($changed labels still changing): the pair graph has a component " +
           "with diameter exceeding the cap; raise maxClusterIters or switch " +
           "to large-star/small-star propagation")
-    Tables.documents(s, dir).select($"doc_id")
+    val lab = Tables.documents(s, dir).select($"doc_id")
       .join(labels, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"label", $"doc_id").as("canonical_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy($"canonical_id")).cast("long"))
+    // cluster_size via partial-aggregated groupBy + join, not
+    // count().over(Window.partitionBy(canonical_id)): WindowExec puts
+    // a whole cluster in one task — fine while clusters are
+    // near-dup-sized, pathological if a degenerate corpus collapses
+    // into one giant cluster. The groupBy gets map-side combine and
+    // the join is AQE-skew-splittable; lab is ids-only, so computing
+    // it for both sides is two cheap pruned scans.
+    val sizes = lab.groupBy($"canonical_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "canonical_id")
+      .select($"doc_id", $"canonical_id", $"cluster_size")
       .orderBy($"doc_id")
   }
 

@@ -29,7 +29,8 @@ object Iterators {
   val resumeCursor = 10000L
 
   private def chunked(df: DataFrame, key: String): DataFrame = {
-    Ranks.globalRowNumber(df.select(col(key)), col(key), 32, "rn")
+    Ranks.globalRowNumber(df.select(col(key)), col(key),
+        Ranks.defaultPartitions(df), "rn")
       .withColumn("batch_idx", expr(s"CAST((rn - 1) DIV $batchSize AS BIGINT)"))
       .groupBy(col("batch_idx"))
       .agg(count(lit(1)).as("item_count"),
@@ -59,9 +60,10 @@ object Iterators {
     * ([[Ranks.globalRunningSum]]), never a no-partition window. */
   def iterProgress(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val b = chunked(Tables.orders(s, dir), "o_orderkey")
     Ranks.globalRunningSum(
-        chunked(Tables.orders(s, dir), "o_orderkey"),
-        col("batch_idx"), col("item_count"), 32, "processed_count")
+        b, col("batch_idx"), col("item_count"),
+        Ranks.defaultPartitions(b), "processed_count")
       .select($"batch_idx", $"item_count", $"cursor_key", $"processed_count")
       .orderBy($"batch_idx")
   }
@@ -175,7 +177,8 @@ final class TableIterator(
   def start(jobId: String): IterJobStatus = {
     // boundary keys: every batchSize-th key, ascending; the final
     // (partial) chunk is open-ended.
-    val bRows = Ranks.globalRowNumber(df.select(col(keyCol)), col(keyCol), 32, "rn")
+    val bRows = Ranks.globalRowNumber(df.select(col(keyCol)), col(keyCol),
+        Ranks.defaultPartitions(df), "rn")
       .filter(col("rn") % batchSize === 0)
       .select(col(keyCol).cast("long"))
       .orderBy(col(keyCol))

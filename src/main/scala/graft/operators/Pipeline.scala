@@ -108,19 +108,22 @@ object Pipeline {
     * token-length band, composite quality, exact-dup canonicalization
     * — every document labelled keep/drop with the FIRST failing rule
     * as its reason (rule order: lang → length → quality → duplicate).
-    * Single scoring pass; the only shuffle is the canonical-id join,
-    * hash-partitioned on the content hash like [[Dedup.dedupExact]]. */
-  /** Batch shape: ONE scan of the corpus — the canonical id comes
-    * from a min-window over the content hash instead of a second scan
-    * + join (at 100 TB the text-column scan is the dominant cost;
-    * both shapes shuffle the scored rows by hash once either way).
-    * The streaming shape ([[qualityFilterOn]]) keeps the
-    * static-lookup join; the parity spec pins them equal. */
+    *
+    * Skew shape: the canonical id comes from a partial-aggregated
+    * `groupBy(text_hash).agg(min(doc_id))` joined back onto the
+    * scored frame — never a `min().over(Window.partitionBy(hash))`.
+    * WindowExec hands a hash's ENTIRE group to one task, and
+    * exact-dup groups are exactly where a real crawl's mass
+    * duplication lives (10⁸ copies of one boilerplate page is
+    * normal); the groupBy side collapses those copies map-side before
+    * any exchange, and the join itself is AQE-skew-splittable. Costs
+    * a second (doc_id, text)-only scan of the corpus — the price of
+    * no skew cliff. Same lookup-join shape as the streaming variant
+    * ([[qualityFilterOn]] under [[graft.streaming.StreamOps]]), which
+    * shares this query's oracle. */
   def qualityFilter(s: SparkSession, dir: String): DataFrame = {
-    val scored = scoredDocs(Tables.documents(s, dir))
-      .withColumn("canonical_id", min(col("doc_id")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("text_hash"))))
-    verdict(scored).orderBy(col("doc_id"))
+    val docs = Tables.documents(s, dir)
+    qualityFilterOn(docs, canonicalIds(docs)).orderBy(col("doc_id"))
   }
 
   /** content-hash → min doc_id lookup side of the duplicate rule. */
@@ -208,7 +211,8 @@ object Pipeline {
     val d = Tables.documents(s, dir)
       .withColumn("toks", expr(TA.toksExpr))
       .select($"doc_id", size($"toks").cast("long").as("n_tokens"))
-    graft.functions.Ranks.globalRunningSum(d, $"doc_id", $"n_tokens", 32, "cum")
+    graft.functions.Ranks.globalRunningSum(d, $"doc_id", $"n_tokens",
+        graft.functions.Ranks.defaultPartitions(d), "cum")
       .withColumn("start_offset", $"cum" - $"n_tokens")
       .select($"doc_id", $"n_tokens", $"start_offset",
         expr(s"start_offset div $packBudget").as("bin_id"),

@@ -505,7 +505,8 @@ object Relational {
     val pid = "__pp_pid"
     val v = Tables.lineitem(s, dir)
       .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
-    val parted = v.repartitionByRange(32, $"flag", $"x")
+    val parted = v.repartitionByRange(
+        graft.functions.Ranks.defaultPartitions(v), $"flag", $"x")
       .withColumn(pid, spark_partition_id())
     val cnt = parted.groupBy($"flag", col(pid)).agg(count(lit(1)).as("c"))
     // per-flag exclusive prefix over ≤32 rows/flag — driver-scale window

@@ -54,6 +54,34 @@ class PipelineSpec extends SparkSpec {
     assert(rows.size == 6)
   }
 
+  test("quality_filter survives a mass-duplicated corpus without a hot-group window") {
+    val s = spark; import s.implicits._
+    // adversarial crawl shape: ~1e5 copies of one boilerplate page —
+    // the exact-dup group a min-window over text_hash would hand to a
+    // single task. The groupBy canon side collapses copies map-side.
+    val n = 100000L
+    val boiler = "the quick brown fox jumps over a lazy dog while " +
+      "seventeen astronauts of mars assemble to calibrate and " +
+      "paint twelve bright green telescopes near calm rivers"
+    val dir = Files.createTempDirectory("graft-massdup").toString
+    s.range(n).select($"id".as("doc_id"), lit(boiler).as("text"),
+        lit("en").as("lang"), lit("s0").as("source"),
+        lit(boiler.length.toLong).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.qualityFilter(s, dir)
+    // structural guarantee: no WindowExec anywhere in the plan — the
+    // only stages touching the hot hash are partial-aggregated or
+    // AQE-skew-splittable joins
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    val agg = out.groupBy($"reason").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg("kept") == 1L, agg.toString)        // min doc_id survives
+    assert(agg("duplicate") == n - 1, agg.toString)
+    val kept = out.filter($"keep" === 1L).collect()
+    assert(kept.length == 1 && kept.head.getLong(0) == 0L)
+  }
+
   test("stratified sample equals the closed-form fingerprint rule") {
     val s = spark; import s.implicits._
     val docs = graft.sources.Tables.documents(s, sfDir)

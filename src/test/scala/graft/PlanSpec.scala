@@ -41,11 +41,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
-  test("accumulator size-flush shares one hash partitioning across window and agg") {
+  test("accumulator size-flush ranks per key two-phase, never one task per batchId") {
     val p = plan(Accumulator.accSizeFlush(spark, sfDir))
-    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
-    assert(exchanges.size == 1,
-      s"window + groupBy on the batch key must reuse one shuffle, got ${exchanges.size}:\n$p")
+    // row-bearing stage is range-partitioned on (key, ts, event_id) —
+    // a hot batchId spreads across partitions
+    assert(p.contains("rangepartitioning(event_type"), p)
+    // every window over row-bearing data must include the partition id
+    // in its spec; a window on the low-cardinality batch key alone is
+    // a single-task sort per batchId. (The offsets prefix-sum window
+    // IS keyed by event_type alone, but runs over the per-(key, pid)
+    // counts — identified by its __graft_cnt input.)
+    val rowWindows = p.linesIterator
+      .filter(l => l.contains("Window [row_number()")).toList
+    assert(rowWindows.nonEmpty && rowWindows.forall(_.contains("__graft_pid")),
+      s"arrival-rank window must be (key, pid)-partitioned:\n$p")
+    assert(!p.contains("SinglePartition"), p)
   }
 
   test("iter_batches ranks via range partitioning, not a single-partition sort") {
@@ -108,10 +118,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("quality_filter scans the corpus exactly once") {
+  test("quality_filter canon ids are partial-aggregated, never a per-hash window") {
     val p = plan(graft.operators.Pipeline.qualityFilter(spark, sfDir))
-    val scans = "documents\\.parquet".r.findAllIn(p).length
-    assert(scans == 1, s"want one corpus scan, got $scans:\n$p")
+    // mass-dup hash groups must collapse map-side (partial_min) before
+    // any exchange; a min-window over text_hash would hand a hash's
+    // whole group — where crawl mass-duplication lives — to one task
+    assert(p.contains("partial_min"), p)
+    assert(!p.contains("Window"),
+      s"canonical ids must come from groupBy+join, not a window over text_hash:\n$p")
+    // the canon-side scan is (doc_id, text)-only — scoring columns are
+    // never computed twice
+    val canonSchemas = p.linesIterator.filter(_.contains("ReadSchema")).toList
+    assert(canonSchemas.forall(s => !s.contains("source") && !s.contains("n_chars")),
+      s"scans must prune to the needed columns:\n$canonSchemas")
   }
 
   test("decontaminate broadcasts eval shingles; corpus never shuffles on shingles") {

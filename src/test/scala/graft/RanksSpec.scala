@@ -33,6 +33,19 @@ class RanksSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("perKeyRowNumber matches a per-key window row_number") {
+    val s = spark; import s.implicits._
+    val df = Tables.events(s, sfDir).select($"event_type", $"ts", $"event_id")
+    val expected = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"ts", $"event_id")).cast("long"))
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val got = Ranks.perKeyRowNumber(df, Seq("event_type"), Seq($"ts", $"event_id"), 7, "rn")
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("globalRowNumber survives partition counts larger than the data") {
     val s = spark; import s.implicits._
     val df = Seq(5L, 1L, 9L, 3L).toDF("k")

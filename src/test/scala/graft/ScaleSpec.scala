@@ -131,6 +131,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("two-phase layouts are invariant to the shuffle-partition setting") {
+    val s = spark
+    // the range-partition counts derive from spark.sql.shuffle.partitions
+    // (Ranks.defaultPartitions); the layouts claim the result does not
+    // depend on how many range partitions the rank spreads over
+    val key = "spark.sql.shuffle.partitions"
+    val orig = s.conf.get(key)
+    def run() = (
+      graft.operators.Pipeline.docPack(s, sfDir).collect().map(_.toSeq).toList,
+      graft.operators.Accumulator.accSizeFlush(s, sfDir).collect().map(_.toSeq).toList)
+    try {
+      s.conf.set(key, "4")
+      val (pack4, acc4) = run()
+      s.conf.set(key, "13")
+      val (pack13, acc13) = run()
+      assert(pack4 == pack13)
+      assert(acc4 == acc13)
+    } finally s.conf.set(key, orig)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val s = spark; import s.implicits._
     val plain = Tables.orders(s, sfDir)
