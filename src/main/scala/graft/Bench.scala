@@ -42,8 +42,25 @@ object Bench {
         Double.NaN
       }
     }
+    // Fixed control: a pure-CPU codegen'd sum over a constant range,
+    // identical work every time it runs. Timed at the start and end
+    // of each pass so readers can normalize out the host's documented
+    // multi-second stall windows — a control swing marks a pass (or
+    // pass tail) whose query timings landed inside a stall, not a
+    // code regression.
+    def control(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(500000000L).selectExpr("sum(id) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    control() // warm the control's codegen before the recorded runs
+    val c1s = control()
     val pass1 = qs.map { case (n, f) => n -> once(n, f) }.toMap
+    val c1e = control()
+    val c2s = control()
     val pass2 = qs.map { case (n, f) => n -> once(n, f) }.toMap
+    val c2e = control()
     val results = qs.map { case (n, f) =>
       var best = math.min(pass1(n), pass2(n))
       if (best.isNaN || best > 3.0) {
@@ -57,7 +74,8 @@ object Bench {
       .mkString("{", ",", "}")
     val fJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failures":$fJson,"sf":"$sfDir"}"""
+    val cJson = s"""{"pass1_start":$c1s,"pass1_end":$c1e,"pass2_start":$c2s,"pass2_end":$c2e}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failures":$fJson,"control":$cJson,"sf":"$sfDir"}"""
     println(line)
     // Also land the line in a file so the driver doesn't have to fish it
     // out of the sbt log tail (SPARK_GRAFT_OUT dir if set, else cwd).

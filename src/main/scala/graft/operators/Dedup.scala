@@ -159,14 +159,23 @@ object Dedup {
       .select($"doc_id", $"sig")
   }
 
+  /** (doc_id, sig, band, bucket) — one row per LSH band of each
+    * signature; the banding layout shared by [[dedupMinhash]] and the
+    * incremental probe. */
+  private def bandedSigs(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+  /** Signature-estimated Jaccard of two k-long MinHash columns. */
+  private def estJaccard(sig1: String, sig2: String): String =
+    rndSql(s"CAST(size(filter(zip_with($sig1, $sig2, (x, y) -> x = y), m -> m)) AS DOUBLE) / $minhashK", 4)
+
   /** MinHash + LSH banding candidate pairs with the signature-
     * estimated Jaccard. Shuffles only (band, bucket-hash) keys. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigs = minhashSignatures(s, dir)
-    val banded = sigs.select($"doc_id", $"sig",
-        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val banded = bandedSigs(minhashSignatures(s, dir))
     val cand = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
         $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
           $"a.doc_id" < $"b.doc_id")
@@ -177,10 +186,75 @@ object Dedup {
       // triple the exchanged bytes for no semantic gain
       .dropDuplicates("doc1", "doc2")
     cand
-      .withColumn("est_jaccard",
-        expr(rndSql(s"CAST(size(filter(zip_with(sig1, sig2, (x, y) -> x = y), m -> m)) AS DOUBLE) / $minhashK", 4)))
+      .withColumn("est_jaccard", expr(estJaccard("sig1", "sig2")))
       .select($"doc1", $"doc2", $"est_jaccard")
       .orderBy($"doc1", $"doc2")
+  }
+
+  /** Incoming-shard membership for [[dedupIncremental]]: every 10th
+    * document plays the freshly-ingested batch; the rest are the
+    * persisted corpus the index is built over. */
+  val incrementalShardMod = 10L
+  val incrementalShardRem = 5L
+  /** Bucket count for the persisted index (a cluster deploy sizes
+    * this to executor count; the test value keeps local files small). */
+  val incrementalIndexBuckets = 16
+  val incrementalIndexTable = "graft_minhash_index"
+
+  private def isIncoming = col("doc_id") % incrementalShardMod === incrementalShardRem
+
+  /** Builds the persisted corpus MinHash index: banded signatures,
+    * written hash-bucketed and sorted on (band, bucket)
+    * ([[graft.sources.Sinks.writeBucketed]]) so a probe join whose
+    * equi-keys are exactly (band, bucket) reads the index
+    * exchange-free. The banding shuffle of the corpus is paid ONCE
+    * here, not per incoming batch. */
+  def buildMinhashIndex(s: SparkSession, dir: String,
+                        table: String = incrementalIndexTable): Unit = {
+    val sigs = minhashSignatures(s, dir).filter(!isIncoming)
+    val keyed = bandedSigs(sigs)
+      .select(col("band"), col("bucket"), col("doc_id"), col("sig"))
+    graft.sources.Sinks.writeBucketed(keyed, table,
+      Seq("band", "bucket"), incrementalIndexBuckets)
+  }
+
+  /** §2.4 #29d — incremental dedup: a freshly-ingested shard probed
+    * against the PERSISTED corpus index, the first-class operation of
+    * a continuously-ingesting pipeline ("is this new document already
+    * in the corpus?") and the corpus-level analog of the reference's
+    * accumulate-then-flush shape (lib.ts:24-123: new items accumulate
+    * against established state; here state is the bucketed signature
+    * index). The 100 TB property: the corpus side is NEVER re-read,
+    * re-signed, or re-shuffled per batch — its banding shuffle was
+    * paid once at [[buildMinhashIndex]] time, and the probe join's
+    * only exchange is the (small) incoming shard hashing onto the
+    * index's bucket layout. Candidate semantics match
+    * [[dedupMinhash]] exactly (same bands, same bucket hash), so the
+    * result equals the from-scratch pair set restricted to
+    * corpus×shard pairs — DedupSpec asserts that equality. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildMinhashIndex(s, dir)
+    val probe = bandedSigs(minhashSignatures(s, dir).filter(isIncoming))
+    val idx = s.table(incrementalIndexTable)
+    idx.as("i").join(probe.as("p"),
+        $"i.band" === $"p.band" && $"i.bucket" === $"p.bucket")
+      .select($"i.doc_id".as("corpus_id"), $"p.doc_id".as("new_id"),
+        $"i.sig".as("sig1"), $"p.sig".as("sig2"))
+      .dropDuplicates("corpus_id", "new_id")
+      .withColumn("est_jaccard", expr(estJaccard("sig1", "sig2")))
+      .select($"corpus_id", $"new_id", $"est_jaccard")
+      .orderBy($"new_id", $"corpus_id")
+  }
+
+  /** The probe join alone (pre-distinct), exposed so the plan spec can
+    * assert the index side is exchange-free. Requires the index table
+    * to exist. */
+  private[graft] def incrementalProbePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = bandedSigs(minhashSignatures(s, dir).filter(isIncoming))
+    s.table(incrementalIndexTable).as("i").join(probe.as("p"),
+      $"i.band" === $"p.band" && $"i.bucket" === $"p.bucket")
   }
 
   /** doc_id + 64-bit SimHash over tokens (term-frequency weighted by
@@ -460,7 +534,8 @@ object Dedup {
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_clusters"      -> (dedupClusters _),
-    "dedup_clusters_minhash" -> (dedupClustersMinhash _)
+    "dedup_clusters_minhash" -> (dedupClustersMinhash _),
+    "dedup_incremental"   -> (dedupIncremental _)
   )
 
   /** minhash/simhash are hash-function-specific → rows-only check +

@@ -137,6 +137,47 @@ object Multimodal {
     frameExtract(s, dir).toDF().orderBy($"asset_id", $"frame_idx")
   }
 
+  /** Hard oracle for the frame extraction: the stub decode is
+    * deterministic integer arithmetic, so DuckDB can replicate it —
+    * bytes out of the hex encoding, per-frame slices, and the rolling
+    * `sum*31 + byte` checksum as a `list_reduce` in HUGEINT with the
+    * 63-bit mask as `% 2^63` (equivalent to the Long `& 0x7fff…`
+    * because the mask keeps exactly the low 63 bits). */
+  val mmFrameExtractSql: String = {
+    val magicCase = magics.zipWithIndex.map { case ((hexs, _), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN unhex('$hexs')"
+    }.mkString("CASE ", " ", " END")
+    s"""WITH m AS (
+       |  SELECT doc_id AS asset_id, $magicCase || CAST(text AS BLOB) AS payload
+       |  FROM documents),
+       |b AS (
+       |  SELECT asset_id, hex(payload) AS h, octet_length(payload) AS len FROM m),
+       |bl AS (
+       |  SELECT asset_id, len,
+       |    list_transform(range(1, len + 1), i ->
+       |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
+       |      (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1)) AS bytes
+       |  FROM b),
+       |f AS (
+       |  SELECT asset_id, len, bytes,
+       |    unnest(range(0, greatest(1, (len + ${frameStride - 1}) // $frameStride))) AS frame_idx
+       |  FROM bl),
+       |c AS (
+       |  SELECT asset_id, frame_idx, frame_idx * $frameStride AS "offset",
+       |    CAST(list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT),
+       |        list_transform(list_slice(bytes, CAST(frame_idx*$frameStride + 1 AS BIGINT),
+       |                                  CAST(least(frame_idx*$frameStride + $frameSize, len) AS BIGINT)),
+       |          x -> CAST(x AS HUGEINT))),
+       |      (acc, x) -> (acc * 31 + x) % 9223372036854775808) AS BIGINT) AS checksum
+       |  FROM f)
+       |SELECT asset_id, frame_idx, "offset",
+       |  CAST(16 + checksum % 16 AS INT) AS width,
+       |  CAST(16 + (checksum >> 8) % 16 AS INT) AS height,
+       |  checksum
+       |FROM c ORDER BY asset_id, frame_idx""".stripMargin
+  }
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -144,9 +185,8 @@ object Multimodal {
     "mm_frame_extract" -> (mmFrameExtract _)
   )
 
-  /** frame extraction is imperative decode plumbing → rows-only +
-    * MultimodalSpec. */
   def oracles: Map[String, String] = Map(
-    "mm_manifest" -> mmManifestSql
+    "mm_manifest"      -> mmManifestSql,
+    "mm_frame_extract" -> mmFrameExtractSql
   )
 }

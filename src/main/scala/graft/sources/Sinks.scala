@@ -16,9 +16,15 @@ object Sinks {
   /** Parquet, hash-bucketed and sorted by `key` into the session
     * catalog as `name`. */
   def writeBucketed(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    writeBucketed(df, name, Seq(key), buckets)
+
+  /** Composite-key variant: a join whose equi-keys are exactly `keys`
+    * reads this table exchange-free (the other side shuffles onto the
+    * bucket layout). */
+  def writeBucketed(df: DataFrame, name: String, keys: Seq[String], buckets: Int): Unit =
     df.write
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .mode("overwrite")
       .saveAsTable(name)

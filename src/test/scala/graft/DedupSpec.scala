@@ -54,6 +54,27 @@ class DedupSpec extends SparkSpec {
     assert(!est.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("incremental dedup equals the from-scratch pair set on corpus×shard pairs") {
+    val s = spark
+    val isNew = (id: Long) =>
+      id % Dedup.incrementalShardMod == Dedup.incrementalShardRem
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val inc = Dedup.dedupIncremental(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // ground truth: full recompute over the whole corpus, restricted
+      // to pairs straddling the shard boundary, normalized to
+      // (corpus_id, new_id)
+      val expected = Dedup.dedupMinhash(s, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .collect {
+          case (d1, d2, e) if isNew(d1) ^ isNew(d2) =>
+            if (isNew(d2)) (d1, d2, e) else (d2, d1, e)
+        }.toSet
+      assert(inc == expected, s"at $dir: missing=${expected -- inc} extra=${inc -- expected}")
+      assert(inc.nonEmpty, s"shard rule must straddle at least one pair at $dir")
+    }
+  }
+
   test("minhash recall of jaccard>=tau pairs is total on the real corpus") {
     val truePairs = Dedup.dedupNgramJaccard(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

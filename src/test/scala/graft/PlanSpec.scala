@@ -145,6 +145,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("incremental probe reads the persisted index exchange-free") {
+    val s = spark
+    Dedup.buildMinhashIndex(s, sfDir)
+    // disable dynamic broadcast so the assertion pins the big-corpus
+    // shape (at 100 TB neither side broadcasts): the ONLY exchange is
+    // the incoming shard hashing onto the index's bucket layout
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = s.conf.get(key)
+    try {
+      s.conf.set(key, "-1")
+      val p = plan(Dedup.incrementalProbePlan(s, sfDir))
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.contains("SelectedBucketsCount"), p)
+      assert("Exchange".r.findAllIn(p).length == 1,
+        s"index side must not reshuffle — one probe-side exchange only:\n$p")
+    } finally s.conf.set(key, orig)
+  }
+
   test("minhash banding join carries no raw shingle arrays through the shuffle") {
     val p = plan(Dedup.dedupMinhash(spark, sfDir))
     // signatures are row-local: the only wide arrays crossing an
