@@ -86,10 +86,35 @@ object StreamAcc {
     s.table(sink)
   }
 
+  /** The PRODUCTION shape of the streaming flush: append output mode
+    * with the watermark doing the flushing. Complete mode
+    * ([[runToCompletion]]) re-emits every window each trigger and
+    * keeps all windows in state — fine for a verify harness, unusable
+    * at 100 TB/day. Append emits each window exactly once, when the
+    * watermark passes its end (the flush firing); the state store
+    * then drops it, so state holds ONLY open windows per batchId —
+    * bounded by (batchIds × windows inside the watermark horizon) —
+    * and late items beyond the watermark are dropped, the reference's
+    * "items after the flush land in the next sequence" boundary made
+    * literal. StreamAccSpec proves the bounded-state contract: emitted
+    * windows = the batch result MINUS windows the final watermark
+    * (max event time − 1 h) hasn't closed. */
+  def runAppendToCompletion(s: SparkSession, dir: String,
+                            sink: String = "stream_acc_append"): DataFrame = {
+    val q = streamingFlushes(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+  }
+
   /** Driver-contract entry (parity with the batch result is also
     * asserted in StreamAccSpec). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_acc_time_flush" -> ((s, dir) => runToCompletion(s, dir, sink = "stream_acc_verify"))
+    "stream_acc_time_flush" -> ((s, dir) => runToCompletion(s, dir, sink = "stream_acc_verify")),
+    "stream_acc_flush_closed" -> ((s, dir) => runAppendToCompletion(s, dir, sink = "stream_acc_closed_verify"))
   )
 
   /** DuckDB oracle: with AvailableNow + complete mode the streaming
@@ -107,7 +132,32 @@ object StreamAcc {
        |FROM flushes
        |ORDER BY batch_id, window_start""".stripMargin
 
+  /** Append-mode oracle: the same flushes restricted to windows the
+    * FINAL watermark closed — window_end ≤ max event time − 1 h.
+    * Spark tracks event-time stats in milliseconds, so the max is
+    * ms-floored before subtracting the delay (a sub-ms tail on the
+    * corpus max must not flip a boundary window). Emission at exact
+    * equality follows watermark semantics: at watermark = window_end,
+    * every future event is ≥ the window's exclusive end, so the
+    * window is complete and flushes. */
+  val streamAccFlushClosedSql: String =
+    s"""WITH flushes AS (
+       |  SELECT event_type AS batch_id,
+       |    time_bucket(INTERVAL '${Accumulator.flushIntervalMinutes} minutes', ts) AS window_start,
+       |    count(*) AS item_count, min(ts) AS first_ts, max(ts) AS last_ts
+       |  FROM events GROUP BY 1, 2),
+       |wm AS (
+       |  SELECT time_bucket(INTERVAL '1 millisecond', max(ts)) - INTERVAL '1 hour' AS w
+       |  FROM events)
+       |SELECT batch_id, window_start,
+       |  window_start + INTERVAL '${Accumulator.flushIntervalMinutes} minutes' AS window_end,
+       |  item_count, first_ts, last_ts
+       |FROM flushes, wm
+       |WHERE window_start + INTERVAL '${Accumulator.flushIntervalMinutes} minutes' <= w
+       |ORDER BY batch_id, window_start""".stripMargin
+
   def oracles: Map[String, String] = Map(
-    "stream_acc_time_flush" -> streamAccTimeFlushSql
+    "stream_acc_time_flush"   -> streamAccTimeFlushSql,
+    "stream_acc_flush_closed" -> streamAccFlushClosedSql
   )
 }
