@@ -78,6 +78,66 @@ object Dedup {
       |  count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
 
+  /** Chunk size (tokens) and drop threshold for [[dedupParagraph]]. */
+  val chunkTokens = 5
+  val chunkDropDf = 4
+
+  /** Paragraph/line-granularity boilerplate removal — the dedup the
+    * document-level suite cannot do: a nav bar or cookie banner
+    * repeated across a crawl never makes two DOCUMENTS near-identical,
+    * but should still be cut from every one of them. Documents are
+    * split into fixed [[chunkTokens]]-token chunks (the test corpus
+    * has no newline/sentence structure; on real text the same layout
+    * runs on line hashes), a chunk's distinct-document frequency is
+    * computed by partial-aggregated groupBy — never a per-chunk
+    * window — and chunks seen in ≥ [[chunkDropDf]] documents are
+    * dropped before the document is reassembled in chunk order.
+    *
+    * Scale layout: the exploded corpus shuffles once on the chunk for
+    * the df count; the boilerplate set (df ≥ threshold) is the tiny
+    * side of the membership join (AQE broadcasts it when it fits, and
+    * degrades to the hash join reusing the chunk partitioning when a
+    * pathological crawl makes it large); reassembly is one shuffle on
+    * doc_id with collect_list partials. No window, no self-join.
+    */
+  def dedupParagraph(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunked = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("chunks", expr(
+        s"""transform(sequence(0, cast(ceil(size(toks) / $chunkTokens.0) AS INT) - 1),
+           |  i -> array_join(slice(toks, i * $chunkTokens + 1, $chunkTokens), ' '))""".stripMargin))
+      .select($"doc_id", posexplode($"chunks").as(Seq("idx", "chunk")))
+    val boiler = chunked.groupBy($"chunk")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" >= chunkDropDf)
+      .select($"chunk", lit(1L).as("is_boiler"))
+    chunked.join(boiler, Seq("chunk"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when($"is_boiler".isNull, struct($"idx", $"chunk")))),
+          x => x("chunk")), " ").as("clean_text"),
+        sum(when($"is_boiler".isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when($"is_boiler".isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupParagraphSql: String =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i, array_to_string(t[(i-1)*$chunkTokens+1 : i*$chunkTokens], ' ') AS c
+       |  FROM toks, unnest(range(1, CAST(ceil(len(t) / $chunkTokens.0) AS BIGINT) + 1)) AS u(i)),
+       |boiler AS (
+       |  SELECT c FROM (SELECT c, count(DISTINCT doc_id) AS df FROM chunks GROUP BY c)
+       |  WHERE df >= $chunkDropDf)
+       |SELECT ch.doc_id,
+       |  coalesce(string_agg(CASE WHEN b.c IS NULL THEN ch.c END, ' ' ORDER BY ch.i), '') AS clean_text,
+       |  CAST(sum(CASE WHEN b.c IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       |  CAST(sum(CASE WHEN b.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM chunks ch LEFT JOIN boiler b ON ch.c = b.c
+       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
+
   /** Ground-truth near-dup pairs: word-3-gram Jaccard ≥ τ over the
     * df-capped shingle space (explode → df window → equi-self-join on
     * the shingle). The df window hash-partitions the exploded corpus
@@ -535,7 +595,8 @@ object Dedup {
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_clusters_minhash" -> (dedupClustersMinhash _),
-    "dedup_incremental"   -> (dedupIncremental _)
+    "dedup_incremental"   -> (dedupIncremental _),
+    "dedup_paragraph"     -> (dedupParagraph _)
   )
 
   /** minhash/simhash are hash-function-specific → rows-only check +
@@ -548,6 +609,7 @@ object Dedup {
     // banding recall is total on the driver corpora (checked at
     // sf0.01 and sf0.1), so the scale-path clusters share the
     // transitive-closure oracle verbatim
-    "dedup_clusters_minhash" -> dedupClustersSql
+    "dedup_clusters_minhash" -> dedupClustersSql,
+    "dedup_paragraph"     -> dedupParagraphSql
   )
 }

@@ -227,6 +227,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("paragraph dedup drops mass boilerplate chunks, keeps order, no window") {
+    val s = spark; import s.implicits._
+    // adversarial shape: one 5-token chunk shared by every document —
+    // the hot group a per-chunk window would hand to a single task.
+    val n = 10000L
+    val boiler = "alpha beta gamma delta epsilon"
+    val dir = Files.createTempDirectory("graft-paradup").toString
+    s.range(n)
+      .select($"id".as("doc_id"),
+        concat(lit(boiler + " u"), $"id", lit("a u"), $"id", lit("b u"),
+          $"id", lit("c u"), $"id", lit("d u"), $"id", lit("e"))
+          .as("text"),
+        lit("en").as("lang"), lit("s0").as("source"), lit(0L).as("n_chars"))
+      .union(s.range(n, n + 1).select($"id".as("doc_id"),
+        lit(boiler).as("text"), lit("en").as("lang"), lit("s0").as("source"),
+        lit(0L).as("n_chars")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupParagraph(s, dir)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+    val rows = out.collect()
+    assert(rows.length == n + 1)
+    rows.foreach { r =>
+      val (id, clean, dropped, kept) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      if (id == n) { // all-boilerplate doc survives as an empty shell
+        assert(clean == "" && dropped == 1 && kept == 0, r.toString)
+      } else { // boilerplate prefix cut, unique tail kept in chunk order
+        assert(clean == s"u${id}a u${id}b u${id}c u${id}d u${id}e", r.toString)
+        assert(dropped == 1 && kept == 1, r.toString)
+      }
+    }
+  }
+
   test("bucketed embedding near-dup equals the all-pairs ground truth exactly") {
     val bucketed = Dedup.dedupEmbedding(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList

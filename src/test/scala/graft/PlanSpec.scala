@@ -163,6 +163,15 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("dedup_paragraph df-counts partial-aggregate; no per-chunk window") {
+    val p = plan(Dedup.dedupParagraph(spark, sfDir))
+    // chunk document-frequencies collapse map-side before any exchange
+    assert(p.contains("partial_"), p)
+    // and no stage hands a chunk's whole occurrence set to one task
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
   test("minhash banding join carries no raw shingle arrays through the shuffle") {
     val p = plan(Dedup.dedupMinhash(spark, sfDir))
     // signatures are row-local: the only wide arrays crossing an
