@@ -131,6 +131,33 @@ object StreamOps {
     s.table(sink).orderBy(col("doc_id"))
   }
 
+  /** Continuous-ingest EXACT dedup: the §2.4 `dedup_exact` layout run
+    * as a streaming aggregation — per content hash the state store
+    * carries (min canonical id, copy count), merged incrementally
+    * each micro-batch. State is one tiny struct per DISTINCT hash
+    * (inherent to exact dedup — it IS the dedup table); at 100 TB the
+    * state store is RocksDB-backed and hash-partitioned, the same
+    * layout as the batch shuffle. Complete mode here is the verify
+    * harness; production runs update mode into a keyed upsert sink
+    * (each micro-batch emits only hashes it touched). */
+  def dedupExactStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    StreamAcc.fileStream(s, dir, "documents")
+      .groupBy(md5($"text".cast("binary")).as("text_hash"))
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+  }
+
+  def runDedupExactToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_dedup"): DataFrame = {
+    val q = dedupExactStream(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("canonical_id"))
+  }
+
   /** Driver-contract entries (parity with batch results is also
     * asserted in StreamOpsSpec). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -139,7 +166,9 @@ object StreamOps {
     "stream_acc_size_flush" -> ((s, dir) =>
       runSizeFlushesToCompletion(s, dir, sink = "stream_size_flush_verify")),
     "stream_quality_filter" -> ((s, dir) =>
-      runQualityFilterToCompletion(s, dir, sink = "stream_quality_verify"))
+      runQualityFilterToCompletion(s, dir, sink = "stream_quality_verify")),
+    "stream_dedup_exact" -> ((s, dir) =>
+      runDedupExactToCompletion(s, dir, sink = "stream_dedup_verify"))
   )
 
   /** DuckDB oracle for the size-threshold flushes: a flush emits
@@ -163,6 +192,9 @@ object StreamOps {
     "stream_acc_size_flush" -> streamSizeFlushSql,
     "stream_sessionize"     -> graft.operators.Relational.qSessionWindowSql,
     // stateless stream == batch: shares the batch filter's oracle
-    "stream_quality_filter" -> graft.operators.Pipeline.qualityFilterSql
+    "stream_quality_filter" -> graft.operators.Pipeline.qualityFilterSql,
+    // run to completion, the incremental state merge equals the batch
+    // groupBy: shares dedup_exact's oracle verbatim
+    "stream_dedup_exact" -> graft.operators.Dedup.dedupExactSql
   )
 }

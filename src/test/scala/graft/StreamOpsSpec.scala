@@ -30,6 +30,19 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming exact dedup equals the batch hash-groupBy exactly") {
+    val s = spark
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = key(StreamOps.runDedupExactToCompletion(s, sfDir,
+      sink = "dedup_parity"))
+    val batch = key(graft.operators.Dedup.dedupExact(s, sfDir))
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}; " +
+        s"diff=${(streamed -- batch).take(2)} / ${(batch -- streamed).take(2)}")
+  }
+
   test("stateful size-threshold flushes equal the batch accumulator's completed batches") {
     val s = spark; import s.implicits._
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
