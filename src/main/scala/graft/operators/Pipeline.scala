@@ -326,7 +326,42 @@ object Pipeline {
 
   // -------------------------------------------------------------------
 
+  /** Seed for the deterministic training-order shuffle. */
+  val shuffleSeed = 42
+
+  /** Deterministic global training-order shuffle: every epoch-0 data
+    * loader wants the corpus in a reproducible pseudo-random order.
+    * Sort key is md5(seed:doc_id) — change the seed, get an
+    * independent permutation — suffixed with the zero-padded doc_id
+    * so the composite is unique even under a digest collision. The
+    * global position comes from [[graft.functions.Ranks.globalRowNumber]]
+    * (range partition + per-partition offsets), NEVER a bare
+    * `row_number() OVER (ORDER BY ...)` — that is a one-task sort of
+    * the corpus. At 100 TB this is exactly a TeraSort: one range
+    * shuffle, every stage data-parallel. */
+  def corpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.documents(s, dir)
+      .withColumn("shuffle_key",
+        concat(
+          md5(concat(lit(s"$shuffleSeed:"), $"doc_id".cast("string")).cast("binary")),
+          lit("-"), lpad($"doc_id".cast("string"), 20, "0")))
+    graft.functions.Ranks
+      .globalRowNumber(keyed, $"shuffle_key",
+        graft.functions.Ranks.defaultPartitions(keyed), "position")
+      .select($"position", $"doc_id", $"source")
+      .orderBy($"position")
+  }
+
+  val corpusShuffleSql: String =
+    s"""SELECT row_number() OVER (ORDER BY
+       |    md5('$shuffleSeed:' || CAST(doc_id AS VARCHAR))
+       |      || '-' || lpad(CAST(doc_id AS VARCHAR), 20, '0')) AS position,
+       |  doc_id, source
+       |FROM documents ORDER BY position""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_shuffle"    -> (corpusShuffle _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
@@ -336,6 +371,7 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_shuffle"    -> corpusShuffleSql,
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,

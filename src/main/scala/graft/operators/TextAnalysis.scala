@@ -265,12 +265,56 @@ object TextAnalysis {
 
   // -------------------------------------------------------------------
 
+  /** Redaction classes: PII-shaped patterns (email, NANP phone,
+    * IPv4 — exercised by the crafted-document spec; a synthetic
+    * corpus has none) plus a term blocklist that does fire on the
+    * test corpus. Patterns stay inside the RE2 ∩ java.util.regex
+    * common subset (`\b`, classes, bounded repeats — no lookaround)
+    * so Spark and DuckDB compile them identically. */
+  private[operators] val redactClasses: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "[PHONE]"),
+    ("ip",    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("term",  "\\b(customer|supplier|vector)\\b", "[TERM]"))
+
+  /** Pattern scrubbing: every class replaced in sequence
+    * (email → phone → ip → term), per-class match counts taken on the
+    * RAW text so classes count independently of replacement order.
+    * Row-local and codegen'd like the rest of §2.6 — the scrubbing a
+    * crawl pipeline runs on every document before anything else. */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cleaned = redactClasses.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, lit(pat), lit(repl))
+    }
+    val counts = redactClasses.map { case (name, pat, _) =>
+      size(regexp_extract_all($"text", lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    Tables.documents(s, dir)
+      .select($"doc_id" +: cleaned.as("clean_text") +: counts: _*)
+      .orderBy($"doc_id")
+  }
+
+  val textRedactSql: String = {
+    val cleaned = redactClasses.foldLeft("text") {
+      case (c, (_, pat, repl)) => s"regexp_replace($c, '$pat', '$repl', 'g')"
+    }
+    val counts = redactClasses.map { case (name, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$name"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id, $cleaned AS clean_text,
+       |  $counts
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"       -> (textStats _),
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
-    "text_repetition"  -> (textRepetition _)
+    "text_repetition"  -> (textRepetition _),
+    "text_redact"      -> (textRedact _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -278,6 +322,7 @@ object TextAnalysis {
     "text_quality"     -> textQualitySql,
     "text_langid"      -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
-    "text_repetition"  -> textRepetitionSql
+    "text_repetition"  -> textRepetitionSql,
+    "text_redact"      -> textRedactSql
   )
 }

@@ -163,6 +163,15 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("corpus_shuffle positions come from a range partition, not a one-task sort") {
+    val p = plan(graft.operators.Pipeline.corpusShuffle(spark, sfDir))
+    assert(p.contains("rangepartitioning"), p)
+    // the only SinglePartition stage allowed is the numPartitions-row
+    // offset prefix sum, never the corpus
+    val single = p.linesIterator.filter(_.contains("SinglePartition")).toList
+    assert(single.size <= 1, s"unexpected single-partition stages:\n${single.mkString("\n")}")
+  }
+
   test("dedup_paragraph df-counts partial-aggregate; no per-chunk window") {
     val p = plan(Dedup.dedupParagraph(spark, sfDir))
     // chunk document-frequencies collapse map-side before any exchange

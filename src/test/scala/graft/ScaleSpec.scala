@@ -140,14 +140,16 @@ class ScaleSpec extends SparkSpec {
     val orig = s.conf.get(key)
     def run() = (
       graft.operators.Pipeline.docPack(s, sfDir).collect().map(_.toSeq).toList,
-      graft.operators.Accumulator.accSizeFlush(s, sfDir).collect().map(_.toSeq).toList)
+      graft.operators.Accumulator.accSizeFlush(s, sfDir).collect().map(_.toSeq).toList,
+      graft.operators.Pipeline.corpusShuffle(s, sfDir).collect().map(_.toSeq).toList)
     try {
       s.conf.set(key, "4")
-      val (pack4, acc4) = run()
+      val (pack4, acc4, shuf4) = run()
       s.conf.set(key, "13")
-      val (pack13, acc13) = run()
+      val (pack13, acc13, shuf13) = run()
       assert(pack4 == pack13)
       assert(acc4 == acc13)
+      assert(shuf4 == shuf13)
     } finally s.conf.set(key, orig)
   }
 
