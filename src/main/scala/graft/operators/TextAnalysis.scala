@@ -308,13 +308,85 @@ object TextAnalysis {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Fixed keyword-query workload for [[textSearch]] (a production
+    * deployment would read these from a table; bounded either way). */
+  private[operators] val searchQueries: Seq[(Long, String)] = Seq(
+    1L -> "customer query", 2L -> "vector stream batch", 3L -> "slow scan",
+    4L -> "window merge join", 5L -> "hash part key", 6L -> "spark table",
+    7L -> "filter sort group", 8L -> "line order data")
+  val searchK = 10
+
+  /** Full-text relevance search: TF-IDF scored top-k documents per
+    * keyword query — the "find me training docs about X" primitive.
+    *
+    * Layout: term frequencies are one partial-aggregated shuffle on
+    * (doc, term) — the inverted index; document frequencies reuse
+    * that frame with a second partial agg on the term; idf
+    * (smooth: ln((N+1)/(df+1)) + 1, rounded 1e-6) joins back; the
+    * bounded query set broadcasts so the posting side never
+    * reshuffles for it; per-(query, doc) scores are an exact
+    * fixed-point [[graft.functions.Agg.dsum]] (order-independent —
+    * deterministic at any cluster size); and the final top-k runs on
+    * the native [[graft.plans.TopKPerGroup]] operator — per-partition
+    * bounded heaps, so a query matching the whole corpus ships only
+    * k rows per partition to the final stage, never the corpus. */
+  def textSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{dsum, rnd}
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(expr(toksExpr)).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select($"term",
+        rnd(log(($"n" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0), 6).as("idf"))
+    val q = broadcast(searchQueries.toDF("query_id", "terms")
+      .select($"query_id", explode(split($"terms", " ")).as("term")))
+    val scores = tf.join(q, "term").join(idf, "term")
+      .groupBy($"query_id", $"doc_id")
+      .agg(dsum($"tf" * $"idf").as("score"))
+    graft.plans.TopK.perGroup(scores, Seq("query_id"),
+        Seq("score" -> true, "doc_id" -> false), searchK)
+      .select($"query_id", $"rank", $"doc_id", $"score")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val textSearchSql: String = {
+    import graft.functions.Agg.{dsumSql, rndSql}
+    val qVals = searchQueries.flatMap { case (id, terms) =>
+      terms.split(" ").map(t => s"($id, '$t')")
+    }.mkString(", ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |idf AS (
+       |  SELECT term, ${rndSql("ln((n.n + 1.0) / (df + 1.0)) + 1.0", 6)} AS idf
+       |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), n),
+       |q(query_id, term) AS (VALUES $qVals),
+       |scores AS (
+       |  SELECT q.query_id, tf.doc_id, ${dsumSql("tf.tf * idf.idf")} AS score
+       |  FROM tf JOIN q USING (term) JOIN idf USING (term)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS rank
+       |  FROM scores)
+       |SELECT query_id, rank, doc_id, score FROM ranked
+       |WHERE rank <= $searchK ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats"       -> (textStats _),
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition"  -> (textRepetition _),
-    "text_redact"      -> (textRedact _)
+    "text_redact"      -> (textRedact _),
+    "text_search"      -> (textSearch _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -323,6 +395,7 @@ object TextAnalysis {
     "text_langid"      -> textLangidSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition"  -> textRepetitionSql,
-    "text_redact"      -> textRedactSql
+    "text_redact"      -> textRedactSql,
+    "text_search"      -> textSearchSql
   )
 }

@@ -181,6 +181,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("text_search broadcasts the query set and tops-k on the bounded-heap operator") {
+    val p = plan(graft.operators.TextAnalysis.textSearch(spark, sfDir))
+    // the posting lists never reshuffle to meet the bounded query set
+    assert(p.contains("BroadcastHashJoin"), p)
+    // final ranking is the native per-group heap — a query matching
+    // the whole corpus ships k rows per partition, not the corpus
+    assert(p.contains("TopKPerGroup"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("minhash banding join carries no raw shingle arrays through the shuffle") {
     val p = plan(Dedup.dedupMinhash(spark, sfDir))
     // signatures are row-local: the only wide arrays crossing an
