@@ -91,8 +91,16 @@ object Ranks {
     * is ever a single partition. `key` must be unique (ties would sum
     * in range-partition-dependent order). */
   def globalRunningSum(df: DataFrame, key: Column, value: Column,
+                       numPartitions: Int, out: String): DataFrame =
+    globalRunningSum(df, Seq(key), value, numPartitions, out)
+
+  /** Composite-key variant: the running sum is ordered by the `keys`
+    * tuple (which must be unique as a composite) — the sweep-line
+    * primitive ([[graft.operators.Relational.qIntervalOverlap]] orders
+    * by (time, marker-kind, id)). */
+  def globalRunningSum(df: DataFrame, keys: Seq[Column], value: Column,
                        numPartitions: Int, out: String): DataFrame = {
-    val parted = df.repartitionByRange(numPartitions, key).withColumn(PID, spark_partition_id())
+    val parted = df.repartitionByRange(numPartitions, keys: _*).withColumn(PID, spark_partition_id())
     val offsets = parted.groupBy(col(PID)).agg(sum(value).as(CNT))
       .withColumn(OFF, coalesce(
         sum(col(CNT)).over(
@@ -101,7 +109,7 @@ object Ranks {
       .drop(CNT)
     parted.join(broadcast(offsets), PID)
       .withColumn(out,
-        sum(value).over(Window.partitionBy(col(PID)).orderBy(key)
+        sum(value).over(Window.partitionBy(col(PID)).orderBy(keys: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)) + col(OFF))
       .drop(PID, OFF)
   }

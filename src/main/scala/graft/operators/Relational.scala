@@ -314,6 +314,15 @@ object Relational {
     * so both engines compute identical gaps. */
   def qEventsSessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    sessionized(s, dir).orderBy($"user_id", $"session_id")
+  }
+
+  /** The per-(user, session) aggregate without the presentation sort —
+    * consumers feeding sessions into further processing
+    * ([[qIntervalOverlap]]'s interval set) must not pay a global
+    * sort. */
+  private def sessionized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val gapUs = 1800L * 1000000L
     val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Tables.events(s, dir)
@@ -330,8 +339,67 @@ object Relational {
         min($"ts").as("session_start"),
         max($"ts").as("session_end"),
         dsum($"value").as("sum_value"))
-      .orderBy($"user_id", $"session_id")
   }
+
+  /** Interval-overlap counting: for every event, how many sessions
+    * (across ALL users) are active at its timestamp — the pure range
+    * join (no equi key) Spark has no operator for. The naive
+    * formulation is a theta join, quadratic in the worst case and
+    * planned as BroadcastNestedLoopJoin; it survives only as the
+    * DuckDB oracle. The engine's plan is the sweep line instead:
+    * sessions emit (+1 at start, −1 at end) markers, events emit
+    * 0-weight probes, and one composite-key
+    * [[graft.functions.Ranks.globalRunningSum]] over
+    * (time, kind, id) — start < probe < end at equal timestamps, so
+    * both interval endpoints are inclusive — yields each event's
+    * active count. O(n log n) work, one range shuffle, every stage
+    * data-parallel: the 100 TB shape of an operation usually written
+    * as an O(n²) join. */
+  def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sess = sessionized(s, dir)
+      .select($"user_id", $"session_id",
+        unix_micros($"session_start").as("s_us"),
+        unix_micros($"session_end").as("e_us"))
+    // unique marker ids keep the composite sort key total (session_id
+    // restarts at 1 per user, so pair it with user_id)
+    val sid = $"user_id" * lit(1000000L) + $"session_id"
+    val starts = sess.select($"s_us".as("us"), lit(0).as("kind"),
+      sid.as("id"), lit(1L).as("delta"))
+    val ends = sess.select($"e_us".as("us"), lit(2).as("kind"),
+      sid.as("id"), lit(-1L).as("delta"))
+    val probes = Tables.events(s, dir).select(unix_micros($"ts").as("us"),
+      lit(1).as("kind"), $"event_id".as("id"), lit(0L).as("delta"))
+    val swept = graft.functions.Ranks.globalRunningSum(
+      starts.union(ends).union(probes),
+      Seq($"us", $"kind", $"id"), $"delta",
+      graft.functions.Ranks.defaultPartitions(probes), "n_active")
+    swept.filter($"kind" === 1)
+      .select($"id".as("event_id"), $"n_active")
+      .orderBy($"event_id")
+  }
+
+  /** Oracle: the theta-join formulation DuckDB plans as an IEJoin. */
+  val qIntervalOverlapSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+       |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${1800L * 1000000L} THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id, ts,
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM flagged),
+       |sessions AS (
+       |  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+       |  FROM sess GROUP BY 1, 2)
+       |SELECT e.event_id, CAST(count(s.user_id) AS BIGINT) AS n_active
+       |FROM events e LEFT JOIN sessions s ON e.ts >= s.s AND e.ts <= s.e
+       |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
 
   val qEventsSessionizeSql: String =
     s"""WITH flagged AS (
@@ -609,7 +677,8 @@ object Relational {
     "q_events_sessionize"-> (qEventsSessionize _),
     "q_session_window"   -> (qSessionWindow _),
     "q_events_pivot"     -> (qEventsPivot _),
-    "q_asof_join"        -> (qAsofJoin _)
+    "q_asof_join"        -> (qAsofJoin _),
+    "q_interval_overlap" -> (qIntervalOverlap _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -630,6 +699,7 @@ object Relational {
     "q_events_sessionize"-> qEventsSessionizeSql,
     "q_session_window"   -> qSessionWindowSql,
     "q_events_pivot"     -> qEventsPivotSql,
-    "q_asof_join"        -> qAsofJoinSql
+    "q_asof_join"        -> qAsofJoinSql,
+    "q_interval_overlap" -> qIntervalOverlapSql
   )
 }

@@ -153,6 +153,27 @@ class ScaleSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("sweep-line interval overlap honors inclusive endpoints") {
+    val s = spark; import s.implicits._
+    // user 0: events at 00:00 and 00:10 → one session [00:00, 00:10]
+    // user 1: one event at 00:10 → point session [00:10, 00:10]
+    // actives: e1@00:00 → 1; e2@00:10 and e3@00:10 → 2 (u0's session
+    // by its inclusive END, u1's by its inclusive START)
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t10 = java.sql.Timestamp.valueOf("2026-01-01 00:10:00")
+    val dir = java.nio.file.Files.createTempDirectory("graft-sweep").toString
+    Seq((0L, 1L, "click", t0, 1.0), (0L, 2L, "click", t10, 1.0),
+        (1L, 3L, "click", t10, 1.0))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val df = graft.operators.Relational.qIntervalOverlap(s, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("rangepartitioning"), p)
+    val out = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L), out.toString)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val s = spark; import s.implicits._
     val plain = Tables.orders(s, sfDir)
