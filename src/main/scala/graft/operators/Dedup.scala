@@ -102,12 +102,20 @@ object Dedup {
     */
   def dedupParagraph(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // coalesce + OUTER explode defeat the inferred-constraint trap: a
+    // plain posexplode makes the optimizer inject isnotnull/size>0
+    // data filters whose expressions INLINE the entire tokenize+chunk
+    // transform into a per-row Filter below the projection — the whole
+    // chunking computed twice per document on both consumer branches
+    // (the same trap sample_stratified hit). After the coalesce the
+    // chunk array is non-null and (sequence being ≥ 1 element for any
+    // non-null text) non-empty, so outer ≡ inner on every input.
     val chunked = Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
       .withColumn("chunks", expr(
-        s"""transform(sequence(0, cast(ceil(size(toks) / $chunkTokens.0) AS INT) - 1),
-           |  i -> array_join(slice(toks, i * $chunkTokens + 1, $chunkTokens), ' '))""".stripMargin))
-      .select($"doc_id", posexplode($"chunks").as(Seq("idx", "chunk")))
+        s"""coalesce(transform(sequence(0, cast(ceil(size(toks) / $chunkTokens.0) AS INT) - 1),
+           |  i -> array_join(slice(toks, i * $chunkTokens + 1, $chunkTokens), ' ')), array())""".stripMargin))
+      .select($"doc_id", posexplode_outer($"chunks").as(Seq("idx", "chunk")))
     val boiler = chunked.groupBy($"chunk")
       .agg(countDistinct($"doc_id").as("df"))
       .filter($"df" >= chunkDropDf)
