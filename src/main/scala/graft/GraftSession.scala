@@ -30,11 +30,12 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
-      // Pinned ON (the default) as a documented invariant: the
-      // two-phase rank layouts (Ranks.globalRowNumber/RunningSum,
-      // Relational.qPercentilesDist) reference one repartitionByRange
-      // from several consumers and require all of them to observe THE
-      // SAME sampled range boundaries — guaranteed by exchange reuse.
+      // Exchange reuse ON (the default) — a perf setting only. The
+      // two-phase rank layouts (graft.functions.Ranks) once DEPENDED
+      // on it for correctness (physical spark_partition_id consistency
+      // across branches); they now derive buckets from deterministic
+      // sampled boundaries, a pure row function, so no result depends
+      // on whether an exchange is reused.
       .config("spark.sql.exchange.reuse", "true")
       .config("spark.sql.warehouse.dir", warehouseDir)
       // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized

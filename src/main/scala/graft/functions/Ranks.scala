@@ -8,12 +8,26 @@ import org.apache.spark.sql.functions._
   *
   * A bare `row_number().over(Window.orderBy(k))` collapses the whole
   * dataset into ONE partition — fine at 60k rows, fatal at 100 TB.
-  * [[globalRowNumber]] is the classic distributed layout instead:
-  * range-partition by the key (Spark's TeraSort partitioner), number
-  * rows within each sorted partition, and add per-partition offsets
-  * computed from a tiny (numPartitions-row) broadcast side. Total
-  * cost: one range shuffle + one broadcast join; every stage is
-  * data-parallel.
+  * These helpers use the classic two-phase distributed layout
+  * instead: split the key space into `numPartitions` ordered buckets,
+  * number rows within each bucket, and add per-bucket offsets
+  * computed from a tiny (numPartitions-row) broadcast side.
+  *
+  * The bucket id is a DETERMINISTIC pure function of the row —
+  * boundaries are sampled once, collected to the driver (bounded:
+  * ≤ 100·numPartitions keys), and embedded as literals — NOT
+  * `spark_partition_id()` over `repartitionByRange`. The physical-pid
+  * formulation is subtly unsound: its correctness requires the
+  * offsets branch and the row branch to observe THE SAME sampled
+  * range boundaries, which holds only while the optimizer reuses one
+  * exchange for both. Catalyst column pruning broke that silently —
+  * two consumers needing different column sets canonicalize to
+  * different exchanges, each samples its own boundaries (seeded by
+  * rdd id), and every position downstream is corrupted (caught at
+  * sf0.1 by the corpus_shuffle oracle; positions were not even a
+  * permutation). A bucket id computed from the row's own key cannot
+  * disagree with itself, whatever the optimizer does — correctness no
+  * longer depends on plan shape.
   */
 object Ranks {
   private val PID = "__graft_pid"
@@ -21,20 +35,81 @@ object Ranks {
   private val CNT = "__graft_cnt"
 
   /** The deploy-time parallelism knob: two-phase layouts derive their
-    * range-partition counts from `spark.sql.shuffle.partitions`
-    * instead of a hard-coded local constant — 32 range partitions of
-    * a 10¹¹-row table would be ~3×10⁹ rows each; a cluster deploy
-    * that sets shuffle.partitions for its executor count scales these
-    * layouts with it (AQE coalesces the excess locally). */
+    * bucket counts from `spark.sql.shuffle.partitions` instead of a
+    * hard-coded local constant — 32 buckets over a 10¹¹-row table
+    * would be ~3×10⁹ rows each; a cluster deploy that sets
+    * shuffle.partitions for its executor count scales these layouts
+    * with it (AQE coalesces the excess locally). */
   def defaultPartitions(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
-  /** Adds a 1-based global row number `out` ordered by `key`.
-    * `key` must be unique for a deterministic result (ties would land
-    * in range-partition-dependent order). */
-  def globalRowNumber(df: DataFrame, key: Column, numPartitions: Int, out: String): DataFrame = {
-    val parted = df.repartitionByRange(numPartitions, key).withColumn(PID, spark_partition_id())
-    // Per-partition counts → exclusive prefix sum. numPartitions rows:
+  /** Lexicographic driver-side ordering over sampled key tuples.
+    * Key columns are simple orderable types (long, int, double,
+    * string, timestamp, decimal) by contract; each implements
+    * Comparable. */
+  private val rowOrd: Ordering[Seq[Any]] = new Ordering[Seq[Any]] {
+    def compare(a: Seq[Any], b: Seq[Any]): Int = {
+      var i = 0
+      while (i < a.length) {
+        val c = a(i).asInstanceOf[Comparable[Any]].compareTo(b(i))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+  }
+
+  /** Sample `numPartitions − 1` key-space boundaries (each a key
+    * tuple), mirroring RangePartitioner's reservoir but collected
+    * once on the driver so every consumer sees the same split. The
+    * collect is bounded: ≤ min(100·numPartitions, 100k) tuples.
+    * Returns Nil on an empty frame (single bucket). */
+  private def sampleBounds(df: DataFrame, keys: Seq[Column],
+                           numPartitions: Int): Seq[Seq[Any]] = {
+    if (numPartitions <= 1) return Nil
+    val n = df.count()
+    if (n == 0) return Nil
+    val target = math.min(100L * numPartitions, 100000L)
+    val fraction = math.min(1.0, target.toDouble / n)
+    val sample = df.select(keys: _*).sample(withReplacement = false, fraction, seed = 42L)
+      .collect().map(_.toSeq).sorted(rowOrd)
+    if (sample.isEmpty) return Nil
+    (1 until numPartitions)
+      .map(i => sample(((i.toLong * sample.length) / numPartitions).toInt))
+  }
+
+  /** Bucket id: how many boundaries the row's key tuple exceeds
+    * (lexicographically). Monotone in the key order and a pure
+    * function of the row — consistent across any number of plan
+    * branches by construction. Codegen-friendly: a chain of
+    * comparisons against literals, no lambda, no shuffle. */
+  private def pidExpr(keys: Seq[Column], bounds: Seq[Seq[Any]]): Column = {
+    def gtBound(b: Seq[Any], i: Int): Column =
+      if (i == keys.length - 1) keys(i) > lit(b(i))
+      else (keys(i) > lit(b(i))) ||
+        (keys(i) === lit(b(i)) && gtBound(b, i + 1))
+    bounds.map(b => when(gtBound(b, 0), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+  }
+
+  /** df + a `PID` bucket column over `keys`. Exposed within the
+    * engine for operators that inline the two-phase layout
+    * (Relational.qPercentilesDist). */
+  private[graft] def withBucket(df: DataFrame, keys: Seq[Column],
+                                numPartitions: Int, out: String): DataFrame =
+    df.withColumn(out, pidExpr(keys, sampleBounds(df, keys, numPartitions)))
+
+  def globalRowNumber(df: DataFrame, key: Column, numPartitions: Int, out: String): DataFrame =
+    globalRowNumber(df, Seq(key), numPartitions, out)
+
+  /** Adds a 1-based global row number `out` ordered by `keys`
+    * (lexicographic). The composite must be unique for a
+    * deterministic result (ties would land in bucket-dependent
+    * order). */
+  def globalRowNumber(df: DataFrame, keys: Seq[Column], numPartitions: Int,
+                      out: String): DataFrame = {
+    val parted = withBucket(df, keys, numPartitions, PID)
+    // Per-bucket counts → exclusive prefix sum. numPartitions rows:
     // the single-partition window here is over driver-scale data.
     val offsets = parted.groupBy(col(PID)).agg(count(lit(1)).as(CNT))
       .withColumn(OFF, coalesce(
@@ -44,7 +119,7 @@ object Ranks {
       .drop(CNT)
     parted.join(broadcast(offsets), PID)
       .withColumn(out,
-        row_number().over(Window.partitionBy(col(PID)).orderBy(key)).cast("long") + col(OFF))
+        row_number().over(Window.partitionBy(col(PID)).orderBy(keys: _*)).cast("long") + col(OFF))
       .drop(PID, OFF)
   }
 
@@ -53,21 +128,17 @@ object Ranks {
     * for `row_number().over(Window.partitionBy(key).orderBy(order))`,
     * which hands EVERY row of one key to a single task's sort (fatal
     * when keys are low-cardinality "types": one hot key at 100 TB is
-    * a multi-TB single-task sort). Layout, generalizing
-    * [[globalRowNumber]] per group (the same shape as
-    * `Relational.qPercentilesDist`'s rank stage): range-partition on
-    * (key ++ order) so a hot key spreads over many partitions;
-    * per-(key, partition) counts → per-key exclusive prefix sum over
+    * a multi-TB single-task sort). Buckets split on the FULL
+    * (key ++ order) tuple, so a hot key spreads over many buckets;
+    * per-(key, bucket) counts → per-key exclusive prefix sum over
     * ≤ numPartitions rows per key (tiny, broadcast back); finish with
-    * a within-(key, partition) row_number plus the offset. Every
+    * a within-(key, bucket) row_number plus the offset. Every
     * row-bearing stage is data-parallel. (key ++ order) must be a
-    * unique composite or ties land in range-partition-dependent
-    * order. */
+    * unique composite or ties land in bucket-dependent order. */
   def perKeyRowNumber(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
                       numPartitions: Int, out: String): DataFrame = {
     val keys = keyCols.map(col)
-    val parted = df.repartitionByRange(numPartitions, keys ++ order: _*)
-      .withColumn(PID, spark_partition_id())
+    val parted = withBucket(df, keys ++ order, numPartitions, PID)
     val cnt = parted.groupBy(keys :+ col(PID): _*).agg(count(lit(1)).as(CNT))
     val offsets = cnt.withColumn(OFF, coalesce(
         sum(col(CNT)).over(
@@ -83,24 +154,32 @@ object Ranks {
       .drop(PID, OFF)
   }
 
-  /** Adds a global running sum `out` of `value` ordered by `key` —
-    * the same two-phase prefix-sum layout as [[globalRowNumber]]:
-    * range-partition on the key, per-partition sums → exclusive
-    * prefix over numPartitions rows, broadcast the offsets back and
-    * finish with a within-partition running sum. No row-bearing stage
-    * is ever a single partition. `key` must be unique (ties would sum
-    * in range-partition-dependent order). */
   def globalRunningSum(df: DataFrame, key: Column, value: Column,
                        numPartitions: Int, out: String): DataFrame =
     globalRunningSum(df, Seq(key), value, numPartitions, out)
 
-  /** Composite-key variant: the running sum is ordered by the `keys`
-    * tuple (which must be unique as a composite) — the sweep-line
-    * primitive ([[graft.operators.Relational.qIntervalOverlap]] orders
-    * by (time, marker-kind, id)). */
+  /** Adds a global running sum `out` of `value` ordered by the `keys`
+    * tuple — same two-phase layout as [[globalRowNumber]]: per-bucket
+    * sums → exclusive prefix over numPartitions rows, broadcast the
+    * offsets back and finish with a within-bucket running sum. No
+    * row-bearing stage is ever a single partition. `keys` must be
+    * unique as a composite (ties would sum in bucket-dependent
+    * order). */
   def globalRunningSum(df: DataFrame, keys: Seq[Column], value: Column,
-                       numPartitions: Int, out: String): DataFrame = {
-    val parted = df.repartitionByRange(numPartitions, keys: _*).withColumn(PID, spark_partition_id())
+                       numPartitions: Int, out: String): DataFrame =
+    globalRunningSum(df, keys, value, numPartitions, out, df)
+
+  /** `boundsFrom` variant: sample the bucket boundaries from a CHEAPER
+    * frame with the same key columns (boundaries are just split
+    * points of the key space — they need not come from the ranked
+    * data itself). Lets a caller whose input is expensive to compute
+    * (a union over a sessionization, say) pay the two sampling scans
+    * on its cheap component instead. */
+  def globalRunningSum(df: DataFrame, keys: Seq[Column], value: Column,
+                       numPartitions: Int, out: String,
+                       boundsFrom: DataFrame): DataFrame = {
+    val parted = df.withColumn(PID,
+      pidExpr(keys, sampleBounds(boundsFrom, keys, numPartitions)))
     val offsets = parted.groupBy(col(PID)).agg(sum(value).as(CNT))
       .withColumn(OFF, coalesce(
         sum(col(CNT)).over(

@@ -370,10 +370,15 @@ object Relational {
       sid.as("id"), lit(-1L).as("delta"))
     val probes = Tables.events(s, dir).select(unix_micros($"ts").as("us"),
       lit(1).as("kind"), $"event_id".as("id"), lit(0L).as("delta"))
+    // bucket boundaries sampled from the probes alone: they are pure
+    // split points of the (us, kind, id) space, and the probe side is
+    // a plain events scan — the union would recompute the whole
+    // sessionization twice just to be sampled
     val swept = graft.functions.Ranks.globalRunningSum(
       starts.union(ends).union(probes),
       Seq($"us", $"kind", $"id"), $"delta",
-      graft.functions.Ranks.defaultPartitions(probes), "n_active")
+      graft.functions.Ranks.defaultPartitions(probes), "n_active",
+      boundsFrom = probes)
     swept.filter($"kind" === 1)
       .select($"id".as("event_id"), $"n_active")
       .orderBy($"event_id")
@@ -573,9 +578,13 @@ object Relational {
     val pid = "__pp_pid"
     val v = Tables.lineitem(s, dir)
       .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
-    val parted = v.repartitionByRange(
-        graft.functions.Ranks.defaultPartitions(v), $"flag", $"x")
-      .withColumn(pid, spark_partition_id())
+    // deterministic boundary buckets (Ranks.withBucket), NOT
+    // spark_partition_id over repartitionByRange: the physical pid is
+    // only consistent across the cnt/ranked branches while the
+    // optimizer reuses one exchange for both — a pruning divergence
+    // silently corrupts every rank (see Ranks scaladoc)
+    val parted = graft.functions.Ranks.withBucket(v, Seq($"flag", $"x"),
+      graft.functions.Ranks.defaultPartitions(v), pid)
     val cnt = parted.groupBy($"flag", col(pid)).agg(count(lit(1)).as("c"))
     // per-flag exclusive prefix over ≤32 rows/flag — driver-scale window
     val off = cnt.withColumn("off", coalesce(

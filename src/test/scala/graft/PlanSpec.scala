@@ -43,10 +43,10 @@ class PlanSpec extends SparkSpec {
 
   test("accumulator size-flush ranks per key two-phase, never one task per batchId") {
     val p = plan(Accumulator.accSizeFlush(spark, sfDir))
-    // row-bearing stage is range-partitioned on (key, ts, event_id) —
-    // a hot batchId spreads across partitions
-    assert(p.contains("rangepartitioning(event_type"), p)
-    // every window over row-bearing data must include the partition id
+    // row-bearing shuffle is keyed (event_type, bucket) — a hot
+    // batchId spreads across buckets
+    assert(p.contains("hashpartitioning(event_type"), p)
+    // every window over row-bearing data must include the bucket id
     // in its spec; a window on the low-cardinality batch key alone is
     // a single-task sort per batchId. (The offsets prefix-sum window
     // IS keyed by event_type alone, but runs over the per-(key, pid)
@@ -58,9 +58,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
-  test("iter_batches ranks via range partitioning, not a single-partition sort") {
+  test("iter_batches ranks per bucket, not a single-partition sort") {
     val p = plan(Iterators.iterBatches(spark, sfDir))
-    assert(p.contains("rangepartitioning"), p)
+    val rowWindows = p.linesIterator
+      .filter(l => l.contains("Window [row_number()")).toList
+    assert(rowWindows.nonEmpty && rowWindows.forall(_.contains("__graft_pid")),
+      s"rank window must be bucket-partitioned:\n$p")
     // the only SinglePartition stage allowed is the numPartitions-row
     // offset prefix sum, never the row-bearing side
     val single = p.linesIterator.filter(_.contains("SinglePartition")).toList
@@ -69,7 +72,6 @@ class PlanSpec extends SparkSpec {
 
   test("iter_progress prefix sum is two-phase, row-bearing stages never single-partition") {
     val p = plan(Iterators.iterProgress(spark, sfDir))
-    assert(p.contains("rangepartitioning"), p)
     // offset prefix sums are the only SinglePartition stages, and each
     // must sit directly above a pid-keyed aggregate (numPartitions
     // rows) — never above row-bearing data
@@ -77,6 +79,7 @@ class PlanSpec extends SparkSpec {
     val idxs = lines.zipWithIndex.collect {
       case (l, i) if l.contains("Exchange SinglePartition") => i
     }
+    assert(idxs.nonEmpty, p)
     idxs.foreach { i =>
       assert(lines(i + 1).contains("HashAggregate(keys=[__graft_pid"),
         s"SinglePartition over non-pid data:\n${lines.slice(i, i + 2).mkString("\n")}")
@@ -95,9 +98,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("q_percentiles_dist ranks via range partitioning, no percentile agg buffer") {
+  test("q_percentiles_dist ranks per bucket, no percentile agg buffer") {
     val p = plan(Relational.qPercentilesDist(spark, sfDir))
-    assert(p.contains("rangepartitioning"), p)
+    val rowWindows = p.linesIterator
+      .filter(l => l.contains("Window [row_number()")).toList
+    assert(rowWindows.nonEmpty && rowWindows.forall(_.contains("__pp_pid")),
+      s"rank window must be (group, bucket)-partitioned:\n$p")
     assert(!p.toLowerCase.contains("percentile("),
       s"must not fall back to the unbounded percentile aggregate:\n$p")
   }
@@ -163,9 +169,12 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
-  test("corpus_shuffle positions come from a range partition, not a one-task sort") {
+  test("corpus_shuffle positions come from bucketed ranks, not a one-task sort") {
     val p = plan(graft.operators.Pipeline.corpusShuffle(spark, sfDir))
-    assert(p.contains("rangepartitioning"), p)
+    val rowWindows = p.linesIterator
+      .filter(l => l.contains("Window [row_number()")).toList
+    assert(rowWindows.nonEmpty && rowWindows.forall(_.contains("__graft_pid")),
+      s"rank window must be bucket-partitioned:\n$p")
     // the only SinglePartition stage allowed is the numPartitions-row
     // offset prefix sum, never the corpus
     val single = p.linesIterator.filter(_.contains("SinglePartition")).toList

@@ -169,7 +169,7 @@ class ScaleSpec extends SparkSpec {
     val df = graft.operators.Relational.qIntervalOverlap(s, dir)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
-    assert(p.contains("rangepartitioning"), p)
+    assert(p.contains("__graft_pid"), p)
     val out = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out == Map(1L -> 1L, 2L -> 2L, 3L -> 2L), out.toString)
   }
