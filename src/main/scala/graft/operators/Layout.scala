@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Ranks
+import graft.sources.Tables
+
+/** §2.9 Data-layout optimization.
+  *
+  * At 100 TB the scan you never run is the cheapest: parquet keeps
+  * per-row-group min/max stats, so files CLUSTERED on the filter
+  * columns let the reader skip almost everything. A single-column
+  * sort clusters one predicate; [[zorderLayout]] interleaves the bits
+  * of two keys (Morton / Z-order) so range predicates on EITHER
+  * column stay clustered — the standard lakehouse layout trick
+  * (Delta/Iceberg `OPTIMIZE ZORDER BY`), built here from plain
+  * column arithmetic plus the engine's two-phase global rank.
+  */
+object Layout {
+
+  /** Bits kept per key (keys are masked into [0, 2^16)). */
+  val zBits = 16
+
+  /** The classic bit-spread: 16 significant bits spaced out to even
+    * positions of a 32-bit word via magic masks. `shift` renders the
+    * left shift per dialect (Spark SQL: `shiftleft(x, n)`; DuckDB:
+    * `(x << n)`), everything else is shared integer arithmetic, so
+    * both engines compute bit-identical z-values. */
+  private def spread(x: String, shift: (String, Int) => String): String = {
+    val s1 = s"((${x} | ${shift(x, 8)}) & 16711935)"        // 0x00FF00FF
+    val s2 = s"(($s1 | ${shift(s1, 4)}) & 252645135)"       // 0x0F0F0F0F
+    val s3 = s"(($s2 | ${shift(s2, 2)}) & 858993459)"       // 0x33333333
+    s"(($s3 | ${shift(s3, 1)}) & 1431655765)"               // 0x55555555
+  }
+
+  private def zvalExpr(a: String, b: String, shift: (String, Int) => String): String = {
+    val ma = s"($a & 65535)"
+    val mb = s"($b & 65535)"
+    s"(${spread(ma, shift)} | ${shift(spread(mb, shift), 1)})"
+  }
+
+  private val sparkShift: (String, Int) => String = (x, n) => s"shiftleft($x, $n)"
+  private val duckShift: (String, Int) => String = (x, n) => s"($x << $n)"
+
+  /** Z-order layout of lineitem on (l_partkey, l_suppkey): emits each
+    * row's interleaved-bit z-value and its global write position. The
+    * position comes from [[Ranks.globalRowNumber]] — a range shuffle
+    * plus per-partition offsets, the TeraSort layout — never a
+    * one-task `row_number() OVER (ORDER BY zval)`. Writing the table
+    * in this order gives parquet row groups tight min/max envelopes
+    * on BOTH keys: a predicate on either column prunes ~√(selectivity)
+    * of the file set instead of scanning everything, which is the
+    * difference between a 100 TB scan and a few-hundred-GB one. */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .withColumn("zval", expr(zvalExpr("l_partkey", "l_suppkey", sparkShift)))
+    // the synthetic lineitem has no unique (orderkey, linenumber) PK,
+    // so the tiebreak covers every emitted column — rows identical in
+    // all of them are interchangeable, which a hash compare can't see
+    Ranks.globalRowNumber(keyed,
+        Seq($"zval", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+        Ranks.defaultPartitions(keyed), "position")
+      .select($"position", $"l_orderkey", $"l_linenumber",
+        $"l_partkey", $"l_suppkey", $"zval")
+      .orderBy($"position")
+  }
+
+  val zorderLayoutSql: String =
+    s"""SELECT row_number() OVER (ORDER BY
+       |    ${zvalExpr("l_partkey", "l_suppkey", duckShift)},
+       |    l_orderkey, l_linenumber, l_partkey, l_suppkey) AS position,
+       |  l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ${zvalExpr("l_partkey", "l_suppkey", duckShift)} AS zval
+       |FROM lineitem ORDER BY position""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> (zorderLayout _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "layout_zorder" -> zorderLayoutSql
+  )
+}
