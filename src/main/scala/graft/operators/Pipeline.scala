@@ -326,6 +326,69 @@ object Pipeline {
 
   // -------------------------------------------------------------------
 
+  /** Misra-Gries capacity for [[corpusHeavyHitters]]: any term with
+    * frequency > totalTokens/(hhK+1) is a heavy hitter. */
+  val hhK = 32
+
+  /** Per-partition Misra-Gries summary: O(k) state however many
+    * tokens stream through, emitting the ≤ k surviving candidate
+    * terms. Imperative by design — a frequency sketch is per-element
+    * mutable state, the one shape mapPartitions is FOR. */
+  private def mgCandidates(k: Int)(it: Iterator[String]): Iterator[String] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { t =>
+      counts.get(t) match {
+        case Some(c) => counts.update(t, c + 1)
+        case None if counts.size < k => counts.update(t, 1L)
+        case None =>
+          // decrement-all; O(k) amortized against the k survivors
+          val dead = List.newBuilder[String]
+          counts.foreach { case (w, c) =>
+            if (c == 1L) dead += w else counts.update(w, c - 1) }
+          dead.result().foreach(counts.remove)
+      }
+    }
+    counts.keysIterator
+  }
+
+  /** Exact corpus heavy hitters in two bounded passes — the top-word
+    * question answered WITHOUT ever shuffling the full (term, count)
+    * space or sorting it globally. Pass 1 streams every token through
+    * a per-partition Misra-Gries sketch (O(k) state, no shuffle); by
+    * the pigeonhole argument any term with global frequency
+    * > n/(k+1) must survive SOME partition's sketch, so the ≤
+    * partitions·k candidate union is a superset of the true heavy
+    * hitters. Pass 2 exactly counts ONLY candidate terms (broadcast
+    * semi-join before the partial agg) and keeps those over the
+    * threshold — integer cross-multiplied, no division. Output is
+    * exact and deterministic; the sketch only bounds the work. */
+  def corpusHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(expr(TA.toksExpr)).as("term")).as[String]
+    val candidates = broadcast(
+      toks.mapPartitions(mgCandidates(hhK)).toDF("term").distinct())
+    val total = Tables.documents(s, dir)
+      .agg(sum(size(expr(TA.toksExpr))).as("n_total"))
+    toks.toDF()
+      .join(candidates, Seq("term"), "left_semi")
+      .groupBy($"term").agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .filter($"n_occurrences" * (hhK + 1) > $"n_total")
+      .select($"term", $"n_occurrences")
+      .orderBy($"n_occurrences".desc, $"term")
+  }
+
+  val corpusHeavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(${TA.duckToks}) AS term FROM documents),
+       |n AS (SELECT count(*) AS n_total FROM toks)
+       |SELECT term, count(*) AS n_occurrences
+       |FROM toks
+       |GROUP BY term
+       |HAVING count(*) * ${hhK + 1} > (SELECT n_total FROM n)
+       |ORDER BY n_occurrences DESC, term""".stripMargin
+
   /** Seed for the deterministic training-order shuffle. */
   val shuffleSeed = 42
 
@@ -362,6 +425,7 @@ object Pipeline {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_shuffle"    -> (corpusShuffle _),
+    "corpus_heavy_hitters" -> (corpusHeavyHitters _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
@@ -372,6 +436,7 @@ object Pipeline {
 
   def oracles: Map[String, String] = Map(
     "corpus_shuffle"    -> corpusShuffleSql,
+    "corpus_heavy_hitters" -> corpusHeavyHittersSql,
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,

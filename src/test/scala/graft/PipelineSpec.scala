@@ -82,6 +82,25 @@ class PipelineSpec extends SparkSpec {
     assert(kept.length == 1 && kept.head.getLong(0) == 0L)
   }
 
+  test("heavy hitters are exact on a skewed corpus the sketch must not drop") {
+    val s = spark; import s.implicits._
+    // 3000 docs of one dominant word + 5000 docs each holding a
+    // unique tail word: dominant freq 3000 > 8000/33 ≈ 242 (heavy),
+    // every tail word freq 1 (not). The MG candidate pass must carry
+    // the dominant term through the decrement churn of 5000 distinct
+    // tail insertions per partition.
+    val dir = Files.createTempDirectory("graft-hh").toString
+    s.range(3000).select($"id".as("doc_id"), lit("dominant").as("text"),
+        lit("en").as("lang"), lit("s0").as("source"), lit(8L).as("n_chars"))
+      .union(s.range(3000, 8000).select($"id".as("doc_id"),
+        concat(lit("tail"), $"id").as("text"),
+        lit("en").as("lang"), lit("s0").as("source"), lit(8L).as("n_chars")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.corpusHeavyHitters(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq == Seq("dominant" -> 3000L), rows.toSeq.toString)
+  }
+
   test("stratified sample equals the closed-form fingerprint rule") {
     val s = spark; import s.implicits._
     val docs = graft.sources.Tables.documents(s, sfDir)
