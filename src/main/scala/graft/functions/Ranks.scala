@@ -94,7 +94,16 @@ object Ranks {
 
   /** df + a `PID` bucket column over `keys`. Exposed within the
     * engine for operators that inline the two-phase layout
-    * (Relational.qPercentilesDist). */
+    * (Relational.qPercentilesDist).
+    *
+    * `bucketKeys` may be a PREFIX of the rank ordering: bucket
+    * monotonicity only needs the leading sort component(s), and a
+    * short prefix keeps the boundary-comparison expression small
+    * enough for whole-stage codegen (31 boundaries × a 5-deep
+    * lexicographic tree fell out of codegen and ran interpreted —
+    * measured 4× slower on layout_zorder). Rows tied on the prefix
+    * stay in one bucket, so prefix cardinality must be high enough to
+    * spread the data (unique-ish leading key by contract). */
   private[graft] def withBucket(df: DataFrame, keys: Seq[Column],
                                 numPartitions: Int, out: String): DataFrame =
     df.withColumn(out, pidExpr(keys, sampleBounds(df, keys, numPartitions)))
@@ -102,13 +111,18 @@ object Ranks {
   def globalRowNumber(df: DataFrame, key: Column, numPartitions: Int, out: String): DataFrame =
     globalRowNumber(df, Seq(key), numPartitions, out)
 
+  def globalRowNumber(df: DataFrame, keys: Seq[Column], numPartitions: Int,
+                      out: String): DataFrame =
+    globalRowNumber(df, keys, numPartitions, out, keys)
+
   /** Adds a 1-based global row number `out` ordered by `keys`
     * (lexicographic). The composite must be unique for a
     * deterministic result (ties would land in bucket-dependent
-    * order). */
+    * order). `bucketKeys` — see [[withBucket]]. */
   def globalRowNumber(df: DataFrame, keys: Seq[Column], numPartitions: Int,
-                      out: String): DataFrame = {
-    val parted = withBucket(df, keys, numPartitions, PID)
+                      out: String, bucketKeys: Seq[Column]): DataFrame = {
+    val parted = df.withColumn(PID,
+      pidExpr(bucketKeys, sampleBounds(df, bucketKeys, numPartitions)))
     // Per-bucket counts → exclusive prefix sum. numPartitions rows:
     // the single-partition window here is over driver-scale data.
     val offsets = parted.groupBy(col(PID)).agg(count(lit(1)).as(CNT))

@@ -61,9 +61,15 @@ object Iterators {
   def iterProgress(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = chunked(Tables.orders(s, dir), "o_orderkey")
+    // bucket boundaries from a synthetic batch-id range: batch ids
+    // are contiguous 0..n/batchSize by construction, and the row
+    // count is a metadata-cheap parquet read — sampling the chunked
+    // frame itself would execute the whole upstream rank twice more
+    val nBatches = (Tables.orders(s, dir).count() + batchSize - 1) / batchSize
+    val boundsFrom = s.range(nBatches).select($"id".as("batch_idx"))
     Ranks.globalRunningSum(
-        b, col("batch_idx"), col("item_count"),
-        Ranks.defaultPartitions(b), "processed_count")
+        b, Seq(col("batch_idx")), col("item_count"),
+        Ranks.defaultPartitions(b), "processed_count", boundsFrom)
       .select($"batch_idx", $"item_count", $"cursor_key", $"processed_count")
       .orderBy($"batch_idx")
   }

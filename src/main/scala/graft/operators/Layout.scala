@@ -62,7 +62,10 @@ object Layout {
     // all of them are interchangeable, which a hash compare can't see
     Ranks.globalRowNumber(keyed,
         Seq($"zval", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
-        Ranks.defaultPartitions(keyed), "position")
+        Ranks.defaultPartitions(keyed), "position",
+        // bucket on the leading z-value alone: monotone in the full
+        // order, and a single-column boundary chain stays codegen'd
+        bucketKeys = Seq($"zval"))
       .select($"position", $"l_orderkey", $"l_linenumber",
         $"l_partkey", $"l_suppkey", $"zval")
       .orderBy($"position")
