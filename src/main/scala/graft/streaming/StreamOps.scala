@@ -158,6 +158,57 @@ object StreamOps {
     s.table(sink).orderBy(col("canonical_id"))
   }
 
+  /** Stream-STREAM time-interval join: every purchase matched to the
+    * same user's clicks in the preceding 30 minutes — the real-time
+    * attribution join. Both sides are watermarked and the join
+    * condition bounds event-time distance, so the state store holds
+    * only rows inside the watermark horizon and EVICTS behind it —
+    * the unbounded-state trap of an unconstrained stream-stream join
+    * is structurally impossible here. At 100 TB/day each side hashes
+    * on user_id once; state is per-user rows within the horizon.
+    * Inner join + append mode: each pair emits exactly once. */
+  def attributionJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clicks = StreamAcc.eventsStream(s, dir)
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"),
+        $"event_id".as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = StreamAcc.eventsStream(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"), $"value".as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"click_ts" <= $"purchase_ts" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 30 minutes"))
+      .select($"p_user".as("user_id"), $"purchase_id", $"click_id",
+        $"purchase_ts", $"click_ts")
+  }
+
+  def runAttributionToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_attrib"): DataFrame = {
+    val q = attributionJoin(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** Oracle: the equivalent batch interval join (equi on user +
+    * time-range predicate). */
+  val attributionJoinSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |  p.ts AS purchase_ts, c.ts AS click_ts
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Driver-contract entries (parity with batch results is also
     * asserted in StreamOpsSpec). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -168,7 +219,9 @@ object StreamOps {
     "stream_quality_filter" -> ((s, dir) =>
       runQualityFilterToCompletion(s, dir, sink = "stream_quality_verify")),
     "stream_dedup_exact" -> ((s, dir) =>
-      runDedupExactToCompletion(s, dir, sink = "stream_dedup_verify"))
+      runDedupExactToCompletion(s, dir, sink = "stream_dedup_verify")),
+    "stream_attribution_join" -> ((s, dir) =>
+      runAttributionToCompletion(s, dir, sink = "stream_attrib_verify"))
   )
 
   /** DuckDB oracle for the size-threshold flushes: a flush emits
@@ -195,6 +248,7 @@ object StreamOps {
     "stream_quality_filter" -> graft.operators.Pipeline.qualityFilterSql,
     // run to completion, the incremental state merge equals the batch
     // groupBy: shares dedup_exact's oracle verbatim
-    "stream_dedup_exact" -> graft.operators.Dedup.dedupExactSql
+    "stream_dedup_exact" -> graft.operators.Dedup.dedupExactSql,
+    "stream_attribution_join" -> attributionJoinSql
   )
 }

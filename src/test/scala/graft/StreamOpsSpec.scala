@@ -43,6 +43,27 @@ class StreamOpsSpec extends SparkSpec {
         s"diff=${(streamed -- batch).take(2)} / ${(batch -- streamed).take(2)}")
   }
 
+  test("stream-stream attribution join equals the batch interval join") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.expr
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = key(StreamOps.runAttributionToCompletion(s, sfDir,
+      sink = "attrib_parity"))
+    val ev = graft.sources.Tables.events(s, sfDir)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts".as("pts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"event_id".as("click_id"), $"ts".as("cts"))
+    val batch = key(p.join(c, $"user_id" === $"cu" &&
+        $"cts" <= $"pts" && $"cts" >= $"pts" - expr("INTERVAL 30 minutes"))
+      .select($"user_id", $"purchase_id", $"click_id"))
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}; " +
+        s"diff=${(streamed -- batch).take(2)} / ${(batch -- streamed).take(2)}")
+  }
+
   test("stateful size-threshold flushes equal the batch accumulator's completed batches") {
     val s = spark; import s.implicits._
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
