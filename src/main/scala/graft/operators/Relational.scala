@@ -384,6 +384,49 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** CDC upsert / MERGE: apply a change batch (update / delete /
+    * insert ops) to a snapshot — the lakehouse MERGE INTO primitive,
+    * composed from broadcast-able pieces. The change batch here is
+    * derived deterministically from the data (orderkey mod 10: 0 →
+    * update status, 1 → delete, 2 → insert under a fresh negative
+    * key) so the oracle can reproduce it; a production caller passes
+    * any changes frame.
+    *
+    * Scale layout: the snapshot is NEVER shuffled — touched keys are
+    * removed with one broadcast LEFT ANTI join (changes are small by
+    * nature of a batch), and the applied rows (updates + inserts)
+    * union in. A full-outer merge formulation would shuffle the
+    * whole snapshot on the key; this shape is O(snapshot) scan +
+    * O(changes) broadcast. */
+  def qTableUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    val touched = snap.filter($"o_orderkey" % 10 <= 1)
+      .select($"o_orderkey")
+    val updates = snap.filter($"o_orderkey" % 10 === 0)
+      .select($"o_orderkey", $"o_custkey", lit("X").as("o_orderstatus"),
+        $"o_totalprice")
+    val inserts = snap.filter($"o_orderkey" % 10 === 2)
+      .select((-$"o_orderkey" - 1).as("o_orderkey"), $"o_custkey",
+        lit("N").as("o_orderstatus"), $"o_totalprice")
+    snap.join(broadcast(touched), Seq("o_orderkey"), "left_anti")
+      .unionAll(updates).unionAll(inserts)
+      .orderBy($"o_orderkey")
+  }
+
+  val qTableUpsertSql: String =
+    """WITH snap AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders)
+      |SELECT * FROM snap WHERE o_orderkey % 10 > 1
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, 'X', o_totalprice FROM snap
+      |WHERE o_orderkey % 10 = 0
+      |UNION ALL
+      |SELECT -o_orderkey - 1, o_custkey, 'N', o_totalprice FROM snap
+      |WHERE o_orderkey % 10 = 2
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Oracle: the theta-join formulation DuckDB plans as an IEJoin. */
   val qIntervalOverlapSql: String =
     s"""WITH flagged AS (
@@ -687,7 +730,8 @@ object Relational {
     "q_session_window"   -> (qSessionWindow _),
     "q_events_pivot"     -> (qEventsPivot _),
     "q_asof_join"        -> (qAsofJoin _),
-    "q_interval_overlap" -> (qIntervalOverlap _)
+    "q_interval_overlap" -> (qIntervalOverlap _),
+    "q_table_upsert"     -> (qTableUpsert _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -709,6 +753,7 @@ object Relational {
     "q_session_window"   -> qSessionWindowSql,
     "q_events_pivot"     -> qEventsPivotSql,
     "q_asof_join"        -> qAsofJoinSql,
-    "q_interval_overlap" -> qIntervalOverlapSql
+    "q_interval_overlap" -> qIntervalOverlapSql,
+    "q_table_upsert"     -> qTableUpsertSql
   )
 }

@@ -190,6 +190,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("table upsert never shuffles the snapshot — broadcast anti join only") {
+    val p = plan(Relational.qTableUpsert(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("text_search broadcasts the query set and tops-k on the bounded-heap operator") {
     val p = plan(graft.operators.TextAnalysis.textSearch(spark, sfDir))
     // the posting lists never reshuffle to meet the bounded query set
