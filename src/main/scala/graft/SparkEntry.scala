@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Accumulator, Dedup, Iterators, Layout, Multimodal, Pipeline, Relational, Similarity, SimilarityIvf, TextAnalysis}
+import graft.operators.{Accumulator, Dedup, EmbedPq, Iterators, Layout, Multimodal, Pipeline, Relational, Similarity, SimilarityIvf, TextAnalysis}
 import graft.streaming.{StreamAcc, StreamOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -14,7 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Accumulator.queries ++ Iterators.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      SimilarityIvf.queries ++ Pipeline.queries ++ Layout.queries ++
+      SimilarityIvf.queries ++ EmbedPq.queries ++ Pipeline.queries ++ Layout.queries ++
       Multimodal.queries ++ StreamAcc.queries ++ StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

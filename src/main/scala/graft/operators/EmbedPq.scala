@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Agg.dsum
+
+/** §2.5 Product quantization — the compressed-index scale path.
+  *
+  * A 64-dim float vector is 512 bytes; its PQ code is [[pqM]] bytes
+  * (one codeword id per subspace). At 10¹¹ vectors that is the
+  * difference between an index that fits executor memory and one
+  * that doesn't — IVF prunes which vectors to look at
+  * ([[SimilarityIvf]]), PQ shrinks what each one costs to hold.
+  *
+  * The per-subspace codebooks come from the same deterministic
+  * k-means recipe as the IVF coarse quantizer: init from the first
+  * vectors by id, fixed iteration count, per-(subspace, codeword,
+  * dim) means under the exact decimal sum — codebooks are IDENTICAL
+  * regardless of partitioning, so the code assignment is reproducible
+  * on any cluster. All [[pqM]] subspaces train in the SAME jobs (one
+  * explode over (subspace, codeword, dim)); driver traffic per
+  * iteration is pqM·pqKsub·pqDsub numbers (1,024 doubles).
+  *
+  * Encoding is row-local arithmetic against broadcast codebook
+  * literals — no shuffle anywhere in the encode path. No DuckDB
+  * oracle (k-means in SQL is not reasonable); EmbedPqSpec pins
+  * determinism across partition counts, code-range validity,
+  * argmin self-consistency, and that reconstruction beats the
+  * 1-codeword baseline.
+  */
+object EmbedPq {
+
+  val pqM = 8      // subspaces
+  val pqKsub = 16  // codewords per subspace
+  val pqDsub = 8   // dims per subspace (pqM × pqDsub = 64)
+  val pqIters = 3
+
+  private def vectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.Tables.embeddings(s, dir)
+      .select($"vec_id", expr(graft.functions.VectorFns.asDouble("embedding")).as("v"))
+  }
+
+  /** Sub-vector of `v` for subspace `m` (0-based), as a SQL fragment.
+    * `m` may be a literal or a lambda variable name. */
+  private def sub(m: String) = s"slice(v, ($m) * $pqDsub + 1, $pqDsub)"
+
+  /** argmin codeword id for subspace `m` against codebook literal
+    * column `cbs` (pqM × pqKsub × pqDsub): minimizes
+    * |c|² − 2·sub·c (monotone in L2). */
+  private def codeExpr(m: String) =
+    s"""CAST(array_position(
+       |   transform(element_at(cbs, ($m) + 1), c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(${sub(m)}, c)),
+       |   array_min(transform(element_at(cbs, ($m) + 1), c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(${sub(m)}, c)))
+       | ) - 1 AS INT)""".stripMargin
+
+  /** Train the pqM codebooks (deterministic), return them. */
+  def trainCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+    import s.implicits._
+    val v = vectors(s, dir)
+    var cbs: Seq[Seq[Seq[Double]]] = {
+      val init = v.filter($"vec_id" < pqKsub).orderBy($"vec_id")
+        .collect().map(_.getSeq[Double](1).toSeq)
+      Seq.tabulate(pqM)(m => init.toSeq.map(_.slice(m * pqDsub, (m + 1) * pqDsub)))
+    }
+    for (_ <- 1 to pqIters) {
+      val stats = v.withColumn("cbs", typedLit(cbs))
+        .select($"v", posexplode(expr(
+          s"transform(sequence(0, ${pqM - 1}), m -> ${codeExpr("m")})"))
+          .as(Seq("m", "cid")))
+        .select($"m", $"cid", posexplode(expr(sub("m"))).as(Seq("dim", "x")))
+        .groupBy($"m", $"cid", $"dim")
+        .agg(dsum($"x").as("sx"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> (r.getDouble(3), r.getLong(4)))
+        .toMap
+      cbs = Seq.tabulate(pqM) { m =>
+        Seq.tabulate(pqKsub) { c =>
+          Seq.tabulate(pqDsub) { d =>
+            stats.get((m, c, d)).map { case (sx, n) => sx / n }
+              .getOrElse(cbs(m)(c)(d)) // empty codeword keeps its value
+          }
+        }
+      }
+    }
+    cbs
+  }
+
+  /** Encode every vector: pqM codeword ids + exact reconstruction
+    * L2² against the decoded codewords. Row-local against the
+    * broadcast codebook literal. */
+  def encode(s: SparkSession, dir: String,
+             cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import s.implicits._
+    vectors(s, dir)
+      .withColumn("cbs", typedLit(cbs))
+      .withColumn("codes", expr(
+        s"transform(sequence(0, ${pqM - 1}), m -> ${codeExpr("m")})"))
+      .withColumn("recon_err", expr(graft.functions.Agg.rndSql(
+        s"""aggregate(sequence(0, ${pqM - 1}), CAST(0 AS DOUBLE), (acc, m) ->
+           |  acc + aggregate(
+           |    zip_with(${sub("m")},
+           |             element_at(element_at(cbs, m + 1), element_at(codes, m + 1) + 1),
+           |             (a, b) -> a - b),
+           |    CAST(0 AS DOUBLE), (s2, x) -> s2 + x * x))""".stripMargin, 6)))
+      .select($"vec_id", concat_ws("-", $"codes").as("pq_code"), $"recon_err")
+  }
+
+  def embedPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    encode(s, dir, trainCodebooks(s, dir)).orderBy($"vec_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pq" -> (embedPq _)
+  )
+}

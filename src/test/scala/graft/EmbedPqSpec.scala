@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EmbedPq
+
+class EmbedPqSpec extends SparkSpec {
+
+  test("pq codes are valid, deterministic across partition counts, argmin-consistent") {
+    val s = spark; import s.implicits._
+    val key = "spark.sql.shuffle.partitions"
+    val orig = s.conf.get(key)
+    def run() = EmbedPq.embedPq(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toList
+    val (r4, r13) = try {
+      s.conf.set(key, "4"); val a = run()
+      s.conf.set(key, "13"); val b = run()
+      (a, b)
+    } finally s.conf.set(key, orig)
+    // decimal-exact k-means ⇒ identical codebooks and codes at any
+    // parallelism — the reproducible-index property
+    assert(r4 == r13)
+    assert(r4.nonEmpty)
+    r4.foreach { case (_, code, err) =>
+      val ids = code.split("-").map(_.toInt)
+      assert(ids.length == EmbedPq.pqM)
+      assert(ids.forall(c => c >= 0 && c < EmbedPq.pqKsub), code)
+      assert(err >= 0.0)
+    }
+    // argmin self-consistency + 1-codeword baseline, checked on the
+    // driver against the trained codebooks for a sample of vectors
+    val cbs = EmbedPq.trainCodebooks(s, sfDir)
+    val vecs = graft.sources.Tables.embeddings(s, sfDir)
+      .select($"vec_id", expr(graft.functions.VectorFns.asDouble("embedding")).as("v"))
+      .filter($"vec_id" < 20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val codesOf = r4.map(r => r._1 -> r._2.split("-").map(_.toInt)).toMap
+    vecs.foreach { case (id, v) =>
+      (0 until EmbedPq.pqM).foreach { m =>
+        val subv = v.slice(m * EmbedPq.pqDsub, (m + 1) * EmbedPq.pqDsub)
+        val dists = cbs(m).map(c => l2(subv, c))
+        assert(dists(codesOf(id)(m)) == dists.min,
+          s"vec $id subspace $m: assigned ${codesOf(id)(m)} not argmin")
+      }
+    }
+    // multi-codeword quantization must beat collapsing each subspace
+    // to its single mean (k=1) on average — i.e., the codebook learns
+    val errOf = r4.map(r => r._1 -> r._3).toMap
+    val k1 = (0 until EmbedPq.pqM).map { m =>
+      val subs = vecs.values.map(_.slice(m * EmbedPq.pqDsub, (m + 1) * EmbedPq.pqDsub))
+      val mean = (0 until EmbedPq.pqDsub).map(d => subs.map(_(d)).sum / subs.size)
+      subs.map(l2(_, mean)).sum / subs.size
+    }.sum
+    val pqAvg = vecs.keys.map(errOf).sum / vecs.size
+    assert(pqAvg < k1, s"pq avg $pqAvg not below 1-codeword baseline $k1")
+  }
+}

@@ -8,6 +8,33 @@ import graft.sources.Tables
 
 class RanksSpec extends SparkSpec {
 
+  test("a hot key spreads across buckets — no single-task sort at any skew") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 100k rows of ONE key: the shape that makes a per-key window a
+    // single-task sort. perKeyRowNumber must spread it over many
+    // buckets and still produce the exact dense 1..n arrival rank.
+    val n = 100000L
+    val df = s.range(n).select(lit("hot").as("k"), $"id".as("ord"))
+    val parts = graft.functions.Ranks.defaultPartitions(df)
+    val ranked = graft.functions.Ranks.perKeyRowNumber(
+      df, Seq("k"), Seq(col("ord")), parts, "rn")
+    // bucket balance: the internal pid is dropped, so measure through
+    // the public contract — within-bucket work equals within-bucket
+    // count; check the largest contiguous rank run assigned to one
+    // bucket by re-deriving the bucket split from rank jumps is not
+    // observable here, so assert balance on the bucketed frame itself
+    val bucketed = graft.functions.Ranks.withBucket(
+      df, Seq(col("k"), col("ord")), parts, "pid")
+    val sizes = bucketed.groupBy($"pid").count().collect().map(_.getLong(1))
+    assert(sizes.length > 1, s"hot key stayed in one bucket: ${sizes.toSeq}")
+    assert(sizes.max < n, s"one bucket holds everything: ${sizes.toSeq}")
+    // and correctness: exact dense arrival rank
+    val ranks = ranked.select($"rn").as[Long].collect().sorted
+    assert(ranks.head == 1L && ranks.last == n && ranks.length == n.toInt)
+    assert(ranks.toSet.size == n.toInt)
+  }
+
   test("globalRowNumber matches single-partition row_number") {
     val s = spark; import s.implicits._
     val df = Tables.orders(s, sfDir).select($"o_orderkey")
