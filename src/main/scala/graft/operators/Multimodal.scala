@@ -178,15 +178,70 @@ object Multimodal {
        |FROM c ORDER BY asset_id, frame_idx""".stripMargin
   }
 
+  /** Thumbnail stride: keep every `thumbStride`-th payload byte. */
+  val thumbStride = 8
+
+  /** The "resize" stage of the media pipeline, stubbed as
+    * nearest-neighbor byte decimation: every [[thumbStride]]-th
+    * payload byte survives (a real pipeline hands the bytes to an
+    * image library here — the Spark-side shape is identical: row-local
+    * transform of one binary column into a smaller one, metadata
+    * updated, original never mutated). Emits the thumb digest rather
+    * than raw bytes (BLOBs aren't hashable by the oracle compare).
+    * Pure codegen'd column arithmetic over the hex encoding — no
+    * shuffle, no UDF. */
+  def mmThumbnail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(s, dir)
+      .select($"doc_id".as("asset_id"), $"mime", $"payload")
+      .withColumn("h", hex($"payload"))
+      .withColumn("thumb_hex", expr(
+        s"""array_join(transform(
+           |  sequence(0, CAST(ceil(length(h) / ${2 * thumbStride}.0) AS INT) - 1),
+           |  i -> substring(h, i * ${2 * thumbStride} + 1, 2)), '')""".stripMargin))
+      .select($"asset_id", $"mime",
+        (length($"h") / 2).cast("long").as("byte_size"),
+        (length($"thumb_hex") / 2).cast("long").as("thumb_size"),
+        md5($"thumb_hex".cast("binary")).as("thumb_md5"))
+      .orderBy($"asset_id")
+  }
+
+  val mmThumbnailSql: String = {
+    val magicCase = magics.zipWithIndex.map { case ((hexs, _), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN unhex('$hexs')"
+    }.mkString("CASE ", " ", " END")
+    val mimeCase = magics.zipWithIndex.map { case ((_, mime), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN '$mime'"
+    }.mkString("CASE ", " ", " ELSE 'application/octet-stream' END")
+    s"""WITH m AS (
+       |  SELECT doc_id AS asset_id, $mimeCase AS mime,
+       |    hex($magicCase || CAST(text AS BLOB)) AS h
+       |  FROM documents),
+       |t AS (
+       |  SELECT asset_id, mime, h,
+       |    list_aggregate(list_transform(
+       |      range(0, CAST(ceil(length(h) / ${2 * thumbStride}.0) AS BIGINT)),
+       |      i -> substr(h, CAST(i * ${2 * thumbStride} + 1 AS INT), 2)),
+       |      'string_agg', '') AS thumb_hex
+       |  FROM m)
+       |SELECT asset_id, mime,
+       |  length(h) // 2 AS byte_size,
+       |  length(thumb_hex) // 2 AS thumb_size,
+       |  md5(thumb_hex) AS thumb_md5
+       |FROM t ORDER BY asset_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_manifest"      -> (mmManifest _),
-    "mm_frame_extract" -> (mmFrameExtract _)
+    "mm_frame_extract" -> (mmFrameExtract _),
+    "mm_thumbnail"     -> (mmThumbnail _)
   )
 
   def oracles: Map[String, String] = Map(
     "mm_manifest"      -> mmManifestSql,
-    "mm_frame_extract" -> mmFrameExtractSql
+    "mm_frame_extract" -> mmFrameExtractSql,
+    "mm_thumbnail"     -> mmThumbnailSql
   )
 }
