@@ -384,6 +384,60 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** GROUPING SETS: the explicit multi-granularity aggregate next to
+    * [[qRollup]]/[[qCube]] — exactly the requested granularities
+    * ((status, priority), (status), (priority)), one pass, map-side
+    * partials through the Expand. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{dsum, countIf}
+    Tables.orders(s, dir)
+      .select($"o_orderstatus".as("status"),
+        $"o_orderpriority".as("priority"), $"o_totalprice")
+      .groupingSets(
+        Seq(Seq($"status", $"priority"), Seq($"status"), Seq($"priority")),
+        $"status", $"priority")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total"),
+        countIf($"o_totalprice" > 200000.0).as("n_big"))
+      // coalesce the grouping NULLs before ordering (qRollup's trick:
+      // Spark sorts NULLS FIRST, DuckDB NULLS LAST)
+      .select(coalesce($"status", lit("ALL")).as("status"),
+        coalesce($"priority", lit("ALL")).as("priority"),
+        $"n_orders", $"total", $"n_big")
+      .orderBy($"status", $"priority", $"n_orders")
+  }
+
+  val qGroupingSetsSql: String = {
+    import graft.functions.Agg.{dsumSql, countIfSql}
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       |  coalesce(o_orderpriority, 'ALL') AS priority,
+       |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS total,
+       |  ${countIfSql("o_totalprice > 200000.0")} AS n_big
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+       |  (o_orderstatus), (o_orderpriority))
+       |ORDER BY status, priority, n_orders""".stripMargin
+  }
+
+  /** The skew-safe distinct count surfaced as a driver-gate query:
+    * distinct customers per order status via
+    * [[graft.functions.Skew.saltedDistinctCount]] — phase 1 shuffles
+    * on (key, salt) so no reducer ever holds a hot key's full
+    * distinct set; exact, proven against the plain COUNT(DISTINCT)
+    * oracle. */
+  def qSaltedDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Skew.saltedDistinctCount(
+        Tables.orders(s, dir).select($"o_orderstatus".as("status"), $"o_custkey"),
+        $"status", $"o_custkey", nSalts = 16, out = "n_customers")
+      .orderBy($"status")
+  }
+
+  val qSaltedDistinctSql: String =
+    """SELECT o_orderstatus AS status,
+      |  count(DISTINCT o_custkey) AS n_customers
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   /** CDC upsert / MERGE: apply a change batch (update / delete /
     * insert ops) to a snapshot — the lakehouse MERGE INTO primitive,
     * composed from broadcast-able pieces. The change batch here is
@@ -731,7 +785,9 @@ object Relational {
     "q_events_pivot"     -> (qEventsPivot _),
     "q_asof_join"        -> (qAsofJoin _),
     "q_interval_overlap" -> (qIntervalOverlap _),
-    "q_table_upsert"     -> (qTableUpsert _)
+    "q_table_upsert"     -> (qTableUpsert _),
+    "q_grouping_sets"    -> (qGroupingSets _),
+    "q_salted_distinct"  -> (qSaltedDistinct _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -754,6 +810,8 @@ object Relational {
     "q_events_pivot"     -> qEventsPivotSql,
     "q_asof_join"        -> qAsofJoinSql,
     "q_interval_overlap" -> qIntervalOverlapSql,
-    "q_table_upsert"     -> qTableUpsertSql
+    "q_table_upsert"     -> qTableUpsertSql,
+    "q_grouping_sets"    -> qGroupingSetsSql,
+    "q_salted_distinct"  -> qSaltedDistinctSql
   )
 }
