@@ -55,8 +55,18 @@ object EmbedPq {
        |   array_min(transform(element_at(cbs, ($m) + 1), c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(${sub(m)}, c)))
        | ) - 1 AS INT)""".stripMargin
 
-  /** Train the pqM codebooks (deterministic), return them. */
-  def trainCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+  /** Codebooks are a deterministic artifact of the corpus (decimal-
+    * exact k-means from a fixed init), so they are trained once per
+    * dataset and reused — a production deployment persists them next
+    * to the index; here a process-level memo stands in for that
+    * artifact store (embed_pq and ann_pq share one training run). */
+  private val cbCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
+
+  def trainCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    cbCache.getOrElseUpdate(dir, trainCodebooksUncached(s, dir))
+
+  private def trainCodebooksUncached(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
     import s.implicits._
     val v = vectors(s, dir)
     var cbs: Seq[Seq[Seq[Double]]] = {

@@ -189,11 +189,22 @@ object StreamOps {
 
   def runAttributionToCompletion(s: SparkSession, dir: String,
       sink: String = "stream_attrib"): DataFrame = {
-    val q = attributionJoin(s, dir).writeStream
-      .format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // a stream-stream join carries FOUR state stores per partition
+    // per side; at local scale the fixed store open/commit cost
+    // dominates, so the state partition count (pinned at the first
+    // batch from shuffle.partitions) is lowered for this query. On a
+    // cluster the deploy sets it to the executor count — the knob,
+    // not the value, is the point. Results are partition-invariant.
+    val key = "spark.sql.shuffle.partitions"
+    val orig = s.conf.get(key)
+    val q = try {
+      s.conf.set(key, math.min(8, orig.toInt).toString)
+      attributionJoin(s, dir).writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set(key, orig)
     q.awaitTermination()
     s.table(sink).orderBy(col("purchase_id"), col("click_id"))
   }
