@@ -168,6 +168,44 @@ object Relational {
       |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
       |ORDER BY l_suppkey, rn""".stripMargin
 
+  /** The window-function breadth query: lead/lag deltas, ntile
+    * quartiles, per-key first/last framing — one window definition,
+    * one shuffle on the (high-cardinality) supplier key. */
+  def qWindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_shipdate", $"l_orderkey", $"l_linenumber")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.lineitem(s, dir)
+      .filter($"l_suppkey" <= 5)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        lag($"l_quantity", 1).over(w).as("prev_qty"),
+        lead($"l_quantity", 1).over(w).as("next_qty"),
+        ntile(4).over(w).as("quartile"),
+        first($"l_orderkey").over(full).as("first_order"),
+        last($"l_orderkey").over(full).as("last_order"))
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+  }
+
+  val qWindowFuncsSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  lag(l_quantity, 1) OVER w AS prev_qty,
+      |  lead(l_quantity, 1) OVER w AS next_qty,
+      |  ntile(4) OVER w AS quartile,
+      |  first_value(l_orderkey) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS first_order,
+      |  last_value(l_orderkey) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |    AS last_order
+      |FROM lineitem
+      |WHERE l_suppkey <= 5
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
   /** Top-3 parts by retail price per brand (rank + filter). */
   def qTopkPerGroup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -787,7 +825,8 @@ object Relational {
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_table_upsert"     -> (qTableUpsert _),
     "q_grouping_sets"    -> (qGroupingSets _),
-    "q_salted_distinct"  -> (qSaltedDistinct _)
+    "q_salted_distinct"  -> (qSaltedDistinct _),
+    "q_window_funcs"     -> (qWindowFuncs _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -812,6 +851,7 @@ object Relational {
     "q_interval_overlap" -> qIntervalOverlapSql,
     "q_table_upsert"     -> qTableUpsertSql,
     "q_grouping_sets"    -> qGroupingSetsSql,
-    "q_salted_distinct"  -> qSaltedDistinctSql
+    "q_salted_distinct"  -> qSaltedDistinctSql,
+    "q_window_funcs"     -> qWindowFuncsSql
   )
 }

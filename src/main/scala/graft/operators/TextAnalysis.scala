@@ -352,6 +352,58 @@ object TextAnalysis {
       .orderBy($"query_id", $"rank")
   }
 
+  val searchIndexTable = "graft_postings_idx"
+  val searchIndexBuckets = 16
+
+  /** Build the PERSISTED inverted index: per-(term, doc) posting with
+    * its idf-weighted score contribution precomputed, written
+    * bucketed+sorted by term. The explode/aggregate over the corpus
+    * is paid ONCE here, not per query — the index-build analog of
+    * [[graft.operators.Dedup.buildMinhashIndex]]. The stored weight
+    * is the exact double product tf·idf that [[textSearch]] sums, so
+    * the indexed path is bit-identical to the from-scratch path. */
+  def buildPostingsIndex(s: SparkSession, dir: String,
+                         table: String = searchIndexTable): Unit = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(expr(toksExpr)).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select($"term",
+        rnd(log(($"n" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0), 6).as("idf"))
+    val postings = tf.join(idf, "term")
+      .select($"term", $"doc_id", ($"tf" * $"idf").as("w"))
+    graft.sources.Sinks.writeBucketed(postings, table,
+      Seq("term"), searchIndexBuckets)
+  }
+
+  /** Query-time search against the persisted index: the term filter
+    * is a set of literals, so the bucketed scan PRUNES to the buckets
+    * holding query terms (SelectedBucketsCount in the plan) — the
+    * corpus postings are never re-derived, re-read in full, or
+    * shuffled on the term. Scores are the same exact fixed-point sum
+    * as [[textSearch]], so this shares its oracle verbatim. */
+  def textSearchIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.dsum
+    buildPostingsIndex(s, dir)
+    val terms = searchQueries.flatMap(_._2.split(" ")).distinct
+    val q = broadcast(searchQueries.toDF("query_id", "terms")
+      .select($"query_id", explode(split($"terms", " ")).as("term")))
+    val scored = s.table(searchIndexTable)
+      .filter($"term".isin(terms: _*))
+      .join(q, "term")
+      .groupBy($"query_id", $"doc_id")
+      .agg(dsum($"w").as("score"))
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+        Seq("score" -> true, "doc_id" -> false), searchK)
+      .select($"query_id", $"rank", $"doc_id", $"score")
+      .orderBy($"query_id", $"rank")
+  }
+
   val textSearchSql: String = {
     import graft.functions.Agg.{dsumSql, rndSql}
     val qVals = searchQueries.flatMap { case (id, terms) =>
@@ -386,7 +438,8 @@ object TextAnalysis {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition"  -> (textRepetition _),
     "text_redact"      -> (textRedact _),
-    "text_search"      -> (textSearch _)
+    "text_search"      -> (textSearch _),
+    "text_search_indexed" -> (textSearchIndexed _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -396,6 +449,8 @@ object TextAnalysis {
     "text_fingerprint" -> textFingerprintSql,
     "text_repetition"  -> textRepetitionSql,
     "text_redact"      -> textRedactSql,
-    "text_search"      -> textSearchSql
+    "text_search"      -> textSearchSql,
+    // bit-identical to the from-scratch path — shares its oracle
+    "text_search_indexed" -> textSearchSql
   )
 }

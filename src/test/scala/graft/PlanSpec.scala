@@ -206,6 +206,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("indexed search prunes to the query terms' buckets") {
+    val s = spark
+    graft.operators.TextAnalysis.buildPostingsIndex(s, sfDir)
+    val p = plan(graft.operators.TextAnalysis.textSearchIndexed(s, sfDir))
+    // the bucketed posting scan prunes on the literal term set —
+    // only buckets holding query terms are read
+    assert(p.contains("Bucketed: true"), p)
+    assert(p.contains("SelectedBucketsCount"), p)
+    // and the postings never reshuffle to meet the broadcast queries
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("minhash banding join carries no raw shingle arrays through the shuffle") {
     val p = plan(Dedup.dedupMinhash(spark, sfDir))
     // signatures are row-local: the only wide arrays crossing an
