@@ -395,17 +395,23 @@ object Relational {
     * as an O(n²) join. */
   def qIntervalOverlap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sess = sessionized(s, dir)
+    // BOTH endpoint markers explode out of one pass over the
+    // sessionization (separate starts/ends branches would compute the
+    // per-user session windows twice). Unique marker ids keep the
+    // composite sort key total (session_id restarts at 1 per user, so
+    // pair it with user_id).
+    val sessionMarkers = sessionized(s, dir)
       .select($"user_id", $"session_id",
         unix_micros($"session_start").as("s_us"),
         unix_micros($"session_end").as("e_us"))
-    // unique marker ids keep the composite sort key total (session_id
-    // restarts at 1 per user, so pair it with user_id)
-    val sid = $"user_id" * lit(1000000L) + $"session_id"
-    val starts = sess.select($"s_us".as("us"), lit(0).as("kind"),
-      sid.as("id"), lit(1L).as("delta"))
-    val ends = sess.select($"e_us".as("us"), lit(2).as("kind"),
-      sid.as("id"), lit(-1L).as("delta"))
+      .select(explode(array(
+          struct($"s_us".as("us"), lit(0).as("kind"),
+            ($"user_id" * lit(1000000L) + $"session_id").as("id"),
+            lit(1L).as("delta")),
+          struct($"e_us".as("us"), lit(2).as("kind"),
+            ($"user_id" * lit(1000000L) + $"session_id").as("id"),
+            lit(-1L).as("delta")))).as("m"))
+      .select($"m.us", $"m.kind", $"m.id", $"m.delta")
     val probes = Tables.events(s, dir).select(unix_micros($"ts").as("us"),
       lit(1).as("kind"), $"event_id".as("id"), lit(0L).as("delta"))
     // bucket boundaries sampled from the probes alone: they are pure
@@ -413,7 +419,7 @@ object Relational {
     // a plain events scan — the union would recompute the whole
     // sessionization twice just to be sampled
     val swept = graft.functions.Ranks.globalRunningSum(
-      starts.union(ends).union(probes),
+      sessionMarkers.union(probes),
       Seq($"us", $"kind", $"id"), $"delta",
       graft.functions.Ranks.defaultPartitions(probes), "n_active",
       boundsFrom = probes)
