@@ -389,6 +389,69 @@ object Pipeline {
        |HAVING count(*) * ${hhK + 1} > (SELECT n_total FROM n)
        |ORDER BY n_occurrences DESC, term""".stripMargin
 
+  /** Corpus-LM quality scoring (the CCNet-style filter signal): a
+    * bigram language model with add-one smoothing is fit on the
+    * corpus itself, and every document gets its mean token
+    * log-likelihood — documents whose word transitions are unlike
+    * the corpus (boilerplate, gibberish, wrong domain) score low.
+    *
+    * lp(w1 w2) = ln((c(w1,w2) + 1) / (c(w1·) + V)), V = distinct
+    * context words; score(doc) = mean over the doc's bigrams.
+    *
+    * Scale layout: one explode of the corpus into (doc, w1, bigram);
+    * the model is two partial-aggregated counts over that frame
+    * (bigram table is vocab²-bounded — large on a web corpus but far
+    * smaller than the corpus, and it joins ON the bigram key with
+    * AQE free to broadcast when it fits); per-occurrence log-probs
+    * round at 1e-6 and sum through the exact decimal path so scores
+    * are bit-stable at any parallelism. Docs under 2 tokens have no
+    * bigram identity and are excluded (as in [[corpusNgrams]]). */
+  def textLmScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{dsum, rnd}
+    val occ = Tables.documents(s, dir)
+      .withColumn("toks", expr(TA.toksExpr))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+          |  i -> struct(element_at(toks, i) AS w1,
+          |              concat(element_at(toks, i), ' ', element_at(toks, i + 1)) AS bigram))"""
+          .stripMargin)).as("b"))
+      .select($"doc_id", $"b.w1", $"b.bigram")
+    val bc = occ.groupBy($"w1", $"bigram").agg(count(lit(1)).as("bc"))
+    val uc = occ.groupBy($"w1".as("u_w1")).agg(count(lit(1)).as("uc"))
+    val v = uc.agg(count(lit(1)).as("v"))
+    val lp = bc.join(uc, $"w1" === $"u_w1").crossJoin(broadcast(v))
+      .select($"bigram",
+        rnd(log(($"bc" + lit(1.0)) / ($"uc" + $"v")), 6).as("lp"))
+    occ.join(lp, "bigram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        rnd(dsum($"lp") / count(lit(1)), 6).as("lm_score"))
+      .orderBy($"doc_id")
+  }
+
+  val textLmScoreSql: String = {
+    import graft.functions.Agg.{dsumSql, rndSql}
+    s"""WITH t AS (SELECT doc_id, ${TA.duckToks} AS toks FROM documents),
+       |occ AS (
+       |  SELECT doc_id, b['w1'] AS w1, b['bigram'] AS bigram
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(toks)),
+       |            i -> {'w1': toks[i], 'bigram': toks[i] || ' ' || toks[i + 1]})) AS b
+       |        FROM t WHERE len(toks) >= 2)),
+       |bc AS (SELECT w1, bigram, count(*) AS bc FROM occ GROUP BY 1, 2),
+       |uc AS (SELECT w1 AS u_w1, count(*) AS uc FROM occ GROUP BY 1),
+       |v AS (SELECT count(*) AS v FROM uc),
+       |lp AS (
+       |  SELECT bigram, ${rndSql("ln((bc + 1.0) / (uc + v))", 6)} AS lp
+       |  FROM bc JOIN uc ON w1 = u_w1, v)
+       |SELECT occ.doc_id, count(*) AS n_bigrams,
+       |  ${rndSql(s"${dsumSql("lp.lp")} / count(*)", 6)} AS lm_score
+       |FROM occ JOIN lp USING (bigram)
+       |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
+  }
+
   /** Seed for the deterministic training-order shuffle. */
   val shuffleSeed = 42
 
@@ -426,6 +489,7 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_shuffle"    -> (corpusShuffle _),
     "corpus_heavy_hitters" -> (corpusHeavyHitters _),
+    "text_lm_score"     -> (textLmScore _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
@@ -437,6 +501,7 @@ object Pipeline {
   def oracles: Map[String, String] = Map(
     "corpus_shuffle"    -> corpusShuffleSql,
     "corpus_heavy_hitters" -> corpusHeavyHittersSql,
+    "text_lm_score"     -> textLmScoreSql,
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,

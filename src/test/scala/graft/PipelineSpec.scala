@@ -101,6 +101,26 @@ class PipelineSpec extends SparkSpec {
     assert(rows.toSeq == Seq("dominant" -> 3000L), rows.toSeq.toString)
   }
 
+  test("lm score ranks corpus-typical text above unseen transitions") {
+    val s = spark; import s.implicits._
+    // 50 docs repeat the same word transitions; one doc uses
+    // transitions the corpus has never seen — its bigrams survive
+    // only on smoothing mass and must score strictly lower
+    val typical = "the quick brown fox jumps over the lazy dog"
+    val gibberish = "dog the over fox brown jumps quick lazy the"
+    val dir = Files.createTempDirectory("graft-lm").toString
+    s.range(50).select($"id".as("doc_id"), lit(typical).as("text"),
+        lit("en").as("lang"), lit("s0").as("source"), lit(0L).as("n_chars"))
+      .union(s.range(50, 51).select($"id".as("doc_id"),
+        lit(gibberish).as("text"), lit("en").as("lang"),
+        lit("s0").as("source"), lit(0L).as("n_chars")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val scores = Pipeline.textLmScore(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(50L) < scores(0L),
+      s"gibberish ${scores(50L)} not below typical ${scores(0L)}")
+  }
+
   test("stratified sample equals the closed-form fingerprint rule") {
     val s = spark; import s.implicits._
     val docs = graft.sources.Tables.documents(s, sfDir)
