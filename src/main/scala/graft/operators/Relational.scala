@@ -659,6 +659,36 @@ object Relational {
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Forward as-of: for every purchase, the user's EARLIEST click at
+    * or after it (the other standard as-of direction — "what did the
+    * user do next"). Same linear union+window layout as [[qAsofJoin]]
+    * with the frame flipped to [current, ∞); at equal timestamps the
+    * purchase sorts first (kind=0) so "at or after" includes ties on
+    * both engines. */
+  def qAsofForward(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(0).as("kind"), $"event_id")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(1).as("kind"), lit(null).cast("long").as("event_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"kind")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    purchases.unionByName(clicks)
+      .withColumn("next_click_ts",
+        first(when($"kind" === 1, $"ts"), ignoreNulls = true).over(w))
+      .filter($"kind" === 0)
+      .select($"event_id", $"user_id", $"ts".as("purchase_ts"), $"next_click_ts")
+      .orderBy($"event_id")
+  }
+
+  val qAsofForwardSql: String =
+    """SELECT p.event_id, p.user_id, p.ts AS purchase_ts, c.ts AS next_click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts <= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
   /** Semi-structured extraction: pull a typed field out of the JSON
     * props column and aggregate — get_json_object is codegen'd and
     * runs at scan speed; no UDF, no intermediate parse tree. */
@@ -828,6 +858,7 @@ object Relational {
     "q_session_window"   -> (qSessionWindow _),
     "q_events_pivot"     -> (qEventsPivot _),
     "q_asof_join"        -> (qAsofJoin _),
+    "q_asof_forward"     -> (qAsofForward _),
     "q_interval_overlap" -> (qIntervalOverlap _),
     "q_table_upsert"     -> (qTableUpsert _),
     "q_grouping_sets"    -> (qGroupingSets _),
@@ -854,6 +885,7 @@ object Relational {
     "q_session_window"   -> qSessionWindowSql,
     "q_events_pivot"     -> qEventsPivotSql,
     "q_asof_join"        -> qAsofJoinSql,
+    "q_asof_forward"     -> qAsofForwardSql,
     "q_interval_overlap" -> qIntervalOverlapSql,
     "q_table_upsert"     -> qTableUpsertSql,
     "q_grouping_sets"    -> qGroupingSetsSql,
