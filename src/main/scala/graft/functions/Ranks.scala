@@ -59,23 +59,78 @@ object Ranks {
     }
   }
 
+  /** Boundary memo. Boundaries are a deterministic artifact of
+    * (key-projection plan, bucket count) — a split of the key space —
+    * so they are sampled once per session and reused, the same
+    * session-scoped artifact store the PQ codebooks use
+    * (EmbedPq.cbCache). Keyed by the CANONICALIZED plan of
+    * `df.select(keys)` (structural equality — source paths, pushed
+    * filters and the projection all participate), so two frames share
+    * an entry only when they would scan identical data. Staleness
+    * (a path rewritten mid-session) can skew bucket balance but never
+    * correctness: the bucket id is a pure row function and the rank
+    * layouts are output-invariant to the split points. */
+  private val boundsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int), Seq[Seq[Any]]]
+
   /** Sample `numPartitions − 1` key-space boundaries (each a key
-    * tuple), mirroring RangePartitioner's reservoir but collected
-    * once on the driver so every consumer sees the same split. The
-    * collect is bounded: ≤ min(100·numPartitions, 100k) tuples.
-    * Returns Nil on an empty frame (single bucket). */
+    * tuple) in ONE pass: a per-partition reservoir with counts, then
+    * weighted bound selection on the driver — the RangePartitioner
+    * sketch (Spark's Partitioner.scala rangeBounds/determineBounds)
+    * without its separate count job, collected once so every consumer
+    * sees the same split. The collect is bounded:
+    * ≤ 3·min(100·numPartitions, 100k) tuples. Returns Nil on an empty
+    * frame (single bucket). */
   private def sampleBounds(df: DataFrame, keys: Seq[Column],
                            numPartitions: Int): Seq[Seq[Any]] = {
     if (numPartitions <= 1) return Nil
-    val n = df.count()
-    if (n == 0) return Nil
-    val target = math.min(100L * numPartitions, 100000L)
-    val fraction = math.min(1.0, target.toDouble / n)
-    val sample = df.select(keys: _*).sample(withReplacement = false, fraction, seed = 42L)
-      .collect().map(_.toSeq).sorted(rowOrd)
-    if (sample.isEmpty) return Nil
-    (1 until numPartitions)
-      .map(i => sample(((i.toLong * sample.length) / numPartitions).toInt))
+    val proj = df.select(keys: _*)
+    val cacheKey = (proj.queryExecution.analyzed.canonicalized, numPartitions)
+    boundsCache.getOrElseUpdate(cacheKey, {
+      val target = math.min(100L * numPartitions, 100000L)
+      val rdd = proj.rdd
+      val perPart = math.max(1, math.ceil(
+        3.0 * target / math.max(1, rdd.getNumPartitions)).toInt)
+      val sketched = rdd.mapPartitionsWithIndex { (pid, it) =>
+        val rng = new java.util.Random(42L * 1000003 + pid)
+        val reservoir = new Array[Seq[Any]](perPart)
+        var n = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (n < perPart) reservoir(n.toInt) = r.toSeq
+          else {
+            val j = (rng.nextDouble() * (n + 1)).toLong
+            if (j < perPart) reservoir(j.toInt) = r.toSeq
+          }
+          n += 1
+        }
+        if (n == 0) Iterator.empty
+        else Iterator((n, reservoir.take(math.min(n, perPart.toLong).toInt)))
+      }.collect()
+      val total = sketched.map(_._1).sum
+      if (total == 0) Nil
+      else {
+        // Each sampled tuple stands for count/sampleLen source rows;
+        // walk the weight-sorted candidates emitting a bound every
+        // total/numPartitions rows (determineBounds' layout).
+        val candidates = sketched.flatMap { case (cnt, sample) =>
+          sample.map(s => (s, cnt.toDouble / sample.length))
+        }.sortBy(_._1)(rowOrd)
+        val step = candidates.map(_._2).sum / numPartitions
+        val bounds = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+        var cum = 0.0
+        var next = step
+        for ((key, w) <- candidates if bounds.size < numPartitions - 1) {
+          cum += w
+          if (cum >= next &&
+              (bounds.isEmpty || rowOrd.compare(key, bounds.last) > 0)) {
+            bounds += key
+            next += step
+          }
+        }
+        bounds.toSeq
+      }
+    })
   }
 
   /** Bucket id: how many boundaries the row's key tuple exceeds
