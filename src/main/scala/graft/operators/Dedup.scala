@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Agg.rndSql
+import graft.functions.Agg.{rnd, rndSql}
 import graft.functions.VectorFns
 import graft.sources.Tables
 
@@ -594,6 +594,79 @@ object Dedup {
 
   // -------------------------------------------------------------------
 
+  /** Duplicated-span window (tokens) for [[dedupSubstring]]. */
+  val spanTokens = 3
+
+  /** Substring-granularity duplication profiling — the sliding-window
+    * counterpart of [[dedupParagraph]]'s fixed chunks: EVERY
+    * [[spanTokens]]-token window (stride 1) is hashed, windows whose
+    * text occurs more than once in the whole corpus (within- or
+    * cross-document) mark their covered token positions as
+    * duplicated, and each affected document reports its duplicated
+    * span count, covered-token union and duplication ratio — the
+    * per-document signal the "drop documents dominated by repeated
+    * substrings" policy consumes (fixed-chunk dedup misses
+    * duplication that straddles a chunk boundary; stride-1 windows
+    * cannot).
+    *
+    * Scale layout: the exploded window set is k× the corpus (k=3) and
+    * shuffles ONCE on the window text for the occurrence count; the
+    * duplicated-window set is the small side of the membership join
+    * (AQE broadcasts it when it fits); cover-union + ratios are one
+    * partial-aggregated shuffle on doc_id. No window function, no
+    * self-join, no global sort before the presentation ORDER BY. */
+  def dedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = spanTokens
+    // coalesce + posexplode_outer defeat the inferred-constraint trap
+    // (see dedupParagraph): without them the whole tokenize+window
+    // transform is inlined into per-row isnotnull/size>0 filters and
+    // computed twice.
+    val grams = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      // the CASE guards sequence() against size(toks) < k: Spark's
+      // sequence(0, negative) is a DESCENDING range, not empty
+      .withColumn("grams", expr(
+        s"""coalesce(CASE WHEN size(toks) >= $k THEN
+           |  transform(sequence(0, size(toks) - $k),
+           |    i -> array_join(slice(toks, i + 1, $k), ' ')) END, array())""".stripMargin))
+      .select($"doc_id", $"n_tokens", posexplode_outer($"grams").as(Seq("pos", "gram")))
+    val dup = grams.groupBy($"gram")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter($"n_occ" >= 2)
+      .select($"gram")
+    grams.join(dup, Seq("gram"))
+      .select($"doc_id", $"n_tokens", $"pos",
+        explode(expr(s"sequence(pos, pos + ${k - 1})")).as("off"))
+      .groupBy($"doc_id")
+      .agg(countDistinct($"pos").as("n_dup_grams"),
+           countDistinct($"off").as("dup_tokens"),
+           max($"n_tokens").as("n_tokens"))
+      .select($"doc_id", $"n_dup_grams", $"dup_tokens", $"n_tokens",
+        rnd($"dup_tokens".cast("double") / $"n_tokens", 4).as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupSubstringSql: String =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, len(t) AS n_tokens, i,
+       |         array_to_string(t[i : i + ${spanTokens - 1}], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(t) - $spanTokens + 2)) AS u(i)),
+       |dup AS (
+       |  SELECT gram FROM (SELECT gram, count(*) AS n_occ FROM grams GROUP BY gram)
+       |  WHERE n_occ >= 2),
+       |cover AS (
+       |  SELECT g.doc_id, g.n_tokens, g.i, j
+       |  FROM grams g JOIN dup d USING (gram),
+       |       unnest(range(g.i, g.i + $spanTokens)) AS v(j))
+       |SELECT doc_id, count(DISTINCT i) AS n_dup_grams,
+       |  count(DISTINCT j) AS dup_tokens,
+       |  max(n_tokens) AS n_tokens,
+       |  ${graft.functions.Agg.rndSql(s"count(DISTINCT j) * CAST(1.0 AS DOUBLE) / max(n_tokens)", 4)} AS dup_ratio
+       |FROM cover GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_exact"         -> (dedupExact _),
@@ -604,7 +677,8 @@ object Dedup {
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_clusters_minhash" -> (dedupClustersMinhash _),
     "dedup_incremental"   -> (dedupIncremental _),
-    "dedup_paragraph"     -> (dedupParagraph _)
+    "dedup_paragraph"     -> (dedupParagraph _),
+    "dedup_substring"     -> (dedupSubstring _)
   )
 
   /** minhash/simhash are hash-function-specific → rows-only check +
@@ -618,6 +692,7 @@ object Dedup {
     // sf0.01 and sf0.1), so the scale-path clusters share the
     // transitive-closure oracle verbatim
     "dedup_clusters_minhash" -> dedupClustersSql,
-    "dedup_paragraph"     -> dedupParagraphSql
+    "dedup_paragraph"     -> dedupParagraphSql,
+    "dedup_substring"     -> dedupSubstringSql
   )
 }
