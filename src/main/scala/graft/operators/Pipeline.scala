@@ -486,7 +486,91 @@ object Pipeline {
        |  doc_id, source
        |FROM documents ORDER BY position""".stripMargin
 
+  /** Co-occurrence window (max token distance) and minimum pair
+    * support for [[corpusPmi]]. */
+  val pmiMaxDist = 2
+  val pmiMinCount = 5
+  val pmiTopN = 50
+
+  /** Collocation mining: pointwise mutual information of word pairs
+    * co-occurring within [[pmiMaxDist]] tokens — the phrase/
+    * multi-word-expression signal a tokenizer-training or phrase-
+    * merging pass consumes. PMI compares the pair's observed rate to
+    * the independence expectation:
+    * pmi = ln(p(a,b) / (p(a)·p(b))), p(a,b)=c_ab/N_pairs,
+    * p(w)=c_w/N_tok, reported for pairs with support ≥
+    * [[pmiMinCount]], top-[[pmiTopN]] by (rounded) PMI with the pair
+    * identity as the total-order tiebreak.
+    *
+    * Scale layout: pair generation is row-local (an explode of the
+    * token array against itself at offsets 1..maxDist — never a
+    * positions self-join); pair counts are one partial-aggregated
+    * shuffle on (w1, w2); the unigram marginal table is vocab-bounded
+    * and joins back onto the pair counts (AQE broadcasts it when it
+    * fits); the two corpus totals ride in as a 1-row broadcast. The
+    * PMI arithmetic runs entirely in doubles (a BIGINT product
+    * c·N²_tok overflows 64 bits near ~10¹¹ tokens), left-to-right
+    * identical on both engines, rounded 1e-6. TakeOrdered top-N —
+    * no global sort of the pair space. */
+  def corpusPmi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val toks = Tables.documents(s, dir)
+      .withColumn("toks", expr(TA.toksExpr))
+      .filter(size($"toks") > pmiMaxDist)
+      .select($"doc_id", $"toks")
+    val uni = toks.select(explode($"toks").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cw"))
+    val nTok = uni.agg(sum($"cw").as("n_tok"))
+    val pairs = toks.select(explode(expr(
+      s"""flatten(transform(sequence(1, $pmiMaxDist), d ->
+         |  transform(sequence(1, size(toks) - d),
+         |    i -> struct(least(element_at(toks, i), element_at(toks, i + d)) AS w1,
+         |                greatest(element_at(toks, i), element_at(toks, i + d)) AS w2))))"""
+        .stripMargin)).as("p"))
+      .select($"p.w1", $"p.w2")
+    val nPairs = pairs.agg(count(lit(1)).as("n_pairs"))
+    pairs.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_cooccur"))
+      .filter($"n_cooccur" >= pmiMinCount)
+      .join(uni.select($"w".as("ua_w"), $"cw".as("ca")), $"w1" === $"ua_w")
+      .join(uni.select($"w".as("ub_w"), $"cw".as("cb")), $"w2" === $"ub_w")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nPairs))
+      .select($"w1", $"w2", $"n_cooccur",
+        rnd(log(($"n_cooccur".cast("double") * $"n_tok" * $"n_tok") /
+                ($"ca".cast("double") * $"cb" * $"n_pairs")), 6).as("pmi"))
+      .orderBy($"pmi".desc, $"w1", $"w2")
+      .limit(pmiTopN)
+  }
+
+  val corpusPmiSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TA.duckToks} AS toks FROM documents),
+       |ft AS (SELECT * FROM t WHERE len(toks) > $pmiMaxDist),
+       |uni AS (
+       |  SELECT w, count(*) AS cw
+       |  FROM (SELECT unnest(toks) AS w FROM ft) GROUP BY 1),
+       |nt AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tok FROM uni),
+       |pairs AS (
+       |  SELECT least(toks[i], toks[i + d]) AS w1,
+       |         greatest(toks[i], toks[i + d]) AS w2
+       |  FROM ft,
+       |       unnest(range(1, $pmiMaxDist + 1)) AS dd(d),
+       |       unnest(range(1, len(toks) - d + 1)) AS u(i)),
+       |np AS (SELECT count(*) AS n_pairs FROM pairs),
+       |pc AS (
+       |  SELECT w1, w2, count(*) AS n_cooccur FROM pairs GROUP BY 1, 2
+       |  HAVING count(*) >= $pmiMinCount)
+       |SELECT w1, w2, n_cooccur,
+       |  ${rndSql("ln((CAST(n_cooccur AS DOUBLE) * n_tok * n_tok) / (CAST(ca.cw AS DOUBLE) * cb.cw * n_pairs))", 6)} AS pmi
+       |FROM pc
+       |JOIN uni ca ON pc.w1 = ca.w
+       |JOIN uni cb ON pc.w2 = cb.w, nt, np
+       |ORDER BY pmi DESC, w1, w2 LIMIT $pmiTopN""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_pmi"        -> (corpusPmi _),
     "corpus_shuffle"    -> (corpusShuffle _),
     "corpus_heavy_hitters" -> (corpusHeavyHitters _),
     "text_lm_score"     -> (textLmScore _),
@@ -499,6 +583,7 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_pmi"        -> corpusPmiSql,
     "corpus_shuffle"    -> corpusShuffleSql,
     "corpus_heavy_hitters" -> corpusHeavyHittersSql,
     "text_lm_score"     -> textLmScoreSql,

@@ -428,6 +428,67 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** Bin width (µs) for [[qPointInInterval]]'s binned range join —
+    * the knob trading interval-explode factor (span/width copies per
+    * interval) against per-bin join fan-in (concurrent intervals per
+    * bin). */
+  val intervalBinUs: Long = 3600L * 1000000L
+
+  /** Point-in-interval PAIR join — the generic scalable range join,
+    * complementing [[qIntervalOverlap]]'s sweep-line COUNT: every
+    * purchase event paired with every session (any user) active at
+    * its timestamp. Spark plans a bare `ON p.ts BETWEEN s.start AND
+    * s.end` as BroadcastNestedLoopJoin (quadratic); the engine bins
+    * both sides instead: an interval replicates into the
+    * [[intervalBinUs]]-wide bins it spans (row-local explode), a
+    * point lands in exactly ONE bin, and the theta join becomes a
+    * hash equi-join on the bin plus a residual range filter. A point
+    * joining only its own bin means each qualifying pair is emitted
+    * exactly once — no distinct pass. One shuffle on the bin; a hot
+    * bin (mass concurrency) is AQE skew-join territory, and the bin
+    * width is the explode/fan-in dial. Endpoints inclusive on both
+    * engines. */
+  def qPointInInterval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bins = sessionized(s, dir)
+      .select($"user_id".as("s_user_id"), $"session_id",
+        unix_micros($"session_start").as("s_us"),
+        unix_micros($"session_end").as("e_us"))
+      .withColumn("bin",
+        explode(expr(s"sequence(s_us div $intervalBinUs, e_us div $intervalBinUs)")))
+    val purchases = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+      .withColumn("bin", expr(s"us div $intervalBinUs"))
+    purchases.join(bins, Seq("bin"))
+      .filter($"us" >= $"s_us" && $"us" <= $"e_us")
+      .select($"event_id", $"user_id", $"s_user_id", $"session_id")
+      .orderBy($"event_id", $"s_user_id", $"session_id")
+  }
+
+  /** Oracle: the theta-join formulation DuckDB plans as an IEJoin. */
+  val qPointInIntervalSql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+       |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${1800L * 1000000L} THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id, ts,
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id
+       |  FROM flagged),
+       |sessions AS (
+       |  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+       |  FROM sess GROUP BY 1, 2)
+       |SELECT e.event_id, e.user_id, s.user_id AS s_user_id, s.session_id
+       |FROM events e JOIN sessions s ON e.ts >= s.s AND e.ts <= s.e
+       |WHERE e.event_type = 'purchase'
+       |ORDER BY event_id, s_user_id, session_id""".stripMargin
+
   /** GROUPING SETS: the explicit multi-granularity aggregate next to
     * [[qRollup]]/[[qCube]] — exactly the requested granularities
     * ((status, priority), (status), (priority)), one pass, map-side
@@ -860,6 +921,7 @@ object Relational {
     "q_asof_join"        -> (qAsofJoin _),
     "q_asof_forward"     -> (qAsofForward _),
     "q_interval_overlap" -> (qIntervalOverlap _),
+    "q_point_in_interval" -> (qPointInInterval _),
     "q_table_upsert"     -> (qTableUpsert _),
     "q_grouping_sets"    -> (qGroupingSets _),
     "q_salted_distinct"  -> (qSaltedDistinct _),
@@ -887,6 +949,7 @@ object Relational {
     "q_asof_join"        -> qAsofJoinSql,
     "q_asof_forward"     -> qAsofForwardSql,
     "q_interval_overlap" -> qIntervalOverlapSql,
+    "q_point_in_interval" -> qPointInIntervalSql,
     "q_table_upsert"     -> qTableUpsertSql,
     "q_grouping_sets"    -> qGroupingSetsSql,
     "q_salted_distinct"  -> qSaltedDistinctSql,

@@ -98,6 +98,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_point_in_interval is a binned equi-join — no nested loop, no cartesian") {
+    val p = plan(Relational.qPointInInterval(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("bin"), p) // the theta join became a bin equi-join
+  }
+
   test("q_percentiles_dist ranks per bucket, no percentile agg buffer") {
     val p = plan(Relational.qPercentilesDist(spark, sfDir))
     val rowWindows = p.linesIterator
