@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Agg.dsum
@@ -158,8 +159,66 @@ object EmbedPq {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Shortlist size for [[annPqRefine]] (ADC over-fetch factor ×
+    * [[Similarity.k]]). */
+  val refineShortlist = 10 * Similarity.k
+
+  /** Two-stage PQ search — the standard production ANN layout: the
+    * ADC scan shortlists [[refineShortlist]] candidates per query on
+    * compressed codes alone (cheap, mis-ordered by quantization
+    * error), then ONLY the shortlist's raw vectors are fetched and
+    * re-ranked by EXACT L2² — the same metric the ADC stage
+    * approximates, so re-ranking provably cannot lose a shortlisted
+    * true neighbor: recall@k(refine) ≥ recall@k(raw ADC) at equal
+    * corpus-fetch cost (EmbedPqSpec asserts both the dominance and
+    * the exactness of the reported distances). At 10¹¹ vectors the
+    * full-precision corpus is touched for k·overfetch rows per query
+    * instead of all of them; the shortlist is nQueries·overfetch ids
+    * and broadcasts — the corpus never shuffles. */
+  def annPqRefine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val cbs = trainCodebooks(s, dir)
+    val codes = encode(s, dir, cbs)
+      .select($"vec_id", split($"pq_code", "-").cast("array<int>").as("codes"))
+    val qvecs = vectors(s, dir).filter($"vec_id" < Similarity.nQueries)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+    val dts: Seq[(Long, Seq[Seq[Double]])] = qvecs.toSeq.map { case (qid, qv) =>
+      qid -> Seq.tabulate(pqM) { m =>
+        val sub = qv.slice(m * pqDsub, (m + 1) * pqDsub)
+        cbs(m).map(c => sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }
+    val dtab = broadcast(dts.toDF("query_id", "dt"))
+    val scored = codes.join(dtab, $"vec_id" =!= $"query_id")
+      .withColumn("adist", expr(rndSql(
+        s"""aggregate(sequence(0, ${pqM - 1}), CAST(0 AS DOUBLE), (acc, m) ->
+           |  acc + element_at(element_at(dt, m + 1), element_at(codes, m + 1) + 1))"""
+          .stripMargin, 6)))
+    val shortlist = graft.plans.TopK.perGroup(
+        scored.select($"query_id", $"vec_id", $"adist"),
+        Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), refineShortlist)
+      .select($"query_id", $"vec_id")
+    // exact re-rank: fetch raw vectors for the (bounded) shortlist
+    // only — broadcast the shortlist, never shuffle the corpus.
+    // |q−v|² = q·q − 2 q·v + v·v, all three native dot products.
+    val qside = broadcast(qvecs.toSeq.toDF("query_id", "qv"))
+    val exact = vectors(s, dir)
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(qside, Seq("query_id"))
+      .withColumn("l2", expr(rndSql(
+        "graft_dot(qv, qv) - CAST(2 AS DOUBLE) * graft_dot(qv, v) + graft_dot(v, v)", 6)))
+    val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= Similarity.k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"l2")
+      .orderBy($"query_id", $"rank")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "embed_pq" -> (embedPq _),
-    "ann_pq"   -> (annPq _)
+    "embed_pq"      -> (embedPq _),
+    "ann_pq"        -> (annPq _),
+    "ann_pq_refine" -> (annPqRefine _)
   )
 }

@@ -83,4 +83,41 @@ class EmbedPqSpec extends SparkSpec {
     assert(mean >= 2 * baseline,
       s"mean ADC recall@${graft.operators.Similarity.k} = $mean, random = $baseline")
   }
+
+  test("exact re-rank dominates raw ADC and reports exact distances") {
+    val s = spark; import s.implicits._
+    val k = graft.operators.Similarity.k
+    def tops(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    val adc = tops(EmbedPq.annPq(s, sfDir))
+    val refined = EmbedPq.annPqRefine(s, sfDir).collect()
+    val ref = refined.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    val all = graft.sources.Tables.embeddings(s, sfDir)
+      .select($"vec_id", expr(graft.functions.VectorFns.asDouble("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def recall(tops: Map[Long, Set[Long]]) = {
+      val rs = tops.map { case (q, approx) =>
+        val exact = (all - q).toSeq
+          .sortBy { case (id, v) => (l2(all(q), v), id) }
+          .take(k).map(_._1).toSet
+        approx.intersect(exact).size.toDouble / exact.size
+      }
+      rs.sum / rs.size
+    }
+    val (ra, rr) = (recall(adc), recall(ref))
+    // same metric, same fetch budget: exact re-rank of the ADC
+    // shortlist can only keep or improve what ADC alone returns
+    assert(rr >= ra, s"refine recall $rr below raw ADC recall $ra")
+    assert(rr > ra, s"refine recall $rr should strictly improve ADC $ra on this corpus")
+    // reported distances are the exact L2², not the ADC estimate
+    refined.foreach { r =>
+      val truth = l2(all(r.getLong(0)), all(r.getLong(2)))
+      assert(math.abs(r.getDouble(3) - truth) < 1e-5,
+        s"l2 ${r.getDouble(3)} vs exact $truth")
+    }
+  }
 }
