@@ -1,0 +1,366 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Agg._
+import graft.sources.Tables
+
+/** §2.10 Behavioral, time-series & incremental analytics.
+  *
+  * The event-log query family every analytics engine over a
+  * `(user, ts, type, value)` stream ends up growing: ordered funnels,
+  * cohort retention, gap-filled resampling, distribution histograms,
+  * and incremental materialized-view maintenance. All are composed
+  * from declarative DataFrame ops so Catalyst owns pushdown and
+  * partial aggregation; time arithmetic runs on `unix_micros` so both
+  * engines compute identical integers (events.ts is µs-floored at
+  * load, TESTDATA note in [[graft.sources.Tables.events]]).
+  *
+  * Scale notes (100 TB):
+  *  - the funnel is ONE shuffle on user_id (window sort) plus a
+  *    partial-agged rollup that reuses the same partitioning;
+  *  - retention never windows — first-touch is a partial-agged
+  *    groupBy, and "distinct users per cell" is the two-phase exact
+  *    distinct (dedup shuffle then count), never a count(distinct)
+  *    holding a cell's user set in one reducer;
+  *  - resample reduces the raw stream FIRST (partial-agged bucket
+  *    aggregate, output bounded by time-range/15min × #types, not by
+  *    row count) and only then gap-fills on the tiny grid;
+  *  - the MV refresh re-aggregates ONLY the delta — the raw-scan
+  *    filter is applied to the physical long column so it pushes into
+  *    the parquet scan (row-group pruning; date-partition pruning in
+  *    a real deploy), and merge cost is O(|MV| + |delta keys|).
+  */
+object Behavioral {
+
+  // ------------------------------------------------------------------
+  // q_funnel — ordered conversion funnel
+  // ------------------------------------------------------------------
+
+  /** Ordered funnel view → click → purchase: a user reaches step k+1
+    * with the earliest step-k+1 event STRICTLY after their step-k
+    * time, where the step-k time is the earliest qualifying step-k
+    * event (the standard "ordered funnel" semantics).
+    *
+    * Single-sort formulation: with rows sorted by (ts, event_id) per
+    * user, the running min of view-times t1 makes "click after t1"
+    * decidable AT THE CLICK'S OWN ROW (any view cheaper than this
+    * click sorts before it), so three chained running-min windows over
+    * ONE sort resolve all three stages — no self-joins, no per-user
+    * collect. Catalyst plans the three Window ops over a single
+    * exchange+sort, and the per-user rollup reuses the user_id
+    * partitioning. The join-chain formulation (min view ts → join
+    * clicks → min → join purchases) survives as the DuckDB oracle.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("t1", min(when($"event_type" === "view", $"us")).over(w))
+      .withColumn("q2", when($"event_type" === "click" && $"us" > $"t1", $"us"))
+      .withColumn("t2", min($"q2").over(w))
+      .withColumn("q3", when($"event_type" === "purchase" && $"us" > $"t2", $"us"))
+    staged.groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "view", 1L).otherwise(0L)).as("s1"),
+        max(when($"q2".isNotNull, 1L).otherwise(0L)).as("s2"),
+        max(when($"q3".isNotNull, 1L).otherwise(0L)).as("s3"))
+      .agg(
+        count(lit(1)).as("users_total"),
+        sum($"s1").as("users_view"),
+        sum($"s2").as("users_click"),
+        sum($"s3").as("users_purchase"))
+  }
+
+  val qFunnelSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1
+      |  FROM events GROUP BY user_id
+      |), c AS (
+      |  SELECT f.user_id, min(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN f ON e.user_id = f.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > f.t1
+      |  GROUP BY f.user_id
+      |), p AS (
+      |  SELECT c.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      |  GROUP BY c.user_id
+      |)
+      |SELECT
+      |  (SELECT count(DISTINCT user_id) FROM events) AS users_total,
+      |  (SELECT count(*) FROM f WHERE t1 IS NOT NULL) AS users_view,
+      |  (SELECT count(*) FROM c) AS users_click,
+      |  (SELECT count(*) FROM p) AS users_purchase""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_retention — daily cohort retention
+  // ------------------------------------------------------------------
+
+  /** Cohort retention: users grouped by first-activity date, each
+    * cell (cohort_day, day_offset) counting distinct users active
+    * that many days after their first touch.
+    *
+    * First touch is `groupBy(user).agg(min(ts))` — partial-aggregated
+    * (O(1) state per user per task), NOT a window. The cell counts
+    * use the two-phase exact distinct: dedup on (cohort, offset,
+    * user) — itself partial-agged — then a plain count per cell, so
+    * no reducer ever holds a cell's full user set (a mass cohort at
+    * 100 TB is exactly where `count(distinct)` reducers die). */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val firstTouch = ev.groupBy($"user_id")
+      .agg(to_date(min($"ts")).as("cohort_day"))
+    ev.join(firstTouch, "user_id")
+      .select($"cohort_day",
+        datediff(to_date($"ts"), $"cohort_day").cast("long").as("day_offset"),
+        $"user_id")
+      .distinct()
+      .groupBy($"cohort_day", $"day_offset")
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val qRetentionSql: String =
+    """WITH f AS (
+      |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT f.cohort_day,
+      |  CAST(datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+      |  count(DISTINCT e.user_id) AS active_users
+      |FROM events e JOIN f ON e.user_id = f.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_time_resample — gap-filled 15-min resample with forward fill
+  // ------------------------------------------------------------------
+
+  /** Resample bucket width (µs): 15 minutes. */
+  val resampleBucketUs: Long = 900L * 1000000L
+
+  /** Time-series resampling: per event_type, 15-minute buckets of
+    * davg(value), gap-filled over the complete [min, max] bucket grid
+    * and forward-filled from the last observed bucket (`src` marks
+    * 'obs' / 'ffill' / 'none' for leading holes).
+    *
+    * Order of operations is the scale property: the raw stream is
+    * reduced FIRST by a partial-aggregated groupBy — everything after
+    * that (grid synthesis via `sequence`, the cross join with the
+    * distinct-types side, the per-type forward-fill window) operates
+    * on at most #types × (time-range / 15 min) rows, bounded by the
+    * clock, not the data. The cross join is two post-aggregate
+    * micro-frames (documented BNLJ, ~10³ rows/side at 30 days); the
+    * forward-fill window partitions by event_type over grid rows
+    * only. Exact-decimal davg keeps filled copies bit-identical. */
+  def qTimeResample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = resampleBucketUs
+    val ev = Tables.events(s, dir).withColumn("us", unix_micros($"ts"))
+    val obs = ev
+      .withColumn("bucket_us", expr(s"(us div ${b}L) * ${b}L"))
+      .groupBy($"event_type", $"bucket_us")
+      .agg(davg($"value").as("avg_obs"), count(lit(1)).as("n_obs"))
+    val grid = ev.agg(min(expr(s"us div ${b}L")).as("b0"), max(expr(s"us div ${b}L")).as("b1"))
+      .select(explode(sequence($"b0", $"b1")).as("bk"))
+      .select(($"bk" * b).as("bucket_us"))
+    val types = ev.select($"event_type").distinct()
+    val wFill = Window.partitionBy($"event_type").orderBy($"bucket_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    types.crossJoin(grid)
+      .join(obs, Seq("event_type", "bucket_us"), "left")
+      .withColumn("avg_value", last($"avg_obs", ignoreNulls = true).over(wFill))
+      .withColumn("src",
+        when($"avg_obs".isNotNull, "obs")
+          .when($"avg_value".isNotNull, "ffill")
+          .otherwise("none"))
+      .select($"event_type", timestamp_micros($"bucket_us").as("bucket_ts"),
+        $"avg_value", coalesce($"n_obs", lit(0L)).as("n_obs"), $"src")
+      .orderBy($"event_type", $"bucket_ts")
+  }
+
+  val qTimeResampleSql: String = {
+    val b = resampleBucketUs
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_us(ts) AS us, value FROM events
+       |), obs AS (
+       |  SELECT event_type, (us // $b) * $b AS bucket_us,
+       |    ${davgSql("value")} AS avg_obs, count(*) AS n_obs
+       |  FROM ev GROUP BY 1, 2
+       |), grid AS (
+       |  SELECT unnest(generate_series(b0, b1)) * $b AS bucket_us
+       |  FROM (SELECT min(us // $b) AS b0, max(us // $b) AS b1 FROM ev)
+       |), filled AS (
+       |  SELECT t.event_type, g.bucket_us, o.avg_obs, o.n_obs,
+       |    last_value(o.avg_obs IGNORE NULLS) OVER (
+       |      PARTITION BY t.event_type ORDER BY g.bucket_us
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+       |  FROM (SELECT DISTINCT event_type FROM ev) t
+       |  CROSS JOIN grid g
+       |  LEFT JOIN obs o ON o.event_type = t.event_type AND o.bucket_us = g.bucket_us
+       |)
+       |SELECT event_type, make_timestamp(bucket_us) AS bucket_ts, avg_value,
+       |  CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+       |  CASE WHEN avg_obs IS NOT NULL THEN 'obs'
+       |       WHEN avg_value IS NOT NULL THEN 'ffill'
+       |       ELSE 'none' END AS src
+       |FROM filled
+       |ORDER BY event_type, bucket_ts""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q_histogram — equi-width distribution histogram
+  // ------------------------------------------------------------------
+
+  /** Histogram bin count. */
+  val histBins = 20
+
+  /** Equi-width histogram of o_totalprice: two bounded passes — a
+    * partial-agged global min/max (1 row, broadcast), then a row-local
+    * bin id and a partial-agged per-bin rollup. The bin arithmetic
+    * `floor((x − lo) · B / (hi − lo))` runs in double with identical
+    * operation order on both engines, so boundary values land in the
+    * same bin everywhere. Never sorts, never windows: the 100 TB
+    * histogram is exactly two map-side-combined aggregates. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nb = histBins
+    val o = Tables.orders(s, dir)
+    val mm = o.agg(min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+    o.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        least(floor(($"o_totalprice" - $"lo") * lit(nb.toDouble) / ($"hi" - $"lo")),
+          lit((nb - 1).toDouble)).cast("long"))
+      .withColumn("bin_lo", $"lo" + $"bin".cast("double") * ($"hi" - $"lo") / lit(nb.toDouble))
+      .groupBy($"bin", $"bin_lo")
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
+      .orderBy($"bin")
+  }
+
+  val qHistogramSql: String = {
+    val nb = histBins
+    s"""WITH mm AS (
+       |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+       |), binned AS (
+       |  SELECT o_totalprice,
+       |    CAST(least(floor((o_totalprice - lo) * CAST($nb.0 AS DOUBLE) / (hi - lo)),
+       |               CAST(${nb - 1}.0 AS DOUBLE)) AS BIGINT) AS bin,
+       |    lo, hi
+       |  FROM orders, mm
+       |)
+       |SELECT bin, lo + CAST(bin AS DOUBLE) * (hi - lo) / CAST($nb.0 AS DOUBLE) AS bin_lo,
+       |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+       |FROM binned
+       |GROUP BY bin, lo, hi
+       |ORDER BY bin""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q_mv_refresh — incremental materialized-view maintenance
+  // ------------------------------------------------------------------
+
+  /** Delta cutoff: events at/after this instant are "new since the
+    * last MV build". */
+  val mvCutoff = "2024-01-21 00:00:00"
+  val mvTable = "graft_events_daily_mv"
+
+  private def cutoffUs: Long =
+    java.time.LocalDateTime.parse(mvCutoff.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+
+  /** Events scanned with the time predicate applied to the PHYSICAL
+    * column (raw ns long when the file stores TIMESTAMP(NANOS)), so
+    * it pushes into the parquet scan and prunes row groups — the
+    * µs-conversion in [[Tables.events]] would otherwise hide the
+    * filter behind an expression. In a real deploy the same predicate
+    * prunes date partitions. */
+  private def eventsSlice(s: SparkSession, dir: String, since: Boolean): DataFrame = {
+    import s.implicits._
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val sliced =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        val nsCut = cutoffUs * 1000L
+        raw.filter(if (since) $"ts" >= nsCut else $"ts" < nsCut)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else {
+        val cut = lit(mvCutoff).cast("timestamp")
+        raw.filter(if (since) $"ts" >= cut else $"ts" < cut)
+      }
+    sliced
+  }
+
+  /** The MV's mergeable partial state per (event_type, day):
+    * row count + exact quantized value sum (long, order-independent —
+    * merging partials is associative/commutative by construction). */
+  private def dailyPartial(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"event_type", to_date($"ts").as("day"), $"value")
+      .groupBy($"event_type", $"day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(quantize($"value", 4).cast("long")).as("sum_q"))
+  }
+
+  /** Builds the persisted MV over the base slice (ts < cutoff). Paid
+    * once — the refresh never re-reads these rows. */
+  def buildDailyMv(s: SparkSession, dir: String, table: String = mvTable): Unit =
+    dailyPartial(eventsSlice(s, dir, since = false))
+      .write.format("parquet").mode("overwrite").saveAsTable(table)
+
+  /** §2.10 — incremental MV refresh: merge the persisted per-day
+    * partial state with a re-aggregate of ONLY the delta (ts ≥
+    * cutoff). Because the state is mergeable (count + exact quantized
+    * sum), the merge is a plain union + groupBy — partial-aggregated,
+    * touching O(|MV| + |delta keys|) rows — and the result is
+    * bit-identical to a full recompute, which is exactly what the
+    * DuckDB oracle does over all of events. The refresh scan's time
+    * predicate reaches the parquet scan (plan-asserted in PlanSpec).
+    */
+  def qMvRefresh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildDailyMv(s, dir)
+    val deltaAgg = dailyPartial(eventsSlice(s, dir, since = true))
+    s.table(mvTable).unionByName(deltaAgg)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"n_events").as("n_events"), sum($"sum_q").as("sum_q"))
+      .select($"event_type", $"day", $"n_events",
+        ($"sum_q".cast("double") / lit(10000.0)).as("sum_value"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** The delta-side plan alone (post-MV-build), exposed so PlanSpec
+    * can assert the time predicate is pushed into the events scan. */
+  private[graft] def mvDeltaPlan(s: SparkSession, dir: String): DataFrame =
+    dailyPartial(eventsSlice(s, dir, since = true))
+
+  val qMvRefreshSql: String =
+    s"""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel"        -> (qFunnel _),
+    "q_retention"     -> (qRetention _),
+    "q_time_resample" -> (qTimeResample _),
+    "q_histogram"     -> (qHistogram _),
+    "q_mv_refresh"    -> (qMvRefresh _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_funnel"        -> qFunnelSql,
+    "q_retention"     -> qRetentionSql,
+    "q_time_resample" -> qTimeResampleSql,
+    "q_histogram"     -> qHistogramSql,
+    "q_mv_refresh"    -> qMvRefreshSql
+  )
+}

@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Behavioral
+
+class BehavioralSpec extends SparkSpec {
+
+  /** Crafted event log hitting the funnel's ordering edges the random
+    * corpus can't be trusted to exercise: out-of-order steps, equal
+    * timestamps (strictly-after must exclude), and step skipping. */
+  private lazy val funnelDir: String = {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    def t(us: Long) = us * 1000000L
+    Seq(
+      // user 1: clean view → click → purchase — reaches every step
+      (1L, t(10), 1L, "view"), (2L, t(20), 1L, "click"), (3L, t(30), 1L, "purchase"),
+      // user 2: click BEFORE the first view — click must not count,
+      // and the purchase can't qualify without a qualified click
+      (4L, t(20), 2L, "view"), (5L, t(10), 2L, "click"), (6L, t(30), 2L, "purchase"),
+      // user 3: view → purchase, no click — purchase must not count
+      (7L, t(10), 3L, "view"), (8L, t(20), 3L, "purchase"),
+      // user 4: click at EXACTLY the view time — strictly-after excludes
+      (9L, t(10), 4L, "view"), (10L, t(10), 4L, "click"),
+      // user 5: purchase between view and click — the click itself
+      // qualifies (after the view) but the purchase precedes it
+      (11L, t(10), 5L, "view"), (12L, t(30), 5L, "click"), (13L, t(20), 5L, "purchase"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("funnel enforces strict step ordering") {
+    val r = Behavioral.qFunnel(spark, funnelDir).collect()(0)
+    assert(r.getLong(r.fieldIndex("users_total")) == 5L)
+    assert(r.getLong(r.fieldIndex("users_view")) == 5L)
+    assert(r.getLong(r.fieldIndex("users_click")) == 2L)    // users 1, 5
+    assert(r.getLong(r.fieldIndex("users_purchase")) == 1L) // only user 1
+  }
+
+  test("funnel plans one exchange: windows and rollup share the user_id partitioning") {
+    val p = Behavioral.qFunnel(spark, sfDir).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$p")
+  }
+
+  test("retention cells cover every cohort at offset 0 with the full cohort") {
+    val s = spark; import s.implicits._
+    val ret = Behavioral.qRetention(s, sfDir).collect()
+    assert(ret.forall(_.getLong(1) >= 0L), "no negative day offsets")
+    // offset-0 cells: every user is active on their own first day, so
+    // the sum over cohorts equals the distinct user count
+    val atZero = ret.filter(_.getLong(1) == 0L).map(_.getLong(2)).sum
+    val users = graft.sources.Tables.events(s, sfDir)
+      .select($"user_id").distinct().count()
+    assert(atZero == users, s"offset-0 sum $atZero != $users users")
+  }
+
+  test("resample emits the complete grid and forward-fills from the last observation") {
+    val s = spark; import s.implicits._
+    val out = Behavioral.qTimeResample(s, sfDir).collect()
+    val types = out.map(_.getString(0)).distinct
+    val buckets = out.map(_.getTimestamp(1)).distinct
+    assert(out.length == types.length * buckets.length, "grid must be dense")
+    // per type, walk buckets in order: ffill rows repeat the previous
+    // value; 'none' only before the first observation; n_obs=0 ⇔ hole
+    types.foreach { t =>
+      var last: Option[Double] = None
+      out.filter(_.getString(0) == t).sortBy(_.getTimestamp(1).getTime).foreach { r =>
+        val avg = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+        val nObs = r.getLong(3); val src = r.getString(4)
+        src match {
+          case "obs"   => assert(nObs > 0); last = avg
+          case "ffill" => assert(nObs == 0); assert(avg == last, s"$t $r")
+          case "none"  => assert(nObs == 0 && avg.isEmpty && last.isEmpty)
+        }
+      }
+    }
+  }
+
+  test("histogram bins partition the rows exactly") {
+    val s = spark; import s.implicits._
+    val h = Behavioral.qHistogram(s, sfDir).collect()
+    assert(h.map(_.getLong(0)).toSeq == h.map(_.getLong(0)).toSeq.sorted)
+    assert(h.map(_.getLong(2)).sum ==
+      graft.sources.Tables.orders(s, sfDir).count())
+  }
+
+  test("mv refresh merge equals a full recompute") {
+    val s = spark; import s.implicits._
+    val merged = Behavioral.qMvRefresh(s, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val full = graft.sources.Tables.events(s, sfDir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"), graft.functions.Agg.dsum($"value").as("sv"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(merged == full)
+  }
+
+  test("mv delta scan pushes the time predicate into the parquet scan") {
+    Behavioral.buildDailyMv(spark, sfDir)
+    val p = Behavioral.mvDeltaPlan(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(ts"), p)
+  }
+}
