@@ -431,7 +431,74 @@ object TextAnalysis {
        |WHERE rank <= $searchK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Entropy prefix cap: per-document work is O(distinct-chars ×
+    * prefix), bounded by the clock-constant below — a 10 GB document
+    * costs the same as a 4 KB one. */
+  val entropyPrefix = 4096
+
+  /** §2.6 #35e — character-distribution quality signals: Shannon
+    * entropy of the char histogram, distinct-char count and top-char
+    * dominance over the first [[entropyPrefix]] chars. Degenerate
+    * generated text (repeated chars, base64 blobs, mono-character
+    * padding) separates cleanly from prose on these three numbers.
+    *
+    * Row-local higher-order-function arithmetic — no shuffle, no
+    * explode (a (doc, char) explode would shuffle ~n_chars rows per
+    * doc for a per-doc reduction). Determinism: each entropy term
+    * `p·ln p` is half-up-quantized to 1e-6 BEFORE summing, making
+    * every term an integer-valued double — the sum is then exact and
+    * ORDER-INDEPENDENT, so `array_distinct`/`list_distinct` ordering
+    * differences between engines (and partitionings) cannot move the
+    * result. */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val p = entropyPrefix
+    Tables.documents(s, dir)
+      .withColumn("head", expr(s"substring(text, 1, $p)"))
+      .withColumn("n", length($"head").cast("double"))
+      .withColumn("chs",
+        expr("transform(sequence(1, length(head)), i -> substring(head, i, 1))"))
+      .withColumn("counts", expr(
+        "transform(array_distinct(chs), c -> CAST(size(filter(chs, x -> x = c)) AS DOUBLE))"))
+      .withColumn("terms", expr(
+        "transform(counts, c -> floor((c / n) * ln(c / n) * 1000000.0 + CAST(0.5 AS DOUBLE)))"))
+      .select(
+        $"doc_id",
+        size($"counts").cast("long").as("n_distinct_chars"),
+        rnd(array_max($"counts") / $"n", 6).as("top_char_ratio"),
+        (-aggregate($"terms", lit(0.0), (acc, t) => acc + t) / lit(1000000.0))
+          .as("char_entropy"))
+      .orderBy($"doc_id")
+  }
+
+  val textEntropySql: String = {
+    import graft.functions.Agg.rndSql
+    val p = entropyPrefix
+    s"""WITH d AS (
+       |  SELECT doc_id, substring(text, 1, $p) AS head FROM documents
+       |), c AS (
+       |  SELECT doc_id, CAST(length(head) AS DOUBLE) AS n,
+       |    list_transform(range(1, length(head) + 1),
+       |                   i -> substring(head, i, 1)) AS chs
+       |  FROM d
+       |), h AS (
+       |  SELECT doc_id, n,
+       |    list_transform(list_distinct(chs),
+       |                   c -> CAST(len(list_filter(chs, x -> x = c)) AS DOUBLE)) AS counts
+       |  FROM c
+       |)
+       |SELECT doc_id,
+       |  CAST(len(counts) AS BIGINT) AS n_distinct_chars,
+       |  ${rndSql("list_aggregate(counts, 'max') / n", 6)} AS top_char_ratio,
+       |  -list_aggregate(list_transform(counts,
+       |      c -> floor((c / n) * ln(c / n) * 1000000.0 + CAST(0.5 AS DOUBLE))), 'sum')
+       |    / 1000000.0 AS char_entropy
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_entropy"     -> (textEntropy _),
     "text_stats"       -> (textStats _),
     "text_quality"     -> (textQuality _),
     "text_langid"      -> (textLangid _),
@@ -443,6 +510,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_entropy"     -> textEntropySql,
     "text_stats"       -> textStatsSql,
     "text_quality"     -> textQualitySql,
     "text_langid"      -> textLangidSql,

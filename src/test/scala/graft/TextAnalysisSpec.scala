@@ -37,4 +37,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(3L) == ("[TERM] email [EMAIL] and ip [IP]", 1L, 0L, 1L, 2L))
     assert(rows(4L) == ("nothing sensitive here at all", 0L, 0L, 0L, 0L))
   }
+
+  test("char entropy separates degenerate text from prose") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (0L, "a" * 200),                       // mono-char: entropy 0
+      (1L, "ababababab" * 20),               // two-symbol: entropy 1 bit = ln 2
+      (2L, "the quick brown fox jumps over the lazy dog and then " +
+        "seventeen astronauts calibrate twelve bright telescopes"))
+    val dir = Files.createTempDirectory("graft-entropy").toString
+    docs.toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("s0").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.textEntropy(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(rows(0L) == ((1L, 1.0, 0.0)))
+    assert(rows(1L)._1 == 2L)
+    assert(math.abs(rows(1L)._3 - math.log(2)) < 1e-5, rows(1L).toString)
+    // prose: many symbols, no dominant char, entropy well above 2 nats
+    assert(rows(2L)._1 > 15L && rows(2L)._2 < 0.25 && rows(2L)._3 > 2.0)
+  }
 }
