@@ -79,11 +79,70 @@ object Layout {
        |  ${zvalExpr("l_partkey", "l_suppkey", duckShift)} AS zval
        |FROM lineitem ORDER BY position""".stripMargin
 
+  // ------------------------------------------------------------------
+  // layout_partitioned — directory-partitioned writes + pruned scans
+  // ------------------------------------------------------------------
+
+  /** Session-level memo for the staged partitioned copy of events —
+    * stands in for the production table that was WRITTEN partitioned
+    * in the first place (the write is the layout operator; queries
+    * only ever read it). */
+  private val partStage = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def stagePartitioned(s: SparkSession, dir: String): String =
+    partStage.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+      val ev = Tables.events(s, dir)
+        .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+          $"event_type", $"value")
+      graft.sources.Sinks.writePartitioned(ev, s"$out/events_by_type", "event_type")
+      out
+    })
+
+  /** §2.9 #46b — partition-pruned scan over a directory-partitioned
+    * table: events written `partitionBy(event_type)` (Hive layout,
+    * [[graft.sources.Sinks.writePartitioned]]), then a two-type
+    * filter aggregated per day. The filter matches the partition
+    * column, so pruning happens at FILE LISTING time — non-matching
+    * directories are never opened, let alone read (LayoutSpec asserts
+    * the scanned file set via `inputFiles`). At 100 TB with a
+    * date-partitioned fact table this is the first and biggest lever:
+    * the scan is sized by the predicate, not the table. */
+  def layoutPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.dsum
+    prunedScan(s, dir)
+      .groupBy($"event_type", to_date(timestamp_micros($"us")).as("day"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** The pruned read alone, exposed for LayoutSpec's file-set
+    * assertion. */
+  private[graft] def prunedScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"${stagePartitioned(s, dir)}/events_by_type")
+      .filter(col("event_type").isin("purchase", "click"))
+  }
+
+  val layoutPartitionedSql: String = {
+    import graft.functions.Agg.dsumSql
+    s"""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM events
+       |WHERE event_type IN ('purchase', 'click')
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder" -> (zorderLayout _)
+    "layout_zorder"      -> (zorderLayout _),
+    "layout_partitioned" -> (layoutPartitioned _)
   )
 
   def oracles: Map[String, String] = Map(
-    "layout_zorder" -> zorderLayoutSql
+    "layout_zorder"      -> zorderLayoutSql,
+    "layout_partitioned" -> layoutPartitionedSql
   )
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Agg.{dsum, dsumSql}
+import graft.sources.Tables
+
+/** §2.11 Landing-format sources — CSV and JSON-lines ingestion.
+  *
+  * A batch engine's tables rarely start life as parquet: crawls and
+  * event logs land as CSV / JSONL. The engine's readers
+  * ([[Tables.readCsv]] / [[Tables.readJsonLines]]) are
+  * schema-mandatory (inference double-reads and guesses — both
+  * unacceptable at 100 TB) and both formats are line-splittable, so a
+  * 1 TB landing file parallelizes across tasks like parquet does,
+  * minus the column pruning.
+  *
+  * [[sourceFormats]] is the roundtrip PROOF, not just a reader smoke
+  * test: events are serialized to both text formats once, read back
+  * through the engine's readers, and aggregated per (format, type)
+  * with exact sums and timestamp extrema. The DuckDB oracle computes
+  * the same aggregate from the original PARQUET — hash-equality holds
+  * only if text serialization round-trips every long, double
+  * (shortest-roundtrip rendering on both write paths) and µs
+  * timestamp bit-exactly through parse → aggregate.
+  */
+object SourceFormats {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("us", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Staged text copies of events, written once per dataset (the
+    * production analog: the landing files simply EXIST; nothing
+    * re-serializes per query). Timestamps ride as µs longs — the
+    * lossless wire form of a TIMESTAMP(NANOS)-floored-to-µs column. */
+  private val stage = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def staged(s: SparkSession, dir: String): String =
+    stage.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-landing").toString
+      val ev = Tables.events(s, dir).select($"event_id",
+        unix_micros($"ts").as("us"), $"user_id", $"event_type", $"value")
+      ev.write.option("header", "true").mode("overwrite").csv(s"$out/events_csv")
+      ev.write.mode("overwrite").json(s"$out/events_jsonl")
+      out
+    })
+
+  /** Per-(format, event_type) rollup of both text-format reads:
+    * row count, exact value sum, µs-timestamp extrema. */
+  def sourceFormats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = staged(s, dir)
+    val csv = Tables.readCsv(s, s"$root/events_csv", eventSchema)
+      .withColumn("format", lit("csv"))
+    val jsonl = Tables.readJsonLines(s, s"$root/events_jsonl", eventSchema)
+      .withColumn("format", lit("jsonl"))
+    csv.unionByName(jsonl)
+      .groupBy($"format", $"event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        dsum($"value").as("sum_value"),
+        min($"us").as("min_us"),
+        max($"us").as("max_us"))
+      .orderBy($"format", $"event_type")
+  }
+
+  val sourceFormatsSql: String =
+    s"""WITH agg AS (
+       |  SELECT event_type, count(*) AS n_rows,
+       |    ${dsumSql("value")} AS sum_value,
+       |    min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT f.format, a.event_type, a.n_rows, a.sum_value, a.min_us, a.max_us
+       |FROM (VALUES ('csv'), ('jsonl')) f(format)
+       |CROSS JOIN agg a
+       |ORDER BY f.format, a.event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_formats" -> (sourceFormats _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "source_formats" -> sourceFormatsSql
+  )
+}
