@@ -64,6 +64,27 @@ object GraftExpressions {
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[TokenFingerprint].getName, "graft_fingerprint"),
       (es: Seq[Expression]) => TokenFingerprint(es(0))))
+    // Spark's internal bloom-filter pair (what InjectRuntimeFilter
+    // plants automatically when stats allow), surfaced as session
+    // functions so the engine can build EXPLICIT semi-join reductions:
+    // aggregate a key set into one bloom blob, prefilter the probe
+    // side before its exchange. Thin registration only — the
+    // expressions themselves are Spark's, not reimplemented.
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          es(0), es(1), es(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
   }

@@ -898,6 +898,66 @@ object Relational {
 
   // -------------------------------------------------------------------
 
+  /** Nation whose suppliers form the bloom build side. */
+  val bloomNation = "NATION_3"
+
+  /** §2.3 #24i — bloom-prefiltered fact⋈dim join (explicit semi-join
+    * reduction): the build side's KEY SET is aggregated into one
+    * bloom blob (Spark's own `BloomFilterAggregate`, surfaced as
+    * `graft_bloom_agg`), and the probe side is filtered with
+    * `might_contain` BEFORE its exchange. This is the shuffle-
+    * reduction play for the case broadcast can't cover at 100 TB: the
+    * build side is too big to broadcast as ROWS, but its key set fits
+    * a bloom of a few MB. False positives don't threaten correctness
+    * — the real join still runs (hinted shuffle_hash, standing in for
+    * the at-scale non-broadcastable case) — they only cost unpruned
+    * rows, so the result is exactly the plain join's (= the oracle;
+    * PlanSpec asserts the might_contain filter sits under the probe
+    * exchange and measures the pruning). The bloom blob itself is the
+    * only driver traffic (bounded, ~100 KB) — the production analog
+    * of InjectRuntimeFilter's subquery broadcast. */
+  def qBloomPrejoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter($"n_name" === bloomNation)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"s_name")
+    val bloom = sup
+      .agg(expr("graft_bloom_agg(xxhash64(s_suppkey), 100000L, 800000L)"))
+      .head.getAs[Array[Byte]](0)
+    val li = Tables.lineitem(s, dir)
+      .filter(call_function("graft_might_contain", lit(bloom), xxhash64($"l_suppkey")))
+    li.hint("shuffle_hash").join(sup, $"l_suppkey" === $"s_suppkey")
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(count(lit(1)).as("n_items"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  val qBloomPrejoinSql: String =
+    s"""SELECT s_suppkey, s_name, count(*) AS n_items,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem, supplier, nation
+       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND n_name = '$bloomNation'
+       |GROUP BY s_suppkey, s_name
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** The bloom-prefiltered probe side alone, exposed for PlanSpec's
+    * pruning measurement. */
+  private[graft] def bloomProbeSide(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter($"n_name" === bloomNation)),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val bloom = sup
+      .agg(expr("graft_bloom_agg(xxhash64(s_suppkey), 100000L, 800000L)"))
+      .head.getAs[Array[Byte]](0)
+    Tables.lineitem(s, dir)
+      .filter(call_function("graft_might_contain", lit(bloom), xxhash64($"l_suppkey")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
@@ -925,7 +985,8 @@ object Relational {
     "q_table_upsert"     -> (qTableUpsert _),
     "q_grouping_sets"    -> (qGroupingSets _),
     "q_salted_distinct"  -> (qSaltedDistinct _),
-    "q_window_funcs"     -> (qWindowFuncs _)
+    "q_window_funcs"     -> (qWindowFuncs _),
+    "q_bloom_prejoin"    -> (qBloomPrejoin _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -953,6 +1014,7 @@ object Relational {
     "q_table_upsert"     -> qTableUpsertSql,
     "q_grouping_sets"    -> qGroupingSetsSql,
     "q_salted_distinct"  -> qSaltedDistinctSql,
-    "q_window_funcs"     -> qWindowFuncsSql
+    "q_window_funcs"     -> qWindowFuncsSql,
+    "q_bloom_prejoin"    -> qBloomPrejoinSql
   )
 }

@@ -225,6 +225,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("bloom prejoin filters the probe side before its exchange") {
+    val s = spark; import s.implicits._
+    val df = Relational.qBloomPrejoin(s, sfDir)
+    val p = plan(df)
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    // the bloom filter must sit UNDER the probe exchange: the scan-side
+    // filter line carrying might_contain appears after (deeper than)
+    // the exchange line in the tree rendering
+    val lines = p.linesIterator.toVector
+    val exch = lines.indexWhere(_.contains("Exchange hashpartitioning(l_suppkey"))
+    val filt = lines.indexWhere(_.contains("might_contain"))
+    assert(exch >= 0 && filt > exch, p)
+    // and it actually prunes: at 25 nations the one-nation supplier
+    // set passes well under a fifth of lineitem through the shuffle
+    val total = graft.sources.Tables.lineitem(s, sfDir).count()
+    val passed = Relational.bloomProbeSide(s, sfDir).count()
+    assert(passed > 0 && passed * 5 < total, s"passed=$passed total=$total")
+  }
+
   test("minhash banding join carries no raw shingle arrays through the shuffle") {
     val p = plan(Dedup.dedupMinhash(spark, sfDir))
     // signatures are row-local: the only wide arrays crossing an
