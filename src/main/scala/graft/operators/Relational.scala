@@ -958,6 +958,72 @@ object Relational {
       .filter(call_function("graft_might_contain", lit(bloom), xxhash64($"l_suppkey")))
   }
 
+  /** §2.3 #24j — one-pass table profiling (the ANALYZE-TABLE shape):
+    * row count, per-column null counts, exact distinct cardinalities
+    * and value extrema for lineitem, all in ONE aggregate. Multiple
+    * exact count(distinct) in one agg is the interesting plan:
+    * Catalyst rewrites them through a single Expand (one row per
+    * distinct-agg per input row) + two-phase aggregate — one scan, no
+    * per-column jobs, partial aggregation throughout. At 100 TB this
+    * is the difference between profiling in one pass and N passes;
+    * columns whose NDV explodes switch to [[qApproxDistinct]]'s HLL
+    * path. */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countIf($"l_returnflag".isNull).as("null_returnflag"),
+      countIf($"l_shipdate".isNull).as("null_shipdate"),
+      count_distinct($"l_returnflag").as("ndv_returnflag"),
+      count_distinct($"l_linestatus").as("ndv_linestatus"),
+      count_distinct($"l_suppkey").as("ndv_suppkey"),
+      min($"l_quantity").as("min_qty"),
+      max($"l_quantity").as("max_qty"),
+      min($"l_shipdate").as("min_shipdate"),
+      max($"l_shipdate").as("max_shipdate"))
+  }
+
+  val qProfileSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_returnflag,
+      |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_shipdate,
+      |  count(DISTINCT l_returnflag) AS ndv_returnflag,
+      |  count(DISTINCT l_linestatus) AS ndv_linestatus,
+      |  count(DISTINCT l_suppkey) AS ndv_suppkey,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_quantity) AS max_qty,
+      |  min(l_shipdate) AS min_shipdate,
+      |  max(l_shipdate) AS max_shipdate
+      |FROM lineitem""".stripMargin
+
+  /** §2.3 #24k — decorrelated scalar-subquery pattern: parts priced
+    * above their brand's average ("for each row, compare to its
+    * group's aggregate"). Users write the correlated subquery (= the
+    * oracle); the engine's shape is the decorrelation every optimizer
+    * performs: ONE partial-agged groupBy over the table + an
+    * equi-join back — two scans, zero per-row subquery executions,
+    * and the per-brand frame is dimension-sized so AQE broadcasts
+    * it. */
+  def qDecorrelate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = Tables.part(s, dir)
+    val brandAvg = part.groupBy($"p_brand")
+      .agg(davg($"p_retailprice").as("brand_avg"))
+    part.join(brandAvg, "p_brand")
+      .filter($"p_retailprice" > $"brand_avg")
+      .select($"p_partkey", $"p_brand", $"p_retailprice", $"brand_avg")
+      .orderBy($"p_partkey")
+  }
+
+  val qDecorrelateSql: String =
+    s"""SELECT p_partkey, p_brand, p_retailprice,
+       |  (SELECT ${davgSql("p2.p_retailprice")} FROM part p2
+       |   WHERE p2.p_brand = p.p_brand) AS brand_avg
+       |FROM part p
+       |WHERE p_retailprice > (SELECT ${davgSql("p2.p_retailprice")} FROM part p2
+       |                       WHERE p2.p_brand = p.p_brand)
+       |ORDER BY p_partkey""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
@@ -986,7 +1052,9 @@ object Relational {
     "q_grouping_sets"    -> (qGroupingSets _),
     "q_salted_distinct"  -> (qSaltedDistinct _),
     "q_window_funcs"     -> (qWindowFuncs _),
-    "q_bloom_prejoin"    -> (qBloomPrejoin _)
+    "q_bloom_prejoin"    -> (qBloomPrejoin _),
+    "q_profile"          -> (qProfile _),
+    "q_decorrelate"      -> (qDecorrelate _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1015,6 +1083,8 @@ object Relational {
     "q_grouping_sets"    -> qGroupingSetsSql,
     "q_salted_distinct"  -> qSaltedDistinctSql,
     "q_window_funcs"     -> qWindowFuncsSql,
-    "q_bloom_prejoin"    -> qBloomPrejoinSql
+    "q_bloom_prejoin"    -> qBloomPrejoinSql,
+    "q_profile"          -> qProfileSql,
+    "q_decorrelate"      -> qDecorrelateSql
   )
 }

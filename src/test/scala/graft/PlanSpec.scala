@@ -245,6 +245,19 @@ class PlanSpec extends SparkSpec {
     assert(passed > 0 && passed * 5 < total, s"passed=$passed total=$total")
   }
 
+  test("profile computes all distinct-aggs in one Expand pass") {
+    val p = plan(Relational.qProfile(spark, sfDir))
+    assert(p.contains("Expand"), p)
+    // one scan: a single lineitem FileScan in the whole plan
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("decorrelated brand-average join broadcasts the aggregate side") {
+    val p = plan(Relational.qDecorrelate(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("minhash banding join carries no raw shingle arrays through the shuffle") {
     val p = plan(Dedup.dedupMinhash(spark, sfDir))
     // signatures are row-local: the only wide arrays crossing an
