@@ -452,6 +452,72 @@ object Pipeline {
        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin
   }
 
+  /** §2.8 — per-source distribution-drift monitor: KL(source ‖
+    * corpus) over add-one-smoothed unigram distributions. The signal
+    * a continuously-ingesting pipeline watches per shard/source: a
+    * crawler gone wrong, a domain shift, or an injected spam source
+    * moves its KL away from the fleet baseline long before any
+    * downstream metric does.
+    *
+    * KL = Σ_t p_s(t)·ln(p_s(t)/p_g(t)) over the FULL corpus vocab
+    * (smoothing makes both sides strictly positive, so absent tokens
+    * contribute too — a true KL, not a coverage-weighted proxy).
+    *
+    * Scale layout: one corpus explode into (source, token) with
+    * partial-agged counts; everything after is VOCAB-bounded — the
+    * sources × vocab frame (the only non-corpus-linear piece, ~10⁹
+    * rows at web vocab × hundreds of sources, far under the corpus)
+    * left-joins the per-source counts and reduces per source. Each
+    * KL term is half-up-quantized at 1e-9 and summed exactly as
+    * LONG, so the result is bit-stable under any partitioning and
+    * identical to the oracle's sequential sum. */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val occ = Tables.documents(s, dir)
+      .select($"source", explode(expr(TA.toksExpr)).as("token"))
+    val sc = occ.groupBy($"source", $"token").agg(count(lit(1)).as("cs"))
+    val st = occ.groupBy($"source").agg(count(lit(1)).as("tot_s"))
+    val gc = occ.groupBy($"token").agg(count(lit(1)).as("cg"))
+    val g = occ.agg(count(lit(1)).as("tot_g"), count_distinct($"token").as("v"))
+    val terms = st.crossJoin(gc)
+      .join(sc, Seq("source", "token"), "left")
+      .crossJoin(broadcast(g))
+      .select($"source", $"tot_s",
+        expr("""CAST(floor(
+          |  ((CAST(coalesce(cs, 0) AS DOUBLE) + 1.0) / (CAST(tot_s AS DOUBLE) + CAST(v AS DOUBLE)))
+          |  * ln(((CAST(coalesce(cs, 0) AS DOUBLE) + 1.0) / (CAST(tot_s AS DOUBLE) + CAST(v AS DOUBLE)))
+          |       / ((CAST(cg AS DOUBLE) + 1.0) / (CAST(tot_g AS DOUBLE) + CAST(v AS DOUBLE))))
+          |  * 1000000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)""".stripMargin).as("tq"))
+    terms.groupBy($"source")
+      .agg(max($"tot_s").as("n_tokens"),
+        rnd(sum($"tq").cast("double") / lit(1000000000.0), 6).as("kl_nats"))
+      .orderBy($"source")
+  }
+
+  val corpusDriftSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH occ AS (
+       |  SELECT source, unnest(${TA.duckToks}) AS token FROM documents
+       |), sc AS (SELECT source, token, count(*) AS cs FROM occ GROUP BY 1, 2),
+       |st AS (SELECT source, count(*) AS tot_s FROM occ GROUP BY 1),
+       |gc AS (SELECT token, count(*) AS cg FROM occ GROUP BY 1),
+       |g AS (SELECT count(*) AS tot_g, count(DISTINCT token) AS v FROM occ),
+       |terms AS (
+       |  SELECT st.source, st.tot_s,
+       |    CAST(floor(
+       |      ((CAST(coalesce(sc.cs, 0) AS DOUBLE) + 1.0) / (CAST(st.tot_s AS DOUBLE) + CAST(g.v AS DOUBLE)))
+       |      * ln(((CAST(coalesce(sc.cs, 0) AS DOUBLE) + 1.0) / (CAST(st.tot_s AS DOUBLE) + CAST(g.v AS DOUBLE)))
+       |           / ((CAST(gc.cg AS DOUBLE) + 1.0) / (CAST(g.tot_g AS DOUBLE) + CAST(g.v AS DOUBLE))))
+       |      * 1000000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS tq
+       |  FROM st CROSS JOIN gc
+       |  LEFT JOIN sc ON sc.source = st.source AND sc.token = gc.token, g
+       |)
+       |SELECT source, max(tot_s) AS n_tokens,
+       |  ${rndSql("CAST(sum(tq) AS DOUBLE) / 1000000000.0", 6)} AS kl_nats
+       |FROM terms GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Seed for the deterministic training-order shuffle. */
   val shuffleSeed = 42
 
@@ -574,6 +640,7 @@ object Pipeline {
     "corpus_shuffle"    -> (corpusShuffle _),
     "corpus_heavy_hitters" -> (corpusHeavyHitters _),
     "text_lm_score"     -> (textLmScore _),
+    "corpus_drift"      -> (corpusDrift _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
@@ -587,6 +654,7 @@ object Pipeline {
     "corpus_shuffle"    -> corpusShuffleSql,
     "corpus_heavy_hitters" -> corpusHeavyHittersSql,
     "text_lm_score"     -> textLmScoreSql,
+    "corpus_drift"      -> corpusDriftSql,
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,

@@ -233,4 +233,27 @@ class PipelineSpec extends SparkSpec {
     assert(rows.tail.toSet == Set(("y x", 1L, 1L), ("y z", 1L, 1L), ("x y q", 0L, 0L), ("y q", 1L, 1L)).filter(_._2 > 0))
     assert(rows.map(_._2) == rows.map(_._2).sorted.reverse)
   }
+
+  test("corpus drift flags the alien source and scores clones near zero") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-drift").toString
+    val prose = "the quick brown fox jumps over the lazy dog near calm rivers"
+    Seq(
+      (0L, prose, "organic_a"), (1L, prose, "organic_a"),
+      (2L, prose, "organic_b"), (3L, prose, "organic_b"),
+      // injected spam: disjoint vocabulary, same token count
+      (4L, "zzq wkx vvp qqj zzq wkx vvp qqj zzq wkx vvp qqj", "spam"))
+      .toDF("doc_id", "text", "source")
+      .select($"doc_id", $"text", lit("en").as("lang"), $"source",
+        length($"text").cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kl = Pipeline.corpusDrift(s, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // identical sources measure identically; the disjoint-vocab source
+    // sits far above both (absolute magnitudes stay modest at tiny
+    // token counts — add-one smoothing dominates — so test the RATIO)
+    assert(kl("organic_a") == kl("organic_b"), kl.toString)
+    assert(kl("spam") > 5.0 * kl("organic_a"), kl.toString)
+    assert(kl.values.forall(_ >= 0.0), "KL is non-negative")
+  }
 }
