@@ -652,6 +652,40 @@ object Relational {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** §2.3 #23b — unpivot (melt): the wide per-user event-type matrix
+    * of [[qEventsPivot]] folded back to long form via `stack` — the
+    * inverse reshape every feature pipeline needs when a wide
+    * feature table feeds a long-format consumer. `stack` is a
+    * row-local generator (one row in, #types out, no shuffle beyond
+    * the pivot's own aggregate); zero-count cells are kept so the
+    * round trip is total. The oracle is the direct long-form
+    * aggregate with an explicit type spine — proving
+    * pivot→unpivot ≡ identity. */
+  def qEventsUnpivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "view", "signup", "purchase", "error")
+    val stackArgs = types.map(t => s"'$t', n_$t").mkString(", ")
+    qEventsPivot(s, dir)
+      .select($"user_id",
+        expr(s"stack(${types.size}, $stackArgs) AS (event_type, n_events)"))
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val qEventsUnpivotSql: String =
+    """WITH spine AS (
+      |  SELECT u.user_id, t.event_type
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |  CROSS JOIN (VALUES ('click'), ('view'), ('signup'), ('purchase'), ('error')) t(event_type)
+      |), cnt AS (
+      |  SELECT user_id, event_type, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT s.user_id, s.event_type,
+      |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+      |FROM spine s LEFT JOIN cnt c
+      |  ON s.user_id = c.user_id AND s.event_type = c.event_type
+      |ORDER BY s.user_id, s.event_type""".stripMargin
+
   /** Gap sessionization via Spark's native session_window — merges
     * events closer than the gap into one session; the same operator
     * runs unchanged under Structured Streaming (parity spec). A
@@ -1044,6 +1078,7 @@ object Relational {
     "q_events_sessionize"-> (qEventsSessionize _),
     "q_session_window"   -> (qSessionWindow _),
     "q_events_pivot"     -> (qEventsPivot _),
+    "q_events_unpivot"   -> (qEventsUnpivot _),
     "q_asof_join"        -> (qAsofJoin _),
     "q_asof_forward"     -> (qAsofForward _),
     "q_interval_overlap" -> (qIntervalOverlap _),
@@ -1075,6 +1110,7 @@ object Relational {
     "q_events_sessionize"-> qEventsSessionizeSql,
     "q_session_window"   -> qSessionWindowSql,
     "q_events_pivot"     -> qEventsPivotSql,
+    "q_events_unpivot"   -> qEventsUnpivotSql,
     "q_asof_join"        -> qAsofJoinSql,
     "q_asof_forward"     -> qAsofForwardSql,
     "q_interval_overlap" -> qIntervalOverlapSql,
