@@ -14,6 +14,17 @@ final case class StreamEvent(event_type: String, ts_us: Long, event_id: Long)
   * number and the fill of the open batch. */
 final case class SizeFlushState(seq: Long, count: Long, minUs: Long, maxUs: Long)
 
+/** Event shape for the streaming funnel (user key + ordering cols). */
+final case class FunnelEvent(
+  user_id: Long, event_type: String, ts_us: Long, event_id: Long)
+
+/** Per-user funnel state: earliest qualified time per step (−1 =
+  * unreached). Three longs — O(1) per user. */
+final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+/** One step-reach emission. */
+final case class FunnelHit(user_id: Long, step: Long, ts_us: Long)
+
 /** One completed size-triggered flush (micros; converted to
   * timestamps at the DataFrame edge). */
 final case class SizeFlushOut(
@@ -220,9 +231,98 @@ object StreamOps {
       |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** §2.4 #29h — streaming ordered funnel (the CEP pattern): per-user
+    * state machine over view → click → purchase with the batch
+    * [[graft.operators.Behavioral.qFunnel]] semantics (strictly-after
+    * step times), emitting one append-mode record the moment a user
+    * REACHES a step. State is three longs per user — O(1), the
+    * smallest possible for a 3-step funnel — and a user who finished
+    * the funnel never grows state again (production evicts finished/
+    * stale users via a state timeout; the replay harness keeps
+    * NoTimeout so parity with batch is exact). Events are imposed
+    * into (ts, event_id) order per key within each micro-batch — the
+    * per-key ordered-delivery assumption every streaming CEP engine
+    * makes (same contract as [[sizeFlushes]]).
+    *
+    * The oracle is the batch funnel's join-chain: step-k reach times
+    * from the events table — streaming emissions run to completion
+    * must equal them exactly. */
+  private[graft] def funnelFn(
+      userId: Long,
+      events: Iterator[FunnelEvent],
+      state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+    val out = Vector.newBuilder[FunnelHit]
+    sorted.foreach { e =>
+      e.event_type match {
+        case "view" if st.t1 < 0 =>
+          st = st.copy(t1 = e.ts_us); out += FunnelHit(userId, 1L, e.ts_us)
+        case "click" if st.t1 >= 0 && st.t2 < 0 && e.ts_us > st.t1 =>
+          st = st.copy(t2 = e.ts_us); out += FunnelHit(userId, 2L, e.ts_us)
+        case "purchase" if st.t2 >= 0 && st.t3 < 0 && e.ts_us > st.t2 =>
+          st = st.copy(t3 = e.ts_us); out += FunnelHit(userId, 3L, e.ts_us)
+        case _ => ()
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  def funnelHits(s: SparkSession, dir: String): Dataset[FunnelHit] = {
+    import s.implicits._
+    StreamAcc.eventsStream(s, dir)
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"), $"event_id")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(funnelFn)
+  }
+
+  def runFunnelToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_funnel"): DataFrame = {
+    import s.implicits._
+    val q = funnelHits(s, dir).toDF().writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select($"user_id", $"step", timestamp_micros($"ts_us").as("ts"))
+      .orderBy($"user_id", $"step")
+  }
+
+  /** Oracle: the join-chain funnel — one row per (user, reached
+    * step) with the step's reach time. */
+  val streamFunnelSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1
+      |  FROM events GROUP BY user_id
+      |), c AS (
+      |  SELECT f.user_id, min(epoch_us(e.ts)) AS t2
+      |  FROM events e JOIN f ON e.user_id = f.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > f.t1
+      |  GROUP BY f.user_id
+      |), p AS (
+      |  SELECT c.user_id, min(epoch_us(e.ts)) AS t3
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      |  GROUP BY c.user_id
+      |)
+      |SELECT user_id, CAST(1 AS BIGINT) AS step, make_timestamp(t1) AS ts
+      |FROM f WHERE t1 IS NOT NULL
+      |UNION ALL
+      |SELECT user_id, 2, make_timestamp(t2) FROM c
+      |UNION ALL
+      |SELECT user_id, 3, make_timestamp(t3) FROM p
+      |ORDER BY user_id, step""".stripMargin
+
   /** Driver-contract entries (parity with batch results is also
     * asserted in StreamOpsSpec). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_funnel" -> ((s, dir) =>
+      runFunnelToCompletion(s, dir, sink = "stream_funnel_verify")),
     "stream_sessionize" -> ((s, dir) =>
       runSessionsToCompletion(s, dir, sink = "stream_sessions_verify")),
     "stream_acc_size_flush" -> ((s, dir) =>
@@ -253,6 +353,7 @@ object StreamOps {
   /** stream_sessionize runs the same session_window operator as the
     * batch q_session_window, so it shares that oracle verbatim. */
   def oracles: Map[String, String] = Map(
+    "stream_funnel"         -> streamFunnelSql,
     "stream_acc_size_flush" -> streamSizeFlushSql,
     "stream_sessionize"     -> graft.operators.Relational.qSessionWindowSql,
     // stateless stream == batch: shares the batch filter's oracle

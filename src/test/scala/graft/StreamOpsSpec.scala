@@ -80,4 +80,39 @@ class StreamOpsSpec extends SparkSpec {
       s"streamed=${streamed.size} batch=${batch.size}; " +
         s"diff=${(streamed -- batch).take(2)} / ${(batch -- streamed).take(2)}")
   }
+
+  test("streaming funnel step-reach counts equal the batch funnel") {
+    val s = spark; import s.implicits._
+    val hits = StreamOps.runFunnelToCompletion(s, sfDir, sink = "funnel_parity")
+      .groupBy($"step").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = operators.Behavioral.qFunnel(s, sfDir).collect()(0)
+    assert(hits.getOrElse(1L, 0L) == b.getLong(b.fieldIndex("users_view")))
+    assert(hits.getOrElse(2L, 0L) == b.getLong(b.fieldIndex("users_click")))
+    assert(hits.getOrElse(3L, 0L) == b.getLong(b.fieldIndex("users_purchase")))
+  }
+
+  test("funnel state machine carries progress across micro-batches") {
+    import graft.streaming.{FunnelEvent, FunnelState, FunnelHit}
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[FunnelState](
+      optionalState = org.apache.spark.api.java.Optional.empty[FunnelState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // micro-batch 1: view then a too-early click (same ts — rejected)
+    val b1 = StreamOps.funnelFn(7L, Iterator(
+      FunnelEvent(7L, "view", 100L, 1L),
+      FunnelEvent(7L, "click", 100L, 2L)), st).toList
+    assert(b1 == List(FunnelHit(7L, 1L, 100L)), b1.toString)
+    // micro-batch 2: the qualifying click, then purchase — state
+    // remembered t1 from the previous batch
+    val b2 = StreamOps.funnelFn(7L, Iterator(
+      FunnelEvent(7L, "purchase", 150L, 3L), // before any click: rejected
+      FunnelEvent(7L, "click", 200L, 4L),
+      FunnelEvent(7L, "purchase", 300L, 5L)), st).toList
+    assert(b2 == List(FunnelHit(7L, 2L, 200L), FunnelHit(7L, 3L, 300L)), b2.toString)
+    assert(st.get == FunnelState(100L, 200L, 300L))
+  }
 }
