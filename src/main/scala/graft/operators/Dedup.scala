@@ -168,6 +168,19 @@ object Dedup {
     * the SQL side's shared `ngramPairCtes` core. */
   private[operators] def ngramPairs(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
     import s.implicits._
+    interPairs(s, dir, dfCap)
+      .withColumn("jaccard",
+        expr(rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)))
+      .filter($"jaccard" >= jaccardTau)
+      .select($"doc1", $"doc2", $"inter", $"jaccard")
+  }
+
+  /** Shared intersection core: undirected (doc1 < doc2) shingle-
+    * overlap pairs with both endpoint sizes — Jaccard
+    * ([[ngramPairs]]) and containment ([[dedupContainment]]) are two
+    * normalizations of this one frame. */
+  private[operators] def interPairs(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    import s.implicits._
     val ex = shingled(s, dir).select($"doc_id", explode($"shingles").as("s"))
     val capped = ex
       .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
@@ -183,16 +196,50 @@ object Dedup {
     pairs
       .join(sizes.select($"doc_id".as("doc1"), $"n_sh".as("n1")), "doc1")
       .join(sizes.select($"doc_id".as("doc2"), $"n_sh".as("n2")), "doc2")
-      .withColumn("jaccard",
-        expr(rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)))
-      .filter($"jaccard" >= jaccardTau)
-      .select($"doc1", $"doc2", $"inter", $"jaccard")
   }
+
+  /** Containment threshold for [[dedupContainment]]. */
+  val containmentTau = 0.8
+
+  /** §2.4 #26b — directional containment (quote/subset detection):
+    * contained ⊂ container pairs where |A∩B|/|A| ≥ τ over the
+    * df-capped shingle space. The asymmetric complement of Jaccard:
+    * a short document wholly quoted inside a long one scores
+    * containment ≈ 1 while its Jaccard stays far below any near-dup
+    * threshold — so document-level dedup never sees it. Same single
+    * shuffle of the exploded corpus as [[ngramPairs]] (one
+    * [[interPairs]] frame, both directions emitted row-locally from
+    * the undirected pair). */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = interPairs(s, dir, shingleDfCap)
+    val fwd = p.select($"doc1".as("contained"), $"doc2".as("container"),
+      $"inter", expr(rndSql("CAST(inter AS DOUBLE) / n1", 6)).as("containment"))
+    val rev = p.select($"doc2".as("contained"), $"doc1".as("container"),
+      $"inter", expr(rndSql("CAST(inter AS DOUBLE) / n2", 6)).as("containment"))
+    fwd.unionByName(rev)
+      .filter($"containment" >= containmentTau)
+      .orderBy($"contained", $"container")
+  }
+
+  // lazy: ngramInterCtes is declared further down the object body
+  lazy val dedupContainmentSql: String =
+    s"""WITH $ngramInterCtes,
+       |directed AS (
+       |  SELECT doc1 AS contained, doc2 AS container, inter,
+       |    ${rndSql("CAST(inter AS DOUBLE) / n1", 6)} AS containment
+       |  FROM ip
+       |  UNION ALL
+       |  SELECT doc2, doc1, inter, ${rndSql("CAST(inter AS DOUBLE) / n2", 6)}
+       |  FROM ip)
+       |SELECT contained, container, inter, containment
+       |FROM directed WHERE containment >= $containmentTau
+       |ORDER BY contained, container""".stripMargin
 
   /** Shared CTE chain producing `scored(doc1, doc2, inter, jaccard)` —
     * the τ-filtered near-dup pair set. Used by both the pair oracle and
     * the cluster oracle's edge list. */
-  private val ngramPairCtes: String =
+  private val ngramCoreCtes: String =
     s"""sh AS (
        |  $shingledSql),
        |e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -204,7 +251,19 @@ object Dedup {
        |pairs AS (
        |  SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
        |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** [[ngramCoreCtes]] + both endpoint sizes — mirrors [[interPairs]]. */
+  private val ngramInterCtes: String =
+    s"""$ngramCoreCtes,
+       |ip AS (
+       |  SELECT doc1, doc2, inter, s1.n_sh AS n1, s2.n_sh AS n2
+       |  FROM pairs
+       |  JOIN sz s1 ON doc1 = s1.doc_id
+       |  JOIN sz s2 ON doc2 = s2.doc_id)""".stripMargin
+
+  private val ngramPairCtes: String =
+    s"""$ngramCoreCtes,
        |scored AS (
        |  SELECT doc1, doc2, inter,
        |    ${rndSql("CAST(inter AS DOUBLE) / (s1.n_sh + s2.n_sh - inter)", 6)} AS jaccard
@@ -671,6 +730,7 @@ object Dedup {
     "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_containment"   -> (dedupContainment _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
@@ -686,6 +746,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "dedup_exact"         -> dedupExactSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_containment"   -> dedupContainmentSql,
     "dedup_embedding"     -> dedupEmbeddingSql,
     "dedup_clusters"      -> dedupClustersSql,
     // banding recall is total on the driver corpora (checked at
