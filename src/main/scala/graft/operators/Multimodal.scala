@@ -19,6 +19,11 @@ final case class Frame(
   asset_id: Long, frame_idx: Long, offset: Long,
   width: Int, height: Int, checksum: Long)
 
+/** One stub-inference output: 4 stride-summed byte statistics
+  * standing in for a model embedding. */
+final case class InferOut(
+  asset_id: Long, n_bytes: Long, e0: Double, e1: Double, e2: Double, e3: Double)
+
 /** §2.7 Multimodal columns.
   *
   * Media payloads are opaque `binary` columns + typed metadata —
@@ -232,16 +237,100 @@ object Multimodal {
   }
 
   // -------------------------------------------------------------------
+  // mm_batch_infer — batched model-inference plumbing
+  // -------------------------------------------------------------------
+
+  /** Inference micro-batch size (a real pipeline sizes this to GPU
+    * memory). */
+  val inferBatchSize = 32
+
+  /** §2.7 #37c — the batched-inference execution shape: assets
+    * grouped into fixed-size micro-batches per partition
+    * (`iterator.grouped`), one stub "forward pass" per BATCH — the
+    * exact structure of GPU inference over `mapPartitions` /
+    * `mapInPandas`: model state initialized once per partition,
+    * amortized over batches, no driver round-trips. The stub "model"
+    * embeds each payload as 4 stride-summed byte statistics — a pure
+    * per-asset function, so results are independent of batch
+    * composition AND partitioning (exactly the property a real
+    * inference stage must hold), which is what makes the hard DuckDB
+    * oracle possible. MultimodalSpec asserts the batching itself:
+    * every micro-batch is full except possibly the last per
+    * partition. */
+  def mmBatchInfer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    assets(s, dir).mapPartitions { it =>
+      // per-partition "model init" happens here (stub: nothing to load)
+      it.grouped(inferBatchSize).flatMap { batch =>
+        // one stub forward pass over the whole batch
+        batch.iterator.map(inferOne)
+      }
+    }.toDF().orderBy($"asset_id")
+  }
+
+  /** The stub embedding: e_k = Σ bytes[i where i≡k (mod 4)] /
+    * (255·count_k) — deterministic, SQL-replicable arithmetic. */
+  private[graft] def inferOne(a: MediaAsset): InferOut = {
+    val sums = new Array[Long](4)
+    val cnts = new Array[Long](4)
+    var i = 0
+    while (i < a.payload.length) {
+      sums(i % 4) += (a.payload(i) & 0xff); cnts(i % 4) += 1; i += 1
+    }
+    def e(k: Int): Double =
+      if (cnts(k) == 0) 0.0 else sums(k).toDouble / (255.0 * cnts(k))
+    InferOut(a.asset_id, a.payload.length.toLong, e(0), e(1), e(2), e(3))
+  }
+
+  /** Batch-size observability for the spec (not a query): the sizes
+    * of every inference micro-batch, tagged by partition. */
+  private[graft] def inferBatchSizes(s: SparkSession, dir: String): Seq[(Int, Int)] = {
+    import s.implicits._
+    assets(s, dir).mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.grouped(inferBatchSize).map(b => (pid, b.size))
+    }.collect().toSeq
+  }
+
+  val mmBatchInferSql: String = {
+    val magicCase = magics.zipWithIndex.map { case ((hexs, _), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN unhex('$hexs')"
+    }.mkString("CASE ", " ", " END")
+    def cnt(k: Int) = s"(CASE WHEN len > $k THEN (len - 1 - $k) // 4 + 1 ELSE 0 END)"
+    def e(k: Int) =
+      s"""CASE WHEN ${cnt(k)} = 0 THEN CAST(0.0 AS DOUBLE)
+         |  ELSE CAST(list_sum(list_transform(
+         |    list_filter(range(1, len + 1), i -> (i - 1) % 4 = $k),
+         |    i -> (strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
+         |         (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1))) AS DOUBLE)
+         |    / (255.0 * ${cnt(k)}) END AS e$k""".stripMargin
+    s"""WITH m AS (
+       |  SELECT doc_id AS asset_id, $magicCase || CAST(text AS BLOB) AS payload
+       |  FROM documents),
+       |b AS (
+       |  SELECT asset_id, hex(payload) AS h,
+       |    CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       |    octet_length(payload) AS len
+       |  FROM m)
+       |SELECT asset_id, n_bytes,
+       |  ${e(0)},
+       |  ${e(1)},
+       |  ${e(2)},
+       |  ${e(3)}
+       |FROM b ORDER BY asset_id""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_manifest"      -> (mmManifest _),
     "mm_frame_extract" -> (mmFrameExtract _),
-    "mm_thumbnail"     -> (mmThumbnail _)
+    "mm_thumbnail"     -> (mmThumbnail _),
+    "mm_batch_infer"   -> (mmBatchInfer _)
   )
 
   def oracles: Map[String, String] = Map(
     "mm_manifest"      -> mmManifestSql,
     "mm_frame_extract" -> mmFrameExtractSql,
-    "mm_thumbnail"     -> mmThumbnailSql
+    "mm_thumbnail"     -> mmThumbnailSql,
+    "mm_batch_infer"   -> mmBatchInferSql
   )
 }

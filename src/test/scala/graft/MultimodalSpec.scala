@@ -51,4 +51,20 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("inference micro-batches are full except possibly the last per partition") {
+    val sizes = Multimodal.inferBatchSizes(spark, sfDir)
+    assert(sizes.nonEmpty)
+    assert(sizes.forall { case (_, n) => n >= 1 && n <= Multimodal.inferBatchSize })
+    // within each partition only the FINAL batch may be partial
+    sizes.groupBy(_._1).values.foreach { perPart =>
+      val ns = perPart.map(_._2)
+      assert(ns.init.forall(_ == Multimodal.inferBatchSize), ns.toString)
+    }
+    // embeddings are bounded means of byte values
+    val rows = Multimodal.mmBatchInfer(spark, sfDir).collect()
+    assert(rows.forall(r => (2 to 5).forall { i =>
+      val e = r.getDouble(i); e >= 0.0 && e <= 1.0
+    }))
+  }
 }
