@@ -64,6 +64,10 @@ object GraftExpressions {
       FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[TokenFingerprint].getName, "graft_fingerprint"),
       (es: Seq[Expression]) => TokenFingerprint(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_entropy"),
+      new ExpressionInfo(classOf[CharEntropyStats].getName, "graft_entropy"),
+      (es: Seq[Expression]) => CharEntropyStats(es(0))))
     // Spark's internal bloom-filter pair (what InjectRuntimeFilter
     // plants automatically when stats allow), surfaced as session
     // functions so the engine can build EXPLICIT semi-join reductions:
@@ -380,5 +384,66 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Char-distribution statistics of a string in ONE fused pass:
+  * `[n_distinct_chars, top_char_ratio(q6), char_entropy(q6-terms)]`.
+  *
+  * Replaces the interpreted higher-order-function formulation in
+  * `TextAnalysis.textEntropy` (O(distinct × n) lambda evaluations per
+  * row — measured 8.7 s over sf0.1) with the same arithmetic in a
+  * tight code-point loop. Semantics are IDENTICAL to the composed
+  * version and to the DuckDB oracle: each entropy term
+  * `p·ln p` is half-up-quantized at 1e-6 before the (exact,
+  * order-independent) sum, and the top-char ratio is quantized the
+  * same way. */
+case class CharEntropyStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_entropy expects string, got ${child.dataType}")
+
+  def stats(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val counts = new java.util.HashMap[Integer, Array[Long]]()
+    var n = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val slot = counts.computeIfAbsent(cp, _ => new Array[Long](1))
+      slot(0) += 1
+      n += 1
+      i += Character.charCount(cp)
+    }
+    if (n == 0L) return new GenericArrayData(Array[Any](0.0, 0.0, 0.0))
+    val nd = n.toDouble
+    var maxC = 0L
+    var termSum = 0.0 // integer-valued doubles: exact, order-free
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()(0)
+      if (c > maxC) maxC = c
+      val p = c / nd
+      termSum += math.floor(p * java.lang.Math.log(p) * 1000000.0 + 0.5)
+    }
+    val topRatio = math.floor(maxC / nd * 1000000.0 + 0.5) / 1000000.0
+    new GenericArrayData(Array[Any](
+      counts.size().toDouble, topRatio, -termSum / 1000000.0))
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("entropy", this, classOf[CharEntropyStats].getName)
+      s"${ev.value} = $ref.stats($x);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
     copy(child = newChild)
 }

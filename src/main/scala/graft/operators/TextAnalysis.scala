@@ -452,23 +452,18 @@ object TextAnalysis {
     * result. */
   def textEntropy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.Agg.rnd
     val p = entropyPrefix
+    // fused native pass ([[graft.functions.CharEntropyStats]]) — the
+    // composed higher-order-function formulation computed the same
+    // numbers through O(distinct × n) interpreted lambdas per row
+    // (measured 8.7 s over sf0.1; this runs it in one code-point loop)
     Tables.documents(s, dir)
-      .withColumn("head", expr(s"substring(text, 1, $p)"))
-      .withColumn("n", length($"head").cast("double"))
-      .withColumn("chs",
-        expr("transform(sequence(1, length(head)), i -> substring(head, i, 1))"))
-      .withColumn("counts", expr(
-        "transform(array_distinct(chs), c -> CAST(size(filter(chs, x -> x = c)) AS DOUBLE))"))
-      .withColumn("terms", expr(
-        "transform(counts, c -> floor((c / n) * ln(c / n) * 1000000.0 + CAST(0.5 AS DOUBLE)))"))
+      .withColumn("st", expr(s"graft_entropy(substring(text, 1, $p))"))
       .select(
         $"doc_id",
-        size($"counts").cast("long").as("n_distinct_chars"),
-        rnd(array_max($"counts") / $"n", 6).as("top_char_ratio"),
-        (-aggregate($"terms", lit(0.0), (acc, t) => acc + t) / lit(1000000.0))
-          .as("char_entropy"))
+        element_at($"st", 1).cast("long").as("n_distinct_chars"),
+        element_at($"st", 2).as("top_char_ratio"),
+        element_at($"st", 3).as("char_entropy"))
       .orderBy($"doc_id")
   }
 
