@@ -216,6 +216,61 @@ object Behavioral {
   }
 
   // ------------------------------------------------------------------
+  // q_sliding_window — overlapping-window aggregate
+  // ------------------------------------------------------------------
+
+  /** Sliding-window geometry: 1 h windows every 15 min (µs). */
+  val slideWindowUs: Long = 3600L * 1000000L
+  val slideStepUs: Long = 900L * 1000000L
+
+  /** Sliding-window engagement: distinct users and event count per
+    * 1-hour window sliding by 15 minutes — the overlapping-window
+    * aggregate (tumbling and session windows live elsewhere in the
+    * suite; this is the third window family). Spark's `window(ts,
+    * "1 hour", "15 minutes")` plans an Expand: each event replicates
+    * row-locally into the 4 windows covering it — shuffle cost is
+    * 4× rows, never windows × rows — and the distinct-user count per
+    * window is the two-phase exact distinct on top. Windows with zero
+    * events don't emit (matching Spark's semantics; the oracle builds
+    * the same occupied-window set). */
+  def qSlidingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(window($"ts", "1 hour", "15 minutes").as("w"), $"user_id")
+      .select(unix_micros($"w.start").as("w_start_us"), $"user_id")
+      .distinct()
+      .groupBy($"w_start_us")
+      .agg(count(lit(1)).as("n_users"))
+      .join(
+        Tables.events(s, dir)
+          .select(window($"ts", "1 hour", "15 minutes").as("w"))
+          .select(unix_micros($"w.start").as("w_start_us"))
+          .groupBy($"w_start_us").agg(count(lit(1)).as("n_events")),
+        "w_start_us")
+      .select(timestamp_micros($"w_start_us").as("window_start"),
+        $"n_users", $"n_events")
+      .orderBy($"window_start")
+  }
+
+  val qSlidingWindowSql: String = {
+    val w = slideWindowUs; val st = slideStepUs
+    // an event at time t occupies windows starting in
+    // (t - 1h, t] aligned to the 15-min grid: offsets 0..3 back from
+    // the event's own grid slot
+    s"""WITH occ AS (
+       |  SELECT (epoch_us(ts) // $st - k) * $st AS w_start_us, user_id
+       |  FROM events, unnest(range(0, ${w / st})) AS g(k)
+       |  WHERE epoch_us(ts) - (epoch_us(ts) // $st - k) * $st < $w
+       |)
+       |SELECT make_timestamp(w_start_us) AS window_start,
+       |  count(DISTINCT user_id) AS n_users,
+       |  count(*) AS n_events
+       |FROM occ
+       |GROUP BY w_start_us
+       |ORDER BY window_start""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q_histogram — equi-width distribution histogram
   // ------------------------------------------------------------------
 
@@ -352,6 +407,7 @@ object Behavioral {
     "q_funnel"        -> (qFunnel _),
     "q_retention"     -> (qRetention _),
     "q_time_resample" -> (qTimeResample _),
+    "q_sliding_window" -> (qSlidingWindow _),
     "q_histogram"     -> (qHistogram _),
     "q_mv_refresh"    -> (qMvRefresh _)
   )
@@ -360,6 +416,7 @@ object Behavioral {
     "q_funnel"        -> qFunnelSql,
     "q_retention"     -> qRetentionSql,
     "q_time_resample" -> qTimeResampleSql,
+    "q_sliding_window" -> qSlidingWindowSql,
     "q_histogram"     -> qHistogramSql,
     "q_mv_refresh"    -> qMvRefreshSql
   )
