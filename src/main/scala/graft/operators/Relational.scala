@@ -1058,6 +1058,64 @@ object Relational {
        |                       WHERE p2.p_brand = p.p_brand)
        |ORDER BY p_partkey""".stripMargin
 
+  /** Bucket count for [[qBucketedJoin]]'s co-located tables. */
+  val factBuckets = 16
+
+  /** Session memo so the bucketed copies are written once per
+    * dataset (the production analog: the nightly tables were WRITTEN
+    * bucketed; queries only read them). */
+  private val bucketedStaged = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private def stageBucketedFacts(s: SparkSession, dir: String): Unit =
+    bucketedStaged.getOrElseUpdate(dir, {
+      graft.sources.Sinks.writeBucketed(
+        Tables.orders(s, dir), "graft_orders_bkt", "o_orderkey", factBuckets)
+      graft.sources.Sinks.writeBucketed(
+        Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "graft_lineitem_bkt", "l_orderkey", factBuckets)
+      true
+    })
+
+  /** §2.3 #24l — the co-located fact⋈fact join: orders and lineitem
+    * both persisted hash-bucketed (and sorted) on the order key, so
+    * the recurring join plans with ZERO exchanges — both sides'
+    * bucket layouts satisfy the join's distribution requirement at
+    * read time (SortMergeJoin straight off the sorted buckets;
+    * PlanSpec asserts no Exchange). This is THE layout decision for
+    * a 100 TB nightly pipeline: the shuffle is paid once at write
+    * time and amortized over every downstream join; reference analog
+    * is processBatch's stable chunk keying (lib.ts:968-1071), lifted
+    * to the storage layout. */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    stageBucketedFacts(s, dir)
+    // merge hint, never broadcast: both sides are FACTS at scale —
+    // AQE would happily broadcast orders at test SF and that plan
+    // (a full broadcast of a 10-TB table) dies at 100 TB; SMJ reads
+    // both bucket layouts exchange-free and sort-free
+    s.table("graft_orders_bkt").hint("merge")
+      .join(s.table("graft_lineitem_bkt"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** The join alone, exposed for PlanSpec's no-Exchange assertion. */
+  private[graft] def bucketedJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    stageBucketedFacts(s, dir)
+    s.table("graft_orders_bkt").hint("merge")
+      .join(s.table("graft_lineitem_bkt"), $"o_orderkey" === $"l_orderkey")
+  }
+
+  val qBucketedJoinSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n_items,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
@@ -1089,7 +1147,8 @@ object Relational {
     "q_window_funcs"     -> (qWindowFuncs _),
     "q_bloom_prejoin"    -> (qBloomPrejoin _),
     "q_profile"          -> (qProfile _),
-    "q_decorrelate"      -> (qDecorrelate _)
+    "q_decorrelate"      -> (qDecorrelate _),
+    "q_bucketed_join"    -> (qBucketedJoin _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1121,6 +1180,7 @@ object Relational {
     "q_window_funcs"     -> qWindowFuncsSql,
     "q_bloom_prejoin"    -> qBloomPrejoinSql,
     "q_profile"          -> qProfileSql,
-    "q_decorrelate"      -> qDecorrelateSql
+    "q_decorrelate"      -> qDecorrelateSql,
+    "q_bucketed_join"    -> qBucketedJoinSql
   )
 }

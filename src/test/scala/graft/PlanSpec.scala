@@ -258,6 +258,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("bucketed fact-fact join plans with zero exchanges") {
+    val df = Relational.bucketedJoinPlan(spark, sfDir)
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("minhash banding join carries no raw shingle arrays through the shuffle") {
     val p = plan(Dedup.dedupMinhash(spark, sfDir))
     // signatures are row-local: the only wide arrays crossing an
