@@ -153,6 +153,27 @@ class ScaleSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("quantized-sum operators are invariant to the shuffle-partition setting") {
+    val s = spark
+    // the round-3 float-carrying aggregates (KL drift terms, funnel
+    // window chain, resample ffill) all claim partition-independence
+    // via exact long sums of quantized terms — prove it at two
+    // partition settings
+    val key = "spark.sql.shuffle.partitions"
+    val orig = s.conf.get(key)
+    def run() = (
+      graft.operators.Pipeline.corpusDrift(s, sfDir).collect().map(_.toSeq).toList,
+      graft.operators.Behavioral.qFunnel(s, sfDir).collect().map(_.toSeq).toList,
+      graft.operators.Behavioral.qTimeResample(s, sfDir).collect().map(_.toSeq).toList)
+    try {
+      s.conf.set(key, "4")
+      val a = run()
+      s.conf.set(key, "13")
+      val b = run()
+      assert(a == b)
+    } finally s.conf.set(key, orig)
+  }
+
   test("sweep-line interval overlap honors inclusive endpoints") {
     val s = spark; import s.implicits._
     // user 0: events at 00:00 and 00:10 → one session [00:00, 00:10]
