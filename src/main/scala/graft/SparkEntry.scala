@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Accumulator, Behavioral, Dedup, EmbedPq, Graph, Iterators, Layout, Multimodal, Pipeline, Relational, Similarity, SimilarityIvf, SourceFormats, TextAnalysis}
+import graft.operators.{Accumulator, Behavioral, Dedup, EmbedPq, Graph, Iterators, Layout, Multimodal, Pipeline, Relational, Similarity, SimilarityIvf, Sequences, SourceFormats, TextAnalysis}
 import graft.streaming.{StreamAcc, StreamOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -16,7 +16,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       SimilarityIvf.queries ++ EmbedPq.queries ++ Pipeline.queries ++ Layout.queries ++
       Multimodal.queries ++ StreamAcc.queries ++ StreamOps.queries ++
-      Behavioral.queries ++ SourceFormats.queries ++ Graph.queries
+      Behavioral.queries ++ SourceFormats.queries ++ Graph.queries ++ Sequences.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +25,5 @@ object SparkEntry {
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Pipeline.oracles ++ Layout.oracles ++
       Multimodal.oracles ++ StreamAcc.oracles ++ StreamOps.oracles ++
-      Behavioral.oracles ++ SourceFormats.oracles ++ Graph.oracles
+      Behavioral.oracles ++ SourceFormats.oracles ++ Graph.oracles ++ Sequences.oracles
 }

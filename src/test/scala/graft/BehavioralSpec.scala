@@ -105,6 +105,24 @@ class BehavioralSpec extends SparkSpec {
     assert(merged == full)
   }
 
+  test("sequence matcher with the funnel's steps reproduces the funnel counts") {
+    val s = spark; import s.implicits._
+    val ev = graft.sources.Tables.events(s, sfDir)
+    val m = graft.operators.Sequences.matchSteps(ev, $"user_id", $"ts", $"event_id",
+      Seq("view", "click", "purchase").map(t => $"event_type" === t)).collect()
+    val b = Behavioral.qFunnel(s, sfDir).collect()(0)
+    assert(m.length.toLong == b.getLong(b.fieldIndex("users_view")))
+    assert(m.count(!_.isNullAt(2)).toLong == b.getLong(b.fieldIndex("users_click")))
+    assert(m.count(!_.isNullAt(3)).toLong == b.getLong(b.fieldIndex("users_purchase")))
+  }
+
+  test("an N-step pattern still plans one hash exchange") {
+    val s = spark; import s.implicits._
+    val p = graft.operators.Sequences.qSequenceMatch(s, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("mv delta scan pushes the time predicate into the parquet scan") {
     Behavioral.buildDailyMv(spark, sfDir)
     val p = Behavioral.mvDeltaPlan(spark, sfDir)
