@@ -1116,6 +1116,57 @@ object Relational {
        |GROUP BY o_orderpriority
        |ORDER BY o_orderpriority""".stripMargin
 
+  /** SCD2 effective time of the change batch. */
+  val scd2EffectiveUs: Long = 1704067200000000L // 2024-01-01 00:00:00 UTC
+
+  /** §2.3 #24m — slowly-changing-dimension type-2 merge: apply a
+    * change batch to a versioned dimension, CLOSING the changed keys'
+    * current rows (valid_to = effective time) and APPENDING the new
+    * versions — history preserved, vs [[qTableUpsert]]'s overwrite
+    * semantics. Same scale layout as the upsert: the snapshot is
+    * NEVER shuffled — changed keys are a broadcast semi/anti pair
+    * (the change batch is small next to a 100 TB dimension), new
+    * versions are a union. Change batch derived deterministically
+    * (every 7th customer moves to a new segment). */
+  def qScd2Merge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val eff = scd2EffectiveUs
+    val dim = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment".as("segment"),
+        lit(0L).as("valid_from_us"))
+    val changes = dim.filter($"c_custkey" % 7 === 3)
+      .select($"c_custkey", lit("MACHINERY-2").as("segment"))
+    val changedKeys = changes.select($"c_custkey")
+    val untouched = dim.join(broadcast(changedKeys), Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", $"segment", $"valid_from_us",
+        lit(null).cast("long").as("valid_to_us"), lit(1L).as("is_current"))
+    val closed = dim.join(broadcast(changedKeys), Seq("c_custkey"), "left_semi")
+      .select($"c_custkey", $"segment", $"valid_from_us",
+        lit(eff).as("valid_to_us"), lit(0L).as("is_current"))
+    val opened = changes
+      .select($"c_custkey", $"segment", lit(eff).as("valid_from_us"),
+        lit(null).cast("long").as("valid_to_us"), lit(1L).as("is_current"))
+    untouched.unionByName(closed).unionByName(opened)
+      .orderBy($"c_custkey", $"valid_from_us")
+  }
+
+  val qScd2MergeSql: String =
+    s"""WITH dim AS (
+       |  SELECT c_custkey, c_mktsegment AS segment, CAST(0 AS BIGINT) AS valid_from_us
+       |  FROM customer)
+       |SELECT c_custkey, segment, valid_from_us,
+       |  CAST(NULL AS BIGINT) AS valid_to_us, CAST(1 AS BIGINT) AS is_current
+       |FROM dim WHERE c_custkey % 7 <> 3
+       |UNION ALL
+       |SELECT c_custkey, segment, valid_from_us,
+       |  CAST($scd2EffectiveUs AS BIGINT), CAST(0 AS BIGINT)
+       |FROM dim WHERE c_custkey % 7 = 3
+       |UNION ALL
+       |SELECT c_custkey, 'MACHINERY-2', CAST($scd2EffectiveUs AS BIGINT),
+       |  CAST(NULL AS BIGINT), CAST(1 AS BIGINT)
+       |FROM dim WHERE c_custkey % 7 = 3
+       |ORDER BY c_custkey, valid_from_us""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
@@ -1148,7 +1199,8 @@ object Relational {
     "q_bloom_prejoin"    -> (qBloomPrejoin _),
     "q_profile"          -> (qProfile _),
     "q_decorrelate"      -> (qDecorrelate _),
-    "q_bucketed_join"    -> (qBucketedJoin _)
+    "q_bucketed_join"    -> (qBucketedJoin _),
+    "q_scd2_merge"       -> (qScd2Merge _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1181,6 +1233,7 @@ object Relational {
     "q_bloom_prejoin"    -> qBloomPrejoinSql,
     "q_profile"          -> qProfileSql,
     "q_decorrelate"      -> qDecorrelateSql,
-    "q_bucketed_join"    -> qBucketedJoinSql
+    "q_bucketed_join"    -> qBucketedJoinSql,
+    "q_scd2_merge"       -> qScd2MergeSql
   )
 }
