@@ -25,6 +25,54 @@ class LayoutSpec extends SparkSpec {
       s"scan read ${scan.metrics("numFiles").value} files, want $expected")
   }
 
+  test("z-order layout tightens row-group envelopes on BOTH keys") {
+    val s = spark; import org.apache.spark.sql.functions._
+    // sf0.01: partkey 0..1999, suppkey 0..99 — both keys carry enough
+    // bits that z-refinement reaches the minor key within a row group
+    // (at sf0.001 suppkey has 10 values: a 1/4-z-space group already
+    // holds all of them and no layout could tighten it)
+    val zDir = "/root/testdata/sf0.01"
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val z = Layout.zorderLayout(s, zDir)
+      .select(col("l_partkey"), col("l_suppkey"), col("position"))
+    // small row groups so the table yields many envelopes
+    z.orderBy(col("position")).drop("position").coalesce(1)
+      .write.option("parquet.block.size", 16 * 1024).parquet(s"$dir/zordered")
+    val base = graft.sources.Tables.lineitem(s, zDir)
+      .select(col("l_partkey"), col("l_suppkey")).coalesce(1)
+    base.write.option("parquet.block.size", 16 * 1024).parquet(s"$dir/plain")
+
+    def envelopeWidths(path: String, column: String): Seq[Long] = {
+      val file = new java.io.File(path).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        s.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val c = b.getColumns.asScala.find(_.getPath.toDotString == column).get
+          val st = c.getStatistics
+          st.genericGetMax.asInstanceOf[Long] - st.genericGetMin.asInstanceOf[Long]
+        }
+      } finally r.close()
+    }
+    def avg(xs: Seq[Long]): Double = xs.sum.toDouble / xs.size
+    val zp = envelopeWidths(s"$dir/zordered", "l_partkey")
+    val zs = envelopeWidths(s"$dir/zordered", "l_suppkey")
+    val pp = envelopeWidths(s"$dir/plain", "l_partkey")
+    val ps = envelopeWidths(s"$dir/plain", "l_suppkey")
+    assert(zp.size >= 3, s"want several row groups, got ${zp.size}")
+    // BOTH keys' envelopes must tighten vs the unsorted layout (which
+    // spans ~the full range per group). The keys' bit widths are
+    // unbalanced (partkey 11 bits, suppkey 7), so interleaved
+    // refinement reaches the major key ~4 splits earlier — expect a
+    // deep cut on partkey and a real-but-smaller one on suppkey.
+    assert(avg(zp) < 0.35 * avg(pp), s"partkey ${avg(zp)} vs ${avg(pp)}")
+    assert(avg(zs) < 0.85 * avg(ps), s"suppkey ${avg(zs)} vs ${avg(ps)}")
+  }
+
   test("text-format readers parse without corrupt-row fallout") {
     val s = spark; import s.implicits._
     // _corrupt_record absent = every line parsed under the mandatory
