@@ -25,6 +25,19 @@ final case class FunnelState(t1: Long, t2: Long, t3: Long)
 /** One step-reach emission. */
 final case class FunnelHit(user_id: Long, step: Long, ts_us: Long)
 
+/** Event with its value payload for the streaming resample. */
+final case class ValueEvent(
+  event_type: String, ts_us: Long, event_id: Long, value: Double)
+
+/** Per-type resample state: the open bucket's accumulation and the
+  * last closed bucket's forward-fillable average. */
+final case class ResampleState(
+  openBucket: Long, sumQ: Long, n: Long, lastAvg: Double, hasLast: Boolean)
+
+/** One closed resample bucket (obs = had events; ffill = gap-filled). */
+final case class ResampleOut(
+  event_type: String, bucket_us: Long, avg_value: Double, n_obs: Long, src: String)
+
 /** One completed size-triggered flush (micros; converted to
   * timestamps at the DataFrame edge). */
 final case class SizeFlushOut(
@@ -318,9 +331,113 @@ object StreamOps {
       |SELECT user_id, 3, make_timestamp(t3) FROM p
       |ORDER BY user_id, step""".stripMargin
 
+  /** §2.10/streaming — gap-filled 15-min resample as a per-type state
+    * machine: a bucket CLOSES (and emits) when event time reaches the
+    * next bucket; intermediate empty buckets emit forward-filled
+    * copies of the last closed average. State is one open-bucket
+    * accumulator + one double per event_type — O(1) — and the
+    * TRAILING open bucket never emits (the stream doesn't know it's
+    * complete; the watermark analog), which is exactly how the oracle
+    * bounds its grid: per type, buckets in [first, last). The exact-
+    * decimal quantized sum makes every closed average bit-equal to
+    * the batch [[graft.operators.Behavioral.qTimeResample]] bucket. */
+  private def resampleFn(
+      eventType: String,
+      events: Iterator[ValueEvent],
+      state: GroupState[ResampleState]): Iterator[ResampleOut] = {
+    val b = graft.operators.Behavioral.resampleBucketUs
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var st = state.getOption.getOrElse(ResampleState(Long.MinValue, 0L, 0L, 0.0, false))
+    val out = Vector.newBuilder[ResampleOut]
+    def closeOpen(): Unit = if (st.openBucket != Long.MinValue) {
+      val avg = (st.sumQ.toDouble / 10000.0) / st.n
+      out += ResampleOut(eventType, st.openBucket * b, avg, st.n, "obs")
+      st = ResampleState(Long.MinValue, 0L, 0L, avg, true)
+    }
+    sorted.foreach { e =>
+      val bucket = e.ts_us / b
+      if (st.openBucket != Long.MinValue && bucket != st.openBucket) {
+        val prevOpen = st.openBucket
+        closeOpen()
+        var fb = prevOpen + 1
+        while (fb < bucket) {
+          out += ResampleOut(eventType, fb * b, st.lastAvg, 0L, "ffill")
+          fb += 1
+        }
+      }
+      if (st.openBucket == Long.MinValue)
+        st = st.copy(openBucket = bucket)
+      st = st.copy(
+        sumQ = st.sumQ + math.floor(e.value * 10000.0 + 0.5).toLong,
+        n = st.n + 1)
+      ()
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  def resampleStream(s: SparkSession, dir: String): Dataset[ResampleOut] = {
+    import s.implicits._
+    StreamAcc.eventsStream(s, dir)
+      .select($"event_type", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
+      .as[ValueEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(resampleFn)
+  }
+
+  def runResampleToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_resample"): DataFrame = {
+    import s.implicits._
+    val q = resampleStream(s, dir).toDF().writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select($"event_type", timestamp_micros($"bucket_us").as("bucket_ts"),
+        $"avg_value", $"n_obs", $"src")
+      .orderBy($"event_type", $"bucket_ts")
+  }
+
+  /** Oracle: the batch resample per type over [first, last) — closed
+    * buckets only, ffill from the last observed bucket. */
+  val streamResampleSql: String = {
+    val b = graft.operators.Behavioral.resampleBucketUs
+    import graft.functions.Agg.dsumSql
+    s"""WITH ev AS (
+       |  SELECT event_type, epoch_us(ts) AS us, value FROM events
+       |), obs AS (
+       |  SELECT event_type, (us // $b) AS bk,
+       |    ${dsumSql("value")} AS avg_obs_sum, count(*) AS n_obs
+       |  FROM ev GROUP BY 1, 2
+       |), bounds AS (
+       |  SELECT event_type, min(us // $b) AS b0, max(us // $b) AS b1
+       |  FROM ev GROUP BY 1
+       |), grid AS (
+       |  SELECT b.event_type, unnest(generate_series(b.b0, b.b1 - 1)) AS bk
+       |  FROM bounds b
+       |), filled AS (
+       |  SELECT g.event_type, g.bk,
+       |    o.avg_obs_sum / o.n_obs AS avg_obs, o.n_obs,
+       |    last_value(o.avg_obs_sum / o.n_obs IGNORE NULLS) OVER (
+       |      PARTITION BY g.event_type ORDER BY g.bk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+       |  FROM grid g
+       |  LEFT JOIN obs o ON o.event_type = g.event_type AND o.bk = g.bk
+       |)
+       |SELECT event_type, make_timestamp(bk * $b) AS bucket_ts, avg_value,
+       |  CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+       |  CASE WHEN avg_obs IS NOT NULL THEN 'obs' ELSE 'ffill' END AS src
+       |FROM filled
+       |ORDER BY event_type, bucket_ts""".stripMargin
+  }
+
   /** Driver-contract entries (parity with batch results is also
     * asserted in StreamOpsSpec). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_resample" -> ((s, dir) =>
+      runResampleToCompletion(s, dir, sink = "stream_resample_verify")),
     "stream_funnel" -> ((s, dir) =>
       runFunnelToCompletion(s, dir, sink = "stream_funnel_verify")),
     "stream_sessionize" -> ((s, dir) =>
@@ -353,6 +470,7 @@ object StreamOps {
   /** stream_sessionize runs the same session_window operator as the
     * batch q_session_window, so it shares that oracle verbatim. */
   def oracles: Map[String, String] = Map(
+    "stream_resample"       -> streamResampleSql,
     "stream_funnel"         -> streamFunnelSql,
     "stream_acc_size_flush" -> streamSizeFlushSql,
     "stream_sessionize"     -> graft.operators.Relational.qSessionWindowSql,

@@ -92,6 +92,28 @@ class StreamOpsSpec extends SparkSpec {
     assert(hits.getOrElse(3L, 0L) == b.getLong(b.fieldIndex("users_purchase")))
   }
 
+  test("streaming resample equals the batch resample on every closed bucket") {
+    val s = spark; import s.implicits._
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getTimestamp(1), r.getDouble(2), r.getLong(3), r.getString(4))
+    val streamed = StreamOps.runResampleToCompletion(s, sfDir, sink = "resample_parity")
+      .collect().map(key).toSet
+    // batch restricted to each type's closed range [first obs bucket,
+    // last obs bucket) — the stream's trailing open bucket and the
+    // global grid's leading 'none' holes are outside it by definition
+    val batch = operators.Behavioral.qTimeResample(s, sfDir).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getLong(3), r.getString(4)))
+    val obsRange = batch.filter(_._5 == "obs").groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2.getTime).min, rs.map(_._2.getTime).max)).toMap
+    val closed = batch.filter { case (t, ts, _, _, _) =>
+      obsRange.get(t).exists { case (lo, hi) => ts.getTime >= lo && ts.getTime < hi }
+    }.map(r => (r._1, r._2, r._3, r._4, r._5)).toSet
+    assert(streamed.nonEmpty && streamed == closed,
+      s"streamed=${streamed.size} closed=${closed.size}; " +
+        s"diff=${(streamed -- closed).take(2)} / ${(closed -- streamed).take(2)}")
+  }
+
   test("funnel state machine carries progress across micro-batches") {
     import graft.streaming.{FunnelEvent, FunnelState, FunnelHit}
     import org.apache.spark.sql.streaming.TestGroupState
