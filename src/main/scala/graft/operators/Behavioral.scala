@@ -216,6 +216,42 @@ object Behavioral {
   }
 
   // ------------------------------------------------------------------
+  // q_moving_window — RANGE-frame (interval) window aggregate
+  // ------------------------------------------------------------------
+
+  /** Per-event trailing 1-hour statistics for its user: event count
+    * and exact value sum over `[t − 1h, t]` — the RANGE/interval
+    * window frame (vs the suite's ROWS frames): the frame holds
+    * whatever fits the time bound, not a fixed row count. One shuffle
+    * on user_id; WindowExec keeps a sliding frame pointer per
+    * partition — O(per-user events) work, no per-row rescans. Sum
+    * runs in DECIMAL inside the frame (exact, order-free) and casts
+    * at the edge, so both engines agree bitwise. */
+  def qMovingWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-hourUs, 0)
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(quantize($"value", 4).cast("long")).over(w).cast("double") / lit(10000.0))
+      .select($"event_id", $"user_id", $"ts", $"n_1h", $"sum_1h")
+      .orderBy($"event_id")
+  }
+
+  val qMovingWindowSql: String =
+    s"""SELECT event_id, user_id, ts,
+       |  count(*) OVER w AS n_1h,
+       |  CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) OVER w AS DOUBLE)
+       |    / 10000.0 AS sum_1h
+       |FROM events
+       |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+       |             RANGE BETWEEN ${3600L * 1000000L} PRECEDING AND CURRENT ROW)
+       |ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_sliding_window — overlapping-window aggregate
   // ------------------------------------------------------------------
 
@@ -408,6 +444,7 @@ object Behavioral {
     "q_retention"     -> (qRetention _),
     "q_time_resample" -> (qTimeResample _),
     "q_sliding_window" -> (qSlidingWindow _),
+    "q_moving_window" -> (qMovingWindow _),
     "q_histogram"     -> (qHistogram _),
     "q_mv_refresh"    -> (qMvRefresh _)
   )
@@ -417,6 +454,7 @@ object Behavioral {
     "q_retention"     -> qRetentionSql,
     "q_time_resample" -> qTimeResampleSql,
     "q_sliding_window" -> qSlidingWindowSql,
+    "q_moving_window" -> qMovingWindowSql,
     "q_histogram"     -> qHistogramSql,
     "q_mv_refresh"    -> qMvRefreshSql
   )

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.Agg.{dsum, dsumSql}
+import graft.functions.Agg.{countIf, dsum, dsumSql}
 import graft.sources.Tables
 
 /** §2.11 Landing-format sources — CSV and JSON-lines ingestion.
@@ -83,11 +83,69 @@ object SourceFormats {
        |CROSS JOIN agg a
        |ORDER BY f.format, a.event_type""".stripMargin
 
+  /** Generation split instant for the schema-evolution staging. */
+  val evolutionCutoff = "2024-01-16 00:00:00"
+
+  private val evoStage = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Two parquet "generations" under one table root: generation 1
+    * (rows before the cutoff) WITHOUT the `value` column — the schema
+    * as it shipped — and generation 2 with it. The production reality
+    * of any long-lived landing table: columns get added; old files
+    * never get rewritten. */
+  private def evoStaged(s: SparkSession, dir: String): String =
+    evoStage.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-evo").toString
+      val cut = lit(evolutionCutoff).cast("timestamp")
+      val ev = Tables.events(s, dir)
+        .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+          $"event_type", $"value", $"ts")
+      ev.filter($"ts" < cut).drop("value", "ts")
+        .write.mode("overwrite").parquet(s"$out/t/gen=1")
+      ev.filter($"ts" >= cut).drop("ts")
+        .write.mode("overwrite").parquet(s"$out/t/gen=2")
+      out
+    })
+
+  /** §2.11 — schema-evolution read: both generations scanned through
+    * ONE `mergeSchema` read — generation-1 rows surface `value` as
+    * null, nothing is rewritten, and the aggregate is oracle-checked
+    * against the original single-schema table (null-ness must land on
+    * exactly the pre-cutoff rows). mergeSchema costs a footer read
+    * per file at planning — acceptable nightly, which is why the
+    * readers don't default to it. */
+  def sourceEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = evoStaged(s, dir)
+    s.read.option("mergeSchema", "true").parquet(s"$root/t")
+      .groupBy($"event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countIf($"value".isNotNull).as("n_with_value"),
+        dsum(coalesce($"value", lit(0.0))).as("sum_value"),
+        min($"us").as("min_us"))
+      .orderBy($"event_type")
+  }
+
+  val sourceEvolutionSql: String = {
+    import graft.functions.Agg.countIfSql
+    s"""SELECT event_type, count(*) AS n_rows,
+       |  ${countIfSql(s"ts >= TIMESTAMP '$evolutionCutoff'")} AS n_with_value,
+       |  ${dsumSql(s"CASE WHEN ts >= TIMESTAMP '$evolutionCutoff' THEN value ELSE 0.0 END")} AS sum_value,
+       |  min(epoch_us(ts)) AS min_us
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "source_formats" -> (sourceFormats _)
+    "source_formats"   -> (sourceFormats _),
+    "source_evolution" -> (sourceEvolution _)
   )
 
   def oracles: Map[String, String] = Map(
-    "source_formats" -> sourceFormatsSql
+    "source_formats"   -> sourceFormatsSql,
+    "source_evolution" -> sourceEvolutionSql
   )
 }
