@@ -136,13 +136,70 @@ object Layout {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Compaction targets: files per output table / rows per file cap. */
+  val compactTargetFiles = 4
+  val compactMaxRecords = 100000L
+
+  private val compactStage = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** §2.9 #46c — small-file compaction (the lakehouse OPTIMIZE): a
+    * landing table fragmented into dozens of tiny files (one per
+    * micro-batch/task — the small-files problem that murders scan
+    * planning and NameNode-style metadata at scale) rewritten into
+    * [[compactTargetFiles]] range-partitioned, internally-sorted
+    * files capped at [[compactMaxRecords]] rows. RepartitionByRange
+    * on the sort key = one TeraSort-layout shuffle, so the compacted
+    * files ALSO carry tight min/max envelopes on the key (compaction
+    * and clustering in the same pass). The query proves losslessness
+    * by aggregating the compacted table against the original-table
+    * oracle; LayoutSpec asserts the file geometry. */
+  def layoutCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.dsum
+    val root = compactStaged(s, dir)
+    s.read.parquet(s"$root/compacted")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"),
+        min($"us").as("min_us"), max($"us").as("max_us"))
+      .orderBy($"event_type")
+  }
+
+  private[graft] def compactStaged(s: SparkSession, dir: String): String =
+    compactStage.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      val ev = Tables.events(s, dir)
+        .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+          $"event_type", $"value")
+      // the fragmented landing state: 48 tiny files
+      ev.repartition(48).write.parquet(s"$out/fragmented")
+      s.read.parquet(s"$out/fragmented")
+        .repartitionByRange(compactTargetFiles, $"us")
+        .sortWithinPartitions($"us")
+        .write.option("maxRecordsPerFile", compactMaxRecords)
+        .parquet(s"$out/compacted")
+      out
+    })
+
+  val layoutCompactSql: String = {
+    import graft.functions.Agg.dsumSql
+    s"""SELECT event_type, count(*) AS n_events,
+       |  ${dsumSql("value")} AS sum_value,
+       |  min(epoch_us(ts)) AS min_us, max(epoch_us(ts)) AS max_us
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder"      -> (zorderLayout _),
-    "layout_partitioned" -> (layoutPartitioned _)
+    "layout_partitioned" -> (layoutPartitioned _),
+    "layout_compact"     -> (layoutCompact _)
   )
 
   def oracles: Map[String, String] = Map(
     "layout_zorder"      -> zorderLayoutSql,
-    "layout_partitioned" -> layoutPartitionedSql
+    "layout_partitioned" -> layoutPartitionedSql,
+    "layout_compact"     -> layoutCompactSql
   )
 }

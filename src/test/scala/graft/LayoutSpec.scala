@@ -73,6 +73,21 @@ class LayoutSpec extends SparkSpec {
     assert(avg(zs) < 0.85 * avg(ps), s"suppkey ${avg(zs)} vs ${avg(ps)}")
   }
 
+  test("compaction collapses the fragmented landing files into few sorted ones") {
+    val s = spark
+    Layout.layoutCompact(s, sfDir).collect() // forces staging
+    val root = Layout.compactStaged(s, sfDir)
+    def parquets(p: String) = new java.io.File(p).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    val before = parquets(s"$root/fragmented")
+    val after = parquets(s"$root/compacted")
+    assert(before >= 40, s"fragmented staging has $before files")
+    assert(after <= Layout.compactTargetFiles, s"compacted to $after files")
+    // lossless: row counts agree
+    assert(s.read.parquet(s"$root/compacted").count() ==
+      s.read.parquet(s"$root/fragmented").count())
+  }
+
   test("text-format readers parse without corrupt-row fallout") {
     val s = spark; import s.implicits._
     // _corrupt_record absent = every line parsed under the mandatory
