@@ -22,7 +22,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Accumulator.oracles ++ Iterators.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ EmbedPq.oracles ++
       Pipeline.oracles ++ Layout.oracles ++
       Multimodal.oracles ++ StreamAcc.oracles ++ StreamOps.oracles ++
       Behavioral.oracles ++ SourceFormats.oracles ++ Graph.oracles ++ Sequences.oracles

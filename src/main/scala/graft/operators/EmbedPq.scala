@@ -216,9 +216,65 @@ object EmbedPq {
       .orderBy($"query_id", $"rank")
   }
 
+  /** §2.5 #31f — scalar int8 quantization: the simple 4× compression
+    * path next to PQ's 64× (per-vector max-abs scale, codes =
+    * round(x/scale) in [−127, 127]) — row-local, no training, the
+    * standard first step of embedding-index shrinking. Emits the
+    * scale, an exact integer code checksum, and the reconstruction
+    * L2 — all arithmetic mirrored operation-for-operation in DuckDB
+    * (squared-error terms quantized at 1e-12 and summed exactly, so
+    * the float oracle is hash-hard). Zero vectors quantize to scale 0
+    * with zero codes. */
+  def embedInt8(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val codes = "transform(v, x -> CASE WHEN sc = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE) " +
+      "ELSE greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE), floor(x / sc + CAST(0.5 AS DOUBLE)))) END)"
+    vectors(s, dir)
+      .withColumn("sc", expr(
+        "aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x))) / CAST(127 AS DOUBLE)"))
+      .withColumn("codes", expr(codes))
+      .select($"vec_id",
+        expr(rndSql("sc", 9)).as("scale"),
+        expr("CAST(aggregate(codes, CAST(0 AS DOUBLE), (a, c) -> a + c) AS BIGINT)").as("code_sum"),
+        expr(rndSql(
+          """sqrt(aggregate(
+            |  zip_with(codes, v, (c, x) -> floor((c * sc - x) * (c * sc - x) * 1e12 + CAST(0.5 AS DOUBLE))),
+            |  CAST(0 AS DOUBLE), (a, t) -> a + t) / 1e12)""".stripMargin, 6)).as("recon_l2"))
+      .orderBy($"vec_id")
+  }
+
+  val embedInt8Sql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH vv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), sc AS (
+       |  SELECT vec_id, v,
+       |    list_aggregate(list_transform(v, x -> abs(x)), 'max') / CAST(127 AS DOUBLE) AS sc
+       |  FROM vv
+       |), coded AS (
+       |  SELECT vec_id, v, sc,
+       |    list_transform(v, x -> CASE WHEN sc = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |      ELSE greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE), floor(x / sc + CAST(0.5 AS DOUBLE)))) END) AS codes
+       |  FROM sc
+       |)
+       |SELECT vec_id, ${rndSql("sc", 9)} AS scale,
+       |  CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+       |  ${rndSql(
+      "sqrt(list_aggregate(list_transform(range(1, len(codes) + 1), i -> floor((codes[i] * sc - v[i]) * (codes[i] * sc - v[i]) * 1e12 + CAST(0.5 AS DOUBLE))), 'sum') / 1e12)",
+      6)} AS recon_l2
+       |FROM coded ORDER BY vec_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pq"      -> (embedPq _),
     "ann_pq"        -> (annPq _),
-    "ann_pq_refine" -> (annPqRefine _)
+    "ann_pq_refine" -> (annPqRefine _),
+    "embed_int8"    -> (embedInt8 _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "embed_int8" -> embedInt8Sql
   )
 }
