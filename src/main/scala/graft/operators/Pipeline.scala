@@ -39,9 +39,15 @@ object Pipeline {
     * 100 TB layout — no shuffle of the corpus, no per-partition RNG
     * state, reproducible across cluster sizes and reruns; the only
     * exchanged data is the |sources|-row rate table, broadcast. */
-  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    sampleStratifiedOn(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The sampling transform over any documents frame — reused by the
+    * composed pipeline, which samples the admission-filtered corpus
+    * rather than the raw one. */
+  private[graft] def sampleStratifiedOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, dir)
     val strata = docs.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("thr_permille",
@@ -56,7 +62,6 @@ object Pipeline {
       .join(broadcast(strata), "source")
       .filter($"bucket" < $"thr_permille")
       .select($"doc_id", $"source", $"bucket", $"thr_permille")
-      .orderBy($"doc_id")
   }
 
   val sampleStratifiedSql: String =
@@ -518,6 +523,92 @@ object Pipeline {
        |FROM terms GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** §2.8 — the COMPOSED pipeline as one job: admission filter →
+    * stratified sample of the kept docs → token budget of the sample,
+    * reported as a one-row per-stage funnel (docs in, drops by
+    * reason, sampled, tokens). This is the query a data-build
+    * actually ships — and the proof the engine's operators compose
+    * without materialization boundaries: Catalyst sees the whole
+    * chain (the filter's scoring pass, the sample's fingerprint
+    * arithmetic, the token count) as ONE plan, so column pruning and
+    * partial aggregation apply across stage borders. The stage
+    * rollups are group-/scalar-sized frames cross-joined at the
+    * edge. */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.countIf
+    val docs = Tables.documents(s, dir)
+    val verdicts = qualityFilterOn(docs, canonicalIds(docs))
+    val stageFilter = verdicts.agg(
+      count(lit(1)).as("n_docs"),
+      countIf($"reason" === "lang").as("drop_lang"),
+      countIf($"reason" === "length").as("drop_length"),
+      countIf($"reason" === "quality").as("drop_quality"),
+      countIf($"reason" === "duplicate").as("drop_duplicate"),
+      countIf($"reason" === "kept").as("n_kept"))
+    val kept = docs.join(
+      verdicts.filter($"keep" === 1L).select($"doc_id"), "doc_id")
+    val sampledIds = sampleStratifiedOn(kept).select($"doc_id")
+    val stageSample = kept.join(sampledIds, "doc_id")
+      .withColumn("toks", expr(TA.toksExpr))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(size($"toks").cast("long")).as("n_tokens_sampled"))
+    stageFilter.crossJoin(stageSample)
+  }
+
+  val pipelineE2eSql: String = {
+    import graft.functions.Agg.countIfSql
+    s"""WITH t AS (
+       |  SELECT doc_id, text, ${TA.duckToks} AS toks,
+       |    len(${TA.duckToks}) AS n_tokens
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, text, toks, n_tokens,
+       |    ${TA.qualityMetricsDuck}
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, text, n_tokens,
+       |    ${TA.qualityDuck} AS quality,
+       |    ${TA.langScoreColsDuck}
+       |  FROM m),
+       |c AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS canonical_id
+       |  FROM documents GROUP BY 1),
+       |r AS (
+       |  SELECT q.doc_id,
+       |    CASE WHEN (${TA.langGuessDuck}) <> 'en' THEN 'lang'
+       |         WHEN n_tokens < $minTokens OR n_tokens > $maxTokens THEN 'length'
+       |         WHEN quality < CAST($qualityTau AS DOUBLE) THEN 'quality'
+       |         WHEN q.doc_id <> c.canonical_id THEN 'duplicate'
+       |         ELSE 'kept' END AS reason
+       |  FROM q JOIN c ON md5(q.text) = c.h),
+       |kept AS (
+       |  SELECT d.* FROM documents d JOIN r ON d.doc_id = r.doc_id
+       |  WHERE r.reason = 'kept'),
+       |st AS (
+       |  SELECT source, least(1000, ${1000L * targetPerStratum} // count(*)) AS thr_permille
+       |  FROM kept GROUP BY 1),
+       |fp AS (
+       |  SELECT doc_id, source, coalesce(${TA.fingerprintDuck} % 1000, 0) AS bucket
+       |  FROM (SELECT doc_id, source, ${TA.duckToks} AS toks FROM kept)),
+       |samp AS (
+       |  SELECT fp.doc_id FROM fp JOIN st ON fp.source = st.source
+       |  WHERE fp.bucket < st.thr_permille),
+       |stok AS (
+       |  SELECT count(*) AS n_sampled,
+       |    CAST(sum(len(${TA.duckToks})) AS BIGINT) AS n_tokens_sampled
+       |  FROM kept JOIN samp ON kept.doc_id = samp.doc_id)
+       |SELECT
+       |  (SELECT count(*) FROM r) AS n_docs,
+       |  (SELECT ${countIfSql("reason = 'lang'")} FROM r) AS drop_lang,
+       |  (SELECT ${countIfSql("reason = 'length'")} FROM r) AS drop_length,
+       |  (SELECT ${countIfSql("reason = 'quality'")} FROM r) AS drop_quality,
+       |  (SELECT ${countIfSql("reason = 'duplicate'")} FROM r) AS drop_duplicate,
+       |  (SELECT ${countIfSql("reason = 'kept'")} FROM r) AS n_kept,
+       |  stok.n_sampled, stok.n_tokens_sampled
+       |FROM stok""".stripMargin
+  }
+
   /** Seed for the deterministic training-order shuffle. */
   val shuffleSeed = 42
 
@@ -641,6 +732,7 @@ object Pipeline {
     "corpus_heavy_hitters" -> (corpusHeavyHitters _),
     "text_lm_score"     -> (textLmScore _),
     "corpus_drift"      -> (corpusDrift _),
+    "pipeline_e2e"      -> (pipelineE2e _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
@@ -655,6 +747,7 @@ object Pipeline {
     "corpus_heavy_hitters" -> corpusHeavyHittersSql,
     "text_lm_score"     -> textLmScoreSql,
     "corpus_drift"      -> corpusDriftSql,
+    "pipeline_e2e"      -> pipelineE2eSql,
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,

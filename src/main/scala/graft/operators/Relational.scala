@@ -828,6 +828,43 @@ object Relational {
        |  count(*) AS n
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** §2.3 #24c''' — filter-by-group-quantile: rows above their own
+    * group's p95 (the "tail latency / outlier slice" ask every
+    * analytics engine fields). Composition, not a new primitive: the
+    * per-group threshold comes from one partial-agged percentile pass
+    * (the group-count-sized frame broadcasts back), rows compare
+    * row-locally. At unbounded group state the threshold side swaps
+    * to [[qPercentilesDist]] — same join shape. Threshold kept
+    * UNROUNDED on both engines (rounding before the strict compare
+    * would flip boundary rows; the emitted stats are rounded at the
+    * edge as usual). */
+  def qAboveP95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val thr = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, CAST(0.95 AS DOUBLE))").as("p95"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(thr), "l_returnflag")
+      .filter($"l_extendedprice" > $"p95")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_above"),
+        dsum($"l_extendedprice").as("sum_above"),
+        expr(Agg0.rndSql("any_value(p95)", 4)).as("p95"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qAboveP95Sql: String =
+    s"""WITH thr AS (
+       |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.95) AS p95
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT li.l_returnflag, count(*) AS n_above,
+       |  ${dsumSql("li.l_extendedprice")} AS sum_above,
+       |  ${Agg0.rndSql("any_value(thr.p95)", 4)} AS p95
+       |FROM lineitem li JOIN thr ON li.l_returnflag = thr.l_returnflag
+       |WHERE li.l_extendedprice > thr.p95
+       |GROUP BY li.l_returnflag
+       |ORDER BY li.l_returnflag""".stripMargin
+
   /** Exact percentiles with BOUNDED task memory: instead of the
     * percentile aggregate's O(values per group) buffer, range-partition
     * (group, value) TeraSort-style, rank with per-(group, partition)
@@ -1200,7 +1237,8 @@ object Relational {
     "q_profile"          -> (qProfile _),
     "q_decorrelate"      -> (qDecorrelate _),
     "q_bucketed_join"    -> (qBucketedJoin _),
-    "q_scd2_merge"       -> (qScd2Merge _)
+    "q_scd2_merge"       -> (qScd2Merge _),
+    "q_above_p95"        -> (qAboveP95 _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1234,6 +1272,7 @@ object Relational {
     "q_profile"          -> qProfileSql,
     "q_decorrelate"      -> qDecorrelateSql,
     "q_bucketed_join"    -> qBucketedJoinSql,
-    "q_scd2_merge"       -> qScd2MergeSql
+    "q_scd2_merge"       -> qScd2MergeSql,
+    "q_above_p95"        -> qAboveP95Sql
   )
 }
