@@ -609,6 +609,53 @@ object Pipeline {
        |FROM stok""".stripMargin
   }
 
+  /** §2.8 — deterministic source-mixing order (the multilingual /
+    * multi-source "temperature sampling" layout): each source's
+    * documents interleave into the global training order at a rate
+    * ∝ √|source| — small sources surface relatively MORE often than
+    * their corpus share (temperature-2 mixing, the standard remedy
+    * for big-source dominance), and the mix is a pure function of the
+    * corpus: mix_key = rank_in_source / √|source|, quantized 1e-9 to
+    * an integer so both engines order identically.
+    *
+    * Scale layout: rank-in-source via [[graft.functions.Ranks
+    * .perKeyRowNumber]] — sources are exactly the low-cardinality hot
+    * keys a per-source window would serialize; global position via
+    * the two-phase bucketed rank. No row-bearing stage is
+    * single-task. */
+  def corpusMix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+    val sizes = docs.groupBy($"source").agg(count(lit(1)).as("ns"))
+    val ranked = graft.functions.Ranks.perKeyRowNumber(
+      docs, Seq("source"), Seq($"doc_id"),
+      graft.functions.Ranks.defaultPartitions(docs), "rn")
+    val keyed = ranked.join(broadcast(sizes), "source")
+      .withColumn("mix_key", expr(
+        "CAST(floor(CAST(rn AS DOUBLE) / sqrt(CAST(ns AS DOUBLE)) * 1000000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+    graft.functions.Ranks.globalRowNumber(keyed,
+        Seq($"mix_key", $"source", $"doc_id"),
+        graft.functions.Ranks.defaultPartitions(keyed), "position")
+      .select($"doc_id", $"source", $"mix_key", $"position")
+      .orderBy($"position")
+  }
+
+  val corpusMixSql: String =
+    """WITH n AS (
+      |  SELECT source, count(*) AS ns FROM documents GROUP BY 1),
+      |r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |k AS (
+      |  SELECT r.doc_id, r.source,
+      |    CAST(floor(CAST(rn AS DOUBLE) / sqrt(CAST(ns AS DOUBLE)) * 1000000000.0
+      |               + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mix_key
+      |  FROM r JOIN n ON r.source = n.source)
+      |SELECT doc_id, source, mix_key,
+      |  row_number() OVER (ORDER BY mix_key, source, doc_id) AS position
+      |FROM k ORDER BY position""".stripMargin
+
   /** Seed for the deterministic training-order shuffle. */
   val shuffleSeed = 42
 
@@ -733,6 +780,7 @@ object Pipeline {
     "text_lm_score"     -> (textLmScore _),
     "corpus_drift"      -> (corpusDrift _),
     "pipeline_e2e"      -> (pipelineE2e _),
+    "corpus_mix"        -> (corpusMix _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
@@ -748,6 +796,7 @@ object Pipeline {
     "text_lm_score"     -> textLmScoreSql,
     "corpus_drift"      -> corpusDriftSql,
     "pipeline_e2e"      -> pipelineE2eSql,
+    "corpus_mix"        -> corpusMixSql,
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,
