@@ -354,6 +354,67 @@ object Behavioral {
   }
 
   // ------------------------------------------------------------------
+  // q_attribution_linear — multi-touch credit assignment
+  // ------------------------------------------------------------------
+
+  /** Attribution window (µs): clicks within 30 min before a purchase
+    * share its credit. */
+  val attribWindowUs: Long = 1800L * 1000000L
+
+  /** Linear multi-touch attribution: every purchase's value split
+    * EQUALLY across the same user's clicks in the preceding 30 min,
+    * rolled up per click — the credit model next to the as-of join's
+    * last-touch (24) and the streaming attribution pair feed (29g).
+    * The pair join has an equi key (user_id) with the time range as a
+    * residual predicate, so it's one hash-join shuffle with per-user
+    * bounded fan-in — no binning needed (contrast the keyless range
+    * join, 24a'''). Credit = value / n_touches computes per purchase
+    * BEFORE the per-click rollup (map-side partials), quantized 1e-6
+    * so the split is exact and order-free. */
+  def qAttributionLinear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), unix_micros($"ts").as("c_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("p_us"), $"value")
+    val pairs = purchases.join(clicks, "user_id")
+      .filter($"c_us" <= $"p_us" && $"c_us" >= $"p_us" - attribWindowUs)
+    val credit = pairs
+      .withColumn("n_touches",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"purchase_id")))
+      .withColumn("credit_q",
+        expr("CAST(floor(value / n_touches * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+    credit.groupBy($"click_id", $"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum($"credit_q").cast("double") / lit(1000000.0)).as("credit"))
+      .orderBy($"click_id")
+  }
+
+  val qAttributionLinearSql: String =
+    s"""WITH clicks AS (
+       |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+       |  FROM events WHERE event_type = 'click'),
+       |purchases AS (
+       |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |pairs AS (
+       |  SELECT p.user_id, p.purchase_id, p.value, c.click_id
+       |  FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+       |  WHERE c.c_us <= p.p_us AND c.c_us >= p.p_us - $attribWindowUs),
+       |credit AS (
+       |  SELECT user_id, click_id,
+       |    CAST(floor(value / (count(*) OVER (PARTITION BY purchase_id))
+       |               * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS credit_q
+       |  FROM pairs)
+       |SELECT click_id, user_id, count(*) AS n_purchases,
+       |  CAST(sum(credit_q) AS DOUBLE) / 1000000.0 AS credit
+       |FROM credit
+       |GROUP BY click_id, user_id
+       |ORDER BY click_id""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_mv_refresh — incremental materialized-view maintenance
   // ------------------------------------------------------------------
 
@@ -446,7 +507,8 @@ object Behavioral {
     "q_sliding_window" -> (qSlidingWindow _),
     "q_moving_window" -> (qMovingWindow _),
     "q_histogram"     -> (qHistogram _),
-    "q_mv_refresh"    -> (qMvRefresh _)
+    "q_mv_refresh"    -> (qMvRefresh _),
+    "q_attribution_linear" -> (qAttributionLinear _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -456,6 +518,7 @@ object Behavioral {
     "q_sliding_window" -> qSlidingWindowSql,
     "q_moving_window" -> qMovingWindowSql,
     "q_histogram"     -> qHistogramSql,
-    "q_mv_refresh"    -> qMvRefreshSql
+    "q_mv_refresh"    -> qMvRefreshSql,
+    "q_attribution_linear" -> qAttributionLinearSql
   )
 }
