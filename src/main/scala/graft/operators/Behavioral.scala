@@ -354,6 +354,111 @@ object Behavioral {
   }
 
   // ------------------------------------------------------------------
+  // q_rfm — recency/frequency/monetary segmentation
+  // ------------------------------------------------------------------
+
+  /** RFM customer segmentation: per customer the classic triple —
+    * days since last order (R), order count (F), total spend (M) —
+    * each quintile-bucketed, customers counted per (r, f, m) cell.
+    *
+    * The quintile assignment is where naive SQL dies at scale:
+    * `ntile(5) OVER (ORDER BY metric)` is a single-task global sort.
+    * Here each metric's quintile comes from the two-phase bucketed
+    * global rank ([[graft.functions.Ranks.globalRowNumber]], the
+    * TeraSort layout) and a row-local `(rank−1)·5 / n` — three
+    * data-parallel rank passes over the customer-level aggregate
+    * (already reduced from the order fact by a partial-agged groupBy,
+    * so the ranked frame is customers, not orders). */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asOf = "2001-09-01 00:00:00"
+    val cust = Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(
+        datediff(lit(asOf).cast("timestamp"), max($"o_orderdate")).cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        dsum($"o_totalprice").as("monetary"))
+    val n = cust.count()
+    def quintile(df: DataFrame, metric: Seq[org.apache.spark.sql.Column],
+        rankCol: String, out: String): DataFrame =
+      graft.functions.Ranks.globalRowNumber(df, metric,
+          graft.functions.Ranks.defaultPartitions(df), rankCol)
+        .withColumn(out, expr(s"(($rankCol - 1L) * 5L) div ${n}L + 1L"))
+        .drop(rankCol)
+    // recency ranked DESCENDING via negation: the most recent buyer
+    // (smallest recency) gets the highest score, per RFM convention
+    val scored = quintile(quintile(quintile(
+        cust.withColumn("neg_r", -$"recency_days"),
+        Seq($"neg_r", $"o_custkey"), "rr", "r_score"),
+        Seq($"frequency", $"o_custkey"), "fr", "f_score"),
+        Seq($"monetary", $"o_custkey"), "mr", "m_score")
+    scored.groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        dsum($"monetary").as("segment_value"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  val qRfmSql: String =
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |    CAST(datediff('day', CAST(max(o_orderdate) AS DATE),
+       |         DATE '2001-09-01') AS BIGINT) AS recency_days,
+       |    count(*) AS frequency,
+       |    ${dsumSql("o_totalprice")} AS monetary
+       |  FROM orders GROUP BY o_custkey
+       |), n AS (SELECT count(*) AS nn FROM cust
+       |), scored AS (
+       |  SELECT
+       |    ((row_number() OVER (ORDER BY -recency_days, o_custkey) - 1) * 5) // nn + 1 AS r_score,
+       |    ((row_number() OVER (ORDER BY frequency, o_custkey) - 1) * 5) // nn + 1 AS f_score,
+       |    ((row_number() OVER (ORDER BY monetary, o_custkey) - 1) * 5) // nn + 1 AS m_score,
+       |    monetary
+       |  FROM cust, n
+       |)
+       |SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       |  CAST(m_score AS BIGINT) AS m_score, count(*) AS n_customers,
+       |  ${dsumSql("monetary")} AS segment_value
+       |FROM scored
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_benford — first-digit distribution check
+  // ------------------------------------------------------------------
+
+  /** Benford first-significant-digit profile of o_totalprice: digit
+    * counts, observed share, and the Benford expectation
+    * log10(1 + 1/d) — the classic data-quality / anomaly screen.
+    * Row-local digit extraction (string of the absolute value,
+    * first non-zero char), one partial-agged 9-row aggregate. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .filter($"o_totalprice" > 0.0)
+      .withColumn("digit",
+        expr("CAST(substring(regexp_replace(CAST(o_totalprice AS STRING), '[^1-9]', ''), 1, 1) AS BIGINT)"))
+    val total = o.agg(count(lit(1)).as("n")).select($"n")
+    o.groupBy($"digit").agg(count(lit(1)).as("n_values"))
+      .crossJoin(broadcast(total))
+      .select($"digit", $"n_values",
+        rnd($"n_values".cast("double") / $"n".cast("double"), 6).as("observed"),
+        rnd(expr("log10(1.0 + 1.0 / CAST(digit AS DOUBLE))"), 6).as("benford"))
+      .orderBy($"digit")
+  }
+
+  val qBenfordSql: String =
+    s"""WITH o AS (
+       |  SELECT CAST(substring(regexp_replace(CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'), 1, 1) AS BIGINT) AS digit
+       |  FROM orders WHERE o_totalprice > 0.0
+       |), n AS (SELECT count(*) AS n FROM o)
+       |SELECT digit, count(*) AS n_values,
+       |  ${rndSql("CAST(count(*) AS DOUBLE) / CAST(any_value(n.n) AS DOUBLE)", 6)} AS observed,
+       |  ${rndSql("log10(1.0 + 1.0 / CAST(digit AS DOUBLE))", 6)} AS benford
+       |FROM o, n
+       |GROUP BY digit
+       |ORDER BY digit""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_attribution_linear — multi-touch credit assignment
   // ------------------------------------------------------------------
 
@@ -508,7 +613,9 @@ object Behavioral {
     "q_moving_window" -> (qMovingWindow _),
     "q_histogram"     -> (qHistogram _),
     "q_mv_refresh"    -> (qMvRefresh _),
-    "q_attribution_linear" -> (qAttributionLinear _)
+    "q_attribution_linear" -> (qAttributionLinear _),
+    "q_rfm"           -> (qRfm _),
+    "q_benford"       -> (qBenford _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -519,6 +626,8 @@ object Behavioral {
     "q_moving_window" -> qMovingWindowSql,
     "q_histogram"     -> qHistogramSql,
     "q_mv_refresh"    -> qMvRefreshSql,
-    "q_attribution_linear" -> qAttributionLinearSql
+    "q_attribution_linear" -> qAttributionLinearSql,
+    "q_rfm"           -> qRfmSql,
+    "q_benford"       -> qBenfordSql
   )
 }
