@@ -1204,6 +1204,51 @@ object Relational {
        |FROM dim WHERE c_custkey % 7 = 3
        |ORDER BY c_custkey, valid_from_us""".stripMargin
 
+  /** §2.3 #24n — moment-based outlier screen (the z-score sibling of
+    * [[qAboveP95]]'s quantile slice): per-group mean and population
+    * stddev derived from the EXACT decimal sums Σx and Σx² — so μ and
+    * σ are bit-identical on both engines and at any parallelism (a
+    * plain `stddev` aggregate is a float sum whose value depends on
+    * partitioning) — then rows with |x − μ| > 3σ counted row-locally
+    * after a broadcast join of the group-count-sized stats frame. */
+  def qZscoreOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val stats = li.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum($"l_extendedprice").as("sx"),
+        dsum($"l_extendedprice" * $"l_extendedprice").as("sxx"))
+      .withColumn("mu", $"sx" / $"n".cast("double"))
+      .withColumn("sigma", sqrt($"sxx" / $"n".cast("double") - $"mu" * $"mu"))
+    li.join(broadcast(stats), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(
+        max($"n").as("n"),
+        expr(Agg0.rndSql("any_value(mu)", 4)).as("mu"),
+        expr(Agg0.rndSql("any_value(sigma)", 4)).as("sigma"),
+        countIf(abs($"l_extendedprice" - $"mu") > lit(3.0) * $"sigma").as("n_outliers"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qZscoreOutliersSql: String =
+    s"""WITH st AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    ${dsumSql("l_extendedprice")} AS sx,
+       |    ${dsumSql("l_extendedprice * l_extendedprice")} AS sxx
+       |  FROM lineitem GROUP BY l_returnflag
+       |), m AS (
+       |  SELECT l_returnflag, n, sx / CAST(n AS DOUBLE) AS mu,
+       |    sqrt(sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))) AS sigma
+       |  FROM st
+       |)
+       |SELECT li.l_returnflag, max(m.n) AS n,
+       |  ${Agg0.rndSql("any_value(m.mu)", 4)} AS mu,
+       |  ${Agg0.rndSql("any_value(m.sigma)", 4)} AS sigma,
+       |  ${countIfSql("abs(li.l_extendedprice - m.mu) > 3.0 * m.sigma")} AS n_outliers
+       |FROM lineitem li JOIN m ON li.l_returnflag = m.l_returnflag
+       |GROUP BY li.l_returnflag
+       |ORDER BY li.l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
@@ -1238,7 +1283,8 @@ object Relational {
     "q_decorrelate"      -> (qDecorrelate _),
     "q_bucketed_join"    -> (qBucketedJoin _),
     "q_scd2_merge"       -> (qScd2Merge _),
-    "q_above_p95"        -> (qAboveP95 _)
+    "q_above_p95"        -> (qAboveP95 _),
+    "q_zscore_outliers"  -> (qZscoreOutliers _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1273,6 +1319,7 @@ object Relational {
     "q_decorrelate"      -> qDecorrelateSql,
     "q_bucketed_join"    -> qBucketedJoinSql,
     "q_scd2_merge"       -> qScd2MergeSql,
-    "q_above_p95"        -> qAboveP95Sql
+    "q_above_p95"        -> qAboveP95Sql,
+    "q_zscore_outliers"  -> qZscoreOutliersSql
   )
 }
