@@ -116,11 +116,76 @@ object Graph {
       s"\nSELECT id AS part_id, rank FROM r$pagerankIters ORDER BY part_id"
   }
 
+  /** Minimum co-purchase count for a reported rule. */
+  val basketMinPairs = 3L
+  val basketTopN = 50
+
+  /** §2.12 — association rules over the same co-purchase structure
+    * PageRank walks: directed part→part rules with support,
+    * confidence and lift (the classic market-basket mining nobody's
+    * analytics engine ships without). Distinct from [[Pipeline
+    * .corpusPmi]]'s symmetric log-ratio: rules are DIRECTIONAL
+    * (conf(a→b) = n_ab / n_a) and normalized by basket counts.
+    *
+    * Scale layout mirrors the PMI/co-purchase plan: per-order pair
+    * explode (bounded by basket size), partial-agged pair counts, the
+    * part-marginal table joined back (AQE broadcasts it when it
+    * fits), TakeOrdered top-N — no global sort, no self-join of the
+    * pair table. All ratios quantized 1e-6 with a total-order
+    * tiebreak so top-N is deterministic. */
+  def graphBasketRules(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{rnd, rndSql}
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    val baskets = li.select($"l_orderkey").distinct().count()
+    val pairs = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" =!= $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("ante"), $"b.l_partkey".as("cons"))
+      .agg(countDistinct($"a.l_orderkey").as("n_ab"))
+      .filter($"n_ab" >= basketMinPairs)
+    val marg = li.groupBy($"l_partkey").agg(countDistinct($"l_orderkey").as("n_p"))
+    pairs
+      .join(marg.select($"l_partkey".as("ante"), $"n_p".as("n_a")), "ante")
+      .join(marg.select($"l_partkey".as("cons"), $"n_p".as("n_c")), "cons")
+      .select($"ante", $"cons", $"n_ab",
+        rnd($"n_ab".cast("double") / lit(baskets.toDouble), 6).as("support"),
+        rnd($"n_ab".cast("double") / $"n_a".cast("double"), 6).as("confidence"),
+        rnd(($"n_ab".cast("double") / $"n_a".cast("double")) /
+          ($"n_c".cast("double") / lit(baskets.toDouble)), 6).as("lift"))
+      .orderBy($"lift".desc, $"ante", $"cons")
+      .limit(basketTopN)
+  }
+
+  val graphBasketRulesSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS baskets FROM li),
+       |pairs AS (
+       |  SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+       |    count(DISTINCT a.l_orderkey) AS n_ab
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT a.l_orderkey) >= $basketMinPairs),
+       |marg AS (SELECT l_partkey, count(DISTINCT l_orderkey) AS n_p FROM li GROUP BY 1)
+       |SELECT ante, cons, n_ab,
+       |  ${rndSql("CAST(n_ab AS DOUBLE) / baskets", 6)} AS support,
+       |  ${rndSql("CAST(n_ab AS DOUBLE) / CAST(ma.n_p AS DOUBLE)", 6)} AS confidence,
+       |  ${rndSql("(CAST(n_ab AS DOUBLE) / CAST(ma.n_p AS DOUBLE)) / (CAST(mc.n_p AS DOUBLE) / baskets)", 6)} AS lift
+       |FROM pairs
+       |JOIN marg ma ON pairs.ante = ma.l_partkey
+       |JOIN marg mc ON pairs.cons = mc.l_partkey, nb
+       |ORDER BY lift DESC, ante, cons
+       |LIMIT $basketTopN""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank" -> (graphPagerank _)
+    "graph_pagerank"     -> (graphPagerank _),
+    "graph_basket_rules" -> (graphBasketRules _)
   )
 
   def oracles: Map[String, String] = Map(
-    "graph_pagerank" -> graphPagerankSql
+    "graph_pagerank"     -> graphPagerankSql,
+    "graph_basket_rules" -> graphBasketRulesSql
   )
 }

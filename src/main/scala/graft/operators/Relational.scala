@@ -1249,6 +1249,55 @@ object Relational {
        |GROUP BY li.l_returnflag
        |ORDER BY li.l_returnflag""".stripMargin
 
+  /** §2.3 #24o — full-outer reconciliation: two independently-derived
+    * views of the same key space (urgent-priority orders vs per-order
+    * revenue of early-shipped lineitems) FULL OUTER joined and every
+    * key classified `both` / `left_only` / `right_only` with the
+    * matched sides' sum drift — the nightly "do the systems agree"
+    * job. Exercises the one join type the suite didn't yet pin:
+    * full-outer is never broadcastable (both sides must surface
+    * unmatched rows), so it's the shuffle join by construction, one
+    * exchange per side on the key. */
+  def qFullOuterReconcile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val left = Tables.orders(s, dir)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey".as("okey"), $"o_totalprice")
+    val right = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .groupBy($"l_orderkey".as("okey"))
+      .agg(dsum($"l_extendedprice").as("li_revenue"))
+    left.join(right, Seq("okey"), "full_outer")
+      .withColumn("status",
+        when($"o_totalprice".isNotNull && $"li_revenue".isNotNull, "both")
+          .when($"o_totalprice".isNotNull, "left_only")
+          .otherwise("right_only"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_keys"),
+        dsum(coalesce($"o_totalprice", lit(0.0))).as("sum_orders"),
+        dsum(coalesce($"li_revenue", lit(0.0))).as("sum_lineitems"))
+      .orderBy($"status")
+  }
+
+  val qFullOuterReconcileSql: String =
+    s"""WITH l AS (
+       |  SELECT o_orderkey AS okey, o_totalprice FROM orders
+       |  WHERE o_orderpriority = '1-URGENT'),
+       |r AS (
+       |  SELECT l_orderkey AS okey, ${dsumSql("l_extendedprice")} AS li_revenue
+       |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY l_orderkey),
+       |j AS (
+       |  SELECT CASE WHEN l.okey IS NOT NULL AND r.okey IS NOT NULL THEN 'both'
+       |              WHEN l.okey IS NOT NULL THEN 'left_only'
+       |              ELSE 'right_only' END AS status,
+       |    l.o_totalprice, r.li_revenue
+       |  FROM l FULL OUTER JOIN r ON l.okey = r.okey)
+       |SELECT status, count(*) AS n_keys,
+       |  ${dsumSql("coalesce(o_totalprice, 0.0)")} AS sum_orders,
+       |  ${dsumSql("coalesce(li_revenue, 0.0)")} AS sum_lineitems
+       |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
@@ -1284,7 +1333,8 @@ object Relational {
     "q_bucketed_join"    -> (qBucketedJoin _),
     "q_scd2_merge"       -> (qScd2Merge _),
     "q_above_p95"        -> (qAboveP95 _),
-    "q_zscore_outliers"  -> (qZscoreOutliers _)
+    "q_zscore_outliers"  -> (qZscoreOutliers _),
+    "q_full_outer_reconcile" -> (qFullOuterReconcile _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1320,6 +1370,7 @@ object Relational {
     "q_bucketed_join"    -> qBucketedJoinSql,
     "q_scd2_merge"       -> qScd2MergeSql,
     "q_above_p95"        -> qAboveP95Sql,
-    "q_zscore_outliers"  -> qZscoreOutliersSql
+    "q_zscore_outliers"  -> qZscoreOutliersSql,
+    "q_full_outer_reconcile" -> qFullOuterReconcileSql
   )
 }
