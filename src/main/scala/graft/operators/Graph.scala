@@ -179,13 +179,64 @@ object Graph {
        |LIMIT $basketTopN""".stripMargin
   }
 
+  /** Strong-edge support threshold for [[graphTriangles]]: ≥2 shared
+    * baskets (the rules threshold of 3 leaves the strong graph
+    * triangle-free at the test SFs — an empty result gates nothing). */
+  val triangleMinSupport = 2L
+
+  private def strongEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+      .agg(countDistinct($"a.l_orderkey").as("n_ab"))
+      .filter($"n_ab" >= triangleMinSupport)
+      .select($"u", $"v")
+  }
+
+  /** §2.12 — triangle enumeration over the STRONG co-purchase graph
+    * (pairs co-bought in ≥ [[triangleMinSupport]] baskets): the classic
+    * distributed-graph kernel, MR-style — id-oriented edges (u < v
+    * everywhere), wedges from one edge⋈edge equi-join on the middle
+    * vertex, closed by a semi join against the edge set. Two shuffles
+    * total; the support threshold is what makes the wedge join
+    * tractable (the RAW co-purchase graph's Σd² wedge count is
+    * quadratic in hub degree — thresholding is the standard
+    * densification guard, and exactly what "communities of strongly
+    * co-bought parts" wants anyway). */
+  def graphTriangles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = strongEdges(s, dir).localCheckpoint(true)
+    val wedges = e.as("e1").join(e.as("e2"), $"e1.v" === $"e2.u")
+      .select($"e1.u".as("a"), $"e1.v".as("b"), $"e2.v".as("c"))
+    wedges.join(e.select($"u".as("a"), $"v".as("c")), Seq("a", "c"), "left_semi")
+      .orderBy($"a", $"b", $"c")
+  }
+
+  val graphTrianglesSql: String =
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT a.l_orderkey) >= $triangleMinSupport)
+       |SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |FROM e e1
+       |JOIN e e2 ON e1.v = e2.u
+       |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)
+       |ORDER BY a, b, c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank"     -> (graphPagerank _),
-    "graph_basket_rules" -> (graphBasketRules _)
+    "graph_basket_rules" -> (graphBasketRules _),
+    "graph_triangles"    -> (graphTriangles _)
   )
 
   def oracles: Map[String, String] = Map(
     "graph_pagerank"     -> graphPagerankSql,
-    "graph_basket_rules" -> graphBasketRulesSql
+    "graph_basket_rules" -> graphBasketRulesSql,
+    "graph_triangles"    -> graphTrianglesSql
   )
 }
