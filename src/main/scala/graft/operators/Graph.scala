@@ -135,15 +135,20 @@ object Graph {
     * tiebreak so top-N is deterministic. */
   def graphBasketRules(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.Agg.{rnd, rndSql}
-    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    import graft.functions.Agg.rnd
+    // dedup (order, part) FIRST: a pair then appears exactly once per
+    // shared order, so the pair support is a plain partial-aggregated
+    // count — no count(distinct) over the exploded pair table, which
+    // is the expensive aggregate (measured 4.1 s -> re-timed below)
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
+      .localCheckpoint(true)
     val baskets = li.select($"l_orderkey").distinct().count()
     val pairs = li.as("a").join(li.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" =!= $"b.l_partkey")
       .groupBy($"a.l_partkey".as("ante"), $"b.l_partkey".as("cons"))
-      .agg(countDistinct($"a.l_orderkey").as("n_ab"))
+      .agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= basketMinPairs)
-    val marg = li.groupBy($"l_partkey").agg(countDistinct($"l_orderkey").as("n_p"))
+    val marg = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_p"))
     pairs
       .join(marg.select($"l_partkey".as("ante"), $"n_p".as("n_a")), "ante")
       .join(marg.select($"l_partkey".as("cons"), $"n_p".as("n_c")), "cons")
@@ -186,11 +191,12 @@ object Graph {
 
   private def strongEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey")
+    // same per-order dedup-first trick as [[graphBasketRules]]
+    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
     li.as("a").join(li.as("b"),
         $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
       .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .agg(countDistinct($"a.l_orderkey").as("n_ab"))
+      .agg(count(lit(1)).as("n_ab"))
       .filter($"n_ab" >= triangleMinSupport)
       .select($"u", $"v")
   }
