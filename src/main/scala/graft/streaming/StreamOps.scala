@@ -282,9 +282,16 @@ object StreamOps {
     out.result().iterator
   }
 
-  def funnelHits(s: SparkSession, dir: String): Dataset[FunnelHit] = {
+  def funnelHits(s: SparkSession, dir: String): Dataset[FunnelHit] =
+    funnelHitsFrom(StreamAcc.eventsStream(s, dir))
+
+  /** Source-agnostic variant: any events-shaped stream (the
+    * multi-micro-batch integration spec drives this with a rate-
+    * limited file source). */
+  private[graft] def funnelHitsFrom(stream: DataFrame): Dataset[FunnelHit] = {
+    val s = stream.sparkSession
     import s.implicits._
-    StreamAcc.eventsStream(s, dir)
+    stream
       .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"), $"event_id")
       .as[FunnelEvent]
       .groupByKey(_.user_id)
@@ -376,9 +383,13 @@ object StreamOps {
     out.result().iterator
   }
 
-  def resampleStream(s: SparkSession, dir: String): Dataset[ResampleOut] = {
+  def resampleStream(s: SparkSession, dir: String): Dataset[ResampleOut] =
+    resampleStreamFrom(StreamAcc.eventsStream(s, dir))
+
+  private[graft] def resampleStreamFrom(stream: DataFrame): Dataset[ResampleOut] = {
+    val s = stream.sparkSession
     import s.implicits._
-    StreamAcc.eventsStream(s, dir)
+    stream
       .select($"event_type", unix_micros($"ts").as("ts_us"), $"event_id", $"value")
       .as[ValueEvent]
       .groupByKey(_.event_type)

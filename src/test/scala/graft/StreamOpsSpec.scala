@@ -114,6 +114,67 @@ class StreamOpsSpec extends SparkSpec {
         s"diff=${(streamed -- closed).take(2)} / ${(closed -- streamed).take(2)}")
   }
 
+  test("funnel and resample survive a genuinely multi-micro-batch replay") {
+    val s = spark; import s.implicits._
+    // stage events as THREE time-ordered files and feed them one per
+    // micro-batch (maxFilesPerTrigger=1) — the state machines must
+    // carry open chains / open buckets across real micro-batch
+    // boundaries, not just within one replay batch
+    import org.apache.spark.sql.functions.unix_micros
+    val dir = java.nio.file.Files.createTempDirectory("graft-multibatch").toString
+    val ev = graft.sources.Tables.events(s, sfDir)
+      .withColumn("us", unix_micros($"ts"))
+    val cuts = ev.stat.approxQuantile("us", Array(0.33, 0.66), 0.0)
+    ev.filter($"us" <= cuts(0)).drop("us")
+      .coalesce(1).write.parquet(s"$dir/f0")
+    ev.filter($"us" > cuts(0) && $"us" <= cuts(1)).drop("us")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    ev.filter($"us" > cuts(1)).drop("us")
+      .coalesce(1).write.parquet(s"$dir/f2")
+    val staged = s"$dir/staged"
+    new java.io.File(staged).mkdirs()
+    Seq("f0", "f1", "f2").zipWithIndex.foreach { case (f, i) =>
+      val src = new java.io.File(s"$dir/$f").listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(staged, f"part-$i%02d.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      // the file source replays oldest-mtime-first: make arrival order
+      // explicit (copies land with near-identical mtimes otherwise)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = s.read.parquet(staged).schema
+    def stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+
+    val fq = StreamOps.funnelHitsFrom(stream).toDF().writeStream
+      .format("memory").queryName("mb_funnel").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    fq.awaitTermination()
+    assert(fq.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected at least three non-empty micro-batches")
+    val streamedF = s.table("mb_funnel").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def tsUs(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val expectedF = StreamOps.runFunnelToCompletion(s, sfDir, sink = "mb_funnel_ref")
+      .collect().map(r => (r.getLong(0), r.getLong(1), tsUs(r.getTimestamp(2)))).toSet
+    assert(streamedF == expectedF,
+      s"multi-batch funnel diverged: ${(streamedF -- expectedF).take(3)} / ${(expectedF -- streamedF).take(3)}")
+
+    val rq = StreamOps.resampleStreamFrom(stream).toDF().writeStream
+      .format("memory").queryName("mb_resample").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    rq.awaitTermination()
+    val streamedR = s.table("mb_resample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getString(4))).toSet
+    val expectedR = StreamOps.runResampleToCompletion(s, sfDir, sink = "mb_resample_ref")
+      .collect().map(r => (r.getString(0), tsUs(r.getTimestamp(1)),
+        r.getDouble(2), r.getLong(3), r.getString(4))).toSet
+    assert(streamedR == expectedR,
+      s"multi-batch resample diverged: ${(streamedR -- expectedR).take(3)} / ${(expectedR -- streamedR).take(3)}")
+  }
+
   test("funnel state machine carries progress across micro-batches") {
     import graft.streaming.{FunnelEvent, FunnelState, FunnelHit}
     import org.apache.spark.sql.streaming.TestGroupState
