@@ -372,12 +372,17 @@ object Behavioral {
   def qRfm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val asOf = "2001-09-01 00:00:00"
+    // materialized once: each rank pass SAMPLES its input for bucket
+    // boundaries and then scans it again — three unpinned passes
+    // would re-run the orders scan+aggregate up to 7× (the
+    // sample-reexecution trap §8 documents for sample_stratified)
     val cust = Tables.orders(s, dir)
       .groupBy($"o_custkey")
       .agg(
         datediff(lit(asOf).cast("timestamp"), max($"o_orderdate")).cast("long").as("recency_days"),
         count(lit(1)).as("frequency"),
         dsum($"o_totalprice").as("monetary"))
+      .localCheckpoint(true)
     val n = cust.count()
     def quintile(df: DataFrame, metric: Seq[org.apache.spark.sql.Column],
         rankCol: String, out: String): DataFrame =
