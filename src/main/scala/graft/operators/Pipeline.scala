@@ -656,6 +656,61 @@ object Pipeline {
       |  row_number() OVER (ORDER BY mix_key, source, doc_id) AS position
       |FROM k ORDER BY position""".stripMargin
 
+  /** CMS geometry: depth (independent hash rows) × width (cells per
+    * row, as 3 hex chars = 4096). */
+  val cmsDepth = 4
+  val cmsHexChars = 3
+  val cmsTopN = 20
+
+  /** §2.8 — count-min sketch term frequencies: the bounded-memory
+    * frequency summary to [[corpusHeavyHitters]]' exact two-pass —
+    * ONE pass, O(depth × width) state total, mergeable by cell-wise
+    * addition (partials combine map-side like any groupBy), never an
+    * exact per-term table. Estimates are biased UP only (collisions
+    * add, never subtract): est(t) = min over rows of cell(h_i(t)) ≥
+    * true(t) — PipelineSpec asserts the bound over every distinct
+    * token. The cell hash is an md5-prefix, identical in both
+    * engines, so the sketch and its estimates are fully
+    * DuckDB-replicable: the query emits the [[cmsTopN]] most frequent
+    * tokens with exact and estimated counts. */
+  def corpusCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(expr(TA.toksExpr)).as("token"))
+    val depths = (0 until cmsDepth).toDF("i")
+    val cells = toks.crossJoin(broadcast(depths))
+      .select($"i",
+        substring(md5(concat($"i".cast("string"), lit(":"), $"token")), 1, cmsHexChars).as("cell"))
+      .groupBy($"i", $"cell").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy($"token").agg(count(lit(1)).as("exact_count"))
+      .orderBy($"exact_count".desc, $"token").limit(cmsTopN)
+    top.crossJoin(broadcast(depths))
+      .select($"token", $"exact_count", $"i",
+        substring(md5(concat($"i".cast("string"), lit(":"), $"token")), 1, cmsHexChars).as("cell"))
+      .join(cells, Seq("i", "cell"))
+      .groupBy($"token", $"exact_count")
+      .agg(min($"c").as("cms_estimate"))
+      .orderBy($"exact_count".desc, $"token")
+  }
+
+  val corpusCmsSql: String =
+    s"""WITH tok AS (
+       |  SELECT unnest(${TA.duckToks}) AS token FROM documents),
+       |d AS (SELECT unnest(generate_series(0, ${cmsDepth - 1})) AS i),
+       |cells AS (
+       |  SELECT i, substr(md5(i || ':' || token), 1, $cmsHexChars) AS cell, count(*) AS c
+       |  FROM tok, d GROUP BY 1, 2),
+       |top AS (
+       |  SELECT token, count(*) AS exact_count FROM tok GROUP BY 1
+       |  ORDER BY exact_count DESC, token LIMIT $cmsTopN)
+       |SELECT t.token, t.exact_count, min(c.c) AS cms_estimate
+       |FROM top t
+       |JOIN d ON TRUE
+       |JOIN cells c ON c.i = d.i
+       |  AND c.cell = substr(md5(d.i || ':' || t.token), 1, $cmsHexChars)
+       |GROUP BY t.token, t.exact_count
+       |ORDER BY t.exact_count DESC, t.token""".stripMargin
+
   /** Seed for the deterministic training-order shuffle. */
   val shuffleSeed = 42
 
@@ -781,6 +836,7 @@ object Pipeline {
     "corpus_drift"      -> (corpusDrift _),
     "pipeline_e2e"      -> (pipelineE2e _),
     "corpus_mix"        -> (corpusMix _),
+    "corpus_cms"        -> (corpusCms _),
     "sample_stratified" -> (sampleStratified _),
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
@@ -797,6 +853,7 @@ object Pipeline {
     "corpus_drift"      -> corpusDriftSql,
     "pipeline_e2e"      -> pipelineE2eSql,
     "corpus_mix"        -> corpusMixSql,
+    "corpus_cms"        -> corpusCmsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,

@@ -234,6 +234,28 @@ class PipelineSpec extends SparkSpec {
     assert(rows.map(_._2) == rows.map(_._2).sorted.reverse)
   }
 
+  test("count-min sketch never underestimates any token") {
+    val s = spark; import s.implicits._
+    val toks = graft.sources.Tables.documents(s, sfDir)
+      .select(explode(expr("split(trim(text), '\\\\s+')")).as("token"))
+    val exact = toks.groupBy($"token").agg(count(lit(1)).as("n"))
+    val depths = (0 until Pipeline.cmsDepth).toDF("i")
+    val cells = toks.crossJoin(broadcast(depths))
+      .select($"i", substring(md5(concat($"i".cast("string"), lit(":"), $"token")), 1,
+        Pipeline.cmsHexChars).as("cell"))
+      .groupBy($"i", $"cell").agg(count(lit(1)).as("c"))
+    val est = exact.crossJoin(broadcast(depths))
+      .select($"token", $"n", $"i",
+        substring(md5(concat($"i".cast("string"), lit(":"), $"token")), 1,
+          Pipeline.cmsHexChars).as("cell"))
+      .join(cells, Seq("i", "cell"))
+      .groupBy($"token", $"n").agg(min($"c").as("est"))
+    val bad = est.filter($"est" < $"n").count()
+    assert(bad == 0L, s"$bad tokens underestimated — CMS bound violated")
+    // and the sketch is not vacuous: some estimate is exact
+    assert(est.filter($"est" === $"n").count() > 0L)
+  }
+
   test("corpus drift flags the alien source and scores clones near zero") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft-drift").toString
