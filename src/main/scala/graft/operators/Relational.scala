@@ -1298,6 +1298,64 @@ object Relational {
        |  ${dsumSql("coalesce(li_revenue, 0.0)")} AS sum_lineitems
        |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  /** §2.3 #24p — declarative constraint validation (the dbt-test /
+    * CHECK-constraint audit): primary-key uniqueness, referential
+    * integrity, and domain ranges over the star schema, one row per
+    * constraint with its violation count. Each check is the cheapest
+    * plan for its class — PK via partial-agged groupBy (count of
+    * over-1 groups), FKs via LEFT ANTI against the (broadcastable)
+    * parent key set, ranges row-local — and the suite unions
+    * scalar-sized results, so the audit costs one pass per
+    * participating table. All-zero violations on the test data is the
+    * point: the oracle proves the CHECKS compute the same thing, the
+    * spec proves they actually fire on corrupted rows. */
+  def qConstraints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val cust = Tables.customer(s, dir)
+    def check(name: String, v: DataFrame): DataFrame =
+      v.select(lit(name).as("constraint_name"), $"n_violations")
+    val pkOrders = check("pk_orders_unique",
+      orders.groupBy($"o_orderkey").agg(count(lit(1)).as("c"))
+        .agg(countIf($"c" > 1L).as("n_violations")))
+    val fkLiOrders = check("fk_lineitem_orders",
+      li.join(orders.select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey", "left_anti")
+        .agg(count(lit(1)).as("n_violations")))
+    val fkOrdersCust = check("fk_orders_customer",
+      orders.join(cust.select($"c_custkey"),
+          $"o_custkey" === $"c_custkey", "left_anti")
+        .agg(count(lit(1)).as("n_violations")))
+    val rangeDiscount = check("range_discount_0_1",
+      li.agg(countIf($"l_discount" < 0.0 || $"l_discount" > 1.0).as("n_violations")))
+    val rangeQty = check("range_quantity_pos",
+      li.agg(countIf($"l_quantity" <= 0.0).as("n_violations")))
+    pkOrders.unionByName(fkLiOrders).unionByName(fkOrdersCust)
+      .unionByName(rangeDiscount).unionByName(rangeQty)
+      .orderBy($"constraint_name")
+  }
+
+  val qConstraintsSql: String =
+    s"""SELECT 'pk_orders_unique' AS constraint_name,
+       |  (SELECT ${countIfSql("c > 1")} FROM
+       |     (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)) AS n_violations
+       |UNION ALL
+       |SELECT 'fk_lineitem_orders',
+       |  (SELECT count(*) FROM lineitem
+       |   WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+       |UNION ALL
+       |SELECT 'fk_orders_customer',
+       |  (SELECT count(*) FROM orders
+       |   WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+       |UNION ALL
+       |SELECT 'range_discount_0_1',
+       |  (SELECT ${countIfSql("l_discount < 0.0 OR l_discount > 1.0")} FROM lineitem)
+       |UNION ALL
+       |SELECT 'range_quantity_pos',
+       |  (SELECT ${countIfSql("l_quantity <= 0.0")} FROM lineitem)
+       |ORDER BY constraint_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
@@ -1334,7 +1392,8 @@ object Relational {
     "q_scd2_merge"       -> (qScd2Merge _),
     "q_above_p95"        -> (qAboveP95 _),
     "q_zscore_outliers"  -> (qZscoreOutliers _),
-    "q_full_outer_reconcile" -> (qFullOuterReconcile _)
+    "q_full_outer_reconcile" -> (qFullOuterReconcile _),
+    "q_constraints"      -> (qConstraints _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1371,6 +1430,7 @@ object Relational {
     "q_scd2_merge"       -> qScd2MergeSql,
     "q_above_p95"        -> qAboveP95Sql,
     "q_zscore_outliers"  -> qZscoreOutliersSql,
-    "q_full_outer_reconcile" -> qFullOuterReconcileSql
+    "q_full_outer_reconcile" -> qFullOuterReconcileSql,
+    "q_constraints"      -> qConstraintsSql
   )
 }

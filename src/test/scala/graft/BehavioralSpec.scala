@@ -123,6 +123,41 @@ class BehavioralSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
   }
 
+  test("constraint audit fires on corrupted rows") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-constraints").toString
+    def ts(d: String) = lit(d).cast("timestamp")
+    // customers 1..3; orders: PK 10 duplicated, order 12 orphaned to
+    // customer 99; lineitem: one orphan order 999, one discount 1.5,
+    // one quantity 0
+    Seq((1L, "c1"), (2L, "c2"), (3L, "c3"))
+      .toDF("c_custkey", "c_name")
+      .select($"c_custkey", $"c_name", lit(0).as("c_nationkey"),
+        lit(1.0).as("c_acctbal"), lit("BUILDING").as("c_mktsegment"))
+      .coalesce(1).write.parquet(s"$dir/customer.parquet")
+    Seq((10L, 1L), (10L, 2L), (11L, 2L), (12L, 99L))
+      .toDF("o_orderkey", "o_custkey")
+      .select($"o_orderkey", $"o_custkey", lit("O").as("o_orderstatus"),
+        lit(100.0).as("o_totalprice"), ts("2024-01-01 00:00:00").as("o_orderdate"),
+        lit("1-URGENT").as("o_orderpriority"))
+      .coalesce(1).write.parquet(s"$dir/orders.parquet")
+    Seq((10L, 1.0, 0.05), (11L, 2.0, 1.5), (999L, 0.0, 0.0))
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+      .select($"l_orderkey", lit(1L).as("l_partkey"), lit(1L).as("l_suppkey"),
+        lit(1).as("l_linenumber"), $"l_quantity", lit(10.0).as("l_extendedprice"),
+        $"l_discount", lit(0.0).as("l_tax"), lit("N").as("l_returnflag"),
+        lit("O").as("l_linestatus"), ts("2024-01-02 00:00:00").as("l_shipdate"))
+      .coalesce(1).write.parquet(s"$dir/lineitem.parquet")
+    val v = graft.operators.Relational.qConstraints(s, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map(
+      "pk_orders_unique" -> 1L,    // key 10 appears twice
+      "fk_lineitem_orders" -> 1L,  // order 999
+      "fk_orders_customer" -> 1L,  // customer 99
+      "range_discount_0_1" -> 1L,  // 1.5
+      "range_quantity_pos" -> 1L), v.toString) // 0.0
+  }
+
   test("mv delta scan pushes the time predicate into the parquet scan") {
     Behavioral.buildDailyMv(spark, sfDir)
     val p = Behavioral.mvDeltaPlan(spark, sfDir)
