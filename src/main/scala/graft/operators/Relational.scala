@@ -1356,6 +1356,66 @@ object Relational {
        |  (SELECT ${countIfSql("l_quantity <= 0.0")} FROM lineitem)
        |ORDER BY constraint_name""".stripMargin
 
+  /** §2.3 #24q — pairwise Pearson correlations (quantity, price,
+    * discount) in ONE aggregate pass: every r derives from the five
+    * exact decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) by identical
+    * double arithmetic — the `DataFrameStat.corr` capability, but
+    * partition-independent and oracle-exact (Spark's own corr is a
+    * float co-moment stream whose value depends on partitioning).
+    * Output unpivots to one row per pair via `stack`. */
+  def qCorrelation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def r(x: String, y: String, sx: String, sy: String, sxy: String,
+        sxx: String, syy: String): org.apache.spark.sql.Column =
+      expr(Agg0.rndSql(
+        s"""(CAST(n AS DOUBLE) * $sxy - $sx * $sy) /
+           |sqrt((CAST(n AS DOUBLE) * $sxx - $sx * $sx) *
+           |     (CAST(n AS DOUBLE) * $syy - $sy * $sy))""".stripMargin, 6))
+    Tables.lineitem(s, dir)
+      .agg(count(lit(1)).as("n"),
+        dsum($"l_quantity").as("sq"), dsum($"l_extendedprice").as("sp"),
+        dsum($"l_discount").as("sd"),
+        dsum($"l_quantity" * $"l_extendedprice").as("sqp"),
+        dsum($"l_quantity" * $"l_discount").as("sqd"),
+        dsum($"l_extendedprice" * $"l_discount").as("spd"),
+        dsum($"l_quantity" * $"l_quantity").as("sqq"),
+        dsum($"l_extendedprice" * $"l_extendedprice").as("spp"),
+        dsum($"l_discount" * $"l_discount").as("sdd"))
+      .select(
+        r("q", "p", "sq", "sp", "sqp", "sqq", "spp").as("r_qty_price"),
+        r("q", "d", "sq", "sd", "sqd", "sqq", "sdd").as("r_qty_disc"),
+        r("p", "d", "sp", "sd", "spd", "spp", "sdd").as("r_price_disc"))
+      .select(expr(
+        "stack(3, 'qty_price', r_qty_price, 'qty_disc', r_qty_disc, 'price_disc', r_price_disc) AS (pair, r)"))
+      .orderBy($"pair")
+  }
+
+  val qCorrelationSql: String = {
+    def rS(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
+      Agg0.rndSql(
+        s"""(CAST(n AS DOUBLE) * $sxy - $sx * $sy) /
+           |sqrt((CAST(n AS DOUBLE) * $sxx - $sx * $sx) *
+           |     (CAST(n AS DOUBLE) * $syy - $sy * $sy))""".stripMargin, 6)
+    s"""WITH sums AS (
+       |  SELECT count(*) AS n,
+       |    ${dsumSql("l_quantity")} AS sq, ${dsumSql("l_extendedprice")} AS sp,
+       |    ${dsumSql("l_discount")} AS sd,
+       |    ${dsumSql("l_quantity * l_extendedprice")} AS sqp,
+       |    ${dsumSql("l_quantity * l_discount")} AS sqd,
+       |    ${dsumSql("l_extendedprice * l_discount")} AS spd,
+       |    ${dsumSql("l_quantity * l_quantity")} AS sqq,
+       |    ${dsumSql("l_extendedprice * l_extendedprice")} AS spp,
+       |    ${dsumSql("l_discount * l_discount")} AS sdd
+       |  FROM lineitem)
+       |SELECT pair, r FROM (
+       |  SELECT 'qty_price' AS pair, ${rS("sq", "sp", "sqp", "sqq", "spp")} AS r FROM sums
+       |  UNION ALL
+       |  SELECT 'qty_disc', ${rS("sq", "sd", "sqd", "sqq", "sdd")} FROM sums
+       |  UNION ALL
+       |  SELECT 'price_disc', ${rS("sp", "sd", "spd", "spp", "sdd")} FROM sums)
+       |ORDER BY pair""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
@@ -1393,7 +1453,8 @@ object Relational {
     "q_above_p95"        -> (qAboveP95 _),
     "q_zscore_outliers"  -> (qZscoreOutliers _),
     "q_full_outer_reconcile" -> (qFullOuterReconcile _),
-    "q_constraints"      -> (qConstraints _)
+    "q_constraints"      -> (qConstraints _),
+    "q_correlation"      -> (qCorrelation _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1431,6 +1492,7 @@ object Relational {
     "q_above_p95"        -> qAboveP95Sql,
     "q_zscore_outliers"  -> qZscoreOutliersSql,
     "q_full_outer_reconcile" -> qFullOuterReconcileSql,
-    "q_constraints"      -> qConstraintsSql
+    "q_constraints"      -> qConstraintsSql,
+    "q_correlation"      -> qCorrelationSql
   )
 }
