@@ -1416,6 +1416,83 @@ object Relational {
        |ORDER BY pair""".stripMargin
   }
 
+  /** §2.3 #24r — per-group OLS trend line (extendedprice ~ quantity
+    * per returnflag): slope, intercept and R² derived from the same
+    * exact decimal co-moments as [[qCorrelation]] — one partial-agged
+    * pass, group-state O(1), bit-stable at any parallelism. The
+    * regression every BI "add trendline" button runs, as an engine
+    * aggregate. */
+  def qRegression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum($"l_quantity").as("sx"), dsum($"l_extendedprice").as("sy"),
+        dsum($"l_quantity" * $"l_extendedprice").as("sxy"),
+        dsum($"l_quantity" * $"l_quantity").as("sxx"),
+        dsum($"l_extendedprice" * $"l_extendedprice").as("syy"))
+      .select($"l_returnflag", $"n",
+        expr(Agg0.rndSql(
+          "(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)", 6)).as("slope"),
+        expr(Agg0.rndSql(
+          "(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)", 6)).as("intercept"),
+        expr(Agg0.rndSql(
+          """((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+            |((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))""".stripMargin, 6)).as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qRegressionSql: String =
+    s"""WITH sums AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    ${dsumSql("l_quantity")} AS sx, ${dsumSql("l_extendedprice")} AS sy,
+       |    ${dsumSql("l_quantity * l_extendedprice")} AS sxy,
+       |    ${dsumSql("l_quantity * l_quantity")} AS sxx,
+       |    ${dsumSql("l_extendedprice * l_extendedprice")} AS syy
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT l_returnflag, n,
+       |  ${Agg0.rndSql("(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)", 6)} AS slope,
+       |  ${Agg0.rndSql("(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)", 6)} AS intercept,
+       |  ${Agg0.rndSql(
+      """((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+        |((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))""".stripMargin, 6)} AS r2
+       |FROM sums ORDER BY l_returnflag""".stripMargin
+
+  /** §2.3 #24s — Gini concentration of customer revenue ("what share
+    * of revenue do the biggest customers hold"): G = 2·Σ rank·xᵢ /
+    * (n·Σx) − (n+1)/n over ascending-sorted per-customer revenue.
+    * The rank comes from the two-phase bucketed global rank — a
+    * `row_number() OVER (ORDER BY revenue)` is a one-task sort at
+    * scale — and both Σx and Σ rank·x run through the exact decimal
+    * path, so the index is bit-stable and oracle-exact. */
+  def qGini(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .groupBy($"o_custkey").agg(dsum($"o_totalprice").as("rev"))
+    val ranked = graft.functions.Ranks.globalRowNumber(rev,
+      Seq($"rev", $"o_custkey"), graft.functions.Ranks.defaultPartitions(rev), "rk")
+    ranked.agg(count(lit(1)).as("n"),
+        dsum($"rev").as("sx"),
+        dsum($"rk".cast("double") * $"rev").as("srx"))
+      .select($"n",
+        expr(Agg0.rndSql(
+          "2.0 * srx / (CAST(n AS DOUBLE) * sx) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)", 6)).as("gini"))
+  }
+
+  val qGiniSql: String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey, ${dsumSql("o_totalprice")} AS rev
+       |  FROM orders GROUP BY o_custkey),
+       |ranked AS (
+       |  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rk FROM rev),
+       |sums AS (
+       |  SELECT count(*) AS n, ${dsumSql("rev")} AS sx,
+       |    ${dsumSql("CAST(rk AS DOUBLE) * rev")} AS srx
+       |  FROM ranked)
+       |SELECT n,
+       |  ${Agg0.rndSql("2.0 * srx / (CAST(n AS DOUBLE) * sx) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)", 6)} AS gini
+       |FROM sums""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
@@ -1454,7 +1531,9 @@ object Relational {
     "q_zscore_outliers"  -> (qZscoreOutliers _),
     "q_full_outer_reconcile" -> (qFullOuterReconcile _),
     "q_constraints"      -> (qConstraints _),
-    "q_correlation"      -> (qCorrelation _)
+    "q_correlation"      -> (qCorrelation _),
+    "q_regression"       -> (qRegression _),
+    "q_gini"             -> (qGini _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1493,6 +1572,8 @@ object Relational {
     "q_zscore_outliers"  -> qZscoreOutliersSql,
     "q_full_outer_reconcile" -> qFullOuterReconcileSql,
     "q_constraints"      -> qConstraintsSql,
-    "q_correlation"      -> qCorrelationSql
+    "q_correlation"      -> qCorrelationSql,
+    "q_regression"       -> qRegressionSql,
+    "q_gini"             -> qGiniSql
   )
 }
