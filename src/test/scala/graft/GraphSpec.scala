@@ -35,6 +35,52 @@ class GraphSpec extends SparkSpec {
     assert(r(10L) > r(11L), "hub collects both leaves' mass")
   }
 
+  /** Hub basket corpus: part 500 co-bought (support 2) with leaves
+    * 1..40 and 1001..1040; leaves 1 and 1001 also co-bought together,
+    * so exactly one triangle (1, 500, 1001) exists. Under id
+    * orientation the hub's mid-range id gives in·out = 40·40 = 1600
+    * wedges on one join key; degree orientation collapses that to 1. */
+  private lazy val hubDir: String = {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-hub").toString
+    val lows  = (1L to 40L).flatMap(l => Seq.tabulate(2)(r => (l * 10 + r, 500L, l)))
+    val highs = (1L to 40L).flatMap(l => Seq.tabulate(2)(r => (l * 10 + 1000 + r, 500L, l + 1000L)))
+    val tri   = Seq.tabulate(2)(r => (90000L + r, 1L, 1001L))
+    (lows ++ highs ++ tri).flatMap { case (o, p1, p2) => Seq((o, p1), (o, p2)) }
+      .toDF("l_orderkey", "l_partkey")
+      .select($"l_orderkey", $"l_partkey", lit(1L).as("l_suppkey"),
+        lit(1).as("l_linenumber"), lit(1.0).as("l_quantity"),
+        lit(1.0).as("l_extendedprice"), lit(0.0).as("l_discount"),
+        lit(0.0).as("l_tax"), lit("N").as("l_returnflag"),
+        lit("O").as("l_linestatus"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("l_shipdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("triangles are exact on the hub graph and degree orientation kills the hub wedge blowup") {
+    val s = spark; import s.implicits._
+    val tris = Graph.graphTriangles(s, hubDir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(tris.toSeq == Seq((1L, 500L, 1001L)), s"expected the single planted triangle, got ${tris.toSeq}")
+
+    val e0 = Graph.strongEdges(s, hubDir).cache()
+    val m = e0.count() // 81 edges: 80 hub spokes + the (1, 1001) closer
+    // id-oriented wedge count: the shape round 3 shipped — hub-quadratic
+    val idWedges = e0.as("e1").join(e0.as("e2"), $"e1.v" === $"e2.u").count()
+    // degree-oriented wedge count: what graphTriangles now does
+    val or = Graph.orientEdges(s, e0)
+    val degWedges = or.select($"s", $"t".as("t1"), $"dt".as("d1"))
+      .join(or.select($"s", $"t".as("t2"), $"dt".as("d2")), "s")
+      .filter($"d1" < $"d2" || ($"d1" === $"d2" && $"t1" < $"t2")).count()
+    assert(idWedges >= 1000L, s"hub graph must exhibit the id-orientation blowup, got $idWedges")
+    assert(degWedges <= 2L, s"degree orientation must collapse the hub wedges, got $degWedges")
+    // the structural guarantee that bounds every join key at any scale
+    val maxOut = or.groupBy($"s").count().agg(max("count")).head().getLong(0)
+    assert(maxOut <= math.ceil(math.sqrt(2.0 * m)).toLong,
+      s"out-degree $maxOut exceeds the sqrt(2m) degree-orientation bound")
+    e0.unpersist()
+  }
+
   test("pagerank is partition-invariant") {
     val s = spark
     val a = Graph.graphPagerank(s, sfDir).collect().map(_.toSeq).toSeq
