@@ -278,13 +278,17 @@ object Dedup {
        |ORDER BY doc1, doc2""".stripMargin
 
   /** doc_id + MinHash signature (k=[[minhashK]]) via the native
-    * single-pass [[graft.functions.MinHashSig]] expression. */
-  def minhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    shingled(s, dir)
-      .withColumn("sig", expr("graft_minhash64(shingles)"))
-      .select($"doc_id", $"sig")
-  }
+    * single-pass [[graft.functions.MinHashSig]] expression. Staged as
+    * a persisted artifact ([[graft.sources.OracleStage]]): computed
+    * once per dataset, read back by every consumer, and the staged
+    * table is what the banding oracles recompute candidates from. */
+  def minhashSignatures(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "minhash_sigs", dir) {
+      import s.implicits._
+      shingled(s, dir)
+        .withColumn("sig", expr("graft_minhash64(shingles)"))
+        .select($"doc_id", $"sig")
+    }
 
   /** (doc_id, sig, band, bucket) — one row per LSH band of each
     * signature; the banding layout shared by [[dedupMinhash]] and the
@@ -386,14 +390,16 @@ object Dedup {
 
   /** doc_id + 64-bit SimHash over tokens (term-frequency weighted by
     * construction: repeated tokens vote repeatedly) via the native
-    * [[graft.functions.SimHash64]] expression. */
-  def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("simhash", expr("graft_simhash64(toks)"))
-      .select($"doc_id", $"simhash")
-  }
+    * [[graft.functions.SimHash64]] expression. Staged like
+    * [[minhashSignatures]]. */
+  def simhashSignatures(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "simhash_sigs", dir) {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .withColumn("simhash", expr("graft_simhash64(toks)"))
+        .select($"doc_id", $"simhash")
+    }
 
   /** SimHash near-dup pairs: Hamming ≤ 3 via 4×16-bit band buckets
     * (pigeonhole: any pair within distance 3 shares a clean band). */
@@ -635,11 +641,16 @@ object Dedup {
     import s.implicits._
     s.udf.register("graft_minhash_union",
       org.apache.spark.sql.functions.udaf(graft.functions.MinHashUnion))
-    val sigs = Tables.documents(s, dir)
-      .withColumn("toks", expr(toksExpr))
-      .filter(size($"toks") >= 3)
-      .withColumn("sig", expr("graft_minhash64(graft_shingles(toks))"))
-      .select($"source", $"sig")
+    // per-doc signatures staged so the oracle can recompute the
+    // elementwise-min union and the overlap estimates itself — the
+    // mergeable-sketch semantics become hash-checkable
+    val sigs = graft.sources.OracleStage.stage(s, "source_sigs", dir) {
+      Tables.documents(s, dir)
+        .withColumn("toks", expr(toksExpr))
+        .filter(size($"toks") >= 3)
+        .withColumn("sig", expr("graft_minhash64(graft_shingles(toks))"))
+        .select($"source", $"sig")
+    }
     val sketches = sigs.groupBy($"source")
       .agg(expr("graft_minhash_union(sig)").as("sketch"),
            count(lit(1)).as("n_docs"))
@@ -726,6 +737,80 @@ object Dedup {
        |  ${graft.functions.Agg.rndSql(s"count(DISTINCT j) * CAST(1.0 AS DOUBLE) / max(n_tokens)", 4)} AS dup_ratio
        |FROM cover GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- staged-signature oracles ------------------------------------
+  // The XXH64 signatures aren't SQL-replicable, but everything
+  // downstream of them is: these oracles recompute banding, candidate
+  // pairs, Hamming filters, and the sketch union from the STAGED
+  // signature tables, hash-checking the whole pipeline except the
+  // hash itself (ExpressionsSpec covers that). DuckDB bands on the
+  // raw signature slice (as a joined string) where Spark bands on
+  // xxhash64(slice) — equal slices iff equal buckets, modulo a
+  // 2^-64 hash collision.
+
+  private def sigBandCtes(glob: String): String =
+    s"""sigs AS (SELECT doc_id, sig FROM read_parquet('$glob')),
+       |banded AS (
+       |  SELECT doc_id, b AS band,
+       |    array_to_string(sig[b*$rowsPerBand+1 : b*$rowsPerBand+$rowsPerBand], ',') AS bucket
+       |  FROM sigs, unnest(range(0, $bands)) AS u(b))""".stripMargin
+
+  /** [[estJaccard]]'s DuckDB rendering over two staged signatures. */
+  private def estJaccardDuck(s1: String, s2: String): String =
+    rndSql(s"CAST(len(list_filter(range(1, ${minhashK + 1}), i -> $s1[i] = $s2[i])) AS DOUBLE) / $minhashK", 4)
+
+  def dedupMinhashSql(glob: String): String =
+    s"""WITH ${sigBandCtes(glob)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT doc1, doc2, ${estJaccardDuck("s1.sig", "s2.sig")} AS est_jaccard
+       |FROM cand JOIN sigs s1 ON cand.doc1 = s1.doc_id
+       |          JOIN sigs s2 ON cand.doc2 = s2.doc_id
+       |ORDER BY doc1, doc2""".stripMargin
+
+  def dedupIncrementalSql(glob: String): String =
+    s"""WITH ${sigBandCtes(glob)},
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS corpus_id, p.doc_id AS new_id
+       |  FROM banded i JOIN banded p
+       |    ON i.band = p.band AND i.bucket = p.bucket
+       |  WHERE i.doc_id % $incrementalShardMod <> $incrementalShardRem
+       |    AND p.doc_id % $incrementalShardMod = $incrementalShardRem)
+       |SELECT corpus_id, new_id, ${estJaccardDuck("s1.sig", "s2.sig")} AS est_jaccard
+       |FROM cand JOIN sigs s1 ON cand.corpus_id = s1.doc_id
+       |          JOIN sigs s2 ON cand.new_id = s2.doc_id
+       |ORDER BY new_id, corpus_id""".stripMargin
+
+  def dedupSimhashSql(glob: String): String =
+    s"""WITH sigs AS (SELECT doc_id, simhash FROM read_parquet('$glob')),
+       |banded AS (
+       |  SELECT doc_id, simhash, b AS band, (simhash >> (b * 16)) & 65535 AS bucket
+       |  FROM sigs, unnest(range(0, 4)) AS u(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+       |    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+       |SELECT doc1, doc2, hamming FROM pairs ORDER BY doc1, doc2""".stripMargin
+
+  def dedupSourceSketchSql(glob: String): String =
+    s"""WITH sigs AS (SELECT source, sig FROM read_parquet('$glob')),
+       |el AS (
+       |  SELECT source, i, min(sig[i]) AS mn
+       |  FROM sigs, unnest(range(1, ${minhashK + 1})) AS u(i)
+       |  GROUP BY source, i),
+       |sk AS (SELECT source, list(mn ORDER BY i) AS sketch FROM el GROUP BY source),
+       |nd AS (SELECT source, count(*) AS n_docs FROM sigs GROUP BY source)
+       |SELECT a.source AS source1, b.source AS source2,
+       |  na.n_docs AS n_docs1, nb.n_docs AS n_docs2,
+       |  ${rndSql(s"CAST(len(list_filter(range(1, ${minhashK + 1}), i -> a.sketch[i] = b.sketch[i])) AS DOUBLE) / $minhashK", 4)} AS est_overlap
+       |FROM sk a JOIN sk b ON a.source < b.source
+       |JOIN nd na ON na.source = a.source
+       |JOIN nd nb ON nb.source = b.source
+       |ORDER BY source1, source2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_exact"         -> (dedupExact _),
@@ -741,19 +826,28 @@ object Dedup {
     "dedup_substring"     -> (dedupSubstring _)
   )
 
-  /** minhash/simhash are hash-function-specific → rows-only check +
-    * ScalaTest semantics (SURVEY §2.4). */
-  def oracles: Map[String, String] = Map(
-    "dedup_exact"         -> dedupExactSql,
-    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
-    "dedup_containment"   -> dedupContainmentSql,
-    "dedup_embedding"     -> dedupEmbeddingSql,
-    "dedup_clusters"      -> dedupClustersSql,
-    // banding recall is total on the driver corpora (checked at
-    // sf0.01 and sf0.1), so the scale-path clusters share the
-    // transitive-closure oracle verbatim
-    "dedup_clusters_minhash" -> dedupClustersSql,
-    "dedup_paragraph"     -> dedupParagraphSql,
-    "dedup_substring"     -> dedupSubstringSql
-  )
+  /** The hash-family rows' oracles are built from the staged
+    * signature tables and appear only once staging has run (Verify
+    * dumps oracleSql after running queries, so the paths are always
+    * recorded by then; un-run queries fall back to rows-only). */
+  def oracles: Map[String, String] = {
+    import graft.sources.OracleStage.globOf
+    Map(
+      "dedup_exact"         -> dedupExactSql,
+      "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+      "dedup_containment"   -> dedupContainmentSql,
+      "dedup_embedding"     -> dedupEmbeddingSql,
+      "dedup_clusters"      -> dedupClustersSql,
+      // banding recall is total on the driver corpora (checked at
+      // sf0.01 and sf0.1), so the scale-path clusters share the
+      // transitive-closure oracle verbatim
+      "dedup_clusters_minhash" -> dedupClustersSql,
+      "dedup_paragraph"     -> dedupParagraphSql,
+      "dedup_substring"     -> dedupSubstringSql
+    ) ++
+      globOf("minhash_sigs").map(g => "dedup_minhash" -> dedupMinhashSql(g)) ++
+      globOf("minhash_sigs").map(g => "dedup_incremental" -> dedupIncrementalSql(g)) ++
+      globOf("simhash_sigs").map(g => "dedup_simhash" -> dedupSimhashSql(g)) ++
+      globOf("source_sigs").map(g => "dedup_source_sketch" -> dedupSourceSketchSql(g))
+  }
 }

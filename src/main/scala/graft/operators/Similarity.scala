@@ -115,6 +115,11 @@ object Similarity {
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = lshBuckets(s, dir)
+    // stage the bucket assignment (ids only — the vectors stay in the
+    // frame) so the oracle can recompute candidate generation and the
+    // exact re-rank from it; the write is memoized per dataset
+    graft.sources.OracleStage.stage(s, "lsh_buckets", dir)(
+      b.select($"vec_id", $"tbl", $"bucket"))
     val qb = b.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         $"tbl", $"bucket")
@@ -133,6 +138,35 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Oracle over the STAGED bucket table: candidate generation,
+    * exact-cosine re-rank and top-k recomputed in DuckDB — everything
+    * downstream of the hyperplane signs is hash-checked (the plane
+    * hashing itself is covered by the recall spec + determinism). */
+  def annLshSql(glob: String): String =
+    s"""WITH b AS (SELECT vec_id, tbl, bucket FROM read_parquet('$glob')),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM b q JOIN b c
+       |    ON q.tbl = c.tbl AND q.bucket = c.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${rndSql("list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)", 6)} AS cosine
+       |  FROM cand JOIN n qn ON qn.vec_id = cand.query_id
+       |            JOIN n cn ON cn.vec_id = cand.neighbor_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+       |  neighbor_id, cosine
+       |FROM scored
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -140,8 +174,8 @@ object Similarity {
     "ann_lsh"        -> (annLsh _)
   )
 
-  /** ann_lsh is hash-family-specific → rows-only + recall spec. */
-  def oracles: Map[String, String] = Map(
-    "ann_bruteforce" -> annBruteforceSql
-  )
+  def oracles: Map[String, String] =
+    Map("ann_bruteforce" -> annBruteforceSql) ++
+      graft.sources.OracleStage.globOf("lsh_buckets")
+        .map(g => "ann_lsh" -> annLshSql(g))
 }

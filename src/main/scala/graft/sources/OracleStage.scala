@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet staging of oracle-checkable intermediate artifacts.
+  *
+  * The hash-family operators (MinHash / SimHash / LSH buckets / PQ
+  * codebooks) compute signatures no DuckDB SQL can replicate — the
+  * hashes are XXH64 ([[graft.functions]]). Everything DOWNSTREAM of
+  * the signature is plain relational work (banding, bucket joins,
+  * pair dedup, sketch union, argmin encode, ADC sums), so staging the
+  * computed signature table to parquet lets the oracle recompute that
+  * whole pipeline independently and hash-check it — the hash itself
+  * stays covered by ExpressionsSpec's property tests.
+  *
+  * This is also the production shape: signatures and codebooks are
+  * persisted index artifacts, written once per corpus and reused by
+  * every downstream query ([[Sinks.writeBucketed]] is the bucketed
+  * sibling for exchange-free probes). The write is memoized per
+  * (key, dataset); [[stage]] returns a frame READING the artifact,
+  * so consumers in the same process reuse the computed signatures
+  * instead of re-deriving them. `coalesce(1)` is test-scale
+  * convenience for the single-file glob — a cluster deploy drops it
+  * and globs the directory.
+  *
+  * Oracle SQL interpolation works because Verify/VerifyOne dump
+  * `SparkEntry.oracleSql` AFTER running the queries: by dump time the
+  * staged paths for every query that ran are recorded here, and
+  * [[globOf]] is None for queries that never staged (their oracle
+  * entry is simply omitted → driver records a rows-only check, the
+  * pre-staging behavior).
+  */
+object OracleStage {
+  private lazy val root = Files.createTempDirectory("graft-oracle-stage").toString
+  private val memo = TrieMap.empty[(String, String), String] // (key, dir) -> path
+  private val last = TrieMap.empty[String, String]           // key -> last staged path
+
+  /** Write `df` once per (key, dataset dir), record the path for
+    * oracle interpolation, and return a frame reading the artifact. */
+  def stage(s: SparkSession, key: String, dir: String)(df: => DataFrame): DataFrame = {
+    val path = memo.getOrElseUpdate((key, dir), {
+      val p = s"$root/${key}_${Integer.toHexString(dir.hashCode)}"
+      df.coalesce(1).write.mode("overwrite").parquet(p)
+      p
+    })
+    last.put(key, path)
+    s.read.parquet(path)
+  }
+
+  /** The parquet glob DuckDB should read for `key`, if staged. */
+  def globOf(key: String): Option[String] =
+    last.get(key).map(p => s"$p/*.parquet")
+}
