@@ -22,7 +22,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Accumulator.oracles ++ Iterators.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++ EmbedPq.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      SimilarityIvf.oracles ++ EmbedPq.oracles ++
       Pipeline.oracles ++ Layout.oracles ++
       Multimodal.oracles ++ StreamAcc.oracles ++ StreamOps.oracles ++
       Behavioral.oracles ++ SourceFormats.oracles ++ Graph.oracles ++ Sequences.oracles

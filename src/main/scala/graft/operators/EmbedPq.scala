@@ -64,8 +64,18 @@ object EmbedPq {
   private val cbCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Seq[Double]]]]
 
-  def trainCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
-    cbCache.getOrElseUpdate(dir, trainCodebooksUncached(s, dir))
+  def trainCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+    val cbs = cbCache.getOrElseUpdate(dir, trainCodebooksUncached(s, dir))
+    // persist the codebook artifact (KB-sized) so the oracle can
+    // recompute encode/ADC/refine from it — and because that is what
+    // a production index does with its codebooks anyway
+    import s.implicits._
+    graft.sources.OracleStage.stage(s, "pq_codebooks", dir)(
+      cbs.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (c, cid) => (m, cid, c) }
+      }.toDF("m", "cid", "c"))
+    cbs
+  }
 
   private def trainCodebooksUncached(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
     import s.implicits._
@@ -267,6 +277,93 @@ object EmbedPq {
        |FROM coded ORDER BY vec_id""".stripMargin
   }
 
+  // ---- staged-codebook oracles -------------------------------------
+  // The codebooks are a staged artifact (trainCodebooks), so encode
+  // (argmin over ksub codewords per subspace), the ADC lookup-sum,
+  // and the exact re-rank are all recomputable in DuckDB. Fold orders
+  // mirror the Spark side exactly (list_reduce ≡ aggregate's left
+  // fold; list_dot_product ≡ graft_dot), so the float oracles are
+  // hash-hard. Ties in the argmin break to the lowest cid on both
+  // sides (array_position-of-min ≡ ORDER BY s, cid).
+
+  import graft.functions.Agg.rndSql
+
+  /** CTEs: staged codebooks, double vectors, per-(vec, m, cid) score,
+    * and the winning codeword per (vec, m). */
+  private def pqCodesCtes(glob: String): String =
+    s"""cb AS (SELECT m, cid, c FROM read_parquet('$glob')),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scoredc AS (
+       |  SELECT vec_id, cb.m, cb.cid, v[cb.m*$pqDsub+1 : cb.m*$pqDsub+$pqDsub] AS sv, cb.c,
+       |    list_dot_product(cb.c, cb.c) - CAST(2 AS DOUBLE) * list_dot_product(v[cb.m*$pqDsub+1 : cb.m*$pqDsub+$pqDsub], cb.c) AS s
+       |  FROM v, cb),
+       |best AS (
+       |  SELECT vec_id, m, cid, sv, c FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY s, cid) AS rn
+       |    FROM scoredc)
+       |  WHERE rn = 1)""".stripMargin
+
+  def embedPqSql(glob: String): String =
+    s"""WITH ${pqCodesCtes(glob)},
+       |errs AS (
+       |  SELECT vec_id, m, cid,
+       |    list_reduce(list_transform(range(1, ${pqDsub + 1}), i -> (sv[i] - c[i]) * (sv[i] - c[i])), (a, b) -> a + b) AS e
+       |  FROM best)
+       |SELECT vec_id,
+       |  string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m) AS pq_code,
+       |  ${rndSql("list_reduce(list(e ORDER BY m), (a, b) -> a + b)", 6)} AS recon_err
+       |FROM errs GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** Query-side CTEs shared by the ADC oracles: the distance table
+    * per (query, subspace, codeword) and the ADC sum per
+    * (query, corpus vector). */
+  private def adcCtes: String =
+    s"""q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < ${Similarity.nQueries}),
+       |dt AS (
+       |  SELECT q.query_id, cb.m, cb.cid,
+       |    list_reduce(list_transform(range(1, ${pqDsub + 1}), i -> (qv[cb.m*$pqDsub+i] - c[i]) * (qv[cb.m*$pqDsub+i] - c[i])), (a, b) -> a + b) AS d
+       |  FROM q, cb),
+       |ad AS (
+       |  SELECT dt.query_id, best.vec_id AS neighbor_id,
+       |    ${rndSql("list_reduce(list(dt.d ORDER BY dt.m), (a, b) -> a + b)", 6)} AS adist
+       |  FROM best JOIN dt ON best.m = dt.m AND best.cid = dt.cid
+       |  WHERE best.vec_id <> dt.query_id
+       |  GROUP BY dt.query_id, best.vec_id)""".stripMargin
+
+  def annPqSql(glob: String): String =
+    s"""WITH ${pqCodesCtes(glob)},
+       |$adcCtes
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank,
+       |  neighbor_id, adist
+       |FROM ad
+       |QUALIFY rank <= ${Similarity.k}
+       |ORDER BY query_id, rank""".stripMargin
+
+  def annPqRefineSql(glob: String): String =
+    s"""WITH ${pqCodesCtes(glob)},
+       |$adcCtes,
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+       |    FROM ad)
+       |  WHERE rn <= $refineShortlist),
+       |ex AS (
+       |  SELECT sl.query_id, sl.neighbor_id,
+       |    ${rndSql("list_dot_product(qq.qv, qq.qv) - CAST(2 AS DOUBLE) * list_dot_product(qq.qv, cv.v) + list_dot_product(cv.v, cv.v)", 6)} AS l2
+       |  FROM short sl
+       |  JOIN q qq ON qq.query_id = sl.query_id
+       |  JOIN v cv ON cv.vec_id = sl.neighbor_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY l2, neighbor_id) AS rank,
+       |  neighbor_id, l2
+       |FROM ex
+       |QUALIFY rank <= ${Similarity.k}
+       |ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pq"      -> (embedPq _),
     "ann_pq"        -> (annPq _),
@@ -274,7 +371,10 @@ object EmbedPq {
     "embed_int8"    -> (embedInt8 _)
   )
 
-  def oracles: Map[String, String] = Map(
-    "embed_int8" -> embedInt8Sql
-  )
+  def oracles: Map[String, String] =
+    Map("embed_int8" -> embedInt8Sql) ++
+      graft.sources.OracleStage.globOf("pq_codebooks").toSeq.flatMap(g => Seq(
+        "embed_pq"      -> embedPqSql(g),
+        "ann_pq"        -> annPqSql(g),
+        "ann_pq_refine" -> annPqRefineSql(g)))
 }

@@ -81,6 +81,10 @@ object SimilarityIvf {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (cents, assigned) = kmeans(s, dir)
+    // persist the centroid artifact (nlist × dim doubles) so the
+    // oracle recomputes assignment, probe selection and the re-rank
+    graft.sources.OracleStage.stage(s, "ivf_centroids", dir)(
+      cents.zipWithIndex.map { case (c, cid) => (cid, c) }.toDF("cid", "c"))
     val probes = vectors(s, dir)
       .filter($"vec_id" < Similarity.nQueries)
       .withColumn("cents", typedLit(cents))
@@ -112,7 +116,56 @@ object SimilarityIvf {
       .orderBy($"cid")
   }
 
+  /** Oracle over the STAGED centroids: per-vector assignment (argmin,
+    * ties to the lowest cid — matching array_position-of-min), the
+    * query's nprobe probe list (Spark's array_sort over ('s','c')
+    * structs ≡ ORDER BY s, cid), candidate generation and the exact
+    * cosine top-k, all recomputed in DuckDB. Hash-checks everything
+    * downstream of k-means training (whose determinism ScaleSpec and
+    * SimilarityIvfSpec pin). */
+  def annIvfSql(glob: String): String =
+    s"""WITH cents AS (SELECT cid, c FROM read_parquet('$glob')),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |scoredc AS (
+       |  SELECT n.vec_id, cents.cid,
+       |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(n.v, cents.c) AS s
+       |  FROM n, cents),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM scoredc)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM scoredc WHERE vec_id < ${Similarity.nQueries})
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${rndSql("list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)", 6)} AS cosine
+       |  FROM cand JOIN n qn ON qn.vec_id = cand.query_id
+       |            JOIN n cn ON cn.vec_id = cand.neighbor_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+       |  neighbor_id, cosine
+       |FROM scored
+       |QUALIFY rank <= ${Similarity.k}
+       |ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf" -> (annIvf _)
   )
+
+  def oracles: Map[String, String] =
+    graft.sources.OracleStage.globOf("ivf_centroids")
+      .map(g => "ann_ivf" -> annIvfSql(g)).toMap
 }
