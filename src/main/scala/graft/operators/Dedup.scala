@@ -702,11 +702,17 @@ object Dedup {
            |  transform(sequence(0, size(toks) - $k),
            |    i -> array_join(slice(toks, i + 1, $k), ' ')) END, array())""".stripMargin))
       .select($"doc_id", $"n_tokens", posexplode_outer($"grams").as(Seq("pos", "gram")))
-    val dup = grams.groupBy($"gram")
+      // shuffle the 64-bit gram hash, never the gram TEXT: both the
+      // df count and the membership join only need equality, and the
+      // hash cuts the exchanged bytes ~5× (a k-token window string vs
+      // one long). 64-bit collisions are negligible at corpus scale;
+      // the oracle joins on the text itself — same pairs either way.
+      .withColumn("gh", xxhash64($"gram")).drop("gram")
+    val dup = grams.groupBy($"gh")
       .agg(count(lit(1)).as("n_occ"))
       .filter($"n_occ" >= 2)
-      .select($"gram")
-    grams.join(dup, Seq("gram"))
+      .select($"gh")
+    grams.join(dup, Seq("gh"))
       .select($"doc_id", $"n_tokens", $"pos",
         explode(expr(s"sequence(pos, pos + ${k - 1})")).as("off"))
       .groupBy($"doc_id")

@@ -57,9 +57,48 @@ object Graph {
     * [[pagerankIters]] rounds, damping [[damping]]. The graph is
     * symmetric by construction (every edge has its reverse), so there
     * are no dangling vertices and total rank mass stays 1. */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    pagerankOver(s, edges(s, dir).localCheckpoint(true))
+
+  /** Bucketed edge artifact for [[graphPagerankIndexed]]: the ~6 s
+    * one-time co-purchase edge build, persisted bucketed+sorted on
+    * `src` so every iteration's edge⋈state join reads the edge side
+    * exchange-free — the amortization the [[graphPagerank]] doc
+    * claims, demonstrated as a first-class variant (the 35d→35d'
+    * pattern). */
+  val pagerankIndexTable = "graft_pagerank_edges"
+  val pagerankIndexBuckets = 16
+
+  def buildPagerankIndex(s: SparkSession, dir: String,
+                         table: String = pagerankIndexTable): Unit =
+    graft.sources.Sinks.writeBucketed(edges(s, dir), table,
+      Seq("src"), pagerankIndexBuckets)
+
+  /** §2.12 #53' — PageRank over the PERSISTED edge index: identical
+    * recurrence (shares [[graphPagerankSql]] verbatim); per round the
+    * only exchanges are the node-sized state hashing onto the bucket
+    * layout and the dst mass sum — the edge table is never
+    * re-shuffled (PlanSpec asserts it). */
+  def graphPagerankIndexed(s: SparkSession, dir: String): DataFrame = {
+    buildPagerankIndex(s, dir)
+    pagerankOver(s, s.table(pagerankIndexTable))
+  }
+
+  /** One round's edge⋈state join + mass sum over the persisted index
+    * (state checkpointed, as in the loop) — the plan the exchange-free
+    * spec audits. Requires [[buildPagerankIndex]] to have run. */
+  private[graft] def pagerankRoundPlan(s: SparkSession): DataFrame = {
     import s.implicits._
-    val e = edges(s, dir).localCheckpoint(true)
+    val e = s.table(pagerankIndexTable)
+    val contribs = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+      .select($"src".as("id"), $"outdeg".cast("long").as("cq"))
+      .localCheckpoint(true)
+    e.join(contribs, e("src") === contribs("id"))
+      .groupBy($"dst").agg(sum($"cq").as("sq"))
+  }
+
+  private def pagerankOver(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
     val n = deg.count() // one scalar to the driver: the vertex count
     // state carries outdeg so each round's quantized contribution
@@ -272,14 +311,17 @@ object Graph {
        |ORDER BY a, b, c""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_pagerank"     -> (graphPagerank _),
-    "graph_basket_rules" -> (graphBasketRules _),
-    "graph_triangles"    -> (graphTriangles _)
+    "graph_pagerank"         -> (graphPagerank _),
+    "graph_pagerank_indexed" -> (graphPagerankIndexed _),
+    "graph_basket_rules"     -> (graphBasketRules _),
+    "graph_triangles"        -> (graphTriangles _)
   )
 
   def oracles: Map[String, String] = Map(
-    "graph_pagerank"     -> graphPagerankSql,
-    "graph_basket_rules" -> graphBasketRulesSql,
-    "graph_triangles"    -> graphTrianglesSql
+    "graph_pagerank"         -> graphPagerankSql,
+    // identical recurrence over the persisted edge artifact
+    "graph_pagerank_indexed" -> graphPagerankSql,
+    "graph_basket_rules"     -> graphBasketRulesSql,
+    "graph_triangles"        -> graphTrianglesSql
   )
 }

@@ -43,9 +43,9 @@ class GraphSpec extends SparkSpec {
   private lazy val hubDir: String = {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft-hub").toString
-    val lows  = (1L to 40L).flatMap(l => Seq.tabulate(2)(r => (l * 10 + r, 500L, l)))
-    val highs = (1L to 40L).flatMap(l => Seq.tabulate(2)(r => (l * 10 + 1000 + r, 500L, l + 1000L)))
-    val tri   = Seq.tabulate(2)(r => (90000L + r, 1L, 1001L))
+    val lows  = (1L to 40L).flatMap(l => Seq.tabulate(3)(r => (l * 10 + r, 500L, l)))
+    val highs = (1L to 40L).flatMap(l => Seq.tabulate(3)(r => (l * 10 + 1000 + r, 500L, l + 1000L)))
+    val tri   = Seq.tabulate(3)(r => (90000L + r, 1L, 1001L))
     (lows ++ highs ++ tri).flatMap { case (o, p1, p2) => Seq((o, p1), (o, p2)) }
       .toDF("l_orderkey", "l_partkey")
       .select($"l_orderkey", $"l_partkey", lit(1L).as("l_suppkey"),
@@ -79,6 +79,41 @@ class GraphSpec extends SparkSpec {
     assert(maxOut <= math.ceil(math.sqrt(2.0 * m)).toLong,
       s"out-degree $maxOut exceeds the sqrt(2m) degree-orientation bound")
     e0.unpersist()
+  }
+
+  test("basket rules on the hub corpus match a brute-force reference") {
+    val s = spark
+    // brute force over the raw (order, part) pairs, straight from the
+    // definition: support = n_ab/baskets, conf = n_ab/n_a, lift =
+    // conf / (n_c/baskets); report pairs with n_ab >= threshold
+    val rows = s.read.parquet(s"$hubDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byOrder = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val baskets = byOrder.size.toDouble
+    val nP = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nAB = byOrder.values.toSeq
+      .flatMap(ps => for (a <- ps; b <- ps if a != b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def rnd6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = nAB.collect { case ((a, c), n) if n >= Graph.basketMinPairs =>
+      val conf = n.toDouble / nP(a)
+      ((a, c), (n, rnd6(n / baskets), rnd6(conf), rnd6(conf / (nP(c) / baskets))))
+    }.toMap
+    val got = Graph.graphBasketRules(s, hubDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    // the operator tops-N by lift; every returned rule must match the
+    // brute-force numbers exactly, and if fewer than topN rules exist
+    // the sets must be identical
+    assert(got.nonEmpty, "hub corpus must produce rules")
+    got.foreach { case (k, v) =>
+      assert(expected.get(k).contains(v), s"rule $k: got $v want ${expected.get(k)}")
+    }
+    if (expected.size <= Graph.basketTopN)
+      assert(got.keySet == expected.keySet,
+        s"missing rules: ${expected.keySet -- got.keySet}")
   }
 
   test("pagerank is partition-invariant") {

@@ -176,6 +176,23 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("indexed pagerank round reads the persisted edge table exchange-free") {
+    val s = spark
+    graft.operators.Graph.buildPagerankIndex(s, sfDir)
+    // pin the big-graph shape: at scale the node state doesn't
+    // broadcast, so the round must be (state → bucket layout) + the
+    // dst mass sum — the edge table itself never re-shuffles
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = s.conf.get(key)
+    try {
+      s.conf.set(key, "-1")
+      val p = plan(graft.operators.Graph.pagerankRoundPlan(s))
+      assert(p.contains("Bucketed: true"), p)
+      assert("Exchange".r.findAllIn(p).length == 2,
+        s"edge side must not reshuffle — state-probe + dst-agg exchanges only:\n$p")
+    } finally s.conf.set(key, orig)
+  }
+
   test("corpus_shuffle positions come from bucketed ranks, not a one-task sort") {
     val p = plan(graft.operators.Pipeline.corpusShuffle(spark, sfDir))
     val rowWindows = p.linesIterator
