@@ -326,9 +326,13 @@ object Behavioral {
     val o = Tables.orders(s, dir)
     val mm = o.agg(min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
     o.crossJoin(broadcast(mm))
+      // hi == lo (a single-valued column) would divide by zero into
+      // NaN bins; the degenerate histogram is one bin holding
+      // everything — guarded identically in the oracle
       .withColumn("bin",
-        least(floor(($"o_totalprice" - $"lo") * lit(nb.toDouble) / ($"hi" - $"lo")),
-          lit((nb - 1).toDouble)).cast("long"))
+        when($"hi" === $"lo", lit(0.0)).otherwise(
+          least(floor(($"o_totalprice" - $"lo") * lit(nb.toDouble) / ($"hi" - $"lo")),
+            lit((nb - 1).toDouble))).cast("long"))
       .withColumn("bin_lo", $"lo" + $"bin".cast("double") * ($"hi" - $"lo") / lit(nb.toDouble))
       .groupBy($"bin", $"bin_lo")
       .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("sum_price"))
@@ -341,8 +345,9 @@ object Behavioral {
        |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
        |), binned AS (
        |  SELECT o_totalprice,
-       |    CAST(least(floor((o_totalprice - lo) * CAST($nb.0 AS DOUBLE) / (hi - lo)),
-       |               CAST(${nb - 1}.0 AS DOUBLE)) AS BIGINT) AS bin,
+       |    CAST(CASE WHEN hi = lo THEN 0.0 ELSE
+       |      least(floor((o_totalprice - lo) * CAST($nb.0 AS DOUBLE) / (hi - lo)),
+       |            CAST(${nb - 1}.0 AS DOUBLE)) END AS BIGINT) AS bin,
        |    lo, hi
        |  FROM orders, mm
        |)

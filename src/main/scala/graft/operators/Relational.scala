@@ -834,15 +834,18 @@ object Relational {
     * per-group threshold comes from one partial-agged percentile pass
     * (the group-count-sized frame broadcasts back), rows compare
     * row-locally. At unbounded group state the threshold side swaps
-    * to [[qPercentilesDist]] — same join shape. Threshold kept
-    * UNROUNDED on both engines (rounding before the strict compare
-    * would flip boundary rows; the emitted stats are rounded at the
-    * edge as usual). */
+    * to [[qPercentilesDist]] — same join shape. The threshold is
+    * QUANTIZED at 1e-6 on both engines before the strict compare:
+    * Spark's percentile() and DuckDB's quantile_cont interpolate by
+    * the same formula but not provably bit-identically, and an
+    * unrounded compare would let a one-ulp divergence silently flip
+    * boundary rows at some other scale factor. After quantization
+    * both engines compare against the SAME double. */
   def qAboveP95(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val thr = Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, CAST(0.95 AS DOUBLE))").as("p95"))
+      .agg(expr(Agg0.rndSql("percentile(l_extendedprice, CAST(0.95 AS DOUBLE))", 6)).as("p95"))
     Tables.lineitem(s, dir)
       .join(broadcast(thr), "l_returnflag")
       .filter($"l_extendedprice" > $"p95")
@@ -855,7 +858,7 @@ object Relational {
 
   val qAboveP95Sql: String =
     s"""WITH thr AS (
-       |  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.95) AS p95
+       |  SELECT l_returnflag, ${Agg0.rndSql("quantile_cont(l_extendedprice, 0.95)", 6)} AS p95
        |  FROM lineitem GROUP BY l_returnflag)
        |SELECT li.l_returnflag, count(*) AS n_above,
        |  ${dsumSql("li.l_extendedprice")} AS sum_above,

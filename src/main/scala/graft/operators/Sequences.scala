@@ -31,6 +31,14 @@ object Sequences {
   def matchSteps(events: DataFrame, key: Column, ts: Column, id: Column,
       steps: Seq[Column]): DataFrame = {
     require(steps.nonEmpty, "at least one step predicate")
+    // the chain injects fixed working columns; an input frame already
+    // carrying one of these names would be silently overwritten and
+    // corrupt the match — fail loudly instead
+    val reserved = Seq("__us", "__key") ++ steps.indices.map(i => s"__t${i + 1}")
+    val clash = events.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"matchSteps reserves working columns ${reserved.mkString(", ")}; " +
+        s"input frame already has ${clash.mkString(", ")} — rename before calling")
     // window and rollup both keyed on the SAME materialized column so
     // the final aggregate reuses the window's hash partitioning —
     // grouping a renamed copy would cost a second exchange

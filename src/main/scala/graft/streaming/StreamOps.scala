@@ -29,10 +29,15 @@ final case class FunnelHit(user_id: Long, step: Long, ts_us: Long)
 final case class ValueEvent(
   event_type: String, ts_us: Long, event_id: Long, value: Double)
 
-/** Per-type resample state: the open bucket's accumulation and the
-  * last closed bucket's forward-fillable average. */
+/** Per-type resample state: the open bucket's accumulation, the last
+  * closed bucket's forward-fillable average, and the high-water
+  * bucket already finalized in the append-only output
+  * (`closedThrough` — events regressing behind it are discarded,
+  * the watermark analog; re-opening a finalized bucket would re-emit
+  * its rows as duplicates). */
 final case class ResampleState(
-  openBucket: Long, sumQ: Long, n: Long, lastAvg: Double, hasLast: Boolean)
+  openBucket: Long, sumQ: Long, n: Long, lastAvg: Double, hasLast: Boolean,
+  closedThrough: Long)
 
 /** One closed resample bucket (obs = had events; ffill = gap-filled). */
 final case class ResampleOut(
@@ -255,7 +260,10 @@ object StreamOps {
     * NoTimeout so parity with batch is exact). Events are imposed
     * into (ts, event_id) order per key within each micro-batch — the
     * per-key ordered-delivery assumption every streaming CEP engine
-    * makes (same contract as [[sizeFlushes]]).
+    * makes (same contract as [[sizeFlushes]]). Cross-batch late
+    * arrivals cannot regress the machine: each step time is set once
+    * and the strictly-after guards drop any event older than the
+    * recorded step times (asserted by the late-arrival spec).
     *
     * The oracle is the batch funnel's join-chain: step-k reach times
     * from the events table — streaming emissions run to completion
@@ -348,36 +356,44 @@ object StreamOps {
     * bounds its grid: per type, buckets in [first, last). The exact-
     * decimal quantized sum makes every closed average bit-equal to
     * the batch [[graft.operators.Behavioral.qTimeResample]] bucket. */
-  private def resampleFn(
+  private[graft] def resampleFn(
       eventType: String,
       events: Iterator[ValueEvent],
       state: GroupState[ResampleState]): Iterator[ResampleOut] = {
     val b = graft.operators.Behavioral.resampleBucketUs
     val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
-    var st = state.getOption.getOrElse(ResampleState(Long.MinValue, 0L, 0L, 0.0, false))
+    var st = state.getOption.getOrElse(
+      ResampleState(Long.MinValue, 0L, 0L, 0.0, false, Long.MinValue))
     val out = Vector.newBuilder[ResampleOut]
     def closeOpen(): Unit = if (st.openBucket != Long.MinValue) {
       val avg = (st.sumQ.toDouble / 10000.0) / st.n
       out += ResampleOut(eventType, st.openBucket * b, avg, st.n, "obs")
-      st = ResampleState(Long.MinValue, 0L, 0L, avg, true)
+      st = ResampleState(Long.MinValue, 0L, 0L, avg, true, st.closedThrough)
     }
     sorted.foreach { e =>
       val bucket = e.ts_us / b
-      if (st.openBucket != Long.MinValue && bucket != st.openBucket) {
-        val prevOpen = st.openBucket
-        closeOpen()
-        var fb = prevOpen + 1
-        while (fb < bucket) {
-          out += ResampleOut(eventType, fb * b, st.lastAvg, 0L, "ffill")
-          fb += 1
+      // cross-batch late arrival whose bucket is already FINALIZED in
+      // the append-only output: discard (the watermark analog) —
+      // re-opening it would re-emit closed buckets as duplicates.
+      // Within-batch order is imposed by the sort; this guard is the
+      // cross-micro-batch counterpart.
+      if (st.closedThrough == Long.MinValue || bucket > st.closedThrough) {
+        if (st.openBucket != Long.MinValue && bucket != st.openBucket) {
+          val prevOpen = st.openBucket
+          closeOpen()
+          var fb = prevOpen + 1
+          while (fb < bucket) {
+            out += ResampleOut(eventType, fb * b, st.lastAvg, 0L, "ffill")
+            fb += 1
+          }
         }
+        if (st.openBucket == Long.MinValue)
+          // everything below the newly-opened bucket is now final
+          st = st.copy(openBucket = bucket, closedThrough = bucket - 1)
+        st = st.copy(
+          sumQ = st.sumQ + math.floor(e.value * 10000.0 + 0.5).toLong,
+          n = st.n + 1)
       }
-      if (st.openBucket == Long.MinValue)
-        st = st.copy(openBucket = bucket)
-      st = st.copy(
-        sumQ = st.sumQ + math.floor(e.value * 10000.0 + 0.5).toLong,
-        n = st.n + 1)
-      ()
     }
     state.update(st)
     out.result().iterator

@@ -8,6 +8,32 @@ import graft.operators.Behavioral
 
 class BehavioralSpec extends SparkSpec {
 
+  test("histogram of a single-valued column is one bin, not NaN") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hist").toString
+    Seq.tabulate(7)(i => (i.toLong, 42.5))
+      .toDF("o_orderkey", "o_totalprice")
+      .select($"o_orderkey", lit(1L).as("o_custkey"), $"o_totalprice",
+        lit("1995-01-01").cast("date").as("o_orderdate"),
+        lit("O").as("o_orderstatus"), lit("MEDIUM").as("o_orderpriority"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = graft.operators.Behavioral.qHistogram(s, dir).collect()
+    assert(r.length == 1, r.mkString(";"))
+    assert(r.head.getLong(0) == 0L && r.head.getLong(2) == 7L, r.head.toString)
+    assert(!r.head.getDouble(1).isNaN, "bin_lo must be the value, not NaN")
+  }
+
+  test("matchSteps rejects input frames carrying its working columns") {
+    val s = spark; import s.implicits._
+    val ev = graft.sources.Tables.events(s, sfDir)
+      .withColumn("__key", org.apache.spark.sql.functions.lit(1))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sequences.matchSteps(ev, $"user_id", $"ts", $"event_id",
+        Seq($"event_type" === "view"))
+    }
+    assert(e.getMessage.contains("__key"), e.getMessage)
+  }
+
   /** Crafted event log hitting the funnel's ordering edges the random
     * corpus can't be trusted to exercise: out-of-order steps, equal
     * timestamps (strictly-after must exclude), and step skipping. */

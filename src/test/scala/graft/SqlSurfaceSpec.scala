@@ -24,6 +24,36 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqlFp == dslFp, "SQL and DSL fingerprints must agree")
   }
 
+  test("graft_entropy is callable from pure SQL and matches the DSL path") {
+    val s = spark
+    graft.sources.Tables.documents(s, sfDir).createOrReplaceTempView("documents_v")
+    val viaSql = s.sql(
+      "SELECT doc_id, graft_entropy(text) AS e FROM documents_v ORDER BY doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val viaDsl = {
+      import s.implicits._
+      graft.sources.Tables.documents(s, sfDir)
+        .select($"doc_id", org.apache.spark.sql.functions.expr("graft_entropy(text)").as("e"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    }
+    assert(viaSql.nonEmpty && viaSql == viaDsl)
+  }
+
+  test("the bloom pair round-trips through pure SQL with no false negatives") {
+    val s = spark
+    graft.sources.Tables.supplier(s, sfDir).createOrReplaceTempView("supplier_v")
+    // build the filter in SQL (aggregate), ship it back as a bound
+    // parameter — parameter binding folds to a literal, satisfying
+    // might_contain's foldable-bloom requirement
+    val bloom = s.sql(
+      "SELECT graft_bloom_agg(xxhash64(s_suppkey), 100000L, 800000L) AS b FROM supplier_v")
+      .head().getAs[Array[Byte]](0)
+    val misses = s.sql(
+      "SELECT count(*) AS n FROM supplier_v WHERE NOT graft_might_contain(:bloom, xxhash64(s_suppkey))",
+      Map("bloom" -> bloom)).head().getLong(0)
+    assert(misses == 0L, s"a bloom filter must have no false negatives, got $misses")
+  }
+
   test("a windowed analytic over a view matches the DSL result") {
     val s = spark
     graft.sources.Tables.events(s, sfDir).createOrReplaceTempView("events_v")

@@ -198,4 +198,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(b2 == List(FunnelHit(7L, 2L, 200L), FunnelHit(7L, 3L, 300L)), b2.toString)
     assert(st.get == FunnelState(100L, 200L, 300L))
   }
+
+  test("resample drops cross-batch late arrivals behind the closed high-water bucket") {
+    import graft.streaming.{ValueEvent, ResampleState, ResampleOut}
+    import org.apache.spark.sql.streaming.TestGroupState
+    val b = graft.operators.Behavioral.resampleBucketUs
+    val st = TestGroupState.create[ResampleState](
+      optionalState = org.apache.spark.api.java.Optional.empty[ResampleState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // micro-batch 1: bucket 10 observed, then bucket 12 opens —
+    // closes 10 (obs) and gap-fills 11
+    val b1 = StreamOps.resampleFn("m", Iterator(
+      ValueEvent("m", 10 * b + 1, 1L, 2.0),
+      ValueEvent("m", 12 * b + 1, 2L, 4.0)), st).toList
+    assert(b1 == List(
+      ResampleOut("m", 10 * b, 2.0, 1L, "obs"),
+      ResampleOut("m", 11 * b, 2.0, 0L, "ffill")), b1.toString)
+    // micro-batch 2: a late event for the already-finalized bucket 10
+    // must be DISCARDED — before the guard it re-opened bucket 10 and
+    // re-emitted 10/11 as duplicate append rows
+    val b2 = StreamOps.resampleFn("m", Iterator(
+      ValueEvent("m", 10 * b + 2, 3L, 99.0)), st).toList
+    assert(b2.isEmpty, s"late regressor must not emit: $b2")
+    // and the open bucket survives untouched: bucket 13 closes 12
+    // with ONLY its own observation
+    val b3 = StreamOps.resampleFn("m", Iterator(
+      ValueEvent("m", 13 * b + 1, 4L, 6.0)), st).toList
+    assert(b3 == List(ResampleOut("m", 12 * b, 4.0, 1L, "obs")), b3.toString)
+  }
 }
