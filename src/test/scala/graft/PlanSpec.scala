@@ -176,6 +176,18 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("dedup_substring exchanges the 64-bit gram hash, never the gram text") {
+    val p = plan(Dedup.dedupSubstring(spark, sfDir))
+    // every hash-partitioning exchange keys on gh (or doc_id for the
+    // per-doc rollup) — the gram string itself must not ride a shuffle
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(l => l.contains("gh") || l.contains("doc_id")),
+      s"gram text must not be a shuffle key:\n${exchanges.mkString("\n")}")
+    assert(!exchanges.exists(_.contains("gram#")),
+      s"raw gram rides an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("indexed pagerank round reads the persisted edge table exchange-free") {
     val s = spark
     graft.operators.Graph.buildPagerankIndex(s, sfDir)
