@@ -529,7 +529,8 @@ object Dedup {
 
   private[graft] def dedupClusters(s: SparkSession, dir: String, maxIters: Int): DataFrame = {
     import s.implicits._
-    clustersOf(s, dir, ngramPairs(s, dir, shingleDfCap).select($"doc1", $"doc2"), maxIters)
+    clustersOf(s, Tables.documents(s, dir).select($"doc_id"),
+      ngramPairs(s, dir, shingleDfCap).select($"doc1", $"doc2"), maxIters)
   }
 
   /** The 100 TB path for cluster canonicalization: MinHash banding
@@ -551,10 +552,54 @@ object Dedup {
       .filter(expr(rndSql("CAST(inter AS DOUBLE) / (size(sh1) + size(sh2) - inter)", 6)) >=
         jaccardTau)
       .select($"doc1", $"doc2")
-    clustersOf(s, dir, verified, maxClusterIters)
+    clustersOf(s, Tables.documents(s, dir).select($"doc_id"), verified, maxClusterIters)
   }
 
-  private def clustersOf(s: SparkSession, dir: String, pairDf: DataFrame,
+  /** §2.4 #29j — SEMANTIC cluster canonicalization: connected
+    * components over the [[dedupEmbedding]] cosine graph — the
+    * embedding-space analog of [[dedupClusters]]' lexical components,
+    * and the semantic-dedup step of a training pipeline ("keep one
+    * representative per meaning-duplicate cluster", catching
+    * paraphrases lexical shingles never pair). Identical propagation
+    * machinery and scale layout; universe = the embeddings table.
+    * Oracle = WITH RECURSIVE transitive closure over the all-pairs
+    * cosine edges. */
+  def dedupClustersEmbedding(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = dedupEmbedding(s, dir).select($"id1".as("doc1"), $"id2".as("doc2"))
+    clustersOf(s, Tables.embeddings(s, dir).select($"vec_id".as("doc_id")),
+        pairs, maxClusterIters)
+      .select($"doc_id".as("vec_id"), $"canonical_id", $"cluster_size")
+  }
+
+  val dedupClustersEmbeddingSql: String =
+    s"""WITH RECURSIVE v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |scored AS (
+       |  SELECT a.vec_id AS doc1, b.vec_id AS doc2
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE ${rndSql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= $cosineTau),
+       |edges AS (
+       |  SELECT doc1 AS src, doc2 AS dst FROM scored
+       |  UNION ALL
+       |  SELECT doc2, doc1 FROM scored),
+       |reach(id, lab) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |labs AS (SELECT id, min(lab) AS canonical_id FROM reach GROUP BY 1)
+       |SELECT id AS vec_id, canonical_id,
+       |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+       |FROM labs ORDER BY vec_id""".stripMargin
+
+  /** Hash-min label propagation over `pairDf`'s edges; every id in
+    * `universe` (single column `doc_id`) gets its component's minimum
+    * id as canonical (singletons label themselves). */
+  private def clustersOf(s: SparkSession, universe: DataFrame, pairDf: DataFrame,
                          maxIters: Int): DataFrame = {
     import s.implicits._
     val p = pairDf.select($"doc1", $"doc2")
@@ -599,7 +644,7 @@ object Dedup {
           s"($changed labels still changing): the pair graph has a component " +
           "with diameter exceeding the cap; raise maxClusterIters or switch " +
           "to large-star/small-star propagation")
-    val lab = Tables.documents(s, dir).select($"doc_id")
+    val lab = universe
       .join(labels, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"label", $"doc_id").as("canonical_id"))
     // cluster_size via partial-aggregated groupBy + join, not
@@ -827,6 +872,7 @@ object Dedup {
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_clusters_minhash" -> (dedupClustersMinhash _),
+    "dedup_clusters_embedding" -> (dedupClustersEmbedding _),
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_paragraph"     -> (dedupParagraph _),
     "dedup_substring"     -> (dedupSubstring _)
@@ -848,6 +894,7 @@ object Dedup {
       // sf0.01 and sf0.1), so the scale-path clusters share the
       // transitive-closure oracle verbatim
       "dedup_clusters_minhash" -> dedupClustersSql,
+      "dedup_clusters_embedding" -> dedupClustersEmbeddingSql,
       "dedup_paragraph"     -> dedupParagraphSql,
       "dedup_substring"     -> dedupSubstringSql
     ) ++

@@ -64,6 +64,45 @@ object Pipeline {
       .select($"doc_id", $"source", $"bucket", $"thr_permille")
   }
 
+  /** Reservoir size per group for [[sampleReservoir]]. */
+  val reservoirK = 100
+
+  /** §2.8 #38b — deterministic fixed-k-per-group reservoir sample:
+    * the OTHER sampling shape next to [[sampleStratified]]'s rate
+    * sampling — "exactly k events per type", regardless of how skewed
+    * the group sizes are. Classic distributed equivalence: top-k by a
+    * uniform random key IS a uniform sample without replacement, so
+    * the reservoir becomes a bounded-heap top-k
+    * ([[graft.plans.TopK.perGroup]]) on a per-row PRF rank — each
+    * partition ships at most k rows per group, no per-group sort, no
+    * RNG state, reproducible across cluster sizes and reruns. The
+    * PRF is a Lehmer step ((id mod 2³¹−1)·48271 mod 2³¹−1): chosen
+    * over xxhash64 because it is exactly replicable in the DuckDB
+    * oracle with overflow-safe BIGINT arithmetic (< 2⁴⁷); a deploy
+    * preferring xxhash64 swaps one expression. */
+  def sampleReservoir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_type", $"event_id", $"user_id",
+        expr("(event_id % 2147483647L) * 48271L % 2147483647L").as("h"))
+    graft.plans.TopK.perGroup(ev, Seq("event_type"),
+        Seq("h" -> false, "event_id" -> false), reservoirK)
+      .select($"event_type", $"rank", $"event_id", $"user_id")
+      .orderBy($"event_type", $"rank")
+  }
+
+  val sampleReservoirSql: String =
+    s"""WITH h AS (
+       |  SELECT event_type, event_id, user_id,
+       |    (event_id % 2147483647) * 48271 % 2147483647 AS h
+       |  FROM events)
+       |SELECT event_type,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rank,
+       |  event_id, user_id
+       |FROM h
+       |QUALIFY rank <= $reservoirK
+       |ORDER BY event_type, rank""".stripMargin
+
   val sampleStratifiedSql: String =
     s"""WITH st AS (
        |  SELECT source,
@@ -838,6 +877,7 @@ object Pipeline {
     "corpus_mix"        -> (corpusMix _),
     "corpus_cms"        -> (corpusCms _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_reservoir"  -> (sampleReservoir _),
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
     "doc_pack"          -> (docPack _),
@@ -855,6 +895,7 @@ object Pipeline {
     "corpus_mix"        -> corpusMixSql,
     "corpus_cms"        -> corpusCmsSql,
     "sample_stratified" -> sampleStratifiedSql,
+    "sample_reservoir"  -> sampleReservoirSql,
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,
     "doc_pack"          -> docPackSql,

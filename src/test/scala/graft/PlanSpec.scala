@@ -176,6 +176,12 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("sample_reservoir tops-k per group on the bounded heap — no window, no per-group sort") {
+    val p = plan(graft.operators.Pipeline.sampleReservoir(spark, sfDir))
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("dedup_substring exchanges the 64-bit gram hash, never the gram text") {
     val p = plan(Dedup.dedupSubstring(spark, sfDir))
     // every hash-partitioning exchange keys on gh (or doc_id for the
