@@ -153,6 +153,26 @@ class ScaleSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("reservoir sample and embedding clusters are invariant to the shuffle-partition setting") {
+    val s = spark
+    // sample_reservoir claims PRF determinism (no per-partition RNG
+    // state) and dedup_clusters_embedding claims hash-min propagation
+    // reaches the same fixpoint under any partitioning
+    val key = "spark.sql.shuffle.partitions"
+    val orig = s.conf.get(key)
+    def run() = (
+      graft.operators.Pipeline.sampleReservoir(s, sfDir).collect().map(_.toSeq).toList,
+      graft.operators.Dedup.dedupClustersEmbedding(s, sfDir).collect().map(_.toSeq).toList)
+    try {
+      s.conf.set(key, "4")
+      val (res4, cl4) = run()
+      s.conf.set(key, "13")
+      val (res13, cl13) = run()
+      assert(res4 == res13)
+      assert(cl4 == cl13)
+    } finally s.conf.set(key, orig)
+  }
+
   test("quantized-sum operators are invariant to the shuffle-partition setting") {
     val s = spark
     // the round-3 float-carrying aggregates (KL drift terms, funnel
