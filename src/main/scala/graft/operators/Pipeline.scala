@@ -406,6 +406,19 @@ object Pipeline {
     * semi-join before the partial agg) and keeps those over the
     * threshold — integer cross-multiplied, no division. Output is
     * exact and deterministic; the sketch only bounds the work. */
+  /** Exact per-token counts over any documents frame — batch or
+    * stream. The batch path prunes with a Misra-Gries candidate pass
+    * first; a STREAMING aggregation needs no candidate pass at all:
+    * the state store IS the exact count table, merged incrementally
+    * per micro-batch (vocab-bounded by Heaps' law, not
+    * corpus-bounded). */
+  private[graft] def tokenCountsOn(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(explode(expr(TA.toksExpr)).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("n_occurrences"))
+  }
+
   def corpusHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir)

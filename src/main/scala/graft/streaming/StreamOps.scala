@@ -149,6 +149,39 @@ object StreamOps {
     graft.operators.Pipeline.qualityFilterOn(stream, canon)
   }
 
+  /** §2.8/streaming — continuous corpus heavy hitters: the exact
+    * token-count aggregation run as a streaming aggregation over the
+    * documents stream. The batch operator's Misra-Gries candidate
+    * pass is UNNECESSARY here — the state store is the exact count
+    * table (one long per distinct token, vocab-bounded by Heaps'
+    * law), merged incrementally each micro-batch with map-side
+    * partials; at 100 TB the store is RocksDB-backed and
+    * hash-partitioned, exactly the batch shuffle's layout. Complete
+    * mode into the memory sink is the verify harness; production
+    * runs update mode into a keyed sink (each micro-batch emits only
+    * tokens it touched). The support cut n·(k+1) > total and top-N
+    * run on the (tiny) materialized count table. Shares the batch
+    * oracle verbatim. */
+  def heavyHittersStream(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pipeline.tokenCountsOn(StreamAcc.fileStream(s, dir, "documents"))
+
+  def runHeavyHittersToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_hh"): DataFrame = {
+    import s.implicits._
+    val q = heavyHittersStream(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val t = s.table(sink)
+    val total = broadcast(t.agg(sum($"n_occurrences").as("n_total")))
+    t.crossJoin(total)
+      .filter($"n_occurrences" * (graft.operators.Pipeline.hhK + 1) > $"n_total")
+      .select($"term", $"n_occurrences")
+      .orderBy($"n_occurrences".desc, $"term")
+  }
+
   def runQualityFilterToCompletion(s: SparkSession, dir: String,
       sink: String = "stream_quality"): DataFrame = {
     val q = qualityFilterStream(s, dir).writeStream
@@ -476,7 +509,9 @@ object StreamOps {
     "stream_dedup_exact" -> ((s, dir) =>
       runDedupExactToCompletion(s, dir, sink = "stream_dedup_verify")),
     "stream_attribution_join" -> ((s, dir) =>
-      runAttributionToCompletion(s, dir, sink = "stream_attrib_verify"))
+      runAttributionToCompletion(s, dir, sink = "stream_attrib_verify")),
+    "stream_heavy_hitters" -> ((s, dir) =>
+      runHeavyHittersToCompletion(s, dir, sink = "stream_hh_verify"))
   )
 
   /** DuckDB oracle for the size-threshold flushes: a flush emits
@@ -506,6 +541,9 @@ object StreamOps {
     // run to completion, the incremental state merge equals the batch
     // groupBy: shares dedup_exact's oracle verbatim
     "stream_dedup_exact" -> graft.operators.Dedup.dedupExactSql,
-    "stream_attribution_join" -> attributionJoinSql
+    "stream_attribution_join" -> attributionJoinSql,
+    // incremental exact counts run to completion equal the batch
+    // counts: shares corpus_heavy_hitters' oracle verbatim
+    "stream_heavy_hitters" -> graft.operators.Pipeline.corpusHeavyHittersSql
   )
 }

@@ -43,6 +43,19 @@ class StreamOpsSpec extends SparkSpec {
         s"diff=${(streamed -- batch).take(2)} / ${(batch -- streamed).take(2)}")
   }
 
+  test("streaming heavy hitters equal the batch Misra-Gries result exactly") {
+    val s = spark
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val streamed = key(StreamOps.runHeavyHittersToCompletion(s, sfDir,
+      sink = "hh_parity"))
+    val batch = key(graft.operators.Pipeline.corpusHeavyHitters(s, sfDir))
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}; " +
+        s"diff=${(streamed -- batch).take(2)} / ${(batch -- streamed).take(2)}")
+  }
+
   test("stream-stream attribution join equals the batch interval join") {
     val s = spark; import s.implicits._
     import org.apache.spark.sql.functions.expr
