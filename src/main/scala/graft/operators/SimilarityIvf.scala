@@ -70,9 +70,20 @@ object SimilarityIvf {
         }
       }
     }
-    val assigned = v.withColumn("cents", typedLit(cents))
-      .withColumn("cid", cidExpr)
-      .select($"vec_id", $"cid", $"v", $"nrm")
+    // the corpus assignment is STAGED and read back as an artifact —
+    // the scaladoc's "at scale the assignment is written bucketed"
+    // story, and also a correctness defense: keeping the argmin
+    // transform as a live projection lets constraint propagation
+    // substitute it through the probe join's cid equality into a
+    // filter on the OTHER side, where its attributes don't exist
+    // (ATTRIBUTE_NOT_FOUND from ConvertToLocalRelation, exprId-order
+    // dependent — bit ann_ivf when run as the session's first query).
+    // A parquet scan carries no alias constraints to propagate.
+    val assigned = graft.sources.OracleStage.stage(s, "ivf_assigned", dir) {
+      v.withColumn("cents", typedLit(cents))
+        .withColumn("cid", cidExpr)
+        .select($"vec_id", $"cid", $"v", $"nrm")
+    }
     (cents, assigned)
   }
 
@@ -95,8 +106,18 @@ object SimilarityIvf {
                 |    'c', i))), 1, $nprobe), p -> p.c)""".stripMargin))
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
         explode($"probes").as("cid"))
-    val cand = assigned.join(broadcast(probes),
-        assigned("cid") === probes("cid") && $"vec_id" =!= $"query_id")
+      // bounded driver collect (nQueries × nprobe rows ≤ 40), the same
+      // idiom as annPq's distance tables: besides being the natural
+      // broadcast shape, materializing the probe list severs the
+      // lineage between the two vector scans — constraint propagation
+      // across the cid equi-join otherwise substitutes one frame's
+      // argmin chain into a filter bound against the other frame's
+      // attributes (exprId-order dependent; bit ann_ivf when run as
+      // the session's first query)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getInt(3)))
+    val probesDf = broadcast(probes.toSeq.toDF("query_id", "qv", "qnrm", "cid"))
+    val cand = assigned.join(probesDf,
+        assigned("cid") === probesDf("cid") && $"vec_id" =!= $"query_id")
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
     cand
