@@ -454,6 +454,15 @@ object Dedup {
     * formulation at every driver SF. */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    embeddingPairs(s, dir).orderBy($"id1", $"id2")
+  }
+
+  /** The τ-passing pair set WITHOUT the presentation sort — the
+    * cluster consumer must not pay a global sort under its union (the
+    * same split as [[ngramPairs]]: EliminateSorts does not strip
+    * sorts under Union). */
+  private[operators] def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val b = Similarity.lshBuckets(s, dir, dedupLshTables, dedupLshBits)
     // shuffle-hash, never broadcast: both sides are the full corpus
     b.as("a").hint("shuffle_hash").join(b.as("b"),
@@ -466,7 +475,6 @@ object Dedup {
       // multi-table hits are identical rows (cosine is a function of
       // the pair) — distinct over survivors only
       .dropDuplicates("id1", "id2")
-      .orderBy($"id1", $"id2")
   }
 
   /** All-pairs ground truth for [[dedupEmbedding]] — O(n²), spec-only
@@ -566,7 +574,7 @@ object Dedup {
     * cosine edges. */
   def dedupClustersEmbedding(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pairs = dedupEmbedding(s, dir).select($"id1".as("doc1"), $"id2".as("doc2"))
+    val pairs = embeddingPairs(s, dir).select($"id1".as("doc1"), $"id2".as("doc2"))
     clustersOf(s, Tables.embeddings(s, dir).select($"vec_id".as("doc_id")),
         pairs, maxClusterIters)
       .select($"doc_id".as("vec_id"), $"canonical_id", $"cluster_size")

@@ -285,7 +285,11 @@ object Graph {
     * graph where id orientation yields in·out ≈ d²/4. */
   def graphTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = orientEdges(s, strongEdges(s, dir)).localCheckpoint(true)
+    // checkpoint BEFORE orientation: orientEdges references its input
+    // three times (degree union twice + the edge join), which would
+    // otherwise replay the lineitem self-join thrice in one plan
+    val e = orientEdges(s, strongEdges(s, dir).localCheckpoint(true))
+      .localCheckpoint(true)
     // targets ordered by the orientation's own (degree, id) total
     // order, so the closing edge between t1 and t2 — if present — is
     // directed exactly (t1 → t2) and one semi join closes the wedge
