@@ -70,6 +70,10 @@ object SimilarityIvf {
         }
       }
     }
+    // persist the centroid artifact (nlist × dim doubles) so every
+    // consumer's oracle can recompute assignment/probes/re-ranks
+    graft.sources.OracleStage.stage(s, "ivf_centroids", dir)(
+      cents.zipWithIndex.map { case (c, cid) => (cid, c) }.toDF("cid", "c"))
     // the corpus assignment is STAGED and read back as an artifact —
     // the scaladoc's "at scale the assignment is written bucketed"
     // story, and also a correctness defense: keeping the argmin
@@ -92,10 +96,6 @@ object SimilarityIvf {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (cents, assigned) = kmeans(s, dir)
-    // persist the centroid artifact (nlist × dim doubles) so the
-    // oracle recomputes assignment, probe selection and the re-rank
-    graft.sources.OracleStage.stage(s, "ivf_centroids", dir)(
-      cents.zipWithIndex.map { case (c, cid) => (cid, c) }.toDF("cid", "c"))
     val probes = vectors(s, dir)
       .filter($"vec_id" < Similarity.nQueries)
       .withColumn("cents", typedLit(cents))
@@ -129,13 +129,34 @@ object SimilarityIvf {
       .orderBy($"query_id", $"rank")
   }
 
-  /** Cluster occupancy — the index's balance diagnostic. */
+  /** §2.5 — cluster occupancy, the index's balance diagnostic (a
+    * skewed inverted file makes nprobe search latency long-tailed;
+    * this is the rollup an operator watches). One partial-aggregated
+    * pass over the staged assignment artifact; oracle recomputes the
+    * argmin assignment from the staged centroids. */
   def ivfClusterSizes(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (_, assigned) = kmeans(s, dir)
     assigned.groupBy($"cid").agg(count(lit(1)).as("n_vectors"))
       .orderBy($"cid")
   }
+
+  def ivfClusterSizesSql(glob: String): String =
+    s"""WITH cents AS (SELECT cid, c FROM read_parquet('$glob')),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scoredc AS (
+       |  SELECT v.vec_id, cents.cid,
+       |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(v.v, cents.c) AS s
+       |  FROM v, cents),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM scoredc)
+       |  WHERE rn = 1)
+       |SELECT cid, count(*) AS n_vectors
+       |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
 
   /** Oracle over the STAGED centroids: per-vector assignment (argmin,
     * ties to the lowest cid — matching array_position-of-min), the
@@ -183,10 +204,12 @@ object SimilarityIvf {
        |ORDER BY query_id, rank""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_ivf" -> (annIvf _)
+    "ann_ivf"           -> (annIvf _),
+    "ivf_cluster_sizes" -> (ivfClusterSizes _)
   )
 
   def oracles: Map[String, String] =
-    graft.sources.OracleStage.globOf("ivf_centroids")
-      .map(g => "ann_ivf" -> annIvfSql(g)).toMap
+    graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
+      "ann_ivf"           -> annIvfSql(g),
+      "ivf_cluster_sizes" -> ivfClusterSizesSql(g))).toMap
 }
