@@ -614,8 +614,203 @@ object Behavioral {
        |ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_markov — event-type transition matrix
+  // ------------------------------------------------------------------
+
+  /** First-order Markov transition matrix over each user's event
+    * stream: for every (prev_type → next_type) pair of CONSECUTIVE
+    * events (ordered by ts, event_id per user), the pair count and
+    * the row-stochastic transition probability n(prev→next)/n(prev→*).
+    *
+    * Layout: ONE shuffle on user_id (the lag window), then the pair
+    * counts are a partial-aggregated groupBy on the (prev, next) key —
+    * the transition table is bounded by |types|², so the marginal
+    * normalizer is a broadcast join, never a second big shuffle.
+    * Probability is an IEEE double division of two exact longs,
+    * half-up quantized at 1e-6 on both engines. */
+  def qMarkov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(s, dir)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNotNull)
+      .groupBy($"prev_type", $"event_type".as("next_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val marg = pairs.groupBy($"prev_type")
+      .agg(sum($"n_pairs").as("n_from"))
+    pairs.join(broadcast(marg), "prev_type")
+      .select($"prev_type", $"next_type", $"n_pairs",
+        expr(rndSql("CAST(n_pairs AS DOUBLE) / CAST(n_from AS DOUBLE)", 6)).as("prob"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
+  val qMarkovSql: String =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+       |  FROM events
+       |), p AS (
+       |  SELECT prev_type, event_type AS next_type, count(*) AS n_pairs
+       |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+       |), m AS (
+       |  SELECT prev_type, CAST(sum(n_pairs) AS BIGINT) AS n_from FROM p GROUP BY 1
+       |)
+       |SELECT p.prev_type, p.next_type, CAST(p.n_pairs AS BIGINT) AS n_pairs,
+       |  ${rndSql("CAST(p.n_pairs AS DOUBLE) / CAST(m.n_from AS DOUBLE)", 6)} AS prob
+       |FROM p JOIN m ON p.prev_type = m.prev_type
+       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_ewma — exponentially-weighted moving average, bit-stable
+  // ------------------------------------------------------------------
+
+  /** EWMA smoothing factor α = 0.3 → decay (1−α) = 7/10 exactly. */
+  val ewmaK = 48
+  val ewmaBucketUs: Long = 3600000000L // 1 h
+
+  /** Integer weight table wq(k) = round((7/10)^k · 1e9), k = 0..K,
+    * computed EXACTLY (BigDecimal rational arithmetic) once on the
+    * driver and embedded as the same literal table in the Spark plan
+    * and the oracle SQL. No runtime `pow()` anywhere — cross-engine
+    * pow ULP divergence is structurally impossible, which is what
+    * makes a float-smoothing query hash-exact. */
+  val ewmaWeights: Array[Long] = {
+    val q = BigDecimal(10).pow(9)
+    (0 to ewmaK).map { k =>
+      (BigDecimal(7).pow(k) * q / BigDecimal(10).pow(k))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }.toArray
+  }
+
+  /** §2.10 — trailing exponentially-weighted hourly average per event
+    * type: each hourly bucket's EWMA over the trailing [[ewmaK]]
+    * OBSERVED buckets, weight (1−α)^Δhours (gaps decay by wall-clock
+    * distance, the time-aware EWMA convention).
+    *
+    * Scale shape: the raw stream reduces FIRST to the clock-bounded
+    * bucket grid (partial-aggregated groupBy — grid size is
+    * time-range/1h × #types, independent of row count); the trailing
+    * window is then a bounded band self-join ON THE GRID (fan-out ≤
+    * K+1 per bucket) — never a window over raw events. Arithmetic:
+    * bucket means quantize at 1e-6 to longs, weighted terms multiply
+    * in DECIMAL (exact), the num/den sums are order-free, and the
+    * final ratio is one IEEE double division — identical at any
+    * parallelism and on both engines. */
+  def qEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = ewmaBucketUs
+    val obs = Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .groupBy($"event_type", expr(s"us div ${b}L").as("t"))
+      .agg(davg($"value").as("x"))
+      .withColumn("xq", quantize($"x", 6).cast("long"))
+    val wlit = ewmaWeights.mkString("array(", "L, ", "L)")
+    obs.as("i").join(obs.as("j"),
+        $"i.event_type" === $"j.event_type" &&
+        $"j.t" <= $"i.t" && $"j.t" >= $"i.t" - lit(ewmaK.toLong))
+      .select($"i.event_type".as("event_type"), $"i.t".as("t"), $"i.x".as("x"),
+        expr(s"element_at($wlit, CAST(i.t - j.t AS INT) + 1)").as("wq"),
+        $"j.xq".as("xj"))
+      .groupBy($"event_type", $"t", $"x")
+      .agg(
+        expr("sum(CAST(wq AS DECIMAL(20,0)) * CAST(xj AS DECIMAL(20,0)))").as("num"),
+        expr("sum(CAST(wq AS DECIMAL(20,0)))").as("den"))
+      .select($"event_type", timestamp_micros($"t" * b).as("bucket_ts"),
+        expr(rndSql("x", 4)).as("x_avg"),
+        expr(rndSql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0", 4)).as("ewma"))
+      .orderBy($"event_type", $"bucket_ts")
+  }
+
+  val qEwmaSql: String = {
+    val b = ewmaBucketUs
+    val wlist = ewmaWeights.mkString("[", ", ", "]")
+    s"""WITH obs AS (
+       |  SELECT event_type, epoch_us(ts) // $b AS t, ${davgSql("value")} AS x
+       |  FROM events GROUP BY 1, 2
+       |), q AS (
+       |  SELECT event_type, t, x,
+       |    CAST(floor(x * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xq
+       |  FROM obs
+       |), j AS (
+       |  SELECT i.event_type, i.t, i.x,
+       |    sum(CAST(list_extract($wlist, CAST(i.t - j.t AS INT) + 1) AS HUGEINT) * j.xq) AS num,
+       |    sum(CAST(list_extract($wlist, CAST(i.t - j.t AS INT) + 1) AS HUGEINT)) AS den
+       |  FROM q i JOIN q j ON j.event_type = i.event_type
+       |    AND j.t <= i.t AND j.t >= i.t - $ewmaK
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT event_type, make_timestamp(t * $b) AS bucket_ts,
+       |  ${rndSql("x", 4)} AS x_avg,
+       |  ${rndSql("CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 1000000.0", 4)} AS ewma
+       |FROM j
+       |ORDER BY event_type, bucket_ts""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // q_abtest — two-sample Welch's t from exact co-moments
+  // ------------------------------------------------------------------
+
+  /** Experimentation readout: users split into two arms by a
+    * deterministic id hash (parity), per event type the arm means and
+    * Welch's t statistic — computed from the EXACT decimal sums n,
+    * Σx, Σx² in ONE partial-aggregated pass (six conditional
+    * aggregates, no self-join, no second scan). A float `stddev`/
+    * `avg` stream is partitioning-dependent; these moments are
+    * bit-stable at any parallelism, and the downstream t arithmetic
+    * is pure deterministic IEEE double (sqrt is correctly rounded),
+    * so the statistic is hash-exact cross-engine. */
+  def qAbtest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .withColumn("a", $"user_id" % 2 === 0)
+    ev.groupBy($"event_type")
+      .agg(
+        countIf($"a").as("n_a"),
+        countIf(!$"a").as("n_b"),
+        dsum(when($"a", $"value").otherwise(lit(0.0))).as("sx_a"),
+        dsum(when(!$"a", $"value").otherwise(lit(0.0))).as("sx_b"),
+        dsum(when($"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_a"),
+        dsum(when(!$"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_b"))
+      .withColumn("m_a", $"sx_a" / $"n_a".cast("double"))
+      .withColumn("m_b", $"sx_b" / $"n_b".cast("double"))
+      .withColumn("v_a", ($"sxx_a" - $"sx_a" * $"sx_a" / $"n_a".cast("double")) / ($"n_a" - 1).cast("double"))
+      .withColumn("v_b", ($"sxx_b" - $"sx_b" * $"sx_b" / $"n_b".cast("double")) / ($"n_b" - 1).cast("double"))
+      .select($"event_type", $"n_a", $"n_b",
+        expr(rndSql("m_a", 6)).as("mean_a"),
+        expr(rndSql("m_b", 6)).as("mean_b"),
+        expr(rndSql("(m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))", 6)).as("t_stat"))
+      .orderBy($"event_type")
+  }
+
+  val qAbtestSql: String =
+    s"""WITH st AS (
+       |  SELECT event_type,
+       |    ${countIfSql("user_id % 2 = 0")} AS n_a,
+       |    ${countIfSql("user_id % 2 <> 0")} AS n_b,
+       |    ${dsumSql("CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END")} AS sx_a,
+       |    ${dsumSql("CASE WHEN user_id % 2 <> 0 THEN value ELSE 0.0 END")} AS sx_b,
+       |    ${dsumSql("CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0.0 END")} AS sxx_a,
+       |    ${dsumSql("CASE WHEN user_id % 2 <> 0 THEN value * value ELSE 0.0 END")} AS sxx_b
+       |  FROM events GROUP BY 1
+       |), m AS (
+       |  SELECT event_type, n_a, n_b,
+       |    sx_a / CAST(n_a AS DOUBLE) AS m_a, sx_b / CAST(n_b AS DOUBLE) AS m_b,
+       |    (sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) AS v_a,
+       |    (sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE) AS v_b
+       |  FROM st
+       |)
+       |SELECT event_type, n_a, n_b,
+       |  ${rndSql("m_a", 6)} AS mean_a, ${rndSql("m_b", 6)} AS mean_b,
+       |  ${rndSql("(m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))", 6)} AS t_stat
+       |FROM m
+       |ORDER BY event_type""".stripMargin
+
+  // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_markov"        -> (qMarkov _),
+    "q_ewma"          -> (qEwma _),
+    "q_abtest"        -> (qAbtest _),
     "q_funnel"        -> (qFunnel _),
     "q_retention"     -> (qRetention _),
     "q_time_resample" -> (qTimeResample _),
@@ -629,6 +824,9 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_markov"        -> qMarkovSql,
+    "q_ewma"          -> qEwmaSql,
+    "q_abtest"        -> qAbtestSql,
     "q_funnel"        -> qFunnelSql,
     "q_retention"     -> qRetentionSql,
     "q_time_resample" -> qTimeResampleSql,

@@ -103,6 +103,49 @@ object Pipeline {
        |QUALIFY rank <= $reservoirK
        |ORDER BY event_type, rank""".stripMargin
 
+  /** Sample size per source for [[sampleWeighted]]. */
+  val weightedK = 50
+  import graft.functions.Agg.{rndSql => wRndSql}
+
+  /** §2.8 #38c — deterministic WEIGHTED sampling without replacement
+    * (the third sampling shape: stratified = rate, reservoir =
+    * uniform fixed-k, this = importance-weighted fixed-k): per source,
+    * the k docs with the largest priority w/u — Duffield–Lund–Thorup
+    * priority sampling, where w = n_chars (longer docs proportionally
+    * likelier) and u is a per-doc uniform from the same Lehmer PRF as
+    * [[sampleReservoir]]. Needs only one IEEE double division (exact,
+    * correctly rounded — bit-identical cross-engine; no ln/pow, whose
+    * libm implementations may differ by an ulp), so the rank order is
+    * deterministic everywhere; ties broken by doc_id for a total
+    * order. Runs on the bounded-heap [[graft.plans.TopK.perGroup]]:
+    * ≤k rows per partition per source ship, no per-source sort. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"n_chars",
+        expr("(doc_id % 2147483647L) * 48271L % 2147483647L").as("h"))
+      .withColumn("priority",
+        $"n_chars".cast("double") / ($"h" + 1L).cast("double"))
+    graft.plans.TopK.perGroup(docs, Seq("source"),
+        Seq("priority" -> true, "doc_id" -> false), weightedK)
+      .select($"source", $"rank", $"doc_id", $"n_chars",
+        expr(wRndSql("priority", 9)).as("priority"))
+      .orderBy($"source", $"rank")
+  }
+
+  val sampleWeightedSql: String =
+    s"""WITH p AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(n_chars AS DOUBLE) /
+       |      CAST((doc_id % 2147483647) * 48271 % 2147483647 + 1 AS DOUBLE) AS priority
+       |  FROM documents)
+       |SELECT source,
+       |  row_number() OVER (PARTITION BY source ORDER BY priority DESC, doc_id) AS rank,
+       |  doc_id, n_chars, ${wRndSql("priority", 9)} AS priority
+       |FROM p
+       |QUALIFY rank <= $weightedK
+       |ORDER BY source, rank""".stripMargin
+
   val sampleStratifiedSql: String =
     s"""WITH st AS (
        |  SELECT source,
@@ -891,6 +934,7 @@ object Pipeline {
     "corpus_cms"        -> (corpusCms _),
     "sample_stratified" -> (sampleStratified _),
     "sample_reservoir"  -> (sampleReservoir _),
+    "sample_weighted"   -> (sampleWeighted _),
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
     "doc_pack"          -> (docPack _),
@@ -909,6 +953,7 @@ object Pipeline {
     "corpus_cms"        -> corpusCmsSql,
     "sample_stratified" -> sampleStratifiedSql,
     "sample_reservoir"  -> sampleReservoirSql,
+    "sample_weighted"   -> sampleWeightedSql,
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,
     "doc_pack"          -> docPackSql,

@@ -1496,7 +1496,130 @@ object Relational {
        |  ${Agg0.rndSql("2.0 * srx / (CAST(n AS DOUBLE) * sx) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)", 6)} AS gini
        |FROM sums""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_skew_join — salted shuffled join (hot-key mitigation)
+  // ------------------------------------------------------------------
+
+  /** Salt bucket count for [[qSkewJoin]]. */
+  val skewSaltBuckets = 8
+
+  /** §2.3 — SALTED shuffled join, the manual hot-key play for the one
+    * join AQE's skew splitting can't fix: build-side rows of a hot key
+    * must meet EVERY probe row of that key, so splitting the probe
+    * partition alone still re-reads one build partition hot. Salting
+    * restructures the key itself: the probe side appends a
+    * deterministic salt (hash of its OWN pk, so no RNG and no
+    * correlation with the join key), the build side replicates each
+    * row into all S salt values (a row-local explode — the bounded ×S
+    * price), and the join key becomes (key, salt) — a hot user now
+    * spreads over S reducers BY CONSTRUCTION, whatever the planner
+    * does. Query: enrich each event with its user's activity tier
+    * (join events to their own per-user aggregate — the classic
+    * self-enrichment join where bot/whale users make user_id hot);
+    * shuffle_hash-hinted so test-SF stats can't broadcast the
+    * would-be-huge profile side. Salting is invisible in the result —
+    * the oracle is the plain unsalted join. */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val prof = ev.groupBy($"user_id").agg(count(lit(1)).as("n_user"))
+      .withColumn("salt", explode(lit((0 until skewSaltBuckets).toArray)))
+    ev.select($"event_type", $"user_id",
+        pmod(xxhash64($"event_id"), lit(skewSaltBuckets.toLong)).cast("int").as("salt"))
+      .hint("shuffle_hash")
+      .join(prof, Seq("user_id", "salt"))
+      .withColumn("tier",
+        when($"n_user" >= 75, "heavy").when($"n_user" >= 60, "mid").otherwise("light"))
+      .groupBy($"event_type", $"tier")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy($"event_type", $"tier")
+  }
+
+  /** The salted join alone, exposed for PlanSpec (join keys must
+    * include the salt; build side must carry the ×S Generate). */
+  private[graft] def skewJoinPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val prof = ev.groupBy($"user_id").agg(count(lit(1)).as("n_user"))
+      .withColumn("salt", explode(lit((0 until skewSaltBuckets).toArray)))
+    ev.select($"event_type", $"user_id",
+        pmod(xxhash64($"event_id"), lit(skewSaltBuckets.toLong)).cast("int").as("salt"))
+      .hint("shuffle_hash")
+      .join(prof, Seq("user_id", "salt"))
+  }
+
+  val qSkewJoinSql: String =
+    """WITH prof AS (
+      |  SELECT user_id, count(*) AS n_user FROM events GROUP BY 1
+      |)
+      |SELECT e.event_type,
+      |  CASE WHEN p.n_user >= 75 THEN 'heavy'
+      |       WHEN p.n_user >= 60 THEN 'mid'
+      |       ELSE 'light' END AS tier,
+      |  count(*) AS n_events
+      |FROM events e JOIN prof p ON e.user_id = p.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_mad_outliers — robust (median/MAD) outlier screen
+  // ------------------------------------------------------------------
+
+  /** §2.3 — robust outlier screen, the quantile sibling of
+    * [[qZscoreOutliers]]: per group the MEDIAN and the median absolute
+    * deviation, then the Iglewicz–Hoaglin modified z-score
+    * 0.6745·|x−med|/MAD > 3.5 counted row-locally. μ/σ moments are
+    * dragged by the very outliers they're meant to find; med/MAD have
+    * a 50% breakdown point. Two bounded aggregate passes (median,
+    * then MAD over the broadcast-joined deviations) + one counting
+    * pass — never a per-row window. med/MAD are quantized at 1e-6 on
+    * BOTH engines before the strict threshold compare, so a one-ulp
+    * interpolation divergence cannot flip boundary rows (the
+    * [[qAboveP95]] hazard, closed here by construction). Exact
+    * percentile state is per-group-unbounded — the documented trade;
+    * at NDV-exploding group keys this swaps to the
+    * [[qPercentilesDist]] range-partitioned layout unchanged. */
+  def qMadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val med = ev.groupBy($"event_type")
+      .agg(expr(Agg0.rndSql("percentile(value, CAST(0.5 AS DOUBLE))", 6)).as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("dev", abs($"value" - $"med"))
+    val madDf = dev.groupBy($"event_type")
+      .agg(expr(Agg0.rndSql("percentile(dev, CAST(0.5 AS DOUBLE))", 6)).as("mad"))
+    dev.join(broadcast(madDf), "event_type")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        max($"med").as("med"),
+        max($"mad").as("mad"),
+        countIf(lit(0.6745) * $"dev" > lit(3.5) * $"mad").as("n_outliers"))
+      .orderBy($"event_type")
+  }
+
+  val qMadOutliersSql: String =
+    s"""WITH med AS (
+       |  SELECT event_type,
+       |    ${Agg0.rndSql("quantile_cont(value, 0.5)", 6)} AS med
+       |  FROM events GROUP BY 1
+       |), dev AS (
+       |  SELECT e.event_type, med.med,
+       |    abs(e.value - med.med) AS dev
+       |  FROM events e JOIN med ON e.event_type = med.event_type
+       |), mad AS (
+       |  SELECT event_type, ${Agg0.rndSql("quantile_cont(dev, 0.5)", 6)} AS mad
+       |  FROM dev GROUP BY 1
+       |)
+       |SELECT dev.event_type, count(*) AS n,
+       |  max(dev.med) AS med, max(mad.mad) AS mad,
+       |  ${countIfSql("0.6745 * dev.dev > 3.5 * mad.mad")} AS n_outliers
+       |FROM dev JOIN mad ON dev.event_type = mad.event_type
+       |GROUP BY dev.event_type
+       |ORDER BY dev.event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_join"        -> (qSkewJoin _),
+    "q_mad_outliers"     -> (qMadOutliers _),
     "q_events_json"      -> (qEventsJson _),
     "q_percentiles"      -> (qPercentiles _),
     "q_percentiles_dist" -> (qPercentilesDist _),
@@ -1540,6 +1663,8 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_skew_join"        -> qSkewJoinSql,
+    "q_mad_outliers"     -> qMadOutliersSql,
     "q_events_json"      -> qEventsJsonSql,
     "q_percentiles"      -> qPercentilesSql,
     "q_percentiles_dist" -> qPercentilesSql,

@@ -23,6 +23,52 @@ class BehavioralSpec extends SparkSpec {
     assert(!r.head.getDouble(1).isNaN, "bin_lo must be the value, not NaN")
   }
 
+  test("q_markov transition rows are row-stochastic (probs sum to 1 per prev_type)") {
+    val s = spark; import s.implicits._
+    val sums = Behavioral.qMarkov(s, sfDir)
+      .groupBy($"prev_type").agg(sum($"prob").as("p"))
+      .collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      // each prob is half-up quantized at 1e-6; a row of ≤|types| probs
+      // can therefore drift at most |types|·5e-7 from exactly 1
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-5, r.toString)
+    }
+  }
+
+  test("q_ewma first observed bucket per type equals its own bucket average") {
+    val s = spark; import s.implicits._
+    val r = Behavioral.qEwma(s, sfDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"bucket_ts")
+    val firsts = r.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1).collect()
+    assert(firsts.nonEmpty)
+    firsts.foreach { row =>
+      val x = row.getAs[Double]("x_avg"); val e = row.getAs[Double]("ewma")
+      // only the 1e-6 intermediate quantization separates them
+      assert(math.abs(x - e) < 1e-3, s"first-bucket ewma must equal x_avg: $row")
+    }
+  }
+
+  test("q_abtest t statistic is antisymmetric under arm swap") {
+    val s = spark; import s.implicits._
+    // swapping the arm labels must negate t exactly (same moments,
+    // roles exchanged) — catches any asymmetric n/variance wiring
+    val base = Behavioral.qAbtest(s, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("t_stat")).toMap
+    val ev = graft.sources.Tables.events(s, sfDir)
+    val swapped = ev.withColumn("user_id", $"user_id" + 1L)
+    val dir2 = Files.createTempDirectory("graft-abtest").toString
+    // re-point the loader at a swapped-parity copy of the table
+    swapped.coalesce(1).write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val sw = Behavioral.qAbtest(s, dir2).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("t_stat")).toMap
+    base.keys.foreach { k =>
+      assert(math.abs(base(k) + sw(k)) < 1e-5, s"$k: ${base(k)} vs ${sw(k)}")
+    }
+  }
+
   test("matchSteps rejects input frames carrying its working columns") {
     val s = spark; import s.implicits._
     val ev = graft.sources.Tables.events(s, sfDir)

@@ -8,6 +8,33 @@ import graft.operators.{Pipeline, TextAnalysis}
 
 class PipelineSpec extends SparkSpec {
 
+  test("sample_weighted favors long documents (weighted-inclusion bias)") {
+    val s = spark; import s.implicits._
+    // 200 docs, one source, weights 10..200: with k=50 the sample
+    // must be an actual selection, so the w/u priority bias is
+    // observable (at sf0.001 each stratum is ≤ k — no selection)
+    val dir = Files.createTempDirectory("graft-wsample").toString
+    Seq.tabulate(200) { i =>
+      (i.toLong, "x", "en", "s0", ((i % 20) + 1) * 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sample = Pipeline.sampleWeighted(s, dir)
+    val sMean = sample.agg(avg($"n_chars")).head.getDouble(0)
+    val cMean = graft.sources.Tables.documents(s, dir)
+      .agg(avg($"n_chars")).head.getDouble(0)
+    // priority w/u makes inclusion probability increase with w — the
+    // sample mean must sit clearly above the corpus mean
+    // (deterministic PRF — no flakiness)
+    assert(sMean > cMean,
+      s"weighted sample mean $sMean must exceed corpus mean $cMean")
+    // exactly k rows, ranked 1..k
+    val perSrc = sample.groupBy($"source")
+      .agg(count(lit(1)).as("n"), max($"rank").as("maxr")).collect()
+    perSrc.foreach { r =>
+      assert(r.getLong(1) == Pipeline.weightedK && r.getLong(1) == r.getLong(2), r.toString)
+    }
+  }
+
   /** Crafted corpus hitting every quality_filter rule, including the
     * precedence cases the real corpus doesn't exercise. */
   private lazy val craftedDir: String = {

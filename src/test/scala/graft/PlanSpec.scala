@@ -182,6 +182,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("sample_weighted tops-k priorities per group on the bounded heap") {
+    val p = plan(graft.operators.Pipeline.sampleWeighted(spark, sfDir))
+    assert(p.contains("TopKPerGroup"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q_skew_join keys the shuffle on (user_id, salt) and replicates the build side") {
+    val p = plan(Relational.skewJoinPlan(spark, sfDir))
+    // the join must be a shuffled join whose key includes the salt —
+    // that's the whole point: a hot user_id spreads over S reducers
+    val joins = p.linesIterator.filter(l =>
+      l.contains("ShuffledHashJoin") || l.contains("SortMergeJoin")).toList
+    assert(joins.nonEmpty, s"salted join must not broadcast:\n$p")
+    assert(joins.head.contains("salt"), s"join key must include salt:\n${joins.head}")
+    // build side replicates via a row-local Generate (explode), not a shuffle
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("dedup_substring exchanges the 64-bit gram hash, never the gram text") {
     val p = plan(Dedup.dedupSubstring(spark, sfDir))
     // every hash-partitioning exchange keys on gh (or doc_id for the
