@@ -318,7 +318,91 @@ object Graph {
        |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)
        |ORDER BY a, b, c""".stripMargin
 
+  // ------------------------------------------------------------------
+  // graph_neighbor_sim — neighborhood Jaccard similarity
+  // ------------------------------------------------------------------
+
+  val neighborSimTopN = 50
+  /** Vertices with degree above this are dropped before wedge
+    * generation — the graph analog of the dedup suite's shingle
+    * df-cap: a hub co-bought with everything (a) contributes d²
+    * wedges (the one quadratic blowup in neighborhood similarity —
+    * common-neighbor counting NEEDS every wedge at its center, so no
+    * orientation trick applies) and (b) carries no similarity signal
+    * anyway. The cap is part of the operator's semantics and the
+    * oracle applies it identically. */
+  val neighborCenterCap = 64L
+
+  /** §2.12 — neighborhood (structural) similarity: for part pairs
+    * sharing ≥1 common neighbor in the hub-capped strong co-purchase
+    * graph, the exact Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| — "parts
+    * bought alongside the same third parts", the item-item
+    * collaborative-filtering primitive. Wedges at each center are
+    * cap-bounded (≤ cap² rows per center); the pair counts are one
+    * partial-aggregated shuffle on the (a, b) key; degrees join back
+    * from the |V|-sized degree table; global top-N is TakeOrdered
+    * (bounded), ranked by the 1e-6-quantized score with an (a, b)
+    * total-order tiebreak so both engines cut the same 50 rows. */
+  def graphNeighborSim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e0 = strongEdges(s, dir).localCheckpoint(true)
+    val adj0 = e0.select($"u".as("ctr"), $"v".as("nb"))
+      .unionAll(e0.select($"v".as("ctr"), $"u".as("nb")))
+    val keep = adj0.groupBy($"ctr").agg(count(lit(1)).as("d"))
+      .filter($"d" <= neighborCenterCap).select($"ctr")
+    val adj = adj0.join(keep, Seq("ctr"), "left_semi")
+      .join(keep.select($"ctr".as("nb")), Seq("nb"), "left_semi")
+      .localCheckpoint(true)
+    val deg = adj.groupBy($"ctr").agg(count(lit(1)).as("d"))
+    val wedges = adj.as("x").join(adj.as("y"),
+        $"x.ctr" === $"y.ctr" && $"x.nb" < $"y.nb")
+      .groupBy($"x.nb".as("a"), $"y.nb".as("b"))
+      .agg(count(lit(1)).as("common"))
+    wedges.join(deg.select($"ctr".as("a"), $"d".as("deg_a")), "a")
+      .join(deg.select($"ctr".as("b"), $"d".as("deg_b")), "b")
+      .select($"a".as("part_a"), $"b".as("part_b"), $"common",
+        $"deg_a", $"deg_b",
+        expr(graft.functions.Agg.rndSql(
+          "CAST(common AS DOUBLE) / CAST(deg_a + deg_b - common AS DOUBLE)", 6)).as("sim"))
+      .orderBy($"sim".desc, $"part_a", $"part_b")
+      .limit(neighborSimTopN)
+  }
+
+  val graphNeighborSimSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $triangleMinSupport),
+       |adj0 AS (
+       |  SELECT u AS ctr, v AS nb FROM e0
+       |  UNION ALL SELECT v, u FROM e0),
+       |keep AS (
+       |  SELECT ctr FROM adj0 GROUP BY ctr
+       |  HAVING count(*) <= $neighborCenterCap),
+       |adj AS (
+       |  SELECT a.ctr, a.nb FROM adj0 a
+       |  JOIN keep k1 ON a.ctr = k1.ctr
+       |  JOIN keep k2 ON a.nb = k2.ctr),
+       |deg AS (SELECT ctr, count(*) AS d FROM adj GROUP BY 1),
+       |w AS (
+       |  SELECT x.nb AS a, y.nb AS b, count(*) AS common
+       |  FROM adj x JOIN adj y ON x.ctr = y.ctr AND x.nb < y.nb
+       |  GROUP BY 1, 2)
+       |SELECT w.a AS part_a, w.b AS part_b, CAST(w.common AS BIGINT) AS common,
+       |  CAST(da.d AS BIGINT) AS deg_a, CAST(db.d AS BIGINT) AS deg_b,
+       |  ${graft.functions.Agg.rndSql(
+             "CAST(w.common AS DOUBLE) / CAST(da.d + db.d - w.common AS DOUBLE)", 6)} AS sim
+       |FROM w
+       |JOIN deg da ON w.a = da.ctr
+       |JOIN deg db ON w.b = db.ctr
+       |ORDER BY sim DESC, part_a, part_b
+       |LIMIT $neighborSimTopN""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_neighbor_sim"     -> (graphNeighborSim _),
     "graph_pagerank"         -> (graphPagerank _),
     "graph_pagerank_indexed" -> (graphPagerankIndexed _),
     "graph_basket_rules"     -> (graphBasketRules _),
@@ -326,6 +410,7 @@ object Graph {
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_neighbor_sim"     -> graphNeighborSimSql,
     "graph_pagerank"         -> graphPagerankSql,
     // identical recurrence over the persisted edge artifact
     "graph_pagerank_indexed" -> graphPagerankSql,

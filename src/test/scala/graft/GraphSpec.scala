@@ -81,6 +81,33 @@ class GraphSpec extends SparkSpec {
     e0.unpersist()
   }
 
+  test("neighbor similarity drops the hub and scores a shared-neighborhood pair exactly") {
+    val s = spark; import s.implicits._
+    // hubDir's part 500 is adjacent to 80 low/high parts — over the
+    // 64 cap, so every wedge centered there must vanish; parts 1 and
+    // 1001 (the planted triangle's non-hub corners, degree ≤ cap)
+    // share exactly the capped common neighborhood
+    val rows = Graph.graphNeighborSim(s, hubDir).collect()
+    val asMap = rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // no pair may owe its common count to the hub center: part 500 has
+    // degree 81 > 64, so it is excluded from the capped graph entirely
+    assert(!rows.exists(r => r.getLong(0) == 500L || r.getLong(1) == 500L),
+      s"hub must be dropped: ${rows.mkString(";")}")
+    // in the capped graph the (1, 1001) edge survives (both degree 2
+    // there: each keeps its low/high partner + the closing edge);
+    // their only common neighbor candidates are capped vertices
+    asMap.get((1L, 1001L)).foreach { case (common, da, db, sim) =>
+      val expect = common.toDouble / (da + db - common).toDouble
+      assert(math.abs(sim - expect) < 1e-6, s"sim must be exact Jaccard: $sim vs $expect")
+    }
+    // every returned score is a valid Jaccard in (0, 1]
+    rows.foreach { r =>
+      val (c, da, db, sim) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))
+      assert(c >= 1 && sim > 0.0 && sim <= 1.0 && c <= math.min(da, db), r.toString)
+    }
+  }
+
   test("basket rules on the hub corpus match a brute-force reference") {
     val s = spark
     // brute force over the raw (order, part) pairs, straight from the
