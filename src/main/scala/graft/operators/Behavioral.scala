@@ -806,8 +806,107 @@ object Behavioral {
        |ORDER BY event_type""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_seasonality — hour-of-day activity profile
+  // ------------------------------------------------------------------
+
+  /** Hour-of-day seasonality per event type: count, exact value sum
+    * and within-type share for each (type, hour-of-day) cell — the
+    * diurnal-profile rollup every event pipeline publishes. Pure
+    * partial-aggregated groupBy on a 24×|types|-bounded key space;
+    * the share normalizer is a broadcast join of the |types|-row
+    * marginal. hour() runs on the µs-floored timestamp, identical in
+    * both engines. */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir)
+      .groupBy($"event_type", hour($"ts").as("hod"))
+      .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+    val marg = cells.groupBy($"event_type").agg(sum($"n_events").as("n_type"))
+    cells.join(broadcast(marg), "event_type")
+      .select($"event_type", $"hod", $"n_events", $"sum_value",
+        expr(rndSql("CAST(n_events AS DOUBLE) / CAST(n_type AS DOUBLE)", 6)).as("share"))
+      .orderBy($"event_type", $"hod")
+  }
+
+  val qSeasonalitySql: String =
+    s"""WITH cells AS (
+       |  SELECT event_type, CAST(hour(ts) AS INT) AS hod,
+       |    count(*) AS n_events, ${dsumSql("value")} AS sum_value
+       |  FROM events GROUP BY 1, 2
+       |), marg AS (
+       |  SELECT event_type, CAST(sum(n_events) AS BIGINT) AS n_type
+       |  FROM cells GROUP BY 1
+       |)
+       |SELECT c.event_type, c.hod, CAST(c.n_events AS BIGINT) AS n_events,
+       |  c.sum_value,
+       |  ${rndSql("CAST(c.n_events AS DOUBLE) / CAST(m.n_type AS DOUBLE)", 6)} AS share
+       |FROM cells c JOIN marg m ON c.event_type = m.event_type
+       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_lag_features — per-entity lag/rolling feature extraction
+  // ------------------------------------------------------------------
+
+  /** ML feature extraction at label rows: for every PURCHASE event,
+    * its user's previous two event values, the gap to the previous
+    * event, and the rolling mean of the last three values — the
+    * windowed feature pass a training-data build runs before writing
+    * feature parquet. ONE shuffle on user_id; all four features come
+    * from the same window sort (Catalyst plans one exchange + sort);
+    * the label filter applies AFTER the windows (features see the
+    * full history but only purchase rows are emitted). The rolling
+    * mean sums 1e-4-quantized longs over the ROWS frame — exact and
+    * order-free — and divides by the frame count at the edge. */
+  def qLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val w3 = w.rowsBetween(-2, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("vq", quantize($"value", 4).cast("long"))
+      .withColumn("lag1", lag($"value", 1).over(w))
+      .withColumn("lag2", lag($"value", 2).over(w))
+      .withColumn("gap_us", $"us" - lag($"us", 1).over(w))
+      .withColumn("r3",
+        sum($"vq").over(w3).cast("double") / lit(10000.0) / count(lit(1)).over(w3).cast("double"))
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"value",
+        expr(rndSql("lag1", 6)).as("lag1"),
+        expr(rndSql("lag2", 6)).as("lag2"),
+        $"gap_us",
+        expr(rndSql("r3", 6)).as("r3"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val qLagFeaturesSql: String =
+    s"""WITH f AS (
+       |  SELECT user_id, event_id, event_type, value,
+       |    epoch_us(ts) AS us,
+       |    CAST(floor(value * 10000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vq,
+       |    lag(value, 1) OVER w AS lag1,
+       |    lag(value, 2) OVER w AS lag2,
+       |    epoch_us(ts) - lag(epoch_us(ts), 1) OVER w AS gap_us,
+       |    CAST(sum(CAST(floor(value * 10000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+       |         OVER w3 AS DOUBLE) / 10000.0 /
+       |      CAST(count(*) OVER w3 AS DOUBLE) AS r3
+       |  FROM events
+       |  WINDOW
+       |    w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       |    w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+       |           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, event_id, value,
+       |  ${rndSql("lag1", 6)} AS lag1, ${rndSql("lag2", 6)} AS lag2,
+       |  gap_us, ${rndSql("r3", 6)} AS r3
+       |FROM f
+       |WHERE event_type = 'purchase'
+       |ORDER BY user_id, event_id""".stripMargin
+
+  // ------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seasonality"   -> (qSeasonality _),
+    "q_lag_features"  -> (qLagFeatures _),
     "q_markov"        -> (qMarkov _),
     "q_ewma"          -> (qEwma _),
     "q_abtest"        -> (qAbtest _),
@@ -824,6 +923,8 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_seasonality"   -> qSeasonalitySql,
+    "q_lag_features"  -> qLagFeaturesSql,
     "q_markov"        -> qMarkovSql,
     "q_ewma"          -> qEwmaSql,
     "q_abtest"        -> qAbtestSql,

@@ -492,6 +492,102 @@ object TextAnalysis {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // text_cosine_pairs — sparse TF-IDF cosine similarity
+  // ------------------------------------------------------------------
+
+  /** Shingles appearing in more documents than this are dropped
+    * before the pair join: a term in df documents yields df²
+    * candidate pairs, so ubiquitous terms are the one quadratic
+    * blowup in sparse similarity — and carry near-zero idf weight
+    * anyway. Same df-cap device as
+    * [[graft.operators.Dedup.shingleDfCap]], part of the semantics
+    * and mirrored in the oracle. */
+  val cosineDfCap = 64
+  val cosineTopN = 50
+
+  /** §2.6 — idf-weighted cosine document similarity over the word-
+    * 3-gram shingle space: the WEIGHTED lexical relatedness score
+    * next to [[graft.operators.Dedup.dedupNgramJaccard]]'s unweighted
+    * Jaccard (a pair sharing three rare shingles outranks one sharing
+    * three boilerplate shingles — Jaccard can't tell them apart) and
+    * the embedding suite's dense cosine. Docs become L2-normalized
+    * idf vectors over the df-capped shingle set (shingles via the
+    * native [[graft.functions]] `graft_shingles` — row-local, one
+    * pass); pair dot products come from ONE self-join of the exploded
+    * corpus on the shingle (fan-out ≤ cap² per shingle — never an
+    * all-pairs doc join), partial-aggregated on the (a, b) key.
+    * Every float step is deterministic cross-engine: idf is
+    * 1e-6-quantized after ln, norms come from 1e-4-quantized exact
+    * sums under a correctly-rounded sqrt, the dot sums 1e-9-quantized
+    * longs, and top-N ranks the 1e-6-rounded score with an (a, b)
+    * total-order tiebreak. */
+  def textCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{quantize, rnd, rndSql}
+    val ex = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr("graft_shingles(toks)")).as("term"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val idf = ex.groupBy($"term").agg(count(lit(1)).as("df"))
+      .filter($"df" <= cosineDfCap)
+      .crossJoin(broadcast(n))
+      .select($"term",
+        rnd(log(($"n" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0), 6).as("idf"))
+    val w = ex.join(idf, "term")
+    val norms = w.groupBy($"doc_id")
+      .agg(sqrt(sum(quantize($"idf" * $"idf", 4).cast("long")).cast("double") / lit(10000.0))
+        .as("norm"))
+    val nw = w.join(norms, "doc_id")
+      .select($"doc_id", $"term", ($"idf" / $"norm").as("nw"))
+    // shuffle-hash, never broadcast: the exploded corpus is the BIG
+    // side at scale (same rationale as the ngram pair join)
+    nw.as("a").hint("shuffle_hash").join(nw.as("b"),
+        $"a.term" === $"b.term" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg((sum(quantize($"a.nw" * $"b.nw", 9).cast("long")).cast("double") / lit(1.0e9))
+        .as("sim0"))
+      .select($"doc_a", $"doc_b", expr(rndSql("sim0", 6)).as("sim"))
+      .orderBy($"sim".desc, $"doc_a", $"doc_b")
+      .limit(cosineTopN)
+  }
+
+  val textCosinePairsSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+       |  FROM (SELECT doc_id, $duckToks AS toks FROM documents)
+       |  WHERE len(toks) >= 3),
+       |ex AS (SELECT doc_id, unnest(shingles) AS term FROM sh),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |idf AS (
+       |  SELECT term, ${rndSql("ln((n.n + 1.0) / (df + 1.0)) + 1.0", 6)} AS idf
+       |  FROM (SELECT term, count(*) AS df FROM ex GROUP BY 1
+       |        HAVING count(*) <= $cosineDfCap), n),
+       |w AS (SELECT ex.doc_id, ex.term, idf.idf FROM ex JOIN idf USING (term)),
+       |norms AS (
+       |  SELECT doc_id,
+       |    sqrt(CAST(sum(CAST(floor(idf * idf * 10000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+       |         / 10000.0) AS norm
+       |  FROM w GROUP BY 1),
+       |nw AS (
+       |  SELECT w.doc_id, w.term, w.idf / norms.norm AS nw
+       |  FROM w JOIN norms USING (doc_id)),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(sum(CAST(floor(a.nw * b.nw * 1000000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+       |         AS DOUBLE) / 1000000000.0 AS sim0
+       |  FROM nw a JOIN nw b ON a.term = b.term AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, ${rndSql("sim0", 6)} AS sim
+       |FROM p
+       |ORDER BY sim DESC, doc_a, doc_b
+       |LIMIT $cosineTopN""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_entropy"     -> (textEntropy _),
     "text_stats"       -> (textStats _),
@@ -501,7 +597,8 @@ object TextAnalysis {
     "text_repetition"  -> (textRepetition _),
     "text_redact"      -> (textRedact _),
     "text_search"      -> (textSearch _),
-    "text_search_indexed" -> (textSearchIndexed _)
+    "text_search_indexed" -> (textSearchIndexed _),
+    "text_cosine_pairs"  -> (textCosinePairs _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -514,6 +611,7 @@ object TextAnalysis {
     "text_redact"      -> textRedactSql,
     "text_search"      -> textSearchSql,
     // bit-identical to the from-scratch path — shares its oracle
-    "text_search_indexed" -> textSearchSql
+    "text_search_indexed" -> textSearchSql,
+    "text_cosine_pairs"  -> textCosinePairsSql
   )
 }
