@@ -25,6 +25,13 @@ final case class FunnelState(t1: Long, t2: Long, t3: Long)
 /** One step-reach emission. */
 final case class FunnelHit(user_id: Long, step: Long, ts_us: Long)
 
+/** Per-user Markov state: the latest processed event's order key and
+  * type — 2 longs + one small string, O(1) per user. */
+final case class MarkovState(ts_us: Long, event_id: Long, tpe: String)
+
+/** One observed (prev → next) transition. */
+final case class MarkovPair(prev_type: String, next_type: String)
+
 /** Event with its value payload for the streaming resample. */
 final case class ValueEvent(
   event_type: String, ts_us: Long, event_id: Long, value: Double)
@@ -495,7 +502,85 @@ object StreamOps {
 
   /** Driver-contract entries (parity with batch results is also
     * asserted in StreamOpsSpec). */
+  // ------------------------------------------------------------------
+  // stream_markov — continuous transition extraction
+  // ------------------------------------------------------------------
+
+  /** Per-user transition extractor: pairs each event with the LAST
+    * processed event of the same user, across micro-batch boundaries
+    * — the streaming form of [[graft.operators.Behavioral.qMarkov]]'s
+    * lag window. State is one (ts, event_id, type) triple per user.
+    * Events are imposed into (ts, event_id) order per key within each
+    * micro-batch (the per-key ordered-delivery contract all the CEP
+    * operators here share); a cross-batch late arrival that sorts
+    * BEFORE the recorded last event cannot be spliced into the
+    * already-emitted pair chain and is discarded (the watermark
+    * analog — same device as [[ResampleState.closedThrough]]). */
+  private[graft] def markovFn(
+      userId: Long,
+      events: Iterator[FunnelEvent],
+      state: GroupState[MarkovState]): Iterator[MarkovPair] = {
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var last = state.getOption
+    val out = Vector.newBuilder[MarkovPair]
+    sorted.foreach { e =>
+      last match {
+        case Some(l) if e.ts_us < l.ts_us ||
+            (e.ts_us == l.ts_us && e.event_id <= l.event_id) =>
+          () // late regressor behind the emitted chain — discard
+        case Some(l) =>
+          out += MarkovPair(l.tpe, e.event_type)
+          last = Some(MarkovState(e.ts_us, e.event_id, e.event_type))
+        case None =>
+          last = Some(MarkovState(e.ts_us, e.event_id, e.event_type))
+      }
+    }
+    last.foreach(state.update)
+    out.result().iterator
+  }
+
+  /** The transition-pair stream (source-agnostic for the replay
+    * spec). */
+  private[graft] def markovPairsFrom(stream: DataFrame): Dataset[MarkovPair] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"), $"event_id")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(markovFn)
+  }
+
+  /** Run to completion and roll the emitted pair stream up into the
+    * transition matrix. The STREAMING part is the stateful pair
+    * extraction (the lag that batch computes with a window sort);
+    * the count/normalize rollup runs on the emitted pairs — bounded
+    * by observed transitions — exactly as [[Behavioral.qMarkov]]
+    * does, so this shares its oracle verbatim. */
+  def runMarkovToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_markov"): DataFrame = {
+    import s.implicits._
+    val q = markovPairsFrom(StreamAcc.eventsStream(s, dir)).toDF().writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val pairs = s.table(sink)
+      .groupBy($"prev_type", $"next_type")
+      .agg(count(lit(1)).as("n_pairs"))
+    val marg = pairs.groupBy($"prev_type".as("from_type"))
+      .agg(sum($"n_pairs").as("n_from"))
+    pairs.join(broadcast(marg), $"prev_type" === $"from_type")
+      .select($"prev_type", $"next_type", $"n_pairs",
+        expr(graft.functions.Agg.rndSql(
+          "CAST(n_pairs AS DOUBLE) / CAST(n_from AS DOUBLE)", 6)).as("prob"))
+      .orderBy($"prev_type", $"next_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_markov" -> ((s, dir) =>
+      runMarkovToCompletion(s, dir, sink = "stream_markov_verify")),
     "stream_resample" -> ((s, dir) =>
       runResampleToCompletion(s, dir, sink = "stream_resample_verify")),
     "stream_funnel" -> ((s, dir) =>
@@ -532,6 +617,9 @@ object StreamOps {
   /** stream_sessionize runs the same session_window operator as the
     * batch q_session_window, so it shares that oracle verbatim. */
   def oracles: Map[String, String] = Map(
+    // the stateful lag run to completion equals the batch window lag:
+    // shares q_markov's oracle verbatim
+    "stream_markov"         -> graft.operators.Behavioral.qMarkovSql,
     "stream_resample"       -> streamResampleSql,
     "stream_funnel"         -> streamFunnelSql,
     "stream_acc_size_flush" -> streamSizeFlushSql,

@@ -188,6 +188,31 @@ class StreamOpsSpec extends SparkSpec {
       s"multi-batch resample diverged: ${(streamedR -- expectedR).take(3)} / ${(expectedR -- streamedR).take(3)}")
   }
 
+  test("markov pair extractor chains across micro-batches and drops late regressors") {
+    import graft.streaming.{FunnelEvent, MarkovState, MarkovPair}
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[MarkovState](
+      optionalState = org.apache.spark.api.java.Optional.empty[MarkovState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // micro-batch 1: two events (arriving out of order — imposed)
+    val b1 = StreamOps.markovFn(7L, Iterator(
+      FunnelEvent(7L, "click", 200L, 2L),
+      FunnelEvent(7L, "view", 100L, 1L)), st).toList
+    assert(b1 == List(MarkovPair("view", "click")), b1.toString)
+    assert(st.get == MarkovState(200L, 2L, "click"))
+    // micro-batch 2: first event must pair with batch 1's last; the
+    // late regressor (ts 150 < recorded 200) is discarded, not
+    // spliced into the already-emitted chain
+    val b2 = StreamOps.markovFn(7L, Iterator(
+      FunnelEvent(7L, "purchase", 300L, 4L),
+      FunnelEvent(7L, "error", 150L, 3L)), st).toList
+    assert(b2 == List(MarkovPair("click", "purchase")), b2.toString)
+    assert(st.get == MarkovState(300L, 4L, "purchase"))
+  }
+
   test("funnel state machine carries progress across micro-batches") {
     import graft.streaming.{FunnelEvent, FunnelState, FunnelHit}
     import org.apache.spark.sql.streaming.TestGroupState
