@@ -169,6 +169,107 @@ object EmbedPq {
       .orderBy($"query_id", $"rank")
   }
 
+  /** §2.5 — the PRODUCTION composite index: IVF pruning × PQ
+    * compression. The query probes its [[SimilarityIvf.nprobe]]
+    * closest inverted lists (bounding WHICH vectors are touched to
+    * nprobe/nlist of the corpus) and ADC-scores only those vectors
+    * from their 8-byte PQ codes (bounding the BYTES per touched
+    * vector 64×) — the two levers that together make a 10¹¹-vector
+    * index affordable, layered exactly as production ANN systems
+    * stack them. Probe lists and distance tables are bounded driver
+    * artifacts broadcast as literals; candidates come from two
+    * broadcast equi-joins (probe cid, then query dt) — no nested
+    * loop; the staged IVF assignment is parquet-backed so no live
+    * argmin lineage crosses the join (the ann_ivf analyzer-hazard
+    * defense applies unchanged). Top-k on the bounded-heap operator.
+    */
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cbs = trainCodebooks(s, dir)
+    val codes = encode(s, dir, cbs)
+      .select($"vec_id", split($"pq_code", "-").cast("array<int>").as("codes"))
+    val (cents, assigned) = SimilarityIvf.kmeans(s, dir)
+    // bounded driver compute: nQueries probe lists + distance tables
+    val qvecs = vectors(s, dir).filter($"vec_id" < Similarity.nQueries)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+    def centScore(qv: Seq[Double], c: Seq[Double]): Double = {
+      // c·c − 2·qv·c, sequential left-to-right like graft_dot /
+      // list_dot_product — identical on driver, executor and DuckDB
+      var cc = 0.0; var qc = 0.0; var i = 0
+      while (i < c.length) { cc += c(i) * c(i); qc += qv(i) * c(i); i += 1 }
+      cc - 2.0 * qc
+    }
+    val probes = qvecs.toSeq.flatMap { case (qid, qv) =>
+      cents.zipWithIndex.map { case (c, i) => (centScore(qv, c), i) }
+        .sorted.take(SimilarityIvf.nprobe).map { case (_, cid) => (qid, cid) }
+    }
+    val dts: Seq[(Long, Seq[Seq[Double]])] = qvecs.toSeq.map { case (qid, qv) =>
+      qid -> Seq.tabulate(pqM) { m =>
+        val sub = qv.slice(m * pqDsub, (m + 1) * pqDsub)
+        cbs(m).map(c => sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+    }
+    val probesDf = broadcast(probes.toDF("query_id", "cid"))
+    val dtDf = broadcast(dts.toDF("query_id", "dt"))
+    val scored = codes
+      .join(assigned.select($"vec_id", $"cid"), "vec_id")
+      .join(probesDf, Seq("cid"))
+      .filter($"vec_id" =!= $"query_id")
+      .join(dtDf, Seq("query_id"))
+      .withColumn("adist", expr(graft.functions.Agg.rndSql(
+        s"""aggregate(sequence(0, ${pqM - 1}), CAST(0 AS DOUBLE), (acc, m) ->
+           |  acc + element_at(element_at(dt, m + 1), element_at(codes, m + 1) + 1))"""
+          .stripMargin, 6)))
+    graft.plans.TopK.perGroup(
+        scored.select($"query_id", $"vec_id", $"adist"),
+        Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), Similarity.k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"adist")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Staged-artifact oracle over BOTH index artifacts: PQ encode from
+    * the staged codebooks, probe lists + assignment from the staged
+    * IVF centroids, ADC restricted to probed lists. */
+  def annIvfPqSql(cbGlob: String, centGlob: String): String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH ${pqCodesCtes(cbGlob)},
+       |cents AS (SELECT cid, c FROM read_parquet('$centGlob')),
+       |iscored AS (
+       |  SELECT v.vec_id, cents.cid,
+       |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(v.v, cents.c) AS s
+       |  FROM v, cents),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM iscored)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM iscored WHERE vec_id < ${Similarity.nQueries})
+       |  WHERE rn <= ${SimilarityIvf.nprobe}),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < ${Similarity.nQueries}),
+       |dt AS (
+       |  SELECT q.query_id, cb.m, cb.cid,
+       |    list_reduce(list_transform(range(1, ${pqDsub + 1}), i -> (qv[cb.m*$pqDsub+i] - c[i]) * (qv[cb.m*$pqDsub+i] - c[i])), (a, b) -> a + b) AS d
+       |  FROM q, cb),
+       |ad AS (
+       |  SELECT dt.query_id, best.vec_id AS neighbor_id,
+       |    ${rndSql("list_reduce(list(dt.d ORDER BY dt.m), (a, b) -> a + b)", 6)} AS adist
+       |  FROM best
+       |  JOIN dt ON best.m = dt.m AND best.cid = dt.cid
+       |  JOIN assigned a ON a.vec_id = best.vec_id
+       |  JOIN probes p ON p.query_id = dt.query_id AND p.cid = a.cid
+       |  WHERE best.vec_id <> dt.query_id
+       |  GROUP BY dt.query_id, best.vec_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank,
+       |  neighbor_id, adist
+       |FROM ad
+       |QUALIFY rank <= ${Similarity.k}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Shortlist size for [[annPqRefine]] (ADC over-fetch factor ×
     * [[Similarity.k]]). */
   val refineShortlist = 10 * Similarity.k
@@ -368,7 +469,8 @@ object EmbedPq {
     "embed_pq"      -> (embedPq _),
     "ann_pq"        -> (annPq _),
     "ann_pq_refine" -> (annPqRefine _),
-    "embed_int8"    -> (embedInt8 _)
+    "embed_int8"    -> (embedInt8 _),
+    "ann_ivf_pq"    -> (annIvfPq _)
   )
 
   def oracles: Map[String, String] =
@@ -376,5 +478,9 @@ object EmbedPq {
       graft.sources.OracleStage.globOf("pq_codebooks").toSeq.flatMap(g => Seq(
         "embed_pq"      -> embedPqSql(g),
         "ann_pq"        -> annPqSql(g),
-        "ann_pq_refine" -> annPqRefineSql(g)))
+        "ann_pq_refine" -> annPqRefineSql(g))) ++
+      (for {
+        g1 <- graft.sources.OracleStage.globOf("pq_codebooks")
+        g2 <- graft.sources.OracleStage.globOf("ivf_centroids")
+      } yield "ann_ivf_pq" -> annIvfPqSql(g1, g2))
 }

@@ -411,6 +411,39 @@ object Pipeline {
        |WHERE d.doc_id >= $evalMaxId
        |ORDER BY d.doc_id""".stripMargin
 
+  /** §2.8 — bloom-prefiltered decontamination, the scale path when
+    * the eval shingle set outgrows an exact broadcast (a 10M-doc eval
+    * suite is ~10⁹ shingles — too big to ship to every task as a hash
+    * set, but 1–2 bytes/key as a bloom): the eval shingles aggregate
+    * into ONE mergeable bloom blob (`graft_bloom_agg`, the same
+    * internal pair [[graft.operators.Relational.qBloomPrejoin]]
+    * surfaces), the corpus's exploded shingles are might_contain-
+    * filtered BEFORE any join or shuffle — at a 1e-4 false-positive
+    * rate ~all clean shingles die row-locally at the scan — and the
+    * tiny survivor set is exactly confirmed against the real eval
+    * set, so false positives cannot flag a document. Result is
+    * bit-identical to [[decontaminate]] and shares its oracle. */
+  def decontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = Dedup.shingled(s, dir)
+    val ev = sh.filter($"doc_id" < evalMaxId)
+      .select(explode($"shingles").as("s")).distinct()
+    val bloom = ev
+      .agg(expr("graft_bloom_agg(xxhash64(s), 100000L, 800000L)"))
+      .head.getAs[Array[Byte]](0)
+    val corpus = sh.filter($"doc_id" >= evalMaxId)
+      .select($"doc_id", explode($"shingles").as("s"))
+      .filter(call_function("graft_might_contain", lit(bloom), xxhash64($"s")))
+    val hits = corpus.join(broadcast(ev), "s")
+      .groupBy($"doc_id").agg(countDistinct($"s").as("n_shared"))
+    Tables.documents(s, dir).filter($"doc_id" >= evalMaxId).select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"n_shared".isNotNull, 1L).otherwise(0L).as("contaminated"),
+        coalesce($"n_shared", lit(0L)).as("n_shared"))
+      .orderBy($"doc_id")
+  }
+
   // -------------------------------------------------------------------
 
   /** Misra-Gries capacity for [[corpusHeavyHitters]]: any term with
@@ -939,7 +972,8 @@ object Pipeline {
     "quality_filter"    -> (qualityFilter _),
     "doc_pack"          -> (docPack _),
     "token_ids"         -> (tokenIds _),
-    "decontaminate"     -> (decontaminate _)
+    "decontaminate"     -> (decontaminate _),
+    "decontaminate_bloom" -> (decontaminateBloom _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -958,6 +992,8 @@ object Pipeline {
     "quality_filter"    -> qualityFilterSql,
     "doc_pack"          -> docPackSql,
     "token_ids"         -> tokenIdsSql,
-    "decontaminate"     -> decontaminateSql
+    "decontaminate"     -> decontaminateSql,
+    // bit-identical scale path: shares the exact-broadcast oracle
+    "decontaminate_bloom" -> decontaminateSql
   )
 }
