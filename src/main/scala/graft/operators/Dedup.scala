@@ -461,7 +461,7 @@ object Dedup {
     * cluster consumer must not pay a global sort under its union (the
     * same split as [[ngramPairs]]: EliminateSorts does not strip
     * sorts under Union). */
-  private[operators] def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = Similarity.lshBuckets(s, dir, dedupLshTables, dedupLshBits)
     // shuffle-hash, never broadcast: both sides are the full corpus
@@ -507,12 +507,11 @@ object Dedup {
        |WHERE ${rndSql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= $cosineTau
        |ORDER BY id1, id2""".stripMargin
 
-  /** Safety cap on label-propagation rounds. Hash-min converges in
-    * O(component diameter) rounds; near-dup components are chains of
-    * mutual near-dups and stay shallow in practice (test corpora
-    * converge in ≤3). Adversarial long-chain graphs would need the
-    * large-star/small-star variant (O(log n) rounds) — documented
-    * trade-off, not needed for near-dup canonicalization. */
+  /** Safety cap on label-propagation rounds. With pointer-jumping
+    * ([[clustersOf]]) convergence is O(log component-diameter) — a
+    * diameter-10⁶ chain needs ~20 rounds — so 50 is far past any
+    * non-adversarial graph; the cap exists to fail loudly instead of
+    * looping if that assumption ever breaks. */
   val maxClusterIters = 50
 
   /** Near-dup cluster canonicalization: connected components over the
@@ -604,10 +603,14 @@ object Dedup {
        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        |FROM labs ORDER BY vec_id""".stripMargin
 
+  /** Round count of the most recent [[clustersOf]] run — spec
+    * observability for the pointer-jumping convergence bound. */
+  private[graft] val lastClusterRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Hash-min label propagation over `pairDf`'s edges; every id in
     * `universe` (single column `doc_id`) gets its component's minimum
     * id as canonical (singletons label themselves). */
-  private def clustersOf(s: SparkSession, universe: DataFrame, pairDf: DataFrame,
+  private[graft] def clustersOf(s: SparkSession, universe: DataFrame, pairDf: DataFrame,
                          maxIters: Int): DataFrame = {
     import s.implicits._
     val p = pairDf.select($"doc1", $"doc2")
@@ -627,11 +630,28 @@ object Dedup {
       val prev = labels
       val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
         .select($"dst".as("doc_id"), $"label")
+      val minned = prev.union(prop).groupBy($"doc_id")
+        .agg(min($"label").as("label"))
+      // Pointer-jump (path halving): label := label(label). Labels are
+      // always edge-vertex ids (they start as vertex ids and only ever
+      // take values other vertices hold), so the self-join is total.
+      // Plain neighbor-min needs O(component diameter) rounds — a
+      // diameter-16 chain in the sf0.1 embedding graph took 17 — and a
+      // 100 TB near-dup graph can chain far deeper; halving the
+      // pointer depth each round makes it O(log diameter). Labels stay
+      // component minima-bounded (jump composes two non-increasing
+      // maps), and a fixed point of min-then-jump is a fixed point of
+      // the min step alone (next ≤ minned ≤ prev pointwise), so the
+      // convergence proof — labels constant per component, component
+      // min labels itself — is unchanged. The extra join is on the
+      // vertex-sized label frame, cheap next to the edge join.
+      val jumped = minned.join(
+          minned.select($"doc_id".as("label"), $"label".as("jump")), Seq("label"))
+        .select($"doc_id", $"jump".as("label"))
       // fold the changed-flag into the checkpointed round plan: one
       // materialization job per round, the convergence count then
       // reads the checkpoint instead of re-running the join
-      val next = prev.union(prop).groupBy($"doc_id")
-        .agg(min($"label").as("label"))
+      val next = jumped
         .join(prev.select($"doc_id", $"label".as("prev_label")), "doc_id")
         .withColumn("chg", $"label" =!= $"prev_label")
         .select($"doc_id", $"label", $"chg")
@@ -644,14 +664,14 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    lastClusterRounds.set(rounds)
     // A silent cap-exit would return labels that are NOT component
     // minima and quietly diverge from the transitive-closure oracle.
     if (changed > 0)
       throw new IllegalStateException(
         s"dedupClusters did not converge in $maxIters rounds " +
           s"($changed labels still changing): the pair graph has a component " +
-          "with diameter exceeding the cap; raise maxClusterIters or switch " +
-          "to large-star/small-star propagation")
+          "with diameter exceeding the cap; raise maxClusterIters")
     val lab = universe
       .join(labels, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"label", $"doc_id").as("canonical_id"))

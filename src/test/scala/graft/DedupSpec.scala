@@ -208,6 +208,22 @@ class DedupSpec extends SparkSpec {
     assert(banded == exact)
   }
 
+  test("pointer-jumping collapses a 300-deep chain component in O(log d) rounds") {
+    val s = spark; import s.implicits._
+    // a pure path graph 0-1-2-…-299: diameter 299. Plain neighbor-min
+    // needs 299 rounds (over the 50 cap); path-halving must land the
+    // component minimum everywhere in ~log2(300)+confirmation rounds.
+    val pairs = (0L until 299L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val universe = (0L until 300L).toDF("doc_id")
+    val labs = graft.operators.Dedup
+      .clustersOf(s, universe, pairs, graft.operators.Dedup.maxClusterIters)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labs.size == 300 && labs.values.forall(_ == 0L),
+      s"non-minimal labels: ${labs.filter(_._2 != 0L).take(5)}")
+    val rounds = graft.operators.Dedup.lastClusterRounds.get()
+    assert(rounds <= 15, s"expected O(log 300) ≈ ≤15 rounds, took $rounds")
+  }
+
   test("clusters raise loudly when the iteration cap cuts propagation short") {
     val s = spark
     // the 3-doc chain needs 2+ rounds; a cap of 1 must throw, never
