@@ -236,6 +236,65 @@ object Dedup {
        |FROM directed WHERE containment >= $containmentTau
        |ORDER BY contained, container""".stripMargin
 
+  /** §2.4 — prefix-filtered exact Jaccard join (AllPairs/PPJoin
+    * family, Bayardo et al., WWW'07): identical output to
+    * [[dedupNgramJaccard]] (it shares that DuckDB oracle verbatim)
+    * through a candidate generator that scales where the full
+    * inverted-index self-join cannot.
+    *
+    * The full join pairs documents through EVERY shared shingle — a
+    * shingle in df documents contributes C(df,2) candidate rows, so
+    * common shingles dominate the shuffle even under the df cap. The
+    * prefix filter orders each document's shingles by ascending
+    * global df (ties by value — one total order for all documents)
+    * and keeps only the first `n - ceil(τ·n) + 1`: if two documents
+    * have Jaccard ≥ τ, their prefixes MUST share a shingle (were the
+    * prefixes disjoint, each document would need all its matches
+    * among its non-prefix suffix of ceil(τ·n)-1 shingles — too few
+    * for the required overlap), so joining prefixes loses no τ-pair.
+    * Because the order is df-ascending, prefixes concentrate on RARE
+    * shingles: the quadratic blowup lands exactly where df is
+    * smallest. Candidates are then verified exactly against the
+    * capped per-document shingle sets (two doc-keyed array joins —
+    * linear, AQE-skew-splittable).
+    *
+    * Reference behavior: lib.ts near-dup pipeline (same τ semantics
+    * as rows 26/27); this row is the exact-result scale path between
+    * the ground-truth join (row 26) and the probabilistic MinHash
+    * route (row 27). */
+  def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = shingled(s, dir).select($"doc_id", explode($"shingles").as("s"))
+    val dfs = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" <= shingleDfCap)
+    val capped = ex.join(dfs, "s")
+    // one groupBy builds both the verify-side set and the prefix: the
+    // (df, shingle)-sorted array IS the canonical order, so the
+    // prefix is a slice, no per-doc window
+    val docs = capped.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"s"))).as("ord"))
+      .withColumn("sh", expr("transform(ord, x -> x.s)"))
+      .withColumn("n_sh", size($"sh"))
+      .withColumn("pfx", expr(
+        s"slice(sh, 1, size(sh) - cast(ceil($jaccardTau * size(sh)) AS INT) + 1)"))
+      .select($"doc_id", $"sh", $"n_sh", $"pfx")
+    val prefixEx = docs.select($"doc_id", $"n_sh", explode($"pfx").as("s"))
+    // shuffle-hash, never broadcast: prefixes are corpus-sized
+    val cand = prefixEx.as("a").hint("shuffle_hash").join(prefixEx.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+    cand
+      .join(docs.select($"doc_id".as("doc1"), $"sh".as("sh1"), $"n_sh".as("n1")), "doc1")
+      .join(docs.select($"doc_id".as("doc2"), $"sh".as("sh2"), $"n_sh".as("n2")), "doc2")
+      .withColumn("inter", size(array_intersect($"sh1", $"sh2")).cast("long"))
+      .withColumn("jaccard",
+        expr(rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)))
+      .filter($"jaccard" >= jaccardTau)
+      .select($"doc1", $"doc2", $"inter", $"jaccard")
+      .orderBy($"doc1", $"doc2")
+  }
+
   /** Shared CTE chain producing `scored(doc1, doc2, inter, jaccard)` —
     * the τ-filtered near-dup pair set. Used by both the pair oracle and
     * the cluster oracle's edge list. */
@@ -894,6 +953,7 @@ object Dedup {
     "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_containment"   -> (dedupContainment _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_simhash"       -> (dedupSimhash _),
@@ -915,6 +975,9 @@ object Dedup {
     Map(
       "dedup_exact"         -> dedupExactSql,
       "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+      // identical output by construction — the prefix filter is
+      // lossless for Jaccard ≥ τ, so the ground-truth SQL is reused
+      "dedup_jaccard_prefix" -> dedupNgramJaccardSql,
       "dedup_containment"   -> dedupContainmentSql,
       "dedup_embedding"     -> dedupEmbeddingSql,
       "dedup_clusters"      -> dedupClustersSql,

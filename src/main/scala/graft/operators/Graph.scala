@@ -318,6 +318,46 @@ object Graph {
        |WHERE EXISTS (SELECT 1 FROM e e3 WHERE e3.u = e1.u AND e3.v = e2.v)
        |ORDER BY a, b, c""".stripMargin
 
+  /** §2.12 — connected components over the strong co-purchase graph:
+    * which parts form one co-purchase market? The graph twin of
+    * [[Dedup.dedupClusters]] and the fourth classic graph kernel next
+    * to PageRank / triangles / rules; it reuses the pointer-jumping
+    * hash-min propagation ([[Dedup.clustersOf]] — O(log diameter)
+    * rounds, edge-vertex-only state), so the 100 TB notes there apply
+    * verbatim. Universe = every part in the part table: parts in no
+    * strong edge surface as singleton components, the answer a market
+    * census actually needs. Oracle = WITH RECURSIVE closure over the
+    * identical strong-edge derivation. */
+  def graphComponents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = strongEdges(s, dir).select($"u".as("doc1"), $"v".as("doc2"))
+    val universe = Tables.part(s, dir).select($"p_partkey".as("doc_id"))
+    Dedup.clustersOf(s, universe, pairs, Dedup.maxClusterIters)
+      .select($"doc_id".as("part_id"), $"canonical_id".as("component_id"),
+        $"cluster_size".as("component_size"))
+  }
+
+  val graphComponentsSql: String =
+    s"""WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT a.l_orderkey) >= $triangleMinSupport),
+       |edges AS (
+       |  SELECT u AS src, v AS dst FROM e
+       |  UNION ALL
+       |  SELECT v, u FROM e),
+       |reach(id, lab) AS (
+       |  SELECT p_partkey, p_partkey FROM part
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |labs AS (SELECT id, min(lab) AS component_id FROM reach GROUP BY 1)
+       |SELECT id AS part_id, component_id,
+       |  count(*) OVER (PARTITION BY component_id) AS component_size
+       |FROM labs ORDER BY part_id""".stripMargin
+
   // ------------------------------------------------------------------
   // graph_neighbor_sim — neighborhood Jaccard similarity
   // ------------------------------------------------------------------
@@ -406,7 +446,8 @@ object Graph {
     "graph_pagerank"         -> (graphPagerank _),
     "graph_pagerank_indexed" -> (graphPagerankIndexed _),
     "graph_basket_rules"     -> (graphBasketRules _),
-    "graph_triangles"        -> (graphTriangles _)
+    "graph_triangles"        -> (graphTriangles _),
+    "graph_components"       -> (graphComponents _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -415,6 +456,7 @@ object Graph {
     // identical recurrence over the persisted edge artifact
     "graph_pagerank_indexed" -> graphPagerankSql,
     "graph_basket_rules"     -> graphBasketRulesSql,
-    "graph_triangles"        -> graphTrianglesSql
+    "graph_triangles"        -> graphTrianglesSql,
+    "graph_components"       -> graphComponentsSql
   )
 }

@@ -873,6 +873,50 @@ object Pipeline {
        |  doc_id, source
        |FROM documents ORDER BY position""".stripMargin
 
+  /** Split-assignment seed and hex thresholds: the first 4 md5 hex
+    * chars partition [0, 65536) — test takes [0, 655) ≈ 1%, val
+    * takes [655, 1310) ≈ 1%, train the rest. Lowercase-hex
+    * lexicographic comparison IS numeric comparison, so the same
+    * string thresholds evaluate identically in Spark and DuckDB with
+    * no hex→int conversion. */
+  val splitSeed = "graft-split-v1"
+  private val splitTestHex = f"${(65536 * 0.01).toInt}%04x"
+  private val splitValHex = f"${(65536 * 0.02).toInt}%04x"
+
+  /** §2.8 — deterministic train/val/test assignment: the split every
+    * training run must agree on. Membership is a pure function of
+    * (seed, doc_id) — md5(seed:doc_id) hex-prefix against fixed
+    * thresholds — so the assignment is reproducible across runs,
+    * engines, and corpus versions: adding or removing OTHER documents
+    * never reassigns an existing one (the property random-number
+    * splits lack, and the reason eval sets stay uncontaminated as the
+    * corpus grows — lib.ts:24-123's accumulate semantics assume
+    * exactly this kind of append-stability). Row-local map, no
+    * shuffle beyond the presentation sort; at 100 TB the sort drops
+    * and the split column rides the corpus write. */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("h", substring(
+        md5(concat(lit(s"$splitSeed:"), $"doc_id".cast("string")).cast("binary")), 1, 4))
+      .withColumn("split",
+        when($"h" < lit(splitTestHex), "test")
+          .when($"h" < lit(splitValHex), "val")
+          .otherwise("train"))
+      .select($"doc_id", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val splitAssignSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN h < '$splitTestHex' THEN 'test'
+       |       WHEN h < '$splitValHex' THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM (SELECT doc_id,
+       |        substr(md5('$splitSeed:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   /** Co-occurrence window (max token distance) and minimum pair
     * support for [[corpusPmi]]. */
   val pmiMaxDist = 2
@@ -973,7 +1017,8 @@ object Pipeline {
     "doc_pack"          -> (docPack _),
     "token_ids"         -> (tokenIds _),
     "decontaminate"     -> (decontaminate _),
-    "decontaminate_bloom" -> (decontaminateBloom _)
+    "decontaminate_bloom" -> (decontaminateBloom _),
+    "split_assign"      -> (splitAssign _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -994,6 +1039,7 @@ object Pipeline {
     "token_ids"         -> tokenIdsSql,
     "decontaminate"     -> decontaminateSql,
     // bit-identical scale path: shares the exact-broadcast oracle
-    "decontaminate_bloom" -> decontaminateSql
+    "decontaminate_bloom" -> decontaminateSql,
+    "split_assign"      -> splitAssignSql
   )
 }

@@ -1359,6 +1359,41 @@ object Relational {
        |  (SELECT ${countIfSql("l_quantity <= 0.0")} FROM lineitem)
        |ORDER BY constraint_name""".stripMargin
 
+  /** k-anonymity threshold for [[qKAnonymity]]. */
+  val kAnonK = 5L
+  /** Balance generalization width (the numeric quasi-identifier is
+    * coarsened to this bucket before grouping, standard k-anonymity
+    * generalization). */
+  val kAnonBalBucket = 1000.0
+
+  /** §2.3 — k-anonymity audit over quasi-identifiers: how
+    * re-identifiable is a record from (nation, market segment,
+    * generalized balance)? Every training-data release needs this
+    * check — a quasi-group of size k < K means those k customers are
+    * k-distinguishable even with direct identifiers stripped. One
+    * partial-aggregated groupBy on the QI tuple (map-side combine,
+    * uniform keys — the 100 TB shape); the release decision (`violates`)
+    * is row-local on the aggregate. Generalization uses IEEE
+    * floor(x/width)·width — bit-identical across engines. */
+  def qKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_nationkey", $"c_mktsegment",
+        (floor($"c_acctbal" / kAnonBalBucket) * kAnonBalBucket.toLong)
+          .cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("k"))
+      .withColumn("violates", $"k" < kAnonK)
+      .orderBy($"c_nationkey", $"c_mktsegment", $"bal_bucket")
+  }
+
+  val qKAnonymitySql: String =
+    s"""SELECT c_nationkey, c_mktsegment,
+       |  CAST(floor(c_acctbal / $kAnonBalBucket) * ${kAnonBalBucket.toLong} AS BIGINT) AS bal_bucket,
+       |  count(*) AS k, count(*) < $kAnonK AS violates
+       |FROM customer
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
   /** §2.3 #24q — pairwise Pearson correlations (quantity, price,
     * discount) in ONE aggregate pass: every r derives from the five
     * exact decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) by identical
@@ -1657,6 +1692,7 @@ object Relational {
     "q_zscore_outliers"  -> (qZscoreOutliers _),
     "q_full_outer_reconcile" -> (qFullOuterReconcile _),
     "q_constraints"      -> (qConstraints _),
+    "q_k_anonymity"      -> (qKAnonymity _),
     "q_correlation"      -> (qCorrelation _),
     "q_regression"       -> (qRegression _),
     "q_gini"             -> (qGini _)
@@ -1700,6 +1736,7 @@ object Relational {
     "q_zscore_outliers"  -> qZscoreOutliersSql,
     "q_full_outer_reconcile" -> qFullOuterReconcileSql,
     "q_constraints"      -> qConstraintsSql,
+    "q_k_anonymity"      -> qKAnonymitySql,
     "q_correlation"      -> qCorrelationSql,
     "q_regression"       -> qRegressionSql,
     "q_gini"             -> qGiniSql

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
+import graft.sources.Tables
 
 class DedupSpec extends SparkSpec {
 
@@ -206,6 +207,37 @@ class DedupSpec extends SparkSpec {
     val banded = Dedup.dedupClustersMinhash(s, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     assert(banded == exact)
+  }
+
+  test("prefix-filtered jaccard equals the full inverted-index join, on fewer candidates") {
+    val s = spark; import s.implicits._
+    val full = Dedup.dedupNgramJaccard(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    val pfx = Dedup.dedupJaccardPrefix(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(pfx == full, s"prefix filter changed the result: ${pfx.diff(full).take(3)}")
+    // the point of the technique: the prefix join must emit strictly
+    // fewer candidate rows than pairing through every shared shingle
+    val ex = Tables.documents(s, sfDir)
+      .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+      .filter(size($"toks") >= 3)
+      .withColumn("s", explode(expr("graft_shingles(toks)")))
+      .select($"doc_id", $"s")
+    val dfs = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+      .filter($"df" <= Dedup.shingleDfCap)
+    val capped = ex.join(dfs, "s")
+    val fullCand = capped.as("a").join(capped.as("b"),
+      $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id").count()
+    val pfxEx = capped.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"s"))).as("ord"))
+      .withColumn("sh", expr("transform(ord, x -> x.s)"))
+      .withColumn("pfx", expr(
+        s"slice(sh, 1, size(sh) - cast(ceil(${Dedup.jaccardTau} * size(sh)) AS INT) + 1)"))
+      .select($"doc_id", explode($"pfx").as("s"))
+    val pfxCand = pfxEx.as("a").join(pfxEx.as("b"),
+      $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id").count()
+    assert(pfxCand < fullCand,
+      s"prefix candidates ($pfxCand) not below full candidates ($fullCand)")
   }
 
   test("pointer-jumping collapses a 300-deep chain component in O(log d) rounds") {

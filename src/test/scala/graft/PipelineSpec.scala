@@ -305,4 +305,28 @@ class PipelineSpec extends SparkSpec {
     assert(kl("spam") > 5.0 * kl("organic_a"), kl.toString)
     assert(kl.values.forall(_ >= 0.0), "KL is non-negative")
   }
+
+  test("split_assign partitions the corpus deterministically at ~1/1/98") {
+    val s = spark; import s.implicits._
+    val a = graft.operators.Pipeline.splitAssign(s, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val total = graft.sources.Tables.documents(s, sfDir).count()
+    assert(a.size == total, "every document gets exactly one split")
+    val bySplit = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    val test_ = bySplit.getOrElse("test", 0)
+    val value = bySplit.getOrElse("val", 0)
+    val train = bySplit.getOrElse("train", 0)
+    assert(test_ + value + train == total.toInt)
+    // hash split at 1%/1%/98%: loose binomial envelope at 500 docs
+    assert(test_ <= total * 0.05, s"test split too large: $test_/$total")
+    assert(value <= total * 0.05, s"val split too large: $value/$total")
+    assert(train >= total * 0.90, s"train split too small: $train/$total")
+    // append-stability: the assignment is a pure function of doc_id —
+    // recomputing over any sub-corpus must agree on shared docs
+    val ids = a.keys.toSeq.sorted.take(50).toSet
+    val sub = graft.operators.Pipeline.splitAssign(s, sfDir)
+      .filter($"doc_id".isin(ids.toSeq: _*)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub == a.filter(kv => ids(kv._1)))
+  }
 }
