@@ -320,17 +320,64 @@ object Multimodal {
        |FROM b ORDER BY asset_id""".stripMargin
   }
 
+  /** §2.7 — exact media dedup by content digest: the multimodal
+    * sibling of [[Pipeline]]'s text dedup — identical image/audio
+    * payloads crawled from N URLs should store once. The 100 TB
+    * property is WHAT moves: the digest is computed row-local on the
+    * scan and only (32-char digest, id, size) ride the shuffle — the
+    * payload bytes never leave their input partition. `mime` rides as
+    * a group key (a digest collision across mimes is impossible here
+    * since mime is a payload function, and grouping on both keeps the
+    * check honest). bytes_reclaimed is what a storage planner bills:
+    * (copies−1)·size. */
+  def mmDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    withPayload(s, dir)
+      .select($"doc_id", $"mime",
+        md5(hex($"payload")).as("payload_md5"),
+        length($"payload").cast("long").as("byte_size"))
+      .groupBy($"payload_md5", $"mime")
+      .agg(
+        min($"doc_id").as("canonical_id"),
+        count(lit(1)).as("n_copies"),
+        max($"byte_size").as("byte_size"))
+      .withColumn("bytes_reclaimed", ($"n_copies" - 1L) * $"byte_size")
+      .select($"payload_md5", $"mime", $"canonical_id", $"n_copies",
+        $"byte_size", $"bytes_reclaimed")
+      .orderBy($"canonical_id")
+  }
+
+  val mmDedupSql: String = {
+    val magicCase = magics.zipWithIndex.map { case ((hexs, _), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN unhex('$hexs')"
+    }.mkString("CASE ", " ", " END")
+    val mimeCase = magics.zipWithIndex.map { case ((_, mime), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN '$mime'"
+    }.mkString("CASE ", " ", " ELSE 'application/octet-stream' END")
+    s"""WITH m AS (
+       |  SELECT doc_id, $magicCase || CAST(text AS BLOB) AS payload,
+       |    $mimeCase AS mime
+       |  FROM documents)
+       |SELECT md5(hex(payload)) AS payload_md5, mime,
+       |  min(doc_id) AS canonical_id, count(*) AS n_copies,
+       |  max(octet_length(payload)) AS byte_size,
+       |  (count(*) - 1) * max(octet_length(payload)) AS bytes_reclaimed
+       |FROM m GROUP BY 1, 2 ORDER BY canonical_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_manifest"      -> (mmManifest _),
     "mm_frame_extract" -> (mmFrameExtract _),
     "mm_thumbnail"     -> (mmThumbnail _),
-    "mm_batch_infer"   -> (mmBatchInfer _)
+    "mm_batch_infer"   -> (mmBatchInfer _),
+    "mm_dedup"         -> (mmDedup _)
   )
 
   def oracles: Map[String, String] = Map(
     "mm_manifest"      -> mmManifestSql,
     "mm_frame_extract" -> mmFrameExtractSql,
     "mm_thumbnail"     -> mmThumbnailSql,
-    "mm_batch_infer"   -> mmBatchInferSql
+    "mm_batch_infer"   -> mmBatchInferSql,
+    "mm_dedup"         -> mmDedupSql
   )
 }

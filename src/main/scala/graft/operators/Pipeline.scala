@@ -873,6 +873,49 @@ object Pipeline {
        |  doc_id, source
        |FROM documents ORDER BY position""".stripMargin
 
+  /** Power-of-two sequence-length buckets for [[docLengthBuckets]]. */
+  val lengthBuckets: Seq[Long] = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L, 4096L)
+
+  /** §2.8 — sequence-length bucket audit: documents batched together
+    * pad to their bucket's length, so the padding column IS the
+    * wasted accelerator compute — the number a batching layout is
+    * chosen by. Each doc lands in the smallest power-of-two bucket
+    * holding its token count (row-local CASE chain — no float
+    * log2/pow, whose engine-specific rounding could flip a doc at an
+    * exact boundary); one partial-aggregated groupBy on ≤
+    * |[[lengthBuckets]]| keys. waste_pct = padding / padded volume. */
+  def docLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = $"n_tokens"
+    val bucketCol = lengthBuckets.foldRight(lit(lengthBuckets.last)) {
+      case (b, alt) => when(n <= b, lit(b)).otherwise(alt)
+    }
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(expr(TA.toksExpr)).cast("long"))
+      .withColumn("bucket", bucketCol)
+      .groupBy($"bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        sum($"bucket" - $"n_tokens").as("padding_tokens"))
+      .withColumn("waste_pct", expr(wRndSql(
+        "CAST(padding_tokens AS DOUBLE) / CAST(bucket * n_docs AS DOUBLE)", 4)))
+      .orderBy($"bucket")
+  }
+
+  val docLengthBucketsSql: String = {
+    val cases = lengthBuckets.map(b => s"WHEN n_tokens <= $b THEN $b")
+      .mkString("CASE ", " ", s" ELSE ${lengthBuckets.last} END")
+    s"""WITH t AS (
+       |  SELECT len(${TA.duckToks}) AS n_tokens FROM documents),
+       |b AS (SELECT n_tokens, CAST($cases AS BIGINT) AS bucket FROM t)
+       |SELECT bucket, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  CAST(sum(bucket - n_tokens) AS BIGINT) AS padding_tokens,
+       |  ${wRndSql("CAST(sum(bucket - n_tokens) AS DOUBLE) / CAST(bucket * count(*) AS DOUBLE)", 4)} AS waste_pct
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   /** Split-assignment seed and hex thresholds: the first 4 md5 hex
     * chars partition [0, 65536) — test takes [0, 655) ≈ 1%, val
     * takes [655, 1310) ≈ 1%, train the rest. Lowercase-hex
@@ -1018,7 +1061,8 @@ object Pipeline {
     "token_ids"         -> (tokenIds _),
     "decontaminate"     -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
-    "split_assign"      -> (splitAssign _)
+    "split_assign"      -> (splitAssign _),
+    "doc_length_buckets" -> (docLengthBuckets _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -1040,6 +1084,7 @@ object Pipeline {
     "decontaminate"     -> decontaminateSql,
     // bit-identical scale path: shares the exact-broadcast oracle
     "decontaminate_bloom" -> decontaminateSql,
-    "split_assign"      -> splitAssignSql
+    "split_assign"      -> splitAssignSql,
+    "doc_length_buckets" -> docLengthBucketsSql
   )
 }

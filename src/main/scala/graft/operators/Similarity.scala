@@ -167,15 +167,97 @@ object Similarity {
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Matryoshka prefix dimensionality and shortlist multiplier. */
+  val mrlDims = 16
+  val mrlFactor = 4
+
+  /** §2.5 — matryoshka (truncated-dimension) ANN: shortlist by
+    * cosine over the first [[mrlDims]] of 64 dims, exact full-dim
+    * re-rank of the k×[[mrlFactor]] survivors. The MRL serving
+    * pattern (Kusupati et al., NeurIPS'22 — embeddings trained so
+    * prefixes are themselves embeddings): the shortlist pass reads ¼
+    * of the vector bytes and does ¼ of the multiply-adds, and —
+    * unlike IVF/PQ — needs no trained index artifact, so it applies
+    * to a corpus version the clusterer hasn't seen yet. Both stages
+    * are deterministic (1e-6-quantized scores, id tiebreak) and
+    * SQL-expressible, so the row is hash-oracled end to end, unlike
+    * the recall-spec'd LSH/IVF rows. Scale layout: stage 1 is the
+    * brute-force scan shape on the SLICED column (broadcast query
+    * side, corpus never shuffles; the scan's column pruning is
+    * Catalyst's, the byte cut is the slice) feeding the bounded-heap
+    * top-k' ([[graft.plans.TopK.perGroup]] — ≤k' rows per partition
+    * per query ship, no per-query global sort); stage 2 re-reads
+    * full vectors for shortlist ids only (equi-join) and re-ranks on
+    * a k'-bounded frame. */
+  def annMatryoshka(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, dir)
+    val pv = v.select($"vec_id", expr(s"slice(v, 1, $mrlDims)").as("pv"))
+      .withColumn("pnrm", expr(VectorFns.norm("pv")))
+    val q = pv.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"pv".as("qpv"), $"pnrm".as("qpnrm"))
+    val scored = pv.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("pcos",
+        expr(rndSql(s"${VectorFns.dot("qpv", "pv")} / (qpnrm * pnrm)", 6)))
+      .select($"query_id", $"vec_id", $"pcos")
+    val shortlist = graft.plans.TopK.perGroup(scored, Seq("query_id"),
+        Seq("pcos" -> true, "vec_id" -> false), k * mrlFactor)
+      .select($"query_id", $"vec_id")
+    val qf = v.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val rescored = shortlist
+      .join(v, "vec_id")
+      .join(broadcast(qf), "query_id")
+      .withColumn("cosine",
+        expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
+      .select($"query_id", $"vec_id", $"cosine")
+    graft.plans.TopK.perGroup(rescored, Seq("query_id"),
+        Seq("cosine" -> true, "vec_id" -> false), k)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val annMatryoshkaSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+       |    v[1:$mrlDims] AS pv,
+       |    sqrt(list_sum(list_transform(v[1:$mrlDims], x -> x * x))) AS pnrm
+       |  FROM v),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        ${rndSql("list_dot_product(q.pv, c.pv) / (q.pnrm * c.pnrm)", 6)} DESC,
+       |        c.vec_id) AS prank
+       |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $nQueries)
+       |  WHERE prank <= ${k * mrlFactor})
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+       |  neighbor_id, cosine
+       |FROM (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |    ${rndSql("list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)", 6)} AS cosine
+       |  FROM short s JOIN n qn ON qn.vec_id = s.query_id
+       |               JOIN n cn ON cn.vec_id = s.vec_id)
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
-    "ann_lsh"        -> (annLsh _)
+    "ann_lsh"        -> (annLsh _),
+    "ann_matryoshka" -> (annMatryoshka _)
   )
 
   def oracles: Map[String, String] =
-    Map("ann_bruteforce" -> annBruteforceSql) ++
+    Map("ann_bruteforce" -> annBruteforceSql,
+        "ann_matryoshka" -> annMatryoshkaSql) ++
       graft.sources.OracleStage.globOf("lsh_buckets")
         .map(g => "ann_lsh" -> annLshSql(g))
 }
