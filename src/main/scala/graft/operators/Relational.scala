@@ -268,6 +268,37 @@ object Relational {
        |GROUP BY ROLLUP (r_name, n_name)
        |ORDER BY region, nation""".stripMargin
 
+  /** §2.3 — customer-order-count distribution (the TPC-H Q13 shape):
+    * how many customers placed 0, 1, 2, … orders. Two stacked
+    * aggregations with a LEFT join in between — the one classic shape
+    * the suite lacked: the outer groupBy's key is the INNER
+    * aggregate's value. Zero-order customers must survive (left
+    * join + count of a nullable key), which is why this can't be a
+    * plain orders rollup. Scale: join + first groupBy shuffle on
+    * custkey (uniform); the second groupBy's key space is tiny
+    * (max orders per customer) — heavy skew by construction, absorbed
+    * entirely by map-side partial aggregation (each task emits ≤
+    * |distinct counts| rows), never a hot reducer. */
+  def qCustdist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val qCustdistSql: String =
+    s"""SELECT c_count, count(*) AS custdist
+       |FROM (
+       |  SELECT c_custkey, count(o_orderkey) AS c_count
+       |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |  GROUP BY c_custkey)
+       |GROUP BY c_count
+       |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** Distinct + conditional aggregation per nation. */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1693,6 +1724,7 @@ object Relational {
     "q_full_outer_reconcile" -> (qFullOuterReconcile _),
     "q_constraints"      -> (qConstraints _),
     "q_k_anonymity"      -> (qKAnonymity _),
+    "q_custdist"         -> (qCustdist _),
     "q_correlation"      -> (qCorrelation _),
     "q_regression"       -> (qRegression _),
     "q_gini"             -> (qGini _)
@@ -1737,6 +1769,7 @@ object Relational {
     "q_full_outer_reconcile" -> qFullOuterReconcileSql,
     "q_constraints"      -> qConstraintsSql,
     "q_k_anonymity"      -> qKAnonymitySql,
+    "q_custdist"         -> qCustdistSql,
     "q_correlation"      -> qCorrelationSql,
     "q_regression"       -> qRegressionSql,
     "q_gini"             -> qGiniSql

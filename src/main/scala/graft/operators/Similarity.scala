@@ -247,17 +247,92 @@ object Similarity {
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** §2.5 — per-label centroid coherence: each label's mean vector
+    * compared (cosine) to the global mean — the embedding-space
+    * observability readout (is a labelled slice drifting off-center?
+    * are labels even separable?) run after every re-embedding.
+    *
+    * Determinism layout (the [[Graph]] quantization device, applied
+    * to vectors): components quantize to 1e-6 longs row-local, sums
+    * are exact integers (commutative — partitioning-independent),
+    * centroids re-quantize from the exact sums by identical double
+    * arithmetic, and the cosine derives from three exact integer
+    * moments (dot, ‖m‖², ‖g‖²) — float enters only in the final
+    * division/sqrt, bit-identical cross-engine. A naive
+    * `avg(embedding[i])` float stream would differ per partitioning.
+    * Scale: the dim-explode shuffles nothing raw — partial
+    * aggregation collapses each task to |labels|×dims rows before the
+    * exchange; everything after is label-sized. */
+  def embedCentroids(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir)
+      .select($"label", posexplode(expr(VectorFns.asDouble("embedding"))))
+      .select($"label", $"pos".as("dim"),
+        expr("CAST(floor(col * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("q"))
+    val byLabel = e.groupBy($"label", $"dim")
+      .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+    val lbl = byLabel.withColumn("mq",
+      expr("CAST(floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+    val glob = byLabel.groupBy($"dim")
+      .agg(sum($"sq").as("gsq"), sum($"n").as("gn"))
+      .withColumn("gq",
+        expr("CAST(floor(CAST(gsq AS DOUBLE) / CAST(gn AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      .select($"dim", $"gq")
+    lbl.join(glob, "dim")
+      .groupBy($"label")
+      .agg(
+        max($"n").as("n_vecs"),
+        sum($"mq" * $"gq").as("dot"),
+        sum($"mq" * $"mq").as("mm"),
+        sum($"gq" * $"gq").as("gg"))
+      .select($"label", $"n_vecs",
+        expr(rndSql("CAST(dot AS DOUBLE) / (sqrt(CAST(mm AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE)))", 6))
+          .as("cosine_to_global"),
+        expr(rndSql("sqrt(CAST(mm AS DOUBLE)) / 1000000.0", 6)).as("centroid_norm"))
+      .orderBy($"label")
+  }
+
+  val embedCentroidsSql: String =
+    s"""WITH q AS (
+       |  SELECT label, i AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |bl AS (
+       |  SELECT label, dim, CAST(sum(q) AS BIGINT) AS sq, count(*) AS n
+       |  FROM q GROUP BY 1, 2),
+       |l AS (
+       |  SELECT label, dim, n,
+       |    CAST(floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS mq
+       |  FROM bl),
+       |g AS (
+       |  SELECT dim,
+       |    CAST(floor(CAST(CAST(sum(sq) AS BIGINT) AS DOUBLE) /
+       |      CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) + 0.5) AS BIGINT) AS gq
+       |  FROM bl GROUP BY 1),
+       |m AS (
+       |  SELECT l.label, max(l.n) AS n_vecs,
+       |    CAST(sum(l.mq * g.gq) AS BIGINT) AS dot,
+       |    CAST(sum(l.mq * l.mq) AS BIGINT) AS mm,
+       |    CAST(sum(g.gq * g.gq) AS BIGINT) AS gg
+       |  FROM l JOIN g USING (dim) GROUP BY 1)
+       |SELECT label, n_vecs,
+       |  ${rndSql("CAST(dot AS DOUBLE) / (sqrt(CAST(mm AS DOUBLE)) * sqrt(CAST(gg AS DOUBLE)))", 6)} AS cosine_to_global,
+       |  ${rndSql("sqrt(CAST(mm AS DOUBLE)) / 1000000.0", 6)} AS centroid_norm
+       |FROM m ORDER BY label""".stripMargin
+
   // -------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh"        -> (annLsh _),
-    "ann_matryoshka" -> (annMatryoshka _)
+    "ann_matryoshka" -> (annMatryoshka _),
+    "embed_centroids" -> (embedCentroids _)
   )
 
   def oracles: Map[String, String] =
     Map("ann_bruteforce" -> annBruteforceSql,
-        "ann_matryoshka" -> annMatryoshkaSql) ++
+        "ann_matryoshka" -> annMatryoshkaSql,
+        "embed_centroids" -> embedCentroidsSql) ++
       graft.sources.OracleStage.globOf("lsh_buckets")
         .map(g => "ann_lsh" -> annLshSql(g))
 }
