@@ -904,7 +904,64 @@ object Behavioral {
 
   // ------------------------------------------------------------------
 
+  /** Lateness histogram bucket edges (µs): in-order, <1 s, <10 s,
+    * <60 s, ≥60 s late. */
+  private val latenessEdgesUs = Seq(1000000L, 10000000L, 60000000L)
+
+  /** §2.10 — event-time disorder audit: how late does data arrive,
+    * per stream? THE question a streaming deploy answers before
+    * choosing its watermark delay (too short drops the late tail,
+    * too long bloats state — the stream_* operators' watermarks all
+    * encode an answer; this measures it). Arrival order is the
+    * ingest sequence (event_id); an event's lateness is how far the
+    * per-user event-time high-water-mark had already passed it at
+    * arrival: lateness = max(us) over prior arrivals − us, floored
+    * at 0 for in-order events. Per-user running max is one window
+    * over the user's arrival sequence (bounded per-user state — the
+    * same per-key shape the streams keep); the bucketed rollup is a
+    * partial-agged groupBy on |types|×5 keys. All integer µs
+    * arithmetic — hash-exact cross-engine. */
+  def qLateness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val edges = latenessEdgesUs
+    val bucketCol = when($"late_us" === 0L, "0_in_order")
+      .when($"late_us" < edges(0), "1_lt_1s")
+      .when($"late_us" < edges(1), "2_lt_10s")
+      .when($"late_us" < edges(2), "3_lt_60s")
+      .otherwise("4_ge_60s")
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("late_us",
+        greatest(coalesce(max($"us").over(w) - $"us", lit(0L)), lit(0L)))
+      .withColumn("bucket", bucketCol)
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n_events"), max($"late_us").as("max_late_us"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  val qLatenessSql: String = {
+    val e = latenessEdgesUs
+    s"""WITH l AS (
+       |  SELECT event_type,
+       |    greatest(coalesce(
+       |      max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - epoch_us(ts),
+       |      0), 0) AS late_us
+       |  FROM events)
+       |SELECT event_type,
+       |  CASE WHEN late_us = 0 THEN '0_in_order'
+       |       WHEN late_us < ${e(0)} THEN '1_lt_1s'
+       |       WHEN late_us < ${e(1)} THEN '2_lt_10s'
+       |       WHEN late_us < ${e(2)} THEN '3_lt_60s'
+       |       ELSE '4_ge_60s' END AS bucket,
+       |  count(*) AS n_events, max(late_us) AS max_late_us
+       |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lateness"      -> (qLateness _),
     "q_seasonality"   -> (qSeasonality _),
     "q_lag_features"  -> (qLagFeatures _),
     "q_markov"        -> (qMarkov _),
@@ -923,6 +980,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_lateness"      -> qLatenessSql,
     "q_seasonality"   -> qSeasonalitySql,
     "q_lag_features"  -> qLagFeaturesSql,
     "q_markov"        -> qMarkovSql,

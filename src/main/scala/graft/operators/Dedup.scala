@@ -46,7 +46,7 @@ object Dedup {
   /** doc_id + distinct word-3-gram shingles via the native
     * [[graft.functions.WordShingles]] expression (docs shorter than 3
     * tokens are excluded — they have no 3-gram identity). */
-  private[operators] def shingled(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def shingled(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
@@ -265,12 +265,17 @@ object Dedup {
   def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ex = shingled(s, dir).select($"doc_id", explode($"shingles").as("s"))
-    val dfs = ex.groupBy($"s").agg(count(lit(1)).as("df"))
+    // df via the same per-shingle window layout as interPairs: the
+    // hash exchange on the shingle is paid once and reused
+    val capped = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
       .filter($"df" <= shingleDfCap)
-    val capped = ex.join(dfs, "s")
     // one groupBy builds both the verify-side set and the prefix: the
     // (df, shingle)-sorted array IS the canonical order, so the
-    // prefix is a slice, no per-doc window
+    // prefix is a slice, no per-doc window. Pinned: three consumers
+    // (prefix explode + both verify joins) would otherwise each
+    // replay the shingle+window+groupBy build — measured 8.6 s → the
+    // plan cost tripled through lineage, not through data.
     val docs = capped.groupBy($"doc_id")
       .agg(sort_array(collect_list(struct($"df", $"s"))).as("ord"))
       .withColumn("sh", expr("transform(ord, x -> x.s)"))
@@ -278,16 +283,36 @@ object Dedup {
       .withColumn("pfx", expr(
         s"slice(sh, 1, size(sh) - cast(ceil($jaccardTau * size(sh)) AS INT) + 1)"))
       .select($"doc_id", $"sh", $"n_sh", $"pfx")
+      .localCheckpoint(true)
     val prefixEx = docs.select($"doc_id", $"n_sh", explode($"pfx").as("s"))
-    // shuffle-hash, never broadcast: prefixes are corpus-sized
+    // shuffle-hash, never broadcast: prefixes are corpus-sized. The
+    // conjoined length filter is PPJoin's second lossless cut:
+    // Jaccard ≥ τ forces inter ≥ τ·max(n1,n2) and inter ≤ min, so
+    // min ≥ τ·max — size-mismatched pairs die inside the codegen'd
+    // join instead of riding the pair-distinct (300k → 193k
+    // candidates at sf0.1).
     val cand = prefixEx.as("a").hint("shuffle_hash").join(prefixEx.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+          $"b.n_sh" >= $"a.n_sh" * jaccardTau &&
+          $"a.n_sh" >= $"b.n_sh" * jaccardTau)
       .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
       .dropDuplicates("doc1", "doc2")
-    cand
+      .localCheckpoint(true)
+    // Pin the narrow scored frame BEFORE deriving jaccard: the
+    // jaccard expression references `inter` twice and the τ-filter
+    // once more, and after projection collapse each reference
+    // duplicates the whole array_intersect — measured 4 evaluations
+    // per candidate (8.2 s tail → 2.2). The checkpoint materializes
+    // the per-pair intersection exactly once; at scale this IS the
+    // persisted candidate-score table a dedup pipeline keeps anyway.
+    val scored = cand
       .join(docs.select($"doc_id".as("doc1"), $"sh".as("sh1"), $"n_sh".as("n1")), "doc1")
       .join(docs.select($"doc_id".as("doc2"), $"sh".as("sh2"), $"n_sh".as("n2")), "doc2")
-      .withColumn("inter", size(array_intersect($"sh1", $"sh2")).cast("long"))
+      .select($"doc1", $"doc2",
+        size(array_intersect($"sh1", $"sh2")).cast("long").as("inter"),
+        $"n1", $"n2")
+      .localCheckpoint(true)
+    scored
       .withColumn("jaccard",
         expr(rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)))
       .filter($"jaccard" >= jaccardTau)

@@ -55,6 +55,21 @@ final case class ResampleOut(
 final case class SizeFlushOut(
   batch_id: String, seq: Long, item_count: Long, min_us: Long, max_us: Long)
 
+/** Event with its 1e-2-quantized value for the anomaly detector. */
+final case class AnomalyEvent(
+  event_type: String, ts_us: Long, event_id: Long, q: Long)
+
+/** Per-type running moments — three exact longs (n, Σq, Σq²) + the
+  * processed chain's high-water order key. O(1) per key; the Σq²
+  * envelope at the 1e-2 quantum holds to ~10⁹ events/key at value
+  * ≤ 10³ (3.2e9 per event ≪ 2⁶³). */
+final case class AnomalyState(
+  n: Long, sumQ: Long, sumQQ: Long, lastTs: Long, lastId: Long)
+
+/** One flagged outlier. */
+final case class AnomalyOut(
+  event_type: String, event_id: Long, value: Double, n_prior: Long, zscore: Double)
+
 /** Stateful streaming counterparts of the batch operators.
   *
   * [[sessionWindows]]: Spark's native session_window — the SAME
@@ -578,7 +593,114 @@ object StreamOps {
       .orderBy($"prev_type", $"next_type")
   }
 
+  // ------------------------------------------------------------------
+  // stream_anomaly — stateful running z-score outlier flagging
+  // ------------------------------------------------------------------
+
+  /** Minimum prior observations before flagging, and the |z| alarm
+    * threshold (compared on the 1e-4-quantized score, so the strict
+    * inequality cannot flip on an engine ulp). */
+  val anomalyWarmup = 30L
+  val anomalyZ = 3.0
+
+  /** Per-type anomaly detector: each event is scored against the
+    * running mean/σ of every PRIOR event of its type, then folded
+    * into the state — the alert stream a pipeline health monitor
+    * tails. Determinism is the [[graft.operators.Graph]] device in
+    * streaming state: moments accumulate as exact quantized longs
+    * (commutative, replay-stable), and μ/σ/z derive from them by
+    * identical double arithmetic on both engines, so running the
+    * stream to completion equals the batch cumulative-window oracle
+    * hash-exactly. Same per-key ordered-delivery contract and
+    * late-regressor discard as [[markovFn]]. */
+  private[graft] def anomalyFn(
+      tpe: String,
+      events: Iterator[AnomalyEvent],
+      state: GroupState[AnomalyState]): Iterator[AnomalyOut] = {
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var st = state.getOption.getOrElse(AnomalyState(0L, 0L, 0L, Long.MinValue, Long.MinValue))
+    val out = Vector.newBuilder[AnomalyOut]
+    sorted.foreach { e =>
+      if (e.ts_us < st.lastTs || (e.ts_us == st.lastTs && e.event_id <= st.lastId)) {
+        () // late regressor behind the scored chain — discard
+      } else {
+        if (st.n >= anomalyWarmup) {
+          val mu = st.sumQ.toDouble / st.n.toDouble
+          val varr = st.sumQQ.toDouble / st.n.toDouble - mu * mu
+          if (varr > 0.0) {
+            val z = (e.q.toDouble - mu) / math.sqrt(varr)
+            val z4 = math.floor(z * 10000.0 + 0.5) / 10000.0
+            if (math.abs(z4) > anomalyZ)
+              out += AnomalyOut(tpe, e.event_id, e.q.toDouble / 100.0, st.n, z4)
+          }
+        }
+        st = AnomalyState(st.n + 1, st.sumQ + e.q, st.sumQQ + e.q * e.q,
+          e.ts_us, e.event_id)
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  private[graft] def anomaliesFrom(stream: DataFrame): Dataset[AnomalyOut] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream
+      .select($"event_type", unix_micros($"ts").as("ts_us"), $"event_id",
+        expr("CAST(floor(value * 100.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("q"))
+      .as[AnomalyEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(anomalyFn)
+  }
+
+  def runAnomaliesToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_anomaly"): DataFrame = {
+    import s.implicits._
+    val q = anomaliesFrom(StreamAcc.eventsStream(s, dir)).toDF().writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select($"event_type", $"event_id", $"value", $"n_prior", $"zscore")
+      .orderBy($"event_type", $"event_id")
+  }
+
+  /** Batch oracle: the same quantized moments as a cumulative window
+    * over each type's (ts, event_id) order, μ/σ/z by the identical
+    * double expression chain, flag on the identically-quantized z. */
+  val streamAnomalySql: String =
+    s"""WITH q AS (
+       |  SELECT event_type, event_id, epoch_us(ts) AS us,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS q
+       |  FROM events),
+       |w AS (
+       |  SELECT event_type, event_id, q,
+       |    count(*) OVER win AS n,
+       |    CAST(coalesce(sum(q) OVER win, 0) AS BIGINT) AS sq,
+       |    CAST(coalesce(sum(q * q) OVER win, 0) AS BIGINT) AS sqq
+       |  FROM q
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY us, event_id
+       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |m AS (
+       |  SELECT event_type, event_id, q, n,
+       |    CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+       |    CAST(sqq AS DOUBLE) / CAST(n AS DOUBLE) -
+       |      (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) *
+       |      (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)) AS varr
+       |  FROM w WHERE n >= $anomalyWarmup),
+       |z AS (
+       |  SELECT event_type, event_id, CAST(q AS DOUBLE) / 100.0 AS value, n AS n_prior,
+       |    floor((CAST(q AS DOUBLE) - mu) / sqrt(varr) * 10000.0 + 0.5) / 10000.0 AS zscore
+       |  FROM m WHERE varr > 0.0)
+       |SELECT event_type, event_id, value, n_prior, zscore
+       |FROM z WHERE abs(zscore) > $anomalyZ
+       |ORDER BY event_type, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_anomaly" -> ((s, dir) =>
+      runAnomaliesToCompletion(s, dir, sink = "stream_anomaly_verify")),
     "stream_markov" -> ((s, dir) =>
       runMarkovToCompletion(s, dir, sink = "stream_markov_verify")),
     "stream_resample" -> ((s, dir) =>
@@ -617,6 +739,9 @@ object StreamOps {
   /** stream_sessionize runs the same session_window operator as the
     * batch q_session_window, so it shares that oracle verbatim. */
   def oracles: Map[String, String] = Map(
+    // exact-moment state run to completion equals the batch
+    // cumulative window — see streamAnomalySql
+    "stream_anomaly"        -> streamAnomalySql,
     // the stateful lag run to completion equals the batch window lag:
     // shares q_markov's oracle verbatim
     "stream_markov"         -> graft.operators.Behavioral.qMarkovSql,

@@ -237,4 +237,33 @@ class BehavioralSpec extends SparkSpec {
     assert(p.contains("PushedFilters") &&
       p.contains("GreaterThanOrEqual(ts"), p)
   }
+
+  /** Arrival order (event_id) deliberately disagrees with event time:
+    * user 1's second arrival regresses 5 s behind the watermark. */
+  private lazy val latenessDir: String = {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    def t(sec: Long) = sec * 1000000L
+    Seq(
+      // user 1: in-order, then a 5 s regressor, then in-order again
+      (1L, t(100), 1L, "click"), (2L, t(95), 1L, "click"), (3L, t(110), 1L, "click"),
+      // user 2: fully in-order
+      (4L, t(10), 2L, "view"), (5L, t(20), 2L, "view"))
+      .toDF("event_id", "us", "user_id", "event_type")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("lateness audit buckets the out-of-order arrival by its watermark gap") {
+    val rows = Behavioral.qLateness(spark, latenessDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // click: 2 in-order (the first event and the one advancing the max)
+    // + 1 regressor 5 s late -> the 1-10 s bucket with max_late_us = 5e6
+    assert(rows(("click", "0_in_order")) == ((2L, 0L)))
+    assert(rows(("click", "2_lt_10s")) == ((1L, 5000000L)))
+    assert(rows(("view", "0_in_order")) == ((2L, 0L)))
+    assert(rows.size == 3, s"unexpected buckets: ${rows.keys}")
+  }
 }

@@ -267,4 +267,33 @@ class StreamOpsSpec extends SparkSpec {
       ValueEvent("m", 13 * b + 1, 4L, 6.0)), st).toList
     assert(b3 == List(ResampleOut("m", 12 * b, 4.0, 1L, "obs")), b3.toString)
   }
+
+  test("anomaly detector accumulates exact moments across micro-batches and flags the spike") {
+    import graft.streaming.{AnomalyEvent, AnomalyState}
+    import org.apache.spark.sql.streaming.TestGroupState
+    val st = TestGroupState.create[AnomalyState](
+      optionalState = org.apache.spark.api.java.Optional.empty[AnomalyState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // micro-batch 1: 30 warmup events alternating 90/110 (mean 100,
+    // sd 10 in quantized units x100) — none flagged (warmup boundary)
+    val warm = (1 to 30).map(i =>
+      AnomalyEvent("click", i * 1000L, i.toLong, if (i % 2 == 0) 9000L else 11000L))
+    val b1 = StreamOps.anomalyFn("click", warm.iterator, st).toList
+    assert(b1.isEmpty, b1.toString)
+    assert(st.get.n == 30L && st.get.sumQ == 300000L)
+    // micro-batch 2: a normal event (not flagged), a 5-sigma spike
+    // (flagged, scored against PRIOR state), then a late regressor
+    // (discarded — state unchanged by it)
+    val b2 = StreamOps.anomalyFn("click", Iterator(
+      AnomalyEvent("click", 31000L, 31L, 10000L),
+      AnomalyEvent("click", 32000L, 32L, 15000L),
+      AnomalyEvent("click", 100L, 33L, 99999L)), st).toList
+    assert(b2.size == 1 && b2.head.event_id == 32L, b2.toString)
+    assert(b2.head.zscore > graft.streaming.StreamOps.anomalyZ)
+    assert(b2.head.n_prior == 31L)
+    assert(st.get.n == 32L, "regressor must not enter the moments")
+  }
 }
