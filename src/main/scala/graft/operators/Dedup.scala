@@ -264,40 +264,14 @@ object Dedup {
     * route (row 27). */
   def dedupJaccardPrefix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ex = shingled(s, dir).select($"doc_id", explode($"shingles").as("s"))
-    // df via the same per-shingle window layout as interPairs: the
-    // hash exchange on the shingle is paid once and reused
-    val capped = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
-      .filter($"df" <= shingleDfCap)
-    // one groupBy builds both the verify-side set and the prefix: the
-    // (df, shingle)-sorted array IS the canonical order, so the
-    // prefix is a slice, no per-doc window. Pinned: three consumers
-    // (prefix explode + both verify joins) would otherwise each
-    // replay the shingle+window+groupBy build — measured 8.6 s → the
-    // plan cost tripled through lineage, not through data.
-    val docs = capped.groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"df", $"s"))).as("ord"))
-      .withColumn("sh", expr("transform(ord, x -> x.s)"))
-      .withColumn("n_sh", size($"sh"))
-      .withColumn("pfx", expr(
-        s"slice(sh, 1, size(sh) - cast(ceil($jaccardTau * size(sh)) AS INT) + 1)"))
-      .select($"doc_id", $"sh", $"n_sh", $"pfx")
-      .localCheckpoint(true)
-    val prefixEx = docs.select($"doc_id", $"n_sh", explode($"pfx").as("s"))
-    // shuffle-hash, never broadcast: prefixes are corpus-sized. The
-    // conjoined length filter is PPJoin's second lossless cut:
-    // Jaccard ≥ τ forces inter ≥ τ·max(n1,n2) and inter ≤ min, so
-    // min ≥ τ·max — size-mismatched pairs die inside the codegen'd
-    // join instead of riding the pair-distinct (300k → 193k
-    // candidates at sf0.1).
-    val cand = prefixEx.as("a").hint("shuffle_hash").join(prefixEx.as("b"),
-        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
-          $"b.n_sh" >= $"a.n_sh" * jaccardTau &&
-          $"a.n_sh" >= $"b.n_sh" * jaccardTau)
-      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
-      .dropDuplicates("doc1", "doc2")
-      .localCheckpoint(true)
+    // Pinned: three consumers (prefix explode + both verify joins)
+    // would otherwise each replay the shingle+window+groupBy build —
+    // measured 8.6 s at sf0.1: the plan cost tripled through
+    // lineage, not through data. (The eager checkpoints also hide
+    // the stage plans from the final frame, so the stage builders
+    // are split out for PlanSpec audit.)
+    val docs = jaccardPrefixDocs(s, dir).localCheckpoint(true)
+    val cand = jaccardPrefixCand(docs).localCheckpoint(true)
     // Pin the narrow scored frame BEFORE deriving jaccard: the
     // jaccard expression references `inter` twice and the τ-filter
     // once more, and after projection collapse each reference
@@ -318,6 +292,41 @@ object Dedup {
       .filter($"jaccard" >= jaccardTau)
       .select($"doc1", $"doc2", $"inter", $"jaccard")
       .orderBy($"doc1", $"doc2")
+  }
+
+  /** Candidate stage of [[dedupJaccardPrefix]]: prefix self-join
+    * with PPJoin's conjoined length filter — Jaccard ≥ τ forces
+    * inter ≥ τ·max(n1,n2) and inter ≤ min, so min ≥ τ·max and
+    * size-mismatched pairs die inside the codegen'd join instead of
+    * riding the pair-distinct (300k → 193k candidates at sf0.1).
+    * Shuffle-hash, never broadcast: prefixes are corpus-sized. */
+  private[graft] def jaccardPrefixCand(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val prefixEx = docs.select($"doc_id", $"n_sh", explode($"pfx").as("s"))
+    prefixEx.as("a").hint("shuffle_hash").join(prefixEx.as("b"),
+        $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
+          $"b.n_sh" >= $"a.n_sh" * jaccardTau &&
+          $"a.n_sh" >= $"b.n_sh" * jaccardTau)
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .dropDuplicates("doc1", "doc2")
+  }
+
+  /** The pinned doc-array frame [[dedupJaccardPrefix]] builds its
+    * stages from — split out for spec access. */
+  private[graft] def jaccardPrefixDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ex = shingled(s, dir).select($"doc_id", explode($"shingles").as("s"))
+    val capped = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy($"s")))
+      .filter($"df" <= shingleDfCap)
+    capped.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"s"))).as("ord"))
+      .withColumn("sh", expr("transform(ord, x -> x.s)"))
+      .withColumn("n_sh", size($"sh"))
+      .withColumn("pfx", expr(
+        s"slice(sh, 1, size(sh) - cast(ceil($jaccardTau * size(sh)) AS INT) + 1)"))
+      .select($"doc_id", $"sh", $"n_sh", $"pfx")
   }
 
   /** Shared CTE chain producing `scored(doc1, doc2, inter, jaccard)` —

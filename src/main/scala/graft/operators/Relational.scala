@@ -815,6 +815,68 @@ object Relational {
       |  ON p.user_id = c.user_id AND p.ts <= c.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** §2.3 — nearest-event as-of join (both directions, one pass):
+    * for every purchase, the user's click closest in time either way
+    * — the sensor-alignment flavor of as-of (pair each reading with
+    * the nearest calibration tick), completing the as-of family
+    * (24 = backward, 24h = forward). Both directional candidates
+    * come from ONE union + sort: two frames over the same per-user
+    * (ts, kind) window order, so the plan pays a single exchange and
+    * a single sort — not two as-of joins stitched together. Ties at
+    * equal timestamps resolve backward (distance 0, clicks sort
+    * before purchases), and equidistant neighbors resolve to the
+    * earlier click — both pinned in the oracle. */
+  def qAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", lit(0).as("kind"), lit(null).cast("long").as("event_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", lit(1).as("kind"), $"event_id")
+    val wb = Window.partitionBy($"user_id").orderBy($"ts", $"kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy($"user_id").orderBy($"ts", $"kind")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    clicks.unionByName(purchases)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev_us",
+        last(when($"kind" === 0, unix_micros($"ts")), ignoreNulls = true).over(wb))
+      .withColumn("next_us",
+        first(when($"kind" === 0, unix_micros($"ts")), ignoreNulls = true).over(wf))
+      .filter($"kind" === 1)
+      .withColumn("nearest_us",
+        when($"next_us".isNull ||
+          ($"prev_us".isNotNull && $"us" - $"prev_us" <= $"next_us" - $"us"),
+          $"prev_us").otherwise($"next_us"))
+      .select($"event_id", $"user_id", $"ts".as("purchase_ts"),
+        timestamp_micros($"nearest_us").as("nearest_click_ts"),
+        abs($"nearest_us" - $"us").as("dist_us"))
+      .orderBy($"event_id")
+  }
+
+  val qAsofNearestSql: String =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT p.event_id, p.user_id, p.ts, c.ts AS prev_ts
+      |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+      |f AS (
+      |  SELECT p.event_id, c.ts AS next_ts
+      |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts < c.ts),
+      |j AS (
+      |  SELECT b.event_id, b.user_id, b.ts,
+      |    epoch_us(b.ts) AS us, epoch_us(b.prev_ts) AS prev_us,
+      |    epoch_us(f.next_ts) AS next_us
+      |  FROM b JOIN f USING (event_id))
+      |SELECT event_id, user_id, ts AS purchase_ts,
+      |  make_timestamp(CASE WHEN next_us IS NULL OR
+      |      (prev_us IS NOT NULL AND us - prev_us <= next_us - us)
+      |    THEN prev_us ELSE next_us END) AS nearest_click_ts,
+      |  abs(CASE WHEN next_us IS NULL OR
+      |      (prev_us IS NOT NULL AND us - prev_us <= next_us - us)
+      |    THEN prev_us ELSE next_us END - us) AS dist_us
+      |FROM j ORDER BY event_id""".stripMargin
+
   /** Semi-structured extraction: pull a typed field out of the JSON
     * props column and aggregate — get_json_object is codegen'd and
     * runs at scan speed; no UDF, no intermediate parse tree. */
@@ -1725,6 +1787,7 @@ object Relational {
     "q_constraints"      -> (qConstraints _),
     "q_k_anonymity"      -> (qKAnonymity _),
     "q_custdist"         -> (qCustdist _),
+    "q_asof_nearest"     -> (qAsofNearest _),
     "q_correlation"      -> (qCorrelation _),
     "q_regression"       -> (qRegression _),
     "q_gini"             -> (qGini _)
@@ -1770,6 +1833,7 @@ object Relational {
     "q_constraints"      -> qConstraintsSql,
     "q_k_anonymity"      -> qKAnonymitySql,
     "q_custdist"         -> qCustdistSql,
+    "q_asof_nearest"     -> qAsofNearestSql,
     "q_correlation"      -> qCorrelationSql,
     "q_regression"       -> qRegressionSql,
     "q_gini"             -> qGiniSql

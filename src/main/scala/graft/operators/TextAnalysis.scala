@@ -431,6 +431,61 @@ object TextAnalysis {
        |WHERE rank <= $searchK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Keywords returned per document. */
+  val keywordsK = 3
+
+  /** §2.6 — per-document keyword extraction: the top-[[keywordsK]]
+    * terms by tf·idf, the metadata tag a corpus browser / retrieval
+    * filter wants on every document. Same tf and idf derivations as
+    * [[textSearch]] (idf 1e-6-quantized, products quantized before
+    * the rank so both engines cut identical top-k sets; ties by
+    * term). Per-doc top-k runs on the bounded-heap
+    * [[graft.plans.TopK.perGroup]] — millions of doc-groups, ≤k rows
+    * per group per partition ship, no per-doc sort. The idf join is
+    * term-keyed against the |vocab|-sized idf table — AQE broadcasts
+    * it when it fits and falls back to the hash join on the term
+    * partitioning the tf aggregate already produced. */
+  def corpusKeywords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(expr(toksExpr)).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select($"term",
+        rnd(log(($"n" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0), 6).as("idf"))
+    val scored = tf.join(idf, "term")
+      .select($"doc_id", $"term", rnd($"tf" * $"idf", 6).as("score"))
+    graft.plans.TopK.perGroup(scored, Seq("doc_id"),
+        Seq("score" -> true, "term" -> false), keywordsK)
+      .select($"doc_id", $"rank", $"term", $"score")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val corpusKeywordsSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |n AS (SELECT count(*) AS n FROM documents),
+       |idf AS (
+       |  SELECT term, ${rndSql("ln((n.n + 1.0) / (df + 1.0)) + 1.0", 6)} AS idf
+       |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), n),
+       |scored AS (
+       |  SELECT doc_id, term, ${rndSql("tf.tf * idf.idf", 6)} AS score
+       |  FROM tf JOIN idf USING (term)),
+       |ranked AS (
+       |  SELECT doc_id, term, score,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, score FROM ranked
+       |WHERE rank <= $keywordsK ORDER BY doc_id, rank""".stripMargin
+  }
+
   /** Entropy prefix cap: per-document work is O(distinct-chars ×
     * prefix), bounded by the clock-constant below — a 10 GB document
     * costs the same as a 4 KB one. */
@@ -598,7 +653,8 @@ object TextAnalysis {
     "text_redact"      -> (textRedact _),
     "text_search"      -> (textSearch _),
     "text_search_indexed" -> (textSearchIndexed _),
-    "text_cosine_pairs"  -> (textCosinePairs _)
+    "text_cosine_pairs"  -> (textCosinePairs _),
+    "corpus_keywords"  -> (corpusKeywords _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -612,6 +668,7 @@ object TextAnalysis {
     "text_search"      -> textSearchSql,
     // bit-identical to the from-scratch path — shares its oracle
     "text_search_indexed" -> textSearchSql,
-    "text_cosine_pairs"  -> textCosinePairsSql
+    "text_cosine_pairs"  -> textCosinePairsSql,
+    "corpus_keywords"  -> corpusKeywordsSql
   )
 }

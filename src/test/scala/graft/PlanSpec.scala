@@ -326,4 +326,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("shingles#") ||
       !p.linesIterator.exists(l => l.contains("Exchange") && l.contains("shingles#")), p)
   }
+
+  test("dedup_jaccard_prefix: shuffled prefix join, never a broadcast of the corpus side") {
+    // the eager checkpoints hide stage plans from the final frame —
+    // audit the candidate stage directly
+    val p = plan(Dedup.jaccardPrefixCand(Dedup.jaccardPrefixDocs(spark, sfDir)))
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ann_matryoshka: both ranking stages run on the bounded-heap top-k, no per-query global sort") {
+    val p = plan(graft.operators.Similarity.annMatryoshka(spark, sfDir))
+    // each stage plans a partial + final TopKPerGroup pair
+    assert("TopKPerGroup \\[".r.findAllIn(p).length >= 4,
+      s"expected two bounded-heap stages (4 nodes):\n$p")
+    assert(!p.contains("Window [row_number()"), p)
+  }
+
+  test("q_asof_nearest pays one exchange: both direction windows share the per-user sort") {
+    val p = plan(Relational.qAsofNearest(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+    val sorts = "Sort \\[user_id".r.findAllIn(p).size
+    assert(sorts <= 1, s"both windows must reuse one sort:\n$p")
+  }
+
+  test("corpus_keywords ranks per doc on the bounded heap") {
+    val p = plan(graft.operators.TextAnalysis.corpusKeywords(spark, sfDir))
+    assert(p.contains("TopKPerGroup ["), p)
+    assert(!p.contains("Window [row_number()"), p)
+  }
 }
