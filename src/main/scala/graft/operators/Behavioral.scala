@@ -960,6 +960,147 @@ object Behavioral {
        |FROM l GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_top_paths — most common session navigation paths
+  // ------------------------------------------------------------------
+
+  /** Events per session that contribute to the path string. */
+  private[operators] val pathMaxEvents = 8
+  /** Paths reported. */
+  private[operators] val pathTopK = 25
+  /** Session gap, µs — same 30 min as the sessionize family. */
+  private val pathGapUs = 1800L * 1000000L
+
+  /** §2.10 — navigation-path mining: the [[pathTopK]] most common
+    * per-session event-type sequences (first [[pathMaxEvents]] events
+    * of each 30-min-gap session). The funnel question asked
+    * open-endedly — "what do users actually do" instead of "did they
+    * do these three steps".
+    *
+    * Scale shape: session assignment is the standard per-user running
+    * sum (one hash exchange on user_id); the within-session rank
+    * re-partitions on (user, session) and CAPS each session at
+    * [[pathMaxEvents]] rows BEFORE the collect, so per-group state in
+    * the path aggregate is ≤8 small structs regardless of session
+    * length — a degenerate million-event session (bot traffic)
+    * contributes 8 rows, not a million. Path counting is a plain
+    * partial-agged groupBy on the path string, and the final top-k is
+    * TakeOrdered, never a global sort. */
+  def qTopPaths(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wSess = Window.partitionBy($"user_id", $"session_id")
+      .orderBy($"ts", $"event_id")
+    val paths = Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("new_sess",
+        when(lag($"us", 1).over(wOrd).isNull, 1L)
+          .when($"us" - lag($"us", 1).over(wOrd) > pathGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum($"new_sess").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(wSess))
+      .filter($"rn" <= pathMaxEvents)
+      .groupBy($"user_id", $"session_id")
+      .agg(sort_array(collect_list(struct($"rn", $"event_type"))).as("steps"))
+      .select(concat_ws(">", expr("transform(steps, x -> x.event_type)")).as("path"))
+    paths.groupBy($"path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy($"n_sessions".desc, $"path")
+      .limit(pathTopK)
+  }
+
+  val qTopPathsSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $pathGapUs
+       |         THEN 1 ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |s AS (
+       |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+       |  FROM e),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+       |  FROM s),
+       |p AS (
+       |  SELECT user_id, session_id,
+       |    string_agg(event_type, '>' ORDER BY rn) AS path
+       |  FROM r WHERE rn <= $pathMaxEvents GROUP BY 1, 2)
+       |SELECT path, count(*) AS n_sessions
+       |FROM p GROUP BY path
+       |ORDER BY n_sessions DESC, path
+       |LIMIT $pathTopK""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_autocorr — lag-k autocorrelation of the daily event-count series
+  // ------------------------------------------------------------------
+
+  /** Lags (days) profiled by [[qAutocorr]]. */
+  private[operators] val autocorrLags = Seq(1, 2, 3, 7)
+
+  /** §2.10 — autocorrelation profile: Pearson r between each event
+    * type's daily-count series and its k-day-shifted self, for
+    * k ∈ [[autocorrLags]] — the periodicity detector (a strong k=7
+    * lag = weekly cycle) a forecasting pipeline runs before model
+    * choice.
+    *
+    * Exactness: counts are integers, so every co-moment (Σx, Σy, Σxy,
+    * Σx², Σy², n) is an exact LONG sum — commutative, partitioning-
+    * independent; float enters only in the final r division, then
+    * quantized. Join-based lag (day = day + k) instead of a
+    * row-offset window: calendar gaps can't silently misalign the
+    * series, and the daily aggregate it self-joins on is tiny
+    * (|types| × |days|) after the partial-agged reduction of the raw
+    * stream — the join is never on raw events. */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val shifted = daily
+      .crossJoin(broadcast(autocorrLags.toDF("lag_d")))
+      .select($"event_type", expr("date_add(day, lag_d)").as("day"),
+        $"lag_d", $"cnt".as("prev_cnt"))
+    daily.join(shifted, Seq("event_type", "day"))
+      .groupBy($"event_type", $"lag_d")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum($"cnt").as("sx"), sum($"prev_cnt").as("sy"),
+        sum($"cnt" * $"prev_cnt").as("sxy"),
+        sum($"cnt" * $"cnt").as("sxx"), sum($"prev_cnt" * $"prev_cnt").as("syy"))
+      .select($"event_type", $"lag_d", $"n_pairs",
+        expr(rndSql(
+          """(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+            | (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+            |  sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""".stripMargin.replaceAll("\n", ""), 6)).as("autocorr"))
+      .orderBy($"event_type", $"lag_d")
+  }
+
+  val qAutocorrSql: String = {
+    val lagsValues = autocorrLags.map(k => s"($k)").mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |lags(lag_d) AS (VALUES $lagsValues),
+       |j AS (
+       |  SELECT a.event_type, l.lag_d, a.cnt AS x, b.cnt AS y
+       |  FROM daily a
+       |  JOIN lags l ON TRUE
+       |  JOIN daily b ON a.event_type = b.event_type
+       |    AND a.day = b.day + l.lag_d * INTERVAL 1 DAY),
+       |m AS (
+       |  SELECT event_type, lag_d, count(*) AS n_pairs,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM j GROUP BY 1, 2)
+       |SELECT event_type, lag_d, n_pairs,
+       |  ${rndSql("(CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))", 6)} AS autocorr
+       |FROM m ORDER BY event_type, lag_d""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_lateness"      -> (qLateness _),
     "q_seasonality"   -> (qSeasonality _),
@@ -976,7 +1117,9 @@ object Behavioral {
     "q_mv_refresh"    -> (qMvRefresh _),
     "q_attribution_linear" -> (qAttributionLinear _),
     "q_rfm"           -> (qRfm _),
-    "q_benford"       -> (qBenford _)
+    "q_benford"       -> (qBenford _),
+    "q_top_paths"     -> (qTopPaths _),
+    "q_autocorr"      -> (qAutocorr _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -995,6 +1138,8 @@ object Behavioral {
     "q_mv_refresh"    -> qMvRefreshSql,
     "q_attribution_linear" -> qAttributionLinearSql,
     "q_rfm"           -> qRfmSql,
-    "q_benford"       -> qBenfordSql
+    "q_benford"       -> qBenfordSql,
+    "q_top_paths"     -> qTopPathsSql,
+    "q_autocorr"      -> qAutocorrSql
   )
 }

@@ -1043,7 +1043,77 @@ object Pipeline {
        |ORDER BY pmi DESC, w1, w2 LIMIT $pmiTopN""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // corpus_vocab_growth — Heaps'-law vocabulary growth curve
+  // ------------------------------------------------------------------
+
+  /** Checkpoints on the vocabulary growth curve. */
+  private[operators] val vocabCheckpoints = 10
+
+  /** §2.8 — vocabulary growth (Heaps'-law) curve: distinct-term count
+    * and cumulative token count at [[vocabCheckpoints]] doc-id
+    * checkpoints — the corpus-health diagnostic (a flattening curve =
+    * duplicated/templated content; super-linear = OCR noise or
+    * language mixing).
+    *
+    * The naive formulation re-scans the corpus per checkpoint (or
+    * sorts it globally for a running distinct). This one is two
+    * bounded passes regardless of checkpoint count: (1) per-term
+    * FIRST-OCCURRENCE doc id — a partial-agged `groupBy(term)
+    * .agg(min(doc_id))`, the only term-level shuffle; (2) vocab at
+    * checkpoint c = terms with first_doc ≤ c, computed as ONE
+    * conditional aggregation over the first-occurrence table (10
+    * sums in a single reduce to a 1-row frame — no 10× explode of
+    * the vocab through a join). Doc/token counts per checkpoint come
+    * from the same conditional-agg device over the doc-level frame.
+    * Checkpoint literals derive from max(doc_id) — a bounded
+    * single-scalar driver collect of a partial-agged max. */
+  def corpusVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.countIf
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", size(expr(TextAnalysis.toksExpr)).cast("long").as("n_toks"))
+    val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+    val cps = (1 to vocabCheckpoints)
+      .map(i => math.ceil(i.toDouble * maxId / vocabCheckpoints).toLong)
+    val firstDoc = Tables.documents(s, dir)
+      .select($"doc_id", explode(expr(TextAnalysis.toksExpr)).as("term"))
+      .groupBy($"term").agg(min($"doc_id").as("first_doc"))
+    val vCols = cps.map(c => countIf($"first_doc" <= c).as(s"v$c"))
+    val vocabRow = firstDoc.agg(vCols.head, vCols.tail: _*)
+    val dCols = cps.map(c => countIf($"doc_id" <= c).as(s"d$c")) ++
+      cps.map(c => sum(when($"doc_id" <= c, $"n_toks").otherwise(0L)).as(s"t$c"))
+    val docRow = docs.agg(dCols.head, dCols.tail: _*)
+    val stacked = cps.map(c =>
+      s"struct(CAST($c AS BIGINT) AS checkpoint_id, d$c AS n_docs, t$c AS n_tokens, v$c AS vocab)")
+      .mkString("array(", ", ", ")")
+    docRow.crossJoin(vocabRow)
+      .select(explode(expr(stacked)).as("r"))
+      .select($"r.checkpoint_id", $"r.n_docs", $"r.n_tokens", $"r.vocab")
+      .orderBy($"checkpoint_id")
+  }
+
+  val corpusVocabGrowthSql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+       |cps AS (
+       |  SELECT CAST(ceil(i * CAST(m AS DOUBLE) / $vocabCheckpoints) AS BIGINT) AS checkpoint_id
+       |  FROM mx, unnest(range(1, $vocabCheckpoints + 1)) AS u(i)),
+       |d AS (
+       |  SELECT doc_id,
+       |    CAST(len(${TextAnalysis.duckToks}) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |fd AS (
+       |  SELECT t AS term, min(doc_id) AS first_doc
+       |  FROM (SELECT doc_id, unnest(${TextAnalysis.duckToks}) AS t FROM documents)
+       |  GROUP BY 1)
+       |SELECT c.checkpoint_id,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM d WHERE doc_id <= c.checkpoint_id) AS n_docs,
+       |  (SELECT CAST(coalesce(sum(n_toks), 0) AS BIGINT) FROM d WHERE doc_id <= c.checkpoint_id) AS n_tokens,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM fd WHERE first_doc <= c.checkpoint_id) AS vocab
+       |FROM cps c ORDER BY checkpoint_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_vocab_growth" -> (corpusVocabGrowth _),
     "corpus_pmi"        -> (corpusPmi _),
     "corpus_shuffle"    -> (corpusShuffle _),
     "corpus_heavy_hitters" -> (corpusHeavyHitters _),
@@ -1066,6 +1136,7 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_vocab_growth" -> corpusVocabGrowthSql,
     "corpus_pmi"        -> corpusPmiSql,
     "corpus_shuffle"    -> corpusShuffleSql,
     "corpus_heavy_hitters" -> corpusHeavyHittersSql,

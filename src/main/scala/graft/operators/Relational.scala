@@ -299,6 +299,48 @@ object Relational {
        |GROUP BY c_count
        |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
+  /** Quantity threshold for [[qBigOrders]] — ~0.3% of orders qualify
+    * at every SF (the Q18 selectivity shape). */
+  private val bigOrderQty = 300.0
+
+  /** §2.3 — large-volume orders (TPC-H Q18 shape): orders whose total
+    * line quantity exceeds [[bigOrderQty]], with customer context.
+    * The HAVING runs as a partial-agged groupBy on the FACT table
+    * before any join: lineitem collapses map-side to per-order sums,
+    * the filter kills ~99.7% of keys, and only qualifying orders
+    * touch the orders⋈customer side — the aggregate predicate prunes
+    * the join input rather than filtering its output. At 100 TB the
+    * qualifying set is small enough that AQE converts the orders join
+    * probe to broadcast at runtime. Ref: the reference's batch
+    * roll-up surface (lib.ts getBatchStatus aggregates) has no Q18
+    * analog; this row is part of the §2.3 relational core. */
+  def qBigOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qty = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > bigOrderQty)
+    Tables.orders(s, dir)
+      .join(qty, $"o_orderkey" === $"l_orderkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  val qBigOrdersSql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+       |FROM orders
+       |JOIN (
+       |  SELECT l_orderkey, ${dsumSql("l_quantity")} AS sum_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING ${dsumSql("l_quantity")} > $bigOrderQty
+       |) ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey
+       |LIMIT 100""".stripMargin
+
   /** Distinct + conditional aggregation per nation. */
   def qDistinctAgg(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1787,6 +1829,7 @@ object Relational {
     "q_constraints"      -> (qConstraints _),
     "q_k_anonymity"      -> (qKAnonymity _),
     "q_custdist"         -> (qCustdist _),
+    "q_big_orders"       -> (qBigOrders _),
     "q_asof_nearest"     -> (qAsofNearest _),
     "q_correlation"      -> (qCorrelation _),
     "q_regression"       -> (qRegression _),
@@ -1833,6 +1876,7 @@ object Relational {
     "q_constraints"      -> qConstraintsSql,
     "q_k_anonymity"      -> qKAnonymitySql,
     "q_custdist"         -> qCustdistSql,
+    "q_big_orders"       -> qBigOrdersSql,
     "q_asof_nearest"     -> qAsofNearestSql,
     "q_correlation"      -> qCorrelationSql,
     "q_regression"       -> qRegressionSql,

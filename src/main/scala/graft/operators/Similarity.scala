@@ -322,17 +322,81 @@ object Similarity {
 
   // -------------------------------------------------------------------
 
+  /** Outliers reported per label by [[embedOutliers]]. */
+  private val outlierK = 5
+
+  /** §2.5 — embedding-space outlier detection: per label, the
+    * [[outlierK]] vectors FARTHEST from their label centroid — the
+    * mislabeled/degenerate-embedding audit a curation pipeline runs
+    * over every embedded corpus (an outlier in its own class is a
+    * labeling error or an encoder failure).
+    *
+    * Exactness (same device as [[embedCentroids]]): components
+    * quantize to 1e-6 longs row-local, centroid components derive
+    * from exact integer sums, and each vector's squared distance to
+    * its centroid is an exact integer Σ(q−mq)² — float enters only
+    * at the final sqrt, then quantized. Scale shape: the centroid
+    * table is |labels|×dims (KB) and BROADCAST to the per-element
+    * join, whose output partial-aggregates per vec_id before any
+    * exchange; the final per-label top-k runs on the bounded-heap
+    * [[graft.plans.TopK.perGroup]] keyed by the exact integer
+    * distance — no global or per-label sort. */
+  def embedOutliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", posexplode(expr(VectorFns.asDouble("embedding"))))
+      .select($"vec_id", $"label", $"pos".as("dim"),
+        expr("CAST(floor(col * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("q"))
+    val cent = q.groupBy($"label", $"dim")
+      .agg(sum($"q").as("sq"), count(lit(1)).as("n"))
+      .select($"label", $"dim",
+        expr("CAST(floor(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("mq"))
+    val dist = q.join(broadcast(cent), Seq("label", "dim"))
+      .groupBy($"vec_id", $"label")
+      .agg(sum(($"q" - $"mq") * ($"q" - $"mq")).as("sd"))
+    graft.plans.TopK.perGroup(dist, Seq("label"),
+        Seq("sd" -> true, "vec_id" -> false), outlierK)
+      .select($"label", $"rank", $"vec_id",
+        expr(rndSql("sqrt(CAST(sd AS DOUBLE)) / 1000000.0", 6)).as("dist"))
+      .orderBy($"label", $"rank")
+  }
+
+  val embedOutliersSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label, i AS dim,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS q
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+       |c AS (
+       |  SELECT label, dim,
+       |    CAST(floor(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mq
+       |  FROM q GROUP BY 1, 2),
+       |d AS (
+       |  SELECT q.vec_id, q.label,
+       |    CAST(sum((q.q - c.mq) * (q.q - c.mq)) AS BIGINT) AS sd
+       |  FROM q JOIN c ON q.label = c.label AND q.dim = c.dim
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT label, vec_id, sd,
+       |    row_number() OVER (PARTITION BY label ORDER BY sd DESC, vec_id) AS rank
+       |  FROM d)
+       |SELECT label, rank, vec_id,
+       |  ${rndSql("sqrt(CAST(sd AS DOUBLE)) / 1000000.0", 6)} AS dist
+       |FROM r WHERE rank <= $outlierK
+       |ORDER BY label, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh"        -> (annLsh _),
     "ann_matryoshka" -> (annMatryoshka _),
-    "embed_centroids" -> (embedCentroids _)
+    "embed_centroids" -> (embedCentroids _),
+    "embed_outliers" -> (embedOutliers _)
   )
 
   def oracles: Map[String, String] =
     Map("ann_bruteforce" -> annBruteforceSql,
         "ann_matryoshka" -> annMatryoshkaSql,
-        "embed_centroids" -> embedCentroidsSql) ++
+        "embed_centroids" -> embedCentroidsSql,
+        "embed_outliers" -> embedOutliersSql) ++
       graft.sources.OracleStage.globOf("lsh_buckets")
         .map(g => "ann_lsh" -> annLshSql(g))
 }

@@ -486,6 +486,51 @@ object TextAnalysis {
        |WHERE rank <= $keywordsK ORDER BY doc_id, rank""".stripMargin
   }
 
+  /** §2.6 — readability scoring: Flesch reading-ease and
+    * Flesch-Kincaid grade per document from three row-local counts —
+    * words (whitespace tokens), sentences (terminal-punctuation runs,
+    * floored at 1 so fragmentary docs don't divide by zero), and
+    * syllables (vowel-group runs — the standard dictionary-free
+    * approximation). Pure scan work: zero shuffles, codegen'd regex
+    * counts, identical RE2∩Java patterns on both engines, constants
+    * are the published Flesch coefficients, arithmetic written in the
+    * same association order on both sides and quantized at 1e-4. */
+  def textReadability(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    Tables.documents(s, dir)
+      .withColumn("n_words", size(expr(toksExpr)).cast("long"))
+      .withColumn("n_sentences",
+        greatest(lit(1L), size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")))
+      .withColumn("n_syllables",
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long"))
+      .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+        rnd(lit(206.835d)
+          - lit(1.015d) * $"n_words".cast("double") / $"n_sentences".cast("double")
+          - lit(84.6d) * $"n_syllables".cast("double") / $"n_words".cast("double"), 4)
+          .as("flesch"),
+        rnd(lit(0.39d) * $"n_words".cast("double") / $"n_sentences".cast("double")
+          + lit(11.8d) * $"n_syllables".cast("double") / $"n_words".cast("double")
+          - lit(15.59d), 4).as("fk_grade"))
+      .orderBy($"doc_id")
+  }
+
+  val textReadabilitySql: String = {
+    import graft.functions.Agg.rndSql
+    val wps = "CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)"
+    val spw = "CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)"
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(len($duckToks) AS BIGINT) AS n_words,
+       |    greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |  ${rndSql(s"CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * $wps - CAST(84.6 AS DOUBLE) * $spw", 4)} AS flesch,
+       |  ${rndSql(s"CAST(0.39 AS DOUBLE) * $wps + CAST(11.8 AS DOUBLE) * $spw - CAST(15.59 AS DOUBLE)", 4)} AS fk_grade
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
   /** Entropy prefix cap: per-document work is O(distinct-chars ×
     * prefix), bounded by the clock-constant below — a 10 GB document
     * costs the same as a 4 KB one. */
@@ -654,7 +699,8 @@ object TextAnalysis {
     "text_search"      -> (textSearch _),
     "text_search_indexed" -> (textSearchIndexed _),
     "text_cosine_pairs"  -> (textCosinePairs _),
-    "corpus_keywords"  -> (corpusKeywords _)
+    "corpus_keywords"  -> (corpusKeywords _),
+    "text_readability" -> (textReadability _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -669,6 +715,7 @@ object TextAnalysis {
     // bit-identical to the from-scratch path — shares its oracle
     "text_search_indexed" -> textSearchSql,
     "text_cosine_pairs"  -> textCosinePairsSql,
-    "corpus_keywords"  -> corpusKeywordsSql
+    "corpus_keywords"  -> corpusKeywordsSql,
+    "text_readability" -> textReadabilitySql
   )
 }
