@@ -70,6 +70,15 @@ final case class AnomalyState(
 final case class AnomalyOut(
   event_type: String, event_id: Long, value: Double, n_prior: Long, zscore: Double)
 
+/** Per-user rate-limit state: the open tumbling window and its
+  * admitted count — two longs, O(1) per user. */
+final case class RateLimitState(bucketUs: Long, admitted: Long)
+
+/** One admitted event (rejections emit nothing — the admit stream IS
+  * the throttled output). */
+final case class RateAdmit(
+  user_id: Long, event_id: Long, bucket_us: Long, admit_seq: Long)
+
 /** Stateful streaming counterparts of the batch operators.
   *
   * [[sessionWindows]]: Spark's native session_window — the SAME
@@ -698,7 +707,90 @@ object StreamOps {
        |FROM z WHERE abs(zscore) > $anomalyZ
        |ORDER BY event_type, event_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // stream_rate_limit — per-user event-time admission control
+  // ------------------------------------------------------------------
+
+  /** Tumbling admission window (µs): 24 h. */
+  private[graft] val rateWindowUs: Long = 86400L * 1000000L
+  /** Events admitted per user per window. */
+  private[graft] val rateLimitN: Long = 5L
+
+  /** Per-user token-bucket admission: admit the first [[rateLimitN]]
+    * events per user per event-time [[rateWindowUs]] window, drop the
+    * rest — the ingest throttle (abuse control / per-contributor
+    * corpus caps) run as a stream. State is two longs per user: the
+    * open window and its fill. A new window resets the count; events
+    * regressing behind the open window are discarded (same
+    * finalized-horizon guard as the resample/markov machines — the
+    * admit stream is append-only, so re-opening an earlier window
+    * could re-admit into history). Run to completion with per-key
+    * in-order delivery this equals the batch rank-per-(user, window)
+    * ≤ N — the DuckDB oracle. */
+  private[graft] def rateLimitFn(
+      userId: Long,
+      events: Iterator[FunnelEvent],
+      state: GroupState[RateLimitState]): Iterator[RateAdmit] = {
+    val sorted = events.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var st = state.getOption.getOrElse(RateLimitState(Long.MinValue, 0L))
+    val out = Vector.newBuilder[RateAdmit]
+    sorted.foreach { e =>
+      val b = e.ts_us - java.lang.Math.floorMod(e.ts_us, rateWindowUs)
+      if (b >= st.bucketUs) {
+        if (b > st.bucketUs) st = RateLimitState(b, 0L)
+        if (st.admitted < rateLimitN) {
+          st = st.copy(admitted = st.admitted + 1)
+          out += RateAdmit(userId, e.event_id, b, st.admitted)
+        }
+      } // else: regressor behind the open window — discard
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  private[graft] def rateLimitFrom(stream: DataFrame): Dataset[RateAdmit] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream
+      .select($"user_id", $"event_type", unix_micros($"ts").as("ts_us"), $"event_id")
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(rateLimitFn)
+  }
+
+  def runRateLimitToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_rate_limit"): DataFrame = {
+    import s.implicits._
+    val q = rateLimitFrom(StreamAcc.eventsStream(s, dir)).toDF().writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .select($"user_id", $"event_id",
+        timestamp_micros($"bucket_us").as("window_start"), $"admit_seq")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Oracle: the batch formulation — arrival rank per (user, window)
+    * capped at N. */
+  val rateLimitSql: String =
+    s"""SELECT user_id, event_id,
+       |  make_timestamp((epoch_us(ts) // $rateWindowUs) * $rateWindowUs) AS window_start,
+       |  admit_seq
+       |FROM (
+       |  SELECT user_id, event_id, ts,
+       |    row_number() OVER (
+       |      PARTITION BY user_id, epoch_us(ts) // $rateWindowUs
+       |      ORDER BY ts, event_id) AS admit_seq
+       |  FROM events)
+       |WHERE admit_seq <= $rateLimitN
+       |ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_rate_limit" -> ((s, dir) =>
+      runRateLimitToCompletion(s, dir, sink = "stream_rate_limit_verify")),
     "stream_anomaly" -> ((s, dir) =>
       runAnomaliesToCompletion(s, dir, sink = "stream_anomaly_verify")),
     "stream_markov" -> ((s, dir) =>
@@ -739,6 +831,9 @@ object StreamOps {
   /** stream_sessionize runs the same session_window operator as the
     * batch q_session_window, so it shares that oracle verbatim. */
   def oracles: Map[String, String] = Map(
+    // run to completion with per-key in-order delivery, the admission
+    // machine equals the batch per-(user, window) rank — see rateLimitSql
+    "stream_rate_limit"     -> rateLimitSql,
     // exact-moment state run to completion equals the batch
     // cumulative window — see streamAnomalySql
     "stream_anomaly"        -> streamAnomalySql,

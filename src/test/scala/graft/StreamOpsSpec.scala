@@ -237,6 +237,40 @@ class StreamOpsSpec extends SparkSpec {
     assert(st.get == FunnelState(100L, 200L, 300L))
   }
 
+  test("rate limiter fills, rolls windows, and discards regressors across micro-batches") {
+    import graft.streaming.{FunnelEvent, RateLimitState, RateAdmit}
+    import org.apache.spark.sql.streaming.TestGroupState
+    val W = StreamOps.rateWindowUs
+    val st = TestGroupState.create[RateLimitState](
+      optionalState = org.apache.spark.api.java.Optional.empty[RateLimitState](),
+      timeoutConf = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout,
+      batchProcessingTimeMs = 0L,
+      eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+      hasTimedOut = false)
+    // micro-batch 1: four events in window 0 (delivered out of order —
+    // imposed) fill 4 of the 5 slots
+    val b1 = StreamOps.rateLimitFn(7L, Iterator(
+      FunnelEvent(7L, "e", 400L, 4L), FunnelEvent(7L, "e", 100L, 1L),
+      FunnelEvent(7L, "e", 300L, 3L), FunnelEvent(7L, "e", 200L, 2L)), st).toList
+    assert(b1.map(_.admit_seq) == List(1L, 2L, 3L, 4L), b1.toString)
+    assert(st.get == RateLimitState(0L, 4L))
+    // micro-batch 2: one admit exhausts window 0, the next two reject,
+    // a window-1 event resets the count, and a regressor behind the
+    // open window is discarded (not re-admitted into history)
+    val b2 = StreamOps.rateLimitFn(7L, Iterator(
+      FunnelEvent(7L, "e", 500L, 5L), FunnelEvent(7L, "e", 600L, 6L),
+      FunnelEvent(7L, "e", 700L, 7L), FunnelEvent(7L, "e", W + 10L, 8L),
+      FunnelEvent(7L, "e", W + 20L, 9L)), st).toList
+    assert(b2 == List(
+      RateAdmit(7L, 5L, 0L, 5L),
+      RateAdmit(7L, 8L, W, 1L), RateAdmit(7L, 9L, W, 2L)), b2.toString)
+    // micro-batch 3: a late window-0 event after the roll — discarded
+    val b3 = StreamOps.rateLimitFn(7L, Iterator(
+      FunnelEvent(7L, "e", 800L, 10L)), st).toList
+    assert(b3.isEmpty, b3.toString)
+    assert(st.get == RateLimitState(W, 2L))
+  }
+
   test("resample drops cross-batch late arrivals behind the closed high-water bucket") {
     import graft.streaming.{ValueEvent, ResampleState, ResampleOut}
     import org.apache.spark.sql.streaming.TestGroupState
