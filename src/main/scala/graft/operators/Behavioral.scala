@@ -557,10 +557,13 @@ object Behavioral {
         raw.filter(if (since) $"ts" >= nsCut else $"ts" < nsCut)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       } else {
-        val cut = lit(mvCutoff).cast("timestamp")
+        // NTZ or TIMESTAMP alike: cast the literal to the column's own
+        // type so the comparison stays a pushable parquet predicate
+        // (session tz is pinned UTC — the instant is identical).
+        val cut = lit(mvCutoff).cast(raw.schema("ts").dataType)
         raw.filter(if (since) $"ts" >= cut else $"ts" < cut)
       }
-    sliced
+    Tables.normalizeEventTs(sliced)
   }
 
   /** The MV's mergeable partial state per (event_type, day):

@@ -696,6 +696,54 @@ object Dedup {
        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        |FROM labs ORDER BY vec_id""".stripMargin
 
+  /** Bucketed bidirectional edge artifact for
+    * [[dedupClustersEmbeddingIndexed]]: the cosine-τ pair graph —
+    * the dominant cost of 29j (LSH banding + re-rank, ~6 of 9 s at
+    * sf0.1) — persisted bucketed+sorted on `src`, so every
+    * propagation round's edge⋈label join reads the edge side
+    * exchange-free. Same amortization [[graph_pagerank_indexed]]
+    * demonstrates: a semantic-dedup deploy re-clusters (τ sweeps,
+    * re-canonicalization after deletes) far more often than it
+    * re-embeds, so the edge build is paid once at write time. */
+  val embedClusterIndexTable = "graft_embed_cluster_edges"
+  val embedClusterIndexBuckets = 16
+
+  def buildEmbedClusterIndex(s: SparkSession, dir: String,
+                             table: String = embedClusterIndexTable): Unit = {
+    import s.implicits._
+    val p = embeddingPairs(s, dir).select($"id1".as("doc1"), $"id2".as("doc2"))
+    graft.sources.Sinks.writeBucketed(
+      p.union(p.select($"doc2", $"doc1")).toDF("src", "dst"),
+      table, Seq("src"), embedClusterIndexBuckets)
+  }
+
+  /** §2.4 #29j' — semantic cluster canonicalization over the PERSISTED
+    * edge index: identical propagation (shares 29j's transitive-closure
+    * oracle verbatim); per round the only exchanges are the label
+    * frame hashing onto the bucket layout and the min-aggregate —
+    * the edge table never re-shuffles (PlanSpec asserts it). */
+  def dedupClustersEmbeddingIndexed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildEmbedClusterIndex(s, dir)
+    clustersOfEdges(s, Tables.embeddings(s, dir).select($"vec_id".as("doc_id")),
+        s.table(embedClusterIndexTable), maxClusterIters)
+      .select($"doc_id".as("vec_id"), $"canonical_id", $"cluster_size")
+  }
+
+  /** One propagation round's edge⋈label join + min-aggregate over the
+    * persisted index (labels checkpointed, as in the loop) — the plan
+    * the exchange-free spec audits. Requires [[buildEmbedClusterIndex]]
+    * to have run. */
+  private[graft] def embedClusterRoundPlan(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val e = s.table(embedClusterIndexTable)
+    val labels = e.select($"src".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id").localCheckpoint(true)
+    e.join(labels.withColumnRenamed("doc_id", "src"), "src")
+      .select($"dst".as("doc_id"), $"label")
+      .groupBy($"doc_id").agg(min($"label").as("label"))
+  }
+
   /** Round count of the most recent [[clustersOf]] run — spec
     * observability for the pointer-jumping convergence bound. */
   private[graft] val lastClusterRounds = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -709,6 +757,20 @@ object Dedup {
     val p = pairDf.select($"doc1", $"doc2")
     val edges = p.union(p.select($"doc2", $"doc1")).toDF("src", "dst").persist()
     edges.count() // materialize once; every round re-reads the cache
+    try clustersOfEdges(s, universe, edges, maxIters)
+    finally edges.unpersist()
+  }
+
+  /** Propagation core over an ALREADY-BIDIRECTIONAL `src, dst` edge
+    * frame. Callers own edge materialization: [[clustersOf]] caches a
+    * freshly-built pair union; [[dedupClustersEmbeddingIndexed]] passes
+    * the persisted bucketed edge table directly, so each round's
+    * edge⋈label join reads the edge side exchange-free off disk
+    * (caching would let the planner drop the bucketed-scan layout —
+    * the on-disk bucketing IS the partitioning contract). */
+  private[graft] def clustersOfEdges(s: SparkSession, universe: DataFrame,
+                         edges: DataFrame, maxIters: Int): DataFrame = {
+    import s.implicits._
     // Propagate over edge-vertices only: a document with no near-dup
     // pair can never change label, so the per-round state is
     // O(|pair-graph vertices|) — at 100 TB that is the (small) dup
@@ -756,7 +818,6 @@ object Dedup {
       org.apache.spark.sql.classic.GraftPlans.unpersistLocalCheckpoint(prev)
       rounds += 1
     }
-    edges.unpersist()
     lastClusterRounds.set(rounds)
     // A silent cap-exit would return labels that are NOT component
     // minima and quietly diverge from the transitive-closure oracle.
@@ -995,6 +1056,7 @@ object Dedup {
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_clusters_minhash" -> (dedupClustersMinhash _),
     "dedup_clusters_embedding" -> (dedupClustersEmbedding _),
+    "dedup_clusters_embedding_indexed" -> (dedupClustersEmbeddingIndexed _),
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_paragraph"     -> (dedupParagraph _),
     "dedup_substring"     -> (dedupSubstring _)
@@ -1020,6 +1082,8 @@ object Dedup {
       // transitive-closure oracle verbatim
       "dedup_clusters_minhash" -> dedupClustersSql,
       "dedup_clusters_embedding" -> dedupClustersEmbeddingSql,
+      // identical recurrence over the persisted edge artifact
+      "dedup_clusters_embedding_indexed" -> dedupClustersEmbeddingSql,
       "dedup_paragraph"     -> dedupParagraphSql,
       "dedup_substring"     -> dedupSubstringSql
     ) ++

@@ -3,7 +3,6 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
 
 import graft.operators.Accumulator
 
@@ -48,14 +47,11 @@ object StreamAcc {
     s.readStream.schema(raw.schema).parquet(streamDir)
   }
 
-  /** Events stream with the same nanos→micros conversion as
-    * Tables.events. */
-  def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val stream = fileStream(s, dir, "events")
-    if (stream.schema("ts").dataType == LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
-  }
+  /** Events stream normalized through the same shared `ts` normalizer
+    * as the batch reader ([[graft.sources.Tables.normalizeEventTs]]) —
+    * one place handles LONG-nanos / TIMESTAMP_NTZ / TIMESTAMP. */
+  def eventsStream(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.normalizeEventTs(fileStream(s, dir, "events"))
 
   /** Streaming tumbling-window flush: same grouping as the batch
     * [[Accumulator.accTimeFlush]] minus the global seq (assigned at

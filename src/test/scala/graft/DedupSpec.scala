@@ -266,6 +266,15 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("indexed embedding clusters match the direct variant exactly") {
+    val direct = Dedup.dedupClustersEmbedding(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val indexed = Dedup.dedupClustersEmbeddingIndexed(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(indexed == direct,
+      s"diff: ${(indexed diff direct).take(3)} / ${(direct diff indexed).take(3)}")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedupEmbedding(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -229,6 +229,20 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("indexed embedding-cluster round reads the persisted edge table exchange-free") {
+    val s = spark
+    graft.operators.Dedup.buildEmbedClusterIndex(s, sfDir)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = s.conf.get(key)
+    try {
+      s.conf.set(key, "-1")
+      val p = plan(graft.operators.Dedup.embedClusterRoundPlan(s))
+      assert(p.contains("Bucketed: true"), p)
+      assert("Exchange".r.findAllIn(p).length == 2,
+        s"edge side must not reshuffle — label-probe + min-agg exchanges only:\n$p")
+    } finally s.conf.set(key, orig)
+  }
+
   test("corpus_shuffle positions come from bucketed ranks, not a one-task sort") {
     val p = plan(graft.operators.Pipeline.corpusShuffle(spark, sfDir))
     val rowWindows = p.linesIterator

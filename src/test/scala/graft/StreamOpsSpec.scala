@@ -128,11 +128,25 @@ class StreamOpsSpec extends SparkSpec {
   }
 
   test("funnel and resample survive a genuinely multi-micro-batch replay") {
+    multiBatchReplayParity(sfDir, "mb")
+  }
+
+  test("multi-micro-batch replay holds at sf0.1 volume") {
+    // same proof against the big SF: the state machines must stay
+    // replay-exact when each micro-batch carries real data volume,
+    // not just the small spec corpus
+    val big = "/root/testdata/sf0.1"
+    assume(new java.io.File(big, "events.parquet").exists())
+    multiBatchReplayParity(big, "mb01")
+  }
+
+  /** Stages `dir`'s events as THREE time-ordered files and feeds them
+    * one per micro-batch (maxFilesPerTrigger=1) — the state machines
+    * must carry open chains / open buckets across real micro-batch
+    * boundaries, not just within one replay batch. `tag` keys the
+    * memory sinks so SF variants don't collide. */
+  private def multiBatchReplayParity(sfDir: String, tag: String): Unit = {
     val s = spark; import s.implicits._
-    // stage events as THREE time-ordered files and feed them one per
-    // micro-batch (maxFilesPerTrigger=1) — the state machines must
-    // carry open chains / open buckets across real micro-batch
-    // boundaries, not just within one replay batch
     import org.apache.spark.sql.functions.unix_micros
     val dir = java.nio.file.Files.createTempDirectory("graft-multibatch").toString
     val ev = graft.sources.Tables.events(s, sfDir)
@@ -161,27 +175,27 @@ class StreamOpsSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(staged)
 
     val fq = StreamOps.funnelHitsFrom(stream).toDF().writeStream
-      .format("memory").queryName("mb_funnel").outputMode("append")
+      .format("memory").queryName(s"${tag}_funnel").outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     fq.awaitTermination()
     assert(fq.recentProgress.count(_.numInputRows > 0) >= 3,
       "expected at least three non-empty micro-batches")
-    val streamedF = s.table("mb_funnel").collect()
+    val streamedF = s.table(s"${tag}_funnel").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     def tsUs(t: java.sql.Timestamp): Long =
       t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
-    val expectedF = StreamOps.runFunnelToCompletion(s, sfDir, sink = "mb_funnel_ref")
+    val expectedF = StreamOps.runFunnelToCompletion(s, sfDir, sink = s"${tag}_funnel_ref")
       .collect().map(r => (r.getLong(0), r.getLong(1), tsUs(r.getTimestamp(2)))).toSet
     assert(streamedF == expectedF,
       s"multi-batch funnel diverged: ${(streamedF -- expectedF).take(3)} / ${(expectedF -- streamedF).take(3)}")
 
     val rq = StreamOps.resampleStreamFrom(stream).toDF().writeStream
-      .format("memory").queryName("mb_resample").outputMode("append")
+      .format("memory").queryName(s"${tag}_resample").outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     rq.awaitTermination()
-    val streamedR = s.table("mb_resample").collect()
+    val streamedR = s.table(s"${tag}_resample").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getString(4))).toSet
-    val expectedR = StreamOps.runResampleToCompletion(s, sfDir, sink = "mb_resample_ref")
+    val expectedR = StreamOps.runResampleToCompletion(s, sfDir, sink = s"${tag}_resample_ref")
       .collect().map(r => (r.getString(0), tsUs(r.getTimestamp(1)),
         r.getDouble(2), r.getLong(3), r.getString(4))).toSet
     assert(streamedR == expectedR,
