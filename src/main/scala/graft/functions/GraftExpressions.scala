@@ -68,6 +68,10 @@ object GraftExpressions {
       FunctionIdentifier("graft_entropy"),
       new ExpressionInfo(classOf[CharEntropyStats].getName, "graft_entropy"),
       (es: Seq[Expression]) => CharEntropyStats(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[TextNormalize].getName, "graft_normalize"),
+      (es: Seq[Expression]) => TextNormalize(es(0))))
     // Spark's internal bloom-filter pair (what InjectRuntimeFilter
     // plants automatically when stats allow), surfaced as session
     // functions so the engine can build EXPLICIT semi-join reductions:
@@ -445,5 +449,68 @@ case class CharEntropyStats(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): CharEntropyStats =
+    copy(child = newChild)
+}
+
+/** Canonical text normalization — the first step of every dedup /
+  * tokenization pipeline, where byte-different spellings of the same
+  * text (composed vs decomposed accents, case, ragged whitespace)
+  * must collapse BEFORE hashing or shingling, or every downstream
+  * exact/MinHash/SimHash signature fragments: Unicode NFC, then
+  * per-code-point simple lowercase, then ASCII whitespace runs
+  * collapsed to one space with ends trimmed — one pass, one string
+  * allocation, whole-stage-codegen'd.
+  *
+  * Cross-engine contract (the oracle is
+  * `trim(regexp_replace(lower(nfc_normalize(text)), ws+, ' ', 'g'))`):
+  * lowercase uses `Character.toLowerCase(int)` — Unicode SIMPLE case
+  * mapping, no locale/context rules — matching DuckDB's
+  * utf8proc-based `lower()` (e.g. both map Σ→σ everywhere; Java's
+  * String.toLowerCase would apply final-sigma ς contextually and
+  * diverge). Whitespace is the explicit ASCII class
+  * [ \t\n\r\f\x0B]; Unicode spaces (NBSP etc.) are DATA here —
+  * regex-engine \s classes differ across engines, a fixed class
+  * doesn't. */
+case class TextNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_normalize expects string, got ${child.dataType}")
+
+  def norm(s: UTF8String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(nfc.length)
+    var pendingSpace = false
+    var started = false
+    var i = 0
+    while (i < nfc.length) {
+      val cp = nfc.codePointAt(i)
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' ||
+        cp == '\f' || cp == 0x0B
+      if (ws) pendingSpace = started
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        started = true
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    norm(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val ref = ctx.addReferenceObj("normalize", this, classOf[TextNormalize].getName)
+      s"${ev.value} = $ref.norm($x);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TextNormalize =
     copy(child = newChild)
 }

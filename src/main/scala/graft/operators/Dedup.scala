@@ -78,6 +78,28 @@ object Dedup {
       |  count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
 
+  /** §2.4 #25' — exact dedup AFTER canonical normalization: the
+    * production layering (normalize → hash → groupBy) where
+    * byte-different spellings of the same content — case, ragged
+    * whitespace, composed vs decomposed accents — collapse to one
+    * canonical id that raw-byte [[dedupExact]] would keep apart.
+    * The normalizer is the codegen'd row-local
+    * [[graft.functions.TextNormalize]]; the shuffle is the same
+    * single content-hash exchange as dedup_exact. */
+  def dedupExactNormalized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .groupBy(md5(expr("graft_normalize(text)").cast("binary")).as("text_hash"))
+      .agg(min($"doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"canonical_id")
+  }
+
+  val dedupExactNormalizedSql: String =
+    """SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)),
+      |          '[ \t\n\r\f\x0b]+', ' ', 'g'))) AS text_hash,
+      |  min(doc_id) AS canonical_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
+
   /** Chunk size (tokens) and drop threshold for [[dedupParagraph]]. */
   val chunkTokens = 5
   val chunkDropDf = 4
@@ -1047,6 +1069,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_exact"         -> (dedupExact _),
+    "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_containment"   -> (dedupContainment _),
@@ -1070,6 +1093,7 @@ object Dedup {
     import graft.sources.OracleStage.globOf
     Map(
       "dedup_exact"         -> dedupExactSql,
+      "dedup_exact_normalized" -> dedupExactNormalizedSql,
       "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
       // identical output by construction — the prefix filter is
       // lossless for Jaccard ≥ τ, so the ground-truth SQL is reused

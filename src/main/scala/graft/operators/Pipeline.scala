@@ -1112,7 +1112,54 @@ object Pipeline {
        |  (SELECT CAST(count(*) AS BIGINT) FROM fd WHERE first_doc <= c.checkpoint_id) AS vocab
        |FROM cps c ORDER BY checkpoint_id""".stripMargin
 
+  /** §2.8 #45i — source-weighted epoch upsampling: materializes the
+    * "source s is seen w_s epochs" training-mix recipe. Every doc
+    * repeats ⌊w⌋ times, and a deterministic `doc_id mod 100` slice of
+    * the source repeats once more, so a 1.5-epoch source emits every
+    * doc once and half its docs twice — exact, reproducible, and
+    * diffable run to run (the property a data recipe needs; random
+    * sampling isn't). Weights cycle 1.0/1.5/2.0 by the source's
+    * name-ordered ordinal — a stand-in for the recipe table a real
+    * pipeline supplies.
+    *
+    * Scale layout: the weight table is source-count-sized (its
+    * window sort is over ~dozens of rows) and broadcasts; the corpus
+    * side is row-local — predicate + explode(sequence), zero
+    * exchanges. 100 TB upsampling is a map-only job. */
+  def corpusUpsample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // source-count-sized frame only — the global sort is over ~dozens
+    // of distinct sources, never the corpus
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"source")
+    val weights = Tables.documents(s, dir).select($"source").distinct()
+      .withColumn("w", lit(1.0) + ((dense_rank().over(w) - 1) % 3).cast("double") * 0.5)
+    Tables.documents(s, dir).select($"doc_id", $"source")
+      .join(broadcast(weights), "source")
+      .withColumn("n_rep", (floor($"w") +
+        when(($"doc_id" % 100).cast("double") < round(($"w" - floor($"w")) * 100.0, 0), 1L)
+          .otherwise(0L)).cast("long"))
+      .select($"doc_id", $"source", $"w",
+        explode(sequence(lit(1L), $"n_rep")).as("copy_idx"))
+      .orderBy($"doc_id", $"copy_idx")
+  }
+
+  val corpusUpsampleSql: String =
+    """WITH wt AS (
+      |  SELECT source,
+      |    1.0 + (CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) - 1) % 3 * 0.5 AS w
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |d AS (
+      |  SELECT doc_id, doc.source, w,
+      |    CAST(floor(w) + CASE WHEN CAST(doc_id % 100 AS DOUBLE) <
+      |      round((w - floor(w)) * 100.0, 0) THEN 1 ELSE 0 END AS BIGINT) AS n_rep
+      |  FROM documents doc JOIN wt ON doc.source = wt.source)
+      |SELECT doc_id, source, w,
+      |  unnest(range(1, n_rep + 1)) AS copy_idx
+      |FROM d
+      |ORDER BY doc_id, copy_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_upsample"   -> (corpusUpsample _),
     "corpus_vocab_growth" -> (corpusVocabGrowth _),
     "corpus_pmi"        -> (corpusPmi _),
     "corpus_shuffle"    -> (corpusShuffle _),
@@ -1136,6 +1183,7 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_upsample"   -> corpusUpsampleSql,
     "corpus_vocab_growth" -> corpusVocabGrowthSql,
     "corpus_pmi"        -> corpusPmiSql,
     "corpus_shuffle"    -> corpusShuffleSql,

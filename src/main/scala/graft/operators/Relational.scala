@@ -381,7 +381,17 @@ object Relational {
       .groupBy($"event_type")
       .agg(
         approx_count_distinct($"user_id", approxDistinctRsd).as("approx_users"),
-        count(lit(1)).as("n_events"))
+        count(lit(1)).as("n_events"),
+        // evidence columns for the driver's rows-only artifact: the
+        // exact NDV (cheap at dump SF; the HLL column is the
+        // production path) plus the realized relative error and a
+        // bound check at the same 5×rsd slack RelationalSpec pins —
+        // the dump itself now carries the accuracy proof
+        countDistinct($"user_id").as("exact_users"))
+      .withColumn("rel_err",
+        round(abs($"approx_users" - $"exact_users").cast("double") /
+          $"exact_users".cast("double"), 6))
+      .withColumn("within_bound", $"rel_err" <= lit(5 * approxDistinctRsd))
       .orderBy($"event_type")
   }
 
@@ -1074,12 +1084,27 @@ object Relational {
     * |approx − exact| by the sketch's rank-error guarantee at sf0.1. */
   def qPercentilesApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // evidence columns for the driver's rows-only artifact: the exact
+    // quantile and the value-space rank-error bracket [φ±ε] at the
+    // same 10×(1/accuracy) contract slack ScaleSpec pins — the dump
+    // itself now carries the accuracy proof (exact percentile is the
+    // dump-SF yardstick; the sketch column is the production path)
+    val eps = 10.0 / percentileAccuracy
+    def exactAt(p: Double, name: String) =
+      expr(s"percentile(l_extendedprice, CAST($p AS DOUBLE))").as(name)
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
         expr(s"approx_percentile(l_extendedprice, CAST(0.5 AS DOUBLE), $percentileAccuracy)").as("p50"),
         expr(s"approx_percentile(l_extendedprice, CAST(0.95 AS DOUBLE), $percentileAccuracy)").as("p95"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        exactAt(0.5, "p50_exact"), exactAt(0.95, "p95_exact"),
+        exactAt(0.5 - eps, "p50_lo"), exactAt(0.5 + eps, "p50_hi"),
+        exactAt(0.95 - eps, "p95_lo"), exactAt(0.95 + eps, "p95_hi"))
+      .withColumn("p50_within_bound", $"p50" >= $"p50_lo" && $"p50" <= $"p50_hi")
+      .withColumn("p95_within_bound", $"p95" >= $"p95_lo" && $"p95" <= $"p95_hi")
+      .select($"l_returnflag", $"p50", $"p95", $"n",
+        $"p50_exact", $"p95_exact", $"p50_within_bound", $"p95_within_bound")
       .orderBy($"l_returnflag")
   }
 
@@ -1787,7 +1812,82 @@ object Relational {
        |GROUP BY dev.event_type
        |ORDER BY dev.event_type""".stripMargin
 
+  /** TPC-H Q14 shape — promo revenue share per ship-month: one
+    * broadcast dim join (part is the small side at every SF — parts
+    * grow ~1/7th of lineitem), conditional partial-agged sums, a
+    * row-local ratio. No shuffle ever carries lineitem: the only
+    * exchange is the month-count-sized aggregate. The share divides
+    * two exact quantized-long sums, so the ratio is bit-stable
+    * cross-engine. */
+  def q14PromoRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val promo = $"p_type".startsWith("PROMO")
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .withColumn("month", date_trunc("month", $"l_shipdate"))
+      .withColumn("rev_q", quantize($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).cast("long"))
+      .groupBy($"month")
+      .agg(
+        (sum(when(promo, $"rev_q").otherwise(0L)).cast("double") / lit(10000.0)).as("promo_revenue"),
+        (sum($"rev_q").cast("double") / lit(10000.0)).as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_share",
+        expr(Agg0.rndSql("100.0 * promo_revenue / total_revenue", 6)))
+      .select($"month", $"promo_revenue", $"total_revenue", $"n_items", $"promo_share")
+      .orderBy($"month")
+  }
+
+  val q14PromoRevenueSql: String =
+    s"""WITH q AS (
+       |  SELECT date_trunc('month', l_shipdate) AS month,
+       |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+       |         + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rev_q,
+       |    p_type LIKE 'PROMO%' AS is_promo
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |), m AS (
+       |  SELECT month,
+       |    CAST(sum(CASE WHEN is_promo THEN rev_q ELSE 0 END) AS DOUBLE) / 10000.0 AS promo_revenue,
+       |    CAST(sum(rev_q) AS DOUBLE) / 10000.0 AS total_revenue,
+       |    count(*) AS n_items
+       |  FROM q GROUP BY month
+       |)
+       |SELECT month, promo_revenue, total_revenue, n_items,
+       |  ${Agg0.rndSql("100.0 * promo_revenue / total_revenue", 6)} AS promo_share
+       |FROM m ORDER BY month""".stripMargin
+
+  /** TPC-H Q4 shape — order-priority counts over orders with at least
+    * one LATE lineitem (shipped >90 days after the order date). The
+    * EXISTS is a left-semi join on the orderkey equi-pair with the
+    * lateness comparison as a residual condition — the semi join
+    * short-circuits per order (no distinct, no count of the lineitem
+    * side) and the output is the priority-count-sized aggregate. */
+  def q4LateOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val late = Tables.lineitem(s, dir).select($"l_orderkey", $"l_shipdate")
+    Tables.orders(s, dir)
+      .join(late,
+        $"o_orderkey" === $"l_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4LateOrdersSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey
+      |    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q14_promo_revenue"  -> (q14PromoRevenue _),
+    "q4_late_orders"     -> (q4LateOrders _),
     "q_skew_join"        -> (qSkewJoin _),
     "q_mad_outliers"     -> (qMadOutliers _),
     "q_events_json"      -> (qEventsJson _),
@@ -1837,6 +1937,8 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q14_promo_revenue"  -> q14PromoRevenueSql,
+    "q4_late_orders"     -> q4LateOrdersSql,
     "q_skew_join"        -> qSkewJoinSql,
     "q_mad_outliers"     -> qMadOutliersSql,
     "q_events_json"      -> qEventsJsonSql,

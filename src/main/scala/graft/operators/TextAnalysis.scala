@@ -688,7 +688,39 @@ object TextAnalysis {
        |LIMIT $cosineTopN""".stripMargin
   }
 
+  /** §2.6 #35i — canonical text normalization (the pre-hash step of
+    * every dedup/tokenization pipeline): Unicode NFC + simple
+    * lowercase + ASCII-whitespace collapse via the codegen'd
+    * [[graft.functions.TextNormalize]] expression — one tight pass
+    * per document, no regex engine in the hot path (the oracle's
+    * regexp_replace formulation is the cross-engine yardstick, not
+    * the production implementation). Row-local and pipelined: at
+    * 100 TB this runs inside the scan's whole-stage-codegen with
+    * zero exchanges. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("text_norm", expr("graft_normalize(text)"))
+      .select($"doc_id", $"text_norm",
+        length($"text_norm").cast("long").as("n_chars_norm"),
+        ($"text_norm" =!= $"text").as("changed"))
+      .orderBy($"doc_id")
+  }
+
+  val textNormalizeSql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(lower(nfc_normalize(text)),
+      |                        '[ \t\n\r\f\x0b]+', ' ', 'g')) AS text_norm,
+      |    text
+      |  FROM documents)
+      |SELECT doc_id, text_norm,
+      |  CAST(length(text_norm) AS BIGINT) AS n_chars_norm,
+      |  text_norm <> text AS changed
+      |FROM n ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize"   -> (textNormalize _),
     "text_entropy"     -> (textEntropy _),
     "text_stats"       -> (textStats _),
     "text_quality"     -> (textQuality _),
@@ -704,6 +736,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_normalize"   -> textNormalizeSql,
     "text_entropy"     -> textEntropySql,
     "text_stats"       -> textStatsSql,
     "text_quality"     -> textQualitySql,

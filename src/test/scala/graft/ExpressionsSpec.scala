@@ -118,4 +118,35 @@ class ExpressionsSpec extends SparkSpec {
       assert(l.contains("*("), s"Project outside whole-stage codegen:\n$plan"))
     assert(df.limit(1).collect().length == 1)
   }
+
+  test("graft_normalize: NFC composition, simple lowercase, whitespace collapse") {
+    val s = spark; import s.implicits._
+    val cases = Seq(
+      // decomposed e + combining acute must compose THEN lowercase
+      ("Café  DU  MONDE", "café du monde"),
+      // simple (context-free) sigma mapping: both Σ map to σ, never ς
+      ("ΣΙΣΥΦΟΣ", "σισυφοσ"),
+      // ragged ASCII whitespace collapses; ends trim
+      ("  a\t\tb\r\nc\f d ", "a b c d"),
+      // NBSP is NOT in the ASCII class — it is data, preserved
+      ("a b", "a b"),
+      ("", ""))
+    val rows = cases.map(_._1).toDF("t")
+      .selectExpr("graft_normalize(t)").as[String].collect()
+    rows.zip(cases).foreach { case (got, (in, want)) =>
+      assert(got == want, s"normalize(${in.replace("\n", "\\n")}) = $got, want $want")
+    }
+    // parity with the oracle formulation on real corpus text
+    val viaExpr = graft.sources.Tables.documents(s, sfDir)
+      .selectExpr("doc_id", "graft_normalize(text) AS n").as[(Long, String)]
+      .collect().toMap
+    val viaSql = graft.sources.Tables.documents(s, sfDir)
+      .selectExpr("doc_id",
+        """trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0b]+', ' ')) AS n""")
+      .as[(Long, String)].collect().toMap
+    // Spark lacks an NFC builtin — corpus text must already be NFC for
+    // this cross-formulation check (true of the generated corpus); the
+    // literal cases above pin the NFC behavior itself
+    assert(viaExpr == viaSql)
+  }
 }
