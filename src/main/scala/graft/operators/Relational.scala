@@ -377,21 +377,24 @@ object Relational {
 
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, dir)
-      .groupBy($"event_type")
+    val ev = Tables.events(s, dir)
+    val approx = ev.groupBy($"event_type")
       .agg(
         approx_count_distinct($"user_id", approxDistinctRsd).as("approx_users"),
-        count(lit(1)).as("n_events"),
-        // evidence columns for the driver's rows-only artifact: the
-        // exact NDV (cheap at dump SF; the HLL column is the
-        // production path) plus the realized relative error and a
-        // bound check at the same 5×rsd slack RelationalSpec pins —
-        // the dump itself now carries the accuracy proof
-        countDistinct($"user_id").as("exact_users"))
+        count(lit(1)).as("n_events"))
+    // evidence columns for the driver's rows-only artifact: the exact
+    // NDV via the BOUNDED two-phase exact-distinct layout — shrink to
+    // distinct (event_type, user_id) pairs (agg state = just the group
+    // key), then count per type — NOT an in-agg countDistinct, whose
+    // Expand would fold the exact path into the sketch query's own
+    // aggregate and make the bench measure it
+    val exact = ev.select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type").agg(count(lit(1)).as("exact_users"))
+    approx.join(exact, Seq("event_type"))
       .withColumn("rel_err",
         round(abs($"approx_users" - $"exact_users").cast("double") /
           $"exact_users".cast("double"), 6))
-      .withColumn("within_bound", $"rel_err" <= lit(5 * approxDistinctRsd))
+      .withColumn("within_bound", $"rel_err" <= lit(3 * approxDistinctRsd))
       .orderBy($"event_type")
   }
 
@@ -1080,31 +1083,21 @@ object Relational {
     * bounded mergeable quantile sketch (Greenwald-Khanna style,
     * O(accuracy·log n) state) per group instead of buffering every
     * value, so one hot group can't blow an aggregation buffer.
-    * Engine-specific sketch → rows-only driver check; ScaleSpec bounds
-    * |approx − exact| by the sketch's rank-error guarantee at sf0.1. */
+    * Engine-specific sketch → rows-only driver check. The accuracy
+    * evidence deliberately lives OUTSIDE this query: ScaleSpec bounds
+    * |approx − exact| by the sketch's rank-error guarantee at sf0.1
+    * (exact percentile() there buffers every value per group — the
+    * unbounded state this query exists to avoid, so carrying it as
+    * in-dump evidence columns would defeat the query's own scale
+    * story and make the bench measure the exact path). */
   def qPercentilesApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // evidence columns for the driver's rows-only artifact: the exact
-    // quantile and the value-space rank-error bracket [φ±ε] at the
-    // same 10×(1/accuracy) contract slack ScaleSpec pins — the dump
-    // itself now carries the accuracy proof (exact percentile is the
-    // dump-SF yardstick; the sketch column is the production path)
-    val eps = 10.0 / percentileAccuracy
-    def exactAt(p: Double, name: String) =
-      expr(s"percentile(l_extendedprice, CAST($p AS DOUBLE))").as(name)
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
         expr(s"approx_percentile(l_extendedprice, CAST(0.5 AS DOUBLE), $percentileAccuracy)").as("p50"),
         expr(s"approx_percentile(l_extendedprice, CAST(0.95 AS DOUBLE), $percentileAccuracy)").as("p95"),
-        count(lit(1)).as("n"),
-        exactAt(0.5, "p50_exact"), exactAt(0.95, "p95_exact"),
-        exactAt(0.5 - eps, "p50_lo"), exactAt(0.5 + eps, "p50_hi"),
-        exactAt(0.95 - eps, "p95_lo"), exactAt(0.95 + eps, "p95_hi"))
-      .withColumn("p50_within_bound", $"p50" >= $"p50_lo" && $"p50" <= $"p50_hi")
-      .withColumn("p95_within_bound", $"p95" >= $"p95_lo" && $"p95" <= $"p95_hi")
-      .select($"l_returnflag", $"p50", $"p95", $"n",
-        $"p50_exact", $"p95_exact", $"p50_within_bound", $"p95_within_bound")
+        count(lit(1)).as("n"))
       .orderBy($"l_returnflag")
   }
 

@@ -146,7 +146,12 @@ class ExpressionsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     // Spark lacks an NFC builtin — corpus text must already be NFC for
     // this cross-formulation check (true of the generated corpus); the
-    // literal cases above pin the NFC behavior itself
+    // literal cases above pin the NFC behavior itself. Same caveat for
+    // case mapping: graft_normalize lowercases per code point (simple
+    // mapping, matching DuckDB's lower()) while Spark's lower() is
+    // full context-sensitive mapping (final sigma Σ→ς, İ→i+̇), so this
+    // parity check also assumes the corpus has no Greek/Turkish text —
+    // the ΣΙΣΥΦΟΣ literal case above pins the intended simple mapping
     assert(viaExpr == viaSql)
   }
 }

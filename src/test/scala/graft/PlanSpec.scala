@@ -13,6 +13,14 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Count shuffle-exchange NODES only: lines whose node name (tree
+    * art stripped) is `Exchange …`. A bare `Exchange` substring count
+    * would also hit `ReusedExchange` (same work, not a reshuffle —
+    * and its line repeats the referenced exchange's description) and
+    * `BroadcastExchange`. */
+  private def shuffleExchanges(p: String): Int =
+    p.linesIterator.count(_.dropWhile(c => !c.isLetter).startsWith("Exchange "))
+
   private def formatted(df: DataFrame): String =
     df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -224,7 +232,7 @@ class PlanSpec extends SparkSpec {
       s.conf.set(key, "-1")
       val p = plan(graft.operators.Graph.pagerankRoundPlan(s))
       assert(p.contains("Bucketed: true"), p)
-      assert("Exchange".r.findAllIn(p).length == 2,
+      assert(shuffleExchanges(p) == 2,
         s"edge side must not reshuffle — state-probe + dst-agg exchanges only:\n$p")
     } finally s.conf.set(key, orig)
   }
@@ -238,7 +246,7 @@ class PlanSpec extends SparkSpec {
       s.conf.set(key, "-1")
       val p = plan(graft.operators.Dedup.embedClusterRoundPlan(s))
       assert(p.contains("Bucketed: true"), p)
-      assert("Exchange".r.findAllIn(p).length == 2,
+      assert(shuffleExchanges(p) == 2,
         s"edge side must not reshuffle — label-probe + min-agg exchanges only:\n$p")
     } finally s.conf.set(key, orig)
   }
