@@ -7,6 +7,10 @@ import org.apache.spark.sql.SparkSession
   * (count() lets Catalyst prune the computation; noop doesn't). */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // optional dev-loop filter: comma-separated query names (the
+    // driver always runs with no args → full suite)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
@@ -20,15 +24,18 @@ object Bench {
     // the clock starts — the timed numbers are steady-state
     // throughput at the target SF, not first-use class-load cost
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     // The environment shows sustained multi-second stall windows that
     // land on whatever runs during them. Take the min over two FULL
     // passes (a retry lands minutes after the first attempt, outside
     // the stall), then one adaptive pass for anything still slow.
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // A failed query must NOT be recorded as a fast valid timing: return
     // NaN so min() propagates the failure through both passes, and report
     // it in a separate "failures" field (keeping the JSON parseable).

@@ -575,8 +575,20 @@ object Dedup {
   /** The τ-passing pair set WITHOUT the presentation sort — the
     * cluster consumer must not pay a global sort under its union (the
     * same split as [[ngramPairs]]: EliminateSorts does not strip
-    * sorts under Union). */
-  private[graft] def embeddingPairs(s: SparkSession, dir: String): DataFrame = {
+    * sorts under Union).
+    *
+    * Staged once per dataset: the LSH banding join + exact re-rank is
+    * the dominant cost of every consumer ([[dedupEmbedding]],
+    * [[dedupClustersEmbedding]], [[buildEmbedClusterIndex]] — three
+    * rebuilds of the same edges before this memo), and the pair graph
+    * is a deterministic artifact of the corpus, so it persists like
+    * the PQ codebooks (EmbedPq.cbCache) and every later consumer
+    * reads the parquet artifact instead of re-deriving the join. */
+  private[graft] def embeddingPairs(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "embed_pairs", dir)(
+      embeddingPairsUncached(s, dir))
+
+  private[graft] def embeddingPairsUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val b = Similarity.lshBuckets(s, dir, dedupLshTables, dedupLshBits)
     // shuffle-hash, never broadcast: both sides are the full corpus

@@ -596,35 +596,63 @@ object Pipeline {
     * (smoothing makes both sides strictly positive, so absent tokens
     * contribute too — a true KL, not a coverage-weighted proxy).
     *
-    * Scale layout: one corpus explode into (source, token) with
-    * partial-agged counts; everything after is VOCAB-bounded — the
-    * sources × vocab frame (the only non-corpus-linear piece, ~10⁹
-    * rows at web vocab × hundreds of sources, far under the corpus)
-    * left-joins the per-source counts and reduces per source. Each
-    * KL term is half-up-quantized at 1e-9 and summed exactly as
-    * LONG, so the result is bit-stable under any partitioning and
-    * identical to the oracle's sequential sum. */
+    * Scale layout — CORPUS-LINEAR, never a sources × vocab spine.
+    * Split the quantized sum into
+    *   Σ_{t present} tq(c_s,c_g)            (corpus-linear: ≤ occ rows)
+    * + Σ_{t ∈ vocab} tq(0,c_g)              (the absent-token mass)
+    * − Σ_{t present} tq(0,c_g).             (corpus-linear correction)
+    * The middle term depends on the token only through its GLOBAL
+    * count c_g, so it reduces over the count-of-counts histogram —
+    * one vocab-sized groupBy into ≤ O(√Σc) distinct-c_g rows, then a
+    * tiny (#sources × #distinct-c_g) broadcast equi-join on a
+    * constant key (a broadcast hash join in the plan — no
+    * CartesianProduct/BNLJ anywhere; PlanSpec asserts it). Each KL
+    * term is half-up-quantized at 1e-9 and summed exactly as LONG, so
+    * the decomposition is bit-identical to the dense formulation (the
+    * oracle keeps the dense SQL) and bit-stable under any
+    * partitioning. */
   def corpusDrift(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.Agg.rnd
+    // quantized KL term for per-source count `cs` (a column or 0):
+    // identical arithmetic to the dense formulation, term for term
+    def tq(cs: String): String =
+      s"""CAST(floor(
+         |  ((CAST($cs AS DOUBLE) + 1.0) / (CAST(tot_s AS DOUBLE) + CAST(v AS DOUBLE)))
+         |  * ln(((CAST($cs AS DOUBLE) + 1.0) / (CAST(tot_s AS DOUBLE) + CAST(v AS DOUBLE)))
+         |       / ((CAST(cg AS DOUBLE) + 1.0) / (CAST(tot_g AS DOUBLE) + CAST(v AS DOUBLE))))
+         |  * 1000000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)""".stripMargin
     val occ = Tables.documents(s, dir)
       .select($"source", explode(expr(TA.toksExpr)).as("token"))
     val sc = occ.groupBy($"source", $"token").agg(count(lit(1)).as("cs"))
     val st = occ.groupBy($"source").agg(count(lit(1)).as("tot_s"))
     val gc = occ.groupBy($"token").agg(count(lit(1)).as("cg"))
+    // the scalar/histogram frames attach via a constant-VALUED key
+    // (pmod(hash(col), 1) ≡ 0) rather than lit(1): Catalyst folds a
+    // literal key pair to a `true` join condition and degrades the
+    // broadcast hash join to a nested loop — a non-foldable key keeps
+    // the BroadcastHashJoin shape the plan spec asserts
     val g = occ.agg(count(lit(1)).as("tot_g"), count_distinct($"token").as("v"))
-    val terms = st.crossJoin(gc)
-      .join(sc, Seq("source", "token"), "left")
-      .crossJoin(broadcast(g))
-      .select($"source", $"tot_s",
-        expr("""CAST(floor(
-          |  ((CAST(coalesce(cs, 0) AS DOUBLE) + 1.0) / (CAST(tot_s AS DOUBLE) + CAST(v AS DOUBLE)))
-          |  * ln(((CAST(coalesce(cs, 0) AS DOUBLE) + 1.0) / (CAST(tot_s AS DOUBLE) + CAST(v AS DOUBLE)))
-          |       / ((CAST(cg AS DOUBLE) + 1.0) / (CAST(tot_g AS DOUBLE) + CAST(v AS DOUBLE))))
-          |  * 1000000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)""".stripMargin).as("tq"))
-    terms.groupBy($"source")
-      .agg(max($"tot_s").as("n_tokens"),
-        rnd(sum($"tq").cast("double") / lit(1000000000.0), 6).as("kl_nats"))
+      .withColumn("k", pmod(hash($"tot_g"), lit(1)))
+    // count-of-counts: vocab collapses to its distinct global counts
+    val cgh = gc.groupBy($"cg").agg(count(lit(1)).as("n_toks"))
+    // corpus-linear present terms: tq(cs) − tq(0), reduced per source
+    val present = sc.join(gc, "token")
+      .join(broadcast(st), "source")
+      .withColumn("k", pmod(hash($"cs"), lit(1))).join(broadcast(g), "k")
+      .select($"source", expr(s"${tq("cs")} - ${tq("0")}").as("dq"))
+      .groupBy($"source").agg(sum($"dq").as("present_q"))
+    // absent-token mass: ONE #sources × #distinct-c_g frame via a
+    // constant-key broadcast hash join (never a vocab-wide spine)
+    val absent = st.withColumn("k", pmod(hash($"tot_s"), lit(1)))
+      .join(broadcast(cgh.withColumn("k", pmod(hash($"cg"), lit(1)))), "k")
+      .join(broadcast(g), "k")
+      .select($"source", $"tot_s", ($"n_toks" * expr(tq("0"))).as("zq"))
+      .groupBy($"source").agg(max($"tot_s").as("n_tokens"), sum($"zq").as("absent_q"))
+    absent.join(present, Seq("source"), "left")
+      .select($"source", $"n_tokens",
+        rnd(($"absent_q" + coalesce($"present_q", lit(0L))).cast("double") /
+          lit(1000000000.0), 6).as("kl_nats"))
       .orderBy($"source")
   }
 

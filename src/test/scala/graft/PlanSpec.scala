@@ -101,7 +101,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup_embedding plan is equi-joins only — no cartesian, no nested loop") {
-    val p = plan(Dedup.dedupEmbedding(spark, sfDir))
+    // audit the BUILD plan (embeddingPairs memoizes to a staged
+    // artifact, so the registered query's plan is a parquet read)
+    val p = plan(Dedup.embeddingPairsUncached(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus_drift is corpus-linear — no cartesian, no nested loop, no vocab spine") {
+    val p = plan(graft.operators.Pipeline.corpusDrift(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
