@@ -238,12 +238,25 @@ final case class AccBatchStatus(
   * in a racily-created second accumulating batch, we coalesce them
   * back into the reverted batch so exactly one batch per batchId is
   * ever open). [[flush]] = begin + complete for synchronous callers.
+  *
+  * Durability: with an [[AccStore.parquet]] `store`, every added
+  * chunk persists to parquet (durability REQUIRES materializing the
+  * items — lazy lineage dies with the driver; the reference stores
+  * items in its batches table for the same reason, lib.ts:24-109) and
+  * every state transition checkpoints the O(#batchIds) control rows +
+  * flush history. A new BatchAccumulator over the same store resumes
+  * with identical buffers, sequence numbers and history; a batch that
+  * died mid-flush recovers by the SAME revert path a failed flush
+  * takes (lib.ts:699-716) — snapshot and stranded adds both retained,
+  * status back to accumulating. The default store keeps the
+  * in-memory-only behavior.
   */
 final class BatchAccumulator[T](
     threshold: Long,
     process: Dataset[T] => Unit,
     flushIntervalMs: Option[Long] = None,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    store: AccStore[T] = AccStore.none[T]) {
 
   private case class State(seq: Long, buffers: Vector[Dataset[T]], count: Long,
     lastError: Option[String], openedAt: Long = 0L,
@@ -251,10 +264,43 @@ final class BatchAccumulator[T](
     // in-flight snapshot while status == "flushing": the items the
     // running flush will process; `buffers`/`count` then hold only
     // the stranded adds that arrived after the flush started
-    inFlight: Vector[Dataset[T]] = Vector.empty, inFlightCount: Long = 0L)
+    inFlight: Vector[Dataset[T]] = Vector.empty, inFlightCount: Long = 0L,
+    // store handles parallel to buffers/inFlight (empty when the
+    // store is in-memory)
+    handles: Vector[String] = Vector.empty,
+    inFlightHandles: Vector[String] = Vector.empty)
   private val state = mutable.Map.empty[String, State]
   private val completed = mutable.ArrayBuffer.empty[AccBatchStatus]
   private val history = mutable.ArrayBuffer.empty[FlushRecord]
+  private val nextChunk = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // load-on-construct: rebuild buffers from persisted chunks. A batch
+  // persisted as `flushing` was interrupted mid-flush — recover via
+  // the failed-flush revert (snapshot + stranded adds retained).
+  store.load().foreach { snap =>
+    nextChunk.set(snap.nextChunk)
+    snap.batches.foreach { b =>
+      val bufs = b.bufferHandles.toVector.map(store.readChunk)
+      val inf = b.inFlightHandles.toVector.map(store.readChunk)
+      state(b.batchId) =
+        if (b.status == "flushing")
+          State(b.seq, inf ++ bufs, b.inFlightCount + b.count,
+            Some("recovered: interrupted flush"), b.openedAt, "accumulating",
+            handles = b.inFlightHandles.toVector ++ b.bufferHandles.toVector)
+        else State(b.seq, bufs, b.count, b.lastError, b.openedAt, b.status,
+          handles = b.bufferHandles.toVector)
+    }
+    completed ++= snap.completed
+    history ++= snap.history
+  }
+
+  private def checkpoint(): Unit =
+    store.save(AccSnapshot(
+      state.toSeq.sortBy(_._1).map { case (id, st) =>
+        AccBatchRow(id, st.seq, st.status, st.count, st.openedAt, st.lastError,
+          st.inFlightCount, st.handles, st.inFlightHandles)
+      },
+      completed.toSeq, history.toSeq, nextChunk.get()))
 
   /** Adds items to the batchId's open batch. During a flush the add is
     * stranded: it lands in the buffer that becomes sequence+1 when the
@@ -265,8 +311,14 @@ final class BatchAccumulator[T](
     val n = items.count()
     val st = state.getOrElse(batchId, State(0, Vector.empty, 0, None, clock()))
     val opened = if (st.count == 0) clock() else st.openedAt
-    state(batchId) = st.copy(buffers = st.buffers :+ items, count = st.count + n,
-      openedAt = opened)
+    // persist the chunk (no-op for the in-memory store) and buffer
+    // the READ-BACK frame, so live and recovered runs see identical
+    // data by construction
+    val handle = s"chunk-${nextChunk.getAndIncrement()}"
+    val persisted = store.writeChunk(handle, items)
+    state(batchId) = st.copy(buffers = st.buffers :+ persisted, count = st.count + n,
+      openedAt = opened, handles = st.handles :+ handle)
+    checkpoint()
     if (st.status == "accumulating" && state(batchId).count >= threshold) flush(batchId)
     getBatchStatus(batchId).get
   }
@@ -292,7 +344,9 @@ final class BatchAccumulator[T](
     case Some(st) if st.status == "accumulating" && st.count > 0 =>
       state(batchId) = st.copy(status = "flushing",
         inFlight = st.buffers, inFlightCount = st.count,
-        buffers = Vector.empty, count = 0L)
+        buffers = Vector.empty, count = 0L,
+        inFlightHandles = st.handles, handles = Vector.empty)
+      checkpoint()
       true
     case _ => false
   }
@@ -314,13 +368,18 @@ final class BatchAccumulator[T](
       history += FlushRecord(batchId, st.seq, st.inFlightCount, t1, t1 - t0, err.isEmpty)
       if (err.isEmpty) {
         completed += AccBatchStatus(batchId, st.seq, "completed", st.inFlightCount)
-        state(batchId) = State(st.seq + 1, st.buffers, st.count, None, t1)
+        state(batchId) = State(st.seq + 1, st.buffers, st.count, None, t1,
+          handles = st.handles)
+        store.deleteChunks(st.inFlightHandles)
+        checkpoint()
         if (st.count >= threshold) flush(batchId)
       } else {
         state(batchId) = st.copy(status = "accumulating",
           buffers = st.inFlight ++ st.buffers, count = st.inFlightCount + st.count,
           inFlight = Vector.empty, inFlightCount = 0L,
+          handles = st.inFlightHandles ++ st.handles, inFlightHandles = Vector.empty,
           lastError = err)
+        checkpoint()
       }
       err.isEmpty
     case _ => false
@@ -361,8 +420,10 @@ final class BatchAccumulator[T](
 
   /** Drops the accumulating batch and its history (lib.ts:321-360). */
   def deleteBatch(batchId: String): Unit = {
+    state.get(batchId).foreach(st => store.deleteChunks(st.handles ++ st.inFlightHandles))
     state -= batchId
     completed.filterInPlace(_.batchId != batchId)
     history.filterInPlace(_.batchId != batchId)
+    checkpoint()
   }
 }

@@ -142,26 +142,42 @@ object EmbedPq {
     * a 10¹¹-vector index affordable: 8 adds per vector against an
     * 8-byte code, with the raw vectors never read after encoding.
     * Top-k per query runs on the native bounded-heap operator. */
-  def annPq(s: SparkSession, dir: String): DataFrame = {
+  /** Bounded driver collect of the query vectors (nQueries rows), as
+    * in annBruteforce. */
+  private def queryVecs(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
     import s.implicits._
-    val cbs = trainCodebooks(s, dir)
-    val codes = encode(s, dir, cbs)
-      .select($"vec_id", split($"pq_code", "-").cast("array<int>").as("codes"))
-    // bounded driver collect (nQueries vectors), as in annBruteforce
-    val qvecs = vectors(s, dir).filter($"vec_id" < Similarity.nQueries)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
-    val dts: Seq[(Long, Seq[Seq[Double]])] = qvecs.toSeq.map { case (qid, qv) =>
+    vectors(s, dir).filter($"vec_id" < Similarity.nQueries)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+  }
+
+  /** Per-query ADC distance tables (pqM × pqKsub doubles each) —
+    * driver-computed for the bounded query set, broadcast as
+    * literals. */
+  private def distTables(qvecs: Seq[(Long, Seq[Double])],
+                         cbs: Seq[Seq[Seq[Double]]]): Seq[(Long, Seq[Seq[Double]])] =
+    qvecs.map { case (qid, qv) =>
       qid -> Seq.tabulate(pqM) { m =>
         val sub = qv.slice(m * pqDsub, (m + 1) * pqDsub)
         cbs(m).map(c => sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
       }
     }
+
+  /** The ADC lookup-sum over a `codes` array against a `dt` distance
+    * table: pqM table lookups, no float math against raw vectors. */
+  private val adcExpr: String = graft.functions.Agg.rndSql(
+    s"""aggregate(sequence(0, ${pqM - 1}), CAST(0 AS DOUBLE), (acc, m) ->
+       |  acc + element_at(element_at(dt, m + 1), element_at(codes, m + 1) + 1))"""
+      .stripMargin, 6)
+
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cbs = trainCodebooks(s, dir)
+    val codes = encode(s, dir, cbs)
+      .select($"vec_id", split($"pq_code", "-").cast("array<int>").as("codes"))
+    val dts = distTables(queryVecs(s, dir), cbs)
     val q = broadcast(dts.toDF("query_id", "dt"))
     val scored = codes.join(q, $"vec_id" =!= $"query_id")
-      .withColumn("adist", expr(graft.functions.Agg.rndSql(
-        s"""aggregate(sequence(0, ${pqM - 1}), CAST(0 AS DOUBLE), (acc, m) ->
-           |  acc + element_at(element_at(dt, m + 1), element_at(codes, m + 1) + 1))"""
-          .stripMargin, 6)))
+      .withColumn("adist", expr(adcExpr))
     graft.plans.TopK.perGroup(
         scored.select($"query_id", $"vec_id", $"adist"),
         Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), Similarity.k)
@@ -183,15 +199,18 @@ object EmbedPq {
     * argmin lineage crosses the join (the ann_ivf analyzer-hazard
     * defense applies unchanged). Top-k on the bounded-heap operator.
     */
-  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+  /** The IVF×PQ candidate set, ADC-scored: vectors from the query's
+    * nprobe closest inverted lists, each scored from its 8-byte PQ
+    * code. Shared by [[annIvfPq]] (top-k) and [[annIvfPqRefine]]
+    * (shortlist → exact re-rank). */
+  private def ivfPqScored(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cbs = trainCodebooks(s, dir)
     val codes = encode(s, dir, cbs)
       .select($"vec_id", split($"pq_code", "-").cast("array<int>").as("codes"))
     val (cents, assigned) = SimilarityIvf.kmeans(s, dir)
     // bounded driver compute: nQueries probe lists + distance tables
-    val qvecs = vectors(s, dir).filter($"vec_id" < Similarity.nQueries)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+    val qvecs = queryVecs(s, dir)
     def centScore(qv: Seq[Double], c: Seq[Double]): Double = {
       // c·c − 2·qv·c, sequential left-to-right like graft_dot /
       // list_dot_product — identical on driver, executor and DuckDB
@@ -199,41 +218,80 @@ object EmbedPq {
       while (i < c.length) { cc += c(i) * c(i); qc += qv(i) * c(i); i += 1 }
       cc - 2.0 * qc
     }
-    val probes = qvecs.toSeq.flatMap { case (qid, qv) =>
+    val probes = qvecs.flatMap { case (qid, qv) =>
       cents.zipWithIndex.map { case (c, i) => (centScore(qv, c), i) }
         .sorted.take(SimilarityIvf.nprobe).map { case (_, cid) => (qid, cid) }
     }
-    val dts: Seq[(Long, Seq[Seq[Double]])] = qvecs.toSeq.map { case (qid, qv) =>
-      qid -> Seq.tabulate(pqM) { m =>
-        val sub = qv.slice(m * pqDsub, (m + 1) * pqDsub)
-        cbs(m).map(c => sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
-      }
-    }
+    val dts = distTables(qvecs, cbs)
     val probesDf = broadcast(probes.toDF("query_id", "cid"))
     val dtDf = broadcast(dts.toDF("query_id", "dt"))
-    val scored = codes
+    codes
       .join(assigned.select($"vec_id", $"cid"), "vec_id")
       .join(probesDf, Seq("cid"))
       .filter($"vec_id" =!= $"query_id")
       .join(dtDf, Seq("query_id"))
-      .withColumn("adist", expr(graft.functions.Agg.rndSql(
-        s"""aggregate(sequence(0, ${pqM - 1}), CAST(0 AS DOUBLE), (acc, m) ->
-           |  acc + element_at(element_at(dt, m + 1), element_at(codes, m + 1) + 1))"""
-          .stripMargin, 6)))
+      .withColumn("adist", expr(adcExpr))
+      .select($"query_id", $"vec_id", $"adist")
+  }
+
+  def annIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     graft.plans.TopK.perGroup(
-        scored.select($"query_id", $"vec_id", $"adist"),
+        ivfPqScored(s, dir),
         Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), Similarity.k)
       .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"adist")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** §2.5 #31k — the COMPLETE production ANN stack: IVF pruning ×
+    * PQ compression × exact re-rank. The ADC scan over the probed
+    * lists shortlists [[refineShortlist]] candidates per query
+    * (31j's scan), then ONLY the shortlist's raw vectors are fetched
+    * and re-ranked by exact L2² (31e's refine) — quantization
+    * mis-ordering within the shortlist is repaired at a corpus-fetch
+    * cost of k·overfetch rows per query. Recall can only move toward
+    * the brute-force answer vs raw IVF×PQ at equal fetch (EmbedPqSpec
+    * asserts the dominance); the corpus never shuffles — probe lists,
+    * distance tables and the shortlist are all bounded broadcasts. */
+  def annIvfPqRefine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shortlist = graft.plans.TopK.perGroup(
+        ivfPqScored(s, dir),
+        Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), refineShortlist)
+      .select($"query_id", $"vec_id")
+    exactRerank(s, dir, shortlist)
+  }
+
+  /** Exact-L2 re-rank of a bounded (query_id, vec_id) shortlist:
+    * fetch raw vectors for the shortlist only — broadcast the
+    * shortlist, never shuffle the corpus. |q−v|² = q·q − 2 q·v + v·v,
+    * all three native dot products. */
+  private def exactRerank(s: SparkSession, dir: String,
+                          shortlist: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val qside = broadcast(queryVecs(s, dir).toDF("query_id", "qv"))
+    val exact = vectors(s, dir)
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(qside, Seq("query_id"))
+      .withColumn("l2", expr(rndSql(
+        "graft_dot(qv, qv) - CAST(2 AS DOUBLE) * graft_dot(qv, v) + graft_dot(v, v)", 6)))
+    val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= Similarity.k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"l2")
       .orderBy($"query_id", $"rank")
   }
 
   /** Staged-artifact oracle over BOTH index artifacts: PQ encode from
     * the staged codebooks, probe lists + assignment from the staged
     * IVF centroids, ADC restricted to probed lists. */
-  def annIvfPqSql(cbGlob: String, centGlob: String): String = {
+  /** CTEs for the IVF×PQ candidate scoring: staged IVF centroids →
+    * assignment + probe lists, ADC restricted to probed lists. */
+  private def ivfAdcCtes(centGlob: String): String = {
     import graft.functions.Agg.rndSql
-    s"""WITH ${pqCodesCtes(cbGlob)},
-       |cents AS (SELECT cid, c FROM read_parquet('$centGlob')),
+    s"""cents AS (SELECT cid, c FROM read_parquet('$centGlob')),
        |iscored AS (
        |  SELECT v.vec_id, cents.cid,
        |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(v.v, cents.c) AS s
@@ -261,11 +319,39 @@ object EmbedPq {
        |  JOIN assigned a ON a.vec_id = best.vec_id
        |  JOIN probes p ON p.query_id = dt.query_id AND p.cid = a.cid
        |  WHERE best.vec_id <> dt.query_id
-       |  GROUP BY dt.query_id, best.vec_id)
+       |  GROUP BY dt.query_id, best.vec_id)""".stripMargin
+  }
+
+  def annIvfPqSql(cbGlob: String, centGlob: String): String =
+    s"""WITH ${pqCodesCtes(cbGlob)},
+       |${ivfAdcCtes(centGlob)}
        |SELECT query_id,
        |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank,
        |  neighbor_id, adist
        |FROM ad
+       |QUALIFY rank <= ${Similarity.k}
+       |ORDER BY query_id, rank""".stripMargin
+
+  def annIvfPqRefineSql(cbGlob: String, centGlob: String): String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH ${pqCodesCtes(cbGlob)},
+       |${ivfAdcCtes(centGlob)},
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+       |    FROM ad)
+       |  WHERE rn <= $refineShortlist),
+       |ex AS (
+       |  SELECT sl.query_id, sl.neighbor_id,
+       |    ${rndSql("list_dot_product(qq.qv, qq.qv) - CAST(2 AS DOUBLE) * list_dot_product(qq.qv, cv.v) + list_dot_product(cv.v, cv.v)", 6)} AS l2
+       |  FROM short sl
+       |  JOIN q qq ON qq.query_id = sl.query_id
+       |  JOIN v cv ON cv.vec_id = sl.neighbor_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY l2, neighbor_id) AS rank,
+       |  neighbor_id, l2
+       |FROM ex
        |QUALIFY rank <= ${Similarity.k}
        |ORDER BY query_id, rank""".stripMargin
   }
@@ -288,43 +374,17 @@ object EmbedPq {
     * and broadcasts — the corpus never shuffles. */
   def annPqRefine(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.Agg.rndSql
     val cbs = trainCodebooks(s, dir)
     val codes = encode(s, dir, cbs)
       .select($"vec_id", split($"pq_code", "-").cast("array<int>").as("codes"))
-    val qvecs = vectors(s, dir).filter($"vec_id" < Similarity.nQueries)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
-    val dts: Seq[(Long, Seq[Seq[Double]])] = qvecs.toSeq.map { case (qid, qv) =>
-      qid -> Seq.tabulate(pqM) { m =>
-        val sub = qv.slice(m * pqDsub, (m + 1) * pqDsub)
-        cbs(m).map(c => sub.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
-      }
-    }
-    val dtab = broadcast(dts.toDF("query_id", "dt"))
+    val dtab = broadcast(distTables(queryVecs(s, dir), cbs).toDF("query_id", "dt"))
     val scored = codes.join(dtab, $"vec_id" =!= $"query_id")
-      .withColumn("adist", expr(rndSql(
-        s"""aggregate(sequence(0, ${pqM - 1}), CAST(0 AS DOUBLE), (acc, m) ->
-           |  acc + element_at(element_at(dt, m + 1), element_at(codes, m + 1) + 1))"""
-          .stripMargin, 6)))
+      .withColumn("adist", expr(adcExpr))
     val shortlist = graft.plans.TopK.perGroup(
         scored.select($"query_id", $"vec_id", $"adist"),
         Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), refineShortlist)
       .select($"query_id", $"vec_id")
-    // exact re-rank: fetch raw vectors for the (bounded) shortlist
-    // only — broadcast the shortlist, never shuffle the corpus.
-    // |q−v|² = q·q − 2 q·v + v·v, all three native dot products.
-    val qside = broadcast(qvecs.toSeq.toDF("query_id", "qv"))
-    val exact = vectors(s, dir)
-      .join(broadcast(shortlist), Seq("vec_id"))
-      .join(qside, Seq("query_id"))
-      .withColumn("l2", expr(rndSql(
-        "graft_dot(qv, qv) - CAST(2 AS DOUBLE) * graft_dot(qv, v) + graft_dot(v, v)", 6)))
-    val w = Window.partitionBy($"query_id").orderBy($"l2", $"vec_id")
-    exact
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= Similarity.k)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"l2")
-      .orderBy($"query_id", $"rank")
+    exactRerank(s, dir, shortlist)
   }
 
   /** §2.5 #31f — scalar int8 quantization: the simple 4× compression
@@ -470,7 +530,8 @@ object EmbedPq {
     "ann_pq"        -> (annPq _),
     "ann_pq_refine" -> (annPqRefine _),
     "embed_int8"    -> (embedInt8 _),
-    "ann_ivf_pq"    -> (annIvfPq _)
+    "ann_ivf_pq"    -> (annIvfPq _),
+    "ann_ivf_pq_refine" -> (annIvfPqRefine _)
   )
 
   def oracles: Map[String, String] =
@@ -482,5 +543,7 @@ object EmbedPq {
       (for {
         g1 <- graft.sources.OracleStage.globOf("pq_codebooks")
         g2 <- graft.sources.OracleStage.globOf("ivf_centroids")
-      } yield "ann_ivf_pq" -> annIvfPqSql(g1, g2))
+      } yield Seq(
+        "ann_ivf_pq"        -> annIvfPqSql(g1, g2),
+        "ann_ivf_pq_refine" -> annIvfPqRefineSql(g1, g2))).toSeq.flatten
 }

@@ -154,6 +154,15 @@ final case class IterJobStatus(
   * 1000 executors can each own a chunk with no global coordination.
   * Retries use exponential backoff 1s→30s (lib.ts:1018-1049);
   * `sleeper` is injectable for tests.
+  *
+  * Durability: with a [[IterStateStore.parquet]] `store`, every
+  * state transition (start, successful batch, pause/resume/cancel,
+  * completion, failure) checkpoints the O(#jobs) control rows, and a
+  * new TableIterator over the same store resumes every job from its
+  * persisted cursor — parity with the reference's iteratorJobs table
+  * (schema.ts:34-55; updateJobProgress lib.ts:1073-1087 commits at
+  * the same batch-boundary cadence). The default store keeps the
+  * in-memory-only behavior.
   */
 final class TableIterator(
     df: DataFrame,
@@ -164,13 +173,26 @@ final class TableIterator(
     onComplete: String => Unit = _ => (),
     delayBetweenBatchesMs: Long = 0L,
     sleeper: Long => Unit = Thread.sleep,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = () => System.currentTimeMillis(),
+    store: IterStateStore = IterStateStore.none) {
 
   private case class Job(
     var status: String, var processedCount: Long, var cursor: Option[Long],
     var batchesDone: Long, var retries: Long, var lastRunAt: Long,
     boundaries: Array[Long])
   private val jobs = mutable.LinkedHashMap.empty[String, Job]
+
+  // load-on-construct: resume persisted jobs (cursor, counts, status)
+  store.load().foreach(_.foreach { r =>
+    jobs(r.jobId) = Job(r.status, r.processedCount, r.cursor,
+      r.batchesDone, r.retries, r.lastRunAt, r.boundaries.toArray)
+  })
+
+  private def checkpoint(): Unit =
+    store.save(jobs.toSeq.map { case (id, j) =>
+      IterJobRow(id, j.status, j.processedCount, j.cursor,
+        j.batchesDone, j.retries, j.lastRunAt, j.boundaries.toSeq)
+    })
 
   /** Backoff for the nth retry: 1s, 2s, 4s, … capped at 30s
     * (lib.ts:1018-1029). */
@@ -190,6 +212,7 @@ final class TableIterator(
       .orderBy(col(keyCol))
       .collect().map(_.getLong(0))
     jobs(jobId) = Job("pending", 0, None, 0, 0, clock(), bRows)
+    checkpoint()
     status(jobId).get
   }
 
@@ -225,13 +248,16 @@ final class TableIterator(
             while (!ok && attempt <= maxRetries) {
               try { process(chunk); ok = true }
               catch { case _: Exception =>
-                if (attempt == maxRetries) { j.status = "failed"; j.lastRunAt = clock(); return false }
+                if (attempt == maxRetries) {
+                  j.status = "failed"; j.lastRunAt = clock(); checkpoint(); return false
+                }
                 sleeper(backoffMs(attempt)); attempt += 1; j.retries += 1
               }
             }
             val cursor = chunk.agg(max(col(keyCol)).cast("long")).head.getLong(0)
             j.processedCount += n; j.cursor = Some(cursor)
             j.batchesDone += 1; j.lastRunAt = clock()
+            checkpoint()
             // throttle between batches (reference delayBetweenBatchesMs,
             // lib.ts — rate-limits the downstream consumer)
             if (delayBetweenBatchesMs > 0) sleeper(delayBetweenBatchesMs)
@@ -242,7 +268,7 @@ final class TableIterator(
   }
 
   private def complete(jobId: String, j: Job): Unit = {
-    j.status = "completed"; j.lastRunAt = clock(); onComplete(jobId)
+    j.status = "completed"; j.lastRunAt = clock(); checkpoint(); onComplete(jobId)
   }
 
   /** Runs until completion, pause, cancel, or failure. */
@@ -252,15 +278,19 @@ final class TableIterator(
   }
 
   def pause(jobId: String): Unit =
-    jobs.get(jobId).filter(_.status == "running").foreach(_.status = "paused")
+    jobs.get(jobId).filter(_.status == "running").foreach { j =>
+      j.status = "paused"; checkpoint()
+    }
 
   def resume(jobId: String): Unit =
-    jobs.get(jobId).filter(_.status == "paused").foreach(_.status = "running")
+    jobs.get(jobId).filter(_.status == "paused").foreach { j =>
+      j.status = "running"; checkpoint()
+    }
 
   def cancel(jobId: String): Unit =
     jobs.get(jobId)
       .filter(j => j.status == "pending" || j.status == "running" || j.status == "paused")
-      .foreach(_.status = "cancelled")
+      .foreach { j => j.status = "cancelled"; checkpoint() }
 
   def status(jobId: String): Option[IterJobStatus] = jobs.get(jobId).map(j =>
     IterJobStatus(jobId, j.status, j.processedCount, j.cursor,
@@ -274,5 +304,5 @@ final class TableIterator(
     limit.fold(filtered)(filtered.take)
   }
 
-  def delete(jobId: String): Unit = jobs -= jobId
+  def delete(jobId: String): Unit = { jobs -= jobId; checkpoint() }
 }

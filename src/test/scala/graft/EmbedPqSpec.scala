@@ -120,4 +120,41 @@ class EmbedPqSpec extends SparkSpec {
         s"l2 ${r.getDouble(3)} vs exact $truth")
     }
   }
+
+  test("ivf_pq_refine recall dominates raw IVF×PQ at equal fetch; distances exact") {
+    val s = spark; import s.implicits._
+    val k = graft.operators.Similarity.k
+    def tops(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, a) => q -> a.map(_._2).toSet }
+    val raw = tops(EmbedPq.annIvfPq(s, sfDir).collect())
+    val refined = EmbedPq.annIvfPqRefine(s, sfDir).collect()
+    val ref = tops(refined)
+    val all = graft.sources.Tables.embeddings(s, sfDir)
+      .select($"vec_id", expr(graft.functions.VectorFns.asDouble("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def recall(tops: Map[Long, Set[Long]]) = {
+      val rs = tops.map { case (q, approx) =>
+        val exact = (all - q).toSeq
+          .sortBy { case (id, v) => (l2(all(q), v), id) }
+          .take(k).map(_._1).toSet
+        approx.intersect(exact).size.toDouble / exact.size
+      }
+      rs.sum / rs.size
+    }
+    val (ra, rr) = (recall(raw), recall(ref))
+    // the shortlist over-fetches within the probed lists, then exact
+    // re-rank repairs quantization mis-ordering — it can only keep or
+    // improve what the raw ADC top-k returns (probe recall loss is
+    // common to both)
+    assert(rr >= ra, s"ivf_pq_refine recall $rr below raw IVF×PQ recall $ra")
+    // reported distances are the exact L2², not the ADC estimate
+    refined.foreach { r =>
+      val truth = l2(all(r.getLong(0)), all(r.getLong(2)))
+      assert(math.abs(r.getDouble(3) - truth) < 1e-5,
+        s"l2 ${r.getDouble(3)} vs exact $truth")
+    }
+  }
 }
