@@ -77,9 +77,14 @@ object EmbedPq {
     cbs
   }
 
-  private def trainCodebooksUncached(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+  private def trainCodebooksUncached(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] =
+    trainCodebooksOn(s, vectors(s, dir))
+
+  /** The deterministic k-means recipe over ANY (vec_id, v) frame —
+    * shared by the raw-space codebooks and the OPQ rotated-space
+    * codebooks. */
+  private def trainCodebooksOn(s: SparkSession, v: DataFrame): Seq[Seq[Seq[Double]]] = {
     import s.implicits._
-    val v = vectors(s, dir)
     var cbs: Seq[Seq[Seq[Double]]] = {
       val init = v.filter($"vec_id" < pqKsub).orderBy($"vec_id")
         .collect().map(_.getSeq[Double](1).toSeq)
@@ -112,9 +117,15 @@ object EmbedPq {
     * L2² against the decoded codewords. Row-local against the
     * broadcast codebook literal. */
   def encode(s: SparkSession, dir: String,
-             cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+             cbs: Seq[Seq[Seq[Double]]]): DataFrame =
+    encodeOn(vectors(s, dir), cbs)
+
+  /** Encode over ANY (vec_id, v) frame — shared by raw-space PQ and
+    * OPQ's rotated space. */
+  private def encodeOn(vecs: DataFrame, cbs: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val s = vecs.sparkSession
     import s.implicits._
-    vectors(s, dir)
+    vecs
       .withColumn("cbs", typedLit(cbs))
       .withColumn("codes", expr(
         s"transform(sequence(0, ${pqM - 1}), m -> ${codeExpr("m")})"))
@@ -449,13 +460,26 @@ object EmbedPq {
 
   import graft.functions.Agg.rndSql
 
-  /** CTEs: staged codebooks, double vectors, per-(vec, m, cid) score,
+  /** CTEs: staged codebooks, double vectors (rotated via the staged
+    * OPQ rotation when `rotGlob` is given), per-(vec, m, cid) score,
     * and the winning codeword per (vec, m). */
-  private def pqCodesCtes(glob: String): String =
+  private def pqCodesCtes(glob: String, rotGlob: Option[String] = None): String = {
+    val vCte = rotGlob match {
+      case None =>
+        """v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings)""".stripMargin
+      case Some(rg) =>
+        s"""rot AS (SELECT i, r FROM read_parquet('$rg')),
+           |rawv AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |v AS (
+           |  SELECT rawv.vec_id, list(list_dot_product(rot.r, rawv.v) ORDER BY rot.i) AS v
+           |  FROM rawv, rot GROUP BY rawv.vec_id)""".stripMargin
+    }
     s"""cb AS (SELECT m, cid, c FROM read_parquet('$glob')),
-       |v AS (
-       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |$vCte,
        |scoredc AS (
        |  SELECT vec_id, cb.m, cb.cid, v[cb.m*$pqDsub+1 : cb.m*$pqDsub+$pqDsub] AS sv, cb.c,
        |    list_dot_product(cb.c, cb.c) - CAST(2 AS DOUBLE) * list_dot_product(v[cb.m*$pqDsub+1 : cb.m*$pqDsub+$pqDsub], cb.c) AS s
@@ -465,6 +489,7 @@ object EmbedPq {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY s, cid) AS rn
        |    FROM scoredc)
        |  WHERE rn = 1)""".stripMargin
+  }
 
   def embedPqSql(glob: String): String =
     s"""WITH ${pqCodesCtes(glob)},
@@ -525,13 +550,170 @@ object EmbedPq {
        |QUALIFY rank <= ${Similarity.k}
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- OPQ: eigenvalue-allocated rotation before PQ encode ----------
+
+  /** §2.5 #31l — OPQ-style rotation (the non-parametric "eigenvalue
+    * allocation" of Ge et al., Optimized Product Quantization,
+    * CVPR'13 §4): rotate into the PCA eigenbasis and deal the
+    * eigenvectors ROUND-ROBIN across the pqM subspaces (descending
+    * eigenvalue), so every subspace receives an even mix of high- and
+    * low-variance directions — the imbalance that makes contiguous
+    * coordinate slices quantize badly. No iterative training: ONE
+    * covariance pass (partition-invariant via 1e-12-quantized exact
+    * decimal sums), a deterministic cyclic Jacobi eigensolve on the
+    * driver (64×64, O(d³) — microseconds), a fixed allocation. The
+    * rotation is orthonormal, so rotated-space recon L2² IS original-
+    * space recon L2² against the counter-rotated codewords — directly
+    * comparable with [[embedPq]]'s recon_err (EmbedPqSpec asserts the
+    * improvement). Staged like the codebooks; at 10¹¹ vectors the
+    * covariance pass runs on a deterministic sample (covariance
+    * converges long before the corpus is exhausted). */
+  private val rotCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Seq[Double]]]
+
+  def opqRotation(s: SparkSession, dir: String): Seq[Seq[Double]] = {
+    val rot = rotCache.getOrElseUpdate(dir, opqRotationUncached(s, dir))
+    import s.implicits._
+    graft.sources.OracleStage.stage(s, "opq_rotation", dir)(
+      rot.zipWithIndex.map { case (r, i) => (i, r) }.toDF("i", "r"))
+    rot
+  }
+
+  private def opqRotationUncached(s: SparkSession, dir: String): Seq[Seq[Double]] = {
+    import s.implicits._
+    val d = pqM * pqDsub
+    // one corpus pass: quantized-exact Σx_i, Σx_i·x_j (j ≥ i) and n —
+    // bit-stable under any partitioning, so the rotation is a
+    // deterministic artifact of the corpus like the codebooks
+    def exact(e: String) =
+      s"CAST(sum(CAST(floor(($e) * 1e12 + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
+    val stats = vectors(s, dir)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${d - 1}), i ->
+           |  transform(sequence(i, ${d - 1}), j ->
+           |    struct(i AS i, j AS j, element_at(v, i + 1) * element_at(v, j + 1) AS p,
+           |           CASE WHEN j = i THEN element_at(v, i + 1) ELSE CAST(0 AS DOUBLE) END AS x))))"""
+          .stripMargin)).as("t"))
+      .select($"t.i", $"t.j", $"t.p", $"t.x")
+      .groupBy($"i", $"j")
+      .agg(expr(exact("p")).as("sp"), expr(exact("x")).as("sx"),
+           count(lit(1)).as("n"))
+      .collect()
+    val n = stats.head.getLong(4).toDouble
+    val sx = Array.ofDim[Double](d)
+    val sp = Array.ofDim[Double](d, d)
+    stats.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      sp(i)(j) = r.getDouble(2); sp(j)(i) = r.getDouble(2)
+      if (i == j) sx(i) = r.getDouble(3)
+    }
+    val cov = Array.tabulate(d, d)((i, j) => sp(i)(j) / n - (sx(i) / n) * (sx(j) / n))
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // descending eigenvalue order, index tie-break; sign convention:
+    // largest-|component| positive — fully deterministic
+    val order = eigVals.zipWithIndex.sortBy { case (w, i) => (-w, i) }.map(_._2)
+    val cols = order.map { c =>
+      val col = Array.tabulate(d)(r => eigVecs(r)(c))
+      val mx = col.indices.maxBy(k => (math.abs(col(k)), -k))
+      if (col(mx) < 0) col.map(-_) else col
+    }
+    // round-robin allocation: subspace b, slot p ← eigenvector p·M + b
+    val alloc = Array.ofDim[Int](d)
+    for (idx <- 0 until d) alloc((idx % pqM) * pqDsub + idx / pqM) = idx
+    Seq.tabulate(d)(k => cols(alloc(k)).toSeq)
+  }
+
+  /** Deterministic cyclic Jacobi eigensolve for a symmetric matrix:
+    * fixed (p,q) sweep order, fixed convergence threshold — identical
+    * output for identical input on any host. Returns (eigenvalues,
+    * eigenvector columns). */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- i + 1 until d) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (off() > 1e-22 && sweep < 64) {
+      for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-18) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t =
+          if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+          else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val sn = t * c
+        for (k <- 0 until d) {
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - sn * akq
+          a(k)(q) = sn * akp + c * akq
+        }
+        for (k <- 0 until d) {
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - sn * aqk
+          a(q)(k) = sn * apk + c * aqk
+        }
+        for (k <- 0 until d) {
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - sn * vkq
+          v(k)(q) = sn * vkp + c * vkq
+        }
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Vectors in the rotated basis: v' = R·v, row-local against the
+    * broadcast rotation literal (d dot products per vector). */
+  private def rotatedVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = pqM * pqDsub
+    vectors(s, dir)
+      .withColumn("rot", typedLit(opqRotation(s, dir)))
+      .select($"vec_id", expr(
+        s"transform(sequence(0, ${d - 1}), i -> graft_dot(element_at(rot, i + 1), v))").as("v"))
+  }
+
+  def trainOpqCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+    val cbs = cbCache.getOrElseUpdate(s"opq:$dir",
+      trainCodebooksOn(s, rotatedVectors(s, dir)))
+    import s.implicits._
+    graft.sources.OracleStage.stage(s, "opq_codebooks", dir)(
+      cbs.zipWithIndex.flatMap { case (cb, m) =>
+        cb.zipWithIndex.map { case (c, cid) => (m, cid, c) }
+      }.toDF("m", "cid", "c"))
+    cbs
+  }
+
+  /** OPQ encode: codes + exact rotated-space reconstruction L2²
+    * (== original-space L2² by orthonormality). */
+  def embedOpq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    encodeOn(rotatedVectors(s, dir), trainOpqCodebooks(s, dir)).orderBy($"vec_id")
+  }
+
+  def embedOpqSql(cbGlob: String, rotGlob: String): String =
+    s"""WITH ${pqCodesCtes(cbGlob, Some(rotGlob))},
+       |errs AS (
+       |  SELECT vec_id, m, cid,
+       |    list_reduce(list_transform(range(1, ${pqDsub + 1}), i -> (sv[i] - c[i]) * (sv[i] - c[i])), (a, b) -> a + b) AS e
+       |  FROM best)
+       |SELECT vec_id,
+       |  string_agg(CAST(cid AS VARCHAR), '-' ORDER BY m) AS pq_code,
+       |  ${rndSql("list_reduce(list(e ORDER BY m), (a, b) -> a + b)", 6)} AS recon_err
+       |FROM errs GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pq"      -> (embedPq _),
     "ann_pq"        -> (annPq _),
     "ann_pq_refine" -> (annPqRefine _),
     "embed_int8"    -> (embedInt8 _),
     "ann_ivf_pq"    -> (annIvfPq _),
-    "ann_ivf_pq_refine" -> (annIvfPqRefine _)
+    "ann_ivf_pq_refine" -> (annIvfPqRefine _),
+    "embed_opq"     -> (embedOpq _)
   )
 
   def oracles: Map[String, String] =
@@ -545,5 +727,9 @@ object EmbedPq {
         g2 <- graft.sources.OracleStage.globOf("ivf_centroids")
       } yield Seq(
         "ann_ivf_pq"        -> annIvfPqSql(g1, g2),
-        "ann_ivf_pq_refine" -> annIvfPqRefineSql(g1, g2))).toSeq.flatten
+        "ann_ivf_pq_refine" -> annIvfPqRefineSql(g1, g2))).toSeq.flatten ++
+      (for {
+        g1 <- graft.sources.OracleStage.globOf("opq_codebooks")
+        g2 <- graft.sources.OracleStage.globOf("opq_rotation")
+      } yield "embed_opq" -> embedOpqSql(g1, g2))
 }

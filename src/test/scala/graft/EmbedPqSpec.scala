@@ -121,6 +121,26 @@ class EmbedPqSpec extends SparkSpec {
     }
   }
 
+  test("opq rotation is orthonormal and cuts mean recon error vs raw PQ") {
+    val s = spark; import s.implicits._
+    val rot = EmbedPq.opqRotation(s, sfDir)
+    val d = rot.length
+    // R·Rᵀ = I: the rotation is a true isometry, so rotated-space
+    // recon L2² is original-space recon L2² — the comparison below is
+    // apples-to-apples
+    for (i <- 0 until d; j <- i until d) {
+      val dot = rot(i).zip(rot(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"R·Rt[$i][$j] = $dot")
+    }
+    def meanErr(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg($"recon_err")).head.getDouble(0)
+    val pq = meanErr(EmbedPq.embedPq(s, sfDir))
+    val opq = meanErr(EmbedPq.embedOpq(s, sfDir))
+    assert(opq < pq,
+      s"eigenvalue-allocated rotation should cut recon error: opq=$opq pq=$pq")
+  }
+
   test("ivf_pq_refine recall dominates raw IVF×PQ at equal fetch; distances exact") {
     val s = spark; import s.implicits._
     val k = graft.operators.Similarity.k
