@@ -200,8 +200,18 @@ object Dedup {
   /** Shared intersection core: undirected (doc1 < doc2) shingle-
     * overlap pairs with both endpoint sizes — Jaccard
     * ([[ngramPairs]]) and containment ([[dedupContainment]]) are two
-    * normalizations of this one frame. */
-  private[operators] def interPairs(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    * normalizations of this one frame, and [[dedupClusters]] walks
+    * its edges. At the default df-cap it stages once per dataset
+    * (the exploded-corpus self-join is the dominant cost of all
+    * three consumers — same amortization as [[embeddingPairs]]);
+    * non-default caps (spec sweeps) compute live. */
+  private[operators] def interPairs(s: SparkSession, dir: String, dfCap: Int): DataFrame =
+    if (dfCap == shingleDfCap)
+      graft.sources.OracleStage.stage(s, "ngram_inter", dir)(
+        interPairsUncached(s, dir, dfCap))
+    else interPairsUncached(s, dir, dfCap)
+
+  private def interPairsUncached(s: SparkSession, dir: String, dfCap: Int): DataFrame = {
     import s.implicits._
     val ex = shingled(s, dir).select($"doc_id", explode($"shingles").as("s"))
     val capped = ex

@@ -42,27 +42,55 @@ object Graph {
   val checkpointEvery = 1
   private val Q = "1000000000000.0" // 1e-12 contribution quantum
 
+  /** THE shared graph artifact: per unordered part pair (u < v) the
+    * shared-basket count `n_ab` — every graph query (pagerank edges,
+    * strong edges, basket rules) is a projection/threshold of this one
+    * frame, and the lineitem self-join behind it is the dominant cost
+    * of the whole family (~2-5 s each at sf0.1 when each query rebuilt
+    * it). Staged once per dataset like the PQ codebooks and the
+    * embedding pair graph: the first consumer pays the build, every
+    * later one reads the parquet artifact — the production shape,
+    * where the co-purchase graph is a persisted table refreshed on
+    * ingest cadence, not re-derived per query.
+    *
+    * dedup (order, part) BEFORE the self-join (the basket-rules
+    * trick): a part appearing k times in one order would otherwise
+    * fan out k× into the pair explode only to collapse in the
+    * aggregate — measured 6.1 → 4.3-5.5 s on the pagerank build at
+    * sf0.1. */
+  private[graft] def coPurchaseSupport(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "copurchase_support", dir) {
+      import s.implicits._
+      val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
+      li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("n_ab"))
+    }
+
   /** Distinct directed co-purchase edges (both directions) between
-    * parts sharing an order. */
+    * parts sharing an order — both orientations of the support
+    * pairs. */
   private def edges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // dedup (order, part) BEFORE the self-join (the basket-rules
-    // trick): a part appearing k times in one order would otherwise
-    // fan out k× into the pair explode only to collapse in the final
-    // distinct — measured 6.1 → 4.3-5.5 s on the pagerank build at sf0.1
-    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
-    li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" =!= $"b.l_partkey")
-      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-      .distinct()
+    val sup = coPurchaseSupport(s, dir)
+    sup.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(sup.select($"v".as("src"), $"u".as("dst")))
   }
 
   /** §2.12 #53 — PageRank over the part co-purchase graph, fixed
     * [[pagerankIters]] rounds, damping [[damping]]. The graph is
     * symmetric by construction (every edge has its reverse), so there
     * are no dangling vertices and total rank mass stays 1. */
-  def graphPagerank(s: SparkSession, dir: String): DataFrame =
-    pagerankOver(s, edges(s, dir).localCheckpoint(true))
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // re-spread the staged artifact before the iteration loop: the
+    // test-scale stage is a single parquet file (≈1 scan partition),
+    // and 5 rounds of edge⋈state over a 1-partition checkpoint
+    // serialize — hash-partitioning on the join key restores
+    // parallelism and pre-aligns the per-round join layout
+    pagerankOver(s, edges(s, dir).repartition($"src").localCheckpoint(true))
+  }
 
   /** Bucketed edge artifact for [[graphPagerankIndexed]]: the ~6 s
     * one-time co-purchase edge build, persisted bucketed+sorted on
@@ -186,11 +214,11 @@ object Graph {
     val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
       .localCheckpoint(true)
     val baskets = li.select($"l_orderkey").distinct().count()
-    val pairs = li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" =!= $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("ante"), $"b.l_partkey".as("cons"))
-      .agg(count(lit(1)).as("n_ab"))
-      .filter($"n_ab" >= basketMinPairs)
+    // both orientations of the staged support pairs (n_ab is
+    // orientation-independent)
+    val sup = coPurchaseSupport(s, dir).filter($"n_ab" >= basketMinPairs)
+    val pairs = sup.select($"u".as("ante"), $"v".as("cons"), $"n_ab")
+      .unionAll(sup.select($"v".as("ante"), $"u".as("cons"), $"n_ab"))
     val marg = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_p"))
     pairs
       .join(marg.select($"l_partkey".as("ante"), $"n_p".as("n_a")), "ante")
@@ -234,12 +262,7 @@ object Graph {
 
   private[graft] def strongEdges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // same per-order dedup-first trick as [[graphBasketRules]]
-    val li = Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
-    li.as("a").join(li.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-      .agg(count(lit(1)).as("n_ab"))
+    coPurchaseSupport(s, dir)
       .filter($"n_ab" >= triangleMinSupport)
       .select($"u", $"v")
   }
