@@ -466,13 +466,13 @@ object Dedup {
     * exchange-free. The banding shuffle of the corpus is paid ONCE
     * here, not per incoming batch. */
   def buildMinhashIndex(s: SparkSession, dir: String,
-                        table: String = incrementalIndexTable): Unit = {
-    val sigs = minhashSignatures(s, dir).filter(!isIncoming)
-    val keyed = bandedSigs(sigs)
-      .select(col("band"), col("bucket"), col("doc_id"), col("sig"))
-    graft.sources.Sinks.writeBucketed(keyed, table,
-      Seq("band", "bucket"), incrementalIndexBuckets)
-  }
+                        table: String = incrementalIndexTable): Unit =
+    graft.sources.Sinks.writeBucketedOnce(dir, table,
+        Seq("band", "bucket"), incrementalIndexBuckets) {
+      val sigs = minhashSignatures(s, dir).filter(!isIncoming)
+      bandedSigs(sigs)
+        .select(col("band"), col("bucket"), col("doc_id"), col("sig"))
+    }
 
   /** §2.4 #29d — incremental dedup: a freshly-ingested shard probed
     * against the PERSISTED corpus index, the first-class operation of
@@ -755,10 +755,11 @@ object Dedup {
   def buildEmbedClusterIndex(s: SparkSession, dir: String,
                              table: String = embedClusterIndexTable): Unit = {
     import s.implicits._
-    val p = embeddingPairs(s, dir).select($"id1".as("doc1"), $"id2".as("doc2"))
-    graft.sources.Sinks.writeBucketed(
-      p.union(p.select($"doc2", $"doc1")).toDF("src", "dst"),
-      table, Seq("src"), embedClusterIndexBuckets)
+    graft.sources.Sinks.writeBucketedOnce(dir, table,
+        Seq("src"), embedClusterIndexBuckets) {
+      val p = embeddingPairs(s, dir).select($"id1".as("doc1"), $"id2".as("doc2"))
+      p.union(p.select($"doc2", $"doc1")).toDF("src", "dst")
+    }
   }
 
   /** §2.4 #29j' — semantic cluster canonicalization over the PERSISTED

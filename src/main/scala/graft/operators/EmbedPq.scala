@@ -695,6 +695,50 @@ object EmbedPq {
     encodeOn(rotatedVectors(s, dir), trainOpqCodebooks(s, dir)).orderBy($"vec_id")
   }
 
+  /** Sequential left-to-right dot product — the same fold order as
+    * graft_dot / DuckDB list_dot_product, so driver-rotated query
+    * vectors are bit-equal to the oracle's SQL rotation. */
+  private def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** §2.5 #31m — ADC search in the OPQ-rotated space: rotation is an
+    * isometry, so ADC distances approximate the SAME original-space
+    * L2² as [[annPq]] but from the lower-error OPQ codes. Queries
+    * rotate on the driver (nQueries × d dot products); everything
+    * else is the [[annPq]] scan shape — codes + broadcast distance
+    * tables, bounded-heap top-k, corpus never shuffles. */
+  def annOpq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cbs = trainOpqCodebooks(s, dir)
+    val rot = opqRotation(s, dir)
+    val codes = encodeOn(rotatedVectors(s, dir), cbs)
+      .select($"vec_id", split($"pq_code", "-").cast("array<int>").as("codes"))
+    val qrot = queryVecs(s, dir).map { case (qid, qv) =>
+      qid -> rot.map(r => dotSeq(r, qv))
+    }
+    val dtab = broadcast(distTables(qrot, cbs).toDF("query_id", "dt"))
+    val scored = codes.join(dtab, $"vec_id" =!= $"query_id")
+      .withColumn("adist", expr(adcExpr))
+    graft.plans.TopK.perGroup(
+        scored.select($"query_id", $"vec_id", $"adist"),
+        Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), Similarity.k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"adist")
+      .orderBy($"query_id", $"rank")
+  }
+
+  def annOpqSql(cbGlob: String, rotGlob: String): String =
+    s"""WITH ${pqCodesCtes(cbGlob, Some(rotGlob))},
+       |$adcCtes
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank,
+       |  neighbor_id, adist
+       |FROM ad
+       |QUALIFY rank <= ${Similarity.k}
+       |ORDER BY query_id, rank""".stripMargin
+
   def embedOpqSql(cbGlob: String, rotGlob: String): String =
     s"""WITH ${pqCodesCtes(cbGlob, Some(rotGlob))},
        |errs AS (
@@ -713,7 +757,8 @@ object EmbedPq {
     "embed_int8"    -> (embedInt8 _),
     "ann_ivf_pq"    -> (annIvfPq _),
     "ann_ivf_pq_refine" -> (annIvfPqRefine _),
-    "embed_opq"     -> (embedOpq _)
+    "embed_opq"     -> (embedOpq _),
+    "ann_opq"       -> (annOpq _)
   )
 
   def oracles: Map[String, String] =
@@ -731,5 +776,7 @@ object EmbedPq {
       (for {
         g1 <- graft.sources.OracleStage.globOf("opq_codebooks")
         g2 <- graft.sources.OracleStage.globOf("opq_rotation")
-      } yield "embed_opq" -> embedOpqSql(g1, g2))
+      } yield Seq(
+        "embed_opq" -> embedOpqSql(g1, g2),
+        "ann_opq"   -> annOpqSql(g1, g2))).toSeq.flatten
 }

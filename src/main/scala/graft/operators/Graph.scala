@@ -103,8 +103,8 @@ object Graph {
 
   def buildPagerankIndex(s: SparkSession, dir: String,
                          table: String = pagerankIndexTable): Unit =
-    graft.sources.Sinks.writeBucketed(edges(s, dir), table,
-      Seq("src"), pagerankIndexBuckets)
+    graft.sources.Sinks.writeBucketedOnce(dir, table,
+      Seq("src"), pagerankIndexBuckets)(edges(s, dir))
 
   /** §2.12 #53' — PageRank over the PERSISTED edge index: identical
     * recurrence (shares [[graphPagerankSql]] verbatim); per round the

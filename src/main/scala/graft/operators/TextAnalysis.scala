@@ -366,18 +366,19 @@ object TextAnalysis {
                          table: String = searchIndexTable): Unit = {
     import s.implicits._
     import graft.functions.Agg.rnd
-    val tf = Tables.documents(s, dir)
-      .select($"doc_id", explode(expr(toksExpr)).as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
-    val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(n))
-      .select($"term",
-        rnd(log(($"n" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0), 6).as("idf"))
-    val postings = tf.join(idf, "term")
-      .select($"term", $"doc_id", ($"tf" * $"idf").as("w"))
-    graft.sources.Sinks.writeBucketed(postings, table,
-      Seq("term"), searchIndexBuckets)
+    graft.sources.Sinks.writeBucketedOnce(dir, table,
+        Seq("term"), searchIndexBuckets) {
+      val tf = Tables.documents(s, dir)
+        .select($"doc_id", explode(expr(toksExpr)).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(n))
+        .select($"term",
+          rnd(log(($"n" + lit(1.0)) / ($"df" + lit(1.0))) + lit(1.0), 6).as("idf"))
+      tf.join(idf, "term")
+        .select($"term", $"doc_id", ($"tf" * $"idf").as("w"))
+    }
   }
 
   /** Query-time search against the persisted index: the term filter

@@ -33,4 +33,17 @@ object Sinks {
     * filtering on `partitionCol` scan only matching directories). */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+
+  private val once =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+
+  /** Session memo over [[writeBucketed]]: the index table is written
+    * once per (name, dataKey) and every later builder call is a no-op
+    * — the production shape, where index tables are written on ingest
+    * cadence and queries only read them (the same memo
+    * Relational.stageBucketedFacts uses). `df` is by-name so skipped
+    * builds never even construct the build plan. */
+  def writeBucketedOnce(dataKey: String, name: String, keys: Seq[String],
+                        buckets: Int)(df: => DataFrame): Unit =
+    once.getOrElseUpdate((name, dataKey), writeBucketed(df, name, keys, buckets))
 }
