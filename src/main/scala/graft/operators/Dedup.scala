@@ -513,6 +513,34 @@ object Dedup {
       $"i.band" === $"p.band" && $"i.bucket" === $"p.bucket")
   }
 
+  /** Continuous-ingest split for the EMBEDDING probe (the vector
+    * analog of [[isIncoming]]'s document split): vectors with
+    * `vec_id % mod == rem` arrive as the stream, the rest are the
+    * established corpus behind the persisted index. */
+  val embedShardMod = 5L
+  val embedShardRem = 4L
+  val embedProbeIndexTable = "graft_embed_probe_idx"
+  val embedProbeIndexBuckets = 16
+
+  /** Persisted LSH bucket index over the CORPUS vectors: one row per
+    * (table, bucket) assignment with the vector payload inline
+    * (the same inline-vector layout [[embeddingPairs]] measured 3×
+    * faster than ids-only + join-back at probe time; a deploy that
+    * can't afford L× vector duplication stores PQ codes in the index
+    * and exact-refines survivors). Bucketed+sorted on (tbl, bucket)
+    * so the streaming probe join reads the index exchange-free —
+    * built once per dataset ([[graft.sources.Sinks.writeBucketedOnce]]),
+    * exactly like [[buildMinhashIndex]]. */
+  def buildEmbedProbeIndex(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.sources.Sinks.writeBucketedOnce(dir, embedProbeIndexTable,
+        Seq("tbl", "bucket"), embedProbeIndexBuckets) {
+      Similarity.lshBuckets(s, dir, dedupLshTables, dedupLshBits)
+        .filter($"vec_id" % embedShardMod =!= embedShardRem)
+        .select($"tbl", $"bucket", $"vec_id", $"v", $"nrm")
+    }
+  }
+
   /** doc_id + 64-bit SimHash over tokens (term-frequency weighted by
     * construction: repeated tokens vote repeatedly) via the native
     * [[graft.functions.SimHash64]] expression. Staged like

@@ -92,12 +92,19 @@ object Similarity {
     * (more tables, fewer bits) because a τ=0.4 threshold needs much
     * higher per-pair recall than a top-k search. */
   def lshBuckets(s: SparkSession, dir: String,
-                 tables: Int = lshTables, bits: Int = lshBits): DataFrame = {
+                 tables: Int = lshTables, bits: Int = lshBits): DataFrame =
+    lshBucketsOf(vectors(s, dir), tables, bits)
+
+  /** Bucket assignment over ANY (vec_id, v, nrm) frame — shared by
+    * the batch path and the streaming probe (the hyperplane matrix is
+    * a literal, so the signature is row-local on a stream too). */
+  def lshBucketsOf(vecs: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val s = vecs.sparkSession
     import s.implicits._
     val nPlanes = tables * bits
     val dims = 64
     val planes = typedLit(Seq.tabulate(nPlanes, dims)((p, d) => plane(p, d + 1)))
-    vectors(s, dir)
+    vecs
       .withColumn("planes", planes)
       .withColumn("bits",
         expr("transform(planes, pl -> CASE WHEN graft_dot(v, pl) >= 0D THEN 1L ELSE 0L END)"))

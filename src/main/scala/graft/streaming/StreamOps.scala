@@ -788,7 +788,79 @@ object StreamOps {
        |WHERE admit_seq <= $rateLimitN
        |ORDER BY user_id, event_id""".stripMargin
 
+  /** Streaming embedding near-dup: freshly-ingested vectors probed
+    * against the PERSISTED corpus LSH bucket index — the embedding
+    * analog of the batch [[graft.operators.Dedup.dedupIncremental]],
+    * and the semantic-dedup admission gate a continuously-ingesting
+    * training pipeline runs ("is this new vector already represented
+    * in the corpus?"). A STREAM-STATIC join: the incoming stream
+    * computes its bucket keys row-local (the hyperplane matrix is a
+    * literal), hashes onto the index's (tbl, bucket) bucket layout,
+    * and the corpus side is never re-read in full, re-signed or
+    * re-shuffled per micro-batch — its banding shuffle was paid once
+    * at [[graft.operators.Dedup.buildEmbedProbeIndex]] time. Exact
+    * cosine evaluated inline in the join (the [[graft.operators
+    * .Dedup.embeddingPairs]] layout); multi-table collisions collapse
+    * in a stateful dropDuplicates (state = one tiny key per emitted
+    * pair; production bounds it with an arrival-time watermark).
+    * Banding matches the batch path's tables×bits exactly, so run to
+    * completion the result equals the all-pairs corpus×incoming τ-cut
+    * — the same recall argument as dedup_embedding's oracle. */
+  def embedDedupStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Agg, VectorFns}
+    import graft.operators.{Dedup, Similarity}
+    Dedup.buildEmbedProbeIndex(s, dir)
+    val incoming = StreamAcc.fileStream(s, dir, "embeddings")
+      .filter($"vec_id" % Dedup.embedShardMod === Dedup.embedShardRem)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorFns.norm("v")))
+    val probe = Similarity.lshBucketsOf(incoming,
+      Dedup.dedupLshTables, Dedup.dedupLshBits)
+    s.table(Dedup.embedProbeIndexTable).as("i").join(probe.as("p"),
+        $"i.tbl" === $"p.tbl" && $"i.bucket" === $"p.bucket")
+      .withColumn("cosine",
+        expr(Agg.rndSql(s"${VectorFns.dot("i.v", "p.v")} / (i.nrm * p.nrm)", 6)))
+      .filter($"cosine" >= Dedup.cosineTau)
+      .select($"i.vec_id".as("corpus_id"), $"p.vec_id".as("new_id"), $"cosine")
+      .dropDuplicates("corpus_id", "new_id")
+  }
+
+  def runEmbedDedupToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_embed_dedup"): DataFrame = {
+    val q = embedDedupStream(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("new_id"), col("corpus_id"))
+  }
+
+  /** Oracle: the all-pairs corpus×incoming cosine τ-cut (banding
+    * recall is total at the driver SFs — the dedup_embedding
+    * argument). */
+  val streamEmbedDedupSql: String = {
+    import graft.functions.Agg.rndSql
+    import graft.operators.Dedup
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v)
+       |SELECT c.vec_id AS corpus_id, p.vec_id AS new_id,
+       |  ${rndSql("list_dot_product(c.v, p.v) / (c.nrm * p.nrm)", 6)} AS cosine
+       |FROM n c JOIN n p
+       |  ON (c.vec_id % ${Dedup.embedShardMod}) <> ${Dedup.embedShardRem}
+       | AND (p.vec_id % ${Dedup.embedShardMod}) = ${Dedup.embedShardRem}
+       |WHERE ${rndSql("list_dot_product(c.v, p.v) / (c.nrm * p.nrm)", 6)} >= ${Dedup.cosineTau}
+       |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_embed_dedup" -> ((s, dir) =>
+      runEmbedDedupToCompletion(s, dir, sink = "stream_embed_dedup_verify")),
     "stream_rate_limit" -> ((s, dir) =>
       runRateLimitToCompletion(s, dir, sink = "stream_rate_limit_verify")),
     "stream_anomaly" -> ((s, dir) =>
@@ -831,6 +903,9 @@ object StreamOps {
   /** stream_sessionize runs the same session_window operator as the
     * batch q_session_window, so it shares that oracle verbatim. */
   def oracles: Map[String, String] = Map(
+    // run to completion, the banded probe equals the all-pairs
+    // corpus×incoming τ-cut — see streamEmbedDedupSql
+    "stream_embed_dedup"    -> streamEmbedDedupSql,
     // run to completion with per-key in-order delivery, the admission
     // machine equals the batch per-(user, window) rank — see rateLimitSql
     "stream_rate_limit"     -> rateLimitSql,

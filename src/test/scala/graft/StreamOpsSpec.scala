@@ -43,6 +43,30 @@ class StreamOpsSpec extends SparkSpec {
         s"diff=${(streamed -- batch).take(2)} / ${(batch -- streamed).take(2)}")
   }
 
+  test("streaming embed dedup equals the all-pairs corpus×incoming τ-cut") {
+    val s = spark
+    val mod = graft.operators.Dedup.embedShardMod
+    val rem = graft.operators.Dedup.embedShardRem
+    val streamed = StreamOps.runEmbedDedupToCompletion(s, sfDir,
+        sink = "embed_dedup_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the O(n²) all-pairs τ-cut restricted to pairs with
+    // exactly one incoming endpoint, oriented (corpus, new)
+    val expected = graft.operators.Dedup.dedupEmbeddingAllPairs(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (id1, id2, cos) =>
+        val in1 = id1 % mod == rem
+        val in2 = id2 % mod == rem
+        if (in1 && !in2) Some((id2, id1, cos))
+        else if (in2 && !in1) Some((id1, id2, cos))
+        else None
+      }.toSet
+    assert(expected.nonEmpty, "split produced no cross pairs at spec SF")
+    assert(streamed == expected,
+      s"streamed=${streamed.size} expected=${expected.size}; " +
+        s"diff=${(streamed -- expected).take(2)} / ${(expected -- streamed).take(2)}")
+  }
+
   test("streaming heavy hitters equal the batch Misra-Gries result exactly") {
     val s = spark
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
