@@ -391,19 +391,95 @@ object Similarity {
        |FROM r WHERE rank <= $outlierK
        |ORDER BY label, rank""".stripMargin
 
+  /** Deterministic ~14% query sample for the kNN label probe. */
+  val knnEvalMod = 7L
+  val knnEvalRem = 3L
+
+  /** §2.5 #31n — kNN label-consistency probe: every sampled vector is
+    * classified by the majority label of its k nearest neighbors
+    * (cosine; ties → lowest label) and scored against its own label,
+    * reported per label — THE embedding-quality diagnostic a training
+    * pipeline runs after (re)embedding: low consistency for one label
+    * flags a class whose embedding region collapsed or overlaps.
+    * Layout is the exact-kNN scan shape: the bounded query sample
+    * broadcasts, the corpus is scanned once (linear, no self-join),
+    * top-k per query on the bounded-heap operator, the vote and the
+    * accuracy rollup are label-sized. */
+  def embedKnnEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{countIf, rnd}
+    val base = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", expr(VectorFns.asDouble("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorFns.norm("v")))
+    val q = base.filter($"vec_id" % knnEvalMod === knnEvalRem)
+      .select($"vec_id".as("query_id"), $"label".as("true_label"),
+        $"v".as("qv"), $"nrm".as("qnrm"))
+    val scored = base.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("cosine",
+        expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
+      .select($"query_id", $"true_label", $"vec_id", $"label", $"cosine")
+    val nn = graft.plans.TopK.perGroup(scored, Seq("query_id"),
+      Seq("cosine" -> true, "vec_id" -> false), k)
+    val votes = nn.groupBy($"query_id", $"true_label", $"label".as("pred_label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val pred = graft.plans.TopK.perGroup(votes, Seq("query_id"),
+      Seq("n_votes" -> true, "pred_label" -> false), 1)
+    pred.groupBy($"true_label".as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        countIf($"pred_label" === $"true_label").as("n_correct"))
+      .withColumn("accuracy",
+        rnd($"n_correct".cast("double") / $"n_queries".cast("double"), 6))
+      .orderBy($"label")
+  }
+
+  val embedKnnEvalSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |q AS (
+       |  SELECT vec_id AS query_id, label AS true_label, v AS qv, nrm AS qnrm
+       |  FROM n WHERE vec_id % $knnEvalMod = $knnEvalRem),
+       |scored AS (
+       |  SELECT q.query_id, q.true_label, c.vec_id, c.label,
+       |    ${rndSql("list_dot_product(q.qv, c.v) / (q.qnrm * c.nrm)", 6)} AS cosine
+       |  FROM n c JOIN q ON c.vec_id <> q.query_id),
+       |nn AS (
+       |  SELECT query_id, true_label, label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |    FROM scored)
+       |  WHERE rn <= $k),
+       |votes AS (
+       |  SELECT query_id, true_label, label AS pred_label, count(*) AS n_votes
+       |  FROM nn GROUP BY 1, 2, 3),
+       |pred AS (
+       |  SELECT query_id, true_label, pred_label FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, pred_label) AS rn
+       |    FROM votes)
+       |  WHERE rn = 1)
+       |SELECT true_label AS label, count(*) AS n_queries,
+       |  CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  ${rndSql("CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS accuracy
+       |FROM pred GROUP BY 1 ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh"        -> (annLsh _),
     "ann_matryoshka" -> (annMatryoshka _),
     "embed_centroids" -> (embedCentroids _),
-    "embed_outliers" -> (embedOutliers _)
+    "embed_outliers" -> (embedOutliers _),
+    "embed_knn_eval" -> (embedKnnEval _)
   )
 
   def oracles: Map[String, String] =
     Map("ann_bruteforce" -> annBruteforceSql,
         "ann_matryoshka" -> annMatryoshkaSql,
         "embed_centroids" -> embedCentroidsSql,
-        "embed_outliers" -> embedOutliersSql) ++
+        "embed_outliers" -> embedOutliersSql,
+        "embed_knn_eval" -> embedKnnEvalSql) ++
       graft.sources.OracleStage.globOf("lsh_buckets")
         .map(g => "ann_lsh" -> annLshSql(g))
 }
