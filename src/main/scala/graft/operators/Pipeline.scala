@@ -146,6 +146,55 @@ object Pipeline {
        |QUALIFY rank <= $weightedK
        |ORDER BY source, rank""".stripMargin
 
+  /** §2.8 — duplicate-TEMPERING sampler ("soft dedup"): exact-dup
+    * clusters are flattened instead of eliminated — the canonical doc
+    * of every content-hash cluster ALWAYS survives (unique content is
+    * never lost, unlike admit-all-with-prob-1/n, which drops whole
+    * clusters at rate (1−1/n)ⁿ → 1/e), and each extra copy is
+    * admitted with probability 1/cluster_size via the same Lehmer PRF
+    * as the other samplers — expected copies per cluster temper from
+    * n to 1 + (n−1)/n < 2. The recipe between hard dedup (row 25:
+    * keep exactly one) and no dedup: duplicated mass stops scaling
+    * with n while mild duplication signal survives. Deterministic and
+    * exact: the admission test is the INTEGER compare u·n < 2³¹−1
+    * where u is a TWO-step Lehmer draw (a single step leaves
+    * u ≈ id·48271 for ids below ~44k, so small sequential ids would
+    * never drop; the second multiply mixes them) — no float
+    * thresholds, bit-identical cross-engine. One shuffle on the
+    * content hash (the dedup_exact layout: window count + min share
+    * the partitioning). */
+  def sampleDedupFlatten(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"h")
+    Tables.documents(s, dir)
+      .select($"doc_id", $"source", md5($"text".cast("binary")).as("h"))
+      .withColumn("canonical_id", min($"doc_id").over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("u", expr(
+        "(doc_id % 2147483647L) * 48271L % 2147483647L * 48271L % 2147483647L"))
+      .filter($"doc_id" === $"canonical_id" ||
+        $"u" * $"cluster_size" < lit(2147483647L))
+      .select($"doc_id", $"source", $"canonical_id", $"cluster_size",
+        ($"doc_id" === $"canonical_id").as("is_canonical"))
+      .orderBy($"doc_id")
+  }
+
+  val sampleDedupFlattenSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, source, md5(text) AS h FROM documents),
+      |cl AS (
+      |  SELECT doc_id, source,
+      |    min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+      |    count(*) OVER (PARTITION BY h) AS cluster_size
+      |  FROM h)
+      |SELECT doc_id, source, canonical_id, cluster_size,
+      |  doc_id = canonical_id AS is_canonical
+      |FROM cl
+      |WHERE doc_id = canonical_id
+      |   OR (doc_id % 2147483647) * 48271 % 2147483647 * 48271 % 2147483647
+      |      * cluster_size < 2147483647
+      |ORDER BY doc_id""".stripMargin
+
   val sampleStratifiedSql: String =
     s"""WITH st AS (
        |  SELECT source,
@@ -1200,6 +1249,7 @@ object Pipeline {
     "sample_stratified" -> (sampleStratified _),
     "sample_reservoir"  -> (sampleReservoir _),
     "sample_weighted"   -> (sampleWeighted _),
+    "sample_dedup_flatten" -> (sampleDedupFlatten _),
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
     "doc_pack"          -> (docPack _),
@@ -1224,6 +1274,7 @@ object Pipeline {
     "sample_stratified" -> sampleStratifiedSql,
     "sample_reservoir"  -> sampleReservoirSql,
     "sample_weighted"   -> sampleWeightedSql,
+    "sample_dedup_flatten" -> sampleDedupFlattenSql,
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,
     "doc_pack"          -> docPackSql,

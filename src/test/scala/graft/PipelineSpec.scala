@@ -8,6 +8,46 @@ import graft.operators.{Pipeline, TextAnalysis}
 
 class PipelineSpec extends SparkSpec {
 
+  test("sample_dedup_flatten keeps every canonical and tempers copies toward 1/n") {
+    val s = spark; import s.implicits._
+    // 40 identical copies (one cluster) + 60 unique docs. At n=40 the
+    // per-copy admission probability is 1/40, so the cluster must
+    // shrink drastically — while the canonical and every unique doc
+    // survive unconditionally. Ids offset by 100k so the spec also
+    // covers non-small ids.
+    val dir = Files.createTempDirectory("graft-flatten").toString
+    val rows = (0 until 40).map(i => (100000L + i, "dup dup dup", "en", "s0", 11L)) ++
+      (0 until 60).map(i => (200000L + i, s"unique text $i", "en", "s0", 14L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.sampleDedupFlatten(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // every unique doc survives as its own canonical
+    (0 until 60).foreach { i =>
+      val t = byId(200000L + i)
+      assert(t._2 == 200000L + i && t._3 == 1L && t._4, t.toString)
+    }
+    // the duplicate cluster: canonical always kept, copies tempered
+    val dups = out.filter(_._2 == 100000L)
+    assert(byId.contains(100000L) && byId(100000L)._4, "canonical must survive")
+    assert(dups.forall(_._3 == 40L))
+    val extras = dups.count(!_._4)
+    // E[extras] = 39/40 ≈ 1; the deterministic PRF admits a small
+    // fixed set — far below the 39 copies, proving real tempering
+    assert(extras < 10, s"cluster barely tempered: $extras of 39 copies admitted")
+    // determinism across partitioning: same admitted set at any
+    // shuffle-partition setting (pure row-local test + window)
+    val key = "spark.sql.shuffle.partitions"
+    val orig = s.conf.get(key)
+    val again = try {
+      s.conf.set(key, "3")
+      Pipeline.sampleDedupFlatten(s, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    } finally s.conf.set(key, orig)
+    assert(again.toSet == out.toSet)
+  }
+
   test("sample_weighted favors long documents (weighted-inclusion bias)") {
     val s = spark; import s.implicits._
     // 200 docs, one source, weights 10..200: with k=50 the sample
