@@ -365,7 +365,59 @@ object Multimodal {
        |FROM m GROUP BY 1, 2 ORDER BY canonical_id""".stripMargin
   }
 
+  /** Target shard size: bytes of the virtual concatenated payload
+    * stream per shard. 64 KiB at test scale; a deploy sets ~1 GiB. */
+  val shardBytes = 64 * 1024L
+
+  /** §2.7 — webdataset-style shard index: every asset assigned to a
+    * fixed-size training shard with its offset — THE storage layout
+    * multimodal loaders stream (sequential reads of ~1 GiB shard
+    * files, no per-asset object-store round trips). Assets pack in
+    * asset_id order into a virtual byte stream; an asset belongs to
+    * the shard containing its START byte (boundary drift bounded by
+    * one max payload — the classic tar-shard convention). The global
+    * byte position is the two-phase distributed prefix sum
+    * ([[graft.functions.Ranks.globalRunningSum]], never a one-task
+    * window), and the payload NEVER rides the shuffle — only
+    * (asset_id, mime, n_bytes) rank; byte lengths come from the scan
+    * row-locally. Writing the actual shard files is then an
+    * embarrassingly-parallel per-shard job over this index. */
+  def mmShardIndex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val assets = withPayload(s, dir)
+      .select($"doc_id".as("asset_id"), $"mime",
+        octet_length($"payload").cast("long").as("n_bytes"))
+    graft.functions.Ranks.globalRunningSum(assets, Seq($"asset_id"), $"n_bytes",
+        graft.functions.Ranks.defaultPartitions(assets), "cum_after")
+      .withColumn("cum_before", $"cum_after" - $"n_bytes")
+      .select($"asset_id", $"mime", $"n_bytes",
+        expr(s"cum_before div $shardBytes").as("shard_id"),
+        expr(s"cum_before % $shardBytes").as("offset_in_shard"))
+      .orderBy($"asset_id")
+  }
+
+  val mmShardIndexSql: String = {
+    val mimeCase = magics.zipWithIndex.map { case ((_, mime), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN '$mime'"
+    }.mkString("CASE ", " ", " ELSE 'application/octet-stream' END")
+    s"""WITH a AS (
+       |  SELECT doc_id AS asset_id, $mimeCase AS mime,
+       |    4 + octet_length(CAST(text AS BLOB)) AS n_bytes
+       |  FROM documents),
+       |c AS (
+       |  SELECT asset_id, mime, n_bytes,
+       |    CAST(sum(n_bytes) OVER (ORDER BY asset_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - n_bytes AS cum_before
+       |  FROM a)
+       |SELECT asset_id, mime, CAST(n_bytes AS BIGINT) AS n_bytes,
+       |  cum_before // $shardBytes AS shard_id,
+       |  cum_before % $shardBytes AS offset_in_shard
+       |FROM c ORDER BY asset_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_index"   -> (mmShardIndex _),
     "mm_manifest"      -> (mmManifest _),
     "mm_frame_extract" -> (mmFrameExtract _),
     "mm_thumbnail"     -> (mmThumbnail _),
@@ -374,6 +426,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "mm_shard_index"   -> mmShardIndexSql,
     "mm_manifest"      -> mmManifestSql,
     "mm_frame_extract" -> mmFrameExtractSql,
     "mm_thumbnail"     -> mmThumbnailSql,
