@@ -1110,7 +1110,97 @@ object Behavioral {
        |FROM m ORDER BY event_type, lag_d""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_cusum — change-point detection over daily event volume
+  // ------------------------------------------------------------------
+
+  /** §2.10 — one-sided CUSUM change-point detector over per-type
+    * daily event counts: S_t = max(0, S_{t−1} + (x_t − μ − 0.5σ)),
+    * alarm when S_t > 4σ — the classic sequential drift detector that
+    * fires on a SUSTAINED upward shift long before any single day
+    * looks anomalous (the complement of stream_anomaly's point
+    * z-score). The recursion is inherently sequential per key, so it
+    * runs as a row-local `aggregate` fold over each type's collected
+    * day series — bounded by the calendar (#days per key), NOT the
+    * corpus; the heavy work (daily counts, exact moment sums) is
+    * partial-agged corpus-side. μ and σ derive from exact integer
+    * Σx/Σx² so the fold input is bit-identical at any parallelism,
+    * the fold itself replays the oracle's recursion operation for
+    * operation, and the alarm compares 1e-6-quantized integers so an
+    * engine ulp cannot flip a flag. */
+  def qCusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = daily.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"x" * $"x").as("sxx"))
+      .withColumn("mu", $"sx".cast("double") / $"n".cast("double"))
+      .withColumn("sig", sqrt($"sxx".cast("double") / $"n".cast("double") - $"mu" * $"mu"))
+      .select($"event_type", $"mu", $"sig")
+    val series = daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"x"))).as("ds"))
+    series.join(stats, "event_type")
+      .withColumn("walk", expr(
+        """aggregate(ds,
+          |  named_struct('s', CAST(0 AS DOUBLE),
+          |    'out', CAST(array() AS array<struct<day:date,x:bigint,s:double>>)),
+          |  (acc, d) -> named_struct(
+          |    's', greatest(CAST(0 AS DOUBLE), acc.s + (CAST(d.x AS DOUBLE) - mu - 0.5 * sig)),
+          |    'out', concat(acc.out, array(named_struct('day', d.day, 'x', d.x,
+          |      's', greatest(CAST(0 AS DOUBLE), acc.s + (CAST(d.x AS DOUBLE) - mu - 0.5 * sig)))))),
+          |  acc -> acc.out)""".stripMargin))
+      .select($"event_type", $"sig", explode($"walk").as("w"))
+      .select($"event_type", $"w.day".as("day"), $"w.x".as("n_events"),
+        rnd($"w.s", 6).as("cusum"),
+        (expr("CAST(floor(w.s * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)") >
+          expr("CAST(floor(4.0 * sig * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("flagged"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val qCusumSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT event_type, count(*) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx
+       |  FROM daily GROUP BY 1),
+       |p1 AS (
+       |  SELECT event_type, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mu, n, sxx
+       |  FROM m),
+       |p AS (
+       |  SELECT event_type, mu,
+       |    sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - mu * mu) AS sig
+       |  FROM p1),
+       |idx AS (
+       |  SELECT event_type, day, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM daily),
+       |walk(event_type, rn, day, x, s) AS (
+       |  SELECT i.event_type, i.rn, i.day, i.x,
+       |    greatest(CAST(0 AS DOUBLE),
+       |      CAST(0 AS DOUBLE) + (CAST(i.x AS DOUBLE) - p.mu - 0.5 * p.sig))
+       |  FROM idx i JOIN p ON p.event_type = i.event_type WHERE i.rn = 1
+       |  UNION ALL
+       |  SELECT i.event_type, i.rn, i.day, i.x,
+       |    greatest(CAST(0 AS DOUBLE),
+       |      w.s + (CAST(i.x AS DOUBLE) - p.mu - 0.5 * p.sig))
+       |  FROM walk w
+       |  JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1
+       |  JOIN p ON p.event_type = i.event_type)
+       |SELECT w.event_type, w.day, w.x AS n_events,
+       |  ${rndSql("w.s", 6)} AS cusum,
+       |  CAST(floor(w.s * 1000000.0 + 0.5) AS BIGINT) >
+       |    CAST(floor(4.0 * p.sig * 1000000.0 + 0.5) AS BIGINT) AS flagged
+       |FROM walk w JOIN p USING (event_type)
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cusum"         -> (qCusum _),
     "q_lateness"      -> (qLateness _),
     "q_seasonality"   -> (qSeasonality _),
     "q_lag_features"  -> (qLagFeatures _),
@@ -1132,6 +1222,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_cusum"         -> qCusumSql,
     "q_lateness"      -> qLatenessSql,
     "q_seasonality"   -> qSeasonalitySql,
     "q_lag_features"  -> qLagFeaturesSql,

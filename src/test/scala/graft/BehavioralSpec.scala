@@ -23,6 +23,41 @@ class BehavioralSpec extends SparkSpec {
     assert(!r.head.getDouble(1).isNaN, "bin_lo must be the value, not NaN")
   }
 
+  test("q_cusum alarms on a sustained shift no single day would flag") {
+    val s = spark; import s.implicits._
+    // 30 days of "click": days 1-20 alternate 99/101 events (mean 100,
+    // tiny σ from the later shift included); days 21-30 run at 103 —
+    // a +3/day drift, far below any single-day outlier threshold,
+    // that only the cumulative statistic catches.
+    val dir = Files.createTempDirectory("graft-cusum").toString
+    val dayUs = 86400L * 1000000L
+    var id = 0L
+    val rows = (1 to 30).flatMap { d =>
+      val n = if (d <= 20) { if (d % 2 == 0) 99 else 101 } else 103
+      (0 until n).map { i =>
+        id += 1
+        (id, d.toLong * dayUs + i * 1000000L, (i % 7).toLong, "click")
+      }
+    }
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.qCusum(s, dir).collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.length == 30)
+    // the first 20 baseline days never alarm
+    assert(out.take(20).forall(!_._4), out.take(20).mkString(";"))
+    // the shift is eventually flagged, and once flagged the cumulative
+    // statistic keeps climbing through the sustained shift
+    val flaggedIdx = out.indexWhere(_._4)
+    assert(flaggedIdx >= 20, s"alarm before the shift: $flaggedIdx")
+    assert(flaggedIdx < 30, "sustained +3/day shift never alarmed")
+    val tail = out.drop(flaggedIdx).map(_._3)
+    assert(tail.zip(tail.tail).forall { case (a, b) => b > a },
+      s"cusum must climb through the sustained shift: ${tail.mkString(",")}")
+  }
+
   test("q_markov transition rows are row-stochastic (probs sum to 1 per prev_type)") {
     val s = spark; import s.implicits._
     val sums = Behavioral.qMarkov(s, sfDir)
