@@ -1878,7 +1878,142 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q10 shape — top returned-item customers for one quarter
+    * (reference query surface: lib.ts:736-1132 drives exactly this
+    * "rank accounts by problem volume" iteration). Join order is the
+    * 100 TB-friendly one: lineitem is pre-filtered to `l_returnflag =
+    * 'R'` AT THE SCAN (pushed filter), orders is pre-filtered to the
+    * quarter, and their join shuffles only the two filtered slivers on
+    * orderkey; customer then joins on the already-aggregated per-
+    * customer revenue (customer-count-sized, NOT lineitem-sized), and
+    * nation is broadcast. Final top-20 is TakeOrderedAndProject — a
+    * per-partition bounded heap + driver merge, never a global sort. */
+  def q10ReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ordersQ = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1996-04-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_custkey")
+    val returned = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val perCust = returned
+      .join(ordersQ, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    perCust
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"c_name", $"n_name", $"c_acctbal", $"revenue")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  val q10ReturnedRevenueSql: String =
+    s"""SELECT c_custkey, c_name, n_name, c_acctbal,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate <  TIMESTAMP '1996-04-01'
+       |GROUP BY c_custkey, c_name, n_name, c_acctbal
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** TPC-H Q7 shape — bilateral trade volume between customer and
+    * supplier nations by ship year. The two nation joins are broadcast
+    * (25-row dim, twice); supplier is broadcast (small per scale
+    * factor relative to facts); the only real shuffle is
+    * lineitem⋈orders on orderkey followed by the per-(nation,nation,
+    * year) aggregate, which partial-aggregates map-side down to a
+    * |nations|²·|years| result — tiny at any corpus size. */
+  def q7NationTrade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nationS = Tables.nation(s, dir).select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+    val nationC = Tables.nation(s, dir).select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(nationS), $"s_nationkey" === $"sn_key")
+      .join(broadcast(nationC), $"c_nationkey" === $"cn_key")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .withColumn("ship_year", year($"l_shipdate"))
+      .groupBy($"supp_nation", $"cust_nation", $"ship_year")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"supp_nation", $"cust_nation", $"ship_year")
+  }
+
+  val q7NationTradeSql: String =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INT) AS ship_year,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS volume,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |WHERE sn.n_name <> cn.n_name
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Winsorized robust statistics — per-group mean/stddev after
+    * clipping to the [p05, p95] exact quantile band, the standard
+    * robust-mean treatment for heavy-tailed metrics. Two passes over
+    * the fact table: pass 1 derives the per-group thresholds (group
+    * count is bounded — 3 return flags — so the exact-percentile state
+    * is bounded and the result is a broadcast-sized table; at larger
+    * group counts swap in the two-phase distributed layout of
+    * `q_percentiles_dist`, same contract); pass 2 re-scans, clips via
+    * the broadcast thresholds, and runs the exact decimal-sum moment
+    * aggregate. No row buffering in pass 2, partial aggs map-side. */
+  def qWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+    val thresholds = li.groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, CAST(0.05 AS DOUBLE))").as("lo"),
+        expr("percentile(l_extendedprice, CAST(0.95 AS DOUBLE))").as("hi"))
+    li.join(broadcast(thresholds), "l_returnflag")
+      .withColumn("w", least(greatest($"l_extendedprice", $"lo"), $"hi"))
+      .groupBy($"l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        davg($"l_extendedprice").as("raw_mean"),
+        davg($"w").as("wins_mean"),
+        expr(Agg0.rndSql("first(lo)", 4)).as("p05"),
+        expr(Agg0.rndSql("first(hi)", 4)).as("p95"))
+      .orderBy($"l_returnflag")
+  }
+
+  val qWinsorizeSql: String =
+    s"""WITH t AS (
+       |  SELECT l_returnflag,
+       |    quantile_cont(l_extendedprice, 0.05) AS lo,
+       |    quantile_cont(l_extendedprice, 0.95) AS hi
+       |  FROM lineitem GROUP BY 1)
+       |SELECT l.l_returnflag, count(*) AS n,
+       |  ${davgSql("l.l_extendedprice")} AS raw_mean,
+       |  ${davgSql("least(greatest(l.l_extendedprice, t.lo), t.hi)")} AS wins_mean,
+       |  ${Agg0.rndSql("first(t.lo)", 4)} AS p05,
+       |  ${Agg0.rndSql("first(t.hi)", 4)} AS p95
+       |FROM lineitem l JOIN t USING (l_returnflag)
+       |GROUP BY l.l_returnflag
+       |ORDER BY l.l_returnflag""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q10_returned_revenue" -> (q10ReturnedRevenue _),
+    "q7_nation_trade"    -> (q7NationTrade _),
+    "q_winsorize"        -> (qWinsorize _),
     "q14_promo_revenue"  -> (q14PromoRevenue _),
     "q4_late_orders"     -> (q4LateOrders _),
     "q_skew_join"        -> (qSkewJoin _),
@@ -1930,6 +2065,9 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q10_returned_revenue" -> q10ReturnedRevenueSql,
+    "q7_nation_trade"    -> q7NationTradeSql,
+    "q_winsorize"        -> qWinsorizeSql,
     "q14_promo_revenue"  -> q14PromoRevenueSql,
     "q4_late_orders"     -> q4LateOrdersSql,
     "q_skew_join"        -> qSkewJoinSql,
