@@ -1199,7 +1199,68 @@ object Behavioral {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_segment_overlap — exact pairwise audience overlap between
+  // event-type segments
+  // ------------------------------------------------------------------
+
+  /** §2.10 — exact audience overlap for every ordered pair of
+    * event-type segments: |A∩B|, |A|, |B| and the Jaccard overlap
+    * index. The segmentation question every activation/retention
+    * analysis starts with — and the exact counterpart of the sketch
+    * overlaps (`corpus_cms`, `q_approx_distinct`) elsewhere in the
+    * suite.
+    *
+    * Scale layout: NEVER the (user,type)⋈(user,type) self-join on
+    * user_id — that shuffles the distinct-pairs table twice and
+    * explodes skewed users quadratically in the reducer. Instead one
+    * groupBy(user) with a map-side-combined `collect_set(type)` (set
+    * size bounded by |event types|, ~5, NOT by a user's event count —
+    * the partial aggregate dedupes map-side), then each user's sorted
+    * type-set expands row-locally to its C(k,2) ordered pairs, and a
+    * pair-count partial agg reduces to a |types|²-sized result. Per-
+    * segment sizes fall out of the same sets; the final join of pair
+    * counts to sizes is broadcast (|types| rows). One real shuffle
+    * end to end. */
+  def qSegmentOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sets = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(sort_array(collect_set($"event_type")).as("ts"))
+    val pairs = sets
+      .select(explode(expr(
+        """flatten(transform(ts,
+          |  (a, i) -> transform(slice(ts, i + 2, size(ts)),
+          |    b -> struct(a AS ta, b AS tb))))""".stripMargin)).as("p"))
+      .groupBy($"p.ta".as("seg_a"), $"p.tb".as("seg_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val sizes = sets.select(explode($"ts").as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("n"))
+    pairs
+      .join(broadcast(sizes.select($"t".as("seg_a"), $"n".as("n_a"))), "seg_a")
+      .join(broadcast(sizes.select($"t".as("seg_b"), $"n".as("n_b"))), "seg_b")
+      .select($"seg_a", $"seg_b", $"n_both", $"n_a", $"n_b",
+        rnd($"n_both".cast("double") / ($"n_a" + $"n_b" - $"n_both").cast("double"), 6).as("jaccard"))
+      .orderBy($"seg_a", $"seg_b")
+  }
+
+  val qSegmentOverlapSql: String =
+    s"""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+       |p AS (
+       |  SELECT a.event_type AS seg_a, b.event_type AS seg_b, count(*) AS n_both
+       |  FROM ut a JOIN ut b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+       |SELECT seg_a, seg_b, n_both, sa.n AS n_a, sb.n AS n_b,
+       |  ${rndSql("CAST(n_both AS DOUBLE) / CAST(sa.n + sb.n - n_both AS DOUBLE)", 6)} AS jaccard
+       |FROM p
+       |JOIN sz sa ON seg_a = sa.event_type
+       |JOIN sz sb ON seg_b = sb.event_type
+       |ORDER BY seg_a, seg_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_segment_overlap" -> (qSegmentOverlap _),
     "q_cusum"         -> (qCusum _),
     "q_lateness"      -> (qLateness _),
     "q_seasonality"   -> (qSeasonality _),
@@ -1222,6 +1283,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_segment_overlap" -> qSegmentOverlapSql,
     "q_cusum"         -> qCusumSql,
     "q_lateness"      -> qLatenessSql,
     "q_seasonality"   -> qSeasonalitySql,

@@ -1235,7 +1235,75 @@ object Pipeline {
       |FROM d
       |ORDER BY doc_id, copy_idx""".stripMargin
 
+  // ------------------------------------------------------------------
+  // corpus_quality_buckets — CCNet-style head/middle/tail split
+  // ------------------------------------------------------------------
+
+  /** §2.8 — CCNet-style per-language quality tertiles: score every
+    * document with the corpus bigram LM (`text_lm_score`), derive
+    * per-language tertile thresholds, and split each language into
+    * head (best-scored third) / middle / tail. The classic
+    * "train on head+middle, drop tail" pretraining curation gate
+    * (CCNet, Wenzek et al. 2020), here as an auditable aggregate:
+    * bucket populations and mean score per (lang, bucket).
+    *
+    * Scale layout: scoring is the `text_lm_score` shape (corpus-
+    * linear bigram joins); thresholds are one exact-percentile pass
+    * over a BOUNDED group count (#languages), broadcast back; the
+    * bucket assignment is row-local. Scores live on a 1e-6 grid and
+    * the threshold compare quantizes both sides to the same grid, so
+    * an interpolation ulp can't flip a bucket. At a vastly larger
+    * language count the threshold pass swaps to the two-phase
+    * distributed quantile layout (`q_percentiles_dist`), same
+    * contract. */
+  def corpusQualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{davg, quantize, rnd}
+    val scored = Tables.documents(s, dir).select($"doc_id", $"lang")
+      .join(textLmScore(s, dir).select($"doc_id", $"lm_score"), "doc_id")
+    val th = scored.groupBy($"lang").agg(
+      expr("percentile(lm_score, CAST(1 AS DOUBLE)/3)").as("t1"),
+      expr("percentile(lm_score, CAST(2 AS DOUBLE)/3)").as("t2"))
+    scored.join(broadcast(th), "lang")
+      .withColumn("sq", quantize($"lm_score", 6).cast("long"))
+      .withColumn("bucket",
+        when($"sq" >= quantize($"t2", 6).cast("long"), "head")
+          .when($"sq" >= quantize($"t1", 6).cast("long"), "middle")
+          .otherwise("tail"))
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        rnd(davg($"lm_score"), 6).as("mean_score"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  val corpusQualityBucketsSql: String = {
+    import graft.functions.Agg.{davgSql, rndSql}
+    s"""WITH lm0 AS ($textLmScoreSql),
+       |scored AS (
+       |  SELECT d.lang, l.doc_id, l.lm_score
+       |  FROM documents d JOIN lm0 l USING (doc_id)),
+       |th AS (
+       |  SELECT lang,
+       |    quantile_cont(lm_score, CAST(1 AS DOUBLE)/3) AS t1,
+       |    quantile_cont(lm_score, CAST(2 AS DOUBLE)/3) AS t2
+       |  FROM scored GROUP BY 1),
+       |b AS (
+       |  SELECT s.lang, s.lm_score,
+       |    CASE
+       |      WHEN CAST(floor(s.lm_score * 1000000.0 + 0.5) AS BIGINT) >=
+       |           CAST(floor(t.t2 * 1000000.0 + 0.5) AS BIGINT) THEN 'head'
+       |      WHEN CAST(floor(s.lm_score * 1000000.0 + 0.5) AS BIGINT) >=
+       |           CAST(floor(t.t1 * 1000000.0 + 0.5) AS BIGINT) THEN 'middle'
+       |      ELSE 'tail' END AS bucket
+       |  FROM scored s JOIN th t USING (lang))
+       |SELECT lang, bucket, count(*) AS n_docs,
+       |  ${rndSql(davgSql("lm_score"), 6)} AS mean_score
+       |FROM b GROUP BY lang, bucket
+       |ORDER BY lang, bucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quality_buckets" -> (corpusQualityBuckets _),
     "corpus_upsample"   -> (corpusUpsample _),
     "corpus_vocab_growth" -> (corpusVocabGrowth _),
     "corpus_pmi"        -> (corpusPmi _),
@@ -1261,6 +1329,7 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_quality_buckets" -> corpusQualityBucketsSql,
     "corpus_upsample"   -> corpusUpsampleSql,
     "corpus_vocab_growth" -> corpusVocabGrowthSql,
     "corpus_pmi"        -> corpusPmiSql,
