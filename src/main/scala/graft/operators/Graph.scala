@@ -382,6 +382,89 @@ object Graph {
        |FROM labs ORDER BY part_id""".stripMargin
 
   // ------------------------------------------------------------------
+  // graph_label_prop — synchronous label-propagation communities
+  // ------------------------------------------------------------------
+
+  val labelPropIters = 4
+
+  /** §2.12 — label-propagation communities (LPA, Raghavan et al.
+    * 2007) over the strong co-purchase graph: every part starts
+    * labeled with itself; each synchronous round a part adopts the
+    * most frequent label among its neighbors (ties → smallest label),
+    * [[labelPropIters]] rounds. LPA finds DENSE communities where
+    * [[graphComponents]] finds mere reachability — a bridge edge
+    * merges two components but not two LPA communities.
+    *
+    * Determinism: synchronous (all updates read the previous round's
+    * labels) with a total tie-break (count desc, label asc), so the
+    * result is iteration-count-deterministic and the oracle replays
+    * the identical unrolled recurrence. Scale shape = the pagerank
+    * loop: per round one edge⋈state shuffle (state vertex-sized, AQE
+    * may broadcast), a (node,label)-count partial agg whose group
+    * count is edge-bounded, a per-node bounded top-1 window, lineage
+    * cut per round. Isolated parts keep their own label → singleton
+    * communities, same universe contract as components. */
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = strongEdges(s, dir)
+    val edges = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+      .repartition($"src").localCheckpoint(true)
+    val universe = Tables.part(s, dir).select($"p_partkey".as("node"))
+    var lab = universe.withColumn("label", $"node").localCheckpoint(true)
+    for (_ <- 1 to labelPropIters) {
+      val cnt = edges.join(lab, $"src" === $"node")
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+      val pick = cnt
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"dst").orderBy($"c".desc, $"label".asc)))
+        .filter($"rn" === 1)
+        .select($"dst".as("node"), $"label".as("new_label"))
+      lab = lab.join(pick, Seq("node"), "left")
+        .select($"node", coalesce($"new_label", $"label").as("label"))
+        .localCheckpoint(true)
+    }
+    lab
+      .withColumn("community_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"label")))
+      .select($"node".as("part_id"), $"label".as("community_id"), $"community_size")
+      .orderBy($"part_id")
+  }
+
+  val graphLabelPropSql: String = {
+    val rounds = (1 to labelPropIters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node, l.label, count(*) AS c
+         |  FROM edges e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+         |p$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+         |    FROM c$i) WHERE rn = 1),
+         |l$i AS (
+         |  SELECT l.node, coalesce(p.label, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN p$i p USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT a.l_orderkey) >= $triangleMinSupport),
+       |edges AS (
+       |  SELECT u AS src, v AS dst FROM e
+       |  UNION ALL
+       |  SELECT v, u FROM e),
+       |l0 AS (SELECT p_partkey AS node, p_partkey AS label FROM part),
+       |$rounds
+       |SELECT node AS part_id, label AS community_id,
+       |  count(*) OVER (PARTITION BY label) AS community_size
+       |FROM l$labelPropIters ORDER BY part_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // graph_neighbor_sim — neighborhood Jaccard similarity
   // ------------------------------------------------------------------
 
@@ -470,7 +553,8 @@ object Graph {
     "graph_pagerank_indexed" -> (graphPagerankIndexed _),
     "graph_basket_rules"     -> (graphBasketRules _),
     "graph_triangles"        -> (graphTriangles _),
-    "graph_components"       -> (graphComponents _)
+    "graph_components"       -> (graphComponents _),
+    "graph_label_prop"       -> (graphLabelProp _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -480,6 +564,7 @@ object Graph {
     "graph_pagerank_indexed" -> graphPagerankSql,
     "graph_basket_rules"     -> graphBasketRulesSql,
     "graph_triangles"        -> graphTrianglesSql,
-    "graph_components"       -> graphComponentsSql
+    "graph_components"       -> graphComponentsSql,
+    "graph_label_prop"       -> graphLabelPropSql
   )
 }
