@@ -1259,7 +1259,89 @@ object Behavioral {
        |JOIN sz sb ON seg_b = sb.event_type
        |ORDER BY seg_a, seg_b""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_holt_forecast — Holt linear-trend smoothing over daily volume
+  // ------------------------------------------------------------------
+
+  /** §2.10 — Holt's linear-trend exponential smoothing (double
+    * exponential smoothing) over per-type daily event counts:
+    *   l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}),
+    *   b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1},  α=0.5, β=0.3,
+    * init l_1 = x_1, b_1 = 0. Emits per day the smoothed level, the
+    * trend, and the one-step-ahead forecast l_{t−1}+b_{t−1} the day
+    * opened with (NULL on day 1) — the capacity-planning companion to
+    * `q_ewma` (level only) and `q_cusum` (alarms only): this one
+    * extrapolates.
+    *
+    * Same scale contract as `q_cusum`: the recursion is inherently
+    * sequential per key, so it folds row-locally over each type's
+    * collected day series — bounded by the CALENDAR, not the corpus;
+    * daily counts partial-aggregate corpus-side. Every constant is
+    * written `CAST(0.5 AS DOUBLE)` in BOTH engines (a bare `0.5`
+    * parses as DECIMAL in each and would change the arithmetic), the
+    * fold replays the oracle's recursion operation for operation with
+    * identical parenthesization, and outputs are 1e-6 half-up
+    * quantized. */
+  def qHoltForecast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"x"))).as("ds"))
+    series
+      .withColumn("walk", expr(
+        """aggregate(ds,
+          |  named_struct('started', false, 'l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+          |    'out', CAST(array() AS array<struct<day:date,x:bigint,l:double,b:double,f:double>>)),
+          |  (acc, d) -> CASE WHEN NOT acc.started THEN named_struct(
+          |      'started', true, 'l', CAST(d.x AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+          |      'out', concat(acc.out, array(named_struct('day', d.day, 'x', d.x,
+          |        'l', CAST(d.x AS DOUBLE), 'b', CAST(0 AS DOUBLE), 'f', CAST(NULL AS DOUBLE)))))
+          |    ELSE named_struct(
+          |      'started', true,
+          |      'l', CAST(0.5 AS DOUBLE) * CAST(d.x AS DOUBLE) + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),
+          |      'b', CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * CAST(d.x AS DOUBLE) + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)) - acc.l) + CAST(0.7 AS DOUBLE) * acc.b,
+          |      'out', concat(acc.out, array(named_struct('day', d.day, 'x', d.x,
+          |        'l', CAST(0.5 AS DOUBLE) * CAST(d.x AS DOUBLE) + CAST(0.5 AS DOUBLE) * (acc.l + acc.b),
+          |        'b', CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * CAST(d.x AS DOUBLE) + CAST(0.5 AS DOUBLE) * (acc.l + acc.b)) - acc.l) + CAST(0.7 AS DOUBLE) * acc.b,
+          |        'f', acc.l + acc.b)))) END,
+          |  acc -> acc.out)""".stripMargin))
+      .select($"event_type", explode($"walk").as("w"))
+      .select($"event_type", $"w.day".as("day"), $"w.x".as("n_events"),
+        rnd($"w.l", 6).as("level"), rnd($"w.b", 6).as("trend"),
+        rnd($"w.f", 6).as("forecast"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val qHoltForecastSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, day, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM daily),
+       |walk(event_type, rn, day, x, l, b, f) AS (
+       |  SELECT i.event_type, i.rn, i.day, i.x,
+       |    CAST(i.x AS DOUBLE), CAST(0 AS DOUBLE), CAST(NULL AS DOUBLE)
+       |  FROM idx i WHERE i.rn = 1
+       |  UNION ALL
+       |  SELECT i.event_type, i.rn, i.day, i.x,
+       |    CAST(0.5 AS DOUBLE) * CAST(i.x AS DOUBLE) + CAST(0.5 AS DOUBLE) * (w.l + w.b),
+       |    CAST(0.3 AS DOUBLE) * ((CAST(0.5 AS DOUBLE) * CAST(i.x AS DOUBLE) + CAST(0.5 AS DOUBLE) * (w.l + w.b)) - w.l) + CAST(0.7 AS DOUBLE) * w.b,
+       |    w.l + w.b
+       |  FROM walk w JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1)
+       |SELECT event_type, day, x AS n_events,
+       |  ${rndSql("l", 6)} AS level, ${rndSql("b", 6)} AS trend,
+       |  ${rndSql("f", 6)} AS forecast
+       |FROM walk ORDER BY event_type, day""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holt_forecast"   -> (qHoltForecast _),
     "q_segment_overlap" -> (qSegmentOverlap _),
     "q_cusum"         -> (qCusum _),
     "q_lateness"      -> (qLateness _),
@@ -1283,6 +1365,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_holt_forecast"   -> qHoltForecastSql,
     "q_segment_overlap" -> qSegmentOverlapSql,
     "q_cusum"         -> qCusumSql,
     "q_lateness"      -> qLatenessSql,
