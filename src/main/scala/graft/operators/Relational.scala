@@ -2010,7 +2010,78 @@ object Relational {
        |GROUP BY l.l_returnflag
        |ORDER BY l.l_returnflag""".stripMargin
 
+  /** Pareto concentration audit — customers ranked by revenue
+    * (descending), split into population deciles, each decile's
+    * customer count, revenue, revenue share, and the cumulative share
+    * ("do the top 10% drive 60% of revenue?"). The distribution-table
+    * companion to `q_gini`'s single index.
+    *
+    * Scale layout: per-customer revenue is one partial-agged fact
+    * shuffle; the descending rank uses the two-phase bucketed global
+    * row number ([[graft.functions.Ranks.globalRowNumber]] on the
+    * NEGATED quantized revenue — never a one-task ORDER BY window);
+    * decile assignment is row-local arithmetic on (rank, n); the
+    * final cumulative window runs over exactly 10 rows. Revenue is
+    * quantized long end-to-end so ordering and sums are engine-exact;
+    * (−rev_q, custkey) is a unique composite so the rank is
+    * deterministic. */
+  def qParetoDeciles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Ranks
+    val perCust = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(sum(quantize($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+        .cast("long")).as("rev_q"))
+    val n = perCust.count() // one scalar: the ranked population size
+    val ranked = Ranks.globalRowNumber(
+      perCust.withColumn("neg_rev", -$"rev_q"),
+      Seq($"neg_rev", $"o_custkey"),
+      Ranks.defaultPartitions(perCust), "rn")
+    ranked
+      .withColumn("decile",
+        (floor((($"rn" - 1L) * 10L).cast("double") / lit(n.toDouble)) + 1L).cast("int"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_cust"), sum($"rev_q").as("drev_q"))
+      .withColumn("cum_q", sum($"drev_q").over(
+        Window.orderBy($"decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_q", sum($"drev_q").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select($"decile", $"n_cust",
+        ($"drev_q".cast("double") / lit(10000.0)).as("revenue"),
+        expr(Agg0.rndSql("CAST(drev_q AS DOUBLE) / CAST(tot_q AS DOUBLE)", 6)).as("share"),
+        expr(Agg0.rndSql("CAST(cum_q AS DOUBLE) / CAST(tot_q AS DOUBLE)", 6)).as("cum_share"))
+      .orderBy($"decile")
+  }
+
+  val qParetoDecilesSql: String =
+    s"""WITH pc AS (
+       |  SELECT o_custkey,
+       |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+       |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev_q
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT o_custkey, rev_q,
+       |    row_number() OVER (ORDER BY rev_q DESC, o_custkey) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM pc),
+       |d AS (
+       |  SELECT CAST(floor(CAST((rn - 1) * 10 AS DOUBLE) / CAST(n AS DOUBLE)) + 1 AS INT) AS decile,
+       |    rev_q
+       |  FROM r),
+       |g AS (
+       |  SELECT decile, count(*) AS n_cust, CAST(sum(rev_q) AS BIGINT) AS drev_q
+       |  FROM d GROUP BY 1)
+       |SELECT decile, n_cust,
+       |  CAST(drev_q AS DOUBLE) / 10000.0 AS revenue,
+       |  ${Agg0.rndSql("CAST(drev_q AS DOUBLE) / CAST(sum(drev_q) OVER () AS DOUBLE)", 6)} AS share,
+       |  ${Agg0.rndSql("CAST(sum(drev_q) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(drev_q) OVER () AS DOUBLE)", 6)} AS cum_share
+       |FROM g ORDER BY decile""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pareto_deciles"   -> (qParetoDeciles _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q7_nation_trade"    -> (q7NationTrade _),
     "q_winsorize"        -> (qWinsorize _),
@@ -2065,6 +2136,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pareto_deciles"   -> qParetoDecilesSql,
     "q10_returned_revenue" -> q10ReturnedRevenueSql,
     "q7_nation_trade"    -> q7NationTradeSql,
     "q_winsorize"        -> qWinsorizeSql,
