@@ -465,7 +465,87 @@ object Similarity {
        |  ${rndSql("CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS accuracy
        |FROM pred GROUP BY 1 ORDER BY label""".stripMargin
 
+  // ------------------------------------------------------------------
+  // embed_covariance — distributed covariance (Gram) matrix
+  // ------------------------------------------------------------------
+
+  /** §2.5 — the exact d×d covariance matrix of the embedding corpus
+    * (upper triangle), the input primitive of PCA / whitening / OPQ
+    * rotation training and the corpus-geometry audit (anisotropy,
+    * collapsed dimensions) run before trusting any ANN index.
+    *
+    * Scale layout: each row expands ROW-LOCALLY to its d(d+1)/2
+    * quantized pair products (a codegen'd nested-transform expression,
+    * no join — the n·d² work is inherent to a Gram matrix), and the
+    * partial aggregate collapses each task to ≤ d(d+1)/2 running sums
+    * BEFORE the single shuffle, which therefore carries
+    * #tasks × d(d+1)/2 rows regardless of corpus size. Products are
+    * half-up-quantized at 1e-9 and summed as DECIMAL(38,0) — exact,
+    * commutative, partitioning-independent; 10¹¹ rows × 1e9 quanta
+    * stay far inside decimal range where a LONG would overflow. Means
+    * come from the same exact path; cov = E[xy] − E[x]E[y] evaluated
+    * with identical double arithmetic on both engines, 1e-6 quantized
+    * on output. */
+  def embedCovariance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val emb = Tables.embeddings(s, dir)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+    val prods = emb.select(explode(expr(
+      """flatten(transform(v, (a, i) -> transform(slice(v, i + 1, size(v) - i),
+        |  (b, k) -> named_struct('i', i + 1, 'j', i + 1 + k,
+        |    'q', CAST(floor(a * b * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)))))"""
+        .stripMargin)).as("t"))
+      .select($"t.i", $"t.j", $"t.q")
+      .groupBy($"i", $"j")
+      .agg(sum($"q".cast(DecimalType(38, 0))).as("sq"), count(lit(1)).as("n"))
+    val means = emb.select(posexplode($"v").as(Seq("p", "x")))
+      .select(($"p" + 1).as("mi"),
+        expr("CAST(floor(x * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("xq"))
+      .groupBy($"mi").agg(sum($"xq".cast(DecimalType(38, 0))).as("sx"))
+    prods
+      .join(broadcast(means.select($"mi".as("i"), $"sx".as("sxi"))), "i")
+      .join(broadcast(means.select($"mi".as("j"), $"sx".as("sxj"))), "j")
+      .select($"i", $"j",
+        expr(rndSql(
+          "CAST(sq AS DOUBLE) / CAST(1000000000 AS DOUBLE) / CAST(n AS DOUBLE) - " +
+            "(CAST(sxi AS DOUBLE) / CAST(1000000000 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+            "(CAST(sxj AS DOUBLE) / CAST(1000000000 AS DOUBLE) / CAST(n AS DOUBLE))", 6)).as("cov"))
+      .orderBy($"i", $"j")
+  }
+
+  val embedCovarianceSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT t['i'] AS i, t['j'] AS j, t['q'] AS q FROM (
+       |    SELECT unnest(flatten(list_transform(range(1, len(v) + 1), i ->
+       |      list_transform(range(i, len(v) + 1), j ->
+       |        {'i': i, 'j': j,
+       |         'q': CAST(floor(v[i] * v[j] * CAST(1000000000 AS DOUBLE)
+       |                + CAST(0.5 AS DOUBLE)) AS BIGINT)})))) AS t
+       |    FROM e)),
+       |g AS (
+       |  SELECT i, j, sum(q) AS sq, count(*) AS n FROM p GROUP BY 1, 2),
+       |m AS (
+       |  SELECT i AS mi, sum(xq) AS sx FROM (
+       |    SELECT unnest(range(1, len(v) + 1)) AS i,
+       |      unnest(list_transform(range(1, len(v) + 1), i ->
+       |        CAST(floor(v[i] * CAST(1000000000 AS DOUBLE)
+       |          + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS xq
+       |    FROM e)
+       |  GROUP BY 1)
+       |SELECT CAST(g.i AS INT) AS i, CAST(g.j AS INT) AS j,
+       |  ${rndSql(
+         "CAST(g.sq AS DOUBLE) / CAST(1000000000 AS DOUBLE) / CAST(g.n AS DOUBLE) - " +
+           "(CAST(a.sx AS DOUBLE) / CAST(1000000000 AS DOUBLE) / CAST(g.n AS DOUBLE)) * " +
+           "(CAST(b.sx AS DOUBLE) / CAST(1000000000 AS DOUBLE) / CAST(g.n AS DOUBLE))", 6)} AS cov
+       |FROM g JOIN m a ON g.i = a.mi JOIN m b ON g.j = b.mi
+       |ORDER BY i, j""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_covariance" -> (embedCovariance _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh"        -> (annLsh _),
     "ann_matryoshka" -> (annMatryoshka _),
@@ -475,7 +555,8 @@ object Similarity {
   )
 
   def oracles: Map[String, String] =
-    Map("ann_bruteforce" -> annBruteforceSql,
+    Map("embed_covariance" -> embedCovarianceSql,
+        "ann_bruteforce" -> annBruteforceSql,
         "ann_matryoshka" -> annMatryoshkaSql,
         "embed_centroids" -> embedCentroidsSql,
         "embed_outliers" -> embedOutliersSql,
