@@ -1340,7 +1340,42 @@ object Behavioral {
        |FROM walk ORDER BY event_type, day""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_dau_new_returning — daily actives split into new vs returning
+  // ------------------------------------------------------------------
+
+  /** §2.10 — daily active users split into new (first-ever-seen that
+    * day) vs returning — the growth-accounting counterpart of
+    * `q_retention`'s cohort grid. Exact distinct via dedup-then-count
+    * (the two-phase layout `q_retention` documents — never a
+    * count(distinct) holding a day's user set in one reducer): one
+    * (day,user) dedup shuffle, a user-keyed first-touch partial agg,
+    * one user-keyed join, and a day-sized final aggregate. */
+  def qDauNewReturning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val first = du.groupBy($"user_id").agg(min($"day").as("first_day"))
+    du.join(first, "user_id")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("new_users"))
+      .withColumn("returning", $"dau" - $"new_users")
+      .orderBy($"day")
+  }
+
+  val qDauNewReturningSql: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1)
+       |SELECT day, count(*) AS dau,
+       |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+       |  count(*) - CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning
+       |FROM du JOIN f USING (user_id)
+       |GROUP BY day ORDER BY day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dau_new_returning" -> (qDauNewReturning _),
     "q_holt_forecast"   -> (qHoltForecast _),
     "q_segment_overlap" -> (qSegmentOverlap _),
     "q_cusum"         -> (qCusum _),
@@ -1365,6 +1400,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_dau_new_returning" -> qDauNewReturningSql,
     "q_holt_forecast"   -> qHoltForecastSql,
     "q_segment_overlap" -> qSegmentOverlapSql,
     "q_cusum"         -> qCusumSql,
