@@ -499,10 +499,13 @@ object Similarity {
       .select($"t.i", $"t.j", $"t.q")
       .groupBy($"i", $"j")
       .agg(sum($"q".cast(DecimalType(38, 0))).as("sq"), count(lit(1)).as("n"))
+    // materialized once (d rows): both broadcast joins below would
+    // otherwise each re-run the scan + explode + aggregate branch
     val means = emb.select(posexplode($"v").as(Seq("p", "x")))
       .select(($"p" + 1).as("mi"),
         expr("CAST(floor(x * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("xq"))
       .groupBy($"mi").agg(sum($"xq".cast(DecimalType(38, 0))).as("sx"))
+      .localCheckpoint(true)
     prods
       .join(broadcast(means.select($"mi".as("i"), $"sx".as("sxi"))), "i")
       .join(broadcast(means.select($"mi".as("j"), $"sx".as("sxj"))), "j")

@@ -291,6 +291,61 @@ class BehavioralSpec extends SparkSpec {
     dir
   }
 
+  test("holt trend locks onto a perfect linear ramp") {
+    val s = spark; import s.implicits._
+    // 40 days of exactly x_t = 100 + 2t: Holt's trend component must
+    // converge to the true slope 2 and the one-step forecast error
+    // must shrink to ~0 — the property that distinguishes it from
+    // EWMA, which lags a ramp forever.
+    val dir = Files.createTempDirectory("graft-holt").toString
+    val dayUs = 86400L * 1000000L
+    var id = 0L
+    val rows = (1 to 40).flatMap { d =>
+      (0 until (100 + 2 * d)).map { i =>
+        id += 1
+        (id, d.toLong * dayUs + i * 1000000L, (i % 7).toLong, "click")
+      }
+    }
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.qHoltForecast(s, dir).collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4),
+        if (r.isNullAt(5)) Double.NaN else r.getDouble(5)))
+    assert(out.length == 40)
+    assert(out.head._4.isNaN, "day 1 has no forecast")
+    val lastTrend = out.last._3
+    assert(math.abs(lastTrend - 2.0) < 0.05,
+      s"trend must converge to the true slope 2: $lastTrend")
+    val lastErr = math.abs(out.last._4 - out.last._1)
+    assert(lastErr < 1.0, s"steady-state forecast error must be ~0: $lastErr")
+  }
+
+  test("segment overlap counts a crafted audience exactly") {
+    val s = spark; import s.implicits._
+    // users 1-10 do "a"; users 6-15 do "b"; user 1 also does "c".
+    // Expected: (a,b) both=5 sizes 10/10 J=5/15; (a,c) both=1 J=1/10;
+    // (b,c) absent (no shared user → no row).
+    val dir = Files.createTempDirectory("graft-seg").toString
+    var id = 0L
+    val rows =
+      (1 to 10).map { u => id += 1; (id, u.toLong, "a") } ++
+      (6 to 15).map { u => id += 1; (id, u.toLong, "b") } ++
+      Seq({ id += 1; (id, 1L, "c") })
+    rows.toDF("event_id", "user_id", "event_type")
+      .select($"event_id", timestamp_micros(lit(1000000L) * $"event_id").as("ts"),
+        $"user_id", $"event_type", lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Behavioral.qSegmentOverlap(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(("a", "b")) == ((5L, 10L, 10L, 0.333333)), got.toString)
+    assert(got(("a", "c")) == ((1L, 10L, 1L, 0.1)), got.toString)
+    assert(!got.contains(("b", "c")), "disjoint segments must not emit a row")
+    assert(got.size == 2)
+  }
+
   test("lateness audit buckets the out-of-order arrival by its watermark gap") {
     val rows = Behavioral.qLateness(spark, latenessDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap

@@ -143,6 +143,36 @@ class GraphSpec extends SparkSpec {
         s"missing rules: ${expected.keySet -- got.keySet}")
   }
 
+  test("label propagation splits a bridged barbell where components merge it") {
+    val s = spark; import s.implicits._
+    // Two 4-cliques {1..4} and {11..14} joined by one strong bridge
+    // edge (4,11): reachability (graph_components) sees ONE component;
+    // LPA must keep the dense sides in different communities — the
+    // semantic difference the operator exists for. Every intra-clique
+    // pair and the bridge pair co-occur in 2 orders (support ≥ 2).
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa").toString
+    val orders =
+      Seq(1L, 2L).map(o => o -> Seq(1L, 2L, 3L, 4L)) ++
+      Seq(3L, 4L).map(o => o -> Seq(11L, 12L, 13L, 14L)) ++
+      Seq(5L, 6L).map(o => o -> Seq(4L, 11L))
+    orders.flatMap { case (o, parts) => parts.map(p => (o, p)) }
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L) :+ 99L).toDF("p_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val lpa = graft.operators.Graph.graphLabelProp(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val comA = Set(1L, 2L, 3L).map(p => lpa(p)._1)
+    val comB = Set(12L, 13L, 14L).map(p => lpa(p)._1)
+    assert(comA.size == 1, s"clique A must agree on one label: $lpa")
+    assert(comB.size == 1, s"clique B must agree on one label: $lpa")
+    assert(comA != comB, s"bridge must NOT merge the dense sides: $lpa")
+    assert(lpa(99L) == ((99L, 1L)), "edge-free part stays a singleton community")
+    val comp = graft.operators.Graph.graphComponents(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == comp(14L), "reachability must merge the barbell")
+  }
+
   test("pagerank is partition-invariant") {
     val s = spark
     val a = Graph.graphPagerank(s, sfDir).collect().map(_.toSeq).toSeq

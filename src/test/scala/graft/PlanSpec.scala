@@ -228,6 +228,20 @@ class PlanSpec extends SparkSpec {
       s"raw gram rides an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("embed_covariance: row-local pair expansion, one shuffle per moment aggregate") {
+    // the n·d² expansion must stay inside the scan task (no join
+    // before the partial agg) and the only shuffles are the two
+    // moment aggregates + the bounded output sort — the mean join
+    // rides a broadcast
+    val p = plan(graft.operators.Similarity.embedCovariance(spark, sfDir))
+    // means are a materialized d-row frame (computed once), so the
+    // only exchanges are the pair aggregate and the bounded output sort
+    assert(shuffleExchanges(p) == 2,
+      s"expected pair-agg + output-sort exchanges only:\n$p")
+    assert(p.contains("BroadcastExchange"), "means must broadcast:\n" + p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("indexed pagerank round reads the persisted edge table exchange-free") {
     val s = spark
     graft.operators.Graph.buildPagerankIndex(s, sfDir)
