@@ -547,7 +547,101 @@ object Similarity {
        |FROM g JOIN m a ON g.i = a.mi JOIN m b ON g.j = b.mi
        |ORDER BY i, j""".stripMargin
 
+  // ------------------------------------------------------------------
+  // embed_pca — principal-axis projection (power iteration)
+  // ------------------------------------------------------------------
+
+  val pcaIters = 20
+
+  /** Staged PCA basis: per dimension the corpus mean and the dominant
+    * eigenvector coordinate, from [[pcaIters]] rounds of power
+    * iteration on the exact covariance matrix ([[embedCovariance]]).
+    * The matrix is d×d — a BOUNDED artifact independent of corpus
+    * size — so the iteration runs on the driver like the PQ codebook
+    * k-means (EmbedPq) and IVF centroids: the distributed work is the
+    * one covariance pass; the driver loop touches d² doubles 20
+    * times. Every matvec/norm accumulation is half-up-quantized at
+    * 1e-9 and summed as integers (commutative → partitioning- and
+    * order-independent), so the staged numbers are deterministic to
+    * the bit. Fixed iteration count, fixed e₁ start → deterministic
+    * up to nothing: no randomness anywhere. */
+  private[graft] def pcaBasis(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "pca_basis", dir) {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      val cov = embedCovariance(s, dir).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val d = cov.iterator.map(_._2).max
+      val C = Array.ofDim[Double](d, d)
+      cov.foreach { case (i, j, c) => C(i - 1)(j - 1) = c; C(j - 1)(i - 1) = c }
+      val emb = Tables.embeddings(s, dir)
+        .select(expr(VectorFns.asDouble("embedding")).as("v"))
+      val n = emb.count()
+      val mu = emb.select(posexplode($"v").as(Seq("p", "x")))
+        .select(($"p" + 1).as("mi"),
+          expr("CAST(floor(x * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("xq"))
+        .groupBy($"mi").agg(sum($"xq".cast(DecimalType(38, 0))).as("sx"))
+        .collect().map(r => r.getInt(0) ->
+          r.getDecimal(1).doubleValue() / 1e9 / n.toDouble).toMap
+      var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+      for (_ <- 1 to pcaIters) {
+        val w = Array.tabulate(d) { i =>
+          var acc = 0L
+          var j = 0
+          while (j < d) { acc += math.floor(C(i)(j) * v(j) * 1e9 + 0.5).toLong; j += 1 }
+          acc.toDouble / 1e9
+        }
+        var n2 = 0L
+        w.foreach(x => n2 += math.floor(x * x * 1e9 + 0.5).toLong)
+        val nrm = math.sqrt(n2.toDouble / 1e9)
+        v = w.map(_ / nrm)
+      }
+      (1 to d).map(i => (i, mu(i), v(i - 1))).toDF("i", "mu", "w")
+    }
+
+  /** §2.5 — first-principal-component scores for every embedding:
+    * the corpus projected onto the dominant axis of its own
+    * covariance — the 1-D shadow used for drift monitoring,
+    * anisotropy audits, and as the first stage of whitening/OPQ.
+    * The projection itself is the 100 TB path: the d-row basis
+    * arrives as ONE broadcast row (arrays), each score is a row-local
+    * codegen'd fold over quantized centered products (exact,
+    * order-independent), no shuffle at all beyond the output sort.
+    * Oracle recomputes the identical projection from the STAGED basis
+    * parquet — the basis derivation is pinned by the covariance
+    * oracle (hash-exact input matrix) plus SimilaritySpec's
+    * eigen-residual check. */
+  def embedPca(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val basisRow = pcaBasis(s, dir)
+      .agg(sort_array(collect_list(struct($"i", $"mu", $"w"))).as("b"))
+      .select(expr("transform(b, x -> x.mu)").as("muv"),
+        expr("transform(b, x -> x.w)").as("wv"))
+    Tables.embeddings(s, dir)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .crossJoin(broadcast(basisRow))
+      .select($"vec_id", expr(rndSql(
+        """CAST(aggregate(
+          |  zip_with(zip_with(v, muv, (x, m) -> x - m), wv,
+          |    (c, w) -> CAST(floor(c * w * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (acc, q) -> acc + q) AS DOUBLE) / CAST(1000000000 AS DOUBLE)"""
+          .stripMargin, 6)).as("pc1"))
+      .orderBy($"vec_id")
+  }
+
+  def embedPcaSql(glob: String): String =
+    s"""WITH b AS (SELECT i, mu, w FROM '$glob'),
+       |p AS (
+       |  SELECT e.vec_id,
+       |    CAST(floor((CAST(e.embedding[CAST(b.i AS INT)] AS DOUBLE) - b.mu) * b.w
+       |      * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS q
+       |  FROM embeddings e, b)
+       |SELECT vec_id,
+       |  ${rndSql("CAST(sum(q) AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)} AS pc1
+       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca"        -> (embedPca _),
     "embed_covariance" -> (embedCovariance _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh"        -> (annLsh _),
@@ -565,5 +659,7 @@ object Similarity {
         "embed_outliers" -> embedOutliersSql,
         "embed_knn_eval" -> embedKnnEvalSql) ++
       graft.sources.OracleStage.globOf("lsh_buckets")
-        .map(g => "ann_lsh" -> annLshSql(g))
+        .map(g => "ann_lsh" -> annLshSql(g)) ++
+      graft.sources.OracleStage.globOf("pca_basis")
+        .map(g => "embed_pca" -> embedPcaSql(g))
 }

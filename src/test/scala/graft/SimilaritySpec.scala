@@ -38,6 +38,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.30, s"recall@${Similarity.k} = $recall")
   }
 
+  test("pca basis is a unit near-eigenvector of the covariance matrix") {
+    val s = spark
+    val cov = graft.operators.Similarity.embedCovariance(s, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val d = cov.iterator.map(_._2).max
+    val C = Array.ofDim[Double](d, d)
+    cov.foreach { case (i, j, c) => C(i - 1)(j - 1) = c; C(j - 1)(i - 1) = c }
+    val basis = graft.operators.Similarity.pcaBasis(s, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    val v = Array.tabulate(d)(i => basis(i + 1))
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6, s"basis must be unit-norm: $norm")
+    val cv = Array.tabulate(d)(i => (0 until d).map(j => C(i)(j) * v(j)).sum)
+    val lambda = (0 until d).map(i => v(i) * cv(i)).sum
+    assert(lambda > 0.0, s"dominant eigenvalue must be positive: $lambda")
+    val resid = math.sqrt((0 until d).map(i => {
+      val r = cv(i) - lambda * v(i); r * r
+    }).sum)
+    assert(resid < 0.05 * lambda,
+      s"power iteration must converge: residual $resid vs lambda $lambda")
+  }
+
   test("lsh found-neighbor cosine at rank 1 is near the true best") {
     val bf = Similarity.annBruteforce(spark, sfDir).collect()
       .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
