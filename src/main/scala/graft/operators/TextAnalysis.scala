@@ -720,7 +720,60 @@ object TextAnalysis {
       |  text_norm <> text AS changed
       |FROM n ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // text_novelty — first-occurrence n-gram novelty per document
+  // ------------------------------------------------------------------
+
+  /** §2.6 — per-document lexical novelty: the share of a document's
+    * distinct token 3-grams whose corpus-wide FIRST occurrence (by
+    * doc_id order) is this document. The per-document complement of
+    * `corpus_vocab_growth`'s checkpoint curve — low-novelty docs are
+    * templated/near-dup content a curation pass down-weights, and a
+    * novelty collapse across a crawl snapshot is the earliest
+    * templating alarm.
+    *
+    * Corpus-linear: (doc, gram) dedup shuffle, a gram-keyed
+    * first-occurrence partial agg (min), one gram-keyed join that
+    * reuses the same partitioning, and a doc-sized final rollup.
+    * Gram text never exceeds 3 tokens and the df skew of hot grams is
+    * absorbed by the map-side partial min. */
+  def textNovelty(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val grams = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', slice(toks, i, 3)))")).as("g"))
+      .distinct()
+    val first = grams.groupBy($"g").agg(min($"doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"doc_id" === $"first_doc", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        rnd($"n_novel".cast("double") / $"n_grams".cast("double"), 6))
+      .orderBy($"doc_id")
+  }
+
+  val textNoveltySql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH t AS (SELECT doc_id, $duckToks AS toks FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS g
+       |  FROM t WHERE len(toks) >= 3),
+       |g AS (SELECT DISTINCT doc_id, g FROM g0),
+       |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |  ${rndSql("CAST(sum(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS novelty
+       |FROM g JOIN f USING (g)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty"     -> (textNovelty _),
     "text_normalize"   -> (textNormalize _),
     "text_entropy"     -> (textEntropy _),
     "text_stats"       -> (textStats _),
@@ -737,6 +790,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_novelty"     -> textNoveltySql,
     "text_normalize"   -> textNormalizeSql,
     "text_entropy"     -> textEntropySql,
     "text_stats"       -> textStatsSql,
