@@ -74,6 +74,10 @@ final case class AnomalyOut(
   * admitted count — two longs, O(1) per user. */
 final case class RateLimitState(bucketUs: Long, admitted: Long)
 
+final case class DauEvent(user_id: Long, day: Int)
+final case class DauState(days: List[Int])
+final case class DauPair(user_id: Long, day: Int)
+
 /** One admitted event (rejections emit nothing — the admit stream IS
   * the throttled output). */
 final case class RateAdmit(
@@ -858,7 +862,66 @@ object StreamOps {
        |ORDER BY new_id, corpus_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // stream_dau — exactly-once (user, day) activity dedup
+  // ------------------------------------------------------------------
+
+  /** Per-user activity-day dedup: emits each (user, day) pair exactly
+    * once across ALL micro-batches — the streaming exactly-once
+    * primitive behind continuous DAU/growth accounting. State is the
+    * user's seen-day set, bounded by the CALENDAR, not the event
+    * count. Unlike the CEP operators above this one is delivery-
+    * ORDER-INDEPENDENT by construction (set membership has no order),
+    * so running to completion equals the batch distinct regardless of
+    * how the replay slices batches — no late-regressor caveat. */
+  private[graft] def dauFn(
+      userId: Long,
+      events: Iterator[DauEvent],
+      state: GroupState[DauState]): Iterator[DauPair] = {
+    val seen = state.getOption.map(_.days.toSet).getOrElse(Set.empty[Int])
+    val fresh = events.map(_.day).toArray.distinct.filterNot(seen).sorted
+    if (fresh.nonEmpty) state.update(DauState((seen ++ fresh).toList))
+    fresh.iterator.map(d => DauPair(userId, d))
+  }
+
+  /** Run to completion and roll the exactly-once (user, day) pairs up
+    * into the new-vs-returning daily split. The STREAMING part is the
+    * cross-batch dedup (batch computes it with a distinct); the
+    * first-touch + daily rollup runs on the emitted pairs — bounded
+    * by users × active days — exactly as
+    * [[graft.operators.Behavioral.qDauNewReturning]] does, so this
+    * shares its oracle verbatim. */
+  def runDauToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_dau"): DataFrame = {
+    import s.implicits._
+    val pairs = StreamAcc.eventsStream(s, dir)
+      .select($"user_id", expr("unix_date(to_date(ts))").cast("int").as("day"))
+      .as[DauEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(dauFn)
+    val q = pairs.toDF().writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val du = s.table(sink)
+    // fresh read for the first-touch side: deriving both join inputs
+    // from ONE memory-table frame leaves conflicting attribute ids
+    val first = s.table(sink).groupBy($"user_id").agg(min($"day").as("first_day"))
+      .withColumnRenamed("user_id", "fu")
+    du.join(first, $"user_id" === $"fu")
+      .groupBy($"day")
+      .agg(count(lit(1)).as("dau"),
+        sum(when($"day" === $"first_day", 1L).otherwise(0L)).as("new_users"))
+      .select(expr("date_from_unix_date(day)").as("day"), $"dau", $"new_users",
+        ($"dau" - $"new_users").as("returning"))
+      .orderBy($"day")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dau" -> ((s, dir) =>
+      runDauToCompletion(s, dir, sink = "stream_dau_verify")),
     "stream_embed_dedup" -> ((s, dir) =>
       runEmbedDedupToCompletion(s, dir, sink = "stream_embed_dedup_verify")),
     "stream_rate_limit" -> ((s, dir) =>
@@ -903,6 +966,9 @@ object StreamOps {
   /** stream_sessionize runs the same session_window operator as the
     * batch q_session_window, so it shares that oracle verbatim. */
   def oracles: Map[String, String] = Map(
+    // order-independent exactly-once (user, day) dedup run to
+    // completion equals the batch distinct: shares q_dau_new_returning
+    "stream_dau"            -> graft.operators.Behavioral.qDauNewReturningSql,
     // run to completion, the banded probe equals the all-pairs
     // corpus×incoming τ-cut — see streamEmbedDedupSql
     "stream_embed_dedup"    -> streamEmbedDedupSql,
