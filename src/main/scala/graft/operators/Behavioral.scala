@@ -1374,7 +1374,125 @@ object Behavioral {
        |FROM du JOIN f USING (user_id)
        |GROUP BY day ORDER BY day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_cohort_ltv — cumulative revenue by signup cohort and age
+  // ------------------------------------------------------------------
+
+  /** §2.10 — customer-lifetime-value curves: customers cohorted by
+    * their first order month, revenue rolled up by cohort × order age
+    * (months since first order), with the running cumulative per
+    * cohort — the "how fast does a cohort pay back" curve next to
+    * `q_retention`'s activity grid.
+    *
+    * Scale: first-touch is a custkey-keyed partial-agged min; the
+    * cohort join rides the same custkey partitioning; the rollup is
+    * (cohort × age)-sized (calendar², tiny) so the cumulative window
+    * partitioned by cohort runs over bounded rows. Revenue through
+    * the exact decimal path. */
+  def qCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderdate", $"o_totalprice")
+    val first = o.groupBy($"o_custkey").agg(min($"o_orderdate").as("first_dt"))
+      .select($"o_custkey".as("fc"), date_trunc("month", $"first_dt").as("cohort"))
+    val aged = o.join(first, $"o_custkey" === $"fc")
+      .withColumn("age_months",
+        (months_between(date_trunc("month", $"o_orderdate"), $"cohort")).cast("int"))
+      .groupBy($"cohort", $"age_months")
+      .agg(countDistinct($"o_custkey").as("n_active"),
+        sum(quantize($"o_totalprice", 4).cast("long")).as("rev_q"))
+    aged
+      .withColumn("cum_q", sum($"rev_q").over(
+        Window.partitionBy($"cohort").orderBy($"age_months")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"cohort", $"age_months", $"n_active",
+        ($"rev_q".cast("double") / lit(10000.0)).as("revenue"),
+        ($"cum_q".cast("double") / lit(10000.0)).as("cum_revenue"))
+      .orderBy($"cohort", $"age_months")
+  }
+
+  val qCohortLtvSql: String =
+    s"""WITH f AS (
+       |  SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort
+       |  FROM orders GROUP BY 1),
+       |a AS (
+       |  SELECT f.cohort,
+       |    CAST(datediff('month', f.cohort, date_trunc('month', o.o_orderdate)) AS INT) AS age_months,
+       |    count(DISTINCT o.o_custkey) AS n_active,
+       |    CAST(sum(CAST(floor(o.o_totalprice * 10000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev_q
+       |  FROM orders o JOIN f ON o.o_custkey = f.o_custkey
+       |  GROUP BY 1, 2)
+       |SELECT cohort, age_months, n_active,
+       |  CAST(rev_q AS DOUBLE) / 10000.0 AS revenue,
+       |  CAST(sum(rev_q) OVER (PARTITION BY cohort ORDER BY age_months
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 10000.0 AS cum_revenue
+       |FROM a ORDER BY cohort, age_months""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_chi2_independence — categorical independence test
+  // ------------------------------------------------------------------
+
+  /** §2.10 — Pearson χ² independence test between two categorical
+    * columns (market segment × nation over customers): the
+    * stratification sanity check run before trusting any segmented
+    * metric — a large χ² means the segments are NOT independent of
+    * geography and per-segment comparisons need stratified controls
+    * (`q_abtest`'s CUPED cousin).
+    *
+    * Scale: ONE partial-agged groupBy to the |segments|×|nations|
+    * contingency table; margins/expected/contributions are windows
+    * and row-local arithmetic over those bounded cells. Per-cell
+    * contributions are 1e-9-quantized and integer-summed so the χ²
+    * statistic is addition-order-independent and engine-exact. */
+  def qChi2Independence(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_mktsegment", $"n_name")
+      .agg(count(lit(1)).as("o"))
+    cells
+      .withColumn("rowt", sum($"o").over(Window.partitionBy($"c_mktsegment")))
+      .withColumn("colt", sum($"o").over(Window.partitionBy($"n_name")))
+      .withColumn("n", sum($"o").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("contrib_q", expr(
+        """CAST(floor(
+          |  pow(CAST(o AS DOUBLE) - CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / CAST(n AS DOUBLE), 2)
+          |    / (CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / CAST(n AS DOUBLE))
+          |    * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)""".stripMargin))
+      .agg(
+        expr(rndSql("CAST(sum(contrib_q) AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)).as("chi2"),
+        ((countDistinct($"c_mktsegment") - 1L) * (countDistinct($"n_name") - 1L)).as("dof"),
+        first($"n").as("n"))
+  }
+
+  val qChi2IndependenceSql: String =
+    s"""WITH cells AS (
+       |  SELECT c_mktsegment, n_name, count(*) AS o
+       |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT c_mktsegment, n_name, o,
+       |    sum(o) OVER (PARTITION BY c_mktsegment) AS rowt,
+       |    sum(o) OVER (PARTITION BY n_name) AS colt,
+       |    sum(o) OVER () AS n
+       |  FROM cells),
+       |q AS (
+       |  SELECT n,
+       |    CAST(floor(
+       |      pow(CAST(o AS DOUBLE) - CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / CAST(n AS DOUBLE), 2)
+       |        / (CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS cq,
+       |    c_mktsegment, n_name
+       |  FROM m)
+       |SELECT ${rndSql("CAST(sum(cq) AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)} AS chi2,
+       |  (count(DISTINCT c_mktsegment) - 1) * (count(DISTINCT n_name) - 1) AS dof,
+       |  CAST(first(n) AS BIGINT) AS n
+       |FROM q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chi2_independence" -> (qChi2Independence _),
+    "q_cohort_ltv"      -> (qCohortLtv _),
     "q_dau_new_returning" -> (qDauNewReturning _),
     "q_holt_forecast"   -> (qHoltForecast _),
     "q_segment_overlap" -> (qSegmentOverlap _),
@@ -1400,6 +1518,8 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_chi2_independence" -> qChi2IndependenceSql,
+    "q_cohort_ltv"      -> qCohortLtvSql,
     "q_dau_new_returning" -> qDauNewReturningSql,
     "q_holt_forecast"   -> qHoltForecastSql,
     "q_segment_overlap" -> qSegmentOverlapSql,
