@@ -1490,7 +1490,80 @@ object Behavioral {
        |  CAST(first(n) AS BIGINT) AS n
        |FROM q""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_percentiles_grouped — MANY-group exact quantiles, two-phase
+  // ------------------------------------------------------------------
+
+  /** §2.10 — exact p50/p95 of event value per (event_type, day) —
+    * the MANY-group generalization of `q_percentiles_dist`'s 3-group
+    * layout, and the named swap-in every bounded-group exact-
+    * percentile operator (`q_winsorize`, `corpus_quality_buckets`)
+    * defers to: same deterministic key-space buckets
+    * ([[graft.functions.Ranks.withBucket]] on the full (group, value)
+    * tuple, so a hot group spreads over many buckets), per-(group,
+    * bucket) counts → per-group exclusive prefix over ≤ #buckets rows
+    * broadcast back, within-bucket row_number + offset, then the
+    * two-rank interpolation pick. NO stage buffers a group's values:
+    * state per task is a row stream + a counter, at any group count
+    * and any skew. Matches DuckDB's quantile_cont interpolation
+    * arithmetic term for term (the `q_percentiles_dist` device). */
+  def qPercentilesGrouped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Ranks
+    val pid = "__ppg_pid"
+    val v = Tables.events(s, dir)
+      .select($"event_type", to_date($"ts").as("day"), $"value".as("x"))
+    val parted = Ranks.withBucket(v, Seq($"event_type", $"day", $"x"),
+      Ranks.defaultPartitions(v), pid)
+    val cnt = parted.groupBy($"event_type", $"day", col(pid)).agg(count(lit(1)).as("c"))
+    val off = cnt.withColumn("off", coalesce(
+        sum($"c").over(Window.partitionBy($"event_type", $"day").orderBy(col(pid))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select($"event_type", $"day", col(pid), $"off")
+    val tot = cnt.groupBy($"event_type", $"day").agg(sum($"c").as("n"))
+    val ranked = parted.join(broadcast(off), Seq("event_type", "day", pid))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy($"event_type", $"day", col(pid)).orderBy($"x"))
+          .cast("long") + $"off")
+    val targets = tot
+      .crossJoin(Seq(0.5, 0.95).toDF("p"))
+      .withColumn("pos", $"p" * ($"n" - 1).cast("double"))
+      .withColumn("lower", floor($"pos"))
+      .withColumn("higher", ceil($"pos"))
+      .withColumn("lo_rank", $"lower".cast("long") + 1)
+      .withColumn("hi_rank", $"higher".cast("long") + 1)
+    val picked = ranked.as("r").join(broadcast(targets.as("t")),
+        $"r.event_type" === $"t.event_type" && $"r.day" === $"t.day" &&
+          ($"r.rank" === $"t.lo_rank" || $"r.rank" === $"t.hi_rank"))
+      .groupBy($"t.event_type".as("event_type"), $"t.day".as("day"),
+        $"t.p".as("p"), $"t.pos".as("pos"),
+        $"t.lower".as("lower"), $"t.higher".as("higher"), $"t.n".as("n"))
+      .agg(min(when($"r.rank" === $"t.lo_rank", $"r.x")).as("vlo"),
+           min(when($"r.rank" === $"t.hi_rank", $"r.x")).as("vhi"))
+    picked.select($"event_type", $"day", $"p", $"n",
+        when($"lower" === $"higher", $"vlo")
+          .otherwise(($"higher" - $"pos") * $"vlo" + ($"pos" - $"lower") * $"vhi")
+          .as("v"))
+      .groupBy($"event_type", $"day", $"n")
+      .agg(
+        expr(rndSql("min(CASE WHEN p = CAST(0.5 AS DOUBLE) THEN v END)", 4)).as("p50"),
+        expr(rndSql("min(CASE WHEN p = CAST(0.95 AS DOUBLE) THEN v END)", 4)).as("p95"))
+      .select($"event_type", $"day", $"p50", $"p95", $"n")
+      .orderBy($"event_type", $"day")
+  }
+
+  val qPercentilesGroupedSql: String =
+    s"""SELECT event_type, CAST(ts AS DATE) AS day,
+       |  ${rndSql("quantile_cont(value, 0.5)", 4)} AS p50,
+       |  ${rndSql("quantile_cont(value, 0.95)", 4)} AS p95,
+       |  count(*) AS n
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_percentiles_grouped" -> (qPercentilesGrouped _),
     "q_chi2_independence" -> (qChi2Independence _),
     "q_cohort_ltv"      -> (qCohortLtv _),
     "q_dau_new_returning" -> (qDauNewReturning _),
@@ -1518,6 +1591,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_percentiles_grouped" -> qPercentilesGroupedSql,
     "q_chi2_independence" -> qChi2IndependenceSql,
     "q_cohort_ltv"      -> qCohortLtvSql,
     "q_dau_new_returning" -> qDauNewReturningSql,

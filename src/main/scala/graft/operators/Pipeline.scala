@@ -1302,7 +1302,146 @@ object Pipeline {
        |ORDER BY lang, bucket""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // sample_entity — entity-coherent (per-user) sampling
+  // ------------------------------------------------------------------
+
+  /** Keep-fraction denominator: users whose multiplicative hash
+    * falls in the lowest tenth of the modulus are kept — a
+    * deterministic ~10% ENTITY sample. The multiplier is Knuth's
+    * 2654435761 (golden-ratio scatter), NOT the samplers' small
+    * Lehmer step: a rank PRF only needs a consistent ORDER, but a
+    * THRESHOLD membership needs small ids to wrap the modulus too —
+    * (id·48271) mod 2³¹−1 keeps every id < ~44k under any cut
+    * (caught at sf0.01: the filter admitted 100% of users).
+    * Overflow-safe: (id mod M)·A < 5.7e18 < 2⁶³. */
+  val entitySampleMod = 2147483647L
+  val entitySampleMult = 2654435761L
+  val entitySampleCut = entitySampleMod / 10
+
+  /** §2.8 — entity-coherent sampling: keep EVERY event of ~10% of
+    * users, selected by a deterministic PRF of the user id — the
+    * sampling shape behavioral analysis requires (funnels, sessions
+    * and retention are meaningless on row-sampled events; they need
+    * whole users). Complements the row samplers (38/38b/38c): same
+    * Lehmer PRF, but keyed on the ENTITY. Row-local filter — zero
+    * shuffles to select; the per-user audit rollup is one partial-
+    * agged groupBy. Membership is stable under appends and cluster
+    * sizes by construction (pure function of user_id). */
+  def sampleEntity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .filter(expr(s"(user_id % ${entitySampleMod}L) * ${entitySampleMult}L % ${entitySampleMod}L") < entitySampleCut)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_type").as("n_types"),
+        min($"ts").as("first_ts"), max($"ts").as("last_ts"))
+      .orderBy($"user_id")
+  }
+
+  val sampleEntitySql: String =
+    s"""SELECT user_id, count(*) AS n_events,
+       |  count(DISTINCT event_type) AS n_types,
+       |  min(ts) AS first_ts, max(ts) AS last_ts
+       |FROM events
+       |WHERE (user_id % $entitySampleMod) * $entitySampleMult % $entitySampleMod < $entitySampleCut
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------------
+  // text_zipf_fit — Zipf's-law fit over the token frequency spectrum
+  // ------------------------------------------------------------------
+
+  /** §2.8 — Zipf's-law fit: log-log OLS of token frequency against
+    * frequency rank over the whole vocabulary — the corpus-health
+    * diagnostic next to `corpus_vocab_growth` (natural text slopes
+    * ≈ −1; a flat slope means templated/duplicated content, a cliff
+    * means OCR noise or truncation).
+    *
+    * Scale: token counts partial-aggregate to the VOCAB-sized
+    * frequency table; ranking that table uses the two-phase bucketed
+    * global row number on (−count, token) — never a one-task ORDER BY
+    * window; the regression reduces vocab-sized (x, y) pairs with
+    * per-term 1e-6 half-up quantization and exact DECIMAL(38) sums
+    * (order-independent, and the quantized ln values are identical in
+    * both engines — the `text_lm_score` precedent), then one
+    * identical-arithmetic slope/intercept/r² evaluation. */
+  def textZipfFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Ranks
+    val freq = Tables.documents(s, dir)
+      .withColumn("toks", expr(TA.toksExpr))
+      .select(explode($"toks").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val ranked = Ranks.globalRowNumber(
+      freq.withColumn("negc", -$"c"), Seq($"negc", $"tok"),
+      Ranks.defaultPartitions(freq), "rank")
+    val terms = ranked.select(
+      expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("xq"),
+      expr("CAST(floor(ln(CAST(c AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("yq"))
+      .select($"xq", $"yq",
+        expr("CAST(floor((CAST(xq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * (CAST(yq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("xyq"),
+        expr("CAST(floor((CAST(xq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * (CAST(xq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("xxq"),
+        expr("CAST(floor((CAST(yq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * (CAST(yq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("yyq"))
+    val m = terms.agg(
+      count(lit(1)).as("n"),
+      sum($"xq".cast(DecimalType(38, 0))).as("sx"),
+      sum($"yq".cast(DecimalType(38, 0))).as("sy"),
+      sum($"xyq".cast(DecimalType(38, 0))).as("sxy"),
+      sum($"xxq".cast(DecimalType(38, 0))).as("sxx"),
+      sum($"yyq".cast(DecimalType(38, 0))).as("syy"))
+    m.select($"n".as("n_tokens"),
+      expr(zipfRnd("(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)")).as("slope"),
+      expr(zipfRnd("(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd")).as("intercept"),
+      expr(zipfRnd("((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))")).as("r2"))
+  }
+
+  /** Shared rnd6 wrapper with the decimal-sum → double bindings
+    * inlined, so Spark and DuckDB evaluate ONE identical expression
+    * string. */
+  private def zipfRnd(e: String): String = {
+    val bind = Map(
+      "nd" -> "CAST(n AS DOUBLE)",
+      "sxd" -> "(CAST(sx AS DOUBLE) / CAST(1000000 AS DOUBLE))",
+      "syd" -> "(CAST(sy AS DOUBLE) / CAST(1000000 AS DOUBLE))",
+      "sxyd" -> "(CAST(sxy AS DOUBLE) / CAST(1000000 AS DOUBLE))",
+      "sxxd" -> "(CAST(sxx AS DOUBLE) / CAST(1000000 AS DOUBLE))",
+      "syyd" -> "(CAST(syy AS DOUBLE) / CAST(1000000 AS DOUBLE))")
+    graft.functions.Agg.rndSql(
+      bind.foldLeft(e) { case (acc, (k, v)) => acc.replaceAll(s"\\b$k\\b", java.util.regex.Matcher.quoteReplacement(v)) }, 6)
+  }
+
+  val textZipfFitSql: String =
+    s"""WITH f AS (
+       |  SELECT tok, count(*) AS c FROM (
+       |    SELECT unnest(${TA.duckToks}) AS tok FROM documents)
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank FROM f),
+       |t AS (
+       |  SELECT
+       |    CAST(floor(ln(CAST(rank AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xq,
+       |    CAST(floor(ln(CAST(c AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS yq
+       |  FROM r),
+       |t2 AS (
+       |  SELECT xq, yq,
+       |    CAST(floor((CAST(xq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * (CAST(yq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xyq,
+       |    CAST(floor((CAST(xq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * (CAST(xq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS xxq,
+       |    CAST(floor((CAST(yq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * (CAST(yq AS DOUBLE) / CAST(1000000 AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS yyq
+       |  FROM t),
+       |m AS (
+       |  SELECT count(*) AS n, sum(xq) AS sx, sum(yq) AS sy,
+       |    sum(xyq) AS sxy, sum(xxq) AS sxx, sum(yyq) AS syy
+       |  FROM t2)
+       |SELECT n AS n_tokens,
+       |  ${zipfRnd("(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)")} AS slope,
+       |  ${zipfRnd("(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd")} AS intercept,
+       |  ${zipfRnd("((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))")} AS r2
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_entity"     -> (sampleEntity _),
+    "text_zipf_fit"     -> (textZipfFit _),
     "corpus_quality_buckets" -> (corpusQualityBuckets _),
     "corpus_upsample"   -> (corpusUpsample _),
     "corpus_vocab_growth" -> (corpusVocabGrowth _),
@@ -1329,6 +1468,8 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "sample_entity"     -> sampleEntitySql,
+    "text_zipf_fit"     -> textZipfFitSql,
     "corpus_quality_buckets" -> corpusQualityBucketsSql,
     "corpus_upsample"   -> corpusUpsampleSql,
     "corpus_vocab_growth" -> corpusVocabGrowthSql,
