@@ -369,4 +369,22 @@ class PipelineSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(sub == a.filter(kv => ids(kv._1)))
   }
+
+  test("entity sample keeps whole users: per-user event counts equal the unsampled counts") {
+    val s = spark; import s.implicits._
+    val sampled = Pipeline.sampleEntity(s, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sampled.nonEmpty, "a ~10% cut must select someone")
+    val full = graft.sources.Tables.events(s, sfDir)
+      .filter($"user_id".isin(sampled.keys.toSeq: _*))
+      .groupBy($"user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sampled == full,
+      s"selected users must carry their COMPLETE event history: ${sampled.size} vs ${full.size}")
+    // and the cut is a sample, not the universe (the small-id Lehmer
+    // trap this operator's multiplier exists to avoid)
+    val nUsers = graft.sources.Tables.events(s, sfDir)
+      .select($"user_id").distinct().count()
+    assert(sampled.size < nUsers / 2, s"${sampled.size} of $nUsers selected — not a sample")
+  }
 }

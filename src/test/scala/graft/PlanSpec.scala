@@ -228,6 +228,22 @@ class PlanSpec extends SparkSpec {
       s"raw gram rides an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("q_percentiles_grouped buffers no group's values — ranks per bucket, no percentile agg") {
+    val p = plan(graft.operators.Behavioral.qPercentilesGrouped(spark, sfDir))
+    assert(!p.contains("percentile"), s"must not fall back to the buffering aggregate:\n$p")
+    // the rank window partitions by (group, bucket), never by group alone
+    assert(p.contains("__ppg_pid"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sample_entity selects row-locally — no shuffle before the audit aggregate") {
+    val p = plan(graft.operators.Pipeline.sampleEntity(spark, sfDir))
+    // membership filter must sit under the scan side of the single
+    // aggregate exchange (plus the bounded output sort)
+    assert(shuffleExchanges(p) <= 3, s"selection must not add exchanges:\n$p")
+    assert(p.contains("2654435761"), s"threshold hash must be in the scan-side filter:\n$p")
+  }
+
   test("embed_covariance: row-local pair expansion, one shuffle per moment aggregate") {
     // the n·d² expansion must stay inside the scan task (no join
     // before the partial agg) and the only shuffles are the two
