@@ -1562,7 +1562,90 @@ object Behavioral {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_survival_km — Kaplan–Meier churn survival curve
+  // ------------------------------------------------------------------
+
+  /** Users whose last activity is within this many days of the study
+    * end are CENSORED (still alive), not churned. */
+  val kmCensorDays = 7
+
+  /** §2.10 — Kaplan–Meier survival over user lifetimes: per user the
+    * observed lifetime T = last_day − first_day; users last seen
+    * within [[kmCensorDays]] of the study end are right-CENSORED
+    * (the estimator's whole point — counting them as churned biases
+    * every retention number down); churned users are events at their
+    * T. S(t) = Π_{t'≤t} (1 − d_{t'}/n_{t'}) over the at-risk counts.
+    *
+    * Scale: ONE user-keyed partial-agged reduce (first/last day);
+    * everything after runs on the LIFETIME-DAYS-sized frame (calendar-
+    * bounded): at-risk via a cumulative window, the product as
+    * exp(Σ ln(1−d/n)) with each ln term 1e-9 half-up quantized and
+    * integer-summed so the running product is addition-order-exact
+    * across engines. */
+  def qSurvivalKm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(to_date(min($"ts")).as("d0"), to_date(max($"ts")).as("d1"))
+    val end = days.agg(max($"d1").as("study_end"))
+    val lifetimes = days.crossJoin(broadcast(end))
+      .select(datediff($"d1", $"d0").as("t"),
+        ($"d1" < date_sub($"study_end", kmCensorDays)).as("churned"))
+    val byT = lifetimes.groupBy($"t")
+      .agg(sum(when($"churned", 1L).otherwise(0L)).as("d"),
+        sum(when($"churned", 0L).otherwise(1L)).as("c"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPrev = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      .withColumn("n_total", sum($"d" + $"c").over(wAll))
+      .withColumn("n_risk", $"n_total" - coalesce(sum($"d" + $"c").over(wPrev), lit(0L)))
+      .withColumn("term_q", expr(
+        """CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+          |     WHEN d < n_risk THEN CAST(floor(ln(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+          |     ELSE CAST(0 AS BIGINT) END""".stripMargin))
+      .withColumn("dead", max(when($"d" === $"n_risk", 1).otherwise(0)).over(wCum))
+      .withColumn("cum_q", sum($"term_q").over(wCum))
+      .select($"t".as("t_days"), $"n_risk", $"d".as("n_churn"), $"c".as("n_censored"),
+        expr(rndSql(
+          "CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE) ELSE exp(CAST(cum_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)) END", 6)).as("survival"))
+      .orderBy($"t_days")
+  }
+
+  val qSurvivalKmSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+       |  FROM events GROUP BY 1),
+       |e AS (SELECT max(d1) AS study_end FROM u),
+       |lt AS (
+       |  SELECT datediff('day', d0, d1) AS t,
+       |    d1 < study_end - $kmCensorDays AS churned
+       |  FROM u, e),
+       |byt AS (
+       |  SELECT t,
+       |    CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+       |  FROM lt GROUP BY 1),
+       |r AS (
+       |  SELECT t, d, c,
+       |    CAST(sum(d + c) OVER () AS BIGINT)
+       |      - CAST(coalesce(sum(d + c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+       |  FROM byt),
+       |q AS (
+       |  SELECT t, d, c, n_risk,
+       |    CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+       |         WHEN d < n_risk THEN CAST(floor(ln(CAST(1 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS term_q,
+       |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS is_dead
+       |  FROM r)
+       |SELECT t AS t_days, n_risk, d AS n_churn, c AS n_censored,
+       |  ${rndSql(
+         "CASE WHEN max(is_dead) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN CAST(0 AS DOUBLE) ELSE exp(CAST(sum(term_q) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(1000000000 AS DOUBLE)) END", 6)} AS survival
+       |FROM q ORDER BY t_days""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_survival_km"     -> (qSurvivalKm _),
     "q_percentiles_grouped" -> (qPercentilesGrouped _),
     "q_chi2_independence" -> (qChi2Independence _),
     "q_cohort_ltv"      -> (qCohortLtv _),
@@ -1591,6 +1674,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_survival_km"     -> qSurvivalKmSql,
     "q_percentiles_grouped" -> qPercentilesGroupedSql,
     "q_chi2_independence" -> qChi2IndependenceSql,
     "q_cohort_ltv"      -> qCohortLtvSql,

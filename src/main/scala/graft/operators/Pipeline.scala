@@ -1439,7 +1439,74 @@ object Pipeline {
        |  ${zipfRnd("((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))")} AS r2
        |FROM m""".stripMargin
 
+  // ------------------------------------------------------------------
+  // corpus_token_budget — temperature-mixing allocation plan
+  // ------------------------------------------------------------------
+
+  /** Mixing temperature exponent (weights ∝ n^τ) and the training
+    * budget as a fraction of the corpus's total tokens. τ < 1
+    * up-weights small sources relative to proportional sampling —
+    * the standard multilingual/multi-source rebalancing. */
+  val budgetTau = 0.7
+  val budgetFrac = 0.5
+
+  /** §2.8 — the data-mixing PLAN every pretraining run starts from:
+    * per source its token count, its temperature-τ sampling
+    * probability p_s ∝ n_s^τ, the token allocation against a budget
+    * of [[budgetFrac]]·total, and the implied epoch count
+    * (allocation/n_s — >1 means the source repeats). The planning
+    * complement of `corpus_mix` (which ORDERS documents) and
+    * `corpus_upsample` (which MATERIALIZES repeats).
+    *
+    * Scale: one partial-agged token count per source; everything else
+    * is row-local arithmetic on the |sources|-sized frame. Weights
+    * are 1e-6-quantized before the exact integer normalization sum,
+    * so shares are addition-order-independent and engine-exact. */
+  def corpusTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{rnd, rndSql}
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(s, dir)
+      .withColumn("toks", expr(TA.toksExpr))
+      .groupBy($"source").agg(sum(size($"toks").cast("long")).as("n_tokens"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("wq", expr(
+        s"CAST(floor(pow(CAST(n_tokens AS DOUBLE), CAST($budgetTau AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      .withColumn("wsum", sum($"wq").over(wAll))
+      .withColumn("total", sum($"n_tokens").over(wAll))
+      .withColumn("p", expr(rndSql("CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)", 6)))
+      .withColumn("alloc_tokens", expr(
+        s"CAST(floor(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) * (CAST($budgetFrac AS DOUBLE) * CAST(total AS DOUBLE))) AS BIGINT)"))
+      .withColumn("epochs",
+        rnd($"alloc_tokens".cast("double") / $"n_tokens".cast("double"), 6))
+      .select($"source", $"n_tokens", $"p", $"alloc_tokens", $"epochs")
+      .orderBy($"source")
+  }
+
+  val corpusTokenBudgetSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH c AS (
+       |  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM (
+       |    SELECT source, ${TA.duckToks} AS toks FROM documents) GROUP BY 1),
+       |w AS (
+       |  SELECT source, n_tokens,
+       |    CAST(floor(pow(CAST(n_tokens AS DOUBLE), CAST($budgetTau AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wq
+       |  FROM c),
+       |t AS (
+       |  SELECT source, n_tokens, wq,
+       |    CAST(sum(wq) OVER () AS BIGINT) AS wsum,
+       |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+       |  FROM w)
+       |SELECT source, n_tokens,
+       |  ${rndSql("CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE)", 6)} AS p,
+       |  CAST(floor(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) * (CAST($budgetFrac AS DOUBLE) * CAST(total AS DOUBLE))) AS BIGINT) AS alloc_tokens,
+       |  ${rndSql(s"CAST(CAST(floor(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) * (CAST($budgetFrac AS DOUBLE) * CAST(total AS DOUBLE))) AS BIGINT) AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS epochs
+       |FROM t ORDER BY source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_token_budget" -> (corpusTokenBudget _),
     "sample_entity"     -> (sampleEntity _),
     "text_zipf_fit"     -> (textZipfFit _),
     "corpus_quality_buckets" -> (corpusQualityBuckets _),
@@ -1468,6 +1535,7 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_token_budget" -> corpusTokenBudgetSql,
     "sample_entity"     -> sampleEntitySql,
     "text_zipf_fit"     -> textZipfFitSql,
     "corpus_quality_buckets" -> corpusQualityBucketsSql,

@@ -346,6 +346,30 @@ class BehavioralSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("kaplan-meier survival matches hand-computed values and censors the living") {
+    val s = spark; import s.implicits._
+    // study span days 1-30 (end = 30, censor cut = day 23):
+    // u1 T=4 churn, u2 T=9 churn, u5 T=9 churn, u3 T=24 censored,
+    // u4 T=29 censored. Hand KM: S(4)=4/5=0.8, S(9)=0.8·(1-2/4)=0.4,
+    // then flat — censored users must NOT drop the curve.
+    val dir = Files.createTempDirectory("graft-km").toString
+    val dayUs = 86400L * 1000000L
+    val spans = Seq((1L, 1, 5), (2L, 1, 10), (3L, 2, 26), (4L, 1, 30), (5L, 3, 12))
+    var id = 0L
+    spans.flatMap { case (u, a, b) =>
+      Seq(a, b).map { d => id += 1; (id, d.toLong * dayUs, u, "click") }
+    }.toDF("event_id", "us", "user_id", "event_type")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        $"event_type", lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val km = Behavioral.qSurvivalKm(s, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(km(4) == ((5L, 1L, 0L, 0.8)), km.toString)
+    assert(km(9) == ((4L, 2L, 0L, 0.4)), km.toString)
+    assert(km(24)._4 == 0.4 && km(24)._3 == 1L, "censoring must not drop survival")
+    assert(km(29)._4 == 0.4 && km(29)._3 == 1L, km.toString)
+  }
+
   test("lateness audit buckets the out-of-order arrival by its watermark gap") {
     val rows = Behavioral.qLateness(spark, latenessDir).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
