@@ -2080,7 +2080,89 @@ object Relational {
        |  ${Agg0.rndSql("CAST(sum(drev_q) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(sum(drev_q) OVER () AS DOUBLE)", 6)} AS cum_share
        |FROM g ORDER BY decile""".stripMargin
 
+  /** l for the l-diversity audit: a quasi-group needs at least this
+    * many DISTINCT sensitive values. */
+  val lDiversityL = 3L
+
+  /** §2.3 — l-diversity audit over the same quasi-identifier
+    * generalization as `q_k_anonymity`, with market segment as the
+    * SENSITIVE attribute: k-anonymity alone is defeated by a
+    * homogeneous group (all k members share the sensitive value —
+    * re-identification discloses it anyway); l-diversity requires ≥ l
+    * distinct sensitive values per quasi-group. One partial-agged
+    * groupBy computing k and the exact distinct-count together
+    * (Spark plans the distinct agg as dedup-then-count — no value
+    * set buffers in a reducer); the flag is row-local. */
+  def qLDiversity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .groupBy($"c_nationkey",
+        (floor($"c_acctbal" / kAnonBalBucket) * kAnonBalBucket.toLong)
+          .cast("long").as("bal_bucket"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct($"c_mktsegment").as("l_distinct"))
+      .withColumn("violates", $"l_distinct" < lDiversityL)
+      .orderBy($"c_nationkey", $"bal_bucket")
+  }
+
+  val qLDiversitySql: String =
+    s"""SELECT c_nationkey,
+       |  CAST(floor(c_acctbal / $kAnonBalBucket) * ${kAnonBalBucket.toLong} AS BIGINT) AS bal_bucket,
+       |  count(*) AS k,
+       |  count(DISTINCT c_mktsegment) AS l_distinct,
+       |  count(DISTINCT c_mktsegment) < $lDiversityL AS violates
+       |FROM customer
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Dormancy cutoff for [[q22SalesOpportunity]]: a customer with no
+    * order on/after this date is considered lapsed. */
+  val q22Cutoff = "2000-08-01 00:00:00"
+
+  /** TPC-H Q22 shape — untapped high-value customers: above-average
+    * account balance AND no RECENT order (none since [[q22Cutoff]]).
+    * Exercises the two decorrelation plays together: the global
+    * average is a scalar aggregate broadcast into a row-local filter
+    * (never a per-row subquery), and NOT EXISTS is a left-anti join
+    * on custkey — BOTH sides pre-filtered before the anti join: only
+    * the above-average customer sliver probes, and only the
+    * post-cutoff orders sliver builds (the date filter is pushed to
+    * the orders scan). Output is the per-nation rollup of count +
+    * held balance. */
+  def q22SalesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val avgBal = Tables.customer(s, dir)
+      .filter($"c_acctbal" > 0.0)
+      .agg(davg($"c_acctbal").as("ab"))
+    Tables.customer(s, dir)
+      .crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"ab")
+      .join(Tables.orders(s, dir)
+          .filter($"o_orderdate" >= lit(q22Cutoff).cast("timestamp"))
+          .select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"), dsum($"c_acctbal").as("held_balance"))
+      .orderBy($"n_name")
+  }
+
+  val q22SalesOpportunitySql: String =
+    s"""WITH a AS (
+       |  SELECT ${davgSql("c_acctbal")} AS ab FROM customer WHERE c_acctbal > 0.0)
+       |SELECT n_name, count(*) AS n_cust,
+       |  ${dsumSql("c_acctbal")} AS held_balance
+       |FROM customer, a
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE c_acctbal > a.ab
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |    WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '$q22Cutoff')
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_l_diversity"      -> (qLDiversity _),
+    "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "q_pareto_deciles"   -> (qParetoDeciles _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q7_nation_trade"    -> (q7NationTrade _),
@@ -2136,6 +2218,8 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_l_diversity"      -> qLDiversitySql,
+    "q22_sales_opportunity" -> q22SalesOpportunitySql,
     "q_pareto_deciles"   -> qParetoDecilesSql,
     "q10_returned_revenue" -> q10ReturnedRevenueSql,
     "q7_nation_trade"    -> q7NationTradeSql,
