@@ -1644,7 +1644,128 @@ object Behavioral {
          "CASE WHEN max(is_dead) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN CAST(0 AS DOUBLE) ELSE exp(CAST(sum(term_q) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / CAST(1000000000 AS DOUBLE)) END", 6)} AS survival
        |FROM q ORDER BY t_days""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_abtest_cuped — variance-reduced experiment readout (CUPED)
+  // ------------------------------------------------------------------
+
+  /** §2.10 — CUPED-adjusted A/B readout (Deng et al., WSDM 2013):
+    * per-user PRE-period activity (first half of the study window) as
+    * the control covariate for the POST-period metric; θ =
+    * cov(x,y)/var(x) on pooled users, adjusted means and the pooled
+    * variance reduction 1 − (1 − ρ²)⁻¹-form follow CLOSED-FORM from
+    * the same moment sums — no second pass over the data. The
+    * experimentation upgrade of `q_abtest`: same arms (user parity),
+    * tighter confidence at identical sample size.
+    *
+    * Scale: one user-keyed partial-agged reduce to per-user (x, y)
+    * quantized longs; ONE moment aggregate (decimal-exact products —
+    * a per-user xq·yq can overflow a long at fleet scale, so the
+    * multiply happens in DECIMAL(38); DuckDB mirrors in HUGEINT);
+    * the readout is a single-row closed form with identical double
+    * arithmetic. The study midpoint derives from the data's own
+    * [min, max] day span (broadcast scalar), so the operator is
+    * window-agnostic. */
+  def qAbtestCuped(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(38, 0)
+    val ev = Tables.events(s, dir).select($"user_id", to_date($"ts").as("day"), $"value")
+    val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) / 2 AS INT))").as("mid"))
+    val perUser = ev.crossJoin(broadcast(span))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"day" < $"mid", quantize($"value", 4).cast("long")).otherwise(0L)).as("xq"),
+        sum(when($"day" >= $"mid", quantize($"value", 4).cast("long")).otherwise(0L)).as("yq"))
+      .withColumn("a", $"user_id" % 2 === 0)
+    val m = perUser.agg(
+      count(lit(1)).as("n"),
+      countIf($"a").as("n_a"),
+      countIf(!$"a").as("n_b"),
+      sum($"xq".cast(D)).as("sx"),
+      sum($"yq".cast(D)).as("sy"),
+      sum(($"xq".cast(D) * $"yq".cast(D))).as("sxy"),
+      sum(($"xq".cast(D) * $"xq".cast(D))).as("sxx"),
+      sum(($"yq".cast(D) * $"yq".cast(D))).as("syy"),
+      sum(when($"a", $"xq").otherwise(0L).cast(D)).as("sx_a"),
+      sum(when($"a", $"yq").otherwise(0L).cast(D)).as("sy_a"),
+      sum(when(!$"a", $"xq").otherwise(0L).cast(D)).as("sx_b"),
+      sum(when(!$"a", $"yq").otherwise(0L).cast(D)).as("sy_b"))
+    m.select(
+      $"n_a", $"n_b",
+      expr(cupedRnd("syad / nad")).as("mean_a"),
+      expr(cupedRnd("sybd / nbd")).as("mean_b"),
+      expr(cupedRnd("theta")).as("theta"),
+      expr(cupedRnd("(syad / nad) - theta * ((sxad / nad) - (sxd / nd))")).as("adj_mean_a"),
+      expr(cupedRnd("(sybd / nbd) - theta * ((sxbd / nbd) - (sxd / nd))")).as("adj_mean_b"),
+      expr(cupedRnd("(covxy * covxy) / (varx * vary)")).as("var_reduction"))
+  }
+
+  /** rnd6 wrapper binding the CUPED moment names to identical
+    * decimal→double conversions in BOTH engines (the `zipfRnd`
+    * device). Derived bindings (theta, covxy, varx, vary) expand
+    * recursively so the final expression strings match character for
+    * character. */
+  private def cupedRnd(e: String): String = {
+    val base = Map(
+      "nd" -> "CAST(n AS DOUBLE)", "nad" -> "CAST(n_a AS DOUBLE)", "nbd" -> "CAST(n_b AS DOUBLE)",
+      "sxd" -> "(CAST(sx AS DOUBLE) / CAST(10000 AS DOUBLE))",
+      "syd" -> "(CAST(sy AS DOUBLE) / CAST(10000 AS DOUBLE))",
+      "sxad" -> "(CAST(sx_a AS DOUBLE) / CAST(10000 AS DOUBLE))",
+      "syad" -> "(CAST(sy_a AS DOUBLE) / CAST(10000 AS DOUBLE))",
+      "sxbd" -> "(CAST(sx_b AS DOUBLE) / CAST(10000 AS DOUBLE))",
+      "sybd" -> "(CAST(sy_b AS DOUBLE) / CAST(10000 AS DOUBLE))",
+      "sxyd" -> "(CAST(sxy AS DOUBLE) / CAST(100000000 AS DOUBLE))",
+      "sxxd" -> "(CAST(sxx AS DOUBLE) / CAST(100000000 AS DOUBLE))",
+      "syyd" -> "(CAST(syy AS DOUBLE) / CAST(100000000 AS DOUBLE))")
+    val derived = Seq(
+      "covxy" -> "(sxyd / nd - (sxd / nd) * (syd / nd))",
+      "varx" -> "(sxxd / nd - (sxd / nd) * (sxd / nd))",
+      "vary" -> "(syyd / nd - (syd / nd) * (syd / nd))")
+    val withDerived0 = derived.foldLeft(e) { case (acc, (k, v)) =>
+      acc.replaceAll(s"\\b$k\\b", java.util.regex.Matcher.quoteReplacement(v)) }
+    val withTheta = withDerived0.replaceAll("\\btheta\\b",
+      java.util.regex.Matcher.quoteReplacement("((sxyd / nd - (sxd / nd) * (syd / nd)) / (sxxd / nd - (sxd / nd) * (sxd / nd)))"))
+    graft.functions.Agg.rndSql(
+      base.foldLeft(withTheta) { case (acc, (k, v)) =>
+        acc.replaceAll(s"\\b$k\\b", java.util.regex.Matcher.quoteReplacement(v)) }, 6)
+  }
+
+  val qAbtestCupedSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+       |sp AS (
+       |  SELECT min(day) + CAST(CAST(datediff('day', min(day), max(day)) / 2 AS INT) AS INTEGER) AS mid
+       |  FROM ev),
+       |pu AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN day < mid THEN CAST(floor(value * 10000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) ELSE 0 END) AS BIGINT) AS xq,
+       |    CAST(sum(CASE WHEN day >= mid THEN CAST(floor(value * 10000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) ELSE 0 END) AS BIGINT) AS yq,
+       |    user_id % 2 = 0 AS a
+       |  FROM ev, sp GROUP BY user_id),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    ${countIfSql("a")} AS n_a, ${countIfSql("NOT a")} AS n_b,
+       |    sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(yq AS HUGEINT)) AS sy,
+       |    sum(CAST(xq AS HUGEINT) * yq) AS sxy,
+       |    sum(CAST(xq AS HUGEINT) * xq) AS sxx,
+       |    sum(CAST(yq AS HUGEINT) * yq) AS syy,
+       |    sum(CASE WHEN a THEN CAST(xq AS HUGEINT) ELSE 0 END) AS sx_a,
+       |    sum(CASE WHEN a THEN CAST(yq AS HUGEINT) ELSE 0 END) AS sy_a,
+       |    sum(CASE WHEN NOT a THEN CAST(xq AS HUGEINT) ELSE 0 END) AS sx_b,
+       |    sum(CASE WHEN NOT a THEN CAST(yq AS HUGEINT) ELSE 0 END) AS sy_b
+       |  FROM pu)
+       |SELECT n_a, n_b,
+       |  ${cupedRnd("syad / nad")} AS mean_a,
+       |  ${cupedRnd("sybd / nbd")} AS mean_b,
+       |  ${cupedRnd("theta")} AS theta,
+       |  ${cupedRnd("(syad / nad) - theta * ((sxad / nad) - (sxd / nd))")} AS adj_mean_a,
+       |  ${cupedRnd("(sybd / nbd) - theta * ((sxbd / nbd) - (sxd / nd))")} AS adj_mean_b,
+       |  ${cupedRnd("(covxy * covxy) / (varx * vary)")} AS var_reduction
+       |FROM m""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_abtest_cuped"    -> (qAbtestCuped _),
     "q_survival_km"     -> (qSurvivalKm _),
     "q_percentiles_grouped" -> (qPercentilesGrouped _),
     "q_chi2_independence" -> (qChi2Independence _),
@@ -1674,6 +1795,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_abtest_cuped"    -> qAbtestCupedSql,
     "q_survival_km"     -> qSurvivalKmSql,
     "q_percentiles_grouped" -> qPercentilesGroupedSql,
     "q_chi2_independence" -> qChi2IndependenceSql,
