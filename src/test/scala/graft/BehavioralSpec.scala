@@ -346,6 +346,34 @@ class BehavioralSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("cuped with a perfect covariate removes all outcome variance and arm imbalance") {
+    val s = spark; import s.implicits._
+    // user u: pre value = u (day 1), post value = 2u + 3 (day 30).
+    // Perfect linear covariate ⇒ θ = 2, var_reduction = 1, and the
+    // adjusted means of the parity arms coincide EXACTLY even though
+    // the raw means differ (odd vs even u) — the readout CUPED exists
+    // to produce.
+    val dir = Files.createTempDirectory("graft-cuped").toString
+    val dayUs = 86400L * 1000000L
+    var id = 0L
+    (1 to 40).flatMap { u =>
+      Seq((1, u.toDouble), (30, 2.0 * u + 3.0)).map { case (d, v) =>
+        id += 1; (id, d.toLong * dayUs, u.toLong, v)
+      }
+    }.toDF("event_id", "us", "user_id", "value")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        lit("click").as("event_type"), $"value", lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Behavioral.qAbtestCuped(s, dir).collect().head
+    val (meanA, meanB) = (r.getDouble(2), r.getDouble(3))
+    val (theta, adjA, adjB, vr) =
+      (r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    assert(meanA != meanB, "parity arms are x-imbalanced by construction")
+    assert(theta == 2.0, s"theta must recover the true slope: $theta")
+    assert(vr == 1.0, s"perfect covariate must explain all variance: $vr")
+    assert(adjA == adjB, s"adjustment must cancel the imbalance: $adjA vs $adjB")
+  }
+
   test("kaplan-meier survival matches hand-computed values and censors the living") {
     val s = spark; import s.implicits._
     // study span days 1-30 (end = 30, censor cut = day 23):
