@@ -139,13 +139,80 @@ object SourceFormats {
        |ORDER BY event_type""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // source_bad_records — corrupt-line quarantine on ingest
+  // ------------------------------------------------------------------
+
+  /** Every event with id ≡ 0 (mod [[badRecordMod]]) is serialized as
+    * a BROKEN JSON line in the staged landing file — a deterministic
+    * corruption model, so the quarantine counts are oracle-checkable
+    * from the clean parquet. */
+  val badRecordMod = 97L
+
+  private val badStage = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stagedBad(s: SparkSession, dir: String): String =
+    badStage.getOrElseUpdate(dir, {
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-badlanding").toString
+      Tables.events(s, dir)
+        .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+          $"event_type", $"value")
+        .select(when($"event_id" % badRecordMod === 0L,
+            concat(lit("{\"event_id\":"), $"event_id", lit(",CORRUPT")))
+          .otherwise(to_json(struct($"event_id", $"us", $"user_id",
+            $"event_type", $"value"))).as("value"))
+        .write.mode("overwrite").text(s"$out/events_jsonl")
+      out
+    })
+
+  /** §2.11 — corrupt-record quarantine: the landing JSONL contains
+    * deterministically broken lines (1 in [[badRecordMod]]); the read
+    * runs PERMISSIVE with a `_corrupt_record` column so bad lines
+    * land in quarantine instead of failing the job or silently
+    * vanishing (FAILFAST kills a 100 TB ingest for one bad shard;
+    * DROPMALFORMED loses data with no audit trail). Output: per-type
+    * good-row counts + exact value sums, plus the quarantine row —
+    * the reconciliation a production ingest publishes next to every
+    * load. Oracle recomputes both from the clean parquet and the
+    * corruption rule. */
+  def sourceBadRecords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = stagedBad(s, dir)
+    val schema = eventSchema.add("_corrupt_record", StringType)
+    val df = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$root/events_jsonl")
+    df.withColumn("status",
+        when($"_corrupt_record".isNotNull, "corrupt").otherwise("ok"))
+      .groupBy($"status", $"event_type")
+      .agg(count(lit(1)).as("n_rows"), dsum($"value").as("sum_value"))
+      .orderBy($"status", $"event_type")
+  }
+
+  val sourceBadRecordsSql: String =
+    s"""WITH ok AS (
+       |  SELECT 'ok' AS status, event_type, count(*) AS n_rows,
+       |    ${dsumSql("value")} AS sum_value
+       |  FROM events WHERE event_id % $badRecordMod <> 0
+       |  GROUP BY 2),
+       |bad AS (
+       |  SELECT 'corrupt' AS status, CAST(NULL AS VARCHAR) AS event_type,
+       |    count(*) AS n_rows, CAST(NULL AS DOUBLE) AS sum_value
+       |  FROM events WHERE event_id % $badRecordMod = 0)
+       |SELECT * FROM ok UNION ALL SELECT * FROM bad
+       |ORDER BY status, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_formats"   -> (sourceFormats _),
-    "source_evolution" -> (sourceEvolution _)
+    "source_evolution" -> (sourceEvolution _),
+    "source_bad_records" -> (sourceBadRecords _)
   )
 
   def oracles: Map[String, String] = Map(
     "source_formats"   -> sourceFormatsSql,
-    "source_evolution" -> sourceEvolutionSql
+    "source_evolution" -> sourceEvolutionSql,
+    "source_bad_records" -> sourceBadRecordsSql
   )
 }
