@@ -442,7 +442,7 @@ object Graph {
          |    SELECT node, label,
          |      row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
          |    FROM c$i) WHERE rn = 1),
-         |l$i AS (
+         |l$i AS MATERIALIZED (
          |  SELECT l.node, coalesce(p.label, l.label) AS label
          |  FROM l${i - 1} l LEFT JOIN p$i p USING (node))""".stripMargin
     }.mkString(",\n")
@@ -462,6 +462,86 @@ object Graph {
        |SELECT node AS part_id, label AS community_id,
        |  count(*) OVER (PARTITION BY label) AS community_size
        |FROM l$labelPropIters ORDER BY part_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
+  // graph_kcore — bounded-round 2-core peeling
+  // ------------------------------------------------------------------
+
+  val kcoreRounds = 8
+
+  /** §2.12 — 2-core membership by [[kcoreRounds]] synchronous peeling
+    * rounds: repeatedly drop vertices with < 2 surviving neighbors.
+    * The core is the graph's load-bearing skeleton — tendrils and
+    * dangling chains (which PageRank partially discounts and
+    * components ignore entirely) peel away, and "is this part in the
+    * 2-core" separates structurally-embedded products from one-off
+    * attachments. Bounded-round semantics: the operator is DEFINED as
+    * the 8-round peel (deterministic on any engine; each round peels
+    * every current sub-2 vertex, so 8 rounds strip any tendril up to
+    * 8 deep — a spec pins that a crafted chain dies and a triangle
+    * survives). Per round: two semi-join-shaped edge⋈survivor probes
+    * + one degree partial agg, survivor state vertex-sized, lineage
+    * cut per round — the pagerank loop's scale contract. Oracle =
+    * the identical peel unrolled as chained CTEs. */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = strongEdges(s, dir)
+    val edges = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+      .repartition($"src").localCheckpoint(true)
+    var surv = edges.select($"src".as("id")).distinct().localCheckpoint(true)
+    for (_ <- 1 to kcoreRounds) {
+      surv = edges
+        .join(surv.select($"id".as("sid")), $"src" === $"sid")
+        .join(surv.select($"id".as("did")), $"dst" === $"did")
+        .groupBy($"src").agg(count(lit(1)).as("c"))
+        .filter($"c" >= 2).select($"src".as("id"))
+        .localCheckpoint(true)
+    }
+    val core = edges
+      .join(surv.select($"id".as("sid")), $"src" === $"sid")
+      .join(surv.select($"id".as("did")), $"dst" === $"did")
+      .groupBy($"src").agg(count(lit(1)).as("core_degree"))
+      .select($"src".as("cid"), $"core_degree")
+    Tables.part(s, dir).select($"p_partkey".as("part_id"))
+      .join(core, $"part_id" === $"cid", "left")
+      .select($"part_id", $"core_degree".isNotNull.as("in_core"),
+        coalesce($"core_degree", lit(0L)).as("core_degree"))
+      .orderBy($"part_id")
+  }
+
+  val graphKcoreSql: String = {
+    val rounds = (1 to kcoreRounds).map { i =>
+      s"""s$i AS MATERIALIZED (
+         |  SELECT e.src AS id FROM edges e
+         |  JOIN s${i - 1} a ON e.src = a.id
+         |  JOIN s${i - 1} b ON e.dst = b.id
+         |  GROUP BY 1 HAVING count(*) >= 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT a.l_orderkey) >= $triangleMinSupport),
+       |edges AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM e0
+       |  UNION ALL
+       |  SELECT v, u FROM e0),
+       |s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+       |$rounds,
+       |core AS (
+       |  SELECT e.src AS cid, count(*) AS core_degree FROM edges e
+       |  JOIN s$kcoreRounds a ON e.src = a.id
+       |  JOIN s$kcoreRounds b ON e.dst = b.id
+       |  GROUP BY 1)
+       |SELECT p_partkey AS part_id,
+       |  core_degree IS NOT NULL AS in_core,
+       |  CAST(coalesce(core_degree, 0) AS BIGINT) AS core_degree
+       |FROM part LEFT JOIN core ON p_partkey = cid
+       |ORDER BY part_id""".stripMargin
   }
 
   // ------------------------------------------------------------------
@@ -554,7 +634,8 @@ object Graph {
     "graph_basket_rules"     -> (graphBasketRules _),
     "graph_triangles"        -> (graphTriangles _),
     "graph_components"       -> (graphComponents _),
-    "graph_label_prop"       -> (graphLabelProp _)
+    "graph_label_prop"       -> (graphLabelProp _),
+    "graph_kcore"            -> (graphKcore _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -565,6 +646,7 @@ object Graph {
     "graph_basket_rules"     -> graphBasketRulesSql,
     "graph_triangles"        -> graphTrianglesSql,
     "graph_components"       -> graphComponentsSql,
-    "graph_label_prop"       -> graphLabelPropSql
+    "graph_label_prop"       -> graphLabelPropSql,
+    "graph_kcore"            -> graphKcoreSql
   )
 }

@@ -173,6 +173,28 @@ class GraphSpec extends SparkSpec {
     assert(comp(1L) == comp(14L), "reachability must merge the barbell")
   }
 
+  test("kcore peeling strips a tendril chain and keeps the triangle") {
+    val s = spark; import s.implicits._
+    // triangle {1,2,3} + tendril 3-4-5-6: every chain vertex has
+    // degree ≤ 2 but the chain END has degree 1, so the peel strips
+    // the chain inward round by round while the triangle (all degrees
+    // 2 within the surviving set) is a fixed point.
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcore").toString
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    edges.zipWithIndex.flatMap { case ((u, v), i) =>
+      Seq(2L * i + 100, 2L * i + 101).flatMap(o => Seq((o, u), (o, v)))
+    }.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1L to 6L).toDF("p_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val core = graft.operators.Graph.graphKcore(s, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    Seq(1L, 2L, 3L).foreach(p =>
+      assert(core(p) == ((true, 2L)), s"triangle vertex $p must stay in core: $core"))
+    Seq(4L, 5L, 6L).foreach(p =>
+      assert(core(p) == ((false, 0L)), s"tendril vertex $p must peel away: $core"))
+  }
+
   test("pagerank is partition-invariant") {
     val s = spark
     val a = Graph.graphPagerank(s, sfDir).collect().map(_.toSeq).toSeq
