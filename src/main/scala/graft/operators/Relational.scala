@@ -2160,7 +2160,72 @@ object Relational {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** §2.3 — peak session concurrency per day: the classic sweep-line
+    * over session intervals — +1 at each session start, −1 at each
+    * end, the running sum IS the live-session count, its per-day max
+    * the capacity-planning number. Tie order is part of the operator
+    * contract: at one instant starts apply before ends (a session
+    * ending exactly when another starts briefly overlaps), encoded as
+    * the (us, rev, user, session) composite so the running order is
+    * total and engine-identical.
+    *
+    * Scale: sessions reduce the event stream first (the shared
+    * [[sessionized]] aggregate); the sweep runs on the SESSION-sized
+    * delta stream with the two-phase bucketed global running sum
+    * ([[graft.functions.Ranks.globalRunningSum]] — never a one-task
+    * ORDER BY window), and the per-day max partial-aggregates. */
+  def qPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Ranks
+    val se = sessionized(s, dir)
+      .select($"user_id", $"session_id",
+        unix_micros($"session_start").as("s_us"),
+        unix_micros($"session_end").as("e_us"))
+    val deltas = se.select($"s_us".as("us"), lit(0).as("rev"), lit(1L).as("delta"),
+        $"user_id", $"session_id")
+      .unionAll(se.select($"e_us".as("us"), lit(1).as("rev"), lit(-1L).as("delta"),
+        $"user_id", $"session_id"))
+    Ranks.globalRunningSum(deltas,
+        Seq($"us", $"rev", $"user_id", $"session_id"), $"delta",
+        Ranks.defaultPartitions(deltas), "cur")
+      .groupBy(to_date(timestamp_micros($"us")).as("day"))
+      .agg(max($"cur").as("peak_concurrency"))
+      .orderBy($"day")
+  }
+
+  val qPeakConcurrencySql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+       |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${1800L * 1000000L} THEN 1
+       |         ELSE 0 END AS new_sess
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), sess AS (
+       |  SELECT user_id,
+       |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_id,
+       |    us
+       |  FROM flagged
+       |), se AS (
+       |  SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+       |  FROM sess GROUP BY 1, 2
+       |), d AS (
+       |  SELECT s_us AS us, 0 AS rev, 1 AS delta, user_id, session_id FROM se
+       |  UNION ALL
+       |  SELECT e_us, 1, -1, user_id, session_id FROM se
+       |), r AS (
+       |  SELECT us,
+       |    CAST(sum(delta) OVER (ORDER BY us, rev, user_id, session_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cur
+       |  FROM d)
+       |SELECT CAST(make_timestamp(us) AS DATE) AS day,
+       |  max(cur) AS peak_concurrency
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_l_diversity"      -> (qLDiversity _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "q_pareto_deciles"   -> (qParetoDeciles _),
@@ -2218,6 +2283,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_peak_concurrency" -> qPeakConcurrencySql,
     "q_l_diversity"      -> qLDiversitySql,
     "q22_sales_opportunity" -> q22SalesOpportunitySql,
     "q_pareto_deciles"   -> qParetoDecilesSql,

@@ -640,7 +640,116 @@ object Similarity {
        |  ${rndSql("CAST(sum(q) AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)} AS pc1
        |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // embed_drift — distribution drift between embedding snapshots
+  // ------------------------------------------------------------------
+
+  /** §2.5 — embedding-distribution drift between two corpus
+    * snapshots (vec_id parity stands in for old/new embedding runs):
+    * cosine between the snapshot mean vectors, the L2 distance
+    * between them, and each snapshot's variance trace — the
+    * re-embedding regression monitor run before swapping an index:
+    * a mean-cosine dip or a trace collapse means the new encoder
+    * moved the space and every persisted centroid/codebook is stale.
+    *
+    * Scale: one dim-explode partial agg to 2·d exact per-dim moment
+    * rows (the `embed_centroids` device), then all statistics are
+    * row-local arithmetic over that bounded frame with 1e-9-quantized
+    * cross products — no second corpus pass, no shuffle beyond the
+    * one aggregate. */
+  def embedDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(38, 0)
+    val moments = Tables.embeddings(s, dir)
+      .select(($"vec_id" % 2 === 0).as("old_half"),
+        posexplode(expr(VectorFns.asDouble("embedding"))).as(Seq("p", "x")))
+      .select($"old_half", ($"p" + 1).as("i"),
+        expr("CAST(floor(x * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("xq"),
+        expr("CAST(floor(x * x * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("xxq"))
+      .groupBy($"old_half", $"i")
+      .agg(count(lit(1)).as("n"), sum($"xq".cast(D)).as("sx"), sum($"xxq".cast(D)).as("sxx"))
+    val dims = moments
+      .groupBy($"i")
+      .agg(
+        first(when($"old_half", $"n"), ignoreNulls = true).as("n_a"),
+        first(when(!$"old_half", $"n"), ignoreNulls = true).as("n_b"),
+        expr("first(CASE WHEN old_half THEN CAST(sx AS DOUBLE) / CAST(1000000000 AS DOUBLE) END, true)").as("sxa"),
+        expr("first(CASE WHEN NOT old_half THEN CAST(sx AS DOUBLE) / CAST(1000000000 AS DOUBLE) END, true)").as("sxb"),
+        expr("first(CASE WHEN old_half THEN CAST(sxx AS DOUBLE) / CAST(1000000000 AS DOUBLE) END, true)").as("sxxa"),
+        expr("first(CASE WHEN NOT old_half THEN CAST(sxx AS DOUBLE) / CAST(1000000000 AS DOUBLE) END, true)").as("sxxb"))
+      .select($"i", $"n_a", $"n_b",
+        ($"sxa" / $"n_a".cast("double")).as("ma"),
+        ($"sxb" / $"n_b".cast("double")).as("mb"),
+        ($"sxxa" / $"n_a".cast("double")).as("ea2"),
+        ($"sxxb" / $"n_b".cast("double")).as("eb2"))
+      .select($"n_a", $"n_b",
+        expr("CAST(floor(ma * mb * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("abq"),
+        expr("CAST(floor(ma * ma * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("aaq"),
+        expr("CAST(floor(mb * mb * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("bbq"),
+        expr("CAST(floor((ma - mb) * (ma - mb) * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("ddq"),
+        expr("CAST(floor((ea2 - ma * ma) * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("vaq"),
+        expr("CAST(floor((eb2 - mb * mb) * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("vbq"))
+    dims.agg(
+        first($"n_a").as("n_old"), first($"n_b").as("n_new"),
+        sum($"abq").as("sab"), sum($"aaq").as("saa"), sum($"bbq").as("sbb"),
+        sum($"ddq").as("sdd"), sum($"vaq").as("sva"), sum($"vbq").as("svb"))
+      .select($"n_old", $"n_new",
+        expr(rndSql("CAST(sab AS DOUBLE) / (sqrt(CAST(saa AS DOUBLE)) * sqrt(CAST(sbb AS DOUBLE)))", 6)).as("mean_cosine"),
+        expr(rndSql("sqrt(CAST(sdd AS DOUBLE) / CAST(1000000000 AS DOUBLE))", 6)).as("mean_l2"),
+        expr(rndSql("CAST(sva AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)).as("var_trace_old"),
+        expr(rndSql("CAST(svb AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)).as("var_trace_new"))
+  }
+
+  val embedDriftSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id % 2 = 0 AS old_half,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |x AS (
+       |  SELECT old_half,
+       |    unnest(range(1, len(v) + 1)) AS i,
+       |    unnest(list_transform(range(1, len(v) + 1), i ->
+       |      CAST(floor(v[i] * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS xq,
+       |    unnest(list_transform(range(1, len(v) + 1), i ->
+       |      CAST(floor(v[i] * v[i] * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS xxq
+       |  FROM e),
+       |m AS (
+       |  SELECT old_half, i, count(*) AS n,
+       |    sum(CAST(xq AS HUGEINT)) AS sx, sum(CAST(xxq AS HUGEINT)) AS sxx
+       |  FROM x GROUP BY 1, 2),
+       |dims AS (
+       |  SELECT i,
+       |    first(n) FILTER (WHERE old_half) AS n_a,
+       |    first(n) FILTER (WHERE NOT old_half) AS n_b,
+       |    first(CAST(sx AS DOUBLE) / CAST(1000000000 AS DOUBLE)) FILTER (WHERE old_half) AS sxa,
+       |    first(CAST(sx AS DOUBLE) / CAST(1000000000 AS DOUBLE)) FILTER (WHERE NOT old_half) AS sxb,
+       |    first(CAST(sxx AS DOUBLE) / CAST(1000000000 AS DOUBLE)) FILTER (WHERE old_half) AS sxxa,
+       |    first(CAST(sxx AS DOUBLE) / CAST(1000000000 AS DOUBLE)) FILTER (WHERE NOT old_half) AS sxxb
+       |  FROM m GROUP BY 1),
+       |dd AS (
+       |  SELECT n_a, n_b,
+       |    sxa / CAST(n_a AS DOUBLE) AS ma, sxb / CAST(n_b AS DOUBLE) AS mb,
+       |    sxxa / CAST(n_a AS DOUBLE) AS ea2, sxxb / CAST(n_b AS DOUBLE) AS eb2
+       |  FROM dims),
+       |q AS (
+       |  SELECT n_a, n_b,
+       |    CAST(floor(ma * mb * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS abq,
+       |    CAST(floor(ma * ma * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS aaq,
+       |    CAST(floor(mb * mb * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS bbq,
+       |    CAST(floor((ma - mb) * (ma - mb) * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS ddq,
+       |    CAST(floor((ea2 - ma * ma) * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vaq,
+       |    CAST(floor((eb2 - mb * mb) * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vbq
+       |  FROM dd)
+       |SELECT CAST(first(n_a) AS BIGINT) AS n_old, CAST(first(n_b) AS BIGINT) AS n_new,
+       |  ${rndSql("CAST(sum(abq) AS DOUBLE) / (sqrt(CAST(sum(aaq) AS DOUBLE)) * sqrt(CAST(sum(bbq) AS DOUBLE)))", 6)} AS mean_cosine,
+       |  ${rndSql("sqrt(CAST(sum(ddq) AS DOUBLE) / CAST(1000000000 AS DOUBLE))", 6)} AS mean_l2,
+       |  ${rndSql("CAST(sum(vaq) AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)} AS var_trace_old,
+       |  ${rndSql("CAST(sum(vbq) AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)} AS var_trace_new
+       |FROM q""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_drift"      -> (embedDrift _),
     "embed_pca"        -> (embedPca _),
     "embed_covariance" -> (embedCovariance _),
     "ann_bruteforce" -> (annBruteforce _),
@@ -652,7 +761,8 @@ object Similarity {
   )
 
   def oracles: Map[String, String] =
-    Map("embed_covariance" -> embedCovarianceSql,
+    Map("embed_drift" -> embedDriftSql,
+        "embed_covariance" -> embedCovarianceSql,
         "ann_bruteforce" -> annBruteforceSql,
         "ann_matryoshka" -> annMatryoshkaSql,
         "embed_centroids" -> embedCentroidsSql,
