@@ -1764,7 +1764,33 @@ object Behavioral {
        |  ${cupedRnd("(covxy * covxy) / (varx * vary)")} AS var_reduction
        |FROM m""".stripMargin
 
+  /** §2.10 — day-of-week × hour activity heatmap with each cell's
+    * share of its weekday: the seasonality fingerprint at a glance
+    * (and the input `q_seasonality` indexes numerically). One
+    * partial-agged groupBy to a 7×24-bounded grid; shares are
+    * windows over those cells. `dayofweek` is 1=Sunday in both
+    * engines under the pinned UTC session. */
+  def qActivityHeatmap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(dayofweek($"ts").as("dow"), hour($"ts").as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow_share", expr(rndSql(
+        "CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER (PARTITION BY dow) AS DOUBLE)", 6)))
+      .orderBy($"dow", $"hour")
+  }
+
+  val qActivityHeatmapSql: String =
+    s"""WITH g AS (
+       |  SELECT dayofweek(ts) + 1 AS dow, CAST(hour(ts) AS INT) AS hour,
+       |    count(*) AS n_events
+       |  FROM events GROUP BY 1, 2)
+       |SELECT CAST(dow AS INT) AS dow, hour, n_events,
+       |  ${rndSql("CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER (PARTITION BY dow) AS DOUBLE)", 6)} AS dow_share
+       |FROM g ORDER BY dow, hour""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_activity_heatmap" -> (qActivityHeatmap _),
     "q_abtest_cuped"    -> (qAbtestCuped _),
     "q_survival_km"     -> (qSurvivalKm _),
     "q_percentiles_grouped" -> (qPercentilesGrouped _),
@@ -1795,6 +1821,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_activity_heatmap" -> qActivityHeatmapSql,
     "q_abtest_cuped"    -> qAbtestCupedSql,
     "q_survival_km"     -> qSurvivalKmSql,
     "q_percentiles_grouped" -> qPercentilesGroupedSql,

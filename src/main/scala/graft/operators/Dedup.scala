@@ -78,6 +78,57 @@ object Dedup {
       |  count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY canonical_id""".stripMargin
 
+  /** §2.4 — duplicate survivorship flow between sources: for every
+    * NON-canonical member of a near-dup cluster (29c's ngram cluster
+    * canonicalization — the corpus has no byte-exact duplicates, so
+    * the flow is defined over the near-dup relation a curation
+    * pipeline actually prunes on), which source loses the copy and
+    * which source owns the surviving canonical. The
+    * (loser_source, winner_source, n_lost) matrix a multi-crawl
+    * pipeline audits after dedup: a source that consistently LOSES
+    * its copies to another is pure overlap — a candidate to drop
+    * from the crawl entirely. Costs nothing beyond the cluster build
+    * (which 29c documents; the edges stage once per dataset): two
+    * doc_id equi-joins to attach sources and a |sources|²-bounded
+    * partial agg. */
+  def dedupSourceFlow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, dir).select($"doc_id", $"source")
+    val clusters = dedupClusters(s, dir).select($"doc_id", $"canonical_id")
+    val canonSrc = clusters.select($"canonical_id").distinct()
+      .join(src, $"canonical_id" === $"doc_id")
+      .select($"canonical_id", $"source".as("winner_source"))
+    clusters.filter($"doc_id" =!= $"canonical_id")
+      .join(src, "doc_id")
+      .join(canonSrc, "canonical_id")
+      .groupBy($"source".as("loser_source"), $"winner_source")
+      .agg(count(lit(1)).as("n_lost"))
+      .orderBy($"loser_source", $"winner_source")
+  }
+
+  lazy val dedupSourceFlowSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |edges AS (
+       |  SELECT doc1 AS src, doc2 AS dst FROM scored
+       |  UNION ALL
+       |  SELECT doc2, doc1 FROM scored),
+       |reach(doc_id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |labs AS (SELECT doc_id, min(lab) AS canonical_id FROM reach GROUP BY 1),
+       |cs AS (
+       |  SELECT l.canonical_id, d.source AS winner_source
+       |  FROM (SELECT DISTINCT canonical_id FROM labs) l
+       |  JOIN documents d ON l.canonical_id = d.doc_id)
+       |SELECT d.source AS loser_source, cs.winner_source, count(*) AS n_lost
+       |FROM labs
+       |JOIN documents d USING (doc_id)
+       |JOIN cs USING (canonical_id)
+       |WHERE labs.doc_id <> labs.canonical_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   /** §2.4 #25' — exact dedup AFTER canonical normalization: the
     * production layering (normalize → hash → groupBy) where
     * byte-different spellings of the same content — case, ragged
@@ -1120,6 +1171,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_exact"         -> (dedupExact _),
+    "dedup_source_flow"   -> (dedupSourceFlow _),
     "dedup_exact_normalized" -> (dedupExactNormalized _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
@@ -1144,6 +1196,7 @@ object Dedup {
     import graft.sources.OracleStage.globOf
     Map(
       "dedup_exact"         -> dedupExactSql,
+      "dedup_source_flow"   -> dedupSourceFlowSql,
       "dedup_exact_normalized" -> dedupExactNormalizedSql,
       "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
       // identical output by construction — the prefix filter is
