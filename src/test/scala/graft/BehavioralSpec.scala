@@ -346,6 +346,30 @@ class BehavioralSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("peak concurrency counts a hand-built overlap stack, starts before ends on ties") {
+    val s = spark; import s.implicits._
+    // Sessions (one user each, single-day): A 10:00-11:00,
+    // B 10:30-12:00, C 10:45-11:30, D 11:00-11:10 (D starts EXACTLY
+    // when A ends — the tie contract counts the start first, so the
+    // instant 11:00 holds A,B,C,D = 4). Peak must be 4.
+    val dir = Files.createTempDirectory("graft-conc").toString
+    val base = 86400L * 1000000L // day 1
+    def m(min: Long) = base + min * 60L * 1000000L
+    val spans = Seq((1L, 600L, 660L), (2L, 630L, 720L), (3L, 645L, 690L), (4L, 660L, 670L))
+    var id = 0L
+    spans.flatMap { case (u, a, b) =>
+      // events every 20 min so the 30-min-gap sessionizer keeps each
+      // span ONE session with exactly [a, b] as its extent
+      ((a until b by 20L) :+ b).map { t => id += 1; (id, m(t), u) }
+    }.toDF("event_id", "us", "user_id")
+      .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
+        lit("click").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val peaks = graft.operators.Relational.qPeakConcurrency(s, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(peaks.values.max == 4L, s"hand-built stack peaks at 4: $peaks")
+  }
+
   test("cuped with a perfect covariate removes all outcome variance and arm imbalance") {
     val s = spark; import s.implicits._
     // user u: pre value = u (day 1), post value = 2u + 3 (day 30).

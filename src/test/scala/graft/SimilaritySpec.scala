@@ -38,6 +38,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.30, s"recall@${Similarity.k} = $recall")
   }
 
+  test("covariance matrix is bit-identical under any partitioning") {
+    val s = spark
+    val a = graft.operators.Similarity.embedCovariance(s, sfDir).collect().map(_.toSeq).toSeq
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "5")
+      val b = graft.operators.Similarity.embedCovariance(s, sfDir).collect().map(_.toSeq).toSeq
+      assert(a == b, "decimal-quantized moment sums must be partitioning-independent")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("pca basis is a unit near-eigenvector of the covariance matrix") {
     val s = spark
     val cov = graft.operators.Similarity.embedCovariance(s, sfDir).collect()
