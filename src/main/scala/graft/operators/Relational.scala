@@ -2224,7 +2224,106 @@ object Relational {
        |  max(cur) AS peak_concurrency
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q6 shape — forecast revenue change: one tight scan with
+    * EVERY predicate pushed to parquet (date range, discount band,
+    * quantity cap — PlanSpec-grade pushdown showcase) and a single
+    * exact-decimal scalar aggregate. The simplest query in the book
+    * and the purest test that the scan reads only what it must. */
+  def q6ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
+        $"l_quantity" < 24.0)
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q6ForecastRevenueSql: String =
+    s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07
+       |  AND l_quantity < 24.0""".stripMargin
+
+  /** TPC-H Q15 shape — the top revenue supplier(s) for one quarter,
+    * TIES INCLUDED (the point of Q15's view+max formulation: a
+    * row_number()-limit-1 silently drops co-leaders). Per-supplier
+    * revenue partial-aggregates from the filtered fact scan; the max
+    * is a broadcast scalar; the equality filter returns every
+    * supplier at the max. Quantized-long revenue so the equality is
+    * exact — a double max-equality can drop the leader itself. */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+        $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+      .groupBy($"l_suppkey")
+      .agg(sum(quantize($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
+        .cast("long")).as("rev_q"))
+    val top = rev.agg(max($"rev_q").as("max_q"))
+    rev.crossJoin(broadcast(top))
+      .filter($"rev_q" === $"max_q")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name",
+        ($"rev_q".cast("double") / lit(10000.0)).as("total_revenue"))
+      .orderBy($"s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+       |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS rev_q
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+       |  GROUP BY 1)
+       |SELECT s_suppkey, s_name, CAST(rev_q AS DOUBLE) / 10000.0 AS total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE rev_q = (SELECT max(rev_q) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q19 shape — discounted revenue under OR-of-brackets
+    * (brand × size-range × quantity-range disjunction): the predicate
+    * that defeats naive pushdown — only the part-side conjuncts
+    * prune the dimension scan, the mixed OR evaluates post-join —
+    * and the join stays a broadcast with the residual disjunction
+    * codegen'd, never a nested loop. */
+  def q19BracketRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, dir).select($"p_partkey", $"p_brand", $"p_size")
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+          $"l_quantity" >= 1.0 && $"l_quantity" <= 11.0) ||
+        ($"p_brand" === "Brand#2" && $"p_size".between(1, 25) &&
+          $"l_quantity" >= 10.0 && $"l_quantity" <= 20.0) ||
+        ($"p_brand" === "Brand#3" && $"p_size".between(1, 35) &&
+          $"l_quantity" >= 20.0 && $"l_quantity" <= 30.0))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19BracketRevenueSql: String =
+    s"""SELECT ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 1.0 AND 11.0)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       |       AND l_quantity BETWEEN 10.0 AND 20.0)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q15_top_supplier"   -> (q15TopSupplier _),
+    "q19_bracket_revenue" -> (q19BracketRevenue _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_l_diversity"      -> (qLDiversity _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
@@ -2283,6 +2382,9 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" -> q6ForecastRevenueSql,
+    "q15_top_supplier"   -> q15TopSupplierSql,
+    "q19_bracket_revenue" -> q19BracketRevenueSql,
     "q_peak_concurrency" -> qPeakConcurrencySql,
     "q_l_diversity"      -> qLDiversitySql,
     "q22_sales_opportunity" -> q22SalesOpportunitySql,
