@@ -178,6 +178,42 @@ object TextAnalysis {
        |  round(CAST($langBestDuck AS DOUBLE) / n_tokens, 4) AS confidence
        |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** §2.6 — language-ID confusion matrix: the detector's guess
+    * (`text_langid`) cross-tabulated against the corpus's stored
+    * language label, with per-cell share of the true label's row —
+    * the evaluation harness every classifier in the pipeline needs
+    * before its output gates data (which languages leak into which,
+    * and at what rate). Row-local scoring + one partial-agged groupBy
+    * to a |langs|²-bounded matrix; shares are windows over those
+    * cells. */
+  def textLangidConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    withLangGuess(Tables.documents(s, dir).withColumn("toks", expr(toksExpr)))
+      .groupBy($"lang".as("true_lang"), $"lang_guess")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_share", expr(rndSql(
+        "CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (PARTITION BY true_lang) AS DOUBLE)", 6)))
+      .orderBy($"true_lang", $"lang_guess")
+  }
+
+  lazy val textLangidConfusionSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, $duckToks AS toks FROM documents),
+       |sc AS (
+       |  SELECT doc_id, lang, $langScoreColsDuck FROM t),
+       |g AS (
+       |  SELECT lang AS true_lang, $langGuessDuck AS lang_guess
+       |  FROM sc),
+       |m AS (
+       |  SELECT true_lang, lang_guess, count(*) AS n_docs
+       |  FROM g GROUP BY 1, 2)
+       |SELECT true_lang, lang_guess, n_docs,
+       |  ${rndSql("CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER (PARTITION BY true_lang) AS DOUBLE)", 6)} AS row_share
+       |FROM m ORDER BY true_lang, lang_guess""".stripMargin
+  }
+
   /** Position-weighted rolling fingerprint: token code = polynomial of
     * first/last char and length, summed with position weights mod a
     * prime. Pure integer arithmetic — exact on any engine, order-
@@ -774,6 +810,7 @@ object TextAnalysis {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_novelty"     -> (textNovelty _),
+    "text_langid_confusion" -> (textLangidConfusion _),
     "text_normalize"   -> (textNormalize _),
     "text_entropy"     -> (textEntropy _),
     "text_stats"       -> (textStats _),
@@ -791,6 +828,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "text_novelty"     -> textNoveltySql,
+    "text_langid_confusion" -> textLangidConfusionSql,
     "text_normalize"   -> textNormalizeSql,
     "text_entropy"     -> textEntropySql,
     "text_stats"       -> textStatsSql,
