@@ -1789,7 +1789,51 @@ object Behavioral {
        |  ${rndSql("CAST(n_events AS DOUBLE) / CAST(sum(n_events) OVER (PARTITION BY dow) AS DOUBLE)", 6)} AS dow_share
        |FROM g ORDER BY dow, hour""".stripMargin
 
+  /** §2.10 — inter-purchase interval distribution per market segment:
+    * consecutive order gaps per customer (a per-customer lag window —
+    * partition cardinality is the customer count, per-partition size
+    * a customer's order history: skew-safe), segment attached via one
+    * custkey join, then per-segment count / exact mean / p50 / p90 of
+    * the gap. The replenishment-cadence readout behind every
+    * "when to re-engage" decision. Segment count is bounded (5), so
+    * the exact percentile state is bounded — the many-group swap-in
+    * is `q_percentiles_grouped`. */
+  def qRepeatPurchase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val gaps = Tables.orders(s, dir)
+      .select($"o_custkey", $"o_orderdate", $"o_orderkey")
+      .withColumn("prev", lag($"o_orderdate", 1).over(w))
+      .filter($"prev".isNotNull)
+      .withColumn("gap_days", datediff($"o_orderdate", $"prev").cast("long"))
+    gaps
+      .join(Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment"),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_gaps"),
+        expr(rndSql("CAST(sum(gap_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)).as("mean_gap"),
+        expr(rndSql("percentile(gap_days, CAST(0.5 AS DOUBLE))", 4)).as("p50_gap"),
+        expr(rndSql("percentile(gap_days, CAST(0.9 AS DOUBLE))", 4)).as("p90_gap"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val qRepeatPurchaseSql: String =
+    s"""WITH g AS (
+       |  SELECT o_custkey,
+       |    datediff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey
+       |      ORDER BY o_orderdate, o_orderkey), o_orderdate) AS gap_days
+       |  FROM orders),
+       |gg AS (SELECT o_custkey, CAST(gap_days AS BIGINT) AS gap_days
+       |       FROM g WHERE gap_days IS NOT NULL)
+       |SELECT c_mktsegment, count(*) AS n_gaps,
+       |  ${rndSql("CAST(sum(gap_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS mean_gap,
+       |  ${rndSql("quantile_cont(gap_days, 0.5)", 4)} AS p50_gap,
+       |  ${rndSql("quantile_cont(gap_days, 0.9)", 4)} AS p90_gap
+       |FROM gg JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_repeat_purchase" -> (qRepeatPurchase _),
     "q_activity_heatmap" -> (qActivityHeatmap _),
     "q_abtest_cuped"    -> (qAbtestCuped _),
     "q_survival_km"     -> (qSurvivalKm _),
@@ -1821,6 +1865,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_repeat_purchase" -> qRepeatPurchaseSql,
     "q_activity_heatmap" -> qActivityHeatmapSql,
     "q_abtest_cuped"    -> qAbtestCupedSql,
     "q_survival_km"     -> qSurvivalKmSql,
