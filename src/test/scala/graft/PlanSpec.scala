@@ -228,6 +228,33 @@ class PlanSpec extends SparkSpec {
       s"raw gram rides an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("q6 pushes every predicate to the parquet scan") {
+    val p = formatted(Relational.q6ForecastRevenue(spark, sfDir))
+    assert(p.contains("PushedFilters"), p)
+    // the discount band and quantity cap must reach the scan, not
+    // evaluate post-read
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+    assert(!p.contains("Exchange hashpartitioning"), "scalar agg needs no hash exchange:\n" + p)
+  }
+
+  test("q10 tops-20 with a bounded heap, aggregates before the customer join") {
+    val p = plan(Relational.q10ReturnedRevenue(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // revenue aggregates on (orderkey-joined) lineitem BEFORE customer
+    // attaches: the customer join input is the per-customer aggregate
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(aggIdx >= 0, p)
+  }
+
+  test("q19's OR-of-brackets stays a broadcast hash join with a codegen'd residual") {
+    val p = plan(Relational.q19BracketRevenue(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the disjunction must ride the equi-join as a residual, not force a nested loop:\n" + p)
+  }
+
   test("q_percentiles_grouped buffers no group's values — ranks per bucket, no percentile agg") {
     val p = plan(graft.operators.Behavioral.qPercentilesGrouped(spark, sfDir))
     assert(!p.contains("percentile"), s"must not fall back to the buffering aggregate:\n$p")
