@@ -1832,7 +1832,65 @@ object Behavioral {
        |FROM gg JOIN customer ON o_custkey = c_custkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** §2.10 — data-outage report: contiguous runs of MISSING 15-min
+    * buckets per event type between each type's first and last
+    * observation — the gaps-and-islands classic, and the audit that
+    * turns `q_time_resample`'s per-bucket ffill flags into ranges an
+    * on-call can act on ("clicks went dark 02:15–03:30").
+    *
+    * Scale: observed buckets partial-aggregate the raw stream to a
+    * grid-bounded set; the calendar grid explodes from per-type
+    * bounds (time-range-bounded, NOT corpus-bounded); missing = grid
+    * anti-join observed; runs group by the bucket − row_number
+    * island key (per-type window over grid-bounded rows). */
+  def qDataGaps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = resampleBucketUs
+    val obs = Tables.events(s, dir)
+      .select($"event_type", expr(s"unix_micros(ts) div $b").as("bk"))
+      .distinct()
+    val grid = obs.groupBy($"event_type")
+      .agg(min($"bk").as("b0"), max($"bk").as("b1"))
+      .select($"event_type", explode(expr("sequence(b0, b1)")).as("bk"))
+    val missing = grid.join(obs, Seq("event_type", "bk"), "left_anti")
+    val w = Window.partitionBy($"event_type").orderBy($"bk")
+    missing
+      .withColumn("grp", $"bk" - row_number().over(w))
+      .groupBy($"event_type", $"grp")
+      .agg(min($"bk").as("gs"), max($"bk").as("ge"), count(lit(1)).as("n_buckets"))
+      .select($"event_type",
+        timestamp_micros($"gs" * b).as("gap_start"),
+        timestamp_micros(($"ge" + 1) * b).as("gap_end"),
+        $"n_buckets")
+      .orderBy($"event_type", $"gap_start")
+  }
+
+  val qDataGapsSql: String = {
+    val b = resampleBucketUs
+    s"""WITH obs AS (
+       |  SELECT DISTINCT event_type, epoch_us(ts) // $b AS bk FROM events),
+       |bounds AS (
+       |  SELECT event_type, min(bk) AS b0, max(bk) AS b1 FROM obs GROUP BY 1),
+       |grid AS (
+       |  SELECT event_type, unnest(generate_series(b0, b1)) AS bk FROM bounds),
+       |missing AS (
+       |  SELECT g.event_type, g.bk FROM grid g
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM obs o WHERE o.event_type = g.event_type AND o.bk = g.bk)),
+       |runs AS (
+       |  SELECT event_type, bk,
+       |    bk - row_number() OVER (PARTITION BY event_type ORDER BY bk) AS grp
+       |  FROM missing)
+       |SELECT event_type,
+       |  make_timestamp(min(bk) * $b) AS gap_start,
+       |  make_timestamp((max(bk) + 1) * $b) AS gap_end,
+       |  count(*) AS n_buckets
+       |FROM runs GROUP BY event_type, grp
+       |ORDER BY event_type, gap_start""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_data_gaps"       -> (qDataGaps _),
     "q_repeat_purchase" -> (qRepeatPurchase _),
     "q_activity_heatmap" -> (qActivityHeatmap _),
     "q_abtest_cuped"    -> (qAbtestCuped _),
@@ -1865,6 +1923,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_data_gaps"       -> qDataGapsSql,
     "q_repeat_purchase" -> qRepeatPurchaseSql,
     "q_activity_heatmap" -> qActivityHeatmapSql,
     "q_abtest_cuped"    -> qAbtestCupedSql,
