@@ -382,6 +382,52 @@ object Multimodal {
     * (asset_id, mime, n_bytes) rank; byte lengths come from the scan
     * row-locally. Writing the actual shard files is then an
     * embarrassingly-parallel per-shard job over this index. */
+  /** §2.7 — shard balance audit over the webdataset-style assignment
+    * ([[mmShardIndex]]): per shard its asset count, byte fill, and
+    * fill ratio against the target shard size, plus the dominant mime
+    * — the check a data-loading team runs before training: a ragged
+    * tail shard or a mime-skewed shard shows up here, not at step
+    * 40k of a run. Rolls the shard index up with one partial-agged
+    * groupBy to a #shards-bounded table; the dominant mime is a
+    * bounded top-1 per shard. */
+  def mmShardBalance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val idx = mmShardIndex(s, dir)
+    val perMime = idx.groupBy($"shard_id", $"mime").agg(count(lit(1)).as("cm"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"shard_id").orderBy($"cm".desc, $"mime")))
+      .filter($"rn" === 1)
+      .select($"shard_id".as("ms"), $"mime".as("top_mime"))
+    idx.groupBy($"shard_id")
+      .agg(count(lit(1)).as("n_assets"), sum($"n_bytes").as("shard_bytes"))
+      .join(perMime, $"shard_id" === $"ms")
+      .select($"shard_id", $"n_assets", $"shard_bytes",
+        expr(graft.functions.Agg.rndSql(
+          s"CAST(shard_bytes AS DOUBLE) / CAST($shardBytes AS DOUBLE)", 6)).as("fill_ratio"),
+        $"top_mime")
+      .orderBy($"shard_id")
+  }
+
+  lazy val mmShardBalanceSql: String =
+    s"""WITH idx AS (${mmShardIndexSql.replace("ORDER BY asset_id", "")}),
+       |pm AS (
+       |  SELECT shard_id, mime AS top_mime FROM (
+       |    SELECT shard_id, mime,
+       |      row_number() OVER (PARTITION BY shard_id
+       |        ORDER BY count(*) DESC, mime) AS rn
+       |    FROM idx GROUP BY shard_id, mime)
+       |  WHERE rn = 1)
+       |SELECT idx.shard_id,
+       |  count(*) AS n_assets,
+       |  CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+       |  ${graft.functions.Agg.rndSql(
+         s"CAST(CAST(sum(n_bytes) AS BIGINT) AS DOUBLE) / CAST($shardBytes AS DOUBLE)", 6)} AS fill_ratio,
+       |  first(pm.top_mime) AS top_mime
+       |FROM idx JOIN pm USING (shard_id)
+       |GROUP BY idx.shard_id
+       |ORDER BY idx.shard_id""".stripMargin
+
   def mmShardIndex(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val assets = withPayload(s, dir)
@@ -417,6 +463,7 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_balance" -> (mmShardBalance _),
     "mm_shard_index"   -> (mmShardIndex _),
     "mm_manifest"      -> (mmManifest _),
     "mm_frame_extract" -> (mmFrameExtract _),
@@ -426,6 +473,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "mm_shard_balance" -> mmShardBalanceSql,
     "mm_shard_index"   -> mmShardIndexSql,
     "mm_manifest"      -> mmManifestSql,
     "mm_frame_extract" -> mmFrameExtractSql,
