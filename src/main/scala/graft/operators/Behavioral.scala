@@ -1671,7 +1671,7 @@ object Behavioral {
     val D = DecimalType(38, 0)
     val ev = Tables.events(s, dir).select($"user_id", to_date($"ts").as("day"), $"value")
     val span = ev.agg(min($"day").as("d0"), max($"day").as("d1"))
-      .select(expr("date_add(d0, CAST(datediff(d1, d0) / 2 AS INT))").as("mid"))
+      .select(expr("date_add(d0, CAST(datediff(d1, d0) div 2 AS INT))").as("mid"))
     val perUser = ev.crossJoin(broadcast(span))
       .groupBy($"user_id")
       .agg(
@@ -1735,7 +1735,7 @@ object Behavioral {
     s"""WITH ev AS (
        |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
        |sp AS (
-       |  SELECT min(day) + CAST(CAST(datediff('day', min(day), max(day)) / 2 AS INT) AS INTEGER) AS mid
+       |  SELECT min(day) + CAST(datediff('day', min(day), max(day)) // 2 AS INTEGER) AS mid
        |  FROM ev),
        |pu AS (
        |  SELECT user_id,
@@ -1768,8 +1768,9 @@ object Behavioral {
     * share of its weekday: the seasonality fingerprint at a glance
     * (and the input `q_seasonality` indexes numerically). One
     * partial-agged groupBy to a 7×24-bounded grid; shares are
-    * windows over those cells. `dayofweek` is 1=Sunday in both
-    * engines under the pinned UTC session. */
+    * windows over those cells. The engines DISAGREE on the weekday
+    * origin — Spark's dayofweek is 1=Sunday, DuckDB's 0=Sunday — so
+    * the oracle adds one; do not "simplify" that away. */
   def qActivityHeatmap(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)

@@ -28,6 +28,15 @@ final case class IterJobRow(
   jobId: String, status: String, processedCount: Long, cursor: Option[Long],
   batchesDone: Long, retries: Long, lastRunAt: Long, boundaries: Seq[Long])
 
+/** Path-existence probe shared by the parquet stores (Hadoop FS, so
+  * it answers for whatever durable storage `dir` points at). */
+private[operators] object ControlPlaneFs {
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}
+
 trait IterStateStore {
   /** Overwrite the full job snapshot (O(#jobs × #chunks) longs). */
   def save(rows: Seq[IterJobRow]): Unit
@@ -50,8 +59,13 @@ object IterStateStore {
     private val path = s"$dir/iter_jobs"
     def save(rows: Seq[IterJobRow]): Unit =
       spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(path)
+    // Absent snapshot = fresh run → None. An UNREADABLE snapshot must
+    // propagate: swallowing it would silently restart every
+    // multi-hour job from cursor 0, re-running all process() side
+    // effects — the worst possible answer to a corrupt checkpoint.
     def load(): Option[Seq[IterJobRow]] =
-      Try(spark.read.parquet(path).as[IterJobRow].collect().toSeq).toOption
+      if (!ControlPlaneFs.exists(spark, path)) None
+      else Some(spark.read.parquet(path).as[IterJobRow].collect().toSeq)
   }
 }
 
@@ -112,24 +126,40 @@ object AccStore {
         }
       }
       def save(snap: AccSnapshot): Unit = {
+        // next_chunk FIRST: it only ever increases, and it is the
+        // chunk-handle allocator. A crash between the writes then
+        // leaves a recovered nextChunk ≥ the true one — fresh handles
+        // are SKIPPED, never reused, so a torn snapshot can orphan a
+        // chunk but can never overwrite one a persisted batch row
+        // still references (writing it last inverted that: stale-low
+        // nextChunk + newer batches = silent chunk clobbering inside
+        // the crash-recovery feature itself).
+        spark.createDataset(Seq(snap.nextChunk)).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/control/next_chunk")
         spark.createDataset(snap.batches).coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/control/batches")
         spark.createDataset(snap.completed).coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/control/completed")
         spark.createDataset(snap.history).coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/control/history")
-        spark.createDataset(Seq(snap.nextChunk)).coalesce(1)
-          .write.mode("overwrite").parquet(s"$dir/control/next_chunk")
       }
+      // Absent control dir = fresh run. Unreadable state PROPAGATES
+      // (see IterStateStore.load — a corrupt checkpoint must fail
+      // loudly, not masquerade as a first run); an absent subtable
+      // with next_chunk present is the documented torn-save window
+      // and rolls back to the previous committed rows.
       def load(): Option[AccSnapshot] =
-        Try(spark.read.parquet(s"$dir/control/next_chunk").as[Long].head()).toOption
-          .map { next =>
-            def tbl[A: Encoder](p: String): Seq[A] =
-              Try(spark.read.parquet(s"$dir/control/$p").as[A].collect().toSeq)
-                .getOrElse(Seq.empty)
-            AccSnapshot(
-              tbl[AccBatchRow]("batches"), tbl[AccBatchStatus]("completed"),
-              tbl[FlushRecord]("history"), next)
+        if (!ControlPlaneFs.exists(spark, s"$dir/control/next_chunk")) None
+        else {
+          val next = spark.read.parquet(s"$dir/control/next_chunk").as[Long].head()
+          def tbl[A: Encoder](p: String): Seq[A] = {
+            val full = s"$dir/control/$p"
+            if (!ControlPlaneFs.exists(spark, full)) Seq.empty
+            else spark.read.parquet(full).as[A].collect().toSeq
           }
+          Some(AccSnapshot(
+            tbl[AccBatchRow]("batches"), tbl[AccBatchStatus]("completed"),
+            tbl[FlushRecord]("history"), next))
+        }
     }
 }

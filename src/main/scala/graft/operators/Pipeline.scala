@@ -1369,10 +1369,13 @@ object Pipeline {
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.Ranks
+    // pinned: the rank's boundary sampling, offsets pass and final
+    // scan would otherwise re-run the corpus explode+aggregate 3x
     val freq = Tables.documents(s, dir)
       .withColumn("toks", expr(TA.toksExpr))
       .select(explode($"toks").as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val ranked = Ranks.globalRowNumber(
       freq.withColumn("negc", -$"c"), Seq($"negc", $"tok"),
       Ranks.defaultPartitions(freq), "rank")

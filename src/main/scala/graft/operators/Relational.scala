@@ -2034,11 +2034,15 @@ object Relational {
       .groupBy($"o_custkey")
       .agg(sum(quantize($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4)
         .cast("long")).as("rev_q"))
-    val n = perCust.count() // one scalar: the ranked population size
+    // pinned: count(), boundary sampling, the offsets pass and the
+    // final scan would otherwise each re-run the lineitem join+agg
+    // (the §8 sample-reexecution trap qRfm documents)
+    val pinned = perCust.localCheckpoint(true)
+    val n = pinned.count() // one scalar: the ranked population size
     val ranked = Ranks.globalRowNumber(
-      perCust.withColumn("neg_rev", -$"rev_q"),
+      pinned.withColumn("neg_rev", -$"rev_q"),
       Seq($"neg_rev", $"o_custkey"),
-      Ranks.defaultPartitions(perCust), "rn")
+      Ranks.defaultPartitions(pinned), "rn")
     ranked
       .withColumn("decile",
         (floor((($"rn" - 1L) * 10L).cast("double") / lit(n.toDouble)) + 1L).cast("int"))

@@ -34,16 +34,26 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
     df.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
 
-  private val once =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Unit]
+  /** The dataset each catalog table currently holds. The memo must
+    * key on what the TABLE contains, not on every (table, dataset)
+    * pair ever built: a per-pair memo marks dir A "built" after dir B
+    * overwrites the same table name, and a later consumer for A would
+    * silently probe B's index (caught by review: DedupSpec iterates
+    * two datasets through one JVM). */
+  private val current =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Session memo over [[writeBucketed]]: the index table is written
-    * once per (name, dataKey) and every later builder call is a no-op
-    * — the production shape, where index tables are written on ingest
-    * cadence and queries only read them (the same memo
-    * Relational.stageBucketedFacts uses). `df` is by-name so skipped
-    * builds never even construct the build plan. */
+  /** Session memo over [[writeBucketed]]: a no-op exactly when the
+    * table already holds THIS dataset's build; a different dataset
+    * rebuilds (overwrite) and retargets the memo — the production
+    * shape, where index tables are written on ingest cadence and
+    * queries only read them. `df` is by-name so skipped builds never
+    * even construct the build plan. */
   def writeBucketedOnce(dataKey: String, name: String, keys: Seq[String],
-                        buckets: Int)(df: => DataFrame): Unit =
-    once.getOrElseUpdate((name, dataKey), writeBucketed(df, name, keys, buckets))
+                        buckets: Int)(df: => DataFrame): Unit = synchronized {
+    if (!current.get(name).contains(dataKey)) {
+      writeBucketed(df, name, keys, buckets)
+      current.put(name, dataKey)
+    }
+  }
 }

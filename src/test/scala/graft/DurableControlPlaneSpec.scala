@@ -142,6 +142,55 @@ class DurableControlPlaneSpec extends SparkSpec {
       Seq((0L, 24L, true)))
   }
 
+  test("a corrupt iterator checkpoint fails loudly instead of restarting from cursor 0") {
+    val s = spark
+    val dir = tmp("graft-iter-corrupt")
+    val store = IterStateStore.parquet(s, dir)
+    store.save(Seq(graft.operators.IterJobRow(
+      "j", "paused", 42L, Some(7L), 2L, 0L, 1L, Seq(0L, 10L))))
+    assert(store.load().get.head.processedCount == 42L)
+    // corrupt the snapshot in place: the next load must THROW — a
+    // swallowed error here silently re-runs a multi-hour job's side
+    // effects from zero
+    val f = new java.io.File(s"$dir/iter_jobs")
+    f.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(p => Files.write(p.toPath, Array[Byte](1, 2, 3)))
+    intercept[Exception] { store.load() }
+  }
+
+  test("a torn accumulator save can orphan a chunk but never reuse a referenced handle") {
+    val s = spark; import s.implicits._
+    val dir = tmp("graft-acc-torn")
+    val store = AccStore.parquet[java.lang.Long](s, dir)
+    store.save(graft.operators.AccSnapshot(Seq.empty, Seq.empty, Seq.empty, 5L))
+    // simulate the crash window: next_chunk committed, batches not —
+    // recovery must still see nextChunk = 5 (handles 0-4 burned), so
+    // fresh chunks can never clobber one an older row references
+    val b = new java.io.File(s"$dir/control/batches")
+    def del(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(del); x.delete()
+    }
+    if (b.exists()) del(b)
+    val snap = store.load().get
+    assert(snap.nextChunk == 5L, s"allocator must never roll back: $snap")
+    assert(snap.batches.isEmpty)
+  }
+
+  test("writeBucketedOnce rebuilds when the same table is asked for a DIFFERENT dataset") {
+    val s = spark; import s.implicits._
+    val t = "graft_spec_memo_tbl"
+    graft.sources.Sinks.writeBucketedOnce("dsA", t, Seq("k"), 2)(
+      Seq((1L, "a")).toDF("k", "v"))
+    graft.sources.Sinks.writeBucketedOnce("dsB", t, Seq("k"), 2)(
+      Seq((2L, "b")).toDF("k", "v"))
+    // the per-(table, dataset) memo marked dsA built; asking for dsA
+    // again must REBUILD, not silently serve dsB's rows
+    graft.sources.Sinks.writeBucketedOnce("dsA", t, Seq("k"), 2)(
+      Seq((1L, "a")).toDF("k", "v"))
+    val rows = s.table(t).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((1L, "a")), s"table must hold dsA's build: $rows")
+  }
+
   test("BatchAccumulator deleteBatch drops persisted state too") {
     val dir = tmp("graft-acc-state")
     def make() = new BatchAccumulator[java.lang.Long](
