@@ -2324,7 +2324,53 @@ object Relational {
        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
        |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
 
+  /** §2.3 — join-key skew audit over the fact table's shuffle keys:
+    * per candidate key (orderkey / partkey / suppkey) the key count,
+    * the hottest key's share, and the Herfindahl concentration index
+    * Σ share² — the pre-flight diagnostic behind every
+    * salt-or-broadcast decision (`q_skew_join` is the remedy; this is
+    * the instrument). HHI needs NO rank: it reduces entirely through
+    * partial-aggregable sums — per-key counts (one shuffle per key
+    * column), then Σc² / (Σc)² in exact integer arithmetic, so the
+    * audit costs one aggregation pass per key at any scale. */
+  def qJoinSkewAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val D = DecimalType(38, 0)
+    val li = Tables.lineitem(s, dir)
+    val audits = Seq("l_orderkey", "l_partkey", "l_suppkey").map { k =>
+      li.groupBy(col(k).as("key")).agg(count(lit(1)).as("c"))
+        .agg(
+          lit(k).as("join_key"),
+          count(lit(1)).as("n_keys"),
+          sum($"c".cast(D)).as("n_rows"),
+          max($"c").as("max_key_rows"),
+          sum(($"c".cast(D) * $"c".cast(D))).as("sc2"))
+        .select($"join_key", $"n_keys", $"n_rows".cast("long").as("n_rows"),
+          $"max_key_rows",
+          expr(Agg0.rndSql("CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)).as("max_share"),
+          expr(Agg0.rndSql("CAST(sc2 AS DOUBLE) / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))", 6)).as("hhi"))
+    }
+    audits.reduce(_ unionAll _).orderBy($"join_key")
+  }
+
+  val qJoinSkewAuditSql: String = {
+    val one = (k: String) =>
+      s"""SELECT '$k' AS join_key, count(*) AS n_keys,
+         |  CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_key_rows,
+         |  ${Agg0.rndSql("CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)", 6)} AS max_share,
+         |  ${Agg0.rndSql("CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) / (CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) * CAST(CAST(sum(c) AS BIGINT) AS DOUBLE))", 6)} AS hhi
+         |FROM (SELECT $k, count(*) AS c FROM lineitem GROUP BY 1)""".stripMargin
+    s"""${one("l_orderkey")}
+       |UNION ALL
+       |${one("l_partkey")}
+       |UNION ALL
+       |${one("l_suppkey")}
+       |ORDER BY join_key""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_skew_audit"  -> (qJoinSkewAudit _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q15_top_supplier"   -> (q15TopSupplier _),
     "q19_bracket_revenue" -> (q19BracketRevenue _),
@@ -2386,6 +2432,7 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_join_skew_audit"  -> qJoinSkewAuditSql,
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "q15_top_supplier"   -> q15TopSupplierSql,
     "q19_bracket_revenue" -> q19BracketRevenueSql,
