@@ -623,6 +623,49 @@ object Behavioral {
        |ORDER BY 1, 2""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_mv_retract — incremental view maintenance with DELETIONS
+  // ------------------------------------------------------------------
+
+  /** Deterministic retraction set: events with id ≡ 0 (mod this) are
+    * deleted — the GDPR-erasure / bad-backfill stand-in. */
+  val mvRetractMod = 37L
+
+  /** §2.10 — the HARD half of incremental view maintenance:
+    * retractions. `q_mv_refresh` handles inserts (union new partials,
+    * re-aggregate); deletions arrive the same way but NEGATED —
+    * count/sum are self-inverse deltas, so a deleted row's partial
+    * with measures × (−1) unions into the identical merge, and cells
+    * whose surviving count reaches zero are dropped (a recompute
+    * would not emit them). One scan of the persisted MV + one scan of
+    * the (pushed-filter) insert slice + one scan of the (pushed-
+    * filter) delete set — the base table's history is never re-read,
+    * at any scale. Oracle = full recompute over surviving rows. */
+  def qMvRetract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildDailyMv(s, dir)
+    val inserts = dailyPartial(eventsSlice(s, dir, since = true))
+    val deletes = dailyPartial(
+      Tables.events(s, dir).filter($"event_id" % mvRetractMod === 0L))
+      .select($"event_type", $"day",
+        (-$"n_events").as("n_events"), (-$"sum_q").as("sum_q"))
+    s.table(mvTable).unionByName(inserts).unionByName(deletes)
+      .groupBy($"event_type", $"day")
+      .agg(sum($"n_events").as("n_events"), sum($"sum_q").as("sum_q"))
+      .filter($"n_events" > 0L)
+      .select($"event_type", $"day", $"n_events",
+        ($"sum_q".cast("double") / lit(10000.0)).as("sum_value"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val qMvRetractSql: String =
+    s"""SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events,
+       |  ${dsumSql("value")} AS sum_value
+       |FROM events
+       |WHERE event_id % $mvRetractMod <> 0
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------------------------
   // q_markov — event-type transition matrix
   // ------------------------------------------------------------------
 
@@ -1892,6 +1935,7 @@ object Behavioral {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_data_gaps"       -> (qDataGaps _),
+    "q_mv_retract"      -> (qMvRetract _),
     "q_repeat_purchase" -> (qRepeatPurchase _),
     "q_activity_heatmap" -> (qActivityHeatmap _),
     "q_abtest_cuped"    -> (qAbtestCuped _),
@@ -1925,6 +1969,7 @@ object Behavioral {
 
   def oracles: Map[String, String] = Map(
     "q_data_gaps"       -> qDataGapsSql,
+    "q_mv_retract"      -> qMvRetractSql,
     "q_repeat_purchase" -> qRepeatPurchaseSql,
     "q_activity_heatmap" -> qActivityHeatmapSql,
     "q_abtest_cuped"    -> qAbtestCupedSql,

@@ -204,15 +204,52 @@ object SourceFormats {
        |SELECT * FROM ok UNION ALL SELECT * FROM bad
        |ORDER BY status, event_type""".stripMargin
 
+  /** §2.11 — the same corrupt-line quarantine as a CONTINUOUS ingest:
+    * `readStream` over the landing directory in PERMISSIVE mode —
+    * broken lines flow to the quarantine column inside each
+    * micro-batch (row-local, stateless, no watermark needed), good
+    * rows flow through typed. Run to completion the reconciliation
+    * equals the batch read's, so this shares `source_bad_records`'
+    * oracle verbatim — the landing-zone tail a production pipeline
+    * actually runs (files arrive continuously; FAILFAST on one bad
+    * shard would kill the whole tail). */
+  def streamBadRecords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = stagedBad(s, dir)
+    val schema = eventSchema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val rows = s.readStream.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$root/events_jsonl")
+      .withColumn("status",
+        when($"_corrupt_record".isNotNull, "corrupt").otherwise("ok"))
+      .select($"status", $"event_type", $"value")
+    val q = rows.writeStream
+      .format("memory").queryName("stream_bad_records_sink")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("stream_bad_records_sink")
+      .groupBy($"status", $"event_type")
+      .agg(count(lit(1)).as("n_rows"), dsum($"value").as("sum_value"))
+      .orderBy($"status", $"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_formats"   -> (sourceFormats _),
     "source_evolution" -> (sourceEvolution _),
-    "source_bad_records" -> (sourceBadRecords _)
+    "source_bad_records" -> (sourceBadRecords _),
+    "stream_bad_records" -> (streamBadRecords _)
   )
 
   def oracles: Map[String, String] = Map(
     "source_formats"   -> sourceFormatsSql,
     "source_evolution" -> sourceEvolutionSql,
-    "source_bad_records" -> sourceBadRecordsSql
+    "source_bad_records" -> sourceBadRecordsSql,
+    // stateless stream run to completion == the batch read: shares
+    // the quarantine reconciliation oracle verbatim
+    "stream_bad_records" -> sourceBadRecordsSql
   )
 }
