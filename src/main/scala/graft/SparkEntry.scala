@@ -10,21 +10,38 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Relational.q5RegionVolume(spark, "/root/testdata/sf0.001")
 
+  /** The single authoritative module list — the merge below and the
+    * KeyCheck shadowing audit both iterate THIS, so a module added
+    * here is audited automatically (and one added anywhere else
+    * cannot exist). A `def`, NOT a val: the staged-artifact oracles
+    * (Similarity/SimilarityIvf/EmbedPq/Dedup) register their SQL at
+    * DUMP time via OracleStage — freezing the maps at object init
+    * would silently drop every staged oracle. */
+  def modules: Seq[(String, (Map[String, (SparkSession, String) => DataFrame], Map[String, String]))] = Seq(
+    "Relational" -> (Relational.queries, Relational.oracles),
+    "Accumulator" -> (Accumulator.queries, Accumulator.oracles),
+    "Iterators" -> (Iterators.queries, Iterators.oracles),
+    "TextAnalysis" -> (TextAnalysis.queries, TextAnalysis.oracles),
+    "Dedup" -> (Dedup.queries, Dedup.oracles),
+    "Similarity" -> (Similarity.queries, Similarity.oracles),
+    "SimilarityIvf" -> (SimilarityIvf.queries, SimilarityIvf.oracles),
+    "EmbedPq" -> (EmbedPq.queries, EmbedPq.oracles),
+    "Pipeline" -> (Pipeline.queries, Pipeline.oracles),
+    "Layout" -> (Layout.queries, Layout.oracles),
+    "Multimodal" -> (Multimodal.queries, Multimodal.oracles),
+    "StreamAcc" -> (StreamAcc.queries, StreamAcc.oracles),
+    "StreamOps" -> (StreamOps.queries, StreamOps.oracles),
+    "Behavioral" -> (Behavioral.queries, Behavioral.oracles),
+    "SourceFormats" -> (SourceFormats.queries, SourceFormats.oracles),
+    "Graph" -> (Graph.queries, Graph.oracles),
+    "Sequences" -> (Sequences.queries, Sequences.oracles))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Accumulator.queries ++ Iterators.queries ++
-      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      SimilarityIvf.queries ++ EmbedPq.queries ++ Pipeline.queries ++ Layout.queries ++
-      Multimodal.queries ++ StreamAcc.queries ++ StreamOps.queries ++
-      Behavioral.queries ++ SourceFormats.queries ++ Graph.queries ++ Sequences.queries
+    modules.map(_._2._1).reduce(_ ++ _)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Accumulator.oracles ++ Iterators.oracles ++
-      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      SimilarityIvf.oracles ++ EmbedPq.oracles ++
-      Pipeline.oracles ++ Layout.oracles ++
-      Multimodal.oracles ++ StreamAcc.oracles ++ StreamOps.oracles ++
-      Behavioral.oracles ++ SourceFormats.oracles ++ Graph.oracles ++ Sequences.oracles
+    modules.map(_._2._2).reduce(_ ++ _)
 }

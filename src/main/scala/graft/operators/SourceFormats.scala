@@ -176,18 +176,29 @@ object SourceFormats {
     * the reconciliation a production ingest publishes next to every
     * load. Oracle recomputes both from the clean parquet and the
     * corruption rule. */
-  def sourceBadRecords(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val root = stagedBad(s, dir)
-    val schema = eventSchema.add("_corrupt_record", StringType)
-    val df = s.read.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(s"$root/events_jsonl")
-    df.withColumn("status",
+  /** Quarantine schema + PERMISSIVE parser options and the
+    * reconciliation rollup, shared VERBATIM by the batch and
+    * streaming reads — the "shares the oracle" guarantee depends on
+    * the two paths not diverging. */
+  private val quarantineSchema = eventSchema.add("_corrupt_record", StringType)
+
+  private def quarantineReconcile(parsed: DataFrame): DataFrame = {
+    import parsed.sparkSession.implicits._
+    parsed
+      .withColumn("status",
         when($"_corrupt_record".isNotNull, "corrupt").otherwise("ok"))
       .groupBy($"status", $"event_type")
       .agg(count(lit(1)).as("n_rows"), dsum($"value").as("sum_value"))
+  }
+
+  def sourceBadRecords(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = stagedBad(s, dir)
+    quarantineReconcile(
+      s.read.schema(quarantineSchema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$root/events_jsonl"))
       .orderBy($"status", $"event_type")
   }
 
@@ -217,23 +228,22 @@ object SourceFormats {
     import s.implicits._
     import org.apache.spark.sql.streaming.Trigger
     val root = stagedBad(s, dir)
-    val schema = eventSchema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
-    val rows = s.readStream.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(s"$root/events_jsonl")
-      .withColumn("status",
-        when($"_corrupt_record".isNotNull, "corrupt").otherwise("ok"))
-      .select($"status", $"event_type", $"value")
-    val q = rows.writeStream
+    // the reconciliation aggregate runs INSIDE the stream (complete
+    // mode): the sink holds |types|+1 rows, not one row per event —
+    // an append-mode raw sink would grow with the corpus on the
+    // driver. Shares quarantineReconcile with the batch read.
+    val agg = quarantineReconcile(
+      s.readStream.schema(quarantineSchema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(s"$root/events_jsonl"))
+    val q = agg.writeStream
       .format("memory").queryName("stream_bad_records_sink")
-      .outputMode("append")
+      .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     s.table("stream_bad_records_sink")
-      .groupBy($"status", $"event_type")
-      .agg(count(lit(1)).as("n_rows"), dsum($"value").as("sum_value"))
       .orderBy($"status", $"event_type")
   }
 
