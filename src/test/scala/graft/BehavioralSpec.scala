@@ -346,6 +346,40 @@ class BehavioralSpec extends SparkSpec {
     assert(got.size == 2)
   }
 
+  test("mv retraction drops a cell whose every event is deleted, keeps partial cells") {
+    val s = spark; import s.implicits._
+    // cell (x, day1): ids 1,2,3 survive; cell (y, day1): ids 37,74 —
+    // both ≡ 0 (mod 37) — are fully retracted. The merged view must
+    // contain ONLY the x cell (a zero-count y row would diverge from
+    // a recompute).
+    val dir = Files.createTempDirectory("graft-retract").toString
+    val dayUs = 86400L * 1000000L
+    Seq((1L, "x"), (2L, "x"), (3L, "x"), (37L, "y"), (74L, "y"))
+      .toDF("event_id", "event_type")
+      .select($"event_id", timestamp_micros(lit(dayUs) + $"event_id" * 1000000L).as("ts"),
+        lit(1L).as("user_id"), $"event_type", lit(2.5).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.qMvRetract(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("x", 3L, 7.5)), out.mkString(";"))
+  }
+
+  test("join skew audit reports hand-computed shares and herfindahl") {
+    val s = spark; import s.implicits._
+    // orderkey: 10 uniform keys (hhi 0.1); partkey: one 91-row hot key
+    // + 9 singletons (hhi 0.829); suppkey: a single key (hhi 1.0)
+    val dir = Files.createTempDirectory("graft-skew").toString
+    (0 until 100).map { i =>
+      (i.toLong % 10L, if (i < 91) 999L else 1000L + i, 7L)
+    }.toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = graft.operators.Relational.qJoinSkewAudit(s, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got("l_orderkey") == ((10L, 10L, 0.1, 0.1)), got.toString)
+    assert(got("l_partkey") == ((10L, 91L, 0.91, 0.829)), got.toString)
+    assert(got("l_suppkey") == ((1L, 100L, 1.0, 1.0)), got.toString)
+  }
+
   test("peak concurrency counts a hand-built overlap stack, starts before ends on ties") {
     val s = spark; import s.implicits._
     // Sessions (one user each, single-day): A 10:00-11:00,
