@@ -238,6 +238,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), "scalar agg needs no hash exchange:\n" + p)
   }
 
+  test("q7 broadcasts every dimension side — one fact-fact exchange pair only") {
+    val p = plan(Relational.q7NationTrade(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // supplier + both nation copies ride broadcasts; the only shuffle
+    // exchanges belong to the lineitem⋈orders(/customer) fact joins
+    // and the final bounded aggregate/sort
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"supplier and both nation dims must broadcast:\n$p")
+  }
+
   test("q10 tops-20 with a bounded heap, aggregates before the customer join") {
     val p = plan(Relational.q10ReturnedRevenue(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort:\n" + p)
