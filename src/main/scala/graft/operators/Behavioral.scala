@@ -1953,7 +1953,92 @@ object Behavioral {
        |ORDER BY event_type, gap_start""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // q_funnel_latency — time-to-convert distribution
+  // ------------------------------------------------------------------
+
+  /** §2.10 — time-to-convert for funnel completers: for every user
+    * who finished view → click → purchase (47's ordered semantics,
+    * first qualifying chain), the duration from first view to first
+    * qualifying purchase — count, exact mean, and exact p50/p90 in
+    * hours. The product readout behind every "how long does
+    * conversion take" decision; 47 counts completers, this one
+    * clocks them.
+    *
+    * Scale: the chain staging is 47's ONE user-keyed window pass; the
+    * duration set is converter-sized, and the single-group exact
+    * quantiles use the two-phase bucketed rank + two-rank
+    * interpolation (the `q_percentiles_dist` layout with one group —
+    * converters at fleet scale are far too many for a percentile
+    * buffer). Mean through the exact integer-µs sum. */
+  def qFunnelLatency(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Ranks
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("t1", min(when($"event_type" === "view", $"us")).over(w))
+      .withColumn("q2", when($"event_type" === "click" && $"us" > $"t1", $"us"))
+      .withColumn("t2", min($"q2").over(w))
+      .withColumn("q3", when($"event_type" === "purchase" && $"us" > $"t2", $"us"))
+    val durations = staged.groupBy($"user_id")
+      .agg(min(when($"event_type" === "view", $"us")).as("tv"), min($"q3").as("tp"))
+      .filter($"tp".isNotNull)
+      .select($"user_id", ($"tp" - $"tv").as("dur_us"))
+      .localCheckpoint(true)
+    val n = durations.count() // one scalar: the converter count
+    val ranked = Ranks.globalRowNumber(durations, Seq($"dur_us", $"user_id"),
+      Ranks.defaultPartitions(durations), "rank")
+    val targets = Seq(0.5, 0.9).map { p =>
+      val pos = p * (n - 1).toDouble
+      (p, pos, math.floor(pos).toLong + 1, math.ceil(pos).toLong + 1)
+    }
+    val wanted = targets.flatMap(t => Seq(t._3, t._4)).distinct
+    val picked = ranked.filter($"rank".isin(wanted: _*))
+      .select($"rank", $"dur_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def interp(pos: Double, lo: Long, hi: Long): Double = {
+      val vlo = picked(lo).toDouble
+      val vhi = picked(hi).toDouble
+      if (lo == hi) vlo
+      else (math.ceil(pos) - pos) * vlo + (pos - math.floor(pos)) * vhi
+    }
+    val Seq(p50, p90) = targets.map(t => interp(t._2, t._3, t._4))
+    durations.agg(
+        count(lit(1)).as("n_converters"),
+        sum($"dur_us").as("sum_us"))
+      .select($"n_converters",
+        expr(rndSql("CAST(sum_us AS DOUBLE) / CAST(n_converters AS DOUBLE) / CAST(3600000000 AS DOUBLE)", 6)).as("mean_hours"),
+        expr(rndSql(s"CAST($p50 AS DOUBLE) / CAST(3600000000 AS DOUBLE)", 6)).as("p50_hours"),
+        expr(rndSql(s"CAST($p90 AS DOUBLE) / CAST(3600000000 AS DOUBLE)", 6)).as("p90_hours"))
+  }
+
+  val qFunnelLatencySql: String =
+    s"""WITH f AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1
+       |  FROM events GROUP BY user_id
+       |), c AS (
+       |  SELECT f.user_id, f.t1, min(epoch_us(e.ts)) AS t2
+       |  FROM events e JOIN f ON e.user_id = f.user_id
+       |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > f.t1
+       |  GROUP BY f.user_id, f.t1
+       |), p AS (
+       |  SELECT c.user_id, c.t1, min(epoch_us(e.ts)) AS t3
+       |  FROM events e JOIN c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+       |  GROUP BY c.user_id, c.t1
+       |), d AS (
+       |  SELECT CAST(t3 - t1 AS BIGINT) AS dur_us FROM p)
+       |SELECT count(*) AS n_converters,
+       |  ${rndSql("CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) / CAST(3600000000 AS DOUBLE)", 6)} AS mean_hours,
+       |  ${rndSql("quantile_cont(CAST(dur_us AS DOUBLE), 0.5) / CAST(3600000000 AS DOUBLE)", 6)} AS p50_hours,
+       |  ${rndSql("quantile_cont(CAST(dur_us AS DOUBLE), 0.9) / CAST(3600000000 AS DOUBLE)", 6)} AS p90_hours
+       |FROM d""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_latency"  -> (qFunnelLatency _),
     "q_data_gaps"       -> (qDataGaps _),
     "q_mv_retract"      -> (qMvRetract _),
     "q_repeat_purchase" -> (qRepeatPurchase _),
@@ -1988,6 +2073,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_funnel_latency"  -> qFunnelLatencySql,
     "q_data_gaps"       -> qDataGapsSql,
     "q_mv_retract"      -> qMvRetractSql,
     "q_repeat_purchase" -> qRepeatPurchaseSql,
