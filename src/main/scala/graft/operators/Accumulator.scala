@@ -370,8 +370,13 @@ final class BatchAccumulator[T](
         completed += AccBatchStatus(batchId, st.seq, "completed", st.inFlightCount)
         state(batchId) = State(st.seq + 1, st.buffers, st.count, None, t1,
           handles = st.handles)
-        store.deleteChunks(st.inFlightHandles)
+        // Persist the reference-free snapshot BEFORE deleting the chunk
+        // files: a crash between the two then only orphans chunks (the
+        // documented safe outcome) — the reverse order could persist a
+        // snapshot whose handles point at already-deleted files, which
+        // load-on-construct cannot recover from.
         checkpoint()
+        store.deleteChunks(st.inFlightHandles)
         if (st.count >= threshold) flush(batchId)
       } else {
         state(batchId) = st.copy(status = "accumulating",

@@ -1988,6 +1988,16 @@ object Behavioral {
       .select($"user_id", ($"tp" - $"tv").as("dur_us"))
       .localCheckpoint(true)
     val n = durations.count() // one scalar: the converter count
+    if (n == 0) {
+      // Zero converters: mirror the oracle's empty-aggregate row —
+      // count 0, NULL mean/quantiles — instead of interpolating
+      // against ranks that don't exist.
+      return durations.agg(count(lit(1)).as("n_converters"))
+        .select($"n_converters",
+          lit(null).cast("double").as("mean_hours"),
+          lit(null).cast("double").as("p50_hours"),
+          lit(null).cast("double").as("p90_hours"))
+    }
     val ranked = Ranks.globalRowNumber(durations, Seq($"dur_us", $"user_id"),
       Ranks.defaultPartitions(durations), "rank")
     val targets = Seq(0.5, 0.9).map { p =>

@@ -410,7 +410,7 @@ object Multimodal {
   }
 
   lazy val mmShardBalanceSql: String =
-    s"""WITH idx AS (${mmShardIndexSql.replace("ORDER BY asset_id", "")}),
+    s"""WITH idx AS ($mmShardIndexBodySql),
        |pm AS (
        |  SELECT shard_id, mime AS top_mime FROM (
        |    SELECT shard_id, mime,
@@ -442,7 +442,10 @@ object Multimodal {
       .orderBy($"asset_id")
   }
 
-  val mmShardIndexSql: String = {
+  /** CTE chain + projection WITHOUT the presentation sort — embeddable
+    * as a sub-select by consumers (mm_shard_balance) without touching
+    * the cumulative-bytes window's own ORDER BY. */
+  private val mmShardIndexBodySql: String = {
     val mimeCase = magics.zipWithIndex.map { case ((_, mime), i) =>
       s"WHEN doc_id % ${magics.size} = $i THEN '$mime'"
     }.mkString("CASE ", " ", " ELSE 'application/octet-stream' END")
@@ -459,8 +462,10 @@ object Multimodal {
        |SELECT asset_id, mime, CAST(n_bytes AS BIGINT) AS n_bytes,
        |  cum_before // $shardBytes AS shard_id,
        |  cum_before % $shardBytes AS offset_in_shard
-       |FROM c ORDER BY asset_id""".stripMargin
+       |FROM c""".stripMargin
   }
+
+  val mmShardIndexSql: String = s"$mmShardIndexBodySql ORDER BY asset_id"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_shard_balance" -> (mmShardBalance _),
