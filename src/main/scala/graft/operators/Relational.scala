@@ -444,26 +444,36 @@ object Relational {
   /** The per-(user, session) aggregate without the presentation sort —
     * consumers feeding sessions into further processing
     * ([[qIntervalOverlap]]'s interval set) must not pay a global
-    * sort. */
-  private def sessionized(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val gapUs = 1800L * 1000000L
-    val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
-    Tables.events(s, dir)
-      .withColumn("us", unix_micros($"ts"))
-      .withColumn("new_sess",
-        when(lag($"us", 1).over(wOrd).isNull, 1L)
-          .when($"us" - lag($"us", 1).over(wOrd) > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_id",
-        sum($"new_sess").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy($"user_id", $"session_id")
-      .agg(
-        count(lit(1)).as("n_events"),
-        min($"ts").as("session_start"),
-        max($"ts").as("session_end"),
-        dsum($"value").as("sum_value"))
-  }
+    * sort. STAGED once per dataset ([[graft.sources.OracleStage]],
+    * the copurchase_support pattern): four queries consume the
+    * session table ([[qEventsSessionize]], [[qIntervalOverlap]],
+    * [[qPointInInterval]], [[qPeakConcurrency]]), and the
+    * user-windowed events sort behind it is the family's dominant
+    * shared cost — the production shape is a session table refreshed
+    * on ingest cadence, not re-derived per query. The consumers'
+    * joins/sweeps all re-shuffle on their own keys, so the
+    * test-scale single-file artifact never bounds their
+    * parallelism. */
+  private def sessionized(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "sessionized", dir) {
+      import s.implicits._
+      val gapUs = 1800L * 1000000L
+      val wOrd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.events(s, dir)
+        .withColumn("us", unix_micros($"ts"))
+        .withColumn("new_sess",
+          when(lag($"us", 1).over(wOrd).isNull, 1L)
+            .when($"us" - lag($"us", 1).over(wOrd) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum($"new_sess").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min($"ts").as("session_start"),
+          max($"ts").as("session_end"),
+          dsum($"value").as("sum_value"))
+    }
 
   /** Interval-overlap counting: for every event, how many sessions
     * (across ALL users) are active at its timestamp — the pure range
