@@ -582,30 +582,22 @@ object EmbedPq {
   private def opqRotationUncached(s: SparkSession, dir: String): Seq[Seq[Double]] = {
     import s.implicits._
     val d = pqM * pqDsub
-    // one corpus pass: quantized-exact Σx_i, Σx_i·x_j (j ≥ i) and n —
-    // bit-stable under any partitioning, so the rotation is a
-    // deterministic artifact of the corpus like the codebooks
-    def exact(e: String) =
-      s"CAST(sum(CAST(floor(($e) * 1e12 + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
-    val stats = vectors(s, dir)
-      .select(explode(expr(
-        s"""flatten(transform(sequence(0, ${d - 1}), i ->
-           |  transform(sequence(i, ${d - 1}), j ->
-           |    struct(i AS i, j AS j, element_at(v, i + 1) * element_at(v, j + 1) AS p,
-           |           CASE WHEN j = i THEN element_at(v, i + 1) ELSE CAST(0 AS DOUBLE) END AS x))))"""
-          .stripMargin)).as("t"))
-      .select($"t.i", $"t.j", $"t.p", $"t.x")
-      .groupBy($"i", $"j")
-      .agg(expr(exact("p")).as("sp"), expr(exact("x")).as("sx"),
-           count(lit(1)).as("n"))
-      .collect()
+    // quantized-exact Σx_i, Σx_i·x_j (j ≥ i) and n at the 1e-12
+    // quantum, read from the SHARED staged moment artifact
+    // (Similarity.embedMoments — one corpus pass for the whole
+    // covariance/PCA/OPQ family); bit-stable under any partitioning,
+    // so the rotation is a deterministic artifact of the corpus like
+    // the codebooks. Artifact indices are 1-based.
+    val stats = Similarity.embedMoments(s, dir)
+      .select($"i", $"j", $"sq12", $"sx12", $"n").collect()
     val n = stats.head.getLong(4).toDouble
     val sx = Array.ofDim[Double](d)
     val sp = Array.ofDim[Double](d, d)
     stats.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      sp(i)(j) = r.getDouble(2); sp(j)(i) = r.getDouble(2)
-      if (i == j) sx(i) = r.getDouble(3)
+      val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
+      val p = r.getDecimal(2).doubleValue() / 1e12
+      sp(i)(j) = p; sp(j)(i) = p
+      if (i == j) sx(i) = r.getDecimal(3).doubleValue() / 1e12
     }
     val cov = Array.tabulate(d, d)((i, j) => sp(i)(j) / n - (sx(i) / n) * (sx(j) / n))
     val (eigVals, eigVecs) = jacobiEigen(cov)

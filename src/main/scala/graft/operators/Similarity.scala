@@ -469,43 +469,72 @@ object Similarity {
   // embed_covariance — distributed covariance (Gram) matrix
   // ------------------------------------------------------------------
 
+  /** THE shared moment artifact: ONE corpus pass producing, per
+    * dimension pair (i ≤ j, 1-based), the exact quantized
+    * second-moment sums at BOTH quantums consumed downstream (1e-9
+    * for the covariance readout and the PCA basis, 1e-12 for the OPQ
+    * rotation), the first-moment sums riding the diagonal rows, and
+    * the corpus count. [[embedCovariance]] formats it,
+    * [[pcaBasis]] and [[graft.operators.EmbedPq.opqRotation]] consume
+    * it — previously three separate corpus passes over the same
+    * moments. Staged per dataset like the PQ codebooks; the artifact
+    * is d(d+1)/2 rows, bounded and corpus-size-independent.
+    *
+    * Scale layout: each row expands ROW-LOCALLY to its d(d+1)/2
+    * quantized pair products (a codegen'd nested-transform
+    * expression, no join — the n·d² work is inherent to a Gram
+    * matrix), and the partial aggregate collapses each task to
+    * ≤ d(d+1)/2 running sums BEFORE the single shuffle, which
+    * therefore carries #tasks × d(d+1)/2 rows regardless of corpus
+    * size. Sums are DECIMAL(38,0) over half-up-quantized integers —
+    * exact, commutative, partitioning-independent.
+    *
+    * Large-d swap-in: at d=64 the explode is 2,080 structs per row;
+    * at production dims (d ≈ 1-4k) that is 10⁶-10⁷ structs per row
+    * and the explode stops being the right shape. The bounded
+    * alternative is a per-partition Gramian accumulation (the
+    * [[Multimodal.mmBatchInfer]] mapPartitions shape: one d×d long
+    * array of quantum sums per task, emitted once per partition),
+    * partial-agged to #tasks·d² — same exact quantized sums, no
+    * per-row explode. */
+  private[graft] def embedMoments(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "embed_moments", dir) {
+      import s.implicits._
+      import org.apache.spark.sql.types.DecimalType
+      Tables.embeddings(s, dir)
+        .select(expr(VectorFns.asDouble("embedding")).as("v"))
+        .select(explode(expr(
+          """flatten(transform(v, (a, i) -> transform(slice(v, i + 1, size(v) - i),
+            |  (b, k) -> named_struct('i', i + 1, 'j', i + 1 + k,
+            |    'q9',  CAST(floor(a * b * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT),
+            |    'q12', CAST(floor(a * b * CAST(1000000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT),
+            |    'x9',  CASE WHEN k = 0 THEN CAST(floor(a * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+            |    'x12', CASE WHEN k = 0 THEN CAST(floor(a * CAST(1000000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) ELSE CAST(0 AS BIGINT) END))))"""
+            .stripMargin)).as("t"))
+        .select($"t.i", $"t.j", $"t.q9", $"t.q12", $"t.x9", $"t.x12")
+        .groupBy($"i", $"j")
+        .agg(sum($"q9".cast(DecimalType(38, 0))).as("sq9"),
+             sum($"q12".cast(DecimalType(38, 0))).as("sq12"),
+             sum($"x9".cast(DecimalType(38, 0))).as("sx9"),
+             sum($"x12".cast(DecimalType(38, 0))).as("sx12"),
+             count(lit(1)).as("n"))
+    }
+
   /** §2.5 — the exact d×d covariance matrix of the embedding corpus
     * (upper triangle), the input primitive of PCA / whitening / OPQ
     * rotation training and the corpus-geometry audit (anisotropy,
-    * collapsed dimensions) run before trusting any ANN index.
-    *
-    * Scale layout: each row expands ROW-LOCALLY to its d(d+1)/2
-    * quantized pair products (a codegen'd nested-transform expression,
-    * no join — the n·d² work is inherent to a Gram matrix), and the
-    * partial aggregate collapses each task to ≤ d(d+1)/2 running sums
-    * BEFORE the single shuffle, which therefore carries
-    * #tasks × d(d+1)/2 rows regardless of corpus size. Products are
-    * half-up-quantized at 1e-9 and summed as DECIMAL(38,0) — exact,
-    * commutative, partitioning-independent; 10¹¹ rows × 1e9 quanta
-    * stay far inside decimal range where a LONG would overflow. Means
-    * come from the same exact path; cov = E[xy] − E[x]E[y] evaluated
-    * with identical double arithmetic on both engines, 1e-6 quantized
-    * on output. */
+    * collapsed dimensions) run before trusting any ANN index. A
+    * d²-row FORMATTING of the staged [[embedMoments]] artifact —
+    * the corpus pass runs once for the whole PCA/OPQ/covariance
+    * family. 10¹¹ rows × 1e9 quanta stay far inside DECIMAL(38)
+    * range where a LONG sum would overflow; cov = E[xy] − E[x]E[y]
+    * evaluated with identical double arithmetic on both engines,
+    * 1e-6 quantized on output. */
   def embedCovariance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.types.DecimalType
-    val emb = Tables.embeddings(s, dir)
-      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
-    val prods = emb.select(explode(expr(
-      """flatten(transform(v, (a, i) -> transform(slice(v, i + 1, size(v) - i),
-        |  (b, k) -> named_struct('i', i + 1, 'j', i + 1 + k,
-        |    'q', CAST(floor(a * b * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)))))"""
-        .stripMargin)).as("t"))
-      .select($"t.i", $"t.j", $"t.q")
-      .groupBy($"i", $"j")
-      .agg(sum($"q".cast(DecimalType(38, 0))).as("sq"), count(lit(1)).as("n"))
-    // materialized once (d rows): both broadcast joins below would
-    // otherwise each re-run the scan + explode + aggregate branch
-    val means = emb.select(posexplode($"v").as(Seq("p", "x")))
-      .select(($"p" + 1).as("mi"),
-        expr("CAST(floor(x * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("xq"))
-      .groupBy($"mi").agg(sum($"xq".cast(DecimalType(38, 0))).as("sx"))
-      .localCheckpoint(true)
+    val m = embedMoments(s, dir)
+    val prods = m.select($"i", $"j", $"sq9".as("sq"), $"n")
+    val means = m.filter($"i" === $"j").select($"i".as("mi"), $"sx9".as("sx"))
     prods
       .join(broadcast(means.select($"mi".as("i"), $"sx".as("sxi"))), "i")
       .join(broadcast(means.select($"mi".as("j"), $"sx".as("sxj"))), "j")
@@ -568,21 +597,18 @@ object Similarity {
   private[graft] def pcaBasis(s: SparkSession, dir: String): DataFrame =
     graft.sources.OracleStage.stage(s, "pca_basis", dir) {
       import s.implicits._
-      import org.apache.spark.sql.types.DecimalType
       val cov = embedCovariance(s, dir).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       val d = cov.iterator.map(_._2).max
       val C = Array.ofDim[Double](d, d)
       cov.foreach { case (i, j, c) => C(i - 1)(j - 1) = c; C(j - 1)(i - 1) = c }
-      val emb = Tables.embeddings(s, dir)
-        .select(expr(VectorFns.asDouble("embedding")).as("v"))
-      val n = emb.count()
-      val mu = emb.select(posexplode($"v").as(Seq("p", "x")))
-        .select(($"p" + 1).as("mi"),
-          expr("CAST(floor(x * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("xq"))
-        .groupBy($"mi").agg(sum($"xq".cast(DecimalType(38, 0))).as("sx"))
-        .collect().map(r => r.getInt(0) ->
-          r.getDecimal(1).doubleValue() / 1e9 / n.toDouble).toMap
+      // means and count off the SAME staged moment artifact the
+      // covariance formatted — no second corpus pass
+      val diag = embedMoments(s, dir).filter($"i" === $"j")
+        .select($"i", $"sx9", $"n").collect()
+      val n = diag.head.getLong(2)
+      val mu = diag.map(r => r.getInt(0) ->
+        r.getDecimal(1).doubleValue() / 1e9 / n.toDouble).toMap
       var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
       for (_ <- 1 to pcaIters) {
         val w = Array.tabulate(d) { i =>
