@@ -2174,6 +2174,183 @@ object Relational {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** TPC-H Q17 shape (small-quantity-order revenue) — the hardest
+    * correlated-scalar-aggregate pattern: every lineitem of a
+    * brand/size part slice compared against 0.2 × the PER-PART mean
+    * quantity, qualifying revenue summed to one "avg yearly" number.
+    * The naive plan re-runs the aggregate subquery per outer row;
+    * the decorrelated plan computes ALL per-part thresholds in one
+    * partial-agged groupBy over the SAME filtered slice and joins
+    * them back as a broadcast (part-slice-sized, bounded by the
+    * brand/size selectivity) — zero per-row subqueries, zero
+    * fact-width shuffles. The slice is materialized once
+    * (`localCheckpoint`) so threshold build and detail probe share
+    * one scan+broadcast-prune; at cluster scale the slice is the
+    * brand's ~1/|brands| sliver of the fact, safely
+    * executor-resident. Exact cross-engine: thresholds via [[davg]]
+    * (exact decimal mean, bit-identical both engines), revenue via
+    * [[dsum]]. */
+  def q17SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val partsF = Tables.part(s, dir)
+      .filter($"p_brand" === "Brand#23" && $"p_size" < 10)
+      .select($"p_partkey")
+    val liF = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .join(broadcast(partsF), $"l_partkey" === $"p_partkey")
+      .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+      .localCheckpoint(true)
+    val thr = liF.groupBy($"l_partkey")
+      .agg((lit(0.2) * davg($"l_quantity")).as("qty_limit"))
+      .select($"l_partkey".as("t_partkey"), $"qty_limit")
+    liF.join(broadcast(thr), $"l_partkey" === $"t_partkey")
+      .filter($"l_quantity" < $"qty_limit")
+      .agg((dsum($"l_extendedprice") / lit(7.0)).as("avg_yearly_raw"))
+      .select(expr(rndSql("avg_yearly_raw", 6)).as("avg_yearly"))
+  }
+
+  /** Oracle: the correlated-subquery formulation verbatim. */
+  val q17SmallQtyRevenueSql: String =
+    s"""SELECT ${rndSql(s"${dsumSql("l_extendedprice")} / CAST(7.0 AS DOUBLE)", 6)} AS avg_yearly
+       |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+       |WHERE p_brand = 'Brand#23' AND p_size < 10
+       |  AND l_quantity < (
+       |    SELECT CAST(0.2 AS DOUBLE) * ${davgSql("l2.l_quantity")}
+       |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
+  /** Ship-date window for [[q20ExcessSuppliers]]. */
+  val q20Lo = "1996-01-01 00:00:00"
+  val q20Hi = "1997-01-01 00:00:00"
+
+  /** TPC-H Q20 shape (excess/dominant suppliers) — the two-level
+    * nested-IN-with-aggregate-threshold pattern: suppliers who, for
+    * some name-filtered part, shipped MORE THAN HALF of that part's
+    * total quantity inside a date window (the dominant-supplier
+    * variant of Q20's availqty test — this corpus has no partsupp
+    * table, so the supply relationship derives from shipments).
+    * Decorrelated bottom-up: the name filter broadcast-prunes the
+    * fact scan, ONE (part, supplier) partial-agged groupBy is the
+    * only fact shuffle, the per-part totals roll up from that
+    * already-tiny pair table (never the fact), and the dominance
+    * test joins the two bounded aggregates broadcast-side. The
+    * supplier dimension is probed last with a broadcast semi-join —
+    * the IN chain never materializes a per-row subquery. Dominance
+    * compared on the exact 1e-4-quantized integer sums (2·pair >
+    * total — no 0.5 double in the predicate). */
+  def q20ExcessSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val redParts = Tables.part(s, dir)
+      .filter($"p_name".startsWith("red "))
+      .select($"p_partkey")
+    val pairAgg = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit(q20Lo).cast("timestamp") &&
+        $"l_shipdate" < lit(q20Hi).cast("timestamp"))
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum(quantize($"l_quantity", 4).cast("long").cast(DecimalType(38, 0)))
+        .as("pair_q"))
+      // materialized once: pair-sized (≤ |filtered parts| × |their
+      // suppliers|), consumed by both the per-part rollup and the
+      // dominance probe — without this the fact slice is scanned and
+      // pair-aggregated twice
+      .localCheckpoint(true)
+    val partTot = pairAgg.groupBy($"l_partkey")
+      .agg(sum($"pair_q").as("tot_q"))
+      .select($"l_partkey".as("t_partkey"), $"tot_q")
+    val dominant = pairAgg
+      .join(broadcast(partTot), $"l_partkey" === $"t_partkey")
+      .filter($"pair_q" * lit(2) > $"tot_q")
+      .select($"l_suppkey").distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(dominant), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .select($"s_name", $"n_name")
+      .orderBy($"s_name")
+  }
+
+  /** Oracle: the nested-IN + correlated-HAVING formulation. */
+  val q20ExcessSuppliersSql: String =
+    s"""SELECT s_name, n_name
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE s_suppkey IN (
+       |  SELECT l_suppkey FROM lineitem
+       |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+       |    AND l_shipdate >= TIMESTAMP '$q20Lo' AND l_shipdate < TIMESTAMP '$q20Hi'
+       |  GROUP BY l_partkey, l_suppkey
+       |  HAVING 2 * sum(CAST(floor(l_quantity * 10000 + 0.5) AS DECIMAL(38,0))) > (
+       |    SELECT sum(CAST(floor(l2.l_quantity * 10000 + 0.5) AS DECIMAL(38,0)))
+       |    FROM lineitem l2
+       |    WHERE l2.l_partkey = lineitem.l_partkey
+       |      AND l2.l_shipdate >= TIMESTAMP '$q20Lo'
+       |      AND l2.l_shipdate < TIMESTAMP '$q20Hi'))
+       |ORDER BY s_name""".stripMargin
+
+  /** Lateness lag for [[q21SoleLateSuppliers]]: a lineitem shipped
+    * more than this many days after its order date is late. */
+  val q21LateDays = 60
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting) — the
+    * EXISTS + NOT-EXISTS-over-the-same-fact pattern: for finalized
+    * orders, count per supplier the late lineitems where (a) the
+    * order involves at least one OTHER supplier and (b) NO other
+    * supplier was late — the sole-blame attribution. The naive plan
+    * is TWO lineitem self-joins (one per quantifier); the engine
+    * runs ONE orderkey shuffle instead: orders⋈lineitem co-shuffled
+    * on the order key, then a (order, supplier) aggregate and a
+    * per-order rollup — both exchange-free, since hash partitioning
+    * on orderkey already satisfies their grouping — produce distinct
+    * supplier count, late-supplier count and the blamed supplier's
+    * late-row count per order; the quantifier pair collapses to
+    * `n_supp ≥ 2 AND n_late_supp = 1`. The supplier dim broadcasts
+    * at the end onto the order-sized qualifying set. Lateness is
+    * exact timestamp arithmetic (shipdate > orderdate + 60 days) on
+    * both engines. */
+  def q21SoleLateSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ordersF = Tables.orders(s, dir)
+      .filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_orderdate")
+    val perPair = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      .join(ordersF, $"l_orderkey" === $"o_orderkey")
+      .withColumn("late",
+        when($"l_shipdate" > $"o_orderdate" + expr(s"INTERVAL $q21LateDays DAYS"), 1L)
+          .otherwise(0L))
+      .groupBy($"l_orderkey", $"l_suppkey")
+      .agg(sum($"late").as("n_late"))
+    val qualifying = perPair.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        countIf($"n_late" > 0).as("n_late_supp"),
+        max(when($"n_late" > 0, $"l_suppkey")).as("blame_supp"),
+        sum(when($"n_late" > 0, $"n_late").otherwise(0L)).as("late_rows"))
+      .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
+    qualifying.groupBy($"blame_supp")
+      .agg(sum($"late_rows").as("numwait"))
+      .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_name")),
+        $"blame_supp" === $"s_suppkey")
+      .select($"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name")
+  }
+
+  /** Oracle: the double-quantifier formulation verbatim. */
+  val q21SoleLateSuppliersSql: String =
+    s"""WITH l1 AS (
+       |  SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+       |  FROM lineitem l JOIN orders o ON o_orderkey = l_orderkey
+       |  WHERE o_orderstatus = 'F')
+       |SELECT s_name, count(*) AS numwait
+       |FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+       |WHERE l1.l_shipdate > l1.o_orderdate + INTERVAL $q21LateDays DAY
+       |  AND EXISTS (SELECT 1 FROM l1 l2
+       |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+       |  AND NOT EXISTS (SELECT 1 FROM l1 l3
+       |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+       |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL $q21LateDays DAY)
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name""".stripMargin
+
   /** §2.3 — peak session concurrency per day: the classic sweep-line
     * over session intervals — +1 at each session start, −1 at each
     * end, the running sum IS the live-session count, its per-day max
@@ -2387,6 +2564,9 @@ object Relational {
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_l_diversity"      -> (qLDiversity _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
+    "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
+    "q20_excess_suppliers"  -> (q20ExcessSuppliers _),
+    "q21_waiting_suppliers" -> (q21SoleLateSuppliers _),
     "q_pareto_deciles"   -> (qParetoDeciles _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q7_nation_trade"    -> (q7NationTrade _),
@@ -2449,6 +2629,9 @@ object Relational {
     "q_peak_concurrency" -> qPeakConcurrencySql,
     "q_l_diversity"      -> qLDiversitySql,
     "q22_sales_opportunity" -> q22SalesOpportunitySql,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
+    "q20_excess_suppliers"  -> q20ExcessSuppliersSql,
+    "q21_waiting_suppliers" -> q21SoleLateSuppliersSql,
     "q_pareto_deciles"   -> qParetoDecilesSql,
     "q10_returned_revenue" -> q10ReturnedRevenueSql,
     "q7_nation_trade"    -> q7NationTradeSql,
