@@ -48,10 +48,14 @@ object SimilarityIvf {
   /** Deterministic k-means: init = first nlist vectors by vec_id;
     * fixed iteration count; exact-decimal per-dim means. Returns the
     * final centroids and the corpus assignment (vec_id, cid, v, nrm). */
-  def kmeans(s: SparkSession, dir: String): (Seq[Seq[Double]], DataFrame) = {
+  def kmeans(s: SparkSession, dir: String): (Seq[Seq[Double]], DataFrame) =
+    trainKmeans(s, vectors(s, dir), "ivf_centroids", "ivf_assigned", dir)
+
+  private def trainKmeans(s: SparkSession, v0: DataFrame, centKey: String,
+                          assignKey: String, dir: String): (Seq[Seq[Double]], DataFrame) = {
     import s.implicits._
-    val v = vectors(s, dir)
-    var cents: Seq[Seq[Double]] = v.filter($"vec_id" < nlist).orderBy($"vec_id")
+    val v = v0
+    var cents: Seq[Seq[Double]] = v.orderBy($"vec_id").limit(nlist)
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
     for (_ <- 1 to kmeansIters) {
       val assigned = v.withColumn("cents", typedLit(cents))
@@ -72,7 +76,7 @@ object SimilarityIvf {
     }
     // persist the centroid artifact (nlist × dim doubles) so every
     // consumer's oracle can recompute assignment/probes/re-ranks
-    graft.sources.OracleStage.stage(s, "ivf_centroids", dir)(
+    graft.sources.OracleStage.stage(s, centKey, dir)(
       cents.zipWithIndex.map { case (c, cid) => (cid, c) }.toDF("cid", "c"))
     // the corpus assignment is STAGED and read back as an artifact —
     // the scaladoc's "at scale the assignment is written bucketed"
@@ -83,7 +87,7 @@ object SimilarityIvf {
     // (ATTRIBUTE_NOT_FOUND from ConvertToLocalRelation, exprId-order
     // dependent — bit ann_ivf when run as the session's first query).
     // A parquet scan carries no alias constraints to propagate.
-    val assigned = graft.sources.OracleStage.stage(s, "ivf_assigned", dir) {
+    val assigned = graft.sources.OracleStage.stage(s, assignKey, dir) {
       v.withColumn("cents", typedLit(cents))
         .withColumn("cid", cidExpr)
         .select($"vec_id", $"cid", $"v", $"nrm")
@@ -203,13 +207,99 @@ object SimilarityIvf {
        |QUALIFY rank <= ${Similarity.k}
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- incremental index maintenance (the 29d pattern on ANN) -----
+
+  /** Continuous-ingest split: vectors with `vec_id % mod == rem`
+    * arrive as the new shard; the rest are the established corpus
+    * behind the persisted index (the [[Dedup.dedupIncremental]]
+    * split applied to vectors). */
+  val ivfShardMod = 5L
+  val ivfShardRem = 4L
+  val ivfIndexTable = "graft_ivf_idx"
+  val ivfIndexBuckets = 16
+
+  private def corpusVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    vectors(s, dir).filter($"vec_id" % ivfShardMod =!= ivfShardRem)
+  }
+
+  /** Coarse quantizer trained on the CORPUS only — the centroids are
+    * a versioned artifact of the established corpus; appends assign
+    * against them without retraining (retrain = periodic index
+    * REBUILD, a different operation). */
+  def kmeansCorpus(s: SparkSession, dir: String): (Seq[Seq[Double]], DataFrame) =
+    trainKmeans(s, corpusVectors(s, dir), "ivf_corpus_centroids",
+      "ivf_corpus_assigned", dir)
+
+  /** The persisted inverted file: corpus assignment written bucketed
+    * (and sorted) on `cid`, so probe joins read it exchange-free. */
+  def buildIvfIndex(s: SparkSession, dir: String): Unit = {
+    val (_, assigned) = kmeansCorpus(s, dir)
+    graft.sources.Sinks.writeBucketedOnce(dir, ivfIndexTable,
+      Seq("cid"), ivfIndexBuckets)(assigned)
+  }
+
+  /** The append frame: each new-shard vector routed to its inverted
+    * list by ROW-LOCAL argmin against the broadcast staged centroids
+    * — a scan + project, ZERO exchanges (PlanSpec-asserted), no
+    * retrain, no corpus re-read. At 100 TB this is the whole point:
+    * a day's ingest extends the index at shard cost while the
+    * corpus-sized inverted file sits untouched. */
+  private[graft] def ivfAppendDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, _) = kmeansCorpus(s, dir)
+    vectors(s, dir).filter($"vec_id" % ivfShardMod === ivfShardRem)
+      .withColumn("cents", typedLit(cents))
+      .withColumn("cid", cidExpr)
+      .select($"vec_id", $"cid", $"v", $"nrm")
+  }
+
+  /** §2.5 — incremental IVF append: routes the new-vector shard into
+    * the persisted corpus-trained index (bucketed append into
+    * [[ivfIndexTable]] — new rows land in the same bucket layout, so
+    * every probe join stays exchange-free over the grown table) and
+    * returns the routed assignments read back FROM the index table.
+    * SimilarityIvfSpec proves parity: the grown table is
+    * row-identical to assigning the unioned corpus against the same
+    * centroids in one batch. Oracle recomputes the argmin routing
+    * from the staged corpus centroids. */
+  def annIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildIvfIndex(s, dir)
+    graft.sources.Sinks.appendBucketedOnce(dir, ivfIndexTable,
+      Seq("cid"), ivfIndexBuckets)(ivfAppendDelta(s, dir))
+    s.table(ivfIndexTable)
+      .filter($"vec_id" % ivfShardMod === ivfShardRem)
+      .select($"vec_id", $"cid")
+      .orderBy($"vec_id")
+  }
+
+  def annIvfAppendSql(glob: String): String =
+    s"""WITH cents AS (SELECT cid, c FROM read_parquet('$glob')),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE vec_id % $ivfShardMod = $ivfShardRem),
+       |scoredc AS (
+       |  SELECT v.vec_id, cents.cid,
+       |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(v.v, cents.c) AS s
+       |  FROM v, cents)
+       |SELECT vec_id, cid FROM (
+       |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |  FROM scoredc)
+       |WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf"           -> (annIvf _),
-    "ivf_cluster_sizes" -> (ivfClusterSizes _)
+    "ivf_cluster_sizes" -> (ivfClusterSizes _),
+    "ann_ivf_append"    -> (annIvfAppend _)
   )
 
   def oracles: Map[String, String] =
-    graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
+    (graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
       "ann_ivf"           -> annIvfSql(g),
-      "ivf_cluster_sizes" -> ivfClusterSizesSql(g))).toMap
+      "ivf_cluster_sizes" -> ivfClusterSizesSql(g))) ++
+     graft.sources.OracleStage.globOf("ivf_corpus_centroids").toSeq.map(g =>
+      "ann_ivf_append"    -> annIvfAppendSql(g))).toMap
 }

@@ -56,4 +56,28 @@ object Sinks {
       current.put(name, dataKey)
     }
   }
+
+  private val appended =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
+
+  /** Append `df` into an existing bucketed table, once per (table,
+    * dataset): new rows land in the SAME bucket layout (each task
+    * hashes its rows to bucket files — no shuffle, no rewrite of the
+    * existing files), so consumers keep their exchange-free probe
+    * plans over the grown table. The incremental-index write path:
+    * a shard of new items extends a persisted index at shard cost,
+    * never corpus cost. Idempotent per dataset so re-running a
+    * consumer query (Verify, both Bench passes) can't double-insert. */
+  def appendBucketedOnce(dataKey: String, name: String, keys: Seq[String],
+                         buckets: Int)(df: => DataFrame): Unit = synchronized {
+    if (!appended.contains((name, dataKey))) {
+      df.write
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet")
+        .mode("append")
+        .saveAsTable(name)
+      appended.put((name, dataKey), true)
+    }
+  }
 }

@@ -49,4 +49,52 @@ class SimilarityIvfSpec extends SparkSpec {
       assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("ivf append: grown index is row-identical to batch assignment of the union") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    SimilarityIvf.annIvfAppend(spark, sfDir) // build + append once
+    val grown = spark.table(SimilarityIvf.ivfIndexTable)
+      .select($"vec_id", $"cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // batch path: EVERY vector (corpus + shard) assigned against the
+    // same corpus-trained centroids in one pass — append-then-read
+    // must be indistinguishable from it
+    val (cents, _) = SimilarityIvf.kmeansCorpus(spark, sfDir)
+    val batch = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", expr(graft.functions.VectorFns.asDouble("embedding")).as("v"))
+      .withColumn("cents", typedLit(cents))
+      .withColumn("cid", expr(
+        """array_position(
+          |  transform(cents, c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(v, c)),
+          |  array_min(transform(cents, c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(v, c)))
+          |) - 1""".stripMargin).cast("int"))
+      .select($"vec_id", $"cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(grown == batch,
+      s"grown index diverges from batch assignment: only-grown=${(grown -- batch).take(5)} only-batch=${(batch -- grown).take(5)}")
+  }
+
+  test("ivf append delta is exchange-free: row-local argmin, no shuffle") {
+    val p = SimilarityIvf.ivfAppendDelta(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val shuffles = p.linesIterator.count(
+      _.dropWhile(c => !c.isLetter).startsWith("Exchange "))
+    assert(shuffles == 0, s"append must be scan+project only:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"append must not join:\n$p")
+  }
+
+  test("probe join over the grown index reads the index side exchange-free") {
+    import spark.implicits._
+    SimilarityIvf.annIvfAppend(spark, sfDir)
+    val probes = Seq((0, 0L)).toDF("cid", "query_id")
+    val p = spark.table(SimilarityIvf.ivfIndexTable)
+      .join(probes, "cid")
+      .queryExecution.executedPlan.toString
+    // the bucketed layout means the index side never reshuffles; only
+    // the (tiny) probe side moves
+    assert(!p.contains("Exchange hashpartitioning(cid"),
+      s"index side must not reshuffle on cid:\n$p")
+  }
 }
