@@ -142,6 +142,87 @@ class DurableControlPlaneSpec extends SparkSpec {
       Seq((0L, 24L, true)))
   }
 
+  /** Delegating store with injectable crash points — the spec's stand-in
+    * for a driver dying inside a specific transition window. */
+  private class CrashableStore(real: AccStore[java.lang.Long])
+      extends AccStore[java.lang.Long] {
+    var dieOnDelete = false
+    var dieOnSave = false
+    def writeChunk(h: String, items: Dataset[java.lang.Long]): Dataset[java.lang.Long] =
+      real.writeChunk(h, items)
+    def readChunk(h: String): Dataset[java.lang.Long] = real.readChunk(h)
+    def deleteChunks(hs: Seq[String]): Unit =
+      if (dieOnDelete) throw new RuntimeException("died before chunk GC")
+      else real.deleteChunks(hs)
+    def save(s: graft.operators.AccSnapshot): Unit =
+      if (dieOnSave) throw new RuntimeException("died before checkpoint")
+      else real.save(s)
+    def load(): Option[graft.operators.AccSnapshot] = real.load()
+  }
+
+  test("crash between post-flush checkpoint and chunk GC: snapshot stays recoverable") {
+    // the ordering invariant under test: completeFlush persists the
+    // reference-free snapshot BEFORE deleting in-flight chunks, so
+    // dying in between orphans files but never leaves a persisted row
+    // pointing at deleted chunks (which load-on-construct could not
+    // recover from)
+    val dir = tmp("graft-acc-midgc")
+    val flushed = collection.mutable.Buffer.empty[Set[Long]]
+    def proc(ds: Dataset[java.lang.Long]): Unit =
+      flushed += ds.collect().map(Long.unbox).toSet
+    val crashing = new CrashableStore(accStore(dir))
+    val a = new BatchAccumulator[java.lang.Long](
+      threshold = 1000, process = proc, clock = () => 7L, store = crashing)
+    a.addItems("b", items(0, 20))
+    assert(a.beginFlush("b"))
+    a.addItems("b", items(20, 24)) // stranded during the flush
+    crashing.dieOnDelete = true
+    intercept[RuntimeException] { a.completeFlush("b") }
+    assert(flushed.toList == List((0L until 20L).toSet)) // process ran once
+    // restart on the intact store: seq advanced, only the stranded
+    // adds buffered, history records the success — nothing re-offered
+    val b = new BatchAccumulator[java.lang.Long](
+      threshold = 1000, process = proc, clock = () => 7L, store = accStore(dir))
+    val st = b.getBatchStatus("b").get
+    assert(st.seq == 1 && st.status == "accumulating" && st.itemCount == 4, st)
+    assert(b.getFlushHistory("b").map(h => (h.seq, h.itemCount, h.success)) ==
+      Seq((0L, 20L, true)))
+    b.flush("b")
+    // each item processed exactly once across the crash boundary
+    assert(flushed.toList == List((0L until 20L).toSet, (20L until 24L).toSet))
+  }
+
+  test("crash after process but before the post-flush checkpoint: at-least-once re-offer") {
+    // dies one window earlier: process() side effects landed but the
+    // completed transition never persisted. Recovery takes the
+    // failed-flush revert — snapshot + stranded adds re-offered
+    // EXACTLY ONCE into the reverted buffer (no duplication in state),
+    // and the re-flush re-processes them: the documented
+    // at-least-once contract of any side-effecting flush
+    val dir = tmp("graft-acc-midckpt")
+    val flushed = collection.mutable.Buffer.empty[Set[Long]]
+    def proc(ds: Dataset[java.lang.Long]): Unit =
+      flushed += ds.collect().map(Long.unbox).toSet
+    val crashing = new CrashableStore(accStore(dir))
+    val a = new BatchAccumulator[java.lang.Long](
+      threshold = 1000, process = proc, clock = () => 7L, store = crashing)
+    a.addItems("b", items(0, 20))
+    assert(a.beginFlush("b"))
+    a.addItems("b", items(20, 24))
+    crashing.dieOnSave = true
+    intercept[RuntimeException] { a.completeFlush("b") }
+    assert(flushed.toList == List((0L until 20L).toSet))
+    val b = new BatchAccumulator[java.lang.Long](
+      threshold = 1000, process = proc, clock = () => 7L, store = accStore(dir))
+    val st = b.getBatchStatus("b").get
+    // reverted, not completed: every item back exactly once (24, not
+    // 44 — the snapshot was re-offered once, not re-appended twice)
+    assert(st.seq == 0 && st.status == "accumulating" && st.itemCount == 24, st)
+    b.flush("b")
+    assert(flushed.toList ==
+      List((0L until 20L).toSet, (0L until 24L).toSet))
+  }
+
   test("a corrupt iterator checkpoint fails loudly instead of restarting from cursor 0") {
     val s = spark
     val dir = tmp("graft-iter-corrupt")
