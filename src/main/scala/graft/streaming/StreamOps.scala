@@ -217,6 +217,68 @@ object StreamOps {
       .orderBy($"n_occurrences".desc, $"term")
   }
 
+  /** Top-N size for [[windowedHeavyHitters]]. */
+  val hhWindowTopN = 5
+
+  /** §2.8/streaming — SLIDING corpus monitor: per event-time day, the
+    * top-N heavy `props.k` values — [[heavyHittersStream]] with a time
+    * axis. This is the PRODUCTION watermark shape: append mode, the
+    * state store holds only OPEN windows (count rows for days the
+    * 1-hour watermark hasn't closed — bounded by horizon ×
+    * cardinality, independent of stream length), and a window's
+    * counts emit exactly once when the watermark passes its end, the
+    * moment its top-N is final. The read-out ranks the materialized
+    * per-(window, k) counts — a ≤|k| row partition per day, never
+    * stream-sized. Oracle: the batch windowed count + rank restricted
+    * to windows the FINAL watermark closed (ms-floored max event time
+    * − 1 h, the stream_acc_flush_closed boundary rule). */
+  def windowedHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    StreamAcc.eventsStream(s, dir)
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day").as("w"), $"k")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .select($"w.start".as("window_start"), $"k", $"n_occurrences")
+  }
+
+  def runWindowedHeavyHittersToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_hh_win"): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = windowedHeavyHitters(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = Window.partitionBy($"window_start")
+      .orderBy($"n_occurrences".desc, $"k")
+    s.table(sink)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= hhWindowTopN)
+      .select($"window_start", $"rank", $"k", $"n_occurrences")
+      .orderBy($"window_start", $"rank")
+  }
+
+  val windowedHeavyHittersSql: String =
+    s"""WITH counts AS (
+       |  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+       |    CAST(props->>'k' AS BIGINT) AS k, count(*) AS n_occurrences
+       |  FROM events GROUP BY 1, 2),
+       |wm AS (
+       |  SELECT time_bucket(INTERVAL '1 millisecond', max(ts)) - INTERVAL '1 hour' AS w
+       |  FROM events),
+       |ranked AS (
+       |  SELECT window_start, k, n_occurrences,
+       |    row_number() OVER (PARTITION BY window_start
+       |      ORDER BY n_occurrences DESC, k) AS rank
+       |  FROM counts, wm
+       |  WHERE window_start + INTERVAL '1 day' <= wm.w)
+       |SELECT window_start, rank, k, n_occurrences
+       |FROM ranked WHERE rank <= $hhWindowTopN
+       |ORDER BY window_start, rank""".stripMargin
+
   def runQualityFilterToCompletion(s: SparkSession, dir: String,
       sink: String = "stream_quality"): DataFrame = {
     val q = qualityFilterStream(s, dir).writeStream
@@ -945,7 +1007,9 @@ object StreamOps {
     "stream_attribution_join" -> ((s, dir) =>
       runAttributionToCompletion(s, dir, sink = "stream_attrib_verify")),
     "stream_heavy_hitters" -> ((s, dir) =>
-      runHeavyHittersToCompletion(s, dir, sink = "stream_hh_verify"))
+      runHeavyHittersToCompletion(s, dir, sink = "stream_hh_verify")),
+    "stream_hh_windowed" -> ((s, dir) =>
+      runWindowedHeavyHittersToCompletion(s, dir, sink = "stream_hh_win_verify"))
   )
 
   /** DuckDB oracle for the size-threshold flushes: a flush emits
@@ -993,6 +1057,9 @@ object StreamOps {
     "stream_attribution_join" -> attributionJoinSql,
     // incremental exact counts run to completion equal the batch
     // counts: shares corpus_heavy_hitters' oracle verbatim
-    "stream_heavy_hitters" -> graft.operators.Pipeline.corpusHeavyHittersSql
+    "stream_heavy_hitters" -> graft.operators.Pipeline.corpusHeavyHittersSql,
+    // append-mode windowed top-N equals the batch windowed rank over
+    // windows the final watermark closed
+    "stream_hh_windowed" -> windowedHeavyHittersSql
   )
 }

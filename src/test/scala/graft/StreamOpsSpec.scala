@@ -368,4 +368,27 @@ class StreamOpsSpec extends SparkSpec {
     assert(b2.head.n_prior == 31L)
     assert(st.get.n == 32L, "regressor must not enter the moments")
   }
+
+  test("windowed heavy hitters hold only open windows in state at completion") {
+    val s = spark
+    val q = StreamOps.windowedHeavyHitters(s, sfDir).writeStream
+      .format("memory").queryName("hh_win_state_spec")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten.map(_.numRowsTotal))
+    assert(stateRows.nonEmpty, "no state metrics reported")
+    // ~30 event-time days × |k| ≈ 100 distinct pairs exist; the
+    // 1-hour watermark leaves at most the final day (plus a boundary
+    // window) open, so eviction must leave O(horizon × |k|) rows —
+    // NOT the stream-length-proportional full window set
+    val totalPairs = graft.sources.Tables.events(s, sfDir)
+      .selectExpr("count(DISTINCT struct(window(ts, '1 day'), get_json_object(props, '$.k')))")
+      .head.getLong(0)
+    val finalRows = stateRows.last
+    assert(finalRows < totalPairs / 4,
+      s"state must evict closed windows: held $finalRows of $totalPairs pairs")
+  }
 }
