@@ -2327,10 +2327,15 @@ object Relational {
         sum(when($"n_late" > 0, $"n_late").otherwise(0L)).as("late_rows"))
       .filter($"n_supp" >= 2 && $"n_late_supp" === 1)
     qualifying.groupBy($"blame_supp")
-      .agg(sum($"late_rows").as("numwait"))
+      .agg(sum($"late_rows").as("per_supp"))
       .join(broadcast(Tables.supplier(s, dir).select($"s_suppkey", $"s_name")),
         $"blame_supp" === $"s_suppkey")
-      .select($"s_name", $"numwait")
+      // classic Q21 groups by NAME: suppliers sharing an s_name merge.
+      // The per-suppkey aggregate above already fact-reduced, so this
+      // regroup runs on the supplier-sized table (caught by the 10×
+      // synthetic sweep, where replicated suppliers share names)
+      .groupBy($"s_name")
+      .agg(sum($"per_supp").as("numwait"))
       .orderBy($"numwait".desc, $"s_name")
   }
 
