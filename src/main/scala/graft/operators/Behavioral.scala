@@ -1437,6 +1437,49 @@ object Behavioral {
        |FROM du JOIN f USING (user_id)
        |GROUP BY day ORDER BY day""".stripMargin
 
+  /** Rolling window length (days) for [[qRollingActiveUsers]]. */
+  val rollingWindowDays = 7
+
+  /** §2.10 — rolling 7-day active users (WAU) per day: for each day
+    * in the data span, the count of DISTINCT users active in the
+    * trailing [[rollingWindowDays]]-day window. A sliding DISTINCT
+    * does not decompose into per-day partials (users overlap
+    * windows), so the engine uses the window-explode layout: the
+    * (day, user) touch table — already day-deduped and event-stream-
+    * reducing — explodes each touch into the ≤7 window-ends it
+    * affects (row-local, fixed ×7 fan-out), a second distinct
+    * collapses multi-day users per window, and the per-window count
+    * partial-aggregates. Two bounded-fanout shuffles on an
+    * active-user-sized table, never an event-sized one; window-ends
+    * past the data's last day are clipped (their windows would keep
+    * shrinking). Leading partial windows (first 6 days) count since
+    * data start, the standard dashboard convention. */
+  def qRollingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val du = Tables.events(s, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val mx = du.agg(max($"day").as("mx"))
+    du.select(explode(expr(s"sequence(day, date_add(day, ${rollingWindowDays - 1}))"))
+        .as("win_end"), $"user_id")
+      .distinct()
+      .crossJoin(broadcast(mx))
+      .filter($"win_end" <= $"mx")
+      .groupBy($"win_end".as("day"))
+      .agg(count(lit(1)).as("wau"))
+      .orderBy($"day")
+  }
+
+  val qRollingActiveUsersSql: String =
+    s"""WITH du AS (
+       |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+       |w AS (
+       |  SELECT DISTINCT day + CAST(i AS INTEGER) AS win_end, user_id
+       |  FROM du, (SELECT unnest(range($rollingWindowDays)) AS i)),
+       |mx AS (SELECT max(day) AS mx FROM du)
+       |SELECT win_end AS day, count(*) AS wau
+       |FROM w, mx WHERE win_end <= mx
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------------
   // q_cohort_ltv — cumulative revenue by signup cohort and age
   // ------------------------------------------------------------------
@@ -2059,6 +2102,7 @@ object Behavioral {
     "q_chi2_independence" -> (qChi2Independence _),
     "q_cohort_ltv"      -> (qCohortLtv _),
     "q_dau_new_returning" -> (qDauNewReturning _),
+    "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_holt_forecast"   -> (qHoltForecast _),
     "q_segment_overlap" -> (qSegmentOverlap _),
     "q_cusum"         -> (qCusum _),
@@ -2094,6 +2138,7 @@ object Behavioral {
     "q_chi2_independence" -> qChi2IndependenceSql,
     "q_cohort_ltv"      -> qCohortLtvSql,
     "q_dau_new_returning" -> qDauNewReturningSql,
+    "q_rolling_active_users" -> qRollingActiveUsersSql,
     "q_holt_forecast"   -> qHoltForecastSql,
     "q_segment_overlap" -> qSegmentOverlapSql,
     "q_cusum"         -> qCusumSql,

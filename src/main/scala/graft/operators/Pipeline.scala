@@ -1037,6 +1037,40 @@ object Pipeline {
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** §2.8 — LEAKAGE-SAFE split: the SOURCE is the assignment unit.
+    * Near-duplicate and template text clusters within a crawl source,
+    * so a doc-level split ([[splitAssign]]) leaks train text into
+    * eval through unsplit near-dups; grouping the split by source is
+    * the standard defense (and the reason eval suites split by URL
+    * domain). Each source draws its split from the seeded PRF coin
+    * and every document INHERITS it — row-local (the hash is of the
+    * source string on each row; no distinct, no join, no shuffle
+    * beyond the output sort), deterministic, cluster-size-invariant.
+    * Proportions hold in expectation at the SOURCE level, the price
+    * of leakage safety. */
+  def splitBySource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("h", substring(
+        md5(concat(lit(s"$splitSeed:src:"), $"source").cast("binary")), 1, 4))
+      .withColumn("split",
+        when($"h" < lit(splitTestHex), "test")
+          .when($"h" < lit(splitValHex), "val")
+          .otherwise("train"))
+      .select($"doc_id", $"source", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val splitBySourceSql: String =
+    s"""SELECT doc_id, source,
+       |  CASE WHEN h < '$splitTestHex' THEN 'test'
+       |       WHEN h < '$splitValHex' THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM (SELECT doc_id, source,
+       |        substr(md5('$splitSeed:src:' || source), 1, 4) AS h
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
   /** Co-occurrence window (max token distance) and minimum pair
     * support for [[corpusPmi]]. */
   val pmiMaxDist = 2
@@ -1534,6 +1568,7 @@ object Pipeline {
     "decontaminate"     -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "split_assign"      -> (splitAssign _),
+    "split_by_source"   -> (splitBySource _),
     "doc_length_buckets" -> (docLengthBuckets _)
   )
 
@@ -1564,6 +1599,7 @@ object Pipeline {
     // bit-identical scale path: shares the exact-broadcast oracle
     "decontaminate_bloom" -> decontaminateSql,
     "split_assign"      -> splitAssignSql,
+    "split_by_source"   -> splitBySourceSql,
     "doc_length_buckets" -> docLengthBucketsSql
   )
 }

@@ -1523,6 +1523,60 @@ object Relational {
        |ORDER BY constraint_name""".stripMargin
 
   /** k-anonymity threshold for [[qKAnonymity]]. */
+  /** §2.3 — functional-dependency audit (the schema-discovery /
+    * data-contract instrument next to [[qConstraints]]'s declared
+    * checks): for each CLAIMED dependency lhs → rhs, how many lhs
+    * keys actually map to more than one rhs value, and the worst
+    * fan-out. The audited pairs here exercise both a holding FD
+    * (orderkey → its order's priority, true by construction through
+    * the join) and violated ones (orderkey → returnflag / shipdate —
+    * lineitems of one order genuinely differ). Per FD the layout is
+    * dedup-then-count: one DISTINCT (lhs, rhs) pass (map-side
+    * partial), a per-lhs count riding on it, and a scalar rollup —
+    * never a value-set buffer; the branches union into an FD-count-
+    * sized table. */
+  def qFdAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    def audit(fd: String, pairs: DataFrame): DataFrame =
+      pairs.toDF("k", "v").distinct()
+        .groupBy($"k").agg(count(lit(1)).as("n_vals"))
+        .agg(count(lit(1)).as("n_keys"),
+          countIf($"n_vals" > 1L).as("n_violating_keys"),
+          max($"n_vals").as("max_fanout"))
+        .select(lit(fd).as("fd"), $"n_keys", $"n_violating_keys", $"max_fanout",
+          expr(rndSql("CAST(n_violating_keys AS DOUBLE) / CAST(n_keys AS DOUBLE)", 6))
+            .as("violation_share"))
+    audit("l_orderkey->l_returnflag",
+        li.select($"l_orderkey", $"l_returnflag"))
+      .unionByName(audit("l_orderkey->l_shipdate",
+        li.select($"l_orderkey", $"l_shipdate".cast("string"))))
+      .unionByName(audit("l_orderkey->o_orderpriority",
+        li.select($"l_orderkey")
+          .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority"),
+            $"l_orderkey" === $"o_orderkey")
+          .select($"l_orderkey", $"o_orderpriority")))
+      .orderBy($"fd")
+  }
+
+  val qFdAuditSql: String = {
+    def auditSql(fd: String, pairs: String): String =
+      s"""SELECT '$fd' AS fd, count(*) AS n_keys,
+         |  ${countIfSql("n_vals > 1")} AS n_violating_keys,
+         |  max(n_vals) AS max_fanout,
+         |  ${rndSql("CAST(" + countIfSql("n_vals > 1") + " AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS violation_share
+         |FROM (SELECT k, count(*) AS n_vals
+         |      FROM (SELECT DISTINCT * FROM ($pairs) p(k, v)) GROUP BY k)""".stripMargin
+    Seq(
+      auditSql("l_orderkey->l_returnflag",
+        "SELECT l_orderkey, l_returnflag FROM lineitem"),
+      auditSql("l_orderkey->l_shipdate",
+        "SELECT l_orderkey, CAST(l_shipdate AS VARCHAR) FROM lineitem"),
+      auditSql("l_orderkey->o_orderpriority",
+        "SELECT l_orderkey, o_orderpriority FROM lineitem JOIN orders ON l_orderkey = o_orderkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   val kAnonK = 5L
   /** Balance generalization width (the numeric quasi-identifier is
     * coarsened to this bucket before grouping, standard k-anonymity
@@ -2356,6 +2410,120 @@ object Relational {
        |GROUP BY s_name
        |ORDER BY numwait DESC, s_name""".stripMargin
 
+  /** Quantity-sum cutoff for [[q18LargeOrders]]. */
+  val q18Threshold = 200.0
+
+  /** TPC-H Q18 shape (large-volume orders) — IN over an aggregate
+    * HAVING on the SAME fact: the classic plan runs the subquery as a
+    * separate scan and semi-joins; here the IN + HAVING + the
+    * outer SUM collapse into ONE lineitem aggregate (the qualifying
+    * filter needs the same per-order sum the output displays, so a
+    * second pass would be pure waste). The qualifying set (~0.1% of
+    * orders at the cutoff) broadcasts into the orders scan and the
+    * joined result broadcasts into customer — after the one fact
+    * shuffle everything is dimension-sized. Top-100 by
+    * (totalprice, date, orderkey) plans as TakeOrderedAndProject —
+    * never a global sort. */
+  def q18LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > q18Threshold)
+    val withOrders = Tables.orders(s, dir)
+      .join(broadcast(bigOrders), $"o_orderkey" === $"l_orderkey")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice", $"sum_qty")
+    Tables.customer(s, dir)
+      .join(broadcast(withOrders), $"c_custkey" === $"o_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"sum_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      .limit(100)
+  }
+
+  /** Oracle: the classic nested IN + HAVING formulation verbatim. */
+  val q18LargeOrdersSql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM customer, orders, lineitem
+       |WHERE o_orderkey IN (
+       |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+       |    HAVING ${dsumSql("l_quantity")} > $q18Threshold)
+       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+       |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+       |LIMIT 100""".stripMargin
+
+  /** Focus parameters for [[q8MarketShare]]. */
+  val q8Region = "ASIA"
+  val q8Nation = "NATION_7"
+  val q8PartType = "PROMO"
+
+  /** TPC-H Q8 shape (national market share) — the conditional-share
+    * two-level aggregate over a multi-fact join chain: of all [[
+    * q8PartType]]-part revenue sold to [[q8Region]] customers, the
+    * fraction supplied by [[q8Nation]], per order year. Every
+    * dimension (part slice, supplier→nation, customer-side
+    * nation⋈region) broadcasts; the only shuffles are the two
+    * inherent fact-fact joins (lineitem⋈orders on the order key,
+    * then ⋈customer on the customer key) and the |years|-sized
+    * rollup. The share is a row-local CASE inside ONE aggregate —
+    * never two joined subqueries — on exact quantized revenue. */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val asiaCust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter($"r_name" === q8Region)),
+            $"n_regionkey" === $"r_regionkey")
+          .select($"n_nationkey")),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey")
+    val suppNation = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("supp_nation")))
+    val vol = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter($"p_type" === q8PartType)
+        .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .join(suppNation, $"l_suppkey" === $"s_suppkey")
+      .withColumn("vol_q",
+        quantize($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).cast("long"))
+      .select($"l_orderkey", $"supp_nation", $"vol_q")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(asiaCust, $"o_custkey" === $"c_custkey")
+    vol.groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        (sum(when($"supp_nation" === q8Nation, $"vol_q").otherwise(0L))
+          .cast("double") / lit(10000.0)).as("nation_volume"),
+        (sum($"vol_q").cast("double") / lit(10000.0)).as("total_volume"))
+      .withColumn("mkt_share",
+        expr(Agg0.rndSql("nation_volume / total_volume", 6)))
+      .select($"o_year", $"nation_volume", $"total_volume", $"mkt_share")
+      .orderBy($"o_year")
+  }
+
+  val q8MarketShareSql: String =
+    s"""WITH vol AS (
+       |  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+       |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0
+       |      + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vol_q
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey AND p_type = '$q8PartType'
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = '$q8Region')
+       |SELECT o_year,
+       |  CAST(sum(CASE WHEN supp_nation = '$q8Nation' THEN vol_q ELSE 0 END) AS DOUBLE) / 10000.0 AS nation_volume,
+       |  CAST(sum(vol_q) AS DOUBLE) / 10000.0 AS total_volume,
+       |  ${Agg0.rndSql(
+         "(CAST(sum(CASE WHEN supp_nation = '" + q8Nation + "' THEN vol_q ELSE 0 END) AS DOUBLE) / 10000.0) / " +
+           "(CAST(sum(vol_q) AS DOUBLE) / 10000.0)", 6)} AS mkt_share
+       |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin
+
   /** §2.3 — peak session concurrency per day: the classic sweep-line
     * over session intervals — +1 at each session start, −1 at each
     * end, the running sum IS the live-session count, its per-day max
@@ -2572,6 +2740,9 @@ object Relational {
     "q17_small_qty_revenue" -> (q17SmallQtyRevenue _),
     "q20_excess_suppliers"  -> (q20ExcessSuppliers _),
     "q21_waiting_suppliers" -> (q21SoleLateSuppliers _),
+    "q18_large_orders"      -> (q18LargeOrders _),
+    "q8_market_share"       -> (q8MarketShare _),
+    "q_fd_audit"            -> (qFdAudit _),
     "q_pareto_deciles"   -> (qParetoDeciles _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q7_nation_trade"    -> (q7NationTrade _),
@@ -2637,6 +2808,9 @@ object Relational {
     "q17_small_qty_revenue" -> q17SmallQtyRevenueSql,
     "q20_excess_suppliers"  -> q20ExcessSuppliersSql,
     "q21_waiting_suppliers" -> q21SoleLateSuppliersSql,
+    "q18_large_orders"      -> q18LargeOrdersSql,
+    "q8_market_share"       -> q8MarketShareSql,
+    "q_fd_audit"            -> qFdAuditSql,
     "q_pareto_deciles"   -> qParetoDecilesSql,
     "q10_returned_revenue" -> q10ReturnedRevenueSql,
     "q7_nation_trade"    -> q7NationTradeSql,

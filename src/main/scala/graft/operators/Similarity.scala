@@ -774,7 +774,98 @@ object Similarity {
        |  ${rndSql("CAST(sum(vbq) AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)} AS var_trace_new
        |FROM q""".stripMargin
 
+  // ---- binary (sign) quantization + Hamming search ----------------
+
+  /** Sign-bit packing of `v` (d = 64) into ONE BIGINT, as a SQL
+    * fragment over a double-array column: bit i set iff v[i] > 0.
+    * Two's-complement equivalence pins the cross-engine value: the
+    * OR-of-shifts here equals −2^63·b₆₃ + Σ_{i<63} 2^i·bᵢ, which is
+    * how the oracle (no bit-OR aggregate in SQL) computes it. */
+  private def signCode(v: String): String =
+    s"""aggregate(transform($v, (x, i) ->
+       |  IF(x > CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+       |  CAST(0 AS BIGINT), (acc, b) -> acc | b)""".stripMargin
+
+  /** §2.5 — binary (sign) quantization: each 64-dim embedding packs
+    * to a SINGLE 8-byte code (256 KB per billion vectors per... 8 GB
+    * per 10⁹ — small enough to pin in memory fleet-wide), the
+    * heaviest compression tier below int8/PQ. Row-local codegen'd
+    * fold, no shuffle beyond the output sort; n_pos (popcount) rides
+    * along as the code's mass diagnostic. */
+  def embedBinary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .select($"vec_id", expr(signCode("v")).as("code"))
+      .withColumn("n_pos", expr("CAST(bit_count(code) AS INT)"))
+      .orderBy($"vec_id")
+  }
+
+  val embedBinarySql: String =
+    s"""SELECT vec_id,
+       |  CAST(list_sum(list_transform(range(0, 64), i ->
+       |    CASE WHEN CAST(embedding[i + 1] AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+       |      CASE WHEN i = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+       |           ELSE (CAST(1 AS BIGINT) << i) END
+       |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code,
+       |  CAST(bit_count(CAST(list_sum(list_transform(range(0, 64), i ->
+       |    CASE WHEN CAST(embedding[i + 1] AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+       |      CASE WHEN i = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+       |           ELSE (CAST(1 AS BIGINT) << i) END
+       |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT)) AS INT) AS n_pos
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** §2.5 — Hamming-distance ANN over the binary codes: the
+    * quantized full scan is ONE xor + popcount per corpus row (two
+    * machine instructions on 8-byte codes — the fastest possible
+    * exhaustive pass; at 10⁹ vectors the whole code table is
+    * node-resident and the scan is memory-bandwidth-bound, the shape
+    * faiss's IndexBinaryFlat uses). Query codes broadcast; top-k per
+    * query by (hamming, neighbor) — the window pair rewrites to the
+    * bounded partial+final TopKPerGroup heap, so no per-query
+    * corpus-sized sort. The standard production use: Hamming
+    * pre-filter shortlist, exact re-rank (31e's refine pattern)
+    * downstream. */
+  def annHamming(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = Tables.embeddings(s, dir)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .select($"vec_id", expr(signCode("v")).as("code"))
+    val q = codes.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"code".as("qcode"))
+    val w = Window.partitionBy($"query_id").orderBy($"hamming", $"vec_id")
+    codes.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("hamming", expr("CAST(bit_count(qcode ^ code) AS INT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"hamming")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val annHammingSql: String =
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(0, 64), i ->
+       |      CASE WHEN CAST(embedding[i + 1] AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+       |        CASE WHEN i = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+       |             ELSE (CAST(1 AS BIGINT) << i) END
+       |      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CAST(bit_count(xor(q.code, c.code)) AS INT) AS hamming
+       |  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank,
+       |  neighbor_id, hamming
+       |FROM scored
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_binary"     -> (embedBinary _),
+    "ann_hamming"      -> (annHamming _),
     "embed_drift"      -> (embedDrift _),
     "embed_pca"        -> (embedPca _),
     "embed_covariance" -> (embedCovariance _),
@@ -787,7 +878,9 @@ object Similarity {
   )
 
   def oracles: Map[String, String] =
-    Map("embed_drift" -> embedDriftSql,
+    Map("embed_binary" -> embedBinarySql,
+        "ann_hamming" -> annHammingSql,
+        "embed_drift" -> embedDriftSql,
         "embed_covariance" -> embedCovarianceSql,
         "ann_bruteforce" -> annBruteforceSql,
         "ann_matryoshka" -> annMatryoshkaSql,
