@@ -467,7 +467,44 @@ object Multimodal {
 
   val mmShardIndexSql: String = s"$mmShardIndexBodySql ORDER BY asset_id"
 
+  /** §2.7 — tar-entry layout inside each webdataset shard: the exact
+    * byte offset every asset's ustar entry starts at (512-byte
+    * header + payload padded to the 512 block, the tar format's
+    * invariant), making [[mmShardIndex]]'s "writing the shards is
+    * embarrassingly parallel" claim concrete — with this manifest a
+    * per-shard writer seeks straight to its offsets, and a trainer
+    * random-accesses any asset with one ranged read, no tar scan.
+    * The intra-shard prefix sum runs per shard (each shard is
+    * size-bounded by construction, so the window partition is
+    * bounded); the two trailing 512-byte end-of-archive blocks are
+    * the writer's epilogue, not a row here. */
+  def mmTarManifest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val entry = "CAST(512 AS BIGINT) + ((n_bytes + 511) div 512) * 512"
+    val w = Window.partitionBy($"shard_id").orderBy($"asset_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mmShardIndex(s, dir)
+      .withColumn("entry_bytes", expr(entry))
+      .withColumn("tar_offset", sum($"entry_bytes").over(w) - $"entry_bytes")
+      .select($"asset_id", $"shard_id", $"mime", $"n_bytes",
+        $"entry_bytes", $"tar_offset")
+      .orderBy($"asset_id")
+  }
+
+  lazy val mmTarManifestSql: String = {
+    val entry = "CAST(512 AS BIGINT) + ((n_bytes + 511) // 512) * 512"
+    s"""WITH idx AS ($mmShardIndexBodySql)
+       |SELECT asset_id, shard_id, mime, n_bytes,
+       |  $entry AS entry_bytes,
+       |  CAST(sum($entry) OVER (PARTITION BY shard_id ORDER BY asset_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    - ($entry) AS tar_offset
+       |FROM idx ORDER BY asset_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_tar_manifest"  -> (mmTarManifest _),
     "mm_shard_balance" -> (mmShardBalance _),
     "mm_shard_index"   -> (mmShardIndex _),
     "mm_manifest"      -> (mmManifest _),
@@ -478,6 +515,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "mm_tar_manifest"  -> mmTarManifestSql,
     "mm_shard_balance" -> mmShardBalanceSql,
     "mm_shard_index"   -> mmShardIndexSql,
     "mm_manifest"      -> mmManifestSql,

@@ -863,9 +863,91 @@ object Similarity {
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Shortlist size for [[annHammingRefine]]. */
+  val hammingShortlist = 10 * k
+
+  /** §2.5 — two-stage binary search, the production deployment of
+    * [[annHamming]]: the 8-byte-code scan shortlists
+    * [[hammingShortlist]] candidates per query (xor+popcount, memory-
+    * bandwidth-bound), then ONLY the shortlist's raw vectors are
+    * fetched (broadcast shortlist — the corpus never shuffles) and
+    * re-ranked by EXACT cosine. Hamming on sign codes approximates
+    * angular order (the SimHash bound: P[bit differs] = θ/π), so the
+    * re-rank repairs its quantization mis-ordering at a corpus-fetch
+    * cost of k·overfetch rows per query; SimilaritySpec asserts
+    * recall dominance over the raw Hamming top-k and exactness of
+    * the reported cosines. */
+  def annHammingRefine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val codes = Tables.embeddings(s, dir)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .select($"vec_id", expr(signCode("v")).as("code"))
+    val q = codes.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"code".as("qcode"))
+    val scored = codes.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("hamming", expr("CAST(bit_count(qcode ^ code) AS INT)"))
+    val shortlist = graft.plans.TopK.perGroup(
+        scored.select($"query_id", $"vec_id", $"hamming"),
+        Seq("query_id"), Seq("hamming" -> false, "vec_id" -> false), hammingShortlist)
+      .select($"query_id", $"vec_id")
+    val qside = broadcast(vectors(s, dir).filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm")))
+    val exact = vectors(s, dir)
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(qside, Seq("query_id"))
+      .withColumn("cosine",
+        expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val annHammingRefineSql: String =
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(range(0, 64), i ->
+       |      CASE WHEN CAST(embedding[i + 1] AS DOUBLE) > CAST(0 AS DOUBLE) THEN
+       |        CASE WHEN i = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+       |             ELSE (CAST(1 AS BIGINT) << i) END
+       |      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS code
+       |  FROM embeddings),
+       |hscored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    CAST(bit_count(xor(q.code, c.code)) AS INT) AS hamming
+       |  FROM codes q JOIN codes c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $nQueries),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
+       |    FROM hscored)
+       |  WHERE rn <= $hammingShortlist),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |ex AS (
+       |  SELECT sl.query_id, sl.vec_id AS neighbor_id,
+       |    ${rndSql("list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)", 6)} AS cosine
+       |  FROM short sl
+       |  JOIN n qn ON qn.vec_id = sl.query_id
+       |  JOIN n cn ON cn.vec_id = sl.vec_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+       |  neighbor_id, cosine
+       |FROM ex
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_binary"     -> (embedBinary _),
     "ann_hamming"      -> (annHamming _),
+    "ann_hamming_refine" -> (annHammingRefine _),
     "embed_drift"      -> (embedDrift _),
     "embed_pca"        -> (embedPca _),
     "embed_covariance" -> (embedCovariance _),
@@ -880,6 +962,7 @@ object Similarity {
   def oracles: Map[String, String] =
     Map("embed_binary" -> embedBinarySql,
         "ann_hamming" -> annHammingSql,
+        "ann_hamming_refine" -> annHammingRefineSql,
         "embed_drift" -> embedDriftSql,
         "embed_covariance" -> embedCovarianceSql,
         "ann_bruteforce" -> annBruteforceSql,

@@ -81,4 +81,31 @@ class SimilaritySpec extends SparkSpec {
       assert(c >= bf(q) - 0.25, s"query $q: lsh best $c far below true best ${bf(q)}")
     }
   }
+
+  test("hamming refine dominates raw hamming recall and reports exact cosines") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bfRows = Similarity.annBruteforce(spark, sfDir).collect()
+    val bf = pairs(Similarity.annBruteforce(spark, sfDir))
+    val bfCos = bfRows.map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ham = pairs(Similarity.annHamming(spark, sfDir))
+    val refRows = Similarity.annHammingRefine(spark, sfDir).collect()
+    val ref = pairs(Similarity.annHammingRefine(spark, sfDir))
+    val rawRecall = (bf & ham).size.toDouble / bf.size
+    val refRecall = (bf & ref).size.toDouble / bf.size
+    // the exact re-rank can only repair the sign-quantized ordering
+    // inside the over-fetched shortlist, never lose a shortlisted
+    // true neighbor
+    assert(refRecall >= rawRecall - 1e-12,
+      s"refine recall $refRecall must dominate raw hamming $rawRecall")
+    println(s"hamming recall@${Similarity.k}: raw $rawRecall, refined $refRecall")
+    // reported cosines are the EXACT metric: any refined pair the
+    // bruteforce also ranked must carry the identical rounded cosine
+    refRows.foreach { r =>
+      bfCos.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(r.getDouble(3) == c,
+          s"refined cosine must be exact for (${r.getLong(0)}, ${r.getLong(2)})")
+      }
+    }
+  }
 }
