@@ -1437,6 +1437,116 @@ object Behavioral {
        |FROM du JOIN f USING (user_id)
        |GROUP BY day ORDER BY day""".stripMargin
 
+  /** χ²(df=1) critical value at α=0.05 for [[qSrmCheck]]. */
+  val srmChi2Crit = 3.841
+
+  /** §2.10 — sample-ratio-mismatch check, the A/B test's smoke
+    * detector: hash-bucketed assignment is SUPPOSED to split users
+    * 50/50, and a ratio drifting off that (broken bucketing, a
+    * variant crashing a client, bot filtering one arm) invalidates
+    * every downstream readout before anyone looks at means — SRM is
+    * checked FIRST, on assignment counts alone. Users assign by the
+    * PRF coin (md5 hex prefix, the splitAssign idiom — the realistic
+    * bucketing whose breakage SRM exists to catch), counts are an
+    * exact distinct-user aggregate (dedup-then-count), and the
+    * χ² goodness-of-fit against 50/50 with its α=0.05 verdict is
+    * row-local on the single aggregate row. */
+  def qSrmCheck(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).select($"user_id").distinct()
+      .withColumn("va",
+        substring(md5(concat(lit("graft-ab-v1:"), $"user_id".cast("string"))
+          .cast("binary")), 1, 4) < lit("8000"))
+      .agg(countIf($"va").as("n_a"), countIf(!$"va").as("n_b"))
+      .withColumn("e", ($"n_a" + $"n_b").cast("double") / lit(2.0))
+      .select($"n_a", $"n_b",
+        expr(rndSql(
+          "(CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e + " +
+            "(CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e", 6)).as("chi2"),
+        (expr(rndSql(
+          "(CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e + " +
+            "(CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e", 6)) >
+          lit(srmChi2Crit)).as("srm_detected"))
+  }
+
+  val qSrmCheckSql: String = {
+    val chi2 = "(CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e + " +
+      "(CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e"
+    s"""WITH u AS (
+       |  SELECT DISTINCT user_id FROM events),
+       |c AS (
+       |  SELECT
+       |    ${countIfSql("substr(md5('graft-ab-v1:' || CAST(user_id AS VARCHAR)), 1, 4) < '8000'")} AS n_a,
+       |    ${countIfSql("substr(md5('graft-ab-v1:' || CAST(user_id AS VARCHAR)), 1, 4) >= '8000'")} AS n_b
+       |  FROM u),
+       |w AS (SELECT n_a, n_b, (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0 AS e FROM c)
+       |SELECT n_a, n_b, ${rndSql(chi2, 6)} AS chi2,
+       |  ${rndSql(chi2, 6)} > $srmChi2Crit AS srm_detected
+       |FROM w""".stripMargin
+  }
+
+  /** Bootstrap replicate count and PRF seed for [[qBootstrapCi]]. */
+  val bootReplicates = 40
+  val bootSeed = "graft-boot-v1"
+
+  /** §2.10 — bootstrap confidence interval for the mean purchase
+    * value: [[bootReplicates]] half-subsample replicates (m-out-of-n
+    * WITHOUT replacement, m ≈ n/2 — each replicate keeps a row iff
+    * the seeded PRF coin md5(seed:b:event_id) lands heads, so
+    * membership is a pure deterministic function and both engines
+    * draw the IDENTICAL resamples; conservative next to the n-out
+    * classic, which a deterministic cross-engine Poisson draw can't
+    * replicate cheaply), the 2.5/97.5 percentiles of the replicate
+    * means as the CI.
+    *
+    * Scale: the B× membership explode is ROW-LOCAL at the scan and
+    * partial-aggregates immediately — only B running (sum, count)
+    * pairs per task reach the one shuffle (the Poisson-bootstrap
+    * layout every big-data stats stack uses); the percentile runs
+    * over exactly B rows. */
+  def qBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"value")
+    val means = ev
+      .select($"event_id", $"value",
+        explode(expr(s"sequence(0, ${bootReplicates - 1})")).as("b"))
+      .filter(substring(md5(concat(lit(s"$bootSeed:"), $"b".cast("string"),
+        lit(":"), $"event_id".cast("string")).cast("binary")), 1, 4) < lit("8000"))
+      .groupBy($"b")
+      .agg((dsum($"value") / count(lit(1))).as("m"))
+    val ci = means.agg(
+      count(lit(1)).as("n_replicates"),
+      expr(rndSql("percentile(m, CAST(0.025 AS DOUBLE))", 6)).as("ci_lo"),
+      expr(rndSql("percentile(m, CAST(0.975 AS DOUBLE))", 6)).as("ci_hi"))
+    ev.agg(count(lit(1)).as("n"),
+        graft.functions.Agg.rnd(davg($"value"), 6).as("mean_full"))
+      .crossJoin(ci)
+      .select($"n", $"mean_full", $"ci_lo", $"ci_hi", $"n_replicates")
+  }
+
+  val qBootstrapCiSql: String =
+    s"""WITH ev AS (
+       |  SELECT event_id, value FROM events WHERE event_type = 'purchase'),
+       |reps AS (
+       |  SELECT b, event_id, value
+       |  FROM ev, (SELECT unnest(range($bootReplicates)) AS b)
+       |  WHERE substr(md5('$bootSeed:' || CAST(b AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)), 1, 4) < '8000'),
+       |means AS (
+       |  SELECT b, ${graft.functions.Agg.dsumSql("value")} / count(*) AS m
+       |  FROM reps GROUP BY b),
+       |ci AS (
+       |  SELECT count(*) AS n_replicates,
+       |    ${rndSql("quantile_cont(m, CAST(0.025 AS DOUBLE))", 6)} AS ci_lo,
+       |    ${rndSql("quantile_cont(m, CAST(0.975 AS DOUBLE))", 6)} AS ci_hi
+       |  FROM means),
+       |f AS (
+       |  SELECT count(*) AS n,
+       |    ${rndSql(graft.functions.Agg.davgSql("value"), 6)} AS mean_full
+       |  FROM ev)
+       |SELECT n, mean_full, ci_lo, ci_hi, n_replicates FROM f, ci""".stripMargin
+
   /** Rolling window length (days) for [[qRollingActiveUsers]]. */
   val rollingWindowDays = 7
 
@@ -2103,6 +2213,8 @@ object Behavioral {
     "q_cohort_ltv"      -> (qCohortLtv _),
     "q_dau_new_returning" -> (qDauNewReturning _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
+    "q_srm_check"            -> (qSrmCheck _),
+    "q_bootstrap_ci"         -> (qBootstrapCi _),
     "q_holt_forecast"   -> (qHoltForecast _),
     "q_segment_overlap" -> (qSegmentOverlap _),
     "q_cusum"         -> (qCusum _),
@@ -2139,6 +2251,8 @@ object Behavioral {
     "q_cohort_ltv"      -> qCohortLtvSql,
     "q_dau_new_returning" -> qDauNewReturningSql,
     "q_rolling_active_users" -> qRollingActiveUsersSql,
+    "q_srm_check"            -> qSrmCheckSql,
+    "q_bootstrap_ci"         -> qBootstrapCiSql,
     "q_holt_forecast"   -> qHoltForecastSql,
     "q_segment_overlap" -> qSegmentOverlapSql,
     "q_cusum"         -> qCusumSql,

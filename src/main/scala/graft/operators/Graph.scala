@@ -627,7 +627,68 @@ object Graph {
        |ORDER BY sim DESC, part_a, part_b
        |LIMIT $neighborSimTopN""".stripMargin
 
+  /** Reported candidates for [[graphLinkPredict]]. */
+  val linkTopN = 50
+
+  /** §2.12 — link prediction over the strong co-purchase graph:
+    * Adamic-Adar scores for NON-adjacent part pairs with common
+    * neighbors — score(a,b) = Σ_z 1/ln(deg z) over shared neighbors
+    * z, the classic recommender signal ("parts that share rare
+    * co-purchase hubs will be co-bought next"). Common-neighbor
+    * enumeration is the two-path join over the STAGED strong-edge
+    * artifact (bounded by the support threshold — never the raw
+    * fact), existing edges anti-join out, hub weights come from the
+    * part-sized degree table, and the global top-N plans as
+    * TakeOrdered. Degree-1 hubs (1/ln 1 = ∞) can't occur: a common
+    * neighbor has degree ≥ 2 by construction. */
+  def graphLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val sup = strongEdges(s, dir)
+    val und = sup.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(sup.select($"v".as("src"), $"u".as("dst")))
+    val deg = und.groupBy($"src").agg(count(lit(1)).as("deg"))
+    val twoPath = und.select($"src".as("a"), $"dst".as("z"))
+      .join(und.select($"src".as("z2"), $"dst".as("b")), $"z" === $"z2")
+      .filter($"a" < $"b")
+      .select($"a", $"b", $"z")
+    twoPath
+      .join(sup.select($"u".as("a"), $"v".as("b")), Seq("a", "b"), "left_anti")
+      .join(deg.select($"src".as("z"), $"deg"), "z")
+      .groupBy($"a", $"b")
+      .agg(count(lit(1)).as("n_common"),
+        rnd(sum(expr("CAST(floor(1e9 / ln(CAST(deg AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .cast("double") / lit(1e9), 6).as("aa_score"))
+      .orderBy($"aa_score".desc, $"a", $"b")
+      .limit(linkTopN)
+  }
+
+  val graphLinkPredictSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT a.l_orderkey) >= $triangleMinSupport),
+       |und AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+       |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+       |tp AS (
+       |  SELECT e1.src AS a, e2.dst AS b, e1.dst AS z
+       |  FROM und e1 JOIN und e2 ON e1.dst = e2.src
+       |  WHERE e1.src < e2.dst
+       |    AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = e1.src AND e.v = e2.dst))
+       |SELECT a, b, count(*) AS n_common,
+       |  ${rndSql("CAST(sum(CAST(floor(1e9 / ln(CAST(deg AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 1e9", 6)} AS aa_score
+       |FROM tp JOIN deg ON tp.z = deg.src
+       |GROUP BY a, b
+       |ORDER BY aa_score DESC, a, b
+       |LIMIT $linkTopN""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_link_predict"     -> (graphLinkPredict _),
     "graph_neighbor_sim"     -> (graphNeighborSim _),
     "graph_pagerank"         -> (graphPagerank _),
     "graph_pagerank_indexed" -> (graphPagerankIndexed _),
@@ -639,6 +700,7 @@ object Graph {
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_link_predict"     -> graphLinkPredictSql,
     "graph_neighbor_sim"     -> graphNeighborSimSql,
     "graph_pagerank"         -> graphPagerankSql,
     // identical recurrence over the persisted edge artifact
