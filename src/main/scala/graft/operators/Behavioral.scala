@@ -1437,6 +1437,67 @@ object Behavioral {
        |FROM du JOIN f USING (user_id)
        |GROUP BY day ORDER BY day""".stripMargin
 
+  /** Conversion deadline for [[qFunnelBoxed]] (µs): later steps only
+    * count within this horizon of the user's FIRST view. */
+  val funnelBoxUs: Long = 7L * 86400L * 1000000L
+
+  /** §2.10 — TIME-BOXED funnel, the product-analytics default (47's
+    * unbounded chain answers "ever converted"; real dashboards ask
+    * "converted within 7 days of first touch"): view → click →
+    * purchase in order, with click AND purchase required inside
+    * [[funnelBoxUs]] of the first view. Identical single user-keyed
+    * window pass as 47 — the deadline is one more row-local
+    * conjunct on each step predicate, zero extra shuffles — which is
+    * the point: a semantic family (any step list × any horizon)
+    * served by one plan shape. */
+  def qFunnelBoxed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = Tables.events(s, dir)
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("t1", min(when($"event_type" === "view", $"us")).over(w))
+      .withColumn("q2", when($"event_type" === "click" && $"us" > $"t1" &&
+        $"us" <= $"t1" + lit(funnelBoxUs), $"us"))
+      .withColumn("t2", min($"q2").over(w))
+      .withColumn("q3", when($"event_type" === "purchase" && $"us" > $"t2" &&
+        $"us" <= $"t1" + lit(funnelBoxUs), $"us"))
+    staged.groupBy($"user_id")
+      .agg(
+        max(when($"event_type" === "view", 1L).otherwise(0L)).as("s1"),
+        max(when($"q2".isNotNull, 1L).otherwise(0L)).as("s2"),
+        max(when($"q3".isNotNull, 1L).otherwise(0L)).as("s3"))
+      .agg(
+        count(lit(1)).as("users_total"),
+        sum($"s1").as("users_view"),
+        sum($"s2").as("users_click"),
+        sum($"s3").as("users_purchase"))
+  }
+
+  val qFunnelBoxedSql: String =
+    s"""WITH f AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1
+       |  FROM events GROUP BY user_id
+       |), c AS (
+       |  SELECT f.user_id, f.t1, min(epoch_us(e.ts)) AS t2
+       |  FROM events e JOIN f ON e.user_id = f.user_id
+       |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > f.t1
+       |    AND epoch_us(e.ts) <= f.t1 + $funnelBoxUs
+       |  GROUP BY f.user_id, f.t1
+       |), p AS (
+       |  SELECT c.user_id, min(epoch_us(e.ts)) AS t3
+       |  FROM events e JOIN c ON e.user_id = c.user_id
+       |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+       |    AND epoch_us(e.ts) <= c.t1 + $funnelBoxUs
+       |  GROUP BY c.user_id
+       |)
+       |SELECT
+       |  (SELECT count(DISTINCT user_id) FROM events) AS users_total,
+       |  (SELECT count(*) FROM f WHERE t1 IS NOT NULL) AS users_view,
+       |  (SELECT count(*) FROM c) AS users_click,
+       |  (SELECT count(*) FROM p) AS users_purchase""".stripMargin
+
   /** χ²(df=1) critical value at α=0.05 for [[qSrmCheck]]. */
   val srmChi2Crit = 3.841
 
@@ -2214,6 +2275,7 @@ object Behavioral {
     "q_dau_new_returning" -> (qDauNewReturning _),
     "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_srm_check"            -> (qSrmCheck _),
+    "q_funnel_boxed"         -> (qFunnelBoxed _),
     "q_bootstrap_ci"         -> (qBootstrapCi _),
     "q_holt_forecast"   -> (qHoltForecast _),
     "q_segment_overlap" -> (qSegmentOverlap _),
@@ -2252,6 +2314,7 @@ object Behavioral {
     "q_dau_new_returning" -> qDauNewReturningSql,
     "q_rolling_active_users" -> qRollingActiveUsersSql,
     "q_srm_check"            -> qSrmCheckSql,
+    "q_funnel_boxed"         -> qFunnelBoxedSql,
     "q_bootstrap_ci"         -> qBootstrapCiSql,
     "q_holt_forecast"   -> qHoltForecastSql,
     "q_segment_overlap" -> qSegmentOverlapSql,
