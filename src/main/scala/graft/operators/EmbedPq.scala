@@ -619,7 +619,7 @@ object EmbedPq {
     * fixed (p,q) sweep order, fixed convergence threshold — identical
     * output for identical input on any host. Returns (eigenvalues,
     * eigenvector columns). */
-  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+  private[graft] def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone())
     val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)

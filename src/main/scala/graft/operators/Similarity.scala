@@ -863,6 +863,102 @@ object Similarity {
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Eigenvalue floor for [[embedWhiten]]'s scale (a collapsed
+    * dimension would otherwise divide by ~0). */
+  val whitenEps = 1e-9
+
+  /** Staged whitening basis: the FULL eigendecomposition of the
+    * corpus covariance (descending eigenvalue, the OPQ sign
+    * convention — deterministic cyclic Jacobi on the driver over the
+    * same staged [[embedMoments]] the PCA/OPQ family consumes), one
+    * row per component j with its eigenvalue, loading vector and the
+    * corpus mean. Bounded d-row artifact like the PQ codebooks. */
+  private[graft] def whitenBasis(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "whiten_basis", dir) {
+      import s.implicits._
+      val cov = embedCovariance(s, dir).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val d = cov.iterator.map(_._2).max
+      val C = Array.ofDim[Double](d, d)
+      cov.foreach { case (i, j, c) => C(i - 1)(j - 1) = c; C(j - 1)(i - 1) = c }
+      val diag = embedMoments(s, dir).filter($"i" === $"j")
+        .select($"i", $"sx9", $"n").collect()
+      val n = diag.head.getLong(2)
+      val muArr = {
+        val m = diag.map(r => r.getInt(0) ->
+          r.getDecimal(1).doubleValue() / 1e9 / n.toDouble).toMap
+        (1 to d).map(m).toArray
+      }
+      val (eigVals, eigVecs) = EmbedPq.jacobiEigen(C)
+      val order = eigVals.zipWithIndex.sortBy { case (w, i) => (-w, i) }.map(_._2)
+      val rows = order.zipWithIndex.map { case (c, jm1) =>
+        val col = Array.tabulate(d)(r => eigVecs(r)(c))
+        val mx = col.indices.maxBy(kk => (math.abs(col(kk)), -kk))
+        val signed = if (col(mx) < 0) col.map(-_) else col
+        (jm1 + 1, eigVals(c), signed.toSeq, muArr.toSeq)
+      }
+      rows.toSeq.toDF("j", "lam", "r", "mu")
+    }
+
+  /** §2.5 — WHITENING transform: every embedding centered, rotated
+    * into the eigenbasis and scaled by 1/√λ, so the output
+    * distribution has (population) identity covariance — the
+    * standard pre-step before cosine-sensitive indexing and the
+    * strongest form of the anisotropy repair [[embedPca]] measures
+    * 1-D. Per row the projection is a d² row-local codegen'd fold
+    * against the broadcast basis (exact 1e-9-quantized per-component
+    * sums, so both engines produce identical doubles); reported:
+    * first two whitened coordinates + the whitened squared norm
+    * (itself summed from quantized terms — order-independent).
+    * SimilaritySpec asserts the whitening property: unit variance on
+    * the leading components. */
+  def embedWhiten(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = whitenBasis(s, dir)
+      .agg(sort_array(collect_list(struct($"j", $"lam", $"r"))).as("bs"),
+        first($"mu").as("mu"))
+      .select(expr("transform(bs, x -> x.r)").as("rs"),
+        expr("transform(bs, x -> x.lam)").as("lams"), $"mu")
+    Tables.embeddings(s, dir)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .crossJoin(broadcast(b))
+      .withColumn("centered", expr("zip_with(v, mu, (x, m) -> x - m)"))
+      .withColumn("wcs", expr(
+        s"""zip_with(
+           |  transform(rs, r -> aggregate(
+           |    zip_with(centered, r, (c, w) -> CAST(floor(c * w * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),
+           |    CAST(0 AS BIGINT), (a, q) -> a + q)),
+           |  lams,
+           |  (q, l) -> (CAST(q AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+           |    / sqrt(greatest(l, CAST($whitenEps AS DOUBLE))))""".stripMargin))
+      .select($"vec_id",
+        expr(rndSql("element_at(wcs, 1)", 6)).as("wc1"),
+        expr(rndSql("element_at(wcs, 2)", 6)).as("wc2"),
+        expr(rndSql(
+          """CAST(aggregate(transform(wcs, w ->
+            |  CAST(floor(w * w * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),
+            |  CAST(0 AS BIGINT), (a, t) -> a + t) AS DOUBLE) / CAST(1000000000 AS DOUBLE)"""
+            .stripMargin, 6)).as("wnorm2"))
+      .orderBy($"vec_id")
+  }
+
+  def embedWhitenSql(glob: String): String =
+    s"""WITH b AS (SELECT j, lam, r, mu FROM read_parquet('$glob')),
+       |pj AS (
+       |  SELECT e.vec_id, b.j,
+       |    (CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+       |      CAST(floor((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) - b.mu[CAST(i AS INT)])
+       |        * b.r[CAST(i AS INT)] * CAST(1000000000 AS DOUBLE)
+       |        + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS DOUBLE) / CAST(1000000000 AS DOUBLE))
+       |      / sqrt(greatest(b.lam, CAST($whitenEps AS DOUBLE))) AS wc
+       |  FROM embeddings e, b)
+       |SELECT vec_id,
+       |  ${rndSql("max(CASE WHEN j = 1 THEN wc END)", 6)} AS wc1,
+       |  ${rndSql("max(CASE WHEN j = 2 THEN wc END)", 6)} AS wc2,
+       |  ${rndSql(
+         "CAST(sum(CAST(floor(wc * wc * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)} AS wnorm2
+       |FROM pj GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   /** Shortlist size for [[annHammingRefine]]. */
   val hammingShortlist = 10 * k
 
@@ -948,6 +1044,7 @@ object Similarity {
     "embed_binary"     -> (embedBinary _),
     "ann_hamming"      -> (annHamming _),
     "ann_hamming_refine" -> (annHammingRefine _),
+    "embed_whiten"     -> (embedWhiten _),
     "embed_drift"      -> (embedDrift _),
     "embed_pca"        -> (embedPca _),
     "embed_covariance" -> (embedCovariance _),
@@ -973,5 +1070,7 @@ object Similarity {
       graft.sources.OracleStage.globOf("lsh_buckets")
         .map(g => "ann_lsh" -> annLshSql(g)) ++
       graft.sources.OracleStage.globOf("pca_basis")
-        .map(g => "embed_pca" -> embedPcaSql(g))
+        .map(g => "embed_pca" -> embedPcaSql(g)) ++
+      graft.sources.OracleStage.globOf("whiten_basis")
+        .map(g => "embed_whiten" -> embedWhitenSql(g))
 }

@@ -82,6 +82,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("whitened coordinates have unit population variance and zero mean") {
+    val rows = Similarity.embedWhiten(spark, sfDir).collect()
+    val n = rows.length.toDouble
+    for ((col, name) <- Seq(1 -> "wc1", 2 -> "wc2")) {
+      val xs = rows.map(_.getDouble(col))
+      val mean = xs.sum / n
+      val varp = xs.map(x => (x - mean) * (x - mean)).sum / n
+      // covariance uses the population (1/n) convention, so the
+      // whitened population variance is 1 up to the quantized
+      // rounding of the staged basis
+      assert(math.abs(mean) < 0.05, s"$name mean $mean")
+      assert(math.abs(varp - 1.0) < 0.05, s"$name variance $varp must be ~1")
+    }
+  }
+
   test("hamming refine dominates raw hamming recall and reports exact cosines") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
