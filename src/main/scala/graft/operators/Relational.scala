@@ -2524,6 +2524,93 @@ object Relational {
            "(CAST(sum(vol_q) AS DOUBLE) / 10000.0)", 6)} AS mkt_share
        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin
 
+  /** Cost fraction of retail price standing in for supply cost in
+    * [[q9ProductProfit]] (this corpus has no partsupp table). */
+  val q9CostFactor = 0.6
+
+  /** TPC-H Q9 shape (product-type profit by nation and year) — the
+    * widest join tree in the curriculum: lineitem joined to part
+    * (name-filtered: the 'blue' slice), supplier, nation and orders at once, profit =
+    * disc. revenue − cost (cost proxied at [[q9CostFactor]] × retail
+    * price × quantity — no partsupp here), rolled up per (supplier
+    * nation, order year). All three dims broadcast behind the
+    * name-filter prune; the ONE fact-fact shuffle is
+    * lineitem⋈orders on the order key; profit quantizes exactly at
+    * 1e-4 per row, so the rollup is the commutative integer sum. */
+  def q9ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val greenParts = broadcast(Tables.part(s, dir)
+      .filter($"p_name".startsWith("blue "))
+      .select($"p_partkey", $"p_retailprice"))
+    val suppNation = broadcast(Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).select($"n_nationkey", $"n_name")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey", $"n_name".as("nation")))
+    Tables.lineitem(s, dir)
+      .join(greenParts, $"l_partkey" === $"p_partkey")
+      .join(suppNation, $"l_suppkey" === $"s_suppkey")
+      .withColumn("profit_q",
+        quantize($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+          lit(q9CostFactor) * $"p_retailprice" * $"l_quantity", 4).cast("long"))
+      .select($"l_orderkey", $"nation", $"profit_q")
+      .join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"nation", year($"o_orderdate").as("o_year"))
+      .agg((sum($"profit_q").cast("double") / lit(10000.0)).as("profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  val q9ProductProfitSql: String =
+    s"""SELECT sn.n_name AS nation, year(o_orderdate) AS o_year,
+       |  CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)
+       |      - $q9CostFactor * p_retailprice * l_quantity) * 10000.0
+       |      + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 10000.0 AS profit,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'blue %'
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q16 shape (supplier diversity per part segment, with an
+    * exclusion list) — NOT IN as a broadcast ANTI join + the exact
+    * distinct count: per (brand, size bracket), how many DISTINCT
+    * suppliers ship those parts, excluding blacklisted suppliers
+    * (negative account balance stands in for Q16's complaint
+    * filter). The NOT IN side is dimension-sized and broadcasts as a
+    * left-anti build; the distinct count is dedup-then-count (one
+    * DISTINCT (brand, bracket, supplier) pass with map-side
+    * partials, then the counting aggregate) — never a
+    * count(DISTINCT) buffer per group. */
+  def q16SupplierCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val excluded = Tables.supplier(s, dir)
+      .filter($"s_acctbal" < 0.0).select($"s_suppkey")
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .filter($"p_brand" =!= "Brand#45")
+          .select($"p_partkey", $"p_brand", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .join(broadcast(excluded), $"l_suppkey" === $"s_suppkey", "left_anti")
+      .select($"p_brand", expr("p_size div 10").as("size_bracket"), $"l_suppkey")
+      .distinct()
+      .groupBy($"p_brand", $"size_bracket")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"size_bracket")
+  }
+
+  val q16SupplierCountsSql: String =
+    s"""SELECT p_brand, p_size // 10 AS size_bracket,
+       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> 'Brand#45'
+       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+       |GROUP BY 1, 2
+       |ORDER BY supplier_cnt DESC, p_brand, size_bracket""".stripMargin
+
   /** §2.3 — peak session concurrency per day: the classic sweep-line
     * over session intervals — +1 at each session start, −1 at each
     * end, the running sum IS the live-session count, its per-day max
@@ -2743,6 +2830,8 @@ object Relational {
     "q18_large_orders"      -> (q18LargeOrders _),
     "q8_market_share"       -> (q8MarketShare _),
     "q_fd_audit"            -> (qFdAudit _),
+    "q9_product_profit"     -> (q9ProductProfit _),
+    "q16_supplier_counts"   -> (q16SupplierCounts _),
     "q_pareto_deciles"   -> (qParetoDeciles _),
     "q10_returned_revenue" -> (q10ReturnedRevenue _),
     "q7_nation_trade"    -> (q7NationTrade _),
@@ -2811,6 +2900,8 @@ object Relational {
     "q18_large_orders"      -> q18LargeOrdersSql,
     "q8_market_share"       -> q8MarketShareSql,
     "q_fd_audit"            -> qFdAuditSql,
+    "q9_product_profit"     -> q9ProductProfitSql,
+    "q16_supplier_counts"   -> q16SupplierCountsSql,
     "q_pareto_deciles"   -> qParetoDecilesSql,
     "q10_returned_revenue" -> q10ReturnedRevenueSql,
     "q7_nation_trade"    -> q7NationTradeSql,
