@@ -1126,6 +1126,71 @@ object Dedup {
        |          JOIN sigs s2 ON cand.doc2 = s2.doc_id
        |ORDER BY doc1, doc2""".stripMargin
 
+  /** §2.4 — dedup-quality EVAL harness: precision/recall/F1 of the
+    * MinHash+LSH near-dup detector against the exact n-gram Jaccard
+    * ground truth at the same τ — the measurement a pipeline owner
+    * runs before trusting the sketch path at scale (the vector
+    * sibling of [[Similarity]]'s recall specs, promoted to a
+    * first-class oracled query). Truth = the exact τ-cut pair set
+    * (the staged [[interPairs]] artifact — no extra corpus work);
+    * predicted = banded candidates whose ESTIMATED Jaccard clears τ.
+    * The confusion counts come from one full-outer join of two
+    * pair-sized frames; P/R/F1 are row-local on the single aggregate
+    * row (NULL on empty denominators). */
+  def dedupEval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.countIf
+    val truth = ngramPairs(s, dir, shingleDfCap).select($"doc1", $"doc2")
+      .withColumn("t", lit(1L))
+    val banded = bandedSigs(minhashSignatures(s, dir))
+    val pred = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
+        $"a.sig".as("sig1"), $"b.sig".as("sig2"))
+      .dropDuplicates("doc1", "doc2")
+      .withColumn("est", expr(estJaccard("sig1", "sig2")))
+      .filter($"est" >= jaccardTau)
+      .select($"doc1", $"doc2")
+      .withColumn("p", lit(1L))
+    truth.join(pred, Seq("doc1", "doc2"), "full_outer")
+      .agg(countIf($"t".isNotNull && $"p".isNotNull).as("tp"),
+        countIf($"t".isNull && $"p".isNotNull).as("fp"),
+        countIf($"t".isNotNull && $"p".isNull).as("fn"))
+      .select($"tp", $"fp", $"fn",
+        expr(rndSql("CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END", 6)).as("precision"),
+        expr(rndSql("CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END", 6)).as("recall"),
+        expr(rndSql(
+          "CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END", 6)).as("f1"))
+  }
+
+  def dedupEvalSql(glob: String): String = {
+    import graft.functions.Agg.countIfSql
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |${sigBandCtes(glob)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |pred AS (
+       |  SELECT cand.doc1, cand.doc2
+       |  FROM cand JOIN sigs s1 ON cand.doc1 = s1.doc_id
+       |            JOIN sigs s2 ON cand.doc2 = s2.doc_id
+       |  WHERE ${estJaccardDuck("s1.sig", "s2.sig")} >= $jaccardTau),
+       |m AS (
+       |  SELECT
+       |    ${countIfSql("t.doc1 IS NOT NULL AND p.doc1 IS NOT NULL")} AS tp,
+       |    ${countIfSql("t.doc1 IS NULL AND p.doc1 IS NOT NULL")} AS fp,
+       |    ${countIfSql("t.doc1 IS NOT NULL AND p.doc1 IS NULL")} AS fn
+       |  FROM scored t FULL OUTER JOIN pred p
+       |    ON t.doc1 = p.doc1 AND t.doc2 = p.doc2)
+       |SELECT tp, fp, fn,
+       |  ${rndSql("CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END", 6)} AS precision,
+       |  ${rndSql("CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END", 6)} AS recall,
+       |  ${rndSql("CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END", 6)} AS f1
+       |FROM m""".stripMargin
+  }
+
   def dedupIncrementalSql(glob: String): String =
     s"""WITH ${sigBandCtes(glob)},
        |cand AS (
@@ -1177,6 +1242,7 @@ object Dedup {
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_containment"   -> (dedupContainment _),
     "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_eval"          -> (dedupEval _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_clusters"      -> (dedupClusters _),
@@ -1216,6 +1282,7 @@ object Dedup {
       "dedup_substring"     -> dedupSubstringSql
     ) ++
       globOf("minhash_sigs").map(g => "dedup_minhash" -> dedupMinhashSql(g)) ++
+      globOf("minhash_sigs").map(g => "dedup_eval" -> dedupEvalSql(g)) ++
       globOf("minhash_sigs").map(g => "dedup_incremental" -> dedupIncrementalSql(g)) ++
       globOf("simhash_sigs").map(g => "dedup_simhash" -> dedupSimhashSql(g)) ++
       globOf("source_sigs").map(g => "dedup_source_sketch" -> dedupSourceSketchSql(g))
