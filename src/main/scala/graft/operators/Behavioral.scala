@@ -1437,6 +1437,147 @@ object Behavioral {
        |FROM du JOIN f USING (user_id)
        |GROUP BY day ORDER BY day""".stripMargin
 
+  /** U-shape credit split for [[qAttributionPosition]]: first touch,
+    * last touch, and the middle's shared remainder (40/40/20). */
+  val posFirstPct = 40L
+  val posLastPct = 40L
+
+  /** §2.10 — position-based (U-shaped) attribution next to 50b's
+    * linear split: the FIRST and LAST qualifying click before a
+    * purchase get [[posFirstPct]]/[[posLastPct]]% of its value, the
+    * middle touches share the remainder (a single touch takes 100%,
+    * a two-touch path splits 50/50 — the standard U-shape edge
+    * rules). Same one purchase-keyed window family as linear
+    * attribution (first/last/count in one pass over the same
+    * window-join pairs); credit quantizes at 1e-6 per pair so the
+    * per-click rollup is an exact integer sum. */
+  def qAttributionPosition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), unix_micros($"ts").as("c_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"),
+        unix_micros($"ts").as("p_us"), $"value")
+    val w = Window.partitionBy($"purchase_id")
+    val pairs = purchases.join(clicks, "user_id")
+      .filter($"c_us" <= $"p_us" && $"c_us" >= $"p_us" - attribWindowUs)
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .withColumn("first_us", min(struct($"c_us", $"click_id")).over(w))
+      .withColumn("last_us", max(struct($"c_us", $"click_id")).over(w))
+      .withColumn("share",
+        when($"n_touches" === 1, lit(100L))
+          .when($"n_touches" === 2,
+            when(struct($"c_us", $"click_id") === $"first_us", lit(50L))
+              .otherwise(lit(50L)))
+          .otherwise(
+            when(struct($"c_us", $"click_id") === $"first_us", lit(posFirstPct))
+              .when(struct($"c_us", $"click_id") === $"last_us", lit(posLastPct))
+              .otherwise(lit(0L))))
+      .withColumn("mid_share",
+        when($"n_touches" > 2 && $"share" === 0L,
+          (lit(100L) - lit(posFirstPct) - lit(posLastPct)).cast("double") /
+            ($"n_touches" - 2).cast("double"))
+          .otherwise($"share".cast("double")))
+      .withColumn("credit_q",
+        expr("CAST(floor(value * mid_share / 100.0 * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+    pairs.groupBy($"click_id", $"user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        (sum($"credit_q").cast("double") / lit(1000000.0)).as("credit"))
+      .orderBy($"click_id")
+  }
+
+  val qAttributionPositionSql: String =
+    s"""WITH clicks AS (
+       |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+       |  FROM events WHERE event_type = 'click'),
+       |purchases AS (
+       |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |pairs AS (
+       |  SELECT p.user_id, p.purchase_id, p.value, c.click_id, c.c_us
+       |  FROM purchases p JOIN clicks c ON p.user_id = c.user_id
+       |  WHERE c.c_us <= p.p_us AND c.c_us >= p.p_us - $attribWindowUs),
+       |ranked AS (
+       |  SELECT *, count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+       |    row_number() OVER (PARTITION BY purchase_id ORDER BY c_us, click_id) AS rn_first,
+       |    row_number() OVER (PARTITION BY purchase_id ORDER BY c_us DESC, click_id DESC) AS rn_last
+       |  FROM pairs),
+       |credit AS (
+       |  SELECT click_id, user_id,
+       |    CAST(floor(value * (CASE
+       |      WHEN n_touches = 1 THEN 100.0
+       |      WHEN n_touches = 2 THEN 50.0
+       |      WHEN rn_first = 1 THEN CAST($posFirstPct AS DOUBLE)
+       |      WHEN rn_last = 1 THEN CAST($posLastPct AS DOUBLE)
+       |      ELSE CAST(${100L - posFirstPct - posLastPct} AS DOUBLE) / (n_touches - 2)
+       |    END) / 100.0 * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS credit_q
+       |  FROM ranked)
+       |SELECT click_id, user_id, count(*) AS n_purchases,
+       |  CAST(sum(credit_q) AS DOUBLE) / 1000000.0 AS credit
+       |FROM credit GROUP BY 1, 2 ORDER BY click_id""".stripMargin
+
+  /** §2.10 — weekly growth accounting: every active user classified
+    * NEW (first week ever), RETAINED (also active previous week),
+    * RESURRECTED (active before, absent previous week) — plus the
+    * CHURNED count (active previous week, absent this one), the
+    * four-way ledger behind every "is growth real" review (net
+    * growth = new + resurrected − churned). One (week, user)
+    * distinct pass; previous-week membership and first-touch both
+    * ride user-keyed operations on that deduped frame (a self-join
+    * shifted one week and a first-touch min — never an event-sized
+    * window); the final rollup is week-sized. */
+  def qGrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wu = Tables.events(s, dir)
+      .select(date_trunc("week", $"ts").cast("date").as("week"), $"user_id")
+      .distinct()
+      .localCheckpoint(true)
+    val first = wu.groupBy($"user_id").agg(min($"week").as("first_week"))
+    val prev = wu.select(expr("date_add(week, 7)").as("week"),
+      $"user_id", lit(1L).as("was_prev"))
+    val cur = wu.join(first, "user_id")
+      .join(prev, Seq("week", "user_id"), "left")
+      .groupBy($"week")
+      .agg(
+        countIf($"week" === $"first_week").as("new_users"),
+        countIf($"week" =!= $"first_week" && $"was_prev".isNotNull).as("retained"),
+        countIf($"week" =!= $"first_week" && $"was_prev".isNull).as("resurrected"))
+    val churned = wu.select(expr("date_add(week, 7)").as("week"), $"user_id")
+      .join(wu.select($"week", $"user_id", lit(1L).as("still")),
+        Seq("week", "user_id"), "left")
+      .groupBy($"week")
+      .agg(countIf($"still".isNull).as("churned"))
+    cur.join(churned, Seq("week"), "left")
+      .select($"week", $"new_users", $"retained", $"resurrected",
+        coalesce($"churned", lit(0L)).as("churned"))
+      .orderBy($"week")
+  }
+
+  val qGrowthAccountingSql: String =
+    s"""WITH wu AS (
+       |  SELECT DISTINCT CAST(date_trunc('week', ts) AS DATE) AS week, user_id
+       |  FROM events),
+       |f AS (SELECT user_id, min(week) AS first_week FROM wu GROUP BY 1),
+       |cur AS (
+       |  SELECT w.week,
+       |    ${countIfSql("w.week = f.first_week")} AS new_users,
+       |    ${countIfSql("w.week <> f.first_week AND p.user_id IS NOT NULL")} AS retained,
+       |    ${countIfSql("w.week <> f.first_week AND p.user_id IS NULL")} AS resurrected
+       |  FROM wu w
+       |  JOIN f ON w.user_id = f.user_id
+       |  LEFT JOIN wu p ON p.user_id = w.user_id AND p.week + 7 = w.week
+       |  GROUP BY 1),
+       |ch AS (
+       |  SELECT w.week + 7 AS week, ${countIfSql("n.user_id IS NULL")} AS churned
+       |  FROM wu w LEFT JOIN wu n ON n.user_id = w.user_id AND n.week = w.week + 7
+       |  GROUP BY 1)
+       |SELECT cur.week, new_users, retained, resurrected,
+       |  COALESCE(ch.churned, 0) AS churned
+       |FROM cur LEFT JOIN ch ON cur.week = ch.week
+       |ORDER BY cur.week""".stripMargin
+
   /** Conversion deadline for [[qFunnelBoxed]] (µs): later steps only
     * count within this horizon of the user's FIRST view. */
   val funnelBoxUs: Long = 7L * 86400L * 1000000L
@@ -2276,6 +2417,8 @@ object Behavioral {
     "q_rolling_active_users" -> (qRollingActiveUsers _),
     "q_srm_check"            -> (qSrmCheck _),
     "q_funnel_boxed"         -> (qFunnelBoxed _),
+    "q_attribution_position" -> (qAttributionPosition _),
+    "q_growth_accounting"    -> (qGrowthAccounting _),
     "q_bootstrap_ci"         -> (qBootstrapCi _),
     "q_holt_forecast"   -> (qHoltForecast _),
     "q_segment_overlap" -> (qSegmentOverlap _),
@@ -2315,6 +2458,8 @@ object Behavioral {
     "q_rolling_active_users" -> qRollingActiveUsersSql,
     "q_srm_check"            -> qSrmCheckSql,
     "q_funnel_boxed"         -> qFunnelBoxedSql,
+    "q_attribution_position" -> qAttributionPositionSql,
+    "q_growth_accounting"    -> qGrowthAccountingSql,
     "q_bootstrap_ci"         -> qBootstrapCiSql,
     "q_holt_forecast"   -> qHoltForecastSql,
     "q_segment_overlap" -> qSegmentOverlapSql,
