@@ -1437,6 +1437,167 @@ object Behavioral {
        |FROM du JOIN f USING (user_id)
        |GROUP BY day ORDER BY day""".stripMargin
 
+  /** Fixed-point iterations for [[qAttributionMarkov]]'s absorption
+    * probabilities (geometric convergence; 40 is far past double
+    * precision for these chain sizes). */
+  val markovAbsorbIters = 40
+
+  /** §2.10 — Markov REMOVAL-EFFECT attribution (Anderl et al.'s
+    * data-driven model, the principled alternative to 50b/50b''s
+    * positional heuristics): user journeys truncated at first
+    * purchase become a Markov chain (START → channel states → CONV /
+    * NULL absorbers); a channel's value is how much total conversion
+    * probability disappears when every path through it is cut
+    * (removal effect 1 − p_removed/p_full), normalized into
+    * attribution shares.
+    *
+    * Scale: the distributed work is ONE user-keyed window pass +
+    * transition count aggregate; the chain itself is
+    * (#channels+1)²-bounded and solves on the driver like the PQ
+    * codebooks — a quantized fixed-point iteration (each step sums
+    * exact 1e-12-quantized BIGINT terms, so engine and oracle walk
+    * bit-identical trajectories; the oracle unrolls the SAME
+    * recurrence as join-aggregate CTEs keyed by (removed, state),
+    * fully data-dynamic — no channel names baked in). */
+  def qAttributionMarkov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val ev = Tables.events(s, dir)
+      .withColumn("pb", coalesce(
+        max(when($"event_type" === "purchase", 1).otherwise(0)).over(before), lit(0)))
+      .filter($"pb" === 0)
+      .withColumn("state",
+        when($"event_type" === "purchase", "CONV").otherwise($"event_type"))
+      .withColumn("prev", coalesce(lag($"state", 1).over(ord), lit("START")))
+    val lastRow = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"user_id").orderBy($"ts".desc, $"event_id".desc)))
+      .filter($"rn" === 1 && $"state" =!= "CONV")
+      .select($"state".as("prev"), lit("NULL").as("dst"))
+    // bounded collect: (#channels + 1)² transition counts
+    val trans = ev.select($"prev", $"state".as("dst"))
+      .unionByName(lastRow)
+      .groupBy($"prev", $"dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nFrom = trans.groupBy(_._1._1).map { case (src, m) => src -> m.values.sum }
+    val transients = nFrom.keys.toSeq.sorted
+    def qq(i: String, j: String): Long = trans.get((i, j)).map(n =>
+      math.floor(n.toDouble / nFrom(i) * 1e9 + 0.5).toLong).getOrElse(0L)
+    def rq(i: String): Long = trans.get((i, "CONV")).map(n =>
+      math.floor(n.toDouble / nFrom(i) * 1e12 + 0.5).toLong).getOrElse(0L)
+    def absorb(removed: Option[String]): Double = {
+      val states = transients.filterNot(removed.contains)
+      var a = states.map(_ -> 0L).toMap
+      for (_ <- 1 to markovAbsorbIters) {
+        a = states.map { s =>
+          var acc = rq(s)
+          states.foreach { j =>
+            acc += math.floor(
+              qq(s, j).toDouble / 1e9 * a(j).toDouble / 1e12 * 1e12 + 0.5).toLong
+          }
+          s -> acc
+        }.toMap
+      }
+      a("START").toDouble / 1e12
+    }
+    val pFull = absorb(None)
+    val channels = transients.filter(_ != "START")
+    val res = channels.map { c =>
+      val p = absorb(Some(c))
+      val re = if (pFull > 0) 1.0 - p / pFull else 0.0
+      (c, p, re)
+    }
+    val reSum = res.map(_._3).sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    res.map { case (c, p, re) =>
+        (c, r6(p), r6(re), if (reSum > 0) r6(re / reSum) else 0.0)
+      }.toDF("channel", "p_removed", "removal_effect", "attribution")
+      .orderBy($"channel")
+  }
+
+  val qAttributionMarkovSql: String = {
+    // MATERIALIZED on every level and on the shared per-variant
+    // tables: each a_n is referenced once but the 40-deep nested join
+    // tree (and vq/vr inlined 40×) sends DuckDB's join-order planner
+    // into the weeds without the fences (same class of blowup as the
+    // kcore/LPA unrolls)
+    val step = (n: Int) =>
+      s"""a$n AS MATERIALIZED (
+         |  SELECT vs.removed, vs.s,
+         |    COALESCE(max(r.r), 0) + COALESCE(sum(CAST(floor(
+         |      CAST(q.qq AS DOUBLE) / 1e9 * CAST(p.A AS DOUBLE) / 1e12 * 1e12
+         |      + CAST(0.5 AS DOUBLE)) AS BIGINT)), 0) AS A
+         |  FROM vstate vs
+         |  LEFT JOIN vr r ON r.removed = vs.removed AND r.src = vs.s
+         |  LEFT JOIN vq q ON q.removed = vs.removed AND q.src = vs.s
+         |  LEFT JOIN a${n - 1} p ON p.removed = vs.removed AND p.s = q.dst
+         |  GROUP BY 1, 2)""".stripMargin
+    val steps = (1 to markovAbsorbIters).map(step).mkString(",\n")
+    s"""WITH sq AS (
+       |  SELECT user_id, ts, event_id, event_type,
+       |    COALESCE(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pb
+       |  FROM events),
+       |ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS state,
+       |    COALESCE(lag(CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id), 'START') AS prev
+       |  FROM sq WHERE pb = 0),
+       |lastrow AS (
+       |  SELECT state AS prev, 'NULL' AS dst FROM (
+       |    SELECT state, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM ev)
+       |  WHERE rn = 1 AND state <> 'CONV'),
+       |tr AS (
+       |  SELECT prev, dst, count(*) AS n FROM (
+       |    SELECT prev, state AS dst FROM ev
+       |    UNION ALL SELECT prev, dst FROM lastrow)
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT prev, CAST(sum(n) AS DOUBLE) AS n_from FROM tr GROUP BY 1),
+       |qt AS (
+       |  SELECT tr.prev AS src, tr.dst,
+       |    CAST(floor(CAST(tr.n AS DOUBLE) / tot.n_from * 1e9 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qq
+       |  FROM tr JOIN tot ON tr.prev = tot.prev
+       |  WHERE tr.dst NOT IN ('CONV', 'NULL')),
+       |rqt AS (
+       |  SELECT tr.prev AS src,
+       |    CAST(floor(CAST(tr.n AS DOUBLE) / tot.n_from * 1e12 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS r
+       |  FROM tr JOIN tot ON tr.prev = tot.prev
+       |  WHERE tr.dst = 'CONV'),
+       |transients AS (SELECT DISTINCT prev AS s FROM tr),
+       |removals AS (
+       |  SELECT s AS removed FROM transients WHERE s <> 'START'
+       |  UNION ALL SELECT '__none__'),
+       |vstate AS MATERIALIZED (
+       |  SELECT r.removed, t.s FROM removals r, transients t WHERE t.s <> r.removed),
+       |vq AS MATERIALIZED (
+       |  SELECT v.removed, q.src, q.dst, q.qq
+       |  FROM removals v JOIN qt q ON q.src <> v.removed AND q.dst <> v.removed),
+       |vr AS MATERIALIZED (
+       |  SELECT v.removed, r.src, r.r FROM removals v JOIN rqt r ON r.src <> v.removed),
+       |a0 AS MATERIALIZED (SELECT removed, s, CAST(0 AS BIGINT) AS A FROM vstate),
+       |$steps,
+       |fin AS MATERIALIZED (
+       |  SELECT removed, CAST(A AS DOUBLE) / 1e12 AS p
+       |  FROM a$markovAbsorbIters WHERE s = 'START'),
+       |re AS MATERIALIZED (
+       |  SELECT f.removed AS channel, f.p AS p_removed,
+       |    CASE WHEN pf.p > 0 THEN 1.0 - f.p / pf.p ELSE 0.0 END AS re
+       |  FROM fin f, (SELECT p FROM fin WHERE removed = '__none__') pf
+       |  WHERE f.removed <> '__none__')
+       |SELECT channel,
+       |  ${rndSql("p_removed", 6)} AS p_removed,
+       |  ${rndSql("re", 6)} AS removal_effect,
+       |  CASE WHEN (SELECT sum(re) FROM re) > 0
+       |       THEN ${rndSql("re / (SELECT sum(re) FROM re)", 6)}
+       |       ELSE 0.0 END AS attribution
+       |FROM re ORDER BY channel""".stripMargin
+  }
+
   /** U-shape credit split for [[qAttributionPosition]]: first touch,
     * last touch, and the middle's shared remainder (40/40/20). */
   val posFirstPct = 40L
@@ -2418,6 +2579,7 @@ object Behavioral {
     "q_srm_check"            -> (qSrmCheck _),
     "q_funnel_boxed"         -> (qFunnelBoxed _),
     "q_attribution_position" -> (qAttributionPosition _),
+    "q_attribution_markov"   -> (qAttributionMarkov _),
     "q_growth_accounting"    -> (qGrowthAccounting _),
     "q_bootstrap_ci"         -> (qBootstrapCi _),
     "q_holt_forecast"   -> (qHoltForecast _),
@@ -2459,6 +2621,7 @@ object Behavioral {
     "q_srm_check"            -> qSrmCheckSql,
     "q_funnel_boxed"         -> qFunnelBoxedSql,
     "q_attribution_position" -> qAttributionPositionSql,
+    "q_attribution_markov"   -> qAttributionMarkovSql,
     "q_growth_accounting"    -> qGrowthAccountingSql,
     "q_bootstrap_ci"         -> qBootstrapCiSql,
     "q_holt_forecast"   -> qHoltForecastSql,
