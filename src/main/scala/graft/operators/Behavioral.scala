@@ -1437,6 +1437,169 @@ object Behavioral {
        |FROM du JOIN f USING (user_id)
        |GROUP BY day ORDER BY day""".stripMargin
 
+  /** Treatment-period boundary for [[qDiffInDiff]]. */
+  val didCutover = "2024-01-16 00:00:00"
+
+  /** §2.10 — difference-in-differences: the quasi-experimental
+    * readout when randomization isn't available (a feature shipped to
+    * the PRF-bucketed half at [[didCutover]]): the treatment effect
+    * is the treated arm's pre→post mean change MINUS the control
+    * arm's (which absorbs the common time trend). One groupBy over
+    * the 2×2 (arm, period) cells with exact decimal sums; the DiD
+    * estimate and its large-sample standard error
+    * √(Σ s²ᵢ/nᵢ over the four cells) are row-local on the pivoted
+    * 4-cell row. */
+  def qDiffInDiff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .withColumn("arm",
+        when(substring(md5(concat(lit("graft-ab-v1:"), $"user_id".cast("string"))
+          .cast("binary")), 1, 4) < lit("8000"), "t").otherwise("c"))
+      .withColumn("period",
+        when($"ts" >= lit(didCutover).cast("timestamp"), "post").otherwise("pre"))
+    val cells = ev.groupBy($"arm", $"period")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sx"),
+        dsum($"value" * $"value").as("sxx"))
+      .withColumn("m", $"sx" / $"n".cast("double"))
+      .withColumn("v", ($"sxx" - $"sx" * $"sx" / $"n".cast("double")) /
+        ($"n" - 1).cast("double"))
+    val p = cells.groupBy()
+      .pivot(concat($"arm", lit("_"), $"period"),
+        Seq("t_pre", "t_post", "c_pre", "c_post"))
+      .agg(first(struct($"n", $"m", $"v")))
+    p.select(
+      $"t_pre.n".as("n_t_pre"), $"t_post.n".as("n_t_post"),
+      $"c_pre.n".as("n_c_pre"), $"c_post.n".as("n_c_post"),
+      expr(rndSql("(t_post.m - t_pre.m) - (c_post.m - c_pre.m)", 6)).as("did"),
+      expr(rndSql(
+        """((t_post.m - t_pre.m) - (c_post.m - c_pre.m)) /
+          |sqrt(t_post.v / CAST(t_post.n AS DOUBLE) + t_pre.v / CAST(t_pre.n AS DOUBLE)
+          |   + c_post.v / CAST(c_post.n AS DOUBLE) + c_pre.v / CAST(c_pre.n AS DOUBLE))"""
+          .stripMargin, 6)).as("z_stat"))
+  }
+
+  val qDiffInDiffSql: String = {
+    def cell(arm: String, per: String, alias: String): String = {
+      val armCond =
+        if (arm == "t") "substr(md5('graft-ab-v1:' || CAST(user_id AS VARCHAR)), 1, 4) < '8000'"
+        else "substr(md5('graft-ab-v1:' || CAST(user_id AS VARCHAR)), 1, 4) >= '8000'"
+      val perCond =
+        if (per == "post") s"ts >= TIMESTAMP '$didCutover'"
+        else s"ts < TIMESTAMP '$didCutover'"
+      s"""$alias AS (
+         |  SELECT count(*) AS n, ${dsumSql("value")} AS sx,
+         |    ${dsumSql("value * value")} AS sxx
+         |  FROM events WHERE event_type = 'purchase' AND $armCond AND $perCond)""".stripMargin
+    }
+    s"""WITH ${cell("t", "pre", "tp")},
+       |${cell("t", "post", "tq")},
+       |${cell("c", "pre", "cp")},
+       |${cell("c", "post", "cq")},
+       |m AS (
+       |  SELECT tp.n AS n_t_pre, tq.n AS n_t_post, cp.n AS n_c_pre, cq.n AS n_c_post,
+       |    tp.sx / tp.n AS m_tp, tq.sx / tq.n AS m_tq,
+       |    cp.sx / cp.n AS m_cp, cq.sx / cq.n AS m_cq,
+       |    (tp.sxx - tp.sx * tp.sx / tp.n) / (tp.n - 1) AS v_tp,
+       |    (tq.sxx - tq.sx * tq.sx / tq.n) / (tq.n - 1) AS v_tq,
+       |    (cp.sxx - cp.sx * cp.sx / cp.n) / (cp.n - 1) AS v_cp,
+       |    (cq.sxx - cq.sx * cq.sx / cq.n) / (cq.n - 1) AS v_cq
+       |  FROM tp, tq, cp, cq)
+       |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+       |  ${rndSql("(m_tq - m_tp) - (m_cq - m_cp)", 6)} AS did,
+       |  ${rndSql("((m_tq - m_tp) - (m_cq - m_cp)) / sqrt(v_tq / n_t_post + v_tp / n_t_pre + v_cq / n_c_post + v_cp / n_c_pre)", 6)} AS z_stat
+       |FROM m""".stripMargin
+  }
+
+  /** (z_{0.025} + z_{0.80})² for [[qPowerMde]] — 80% power at
+    * two-sided α = 0.05. */
+  val powerZsum2 = 7.848886
+  /** Relative minimum detectable effect for [[qPowerMde]]. */
+  val powerRelMde = 0.05
+
+  /** §2.10 — experiment power / sample-size planning: per metric
+    * (event type), the users-per-arm needed to detect a
+    * [[powerRelMde]] relative lift at 80% power, α = 0.05 —
+    * n/arm = (z_{α/2}+z_β)² · 2σ²/Δ², the calculation every
+    * experiment review starts with (50f reads results; this plans
+    * them; 50t guards their validity). One exact-decimal moment
+    * aggregate per metric; the formula is row-local on the
+    * metric-count-sized result. */
+  def qPowerMde(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sx"),
+        dsum($"value" * $"value").as("sxx"))
+      .withColumn("m", $"sx" / $"n".cast("double"))
+      .withColumn("v", ($"sxx" - $"sx" * $"sx" / $"n".cast("double")) /
+        ($"n" - 1).cast("double"))
+      .select($"event_type", $"n",
+        expr(rndSql("m", 6)).as("mean_value"),
+        expr(rndSql("sqrt(v)", 6)).as("stddev"),
+        expr(rndSql(s"m * CAST($powerRelMde AS DOUBLE)", 6)).as("mde_abs"),
+        expr(s"""CAST(ceil(CAST($powerZsum2 AS DOUBLE) * CAST(2 AS DOUBLE) * v
+                |  / (m * CAST($powerRelMde AS DOUBLE) * m * CAST($powerRelMde AS DOUBLE)))
+                |  AS BIGINT)""".stripMargin).as("n_per_arm"))
+      .orderBy($"event_type")
+  }
+
+  val qPowerMdeSql: String =
+    s"""WITH st AS (
+       |  SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sx,
+       |    ${dsumSql("value * value")} AS sxx
+       |  FROM events GROUP BY 1),
+       |m AS (
+       |  SELECT event_type, n, sx / n AS m,
+       |    (sxx - sx * sx / n) / (n - 1) AS v
+       |  FROM st)
+       |SELECT event_type, n,
+       |  ${rndSql("m", 6)} AS mean_value,
+       |  ${rndSql("sqrt(v)", 6)} AS stddev,
+       |  ${rndSql(s"m * CAST($powerRelMde AS DOUBLE)", 6)} AS mde_abs,
+       |  CAST(ceil(CAST($powerZsum2 AS DOUBLE) * CAST(2 AS DOUBLE) * v
+       |    / (m * CAST($powerRelMde AS DOUBLE) * m * CAST($powerRelMde AS DOUBLE)))
+       |    AS BIGINT) AS n_per_arm
+       |FROM m ORDER BY event_type""".stripMargin
+
+  /** §2.10 — Theil–Sen robust trend of daily purchase revenue: the
+    * median of all pairwise day-to-day slopes — up to ~29% of the
+    * daily points can be corrupted (a logging outage, a bot flood)
+    * without moving the estimate, where the OLS slope (24r) follows
+    * any single wild day. The pair explode runs over the
+    * CALENDAR-SIZED daily aggregate (30 days → 435 pairs — bounded
+    * by the time span, not the corpus), so the O(k²) inherent to
+    * Theil–Sen never touches event-scale data; the median is an
+    * exact interpolated percentile over that bounded set. */
+  def qTheilsenTrend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy(to_date($"ts").as("day"))
+      .agg(dsum($"value").as("rev"))
+      .select(expr("unix_date(day)").cast("double").as("d"), $"rev")
+      .localCheckpoint(true)
+    val slopes = daily.as("a").crossJoin(daily.as("b"))
+      .filter($"a.d" < $"b.d")
+      .select((($"b.rev" - $"a.rev") / ($"b.d" - $"a.d")).as("slope"))
+    slopes.agg(
+      count(lit(1)).as("n_pairs"),
+      expr(rndSql("percentile(slope, CAST(0.5 AS DOUBLE))", 6)).as("slope_per_day"))
+  }
+
+  val qTheilsenTrendSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) AS d,
+       |    ${dsumSql("value")} AS rev
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY CAST(ts AS DATE)),
+       |slopes AS (
+       |  SELECT (b.rev - a.rev) / (b.d - a.d) AS slope
+       |  FROM daily a JOIN daily b ON a.d < b.d)
+       |SELECT count(*) AS n_pairs,
+       |  ${rndSql("quantile_cont(slope, CAST(0.5 AS DOUBLE))", 6)} AS slope_per_day
+       |FROM slopes""".stripMargin
+
   /** Fixed-point iterations for [[qAttributionMarkov]]'s absorption
     * probabilities (geometric convergence; 40 is far past double
     * precision for these chain sizes). */
@@ -2580,6 +2743,9 @@ object Behavioral {
     "q_funnel_boxed"         -> (qFunnelBoxed _),
     "q_attribution_position" -> (qAttributionPosition _),
     "q_attribution_markov"   -> (qAttributionMarkov _),
+    "q_diff_in_diff"         -> (qDiffInDiff _),
+    "q_power_mde"            -> (qPowerMde _),
+    "q_theilsen_trend"       -> (qTheilsenTrend _),
     "q_growth_accounting"    -> (qGrowthAccounting _),
     "q_bootstrap_ci"         -> (qBootstrapCi _),
     "q_holt_forecast"   -> (qHoltForecast _),
@@ -2622,6 +2788,9 @@ object Behavioral {
     "q_funnel_boxed"         -> qFunnelBoxedSql,
     "q_attribution_position" -> qAttributionPositionSql,
     "q_attribution_markov"   -> qAttributionMarkovSql,
+    "q_diff_in_diff"         -> qDiffInDiffSql,
+    "q_power_mde"            -> qPowerMdeSql,
+    "q_theilsen_trend"       -> qTheilsenTrendSql,
     "q_growth_accounting"    -> qGrowthAccountingSql,
     "q_bootstrap_ci"         -> qBootstrapCiSql,
     "q_holt_forecast"   -> qHoltForecastSql,
