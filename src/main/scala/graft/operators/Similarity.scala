@@ -491,12 +491,11 @@ object Similarity {
     *
     * Large-d swap-in: at d=64 the explode is 2,080 structs per row;
     * at production dims (d ≈ 1-4k) that is 10⁶-10⁷ structs per row
-    * and the explode stops being the right shape. The bounded
-    * alternative is a per-partition Gramian accumulation (the
-    * [[Multimodal.mmBatchInfer]] mapPartitions shape: one d×d long
-    * array of quantum sums per task, emitted once per partition),
-    * partial-agged to #tasks·d² — same exact quantized sums, no
-    * per-row explode. */
+    * and the explode stops being the right shape. The swap-in is
+    * IMPLEMENTED as [[embedMomentsGramian]] (per-partition Gramian
+    * accumulation, d²-bounded task state, no per-row explode) and
+    * proven bit-identical to this path in SimilaritySpec — either
+    * can back the staged artifact. */
   private[graft] def embedMoments(s: SparkSession, dir: String): DataFrame =
     graft.sources.OracleStage.stage(s, "embed_moments", dir) {
       import s.implicits._
@@ -530,6 +529,88 @@ object Similarity {
     * range where a LONG sum would overflow; cov = E[xy] − E[x]E[y]
     * evaluated with identical double arithmetic on both engines,
     * 1e-6 quantized on output. */
+  /** The LARGE-d swap-in for [[embedMoments]], implemented (not just
+    * documented): a per-partition Gramian accumulation — each task
+    * folds its rows into ONE d(d+1)/2 array of quantized-product
+    * sums (plus first-moment and count), emitting a bounded batch of
+    * partial rows per [[gramianChunkRows]] rows (the flush keeps the
+    * 1e-12-quantum sums inside Long range at any partition size);
+    * the same final decimal aggregate collapses the partials. No
+    * per-row explode: at d ≈ 1-4k the explode is 10⁶-10⁷ structs per
+    * row, while this path is a tight d² arithmetic loop per row with
+    * d²-bounded task state. Produces BIT-IDENTICAL sums to the
+    * explode path (same per-element half-up floors, exact
+    * commutative sums — SimilaritySpec asserts row-level equality),
+    * so either path can back the staged artifact. */
+  val gramianChunkRows = 4000000L
+
+  private[graft] def embedMomentsGramian(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val vecs = Tables.embeddings(s, dir)
+      .select(expr(VectorFns.asDouble("embedding")).as("v"))
+      .as[Seq[Double]]
+    val chunk = gramianChunkRows
+    val partial = vecs.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        val d = first.length
+        val m = d * (d + 1) / 2
+        val q9 = new Array[Long](m); val q12 = new Array[Long](m)
+        val x9 = new Array[Long](d); val x12 = new Array[Long](d)
+        var n = 0L
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, Int, Long, Long, Long, Long, Long)]
+        def flush(): Unit = if (n > 0) {
+          var k = 0
+          var i = 0
+          while (i < d) {
+            var j = i
+            while (j < d) {
+              out += ((i + 1, j + 1, q9(k), q12(k),
+                if (i == j) x9(i) else 0L, if (i == j) x12(i) else 0L, n))
+              k += 1; j += 1
+            }
+            i += 1
+          }
+          java.util.Arrays.fill(q9, 0L); java.util.Arrays.fill(q12, 0L)
+          java.util.Arrays.fill(x9, 0L); java.util.Arrays.fill(x12, 0L)
+          n = 0
+        }
+        def add(row: Seq[Double]): Unit = {
+          val a = row.toArray
+          var k = 0
+          var i = 0
+          while (i < d) {
+            x9(i) += math.floor(a(i) * 1e9 + 0.5).toLong
+            x12(i) += math.floor(a(i) * 1e12 + 0.5).toLong
+            var j = i
+            while (j < d) {
+              val p = a(i) * a(j)
+              q9(k) += math.floor(p * 1e9 + 0.5).toLong
+              q12(k) += math.floor(p * 1e12 + 0.5).toLong
+              k += 1; j += 1
+            }
+            i += 1
+          }
+          n += 1
+          if (n >= chunk) flush()
+        }
+        add(first)
+        it.foreach(add)
+        flush()
+        out.iterator
+      }
+    }.toDF("i", "j", "pq9", "pq12", "px9", "px12", "pn")
+    partial.groupBy($"i", $"j")
+      .agg(sum($"pq9".cast(DecimalType(38, 0))).as("sq9"),
+        sum($"pq12".cast(DecimalType(38, 0))).as("sq12"),
+        sum($"px9".cast(DecimalType(38, 0))).as("sx9"),
+        sum($"px12".cast(DecimalType(38, 0))).as("sx12"),
+        sum($"pn").as("n"))
+  }
+
   def embedCovariance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = embedMoments(s, dir)

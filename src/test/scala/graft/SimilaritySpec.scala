@@ -82,6 +82,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("gramian moment path is bit-identical to the explode path") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getInt(0), r.getInt(1)),
+        (r.getDecimal(2).toBigInteger, r.getDecimal(3).toBigInteger,
+          r.getDecimal(4).toBigInteger, r.getDecimal(5).toBigInteger,
+          r.getLong(6)))).toMap
+    val explodePath = rows(Similarity.embedMoments(spark, sfDir))
+    val gramianPath = rows(Similarity.embedMomentsGramian(spark, sfDir))
+    assert(explodePath.keySet == gramianPath.keySet)
+    explodePath.foreach { case (k, v) =>
+      assert(gramianPath(k) == v, s"moment cell $k diverges: $v vs ${gramianPath(k)}")
+    }
+  }
+
   test("whitened coordinates have unit population variance and zero mean") {
     val rows = Similarity.embedWhiten(spark, sfDir).collect()
     val n = rows.length.toDouble
