@@ -454,6 +454,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window [row_number()"), p)
   }
 
+  test("q18 tops-100 on a bounded heap after the one fact aggregate") {
+    val p = plan(Relational.q18LargeOrders(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must never be a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ann_hamming bounds exchanged rows: partial WindowGroupLimit before the shuffle") {
+    val p = plan(graft.operators.Similarity.annHamming(spark, sfDir))
+    // Spark 4's WindowGroupLimit caps each task at k rows per query
+    // BEFORE the rank exchange — the corpus-sized scored set never
+    // rides the shuffle
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial per-task top-k before the exchange:\n$p")
+    // the only join is the 10-row query-code broadcast against the
+    // corpus scan (a nested loop over a bounded build side IS the
+    // intended quantized-scan shape); nothing may sort-merge
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q17 correlated scalar avg decorrelates to one broadcast threshold join") {
     val p = plan(Relational.q17SmallQtyRevenue(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
