@@ -80,4 +80,46 @@ class RanksSpec extends SparkSpec {
       .orderBy($"rn").collect().map(r => (r.getLong(0), r.getLong(1))).toList
     assert(got == List((1L, 1L), (3L, 2L), (5L, 3L), (9L, 4L)))
   }
+
+  test("seeded property sweep: adversarial key distributions × partition counts") {
+    // the two-phase primitives sample bucket boundaries from the
+    // data, so the rarity class to hunt is duplicate-heavy keys
+    // landing ON sampled boundaries. Sweep hostile shapes (all-equal,
+    // two-valued, modular dups, head-skew, signed randoms, singleton)
+    // across partition counts and demand exact equality with the
+    // single-partition window reference — rank AND running sum.
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "all-equal"  -> Seq.fill(4000)((7L, 1L)),
+      "two-values" -> Seq.fill(4000)((rnd.nextInt(2).toLong, rnd.nextInt(5).toLong)),
+      "mod-dups"   -> (0 until 6000).map(i => ((i % 37).toLong, (i % 11).toLong - 5L)),
+      "head-skew"  -> ((0 until 5000).map(_ => (0L, 2L)) ++
+        (0 until 100).map(i => (i.toLong + 1, 3L))),
+      "signed-rnd" -> (0 until 4000).map(_ =>
+        (rnd.nextLong() % 1000L, rnd.nextLong() % 50L)),
+      "singleton"  -> Seq((5L, 9L))
+    )
+    for ((name, data) <- shapes; parts <- Seq(1, 2, 7, 32)) {
+      val df = data.zipWithIndex
+        .map { case ((k, v), id) => (k, v, id.toLong) }
+        .toDF("k", "v", "id")
+      val w = Window.orderBy($"k", $"id")
+      val refRows = df
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("run", sum($"v").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .collect().map(r => r.getLong(2) -> (r.getLong(3), r.getLong(4))).toMap
+      val gotRn = Ranks.globalRowNumber(df, Seq($"k", $"id"), parts, "rn")
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      val gotRun = Ranks.globalRunningSum(df, Seq($"k", $"id"), $"v", parts, "run")
+        .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+      refRows.foreach { case (id, (rn, run)) =>
+        assert(gotRn(id) == rn,
+          s"[$name parts=$parts] rank diverges at id=$id: ${gotRn(id)} vs $rn")
+        assert(gotRun(id) == run,
+          s"[$name parts=$parts] running sum diverges at id=$id: ${gotRun(id)} vs $run")
+      }
+    }
+  }
 }
