@@ -1126,6 +1126,42 @@ object Dedup {
        |          JOIN sigs s2 ON cand.doc2 = s2.doc_id
        |ORDER BY doc1, doc2""".stripMargin
 
+  /** §2.4 — threshold-tuning sweep: the Jaccard-similarity histogram
+    * over ALL candidate pairs (0.05-wide bins) with the cumulative
+    * pairs-at-or-above count per bin edge — the table a pipeline
+    * owner reads to PICK τ before running any dedup (where does the
+    * near-dup mass sit, how sharply does the pair count grow as the
+    * threshold drops). One pass over the staged [[interPairs]]
+    * artifact; the histogram is ≤21 bins, the cumulative window runs
+    * on that bounded frame. */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val binned = interPairs(s, dir, shingleDfCap)
+      .withColumn("jaccard",
+        expr(rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)))
+      .withColumn("bin",
+        expr(rndSql("CAST(floor(jaccard * 20.0) AS DOUBLE) / 20.0", 2)))
+      .groupBy($"bin").agg(count(lit(1)).as("n_pairs"))
+    val w = Window.orderBy($"bin".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    binned
+      .withColumn("pairs_ge", sum($"n_pairs").over(w))
+      .select($"bin", $"n_pairs", $"pairs_ge")
+      .orderBy($"bin")
+  }
+
+  lazy val dedupThresholdSweepSql: String =
+    s"""WITH RECURSIVE $ngramInterCtes,
+       |binned AS (
+       |  SELECT ${rndSql(
+         s"CAST(floor(${rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)} * 20.0) AS DOUBLE) / 20.0", 2)} AS bin,
+       |    count(*) AS n_pairs
+       |  FROM ip GROUP BY 1)
+       |SELECT bin, n_pairs,
+       |  CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pairs_ge
+       |FROM binned ORDER BY bin""".stripMargin
+
   /** §2.4 — dedup-quality EVAL harness: precision/recall/F1 of the
     * MinHash+LSH near-dup detector against the exact n-gram Jaccard
     * ground truth at the same τ — the measurement a pipeline owner
@@ -1243,6 +1279,7 @@ object Dedup {
     "dedup_containment"   -> (dedupContainment _),
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_eval"          -> (dedupEval _),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_clusters"      -> (dedupClusters _),
@@ -1279,7 +1316,8 @@ object Dedup {
       // identical recurrence over the persisted edge artifact
       "dedup_clusters_embedding_indexed" -> dedupClustersEmbeddingSql,
       "dedup_paragraph"     -> dedupParagraphSql,
-      "dedup_substring"     -> dedupSubstringSql
+      "dedup_substring"     -> dedupSubstringSql,
+      "dedup_threshold_sweep" -> dedupThresholdSweepSql
     ) ++
       globOf("minhash_sigs").map(g => "dedup_minhash" -> dedupMinhashSql(g)) ++
       globOf("minhash_sigs").map(g => "dedup_eval" -> dedupEvalSql(g)) ++
