@@ -1462,8 +1462,13 @@ object Behavioral {
       .agg(count(lit(1)).as("n"), dsum($"value").as("sx"),
         dsum($"value" * $"value").as("sxx"))
       .withColumn("m", $"sx" / $"n".cast("double"))
-      .withColumn("v", ($"sxx" - $"sx" * $"sx" / $"n".cast("double")) /
-        ($"n" - 1).cast("double"))
+      // Same degenerate-cell guard as qPowerMde: a 1-row cell makes
+      // (n-1) zero — Spark non-ANSI division says NULL, DuckDB IEEE
+      // float division says inf/NaN; the explicit CASE makes both
+      // engines agree on NULL.
+      .withColumn("v", when($"n" > 1,
+        ($"sxx" - $"sx" * $"sx" / $"n".cast("double")) /
+          ($"n" - 1).cast("double")))
     val p = cells.groupBy()
       .pivot(concat($"arm", lit("_"), $"period"),
         Seq("t_pre", "t_post", "c_pre", "c_post"))
@@ -1473,9 +1478,11 @@ object Behavioral {
       $"c_pre.n".as("n_c_pre"), $"c_post.n".as("n_c_post"),
       expr(rndSql("(t_post.m - t_pre.m) - (c_post.m - c_pre.m)", 6)).as("did"),
       expr(rndSql(
-        """((t_post.m - t_pre.m) - (c_post.m - c_pre.m)) /
+        """CASE WHEN (t_post.v / CAST(t_post.n AS DOUBLE) + t_pre.v / CAST(t_pre.n AS DOUBLE)
+          |   + c_post.v / CAST(c_post.n AS DOUBLE) + c_pre.v / CAST(c_pre.n AS DOUBLE)) > CAST(0 AS DOUBLE)
+          |THEN ((t_post.m - t_pre.m) - (c_post.m - c_pre.m)) /
           |sqrt(t_post.v / CAST(t_post.n AS DOUBLE) + t_pre.v / CAST(t_pre.n AS DOUBLE)
-          |   + c_post.v / CAST(c_post.n AS DOUBLE) + c_pre.v / CAST(c_pre.n AS DOUBLE))"""
+          |   + c_post.v / CAST(c_post.n AS DOUBLE) + c_pre.v / CAST(c_pre.n AS DOUBLE)) END"""
           .stripMargin, 6)).as("z_stat"))
   }
 
@@ -1500,14 +1507,14 @@ object Behavioral {
        |  SELECT tp.n AS n_t_pre, tq.n AS n_t_post, cp.n AS n_c_pre, cq.n AS n_c_post,
        |    tp.sx / tp.n AS m_tp, tq.sx / tq.n AS m_tq,
        |    cp.sx / cp.n AS m_cp, cq.sx / cq.n AS m_cq,
-       |    (tp.sxx - tp.sx * tp.sx / tp.n) / (tp.n - 1) AS v_tp,
-       |    (tq.sxx - tq.sx * tq.sx / tq.n) / (tq.n - 1) AS v_tq,
-       |    (cp.sxx - cp.sx * cp.sx / cp.n) / (cp.n - 1) AS v_cp,
-       |    (cq.sxx - cq.sx * cq.sx / cq.n) / (cq.n - 1) AS v_cq
+       |    CASE WHEN tp.n > 1 THEN (tp.sxx - tp.sx * tp.sx / tp.n) / (tp.n - 1) END AS v_tp,
+       |    CASE WHEN tq.n > 1 THEN (tq.sxx - tq.sx * tq.sx / tq.n) / (tq.n - 1) END AS v_tq,
+       |    CASE WHEN cp.n > 1 THEN (cp.sxx - cp.sx * cp.sx / cp.n) / (cp.n - 1) END AS v_cp,
+       |    CASE WHEN cq.n > 1 THEN (cq.sxx - cq.sx * cq.sx / cq.n) / (cq.n - 1) END AS v_cq
        |  FROM tp, tq, cp, cq)
        |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
        |  ${rndSql("(m_tq - m_tp) - (m_cq - m_cp)", 6)} AS did,
-       |  ${rndSql("((m_tq - m_tp) - (m_cq - m_cp)) / sqrt(v_tq / n_t_post + v_tp / n_t_pre + v_cq / n_c_post + v_cp / n_c_pre)", 6)} AS z_stat
+       |  ${rndSql("CASE WHEN (v_tq / n_t_post + v_tp / n_t_pre + v_cq / n_c_post + v_cp / n_c_pre) > CAST(0 AS DOUBLE) THEN ((m_tq - m_tp) - (m_cq - m_cp)) / sqrt(v_tq / n_t_post + v_tp / n_t_pre + v_cq / n_c_post + v_cp / n_c_pre) END", 6)} AS z_stat
        |FROM m""".stripMargin
   }
 
@@ -1606,15 +1613,22 @@ object Behavioral {
       .agg(count(lit(1)).as("n"), dsum($"value").as("sx"),
         dsum($"value" * $"value").as("sxx"))
       .withColumn("m", $"sx" / $"n".cast("double"))
-      .withColumn("v", ($"sxx" - $"sx" * $"sx" / $"n".cast("double")) /
-        ($"n" - 1).cast("double"))
+      // Degenerate-cell guards (explicit CASE, not engine defaults):
+      // a single-row metric makes (n-1) zero and a zero-mean metric
+      // makes m² zero — Spark's non-ANSI division yields NULL there
+      // while DuckDB's IEEE float division yields inf/NaN, so both
+      // sides must agree on NULL via the same predicate.
+      .withColumn("v", when($"n" > 1,
+        ($"sxx" - $"sx" * $"sx" / $"n".cast("double")) /
+          ($"n" - 1).cast("double")))
       .select($"event_type", $"n",
         expr(rndSql("m", 6)).as("mean_value"),
         expr(rndSql("sqrt(v)", 6)).as("stddev"),
         expr(rndSql(s"m * CAST($powerRelMde AS DOUBLE)", 6)).as("mde_abs"),
-        expr(s"""CAST(ceil(CAST($powerZsum2 AS DOUBLE) * CAST(2 AS DOUBLE) * v
+        expr(s"""CASE WHEN v IS NOT NULL AND m <> CAST(0 AS DOUBLE) THEN
+                |  CAST(ceil(CAST($powerZsum2 AS DOUBLE) * CAST(2 AS DOUBLE) * v
                 |  / (m * CAST($powerRelMde AS DOUBLE) * m * CAST($powerRelMde AS DOUBLE)))
-                |  AS BIGINT)""".stripMargin).as("n_per_arm"))
+                |  AS BIGINT) END""".stripMargin).as("n_per_arm"))
       .orderBy($"event_type")
   }
 
@@ -1625,15 +1639,16 @@ object Behavioral {
        |  FROM events GROUP BY 1),
        |m AS (
        |  SELECT event_type, n, sx / n AS m,
-       |    (sxx - sx * sx / n) / (n - 1) AS v
+       |    CASE WHEN n > 1 THEN (sxx - sx * sx / n) / (n - 1) END AS v
        |  FROM st)
        |SELECT event_type, n,
        |  ${rndSql("m", 6)} AS mean_value,
        |  ${rndSql("sqrt(v)", 6)} AS stddev,
        |  ${rndSql(s"m * CAST($powerRelMde AS DOUBLE)", 6)} AS mde_abs,
-       |  CAST(ceil(CAST($powerZsum2 AS DOUBLE) * CAST(2 AS DOUBLE) * v
+       |  CASE WHEN v IS NOT NULL AND m <> CAST(0 AS DOUBLE) THEN
+       |    CAST(ceil(CAST($powerZsum2 AS DOUBLE) * CAST(2 AS DOUBLE) * v
        |    / (m * CAST($powerRelMde AS DOUBLE) * m * CAST($powerRelMde AS DOUBLE)))
-       |    AS BIGINT) AS n_per_arm
+       |    AS BIGINT) END AS n_per_arm
        |FROM m ORDER BY event_type""".stripMargin
 
   /** §2.10 — Theil–Sen robust trend of daily purchase revenue: the
@@ -1740,15 +1755,22 @@ object Behavioral {
     }
     val pFull = absorb(None)
     val channels = transients.filter(_ != "START")
+    // Removal effects quantize to 1e-12 BEFORE summing: a Double sum
+    // is order-dependent, and the oracle's sum(re) runs in DuckDB's
+    // aggregation order — an re sum landing on a 1e-6 rounding
+    // boundary could diverge. Integer sums are order-free on both
+    // engines.
     val res = channels.map { c =>
       val p = absorb(Some(c))
-      val re = if (pFull > 0) 1.0 - p / pFull else 0.0
-      (c, p, re)
+      val reQ = if (pFull > 0)
+        math.floor((1.0 - p / pFull) * 1e12 + 0.5).toLong else 0L
+      (c, p, reQ)
     }
-    val reSum = res.map(_._3).sum
+    val reSumQ = res.map(_._3).sum
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
-    res.map { case (c, p, re) =>
-        (c, r6(p), r6(re), if (reSum > 0) r6(re / reSum) else 0.0)
+    res.map { case (c, p, reQ) =>
+        (c, r6(p), r6(reQ.toDouble / 1e12),
+          if (reSumQ > 0) r6(reQ.toDouble / reSumQ.toDouble) else 0.0)
       }.toDF("channel", "p_removed", "removal_effect", "attribution")
       .orderBy($"channel")
   }
@@ -1823,14 +1845,15 @@ object Behavioral {
        |  FROM a$markovAbsorbIters WHERE s = 'START'),
        |re AS MATERIALIZED (
        |  SELECT f.removed AS channel, f.p AS p_removed,
-       |    CASE WHEN pf.p > 0 THEN 1.0 - f.p / pf.p ELSE 0.0 END AS re
+       |    CASE WHEN pf.p > 0 THEN CAST(floor((1.0 - f.p / pf.p) * 1e12
+       |      + CAST(0.5 AS DOUBLE)) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS req
        |  FROM fin f, (SELECT p FROM fin WHERE removed = '__none__') pf
        |  WHERE f.removed <> '__none__')
        |SELECT channel,
        |  ${rndSql("p_removed", 6)} AS p_removed,
-       |  ${rndSql("re", 6)} AS removal_effect,
-       |  CASE WHEN (SELECT sum(re) FROM re) > 0
-       |       THEN ${rndSql("re / (SELECT sum(re) FROM re)", 6)}
+       |  ${rndSql("CAST(req AS DOUBLE) / 1e12", 6)} AS removal_effect,
+       |  CASE WHEN (SELECT sum(req) FROM re) > 0
+       |       THEN ${rndSql("CAST(req AS DOUBLE) / CAST((SELECT sum(req) FROM re) AS DOUBLE)", 6)}
        |       ELSE 0.0 END AS attribution
        |FROM re ORDER BY channel""".stripMargin
   }

@@ -2321,7 +2321,10 @@ object Relational {
       .join(broadcast(dominant), $"s_suppkey" === $"l_suppkey", "left_semi")
       .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
       .select($"s_name", $"n_name")
-      .orderBy($"s_name")
+      // n_name tiebreaker: the 10× synthetic sweep replicates
+      // suppliers sharing an s_name, and s_name alone leaves tied
+      // rows in engine-specific order → oracle compare flakes.
+      .orderBy($"s_name", $"n_name")
   }
 
   /** Oracle: the nested-IN + correlated-HAVING formulation. */
@@ -2339,7 +2342,7 @@ object Relational {
        |    WHERE l2.l_partkey = lineitem.l_partkey
        |      AND l2.l_shipdate >= TIMESTAMP '$q20Lo'
        |      AND l2.l_shipdate < TIMESTAMP '$q20Hi'))
-       |ORDER BY s_name""".stripMargin
+       |ORDER BY s_name, n_name""".stripMargin
 
   /** Lateness lag for [[q21SoleLateSuppliers]]: a lineitem shipped
     * more than this many days after its order date is late. */

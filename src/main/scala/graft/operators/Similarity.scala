@@ -560,6 +560,18 @@ object Similarity {
         val q9 = new Array[Long](m); val q12 = new Array[Long](m)
         val x9 = new Array[Long](d); val x12 = new Array[Long](d)
         var n = 0L
+        // Running worst-case bound (in 1e-12 quanta) on any single
+        // accumulator cell this chunk. The fixed row-count chunk only
+        // keeps q12 inside Int64 when |a_i·a_j| ≲ 2.3; embeddings with
+        // larger components would overflow SILENTLY and break the
+        // asserted bit-identity with the explode path (which sums in
+        // DECIMAL(38,0)). So the flush threshold is derived from the
+        // data: each row contributes ≤ max(rowMax², rowMax)·1e12 + 1
+        // per cell, and we flush before the summed bound can cross a
+        // half-range safety margin. Flush placement never changes the
+        // totals (exact commutative Long sums → DECIMAL partials).
+        val safeBound = 4.5e18
+        var bound = 0.0
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Int, Int, Long, Long, Long, Long, Long)]
         def flush(): Unit = if (n > 0) {
@@ -576,10 +588,17 @@ object Similarity {
           }
           java.util.Arrays.fill(q9, 0L); java.util.Arrays.fill(q12, 0L)
           java.util.Arrays.fill(x9, 0L); java.util.Arrays.fill(x12, 0L)
-          n = 0
+          n = 0; bound = 0.0
         }
         def add(row: Seq[Double]): Unit = {
           val a = row.toArray
+          var rowMax = 0.0
+          var c = 0
+          while (c < d) {
+            val v = math.abs(a(c)); if (v > rowMax) rowMax = v; c += 1
+          }
+          val inc = math.max(rowMax * rowMax, rowMax) * 1e12 + 1.0
+          if (n > 0 && bound + inc > safeBound) flush()
           var k = 0
           var i = 0
           while (i < d) {
@@ -594,7 +613,7 @@ object Similarity {
             }
             i += 1
           }
-          n += 1
+          n += 1; bound += inc
           if (n >= chunk) flush()
         }
         add(first)

@@ -54,6 +54,12 @@ object Sinks {
     if (!current.get(name).contains(dataKey)) {
       writeBucketed(df, name, keys, buckets)
       current.put(name, dataKey)
+      // A rebuild (overwrite) discards any rows previously appended to
+      // this table, so the append memo for it is stale for EVERY
+      // dataset — including this one if the JVM cycles A → B → A:
+      // without this purge the second pass through A rebuilds the base
+      // index but skips A's delta append, leaving the shard incomplete.
+      appended.keys.filter(_._1 == name).foreach(appended.remove)
     }
   }
 
