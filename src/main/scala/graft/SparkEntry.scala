@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Accumulator, Behavioral, Dedup, EmbedPq, Graph, Iterators, Layout, Multimodal, Pipeline, Relational, Similarity, SimilarityIvf, Sequences, SourceFormats, TextAnalysis}
+import graft.operators.{Accumulator, Behavioral, Bpe, Dedup, EmbedPq, Graph, Iterators, Layout, Multimodal, Pipeline, Relational, Similarity, SimilarityIvf, SimilarityKnn, Sequences, SourceFormats, TextAnalysis}
 import graft.streaming.{StreamAcc, StreamOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -25,8 +25,10 @@ object SparkEntry {
     "Dedup" -> (Dedup.queries, Dedup.oracles),
     "Similarity" -> (Similarity.queries, Similarity.oracles),
     "SimilarityIvf" -> (SimilarityIvf.queries, SimilarityIvf.oracles),
+    "SimilarityKnn" -> (SimilarityKnn.queries, SimilarityKnn.oracles),
     "EmbedPq" -> (EmbedPq.queries, EmbedPq.oracles),
     "Pipeline" -> (Pipeline.queries, Pipeline.oracles),
+    "Bpe" -> (Bpe.queries, Bpe.oracles),
     "Layout" -> (Layout.queries, Layout.oracles),
     "Multimodal" -> (Multimodal.queries, Multimodal.oracles),
     "StreamAcc" -> (StreamAcc.queries, StreamAcc.oracles),

@@ -1,0 +1,244 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.operators.{TextAnalysis => TA}
+
+/** §2.8 — trained-subword (BPE) tokenization: merge-table TRAINING
+  * plus corpus ENCODING with the trained merges. This replaces the
+  * last stand-in in the corpus pipeline — `token_ids`' top-N word
+  * vocabulary — with the thing a real pretraining data-build ships:
+  * byte-pair-encoding merges learned from the corpus itself, so token
+  * budgets (45k), packing (41) and dedup thresholds are measured in
+  * the same units the trainer consumes. Reference analog: the batch
+  * pipeline's per-item transform hooks (client/index.ts:204-328) —
+  * tokenization is the canonical such transform.
+  *
+  * Scale layout: training iterates on the WORD-FREQUENCY table
+  * (vocab-bounded by Heaps' law — millions of rows at 100 TB, never
+  * corpus-bounded; the one corpus-sized pass is the initial word
+  * count's partial-agged groupBy). Each merge round is (a) an
+  * adjacent-pair partial aggregate over that vocab-sized frame, (b) a
+  * 1-ROW collect of the argmax pair (count desc, pair asc — fully
+  * deterministic), (c) a row-local `replace` applying the merge. No
+  * round shuffles anything bigger than the (pair, count) aggregate.
+  * Encoding broadcasts the ≤[[bpeMerges]]-row merge table and applies
+  * it as a chain of row-local replaces over the DISTINCT-word frame,
+  * then joins pieces back to token positions — the corpus side never
+  * carries the merge loop.
+  *
+  * Symbol sequences are represented as U+001F-delimited strings
+  * (`␟a␟␟b␟…`): the unit separator never occurs inside a symbol
+  * (words are whitespace-split; rare separator-carrying tokens are
+  * excluded outright on both engines), so a plain substring
+  * `replace(seq, ␟a␟␟b␟, ␟ab␟)` is exactly the greedy left-to-right
+  * non-overlapping merge BPE specifies — and Spark's `replace` and
+  * DuckDB's `replace` agree on that semantics, making the whole
+  * training loop SQL-oracle-checkable (the oracle unrolls the rounds
+  * as MATERIALIZED CTEs, the kcore/markov shape).
+  */
+object Bpe {
+
+  /** Number of merge rounds trained (and unrolled in the oracle). */
+  val bpeMerges = 30
+
+  private val SEP = ""
+  private def wrap(sym: String) = SEP + sym + SEP
+
+  /** The trained merge table, staged once per dataset (the production
+    * shape: a tokenizer is trained once and shipped to every job).
+    * Columns: merge_rank, lhs, rhs, merged, pair_count. */
+  private[graft] def bpeMergesDf(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "bpe_merges", dir)(
+      trainOf(Tables.documents(s, dir)))
+
+  /** The training loop over ANY documents frame (spec seam — crafted
+    * corpora and repartitioning-determinism tests drive this
+    * directly). */
+  private[graft] def trainOf(docs: DataFrame): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val words0 = docs
+        .select(explode(expr(TA.toksExpr)).as("word"))
+        .filter($"word" =!= "" && !$"word".contains(SEP))
+        .groupBy($"word").agg(count(lit(1)).as("cnt"))
+        .withColumn("seq", regexp_replace($"word", "(.)", s"$SEP$$1$SEP"))
+        // vocab-sized; cuts the corpus scan out of every merge round
+        .localCheckpoint(true)
+      var cur = words0
+      val merges = ArrayBuffer.empty[(Long, String, String, String, Long)]
+      var r = 1
+      var exhausted = false
+      while (r <= bpeMerges && !exhausted) {
+        // bounded collect: exactly one (pair, count) row per round
+        val top = cur
+          .select($"cnt",
+            split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP).as("ss"))
+          .filter(size($"ss") >= 2)
+          .select($"cnt", explode(expr(
+            "transform(sequence(0, size(ss) - 2), i -> struct(ss[i] AS a, ss[i + 1] AS b))"))
+            .as("p"))
+          .groupBy($"p.a".as("a"), $"p.b".as("b")).agg(sum($"cnt").as("c"))
+          .orderBy($"c".desc, $"a", $"b").limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, c) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r.toLong, a, b, a + b, c))
+          cur = cur.withColumn("seq",
+            org.apache.spark.sql.functions.replace(
+              $"seq", lit(wrap(a) + wrap(b)), lit(wrap(a + b))))
+          // replace chains are narrow row-local projections; a
+          // mid-loop lineage cut keeps recompute linear without
+          // paying a checkpoint job every round
+          if (r % 10 == 0) cur = cur.localCheckpoint(true)
+          r += 1
+        }
+      }
+    merges.toSeq
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** §2.8 — the trained merge table itself: rank, pair, merged
+    * symbol, and the pair's corpus frequency at merge time. */
+  def vocabBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    bpeMergesDf(s, dir).orderBy($"merge_rank")
+  }
+
+  /** The oracle re-derives the ENTIRE training loop in SQL:
+    * [[bpeMerges]] unrolled rounds, each a pair-count aggregate + a
+    * 1-row argmax + a guarded replace — every level MATERIALIZED
+    * (multiply-referenced s-tables; DuckDB's planner needs the
+    * fences on deep unrolls). */
+  lazy val vocabBpeTrainSql: String = {
+    def lvl(r: Int): String =
+      s"""p$r AS MATERIALIZED (
+         |  SELECT a, b, c FROM (
+         |    SELECT e.a, e.ss[e.i + 1] AS b, CAST(sum(e.cnt) AS BIGINT) AS c
+         |    FROM (
+         |      SELECT cnt, ss, generate_subscripts(ss, 1) AS i, unnest(ss) AS a
+         |      FROM (
+         |        SELECT cnt, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS ss
+         |        FROM s${r - 1})
+         |      WHERE len(ss) >= 2) e
+         |    WHERE e.i < len(e.ss)
+         |    GROUP BY 1, 2)
+         |  ORDER BY c DESC, a, b LIMIT 1),
+         |s$r AS MATERIALIZED (
+         |  SELECT w.word, w.cnt,
+         |    CASE WHEN p.a IS NULL THEN w.seq
+         |         ELSE replace(w.seq, chr(31) || p.a || chr(31) || chr(31) || p.b || chr(31),
+         |                      chr(31) || p.a || p.b || chr(31)) END AS seq
+         |  FROM s${r - 1} w LEFT JOIN p$r p ON TRUE)""".stripMargin
+    val levels = (1 to bpeMerges).map(lvl).mkString(",\n")
+    val unions = (1 to bpeMerges).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_rank, a AS lhs, b AS rhs,
+         |  a || b AS merged, c AS pair_count FROM p$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH wc AS MATERIALIZED (
+       |  SELECT tok AS word, count(*) AS cnt FROM (
+       |    SELECT unnest(${TA.duckToks}) AS tok FROM documents)
+       |  WHERE tok <> '' AND NOT contains(tok, chr(31))
+       |  GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    regexp_replace(word, '(.)', chr(31) || '\\1' || chr(31), 'g') AS seq
+       |  FROM wc),
+       |$levels
+       |SELECT * FROM (
+       |$unions)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** §2.8 — encode the corpus with the trained merges: every token
+    * position explodes into its BPE pieces. The merge table is a
+    * bounded driver artifact (≤[[bpeMerges]] rows, the PQ-codebook
+    * pattern); application is one projection chaining the replaces
+    * over DISTINCT words, joined back to positions broadcast-side. */
+  def tokenIdsBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergesDf(s, dir).orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    encodeOf(Tables.documents(s, dir), merges)
+  }
+
+  /** Encoding over ANY documents frame with a given merge list (spec
+    * seam, same split as [[trainOf]]). */
+  private[graft] def encodeOf(docs: DataFrame,
+      merges: Array[(String, String)]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id", posexplode(expr(TA.toksExpr)).as(Seq("pos0", "tok")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"tok")
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+    val applied = merges.foldLeft(
+      regexp_replace($"tok", "(.)", s"$SEP$$1$SEP"): Column) {
+      case (c, (a, b)) =>
+        org.apache.spark.sql.functions.replace(
+          c, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
+    }
+    val wordPieces = toks.select($"tok").distinct()
+      .withColumn("seq", applied)
+      .select($"tok",
+        split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP).as("pieces"))
+    toks.join(broadcast(wordPieces), "tok")
+      .select($"doc_id", $"pos",
+        posexplode($"pieces").as(Seq("pp0", "piece")))
+      .select($"doc_id", $"pos",
+        ($"pp0" + 1).cast("long").as("piece_pos"), $"piece")
+      .orderBy($"doc_id", $"pos", $"piece_pos")
+  }
+
+  /** Encoding oracle: applies the STAGED merge table independently
+    * (unrolled guarded replaces in rank order over distinct words) —
+    * the training derivation itself is checked by
+    * [[vocabBpeTrainSql]], so this checks application semantics
+    * without re-paying the training unroll. */
+  def tokenIdsBpeSql(mergesGlob: String): String = {
+    def lvl(r: Int): String =
+      s"""d$r AS MATERIALIZED (
+         |  SELECT w.tok, CASE WHEN mr.lhs IS NULL THEN w.seq
+         |    ELSE replace(w.seq, chr(31) || mr.lhs || chr(31) || chr(31) || mr.rhs || chr(31),
+         |                 chr(31) || mr.lhs || mr.rhs || chr(31)) END AS seq
+         |  FROM d${r - 1} w LEFT JOIN (
+         |    SELECT lhs, rhs FROM m WHERE merge_rank = $r) mr ON TRUE)""".stripMargin
+    val levels = (1 to bpeMerges).map(lvl).mkString(",\n")
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT merge_rank, lhs, rhs FROM '$mergesGlob'),
+       |t2 AS MATERIALIZED (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM (
+       |    SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+       |    FROM (SELECT doc_id, ${TA.duckToks} AS toks FROM documents))
+       |  WHERE tok <> '' AND NOT contains(tok, chr(31))),
+       |d0 AS MATERIALIZED (
+       |  SELECT DISTINCT tok,
+       |    regexp_replace(tok, '(.)', chr(31) || '\\1' || chr(31), 'g') AS seq
+       |  FROM t2),
+       |$levels,
+       |pieces AS MATERIALIZED (
+       |  SELECT tok, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS ps
+       |  FROM d$bpeMerges)
+       |SELECT doc_id, pos, CAST(piece_pos AS BIGINT) AS piece_pos, piece FROM (
+       |  SELECT t2.doc_id, t2.pos, generate_subscripts(p.ps, 1) AS piece_pos,
+       |    unnest(p.ps) AS piece
+       |  FROM t2 JOIN pieces p ON t2.tok = p.tok)
+       |ORDER BY doc_id, pos, piece_pos""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_bpe_train" -> (vocabBpeTrain _),
+    "token_ids_bpe"   -> (tokenIdsBpe _)
+  )
+
+  def oracles: Map[String, String] =
+    Map("vocab_bpe_train" -> vocabBpeTrainSql) ++
+      graft.sources.OracleStage.globOf("bpe_merges")
+        .map(g => "token_ids_bpe" -> tokenIdsBpeSql(g))
+}

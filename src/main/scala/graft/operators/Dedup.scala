@@ -1269,7 +1269,101 @@ object Dedup {
        |JOIN nd nb ON nb.source = b.source
        |ORDER BY source1, source2""".stripMargin
 
+  /** §2.4 — SemDeDup-style cluster-representative pruning: the
+    * CURATION DECISION on top of the semantic cluster artifact (29j).
+    * Within each embedding cluster, keep the member whose cosine to
+    * the cluster centroid is highest (the most "central" exemplar —
+    * Abbas et al.'s SemDeDup keeps low-redundancy representatives
+    * exactly this way) and count what gets pruned. Centroid cosine
+    * uses the SUM vector — cos(m, Σv/k) = cos(m, Σv), so no division
+    * by k enters the arithmetic; per-dimension sums quantize at 1e-9
+    * into exact decimal integers, making both engines' centroids
+    * bit-identical. Scale: one posexplode + (cluster, dim) partial
+    * aggregate — d-bounded rows per cluster — then an edge-free hash
+    * join of members against their cluster's d-element sum vector;
+    * nothing is all-pairs and nothing collects. */
+  def dedupSemanticPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val members = dedupClustersEmbedding(s, dir)
+      .join(Similarity.vectors(s, dir), "vec_id")
+    val sums = members
+      .select($"canonical_id", posexplode($"v").as(Seq("dim", "x")))
+      .groupBy($"canonical_id", $"dim")
+      .agg((sum(expr("CAST(floor(x * 1000000000D + 0.5D) AS DECIMAL(38,0))"))
+        .cast("double") / lit(1e9)).as("sx"))
+    val sv = sums.groupBy($"canonical_id")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, sx))), t -> t.sx)").as("sv"))
+      .withColumn("svnrm", expr(VectorFns.norm("sv")))
+    val w = Window.partitionBy($"canonical_id")
+      .orderBy($"cos_centroid".desc, $"vec_id")
+    members.join(sv, "canonical_id")
+      .withColumn("cos_centroid",
+        expr(rndSql(s"${VectorFns.dot("v", "sv")} / (nrm * svnrm)", 6)))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"canonical_id".as("cluster_id"), $"cluster_size",
+        $"vec_id".as("kept_id"), $"cos_centroid".as("kept_cos"),
+        ($"cluster_size" - 1L).as("n_pruned"))
+      .orderBy($"cluster_id")
+  }
+
+  /** Oracle: transitive-closure clusters (29j's recurrence) + the
+    * same sum-vector centroid cosine and argmax in DuckDB. */
+  val dedupSemanticPruneSql: String =
+    s"""WITH RECURSIVE v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |scored AS (
+       |  SELECT a.vec_id AS doc1, b.vec_id AS doc2
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |  WHERE ${rndSql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} >= $cosineTau),
+       |edges AS (
+       |  SELECT doc1 AS src, doc2 AS dst FROM scored
+       |  UNION ALL
+       |  SELECT doc2, doc1 FROM scored),
+       |reach(id, lab) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |labs AS (SELECT id, min(lab) AS canonical_id FROM reach GROUP BY 1),
+       |mem AS (
+       |  SELECT l.id AS vec_id, l.canonical_id, n.v, n.nrm
+       |  FROM labs l JOIN n ON n.vec_id = l.id),
+       |dims AS (
+       |  SELECT canonical_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
+       |  FROM mem),
+       |sums AS (
+       |  SELECT canonical_id, dim,
+       |    CAST(sum(CAST(floor(x * 1000000000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 1e9 AS sx
+       |  FROM dims GROUP BY 1, 2),
+       |sv AS (
+       |  SELECT canonical_id, list(sx ORDER BY dim) AS sv FROM sums GROUP BY 1),
+       |sn AS (
+       |  SELECT canonical_id, sv,
+       |    sqrt(list_sum(list_transform(sv, x -> x * x))) AS svnrm
+       |  FROM sv),
+       |sz AS (SELECT canonical_id, count(*) AS cluster_size FROM mem GROUP BY 1),
+       |sc AS (
+       |  SELECT m.canonical_id, m.vec_id,
+       |    ${rndSql("list_dot_product(m.v, s.sv) / (m.nrm * s.svnrm)", 6)} AS cos_centroid
+       |  FROM mem m JOIN sn s USING (canonical_id)),
+       |r AS (
+       |  SELECT canonical_id, vec_id, cos_centroid,
+       |    row_number() OVER (PARTITION BY canonical_id
+       |      ORDER BY cos_centroid DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT r.canonical_id AS cluster_id, sz.cluster_size,
+       |  r.vec_id AS kept_id, r.cos_centroid AS kept_cos,
+       |  sz.cluster_size - 1 AS n_pruned
+       |FROM r JOIN sz USING (canonical_id)
+       |WHERE rk = 1
+       |ORDER BY cluster_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic_prune" -> (dedupSemanticPrune _),
     "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_source_flow"   -> (dedupSourceFlow _),
@@ -1298,6 +1392,7 @@ object Dedup {
   def oracles: Map[String, String] = {
     import graft.sources.OracleStage.globOf
     Map(
+      "dedup_semantic_prune" -> dedupSemanticPruneSql,
       "dedup_exact"         -> dedupExactSql,
       "dedup_source_flow"   -> dedupSourceFlowSql,
       "dedup_exact_normalized" -> dedupExactNormalizedSql,

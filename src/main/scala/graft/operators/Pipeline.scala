@@ -493,6 +493,77 @@ object Pipeline {
       .orderBy($"doc_id")
   }
 
+  /** Contiguous-window length for [[decontaminateSpan]] — the
+    * industry-standard eval-overlap gate (a shared ≥13-token
+    * contiguous span, vs 44's far-too-aggressive any-3-gram rule). */
+  val spanN = 13
+
+  /** §2.8 — span-based decontamination: flag training documents
+    * sharing a CONTIGUOUS [[spanN]]-token window with the eval set.
+    * Any-3-gram overlap (44) flags half a crawl on idiom alone; the
+    * 13-token contiguous gate is what real release pipelines ship.
+    * Same scale layout as 44: stride-1 windows are row-local
+    * explodes, the eval window set is bounded → broadcast, the
+    * corpus is never self-joined and only (doc_id, count, pos) rows
+    * move after the broadcast probe. Reports the matched-window
+    * count and the first matching window position (1-based; NULL
+    * when clean). */
+  def decontaminateSpan(s: SparkSession, dir: String): DataFrame =
+    decontaminateSpanOf(s, Tables.documents(s, dir))
+
+  /** Span decontamination over ANY documents frame (spec seam — the
+    * boundary-straddling crafted corpus drives this directly). */
+  private[graft] def decontaminateSpanOf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val win = docs
+      .withColumn("toks", expr(TA.toksExpr))
+      .filter(size($"toks") >= spanN)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(1, size(toks) - ${spanN - 1}),
+           |  i -> struct(i AS pos, concat_ws(' ', slice(toks, i, $spanN)) AS w))"""
+          .stripMargin)).as("t"))
+      .select($"doc_id", $"t.pos".cast("long").as("pos"), $"t.w".as("w"))
+    val ev = win.filter($"doc_id" < evalMaxId).select($"w").distinct()
+    val hits = win.filter($"doc_id" >= evalMaxId)
+      .join(broadcast(ev), "w")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"w").as("n_spans"),
+        min($"pos").as("first_span_pos"))
+    docs.filter($"doc_id" >= evalMaxId).select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"n_spans".isNotNull, 1L).otherwise(0L).as("contaminated"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"),
+        $"first_span_pos")
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSpanSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TA.duckToks} AS toks FROM documents),
+       |e AS (
+       |  SELECT doc_id, unnest(range(1, len(toks) - ${spanN - 2})) AS i, toks
+       |  FROM t WHERE len(toks) >= $spanN),
+       |w AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    array_to_string(toks[i:i + ${spanN - 1}], ' ') AS w
+       |  FROM e),
+       |ev AS (SELECT DISTINCT w FROM w WHERE doc_id < $evalMaxId),
+       |hits AS (
+       |  SELECT c.doc_id, count(DISTINCT c.w) AS n_spans,
+       |    min(c.pos) AS first_span_pos
+       |  FROM (SELECT * FROM w WHERE doc_id >= $evalMaxId) c
+       |  JOIN ev ON c.w = ev.w
+       |  GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN h.n_spans IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS contaminated,
+       |  coalesce(h.n_spans, 0) AS n_spans,
+       |  h.first_span_pos
+       |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+       |WHERE d.doc_id >= $evalMaxId
+       |ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------------------------------------
 
   /** Misra-Gries capacity for [[corpusHeavyHitters]]: any term with
@@ -1567,6 +1638,7 @@ object Pipeline {
     "token_ids"         -> (tokenIds _),
     "decontaminate"     -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
+    "decontaminate_span" -> (decontaminateSpan _),
     "split_assign"      -> (splitAssign _),
     "split_by_source"   -> (splitBySource _),
     "doc_length_buckets" -> (docLengthBuckets _)
@@ -1598,6 +1670,7 @@ object Pipeline {
     "decontaminate"     -> decontaminateSql,
     // bit-identical scale path: shares the exact-broadcast oracle
     "decontaminate_bloom" -> decontaminateSql,
+    "decontaminate_span" -> decontaminateSpanSql,
     "split_assign"      -> splitAssignSql,
     "split_by_source"   -> splitBySourceSql,
     "doc_length_buckets" -> docLengthBucketsSql

@@ -33,7 +33,7 @@ object Similarity {
   val lshTables = 8
   val lshBits = 6
 
-  private def vectors(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def vectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))

@@ -368,6 +368,90 @@ object StreamOps {
     s.table(sink).orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** §2.4 — LEFT OUTER stream-stream interval join: the shape
+    * production attribution actually ships. The inner join (29g)
+    * silently drops clickless purchases; the outer variant emits
+    * them with null attribution — but only once the WATERMARK closes
+    * their 30-minute click window (a purchase cannot be declared
+    * clickless while a qualifying click could still arrive). Spark
+    * holds the unmatched left row in state and emits the null-side
+    * row when the global watermark (min of both sides' max-event-time
+    * minus the 1-hour delay) passes the purchase's timestamp — so at
+    * stream end, trailing purchases inside the final watermark
+    * horizon are STILL unemitted. The run-to-completion oracle pins
+    * exactly that: matched pairs unconditionally, plus null rows for
+    * unmatched purchases strictly below the final watermark. */
+  def attributionOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clicks = StreamAcc.eventsStream(s, dir)
+      .filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("click_ts"),
+        $"event_id".as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = StreamAcc.eventsStream(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"ts".as("purchase_ts"),
+        $"event_id".as("purchase_id"), $"value".as("purchase_value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+      $"p_user" === $"c_user" &&
+        $"click_ts" <= $"purchase_ts" &&
+        $"click_ts" >= $"purchase_ts" - expr("INTERVAL 30 minutes"),
+      "left_outer")
+      .select($"p_user".as("user_id"), $"purchase_id", $"click_id",
+        $"purchase_ts", $"click_ts")
+  }
+
+  def runAttributionOuterToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_attrib_outer"): DataFrame = {
+    // same state-partition knob rationale as the inner variant
+    val key = "spark.sql.shuffle.partitions"
+    val orig = s.conf.get(key)
+    val q = try {
+      s.conf.set(key, math.min(8, orig.toInt).toString)
+      attributionOuterJoin(s, dir).writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    } finally s.conf.set(key, orig)
+    q.awaitTermination()
+    // (purchase_id, click_id) is a total order even with nulls:
+    // a null click_id only ever appears as its purchase's singleton
+    // row, so null-ordering conventions never tie-break
+    s.table(sink).orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  /** Oracle for the outer variant: the batch interval join plus the
+    * watermark-closed null side — unmatched purchases strictly below
+    * final watermark = least(max click ts, max purchase ts) − 1 h. */
+  val attributionOuterJoinSql: String =
+    """WITH wm AS (
+      |  SELECT least(
+      |    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+      |    (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+      |    - INTERVAL '1 hour' AS w),
+      |pairs AS (
+      |  SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+      |    p.ts AS purchase_ts, c.ts AS click_ts
+      |  FROM events p JOIN events c
+      |    ON p.user_id = c.user_id
+      |    AND p.event_type = 'purchase' AND c.event_type = 'click'
+      |    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'),
+      |unmatched AS (
+      |  SELECT p.user_id, p.event_id AS purchase_id,
+      |    CAST(NULL AS BIGINT) AS click_id,
+      |    p.ts AS purchase_ts, CAST(NULL AS TIMESTAMP) AS click_ts
+      |  FROM events p, wm
+      |  WHERE p.event_type = 'purchase' AND p.ts < wm.w
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM events c
+      |      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |        AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'))
+      |SELECT * FROM pairs
+      |UNION ALL SELECT * FROM unmatched
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   /** Oracle: the equivalent batch interval join (equi on user +
     * time-range predicate). */
   val attributionJoinSql: String =
@@ -1006,6 +1090,8 @@ object StreamOps {
       runDedupExactToCompletion(s, dir, sink = "stream_dedup_verify")),
     "stream_attribution_join" -> ((s, dir) =>
       runAttributionToCompletion(s, dir, sink = "stream_attrib_verify")),
+    "stream_attribution_outer" -> ((s, dir) =>
+      runAttributionOuterToCompletion(s, dir, sink = "stream_attrib_outer_verify")),
     "stream_heavy_hitters" -> ((s, dir) =>
       runHeavyHittersToCompletion(s, dir, sink = "stream_hh_verify")),
     "stream_hh_windowed" -> ((s, dir) =>
@@ -1055,6 +1141,7 @@ object StreamOps {
     // groupBy: shares dedup_exact's oracle verbatim
     "stream_dedup_exact" -> graft.operators.Dedup.dedupExactSql,
     "stream_attribution_join" -> attributionJoinSql,
+    "stream_attribution_outer" -> attributionOuterJoinSql,
     // incremental exact counts run to completion equal the batch
     // counts: shares corpus_heavy_hitters' oracle verbatim
     "stream_heavy_hitters" -> graft.operators.Pipeline.corpusHeavyHittersSql,

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+
+  private def docsOf(texts: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    texts.toSeq.toDF("doc_id", "text")
+  }
+
+  test("greedy merge order on a crafted corpus follows classic BPE") {
+    // two copies of "aaab": round 1 the overlapping (a,a) pair counts
+    // 4 (greedy left-to-right merges non-overlapping → [aa, a, b]);
+    // round 2 ties (aa,a)=2 vs (a,b)=2 break lexicographically to
+    // (a,b); round 3 merges (aa,ab); then no pairs remain and
+    // training stops early.
+    val m = Bpe.trainOf(docsOf(1L -> "aaab", 2L -> "aaab"))
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toList == List(
+      (1L, "a", "a", "aa", 4L),
+      (2L, "a", "b", "ab", 2L),
+      (3L, "aa", "ab", "aaab", 2L)))
+  }
+
+  test("merge table is identical under corpus repartitioning") {
+    val docs = docsOf((0L until 40L).map(i =>
+      i -> s"the quick brown fox ${"ab" * (i % 5).toInt} jumps over"): _*)
+    val a = Bpe.trainOf(docs).orderBy("merge_rank").collect().map(_.toSeq).toList
+    val b = Bpe.trainOf(docs.repartition(7)).orderBy("merge_rank")
+      .collect().map(_.toSeq).toList
+    assert(a == b, "pair counts are exact integers and the argmax " +
+      "tiebreak is total — partitioning must not move any merge")
+    assert(a.nonEmpty)
+  }
+
+  test("encoding pieces reassemble each token and honor trained merges") {
+    val docs = docsOf(1L -> "banana bandana banana", 2L -> "ban ban banana")
+    val mergesDf = Bpe.trainOf(docs)
+    val merges = mergesDf.orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val mergedSyms = mergesDf.collect().map(_.getString(3)).toSet
+    val enc = Bpe.encodeOf(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // pieces per (doc, pos) concatenate back to the original token
+    val rebuilt = enc.groupBy(t => (t._1, t._2)).map { case (k, ps) =>
+      k -> ps.sortBy(_._3).map(_._4).mkString
+    }
+    val s = spark
+    import s.implicits._
+    val toks = docs
+      .selectExpr("doc_id", "posexplode(split(trim(text), '\\\\s+')) AS (p0, tok)")
+      .collect().map(r => (r.getLong(0), r.getInt(1) + 1L) -> r.getString(2)).toMap
+    assert(rebuilt == toks)
+    // every multi-char piece is a trained merged symbol
+    enc.map(_._4).filter(_.length > 1).foreach { p =>
+      assert(mergedSyms.contains(p), s"piece '$p' is not a trained merge")
+    }
+  }
+
+  test("training on the test corpus is non-trivial and fully ranked") {
+    val m = Bpe.vocabBpeTrain(spark, sfDir).collect()
+    assert(m.length == Bpe.bpeMerges,
+      s"expected ${Bpe.bpeMerges} merges, got ${m.length}")
+    assert(m.map(_.getLong(0)).toList == (1L to Bpe.bpeMerges).toList)
+    // pair counts are non-increasing only weakly across ranks in
+    // general BPE, but each must be positive
+    assert(m.forall(_.getLong(4) > 0))
+  }
+}

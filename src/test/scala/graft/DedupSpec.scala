@@ -275,6 +275,30 @@ class DedupSpec extends SparkSpec {
       s"diff: ${(indexed diff direct).take(3)} / ${(direct diff indexed).take(3)}")
   }
 
+  test("semantic prune keeps exactly one centroid-nearest member per cluster") {
+    val clusters = Dedup.dedupClustersEmbedding(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = clusters.groupBy(_._2)
+    val pruned = Dedup.dedupSemanticPrune(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    // one decision row per cluster, covering all of them
+    assert(pruned.map(_._1).toSet == byCluster.keySet)
+    pruned.foreach { case (cid, size, kept, cos, nPruned) =>
+      val members = byCluster(cid)
+      assert(members.map(_._1).contains(kept), s"kept $kept not in cluster $cid")
+      assert(size == members.length.toLong)
+      assert(nPruned == size - 1)
+      assert(cos >= -1.0 && cos <= 1.0 + 1e-9)
+      if (size == 1L) {
+        assert(kept == cid, "a singleton keeps itself")
+        assert(math.abs(cos - 1.0) < 1e-6, s"cos(v, v) must be 1: $cos")
+      }
+    }
+    // the prune is a real decision on this corpus: something gets cut
+    assert(pruned.map(_._5).sum > 0, "corpus has near-dup clusters to prune")
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedupEmbedding(spark, sfDir).collect()
     assert(rows.nonEmpty)

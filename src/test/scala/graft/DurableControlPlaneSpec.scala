@@ -223,6 +223,53 @@ class DurableControlPlaneSpec extends SparkSpec {
       List((0L until 20L).toSet, (0L until 24L).toSet))
   }
 
+  private class CrashingIterStore(real: IterStateStore) extends IterStateStore {
+    @volatile var crashNextSave = false
+    def save(rows: Seq[graft.operators.IterJobRow]): Unit = {
+      if (crashNextSave) {
+        crashNextSave = false
+        throw new RuntimeException("injected crash before cursor checkpoint")
+      }
+      real.save(rows)
+    }
+    def load(): Option[Seq[graft.operators.IterJobRow]] = real.load()
+  }
+
+  test("crash between batch completion and cursor checkpoint: resume re-offers exactly the uncheckpointed batch") {
+    val dir = tmp("graft-iter-midcrash")
+    val chunks = collection.mutable.Buffer.empty[(Long, Long)]
+    val store = new CrashingIterStore(IterStateStore.parquet(spark, dir))
+    val a = new TableIterator(orders, "o_orderkey", 400,
+      process = df => chunks += chunkSig(df), clock = () => 7L, store = store)
+    a.start("j"); a.step("j"); a.step("j")
+    val committed = a.status("j").get
+    assert(committed.batchesDone == 2)
+    // batch 3's process() completes, then the machine dies before
+    // the cursor checkpoint lands
+    store.crashNextSave = true
+    intercept[RuntimeException] { a.step("j") }
+    assert(chunks.size == 3, "the batch WAS processed before the crash")
+    // a fresh iterator over the same store sees only the committed
+    // cursor — and must re-offer batch 3 first (at-least-once; a gap
+    // here would silently drop 400 rows)
+    val resumedChunks = collection.mutable.Buffer.empty[(Long, Long)]
+    val b = new TableIterator(orders, "o_orderkey", 400,
+      process = df => resumedChunks += chunkSig(df), clock = () => 7L,
+      store = IterStateStore.parquet(spark, dir))
+    val resumed = b.status("j").get
+    assert(resumed.cursor == committed.cursor && resumed.batchesDone == 2,
+      "the uncheckpointed batch must not appear in resumed state")
+    assert(b.runAll("j").status == "completed")
+    assert(resumedChunks.head == chunks(2),
+      "first resumed chunk must BE the uncheckpointed batch")
+    // committed prefix + resumed tail == one uninterrupted run
+    val full = collection.mutable.Buffer.empty[(Long, Long)]
+    val c = new TableIterator(orders, "o_orderkey", 400,
+      process = df => full += chunkSig(df), clock = () => 7L)
+    c.start("j"); c.runAll("j")
+    assert((chunks.take(2) ++ resumedChunks).toList == full.toList)
+  }
+
   test("a corrupt iterator checkpoint fails loudly instead of restarting from cursor 0") {
     val s = spark
     val dir = tmp("graft-iter-corrupt")

@@ -370,6 +370,41 @@ class PipelineSpec extends SparkSpec {
     assert(sub == a.filter(kv => ids(kv._1)))
   }
 
+  test("span decontamination flags 13-token contiguous overlap, not 12, and spans straddle eval windows") {
+    val s = spark; import s.implicits._
+    val evalWords = (1 to 30).map(i => s"e$i")   // eval doc: e1..e30
+    // doc 100: contains e5..e17 (exactly 13 contiguous eval tokens)
+    // doc 101: contains e5..e16 (12 tokens — must stay clean)
+    // doc 102: 13-token overlap straddling its own filler boundary
+    // doc 103: no overlap at all
+    val docs = Seq(
+      (1L, evalWords.mkString(" ")),
+      (100L, ("x1 x2 " + (5 to 17).map(i => s"e$i").mkString(" ") + " y1 y2")),
+      (101L, ("x1 x2 " + (5 to 16).map(i => s"e$i").mkString(" ") + " y1 y2")),
+      (102L, ((10 to 16).map(i => s"e$i").mkString(" ") + " " +
+        (17 to 22).map(i => s"e$i").mkString(" "))),
+      (103L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val r = Pipeline.decontaminateSpanOf(s, docs).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(r(100L) == ((1L, 1L, 3L)),
+      s"exactly one 13-gram, starting at token 3: ${r(100L)}")
+    assert(r(101L) == ((0L, 0L, -1L)), s"12-token overlap must be clean: ${r(101L)}")
+    assert(r(102L)._1 == 1L, s"13 contiguous eval tokens across doc-side filler: ${r(102L)}")
+    assert(r(103L) == ((0L, 0L, -1L)))
+  }
+
+  test("span decontamination is strictly less aggressive than 3-gram decontamination") {
+    val s = spark; import s.implicits._
+    val spanFlagged = Pipeline.decontaminateSpan(s, sfDir).collect()
+      .filter(_.getLong(1) == 1L).map(_.getLong(0)).toSet
+    val ngramFlagged = Pipeline.decontaminate(s, sfDir).collect()
+      .filter(_.getLong(1) == 1L).map(_.getLong(0)).toSet
+    assert(spanFlagged.subsetOf(ngramFlagged),
+      "a shared 13-gram implies shared 3-grams")
+  }
+
   test("entity sample keeps whole users: per-user event counts equal the unsampled counts") {
     val s = spark; import s.implicits._
     val sampled = Pipeline.sampleEntity(s, sfDir).collect()

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Similarity, SimilarityKnn}
+
+class SimilarityKnnSpec extends SparkSpec {
+
+  /** Exact cosine top-k graph (all nodes), spec-scale ground truth. */
+  private lazy val exactTopK: Map[Long, Set[Long]] = {
+    val s = spark; import s.implicits._
+    val v: Map[Long, Array[Double]] = Similarity.vectors(s, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    v.map { case (id, a) =>
+      val scored = v.toSeq.filter(_._1 != id).map { case (j, b) =>
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        val cos = dot / (math.sqrt(a.map(x => x * x).sum) *
+          math.sqrt(b.map(x => x * x).sum))
+        (j, cos)
+      }
+      id -> scored.sortBy { case (j, c) => (-c, j) }
+        .take(SimilarityKnn.knnK).map(_._1).toSet
+    }
+  }
+
+  private lazy val graphRows =
+    SimilarityKnn.annKnnGraph(spark, sfDir).collect()
+
+  test("knn graph covers every node with ranked, self-free neighbors") {
+    val byNode = graphRows.groupBy(_.getLong(0))
+    val n = Similarity.vectors(spark, sfDir).count()
+    assert(byNode.size == n, s"${byNode.size} of $n nodes have neighbors")
+    byNode.foreach { case (id, rs) =>
+      assert(rs.length <= SimilarityKnn.knnK)
+      assert(rs.map(_.getLong(1)).sorted.toList == (1L to rs.length).toList)
+      rs.foreach(r => assert(r.getLong(2) != id, "self edge"))
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  private def recallOf(rows: Array[org.apache.spark.sql.Row]): Double = {
+    val approx = rows.groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    exactTopK.map { case (id, truth) =>
+      (truth & approx.getOrElse(id, Set.empty)).size.toDouble / truth.size
+    }.sum / exactTopK.size
+  }
+
+  test("nn-descent recall@k beats the floor and improves on the seed-only graph") {
+    val recall = recallOf(graphRows)
+    val seedRows = {
+      val s = spark; import s.implicits._
+      SimilarityKnn.poolOf(s, sfDir, 0)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"src").orderBy($"cosine".desc, $"dst")).cast("long"))
+        .filter($"rank" <= SimilarityKnn.knnK)
+        .select($"src", $"rank", $"dst", $"cosine").collect()
+    }
+    val seedRecall = recallOf(seedRows)
+    assert(recall >= 0.50, s"nn-descent recall@${SimilarityKnn.knnK} = $recall")
+    assert(recall > seedRecall,
+      s"descent must improve on seeds: $recall vs seed $seedRecall")
+  }
+
+  test("graph edges carry exact quantized cosines") {
+    val s = spark; import s.implicits._
+    val v: Map[Long, Array[Double]] = Similarity.vectors(s, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    graphRows.take(200).foreach { r =>
+      val (a, b) = (v(r.getLong(0)), v(r.getLong(2)))
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      val q = math.floor(cos * 1e6 + 0.5) / 1e6
+      assert(math.abs(q - r.getDouble(3)) < 1e-9,
+        s"edge (${r.getLong(0)},${r.getLong(2)}): $q vs ${r.getDouble(3)}")
+    }
+  }
+}

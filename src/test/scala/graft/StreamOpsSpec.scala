@@ -101,6 +101,46 @@ class StreamOpsSpec extends SparkSpec {
         s"diff=${(streamed -- batch).take(2)} / ${(batch -- streamed).take(2)}")
   }
 
+  test("outer attribution join: matched pairs equal the inner join, null rows emit exactly once for watermark-closed clickless purchases") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.{expr, least, lit, max, when}
+    val rows = StreamOps.runAttributionOuterToCompletion(s, sfDir,
+      sink = "attrib_outer_parity").collect()
+    val matched = rows.filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val nullRows = rows.filter(_.isNullAt(2))
+    // inner part identical to the inner-join operator
+    val inner = StreamOps.runAttributionToCompletion(s, sfDir,
+      sink = "attrib_outer_inner_parity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(matched == inner)
+    // each clickless purchase appears EXACTLY once, never alongside
+    // a matched row for the same purchase
+    val nullIds = nullRows.map(_.getLong(1))
+    assert(nullIds.distinct.length == nullIds.length, "null row emitted twice")
+    val matchedIds = matched.map(_._2)
+    assert(nullIds.forall(!matchedIds.contains(_)),
+      "a matched purchase must not also emit a null row")
+    // null side equals the batch anti-join restricted below the
+    // final watermark (least of both sides' max event time − 1 h)
+    val ev = graft.sources.Tables.events(s, sfDir)
+    val wm = ev.agg(least(
+      max(when($"event_type" === "click", $"ts")),
+      max(when($"event_type" === "purchase", $"ts"))).as("m"))
+      .selectExpr("m - INTERVAL 1 HOUR").head.getTimestamp(0)
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), $"ts".as("cts"))
+    val expected = ev.filter($"event_type" === "purchase" && $"ts" < lit(wm))
+      .join(c, $"user_id" === $"cu" &&
+        $"cts" <= $"ts" && $"cts" >= $"ts" - expr("INTERVAL 30 minutes"),
+        "left_anti")
+      .select($"event_id").collect().map(_.getLong(0)).toSet
+    assert(nullIds.toSet == expected,
+      s"null side ${nullIds.length} vs expected ${expected.size}; " +
+        s"diff=${(nullIds.toSet -- expected).take(3)} / ${(expected -- nullIds.toSet).take(3)}")
+    assert(expected.nonEmpty, "spec corpus must contain clickless purchases")
+  }
+
   test("stateful size-threshold flushes equal the batch accumulator's completed batches") {
     val s = spark; import s.implicits._
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
