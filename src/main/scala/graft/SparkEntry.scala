@@ -1,14 +1,14 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Accumulator, Behavioral, Bpe, Dedup, EmbedPq, Graph, Iterators, Layout, Multimodal, Pipeline, Relational, Similarity, SimilarityIvf, SimilarityKnn, Sequences, SourceFormats, TextAnalysis}
+import graft.operators.{Accumulator, Behavioral, Bpe, Dedup, Experimentation, RelationalTpch, EmbedPq, Graph, Iterators, Layout, Multimodal, Pipeline, Relational, Similarity, SimilarityIvf, SimilarityKnn, Sequences, SourceFormats, TextAnalysis}
 import graft.streaming.{StreamAcc, StreamOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q5RegionVolume(spark, "/root/testdata/sf0.001")
+    RelationalTpch.q5RegionVolume(spark, "/root/testdata/sf0.001")
 
   /** The single authoritative module list — the merge below and the
     * KeyCheck shadowing audit both iterate THIS, so a module added
@@ -19,6 +19,7 @@ object SparkEntry {
     * would silently drop every staged oracle. */
   def modules: Seq[(String, (Map[String, (SparkSession, String) => DataFrame], Map[String, String]))] = Seq(
     "Relational" -> (Relational.queries, Relational.oracles),
+    "RelationalTpch" -> (RelationalTpch.queries, RelationalTpch.oracles),
     "Accumulator" -> (Accumulator.queries, Accumulator.oracles),
     "Iterators" -> (Iterators.queries, Iterators.oracles),
     "TextAnalysis" -> (TextAnalysis.queries, TextAnalysis.oracles),
@@ -34,6 +35,7 @@ object SparkEntry {
     "StreamAcc" -> (StreamAcc.queries, StreamAcc.oracles),
     "StreamOps" -> (StreamOps.queries, StreamOps.oracles),
     "Behavioral" -> (Behavioral.queries, Behavioral.oracles),
+    "Experimentation" -> (Experimentation.queries, Experimentation.oracles),
     "SourceFormats" -> (SourceFormats.queries, SourceFormats.oracles),
     "Graph" -> (Graph.queries, Graph.oracles),
     "Sequences" -> (Sequences.queries, Sequences.oracles))

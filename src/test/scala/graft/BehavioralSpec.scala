@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.Behavioral
+import graft.operators.{Behavioral, Experimentation}
 
 class BehavioralSpec extends SparkSpec {
 
@@ -90,14 +90,14 @@ class BehavioralSpec extends SparkSpec {
     val s = spark; import s.implicits._
     // swapping the arm labels must negate t exactly (same moments,
     // roles exchanged) — catches any asymmetric n/variance wiring
-    val base = Behavioral.qAbtest(s, sfDir).collect()
+    val base = Experimentation.qAbtest(s, sfDir).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("t_stat")).toMap
     val ev = graft.sources.Tables.events(s, sfDir)
     val swapped = ev.withColumn("user_id", $"user_id" + 1L)
     val dir2 = Files.createTempDirectory("graft-abtest").toString
     // re-point the loader at a swapped-parity copy of the table
     swapped.coalesce(1).write.mode("overwrite").parquet(s"$dir2/events.parquet")
-    val sw = Behavioral.qAbtest(s, dir2).collect()
+    val sw = Experimentation.qAbtest(s, dir2).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("t_stat")).toMap
     base.keys.foreach { k =>
       assert(math.abs(base(k) + sw(k)) < 1e-5, s"$k: ${base(k)} vs ${sw(k)}")
@@ -422,7 +422,7 @@ class BehavioralSpec extends SparkSpec {
       .select($"event_id", timestamp_micros($"us").as("ts"), $"user_id",
         lit("click").as("event_type"), $"value", lit("{}").as("props"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val r = Behavioral.qAbtestCuped(s, dir).collect().head
+    val r = Experimentation.qAbtestCuped(s, dir).collect().head
     val (meanA, meanB) = (r.getDouble(2), r.getDouble(3))
     val (theta, adjA, adjB, vr) =
       (r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 
-import graft.operators.{Accumulator, Dedup, Iterators, Relational}
+import graft.operators.{Accumulator, Dedup, Iterators, Relational, RelationalTpch}
 
 /** Physical-plan assertions: these encode the 100 TB design rules
   * from SURVEY §5 — if a refactor reintroduces a full-width scan, a
@@ -35,7 +35,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q5 six-table join broadcasts every dimension") {
-    val p = plan(Relational.q5RegionVolume(spark, sfDir))
+    val p = plan(RelationalTpch.q5RegionVolume(spark, sfDir))
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
     assert(nBroadcast >= 4, s"want >=4 broadcast joins, got $nBroadcast\n$p")
     // the only shuffle join permitted is lineitem ⋈ orders (fact-fact)
@@ -44,7 +44,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q1 aggregation is map-side partial (two HashAggregate stages)") {
-    val p = plan(Relational.q1PricingSummary(spark, sfDir))
+    val p = plan(RelationalTpch.q1PricingSummary(spark, sfDir))
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
     assert(p.contains("partial_"), p)
   }
@@ -229,7 +229,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q6 pushes every predicate to the parquet scan") {
-    val p = formatted(Relational.q6ForecastRevenue(spark, sfDir))
+    val p = formatted(RelationalTpch.q6ForecastRevenue(spark, sfDir))
     assert(p.contains("PushedFilters"), p)
     // the discount band and quantity cap must reach the scan, not
     // evaluate post-read
@@ -239,7 +239,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q7 broadcasts every dimension side — one fact-fact exchange pair only") {
-    val p = plan(Relational.q7NationTrade(spark, sfDir))
+    val p = plan(RelationalTpch.q7NationTrade(spark, sfDir))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // supplier + both nation copies ride broadcasts; the only shuffle
     // exchanges belong to the lineitem⋈orders(/customer) fact joins
@@ -249,7 +249,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q10 tops-20 with a bounded heap, aggregates before the customer join") {
-    val p = plan(Relational.q10ReturnedRevenue(spark, sfDir))
+    val p = plan(RelationalTpch.q10ReturnedRevenue(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), "top-20 must not be a global sort:\n" + p)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
     // revenue aggregates on (orderkey-joined) lineitem BEFORE customer
@@ -259,7 +259,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q19's OR-of-brackets stays a broadcast hash join with a codegen'd residual") {
-    val p = plan(Relational.q19BracketRevenue(spark, sfDir))
+    val p = plan(RelationalTpch.q19BracketRevenue(spark, sfDir))
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       "the disjunction must ride the equi-join as a residual, not force a nested loop:\n" + p)
@@ -455,7 +455,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q18 tops-100 on a bounded heap after the one fact aggregate") {
-    val p = plan(Relational.q18LargeOrders(spark, sfDir))
+    val p = plan(RelationalTpch.q18LargeOrders(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"),
       s"top-100 must never be a global sort:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
@@ -475,7 +475,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q17 correlated scalar avg decorrelates to one broadcast threshold join") {
-    val p = plan(Relational.q17SmallQtyRevenue(spark, sfDir))
+    val p = plan(RelationalTpch.q17SmallQtyRevenue(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"per-row subquery shape leaked into the plan:\n$p")
     // the per-part threshold table arrives broadcast, with the
@@ -487,7 +487,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q20 nested IN chain is bounded aggregates + broadcast semi-join") {
-    val p = plan(Relational.q20ExcessSuppliers(spark, sfDir))
+    val p = plan(RelationalTpch.q20ExcessSuppliers(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     // the supplier probe is a broadcast LEFT SEMI — the IN never
     // becomes a row-multiplying join
@@ -497,7 +497,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q21 double quantifier is one fact aggregation cascade, not two self-joins") {
-    val p = plan(Relational.q21SoleLateSuppliers(spark, sfDir))
+    val p = plan(RelationalTpch.q21SoleLateSuppliers(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(!p.contains("SortMergeJoin"), p)
     // EXISTS/NOT-EXISTS collapse into per-order flags: exactly one
