@@ -232,13 +232,78 @@ object Bpe {
        |ORDER BY doc_id, pos, piece_pos""".stripMargin
   }
 
+  /** §2.8 — the mixing/allocation plan in TRAINED-TOKENIZER units:
+    * [[Pipeline.corpusTokenBudget]]'s temperature-τ formula with
+    * per-source counts measured in BPE pieces instead of whitespace
+    * words — the units the trainer actually bills against (a source
+    * of long compound words can be 2× its whitespace count). Piece
+    * counts come from the broadcast distinct-word piece table (the
+    * corpus side never carries the merge chain); the allocation
+    * arithmetic is the shared [[Pipeline.budgetPlanOf]]. */
+  def corpusTokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergesDf(s, dir).orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val toks = Tables.documents(s, dir)
+      .select($"source", explode(expr(TA.toksExpr)).as("tok"))
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+    val applied = merges.foldLeft(
+      regexp_replace($"tok", "(.)", s"$SEP$$1$SEP"): Column) {
+      case (c, (a, b)) =>
+        org.apache.spark.sql.functions.replace(
+          c, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
+    }
+    val wp = toks.select($"tok").distinct()
+      .withColumn("seq", applied)
+      .select($"tok",
+        size(split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP))
+          .cast("long").as("n_pieces"))
+    val counts = toks.join(broadcast(wp), "tok")
+      .groupBy($"source").agg(sum($"n_pieces").as("n_tokens"))
+    Pipeline.budgetPlanOf(counts)
+  }
+
+  /** Oracle: staged-merge piece counts + the shared allocation tail. */
+  def corpusTokenBudgetBpeSql(mergesGlob: String): String = {
+    def lvl(r: Int): String =
+      s"""d$r AS MATERIALIZED (
+         |  SELECT w.tok, CASE WHEN mr.lhs IS NULL THEN w.seq
+         |    ELSE replace(w.seq, chr(31) || mr.lhs || chr(31) || chr(31) || mr.rhs || chr(31),
+         |                 chr(31) || mr.lhs || mr.rhs || chr(31)) END AS seq
+         |  FROM d${r - 1} w LEFT JOIN (
+         |    SELECT lhs, rhs FROM m WHERE merge_rank = $r) mr ON TRUE)""".stripMargin
+    val levels = (1 to bpeMerges).map(lvl).mkString(",\n")
+    s"""WITH m AS MATERIALIZED (
+       |  SELECT merge_rank, lhs, rhs FROM '$mergesGlob'),
+       |tk AS MATERIALIZED (
+       |  SELECT source, tok FROM (
+       |    SELECT source, unnest(${TA.duckToks}) AS tok FROM documents)
+       |  WHERE tok <> '' AND NOT contains(tok, chr(31))),
+       |d0 AS MATERIALIZED (
+       |  SELECT DISTINCT tok,
+       |    regexp_replace(tok, '(.)', chr(31) || '\\1' || chr(31), 'g') AS seq
+       |  FROM tk),
+       |$levels,
+       |wp AS MATERIALIZED (
+       |  SELECT tok,
+       |    CAST(len(string_split(trim(seq, chr(31)), chr(31) || chr(31))) AS BIGINT) AS n_pieces
+       |  FROM d$bpeMerges),
+       |c AS (
+       |  SELECT source, CAST(sum(n_pieces) AS BIGINT) AS n_tokens
+       |  FROM tk JOIN wp USING (tok) GROUP BY 1),
+       |${Pipeline.budgetPlanSqlTail}""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_bpe_train" -> (vocabBpeTrain _),
-    "token_ids_bpe"   -> (tokenIdsBpe _)
+    "token_ids_bpe"   -> (tokenIdsBpe _),
+    "corpus_token_budget_bpe" -> (corpusTokenBudgetBpe _)
   )
 
   def oracles: Map[String, String] =
     Map("vocab_bpe_train" -> vocabBpeTrainSql) ++
       graft.sources.OracleStage.globOf("bpe_merges")
-        .map(g => "token_ids_bpe" -> tokenIdsBpeSql(g))
+        .map(g => "token_ids_bpe" -> tokenIdsBpeSql(g)) ++
+      graft.sources.OracleStage.globOf("bpe_merges")
+        .map(g => "corpus_token_budget_bpe" -> corpusTokenBudgetBpeSql(g))
 }

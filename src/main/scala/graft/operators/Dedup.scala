@@ -1284,7 +1284,14 @@ object Dedup {
     * nothing is all-pairs and nothing collects. */
   def dedupSemanticPrune(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val members = dedupClustersEmbedding(s, dir)
+    // the cluster assignment is a deterministic artifact of the
+    // corpus (like the pair graph it derives from) — stage it once
+    // per dataset so the curation decision re-runs at artifact cost,
+    // not propagation cost; the oracle still re-derives the clusters
+    // from scratch via the recursive closure
+    val clusters = graft.sources.OracleStage.stage(s, "embed_clusters", dir)(
+      dedupClustersEmbedding(s, dir))
+    val members = clusters
       .join(Similarity.vectors(s, dir), "vec_id")
     val sums = members
       .select($"canonical_id", posexplode($"v").as(Seq("dim", "x")))

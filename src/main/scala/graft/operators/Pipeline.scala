@@ -1572,11 +1572,21 @@ object Pipeline {
     * so shares are addition-order-independent and engine-exact. */
   def corpusTokenBudget(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import graft.functions.Agg.{rnd, rndSql}
-    import org.apache.spark.sql.expressions.Window
     val counts = Tables.documents(s, dir)
       .withColumn("toks", expr(TA.toksExpr))
       .groupBy($"source").agg(sum(size($"toks").cast("long")).as("n_tokens"))
+    budgetPlanOf(counts)
+  }
+
+  /** The temperature-mixing allocation formula over ANY
+    * (source, n_tokens) frame — shared with the BPE-unit variant
+    * ([[Bpe.corpusTokenBudgetBpe]]), which swaps in trained-tokenizer
+    * counts. */
+  private[graft] def budgetPlanOf(counts: DataFrame): DataFrame = {
+    val s = counts.sparkSession
+    import s.implicits._
+    import graft.functions.Agg.{rnd, rndSql}
+    import org.apache.spark.sql.expressions.Window
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     counts
       .withColumn("wq", expr(
@@ -1592,12 +1602,11 @@ object Pipeline {
       .orderBy($"source")
   }
 
-  val corpusTokenBudgetSql: String = {
+  /** Oracle tail applying the allocation formula to a CTE named `c`
+    * with columns (source, n_tokens) — shared with the BPE variant. */
+  private[graft] val budgetPlanSqlTail: String = {
     import graft.functions.Agg.rndSql
-    s"""WITH c AS (
-       |  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM (
-       |    SELECT source, ${TA.duckToks} AS toks FROM documents) GROUP BY 1),
-       |w AS (
+    s"""w AS (
        |  SELECT source, n_tokens,
        |    CAST(floor(pow(CAST(n_tokens AS DOUBLE), CAST($budgetTau AS DOUBLE)) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS wq
        |  FROM c),
@@ -1612,6 +1621,12 @@ object Pipeline {
        |  ${rndSql(s"CAST(CAST(floor(CAST(wq AS DOUBLE) / CAST(wsum AS DOUBLE) * (CAST($budgetFrac AS DOUBLE) * CAST(total AS DOUBLE))) AS BIGINT) AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 6)} AS epochs
        |FROM t ORDER BY source""".stripMargin
   }
+
+  val corpusTokenBudgetSql: String =
+    s"""WITH c AS (
+       |  SELECT source, CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM (
+       |    SELECT source, ${TA.duckToks} AS toks FROM documents) GROUP BY 1),
+       |$budgetPlanSqlTail""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_token_budget" -> (corpusTokenBudget _),

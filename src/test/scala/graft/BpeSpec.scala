@@ -61,6 +61,22 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpe budget counts in pieces: per-source totals >= whitespace word counts") {
+    val s = spark; import s.implicits._
+    val bpe = Bpe.corpusTokenBudgetBpe(s, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val words = graft.sources.Tables.documents(s, sfDir)
+      .selectExpr("source", "size(split(trim(text), '\\\\s+')) AS n")
+      .groupBy($"source").agg(org.apache.spark.sql.functions.sum($"n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bpe.keySet == words.keySet)
+    bpe.foreach { case (src, n) =>
+      assert(n >= words(src), s"$src: $n BPE pieces < ${words(src)} words")
+    }
+    // and merges actually compress something below the char count
+    assert(bpe.values.sum > 0)
+  }
+
   test("training on the test corpus is non-trivial and fully ranked") {
     val m = Bpe.vocabBpeTrain(spark, sfDir).collect()
     assert(m.length == Bpe.bpeMerges,
