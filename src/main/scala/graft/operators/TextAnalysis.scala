@@ -19,8 +19,8 @@ object TextAnalysis {
 
   /** Tokens of `text`, whitespace-split. Operators-visible so
     * composed pipelines ([[Pipeline]]) reuse the exact tokenizer. */
-  private[operators] val toksExpr = "split(trim(text), '\\\\s+')"
-  private[operators] val duckToks = "string_split_regex(trim(text), '\\s+')"
+  private[graft] val toksExpr = "split(trim(text), '\\\\s+')"
+  private[graft] val duckToks = "string_split_regex(trim(text), '\\s+')"
 
   /** BPE-ish pre-tokenization: letter runs, digit runs, and single
     * punctuation marks — the shape a subword tokenizer splits on.

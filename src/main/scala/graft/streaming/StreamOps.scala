@@ -290,6 +290,62 @@ object StreamOps {
     s.table(sink).orderBy(col("doc_id"))
   }
 
+  /** §2.8 — STREAMING span decontamination: the
+    * [[graft.operators.Pipeline.decontaminateSpan]] release gate run
+    * at ingest, so a contaminated document is flagged the micro-batch
+    * it arrives instead of at the next batch audit. The eval window
+    * set is a bounded artifact (the same boundedness that lets the
+    * batch op broadcast it), collected once and shipped as a LITERAL
+    * array — the whole check is then ROW-LOCAL (windows via
+    * transform, matches via array_intersect, which preserves
+    * first-array order so the earliest matched window's position
+    * falls out of element 1): a stateless append-mode stream, one
+    * emission per document, no state store at all. At fleet scale a
+    * giant eval suite would swap the literal for the 44b bloom +
+    * confirm join; the gate semantics stay identical. Run to
+    * completion equals the batch op exactly → shares its oracle. */
+  def decontaminateSpanStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Pipeline, TextAnalysis => TA}
+    val n = Pipeline.spanN
+    // bounded: eval docs only (the designated doc_id < evalMaxId set)
+    val evalWindows: Array[String] = graft.sources.Tables.documents(s, dir)
+      .filter($"doc_id" < Pipeline.evalMaxId)
+      .withColumn("toks", expr(TA.toksExpr))
+      .filter(size($"toks") >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', slice(toks, i, $n)))"))
+        .as("w"))
+      .distinct().collect().map(_.getString(0))
+    val ev = typedLit(evalWindows.sorted)
+    StreamAcc.fileStream(s, dir, "documents")
+      .filter($"doc_id" >= Pipeline.evalMaxId)
+      .withColumn("toks", expr(TA.toksExpr))
+      .withColumn("ws", expr(
+        s"""CASE WHEN size(toks) >= $n
+           |  THEN transform(sequence(1, size(toks) - ${n - 1}),
+           |    i -> concat_ws(' ', slice(toks, i, $n)))
+           |  ELSE array() END""".stripMargin))
+      .withColumn("matched", array_intersect($"ws", ev))
+      .select($"doc_id",
+        when(size($"matched") > 0, 1L).otherwise(0L).as("contaminated"),
+        size($"matched").cast("long").as("n_spans"),
+        when(size($"matched") > 0,
+          array_position($"ws", element_at($"matched", 1)))
+          .cast("long").as("first_span_pos"))
+  }
+
+  def runDecontaminateSpanToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_decontam"): DataFrame = {
+    val q = decontaminateSpanStream(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("doc_id"))
+  }
+
   /** Continuous-ingest EXACT dedup: the §2.4 `dedup_exact` layout run
     * as a streaming aggregation — per content hash the state store
     * carries (min canonical id, copy count), merged incrementally
@@ -1086,6 +1142,8 @@ object StreamOps {
       runSizeFlushesToCompletion(s, dir, sink = "stream_size_flush_verify")),
     "stream_quality_filter" -> ((s, dir) =>
       runQualityFilterToCompletion(s, dir, sink = "stream_quality_verify")),
+    "stream_decontaminate_span" -> ((s, dir) =>
+      runDecontaminateSpanToCompletion(s, dir, sink = "stream_decontam_verify")),
     "stream_dedup_exact" -> ((s, dir) =>
       runDedupExactToCompletion(s, dir, sink = "stream_dedup_verify")),
     "stream_attribution_join" -> ((s, dir) =>
@@ -1137,6 +1195,8 @@ object StreamOps {
     "stream_sessionize"     -> graft.operators.Relational.qSessionWindowSql,
     // stateless stream == batch: shares the batch filter's oracle
     "stream_quality_filter" -> graft.operators.Pipeline.qualityFilterSql,
+    // stateless row-local stream == batch gate: shares 44c's oracle
+    "stream_decontaminate_span" -> graft.operators.Pipeline.decontaminateSpanSql,
     // run to completion, the incremental state merge equals the batch
     // groupBy: shares dedup_exact's oracle verbatim
     "stream_dedup_exact" -> graft.operators.Dedup.dedupExactSql,
