@@ -564,6 +564,74 @@ object Pipeline {
        |WHERE d.doc_id >= $evalMaxId
        |ORDER BY d.doc_id""".stripMargin
 
+  /** §2.8 — the EVAL-side leak report ("which benchmarks are
+    * burned"): for every eval document, how many of its 13-token
+    * windows appear anywhere in the training corpus, the leak ratio,
+    * and how many distinct training documents carry them. 44c answers
+    * "which training docs must go"; this answers the release
+    * question in the other direction — an eval doc with leak_ratio
+    * near 1 is memorized-by-construction and its benchmark numbers
+    * are void. Same scale layout: the bounded eval window set is the
+    * broadcast side, the corpus explodes row-locally and is never
+    * self-joined; the rollup is eval-sized. Eval docs shorter than
+    * [[spanN]] tokens carry no window identity and are excluded
+    * (same convention as the shingle family). */
+  def corpusContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val win = Tables.documents(s, dir)
+      .withColumn("toks", expr(TA.toksExpr))
+      .filter(size($"toks") >= spanN)
+      .select($"doc_id", explode(expr(
+        s"""transform(sequence(1, size(toks) - ${spanN - 1}),
+           |  i -> concat_ws(' ', slice(toks, i, $spanN)))""".stripMargin)).as("w"))
+    val evW = win.filter($"doc_id" < evalMaxId)
+      .select($"doc_id".as("eval_doc_id"), $"w").distinct()
+    val hits = win.filter($"doc_id" >= evalMaxId)
+      .select($"doc_id".as("train_doc_id"), $"w")
+      .join(broadcast(evW), "w")
+      .groupBy($"eval_doc_id")
+      .agg(countDistinct($"w").as("leaked_windows"),
+        countDistinct($"train_doc_id").as("n_hit_docs"))
+    evW.groupBy($"eval_doc_id").agg(count(lit(1)).as("n_windows"))
+      .join(hits, Seq("eval_doc_id"), "left")
+      .select($"eval_doc_id", $"n_windows",
+        coalesce($"leaked_windows", lit(0L)).as("leaked_windows"),
+        expr(graft.functions.Agg.rndSql(
+          "CAST(coalesce(leaked_windows, 0L) AS DOUBLE) / CAST(n_windows AS DOUBLE)", 6))
+          .as("leak_ratio"),
+        coalesce($"n_hit_docs", lit(0L)).as("n_hit_docs"))
+      .orderBy($"eval_doc_id")
+  }
+
+  val corpusContaminationReportSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TA.duckToks} AS toks FROM documents),
+       |e AS (
+       |  SELECT doc_id, unnest(range(1, len(toks) - ${spanN - 2})) AS i, toks
+       |  FROM t WHERE len(toks) >= $spanN),
+       |w AS (
+       |  SELECT doc_id, array_to_string(toks[i:i + ${spanN - 1}], ' ') AS w
+       |  FROM e),
+       |evw AS (
+       |  SELECT DISTINCT doc_id AS eval_doc_id, w FROM w
+       |  WHERE doc_id < $evalMaxId),
+       |hits AS (
+       |  SELECT evw.eval_doc_id, count(DISTINCT evw.w) AS leaked_windows,
+       |    count(DISTINCT c.doc_id) AS n_hit_docs
+       |  FROM (SELECT doc_id, w FROM w WHERE doc_id >= $evalMaxId) c
+       |  JOIN evw ON c.w = evw.w
+       |  GROUP BY 1),
+       |tot AS (
+       |  SELECT eval_doc_id, count(*) AS n_windows FROM evw GROUP BY 1)
+       |SELECT tot.eval_doc_id, tot.n_windows,
+       |  coalesce(h.leaked_windows, 0) AS leaked_windows,
+       |  ${rndSql("CAST(coalesce(h.leaked_windows, 0) AS DOUBLE) / CAST(tot.n_windows AS DOUBLE)", 6)} AS leak_ratio,
+       |  coalesce(h.n_hit_docs, 0) AS n_hit_docs
+       |FROM tot LEFT JOIN hits h ON tot.eval_doc_id = h.eval_doc_id
+       |ORDER BY tot.eval_doc_id""".stripMargin
+  }
+
   // -------------------------------------------------------------------
 
   /** Misra-Gries capacity for [[corpusHeavyHitters]]: any term with
@@ -1654,6 +1722,7 @@ object Pipeline {
     "decontaminate"     -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "decontaminate_span" -> (decontaminateSpan _),
+    "corpus_contamination_report" -> (corpusContaminationReport _),
     "split_assign"      -> (splitAssign _),
     "split_by_source"   -> (splitBySource _),
     "doc_length_buckets" -> (docLengthBuckets _)
@@ -1686,6 +1755,7 @@ object Pipeline {
     // bit-identical scale path: shares the exact-broadcast oracle
     "decontaminate_bloom" -> decontaminateSql,
     "decontaminate_span" -> decontaminateSpanSql,
+    "corpus_contamination_report" -> corpusContaminationReportSql,
     "split_assign"      -> splitAssignSql,
     "split_by_source"   -> splitBySourceSql,
     "doc_length_buckets" -> docLengthBucketsSql

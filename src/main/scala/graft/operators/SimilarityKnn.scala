@@ -136,11 +136,90 @@ object SimilarityKnn {
        |WHERE rank <= $knnK
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** §2.5 — the INDEX-SELECTION report: recall@k of every ANN tier
+    * against the exact brute-force truth on the shared query set, in
+    * one table — the measurement an operator reads before choosing
+    * which index to deploy (and the regression gate run after any
+    * re-embedding: a tier's recall collapsing means its artifact went
+    * stale). Each tier's result is the REGISTERED operator itself
+    * re-invoked (staged artifacts make the re-runs cheap), so the
+    * report can never drift from what the queries actually return;
+    * the truth join and rollup are |methods|·queries·k-bounded. */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val truth = Similarity.annBruteforce(s, dir)
+      .select($"query_id", $"neighbor_id")
+    val methods: Seq[(String, DataFrame)] = Seq(
+      "ann_lsh" -> Similarity.annLsh(s, dir)
+        .select($"query_id", $"neighbor_id"),
+      "ann_matryoshka" -> Similarity.annMatryoshka(s, dir)
+        .select($"query_id", $"neighbor_id"),
+      "ann_hamming" -> Similarity.annHamming(s, dir)
+        .select($"query_id", $"neighbor_id"),
+      "ann_hamming_refine" -> Similarity.annHammingRefine(s, dir)
+        .select($"query_id", $"neighbor_id"),
+      "ann_knn_graph" -> annKnnGraph(s, dir)
+        .filter($"vec_id" < Similarity.nQueries)
+        .select($"vec_id".as("query_id"), $"neighbor_id"))
+    val preds = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    val tc = truth.agg(count(lit(1)).as("t_n"))
+    preds
+      .join(truth.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy($"method")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce($"hit", lit(0L))).as("n_hits"))
+      .crossJoin(tc) // bounded: one scalar row
+      .select($"method", $"n_returned", $"n_hits",
+        expr(rndSql("CAST(n_hits AS DOUBLE) / CAST(t_n AS DOUBLE)", 6))
+          .as("recall"))
+      .orderBy($"method")
+  }
+
+  /** Oracle: every tier's own oracle SQL embedded as a subquery (CTEs
+    * nest fine in DuckDB), unioned and scored against the brute-force
+    * truth — so the report's oracle is exactly the composition of the
+    * already-proven per-tier oracles. */
+  def annRecallReportSql(lshGlob: String, knnGlob: String): String =
+    s"""WITH truth AS (
+       |  SELECT query_id, neighbor_id FROM (${Similarity.annBruteforceSql})),
+       |preds AS (
+       |  SELECT 'ann_lsh' AS method, query_id, neighbor_id
+       |  FROM (${Similarity.annLshSql(lshGlob)})
+       |  UNION ALL SELECT 'ann_matryoshka', query_id, neighbor_id
+       |  FROM (${Similarity.annMatryoshkaSql})
+       |  UNION ALL SELECT 'ann_hamming', query_id, neighbor_id
+       |  FROM (${Similarity.annHammingSql})
+       |  UNION ALL SELECT 'ann_hamming_refine', query_id, neighbor_id
+       |  FROM (${Similarity.annHammingRefineSql})
+       |  UNION ALL SELECT 'ann_knn_graph', vec_id, neighbor_id
+       |  FROM (${annKnnGraphSql(knnGlob)})
+       |  WHERE vec_id < ${Similarity.nQueries}),
+       |tc AS (SELECT count(*) AS t_n FROM truth),
+       |j AS (
+       |  SELECT p.method,
+       |    CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+       |  FROM preds p LEFT JOIN truth t
+       |    ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id)
+       |SELECT method, count(*) AS n_returned,
+       |  CAST(sum(hit) AS BIGINT) AS n_hits,
+       |  ${rndSql("CAST(sum(hit) AS DOUBLE) / CAST(max(t_n) AS DOUBLE)", 6)} AS recall
+       |FROM j, tc
+       |GROUP BY method
+       |ORDER BY method""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_knn_graph" -> (annKnnGraph _)
+    "ann_knn_graph" -> (annKnnGraph _),
+    "ann_recall_report" -> (annRecallReport _)
   )
 
   def oracles: Map[String, String] =
     graft.sources.OracleStage.globOf("knn_candidates")
-      .map(g => "ann_knn_graph" -> annKnnGraphSql(g)).toMap
+      .map(g => "ann_knn_graph" -> annKnnGraphSql(g)).toMap ++
+      (for {
+        lg <- graft.sources.OracleStage.globOf("lsh_buckets")
+        kg <- graft.sources.OracleStage.globOf("knn_candidates")
+      } yield "ann_recall_report" -> annRecallReportSql(lg, kg))
 }

@@ -395,6 +395,43 @@ class PipelineSpec extends SparkSpec {
     assert(r(103L) == ((0L, 0L, -1L)))
   }
 
+  test("contamination report counts leaked windows and carrier docs per eval doc") {
+    val s = spark; import s.implicits._
+    val evalWords = (1 to 30).map(i => s"e$i")
+    val docs = Seq(
+      (1L, evalWords.mkString(" ")),                              // 18 windows
+      (100L, ("x1 x2 " + (5 to 17).map(i => s"e$i").mkString(" ") + " y1 y2")),
+      (102L, (10 to 22).map(i => s"e$i").mkString(" ")),
+      (103L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // drive the same engine code over the crafted frame via a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-leak").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Pipeline.corpusContaminationReport(s, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getDouble(3),
+        x.getLong(4)))
+    assert(r.length == 1)
+    val (ed, nw, leaked, ratio, hitDocs) = r.head
+    assert(ed == 1L && nw == 18L)
+    // doc 100 carries window e5..e17, doc 102 carries e10..e22
+    assert(leaked == 2L && hitDocs == 2L)
+    assert(math.abs(ratio - math.floor(2.0 / 18.0 * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("contamination report agrees with span decontamination on whether anything leaked") {
+    val s = spark
+    val evalSide = Pipeline.corpusContaminationReport(s, sfDir).collect()
+    val trainSide = Pipeline.decontaminateSpan(s, sfDir).collect()
+    val evalSaysLeak = evalSide.exists(_.getLong(2) > 0)
+    val trainSaysLeak = trainSide.exists(_.getLong(1) == 1L)
+    assert(evalSaysLeak == trainSaysLeak,
+      "both directions must agree on corpus-level contamination")
+    evalSide.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1), "leaked_windows <= n_windows")
+    }
+  }
+
   test("span decontamination is strictly less aggressive than 3-gram decontamination") {
     val s = spark; import s.implicits._
     val spanFlagged = Pipeline.decontaminateSpan(s, sfDir).collect()

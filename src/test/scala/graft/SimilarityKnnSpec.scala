@@ -64,6 +64,23 @@ class SimilarityKnnSpec extends SparkSpec {
       s"descent must improve on seeds: $recall vs seed $seedRecall")
   }
 
+  test("recall report ranks the tiers sanely: refine dominates raw hamming, truth recall bounds hold") {
+    val rows = SimilarityKnn.annRecallReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.keySet == Set("ann_lsh", "ann_matryoshka", "ann_hamming",
+      "ann_hamming_refine", "ann_knn_graph"))
+    val maxPairs = Similarity.nQueries.toLong * SimilarityKnn.knnK
+    rows.foreach { case (m, (nRet, nHits, rec)) =>
+      assert(nRet <= maxPairs, s"$m returned $nRet > $maxPairs")
+      assert(nHits <= nRet)
+      assert(rec >= 0.0 && rec <= 1.0, s"$m recall $rec")
+    }
+    // the exact re-rank can only repair Hamming's quantization
+    // mis-ordering (the 31v dominance property, visible here too)
+    assert(rows("ann_hamming_refine")._3 >= rows("ann_hamming")._3)
+  }
+
   test("graph edges carry exact quantized cosines") {
     val s = spark; import s.implicits._
     val v: Map[Long, Array[Double]] = Similarity.vectors(s, sfDir).collect()
