@@ -263,8 +263,11 @@ object Bpe {
     Pipeline.budgetPlanOf(counts)
   }
 
-  /** Oracle: staged-merge piece counts + the shared allocation tail. */
-  def corpusTokenBudgetBpeSql(mergesGlob: String): String = {
+  /** Shared oracle scaffolding: staged merge table + key-carrying
+    * token explode + the unrolled guarded-replace chain + per-word
+    * piece counts, as WITH-clause CTEs ending in `wp(tok, n_pieces)`
+    * and `tk($keyCol, tok)`. */
+  private def pieceCountCtes(mergesGlob: String, keyCol: String): String = {
     def lvl(r: Int): String =
       s"""d$r AS MATERIALIZED (
          |  SELECT w.tok, CASE WHEN mr.lhs IS NULL THEN w.seq
@@ -273,11 +276,11 @@ object Bpe {
          |  FROM d${r - 1} w LEFT JOIN (
          |    SELECT lhs, rhs FROM m WHERE merge_rank = $r) mr ON TRUE)""".stripMargin
     val levels = (1 to bpeMerges).map(lvl).mkString(",\n")
-    s"""WITH m AS MATERIALIZED (
+    s"""m AS MATERIALIZED (
        |  SELECT merge_rank, lhs, rhs FROM '$mergesGlob'),
        |tk AS MATERIALIZED (
-       |  SELECT source, tok FROM (
-       |    SELECT source, unnest(${TA.duckToks}) AS tok FROM documents)
+       |  SELECT $keyCol, tok FROM (
+       |    SELECT $keyCol, unnest(${TA.duckToks}) AS tok FROM documents)
        |  WHERE tok <> '' AND NOT contains(tok, chr(31))),
        |d0 AS MATERIALIZED (
        |  SELECT DISTINCT tok,
@@ -287,17 +290,84 @@ object Bpe {
        |wp AS MATERIALIZED (
        |  SELECT tok,
        |    CAST(len(string_split(trim(seq, chr(31)), chr(31) || chr(31))) AS BIGINT) AS n_pieces
-       |  FROM d$bpeMerges),
+       |  FROM d$bpeMerges)""".stripMargin
+  }
+
+  /** Oracle: staged-merge piece counts + the shared allocation tail. */
+  def corpusTokenBudgetBpeSql(mergesGlob: String): String =
+    s"""WITH ${pieceCountCtes(mergesGlob, "source")},
        |c AS (
        |  SELECT source, CAST(sum(n_pieces) AS BIGINT) AS n_tokens
        |  FROM tk JOIN wp USING (tok) GROUP BY 1),
        |${Pipeline.budgetPlanSqlTail}""".stripMargin
+
+  /** §2.8 — sequence packing in TRAINED-TOKENIZER units: row 41's
+    * contiguous-stream chunking with document lengths measured in BPE
+    * pieces — offsets, bins and positions land where the TRAINER's
+    * counter will put them, not where the whitespace proxy guesses
+    * (the two drift by exactly the compound-word factor
+    * `corpus_token_budget_bpe` exposes per source). Same scale
+    * layout as 41: per-doc piece totals from the broadcast
+    * distinct-word piece table, then the two-phase bucketed global
+    * running sum — no single-partition stage anywhere. Docs whose
+    * every token is excluded (empty text) pack as zero-length, same
+    * as 41's empty-token convention. */
+  def docPackBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeMergesDf(s, dir).orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val docs = Tables.documents(s, dir)
+    val toks = docs
+      .select($"doc_id", explode(expr(TA.toksExpr)).as("tok"))
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+    val applied = merges.foldLeft(
+      regexp_replace($"tok", "(.)", s"$SEP$$1$SEP"): Column) {
+      case (c, (a, b)) =>
+        org.apache.spark.sql.functions.replace(
+          c, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
+    }
+    val wp = toks.select($"tok").distinct()
+      .withColumn("seq", applied)
+      .select($"tok",
+        size(split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP))
+          .cast("long").as("n_pieces"))
+    val perDoc = toks.join(broadcast(wp), "tok")
+      .groupBy($"doc_id").agg(sum($"n_pieces").as("n"))
+    val d = docs.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n", lit(0L)).as("n_tokens"))
+    graft.functions.Ranks.globalRunningSum(d, $"doc_id", $"n_tokens",
+        graft.functions.Ranks.defaultPartitions(d), "cum")
+      .withColumn("start_offset", $"cum" - $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"start_offset",
+        expr(s"start_offset div ${Pipeline.packBudget}").as("bin_id"),
+        expr(s"start_offset % ${Pipeline.packBudget}").as("bin_pos"))
+      .orderBy($"doc_id")
   }
+
+  def docPackBpeSql(mergesGlob: String): String =
+    s"""WITH ${pieceCountCtes(mergesGlob, "doc_id")},
+       |c AS (
+       |  SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n
+       |  FROM tk JOIN wp USING (tok) GROUP BY 1),
+       |t2 AS (
+       |  SELECT d.doc_id, coalesce(c.n, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id),
+       |cu AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t2)
+       |SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+       |  (cum - n_tokens) // ${Pipeline.packBudget} AS bin_id,
+       |  (cum - n_tokens) % ${Pipeline.packBudget} AS bin_pos
+       |FROM cu ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_bpe_train" -> (vocabBpeTrain _),
     "token_ids_bpe"   -> (tokenIdsBpe _),
-    "corpus_token_budget_bpe" -> (corpusTokenBudgetBpe _)
+    "corpus_token_budget_bpe" -> (corpusTokenBudgetBpe _),
+    "doc_pack_bpe"    -> (docPackBpe _)
   )
 
   def oracles: Map[String, String] =
@@ -305,5 +375,7 @@ object Bpe {
       graft.sources.OracleStage.globOf("bpe_merges")
         .map(g => "token_ids_bpe" -> tokenIdsBpeSql(g)) ++
       graft.sources.OracleStage.globOf("bpe_merges")
-        .map(g => "corpus_token_budget_bpe" -> corpusTokenBudgetBpeSql(g))
+        .map(g => "corpus_token_budget_bpe" -> corpusTokenBudgetBpeSql(g)) ++
+      graft.sources.OracleStage.globOf("bpe_merges")
+        .map(g => "doc_pack_bpe" -> docPackBpeSql(g))
 }

@@ -77,6 +77,23 @@ class BpeSpec extends SparkSpec {
     assert(bpe.values.sum > 0)
   }
 
+  test("bpe packing is a gapless token stream consistent with the bpe budget totals") {
+    val pack = Bpe.docPackBpe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // offsets tile the stream with no gaps or overlaps in doc order
+    pack.foldLeft(0L) { case (expected, (id, n, off)) =>
+      assert(off == expected, s"doc $id offset $off, expected $expected")
+      off + n
+    }
+    // and the stream's total equals the budget report's corpus total
+    val packTotal = pack.map(_._2).sum
+    val budgetTotal = Bpe.corpusTokenBudgetBpe(spark, sfDir).collect()
+      .map(_.getLong(1)).sum
+    assert(packTotal == budgetTotal,
+      s"pack total $packTotal != budget total $budgetTotal")
+  }
+
   test("training on the test corpus is non-trivial and fully ranked") {
     val m = Bpe.vocabBpeTrain(spark, sfDir).collect()
     assert(m.length == Bpe.bpeMerges,

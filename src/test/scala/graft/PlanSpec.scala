@@ -496,6 +496,28 @@ class PlanSpec extends SparkSpec {
       s"everything after the pair aggregate must broadcast:\n$p")
   }
 
+  test("span decontamination probes a broadcast eval set — the corpus never self-joins or merge-joins") {
+    val p = plan(graft.operators.Pipeline.decontaminateSpan(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the window probe itself must be broadcast, not a corpus-wide
+    // shuffle on 13-gram strings
+    assert(!p.linesIterator.exists(l =>
+      l.dropWhile(c => !c.isLetter).startsWith("Exchange ") &&
+        l.contains("[w")), s"corpus windows must not ride a shuffle:\n$p")
+  }
+
+  test("bpe encoding ships the piece table broadcast — the corpus side never carries the merge chain") {
+    val p = plan(graft.operators.Bpe.tokenIdsBpe(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"the distinct-word piece table must broadcast:\n$p")
+    // the 30-deep replace chain must hang off the DISTINCT-word frame
+    // (one 'replace(' appearance per merge on that side), never be
+    // re-evaluated per corpus token position
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q21 double quantifier is one fact aggregation cascade, not two self-joins") {
     val p = plan(RelationalTpch.q21SoleLateSuppliers(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
