@@ -363,7 +363,91 @@ object Bpe {
        |  (cum - n_tokens) % ${Pipeline.packBudget} AS bin_pos
        |FROM cu ORDER BY doc_id""".stripMargin
 
+  /** §2.8 — the trained VOCABULARY artifact: every piece the encoder
+    * can emit, with a deterministic integer id and its frequency in
+    * the encoded corpus — what actually ships to the trainer (ids,
+    * not strings). Ids: base characters first in codepoint order,
+    * then merged symbols in merge-rank order (a symbol produced by
+    * two distinct merge paths dedupes to its earliest rank). A base
+    * character fully absorbed by merges stays in the vocab with
+    * frequency 0 — the encoder could still emit it on unseen text.
+    * Scale: piece frequencies come from the vocab-sized word table
+    * (word count × pieces-per-word — the corpus is never re-scanned);
+    * the id windows run over the alphabet-sized and ≤[[bpeMerges]]-
+    * sized frames. */
+  def bpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val merges = bpeMergesDf(s, dir).orderBy($"merge_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val wc = Tables.documents(s, dir)
+      .select(explode(expr(TA.toksExpr)).as("tok"))
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+      .groupBy($"tok").agg(count(lit(1)).as("c"))
+    val applied = merges.foldLeft(
+      regexp_replace($"tok", "(.)", s"$SEP$$1$SEP"): Column) {
+      case (col0, (_, a, b, _)) =>
+        org.apache.spark.sql.functions.replace(
+          col0, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
+    }
+    val wp = wc.withColumn("seq", applied)
+      .select($"tok", $"c",
+        split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP).as("ps"))
+    val pieceFreq = wp.select(explode($"ps").as("piece"), $"c")
+      .groupBy($"piece").agg(sum($"c").as("n"))
+    // alphabet-bounded frame: the unpartitioned window is fine here
+    val charVocab = wc
+      .select(explode(expr("regexp_extract_all(tok, '(.)', 1)")).as("piece"))
+      .distinct()
+      .withColumn("piece_id",
+        row_number().over(Window.orderBy($"piece")).cast("long"))
+      .withColumn("kind", lit("char"))
+    val nChars = charVocab.count()
+    // bounded driver artifact: <= bpeMerges rows, dedup to min rank
+    val mergeVocab = merges.groupBy(_._4).map { case (sym, ms) =>
+      (sym, ms.map(_._1).min)
+    }.toSeq.sortBy(_._2).zipWithIndex
+      .map { case ((sym, _), i) => (nChars + i + 1, sym, "merge") }
+      .toDF("piece_id", "piece", "kind")
+    charVocab.select($"piece_id", $"piece", $"kind")
+      .unionByName(mergeVocab)
+      .join(pieceFreq, Seq("piece"), "left")
+      .select($"piece_id", $"piece", $"kind",
+        coalesce($"n", lit(0L)).as("n_occurrences"))
+      .orderBy($"piece_id")
+  }
+
+  def bpeVocabSql(mergesGlob: String): String =
+    s"""WITH ${pieceCountCtes(mergesGlob, "doc_id")},
+       |wc AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+       |ps AS MATERIALIZED (
+       |  SELECT tok, string_split(trim(seq, chr(31)), chr(31) || chr(31)) AS ps
+       |  FROM d$bpeMerges),
+       |pf AS (
+       |  SELECT piece, CAST(sum(c) AS BIGINT) AS n FROM (
+       |    SELECT w.c, unnest(p.ps) AS piece
+       |    FROM wc w JOIN ps p USING (tok))
+       |  GROUP BY 1),
+       |chars AS (
+       |  SELECT DISTINCT unnest(regexp_extract_all(tok, '.')) AS piece FROM wc),
+       |cv AS (
+       |  SELECT piece, row_number() OVER (ORDER BY piece) AS pid FROM chars),
+       |mm AS (
+       |  SELECT lhs || rhs AS piece, min(merge_rank) AS r FROM m GROUP BY 1),
+       |mv AS (
+       |  SELECT piece,
+       |    (SELECT count(*) FROM chars) + row_number() OVER (ORDER BY r) AS pid
+       |  FROM mm),
+       |v AS (
+       |  SELECT pid, piece, 'char' AS kind FROM cv
+       |  UNION ALL SELECT pid, piece, 'merge' FROM mv)
+       |SELECT CAST(v.pid AS BIGINT) AS piece_id, v.piece, v.kind,
+       |  coalesce(pf.n, 0) AS n_occurrences
+       |FROM v LEFT JOIN pf ON v.piece = pf.piece
+       |ORDER BY piece_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_vocab"       -> (bpeVocab _),
     "vocab_bpe_train" -> (vocabBpeTrain _),
     "token_ids_bpe"   -> (tokenIdsBpe _),
     "corpus_token_budget_bpe" -> (corpusTokenBudgetBpe _),
@@ -377,5 +461,7 @@ object Bpe {
       graft.sources.OracleStage.globOf("bpe_merges")
         .map(g => "corpus_token_budget_bpe" -> corpusTokenBudgetBpeSql(g)) ++
       graft.sources.OracleStage.globOf("bpe_merges")
-        .map(g => "doc_pack_bpe" -> docPackBpeSql(g))
+        .map(g => "doc_pack_bpe" -> docPackBpeSql(g)) ++
+      graft.sources.OracleStage.globOf("bpe_merges")
+        .map(g => "bpe_vocab" -> bpeVocabSql(g))
 }

@@ -94,6 +94,26 @@ class BpeSpec extends SparkSpec {
       s"pack total $packTotal != budget total $budgetTotal")
   }
 
+  test("vocab ids are dense, chars precede merges, frequencies match the encoded corpus") {
+    val v = Bpe.bpeVocab(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(v.map(_._1).toList == (1L to v.length).toList, "dense ids")
+    val (chars, merges) = v.partition(_._3 == "char")
+    assert(chars.forall(_._2.length == 1) && merges.forall(_._2.length > 1))
+    assert(chars.map(_._1).max < merges.map(_._1).min, "chars precede merges")
+    assert(chars.map(_._2).toList == chars.map(_._2).toList.sorted,
+      "chars in codepoint order")
+    // frequencies equal the actual encoded corpus piece counts
+    val encCounts = Bpe.tokenIdsBpe(spark, sfDir).groupBy("piece").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    v.foreach { case (_, piece, _, n) =>
+      assert(n == encCounts.getOrElse(piece, 0L),
+        s"vocab freq of '$piece' = $n, encoded corpus has ${encCounts.getOrElse(piece, 0L)}")
+    }
+    // and the encoder never emits a piece outside the vocab
+    assert(encCounts.keySet.subsetOf(v.map(_._2).toSet))
+  }
+
   test("training on the test corpus is non-trivial and fully ranked") {
     val m = Bpe.vocabBpeTrain(spark, sfDir).collect()
     assert(m.length == Bpe.bpeMerges,
