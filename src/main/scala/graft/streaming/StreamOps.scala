@@ -335,6 +335,54 @@ object StreamOps {
           .cast("long").as("first_span_pos"))
   }
 
+  /** §2.8 — BPE ENCODING at ingest: the trained merge table (a
+    * bounded artifact, trained once per corpus snapshot) ships as a
+    * literal chain of row-local replaces, so every arriving document
+    * tokenizes inside its own micro-batch — stateless, append-mode,
+    * one emission per (doc, token, piece). This is the deployment
+    * shape of "tokenize on the way in": the merge loop never runs on
+    * the stream, only its frozen result does. Run to completion
+    * equals the batch encoder exactly → shares its staged-merge
+    * oracle. The per-token piece explode happens directly on the
+    * stream rows (no distinct-word join — a stream can't broadcast
+    * against itself; the replace chain is cheap enough to run per
+    * occurrence, and the batch parity proves the semantics equal). */
+  def bpeEncodeStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Bpe, TextAnalysis => TA}
+    val SEP = ""
+    def wrap(x: String) = SEP + x + SEP
+    val merges = Bpe.bpeMergesDf(s, dir).orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val applied = merges.foldLeft(
+      regexp_replace($"tok", "(.)", s"$SEP$$1$SEP")
+        : org.apache.spark.sql.Column) { case (c, (a, b)) =>
+      org.apache.spark.sql.functions.replace(
+        c, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
+    }
+    StreamAcc.fileStream(s, dir, "documents")
+      .select($"doc_id", posexplode(expr(TA.toksExpr)).as(Seq("pos0", "tok")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"tok")
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+      .withColumn("seq", applied)
+      .select($"doc_id", $"pos",
+        posexplode(split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP))
+          .as(Seq("pp0", "piece")))
+      .select($"doc_id", $"pos",
+        ($"pp0" + 1).cast("long").as("piece_pos"), $"piece")
+  }
+
+  def runBpeEncodeToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_bpe"): DataFrame = {
+    val q = bpeEncodeStream(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("doc_id"), col("pos"), col("piece_pos"))
+  }
+
   def runDecontaminateSpanToCompletion(s: SparkSession, dir: String,
       sink: String = "stream_decontam"): DataFrame = {
     val q = decontaminateSpanStream(s, dir).writeStream
@@ -1144,6 +1192,8 @@ object StreamOps {
       runQualityFilterToCompletion(s, dir, sink = "stream_quality_verify")),
     "stream_decontaminate_span" -> ((s, dir) =>
       runDecontaminateSpanToCompletion(s, dir, sink = "stream_decontam_verify")),
+    "stream_bpe_encode" -> ((s, dir) =>
+      runBpeEncodeToCompletion(s, dir, sink = "stream_bpe_verify")),
     "stream_dedup_exact" -> ((s, dir) =>
       runDedupExactToCompletion(s, dir, sink = "stream_dedup_verify")),
     "stream_attribution_join" -> ((s, dir) =>
@@ -1197,6 +1247,11 @@ object StreamOps {
     "stream_quality_filter" -> graft.operators.Pipeline.qualityFilterSql,
     // stateless row-local stream == batch gate: shares 44c's oracle
     "stream_decontaminate_span" -> graft.operators.Pipeline.decontaminateSpanSql,
+  ) ++ graft.sources.OracleStage.globOf("bpe_merges").map(g =>
+    // stateless per-token encode run to completion == the batch
+    // encoder: shares 42c's staged-merge oracle
+    "stream_bpe_encode" -> graft.operators.Bpe.tokenIdsBpeSql(g)
+  ) ++ Map(
     // run to completion, the incremental state merge equals the batch
     // groupBy: shares dedup_exact's oracle verbatim
     "stream_dedup_exact" -> graft.operators.Dedup.dedupExactSql,
