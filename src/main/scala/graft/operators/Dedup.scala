@@ -1369,7 +1369,91 @@ object Dedup {
        |WHERE rk = 1
        |ORDER BY cluster_id""".stripMargin
 
+  /** §2.4 — the DEDUP COST report: what each tier of the dedup
+    * ladder actually removes, in one table — documents dropped,
+    * characters dropped, and their corpus shares, per method (exact
+    * hash, normalized-exact hash, n-gram near-dup clusters). The
+    * measurement a curation owner reads before picking a tier: if
+    * near-dup clustering only removes 1% more than exact hashing,
+    * the banding pipeline isn't paying for itself on this corpus.
+    * The 31y recall-report pattern applied to dedup: every mapping
+    * is the registered operator's own canonicalization (per-doc
+    * canonical via hash-grouped min or the cluster build), so the
+    * report can't drift from what the operators decide; each rollup
+    * is one aggregate over a doc-sized mapping join. */
+  def dedupCostReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, dir)
+    def report(method: String, mapping: DataFrame): DataFrame =
+      mapping.join(base.select($"doc_id", $"n_chars"), "doc_id")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when($"doc_id" =!= $"canonical_id", 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when($"doc_id" =!= $"canonical_id", $"n_chars").otherwise(0L))
+            .as("chars_dropped"),
+          sum($"n_chars").as("chars_total"))
+        .select(lit(method).as("method"), $"n_docs", $"n_dropped",
+          expr(rndSql("CAST(n_dropped AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6))
+            .as("pct_docs_dropped"),
+          $"chars_dropped",
+          expr(rndSql("CAST(chars_dropped AS DOUBLE) / CAST(chars_total AS DOUBLE)", 6))
+            .as("pct_chars_dropped"))
+    def hashMap(h: org.apache.spark.sql.Column): DataFrame = {
+      val d = base.select($"doc_id", h.as("h"))
+      d.join(d.groupBy($"h").agg(min($"doc_id").as("canonical_id")), "h")
+        .select($"doc_id", $"canonical_id")
+    }
+    report("exact", hashMap(md5($"text".cast("binary"))))
+      .unionByName(report("exact_normalized",
+        hashMap(md5(expr("graft_normalize(text)").cast("binary")))))
+      .unionByName(report("ngram_clusters",
+        dedupClusters(s, dir).select($"doc_id", $"canonical_id")))
+      .orderBy($"method")
+  }
+
+  /** Oracle: per-doc canonicals via hash-partition window mins plus
+    * the cluster closure's labs, each rolled up identically. */
+  lazy val dedupCostReportSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |edges AS (
+       |  SELECT doc1 AS src, doc2 AS dst FROM scored
+       |  UNION ALL
+       |  SELECT doc2, doc1 FROM scored),
+       |reach(doc_id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |labs AS (SELECT doc_id, min(lab) AS canonical_id FROM reach GROUP BY 1),
+       |em AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       |    n_chars
+       |  FROM documents),
+       |nm AS (
+       |  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(trim(regexp_replace(
+       |      lower(nfc_normalize(text)), '[ \\t\\n\\r\\f\\x0b]+', ' ', 'g'))))
+       |    AS canonical_id, n_chars
+       |  FROM documents),
+       |cm AS (
+       |  SELECT l.doc_id, l.canonical_id, d.n_chars
+       |  FROM labs l JOIN documents d ON d.doc_id = l.doc_id),
+       |u AS (
+       |  SELECT 'exact' AS method, * FROM em
+       |  UNION ALL SELECT 'exact_normalized', * FROM nm
+       |  UNION ALL SELECT 'ngram_clusters', * FROM cm)
+       |SELECT method, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  ${rndSql("CAST(sum(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+       |    AS pct_docs_dropped,
+       |  CAST(sum(CASE WHEN doc_id <> canonical_id THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS chars_dropped,
+       |  ${rndSql("CAST(sum(CASE WHEN doc_id <> canonical_id THEN n_chars ELSE 0 END) AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)", 6)}
+       |    AS pct_chars_dropped
+       |FROM u GROUP BY method ORDER BY method""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cost_report" -> (dedupCostReport _),
     "dedup_semantic_prune" -> (dedupSemanticPrune _),
     "dedup_source_sketch" -> (dedupSourceSketch _),
     "dedup_exact"         -> (dedupExact _),
@@ -1399,6 +1483,7 @@ object Dedup {
   def oracles: Map[String, String] = {
     import graft.sources.OracleStage.globOf
     Map(
+      "dedup_cost_report"   -> dedupCostReportSql,
       "dedup_semantic_prune" -> dedupSemanticPruneSql,
       "dedup_exact"         -> dedupExactSql,
       "dedup_source_flow"   -> dedupSourceFlowSql,

@@ -299,6 +299,26 @@ class DedupSpec extends SparkSpec {
     assert(pruned.map(_._5).sum > 0, "corpus has near-dup clusters to prune")
   }
 
+  test("cost report agrees with the registered operators' own decisions") {
+    val rep = Dedup.dedupCostReport(spark, craftedDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toMap
+    // crafted corpus: docs 0,1 identical; 2 a near-dup of them; 3 unrelated
+    assert(rep.keySet == Set("exact", "exact_normalized", "ngram_clusters"))
+    rep.values.foreach { case (nDocs, _, _, _) => assert(nDocs == 4L) }
+    assert(rep("exact")._2 == 1L, "one exact copy dropped")
+    assert(rep("exact_normalized")._2 == 1L, "no ws-only variants here")
+    assert(rep("ngram_clusters")._2 == 2L, "near-dup joins the cluster")
+    // chars dropped follows the canonical-min rule: doc 1 loses to doc 0
+    val base = Tables.documents(spark, craftedDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(rep("exact")._4 == base(1L))
+    assert(rep("ngram_clusters")._4 == base(1L) + base(2L))
+    // each tier can only drop at least as much as exact hashing
+    assert(rep("ngram_clusters")._2 >= rep("exact")._2)
+    assert(rep("exact_normalized")._2 >= rep("exact")._2)
+  }
+
   test("embedding near-dup pairs are symmetric-free and above threshold") {
     val rows = Dedup.dedupEmbedding(spark, sfDir).collect()
     assert(rows.nonEmpty)
