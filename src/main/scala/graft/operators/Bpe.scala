@@ -312,7 +312,7 @@ object Bpe {
     * running sum — no single-partition stage anywhere. Docs whose
     * every token is excluded (empty text) pack as zero-length, same
     * as 41's empty-token convention. */
-  def docPackBpe(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def perDocPieces(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val merges = bpeMergesDf(s, dir).orderBy($"merge_rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
@@ -333,9 +333,14 @@ object Bpe {
           .cast("long").as("n_pieces"))
     val perDoc = toks.join(broadcast(wp), "tok")
       .groupBy($"doc_id").agg(sum($"n_pieces").as("n"))
-    val d = docs.select($"doc_id")
+    docs.select($"doc_id")
       .join(perDoc, Seq("doc_id"), "left")
       .select($"doc_id", coalesce($"n", lit(0L)).as("n_tokens"))
+  }
+
+  def docPackBpe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = perDocPieces(s, dir)
     graft.functions.Ranks.globalRunningSum(d, $"doc_id", $"n_tokens",
         graft.functions.Ranks.defaultPartitions(d), "cum")
       .withColumn("start_offset", $"cum" - $"n_tokens")
@@ -362,6 +367,131 @@ object Bpe {
        |  (cum - n_tokens) // ${Pipeline.packBudget} AS bin_id,
        |  (cum - n_tokens) % ${Pipeline.packBudget} AS bin_pos
        |FROM cu ORDER BY doc_id""".stripMargin
+
+  /** Candidate training context lengths swept by
+    * [[packEfficiencyReport]] — bracketing the corpora's per-doc BPE
+    * lengths so every strategy shows both its padding and its
+    * truncation regime. */
+  val packContexts: Seq[Long] = Seq(64L, 128L, 256L, 512L)
+
+  /** §2.8 — the PACKING-EFFICIENCY report: for each candidate context
+    * length, what each packing strategy costs in sequences, padding
+    * and truncation — the table a pretraining owner reads to pick the
+    * context length and packing mode BEFORE burning GPU-hours.
+    * Three strategies, in increasing padding / decreasing
+    * doc-integrity order:
+    *   - `contiguous` — row 41b's split-anywhere stream: zero padding
+    *     except the final partial sequence, but documents straddle
+    *     sequence boundaries (attention bleeds across docs unless the
+    *     trainer masks);
+    *   - `whole_doc` — no-split length-class binning (docs of equal
+    *     piece count share bins, floor(C/L) per bin): documents stay
+    *     intact, padding is the price, over-length docs truncate to C.
+    *     Length-class binning is the parallelizable no-split packing
+    *     (greedy first-fit is a sequential recurrence — unusable at
+    *     corpus scale) and lower-bounds real offline shuffles;
+    *   - `single_doc` — the pad-or-truncate baseline (one doc per
+    *     sequence).
+    * Zero-piece documents emit no sequence under any strategy.
+    *
+    * Scale layout: the only corpus-sized work is [[perDocPieces]]'s
+    * per-doc count (one shuffle, shared with row 41b); everything
+    * else runs on the piece-length HISTOGRAM (bounded by the max doc
+    * length, ~10³ distinct values even at 100 TB) crossed with the
+    * 4-row context spine — all-integer arithmetic, so the oracle
+    * comparison is exact; only the final fill-rate divides. */
+  def packEfficiencyReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val lengths = perDocPieces(s, dir)
+      .groupBy($"n_tokens").agg(count(lit(1)).as("n_docs"))
+    val ctx = packContexts.toDF("context_len")
+    val agg = lengths.crossJoin(ctx).groupBy($"context_len").agg(
+      sum($"n_tokens" * $"n_docs").as("t_total"),
+      sum(expr(
+        """CASE WHEN n_tokens = 0 THEN 0
+          |  WHEN n_tokens <= context_len THEN
+          |    (n_docs + (context_len div n_tokens) - 1)
+          |      div (context_len div n_tokens)
+          |  ELSE n_docs END""".stripMargin)).as("wd_seqs"),
+      sum(expr("n_docs * least(n_tokens, context_len)")).as("wd_kept"),
+      sum(expr(
+        "n_docs * greatest(n_tokens - context_len, 0)")).as("wd_trunc"),
+      sum(expr("CASE WHEN n_tokens = 0 THEN 0 ELSE n_docs END"))
+        .as("sd_seqs"),
+      sum(expr("n_docs * greatest(context_len - n_tokens, 0)"))
+        .as("sd_pad"))
+    val ct = agg.select($"context_len", lit("contiguous").as("strategy"),
+      expr("(t_total + context_len - 1) div context_len").as("n_seqs"),
+      $"t_total".as("tokens_kept"),
+      expr("((t_total + context_len - 1) div context_len) * context_len" +
+        " - t_total").as("n_pad"),
+      lit(0L).as("n_trunc"))
+    val wd = agg.select($"context_len", lit("whole_doc").as("strategy"),
+      $"wd_seqs".as("n_seqs"), $"wd_kept".as("tokens_kept"),
+      ($"wd_seqs" * $"context_len" - $"wd_kept").as("n_pad"),
+      $"wd_trunc".as("n_trunc"))
+    val sd = agg.select($"context_len", lit("single_doc").as("strategy"),
+      $"sd_seqs".as("n_seqs"), $"wd_kept".as("tokens_kept"),
+      $"sd_pad".as("n_pad"), $"wd_trunc".as("n_trunc"))
+    ct.unionByName(wd).unionByName(sd)
+      .withColumn("fill_rate", expr(rndSql(
+        "CASE WHEN n_seqs > 0 THEN CAST(tokens_kept AS DOUBLE)" +
+          " / (CAST(n_seqs AS DOUBLE) * CAST(context_len AS DOUBLE)) END", 6)))
+      .orderBy($"context_len", $"strategy")
+  }
+
+  def packEfficiencyReportSql(mergesGlob: String): String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH ${pieceCountCtes(mergesGlob, "doc_id")},
+       |c AS (
+       |  SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n
+       |  FROM tk JOIN wp USING (tok) GROUP BY 1),
+       |t2 AS (
+       |  SELECT d.doc_id, coalesce(c.n, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id),
+       |lens AS (SELECT n_tokens, count(*) AS n_docs FROM t2 GROUP BY 1),
+       |ctx AS (SELECT CAST(unnest([${packContexts.mkString(", ")}]) AS BIGINT)
+       |  AS context_len),
+       |agg AS (
+       |  SELECT context_len,
+       |    CAST(sum(n_tokens * n_docs) AS BIGINT) AS t_total,
+       |    CAST(sum(CASE WHEN n_tokens = 0 THEN 0
+       |      WHEN n_tokens <= context_len THEN
+       |        (n_docs + (context_len // n_tokens) - 1)
+       |          // (context_len // n_tokens)
+       |      ELSE n_docs END) AS BIGINT) AS wd_seqs,
+       |    CAST(sum(n_docs * least(n_tokens, context_len)) AS BIGINT)
+       |      AS wd_kept,
+       |    CAST(sum(n_docs * greatest(n_tokens - context_len, 0)) AS BIGINT)
+       |      AS wd_trunc,
+       |    CAST(sum(CASE WHEN n_tokens = 0 THEN 0 ELSE n_docs END) AS BIGINT)
+       |      AS sd_seqs,
+       |    CAST(sum(n_docs * greatest(context_len - n_tokens, 0)) AS BIGINT)
+       |      AS sd_pad
+       |  FROM lens CROSS JOIN ctx GROUP BY 1),
+       |u AS (
+       |  SELECT context_len, 'contiguous' AS strategy,
+       |    (t_total + context_len - 1) // context_len AS n_seqs,
+       |    t_total AS tokens_kept,
+       |    ((t_total + context_len - 1) // context_len) * context_len
+       |      - t_total AS n_pad,
+       |    CAST(0 AS BIGINT) AS n_trunc
+       |  FROM agg
+       |  UNION ALL
+       |  SELECT context_len, 'whole_doc', wd_seqs, wd_kept,
+       |    wd_seqs * context_len - wd_kept, wd_trunc
+       |  FROM agg
+       |  UNION ALL
+       |  SELECT context_len, 'single_doc', sd_seqs, wd_kept, sd_pad, wd_trunc
+       |  FROM agg)
+       |SELECT context_len, strategy, n_seqs, tokens_kept, n_pad, n_trunc,
+       |  ${rndSql(
+         "CASE WHEN n_seqs > 0 THEN CAST(tokens_kept AS DOUBLE)" +
+           " / (CAST(n_seqs AS DOUBLE) * CAST(context_len AS DOUBLE)) END", 6)}
+       |    AS fill_rate
+       |FROM u ORDER BY context_len, strategy""".stripMargin
+  }
 
   /** §2.8 — the trained VOCABULARY artifact: every piece the encoder
     * can emit, with a deterministic integer id and its frequency in
@@ -451,7 +581,8 @@ object Bpe {
     "vocab_bpe_train" -> (vocabBpeTrain _),
     "token_ids_bpe"   -> (tokenIdsBpe _),
     "corpus_token_budget_bpe" -> (corpusTokenBudgetBpe _),
-    "doc_pack_bpe"    -> (docPackBpe _)
+    "doc_pack_bpe"    -> (docPackBpe _),
+    "pack_efficiency_report" -> (packEfficiencyReport _)
   )
 
   def oracles: Map[String, String] =
@@ -463,5 +594,7 @@ object Bpe {
       graft.sources.OracleStage.globOf("bpe_merges")
         .map(g => "doc_pack_bpe" -> docPackBpeSql(g)) ++
       graft.sources.OracleStage.globOf("bpe_merges")
-        .map(g => "bpe_vocab" -> bpeVocabSql(g))
+        .map(g => "bpe_vocab" -> bpeVocabSql(g)) ++
+      graft.sources.OracleStage.globOf("bpe_merges")
+        .map(g => "pack_efficiency_report" -> packEfficiencyReportSql(g))
 }

@@ -94,6 +94,38 @@ class BpeSpec extends SparkSpec {
       s"pack total $packTotal != budget total $budgetTotal")
   }
 
+  test("pack efficiency: strategy invariants and cross-strategy dominance") {
+    val perDoc = Bpe.perDocPieces(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = perDoc.map(_._2).sum
+    val nonEmpty = perDoc.count(_._2 > 0).toLong
+    val rows = Bpe.packEfficiencyReport(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6))).toMap
+    assert(rows.size == Bpe.packContexts.size * 3)
+    Bpe.packContexts.foreach { c =>
+      val (ctS, ctK, ctP, ctT, _) = rows((c, "contiguous"))
+      val (wdS, wdK, wdP, wdT, _) = rows((c, "whole_doc"))
+      val (sdS, sdK, sdP, sdT, _) = rows((c, "single_doc"))
+      // contiguous: the whole stream survives, ceil-division seqs,
+      // padding only in the final partial sequence
+      assert(ctK == total && ctT == 0L)
+      assert(ctS == (total + c - 1) / c && ctP == ctS * c - total && ctP < c)
+      // single-doc: one sequence per non-empty doc; truncation and
+      // kept tokens agree with the no-split binning (same doc rule)
+      assert(sdS == nonEmpty && sdK == wdK && sdT == wdT)
+      // binning dominates pad-or-truncate, never beats the stream
+      assert(wdS <= sdS && wdP <= sdP)
+      assert(rows((c, "contiguous"))._5 >= rows((c, "whole_doc"))._5)
+      // fill accounting closes exactly: kept + pad tiles the bins
+      Seq((ctS, ctK, ctP), (wdS, wdK, wdP), (sdS, sdK, sdP)).foreach {
+        case (s0, k0, p0) => assert(k0 + p0 == s0 * c)
+      }
+      assert(wdT == perDoc.map(t => math.max(0L, t._2 - c)).sum)
+    }
+  }
+
   test("vocab ids are dense, chars precede merges, frequencies match the encoded corpus") {
     val v = Bpe.bpeVocab(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
