@@ -1162,6 +1162,100 @@ object Dedup {
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pairs_ge
        |FROM binned ORDER BY bin""".stripMargin
 
+  /** MinHash banding collision probability 1 − (1 − s^r)^b as an SQL
+    * fragment — rendered as pure repeated-squaring multiplication
+    * chains (b and r are powers of two), NEVER `pow`: `*` and `-` are
+    * exactly-rounded IEEE ops so the SAME text evaluates bit-identically
+    * in Spark codegen and DuckDB, while `pow` is only faithfully
+    * rounded and may differ in the last ulp between libm builds. */
+  private def lshCollisionProb(col: String, b: Int, r: Int): String = {
+    def pc(x: String, n: Int): String =
+      if (n == 1) x else { val h = pc(x, n / 2); s"($h * $h)" }
+    s"(CAST(1 AS DOUBLE) - ${pc(s"(CAST(1 AS DOUBLE) - ${pc(col, r)})", b)})"
+  }
+
+  /** The (bands, rowsPerBand) factorizations of [[minhashK]] swept by
+    * [[dedupLshPlan]]. */
+  val lshPlanConfigs: Seq[(Int, Int)] =
+    Seq((64, 1), (32, 2), (16, 4), (8, 8), (4, 16), (2, 32), (1, 64))
+
+  /** §2.4 — the LSH banding PLANNER: for every (bands, rows-per-band)
+    * factorization of the [[minhashK]]-hash signature, the expected
+    * candidate workload, expected recall at τ and expected
+    * false-positive candidates, computed ANALYTICALLY from the
+    * observed exact-similarity distribution under the standard MinHash
+    * collision model (a pair at Jaccard s collides in one band with
+    * probability s^[[rowsPerBand]]; anywhere with 1−(1−s^r)^b). The
+    * table an owner reads to pick the banding BEFORE running any
+    * banding: at 100 TB you cannot empirically sweep 7 configurations
+    * ([[dedupEval]] measures the ONE configured setting; this ranks
+    * all of them from the same staged pair artifact). Work: one pass
+    * over staged [[interPairs]] computing all 14 expectation columns
+    * in a single partial aggregate (pairs sharing no shingle have
+    * s = 0, hence collision probability 0 — their absence from the
+    * artifact is exactly the model's term for them); the 7-row
+    * unpivot runs on the 1-row aggregate. Sums are 1e-4-quantized
+    * exact decimals ([[graft.functions.Agg.dsum]]) so the totals are
+    * partitioning-independent — a correctness property, not a test
+    * convenience. */
+  def dedupLshPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{countIf, dsum}
+    val pairs = interPairs(s, dir, shingleDfCap)
+      .withColumn("j",
+        expr(rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)))
+    val tau = s"CAST($jaccardTau AS DOUBLE)"
+    val aggs = lshPlanConfigs.flatMap { case (b, r) =>
+      val p = lshCollisionProb("j", b, r)
+      Seq(
+        dsum(expr(p)).as(s"ec_${b}_$r"),
+        dsum(expr(s"CASE WHEN j >= $tau THEN $p ELSE CAST(0 AS DOUBLE) END"))
+          .as(s"et_${b}_$r"))
+    } :+ countIf(expr(s"j >= $tau")).as("n_true")
+    val stackArgs = lshPlanConfigs.map { case (b, r) =>
+      s"CAST($b AS BIGINT), CAST($r AS BIGINT), ec_${b}_$r, et_${b}_$r"
+    }.mkString(", ")
+    pairs.agg(aggs.head, aggs.tail: _*)
+      .select(
+        expr(s"stack(${lshPlanConfigs.size}, $stackArgs)" +
+          " AS (bands, rows_per_band, exp_candidates, exp_true)"),
+        $"n_true")
+      .select($"bands", $"rows_per_band", $"exp_candidates",
+        expr(rndSql(
+          "CASE WHEN n_true > 0 THEN exp_true / CAST(n_true AS DOUBLE) END",
+          6)).as("exp_recall"),
+        ($"exp_candidates" - $"exp_true").as("exp_fp"))
+      .orderBy($"rows_per_band")
+  }
+
+  lazy val dedupLshPlanSql: String = {
+    import graft.functions.Agg.{countIfSql, dsumSql}
+    val tau = s"CAST($jaccardTau AS DOUBLE)"
+    val aggCols = lshPlanConfigs.map { case (b, r) =>
+      val p = lshCollisionProb("j", b, r)
+      s"""    ${dsumSql(p)} AS ec_${b}_$r,
+         |    ${dsumSql(s"CASE WHEN j >= $tau THEN $p ELSE CAST(0 AS DOUBLE) END")} AS et_${b}_$r""".stripMargin
+    }.mkString(",\n")
+    val branches = lshPlanConfigs.map { case (b, r) =>
+      s"""  SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |    ec_${b}_$r AS exp_candidates,
+         |    ${rndSql(s"CASE WHEN n_true > 0 THEN et_${b}_$r / CAST(n_true AS DOUBLE) END", 6)} AS exp_recall,
+         |    ec_${b}_$r - et_${b}_$r AS exp_fp
+         |  FROM a""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE $ngramInterCtes,
+       |pj AS (
+       |  SELECT ${rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)} AS j
+       |  FROM ip),
+       |a AS (
+       |  SELECT
+       |$aggCols,
+       |    ${countIfSql(s"j >= $tau")} AS n_true
+       |  FROM pj)
+       |$branches
+       |ORDER BY rows_per_band""".stripMargin
+  }
+
   /** §2.4 — dedup-quality EVAL harness: precision/recall/F1 of the
     * MinHash+LSH near-dup detector against the exact n-gram Jaccard
     * ground truth at the same τ — the measurement a pipeline owner
@@ -1465,6 +1559,7 @@ object Dedup {
     "dedup_minhash"       -> (dedupMinhash _),
     "dedup_eval"          -> (dedupEval _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
+    "dedup_lsh_plan"      -> (dedupLshPlan _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_clusters"      -> (dedupClusters _),
@@ -1504,7 +1599,8 @@ object Dedup {
       "dedup_clusters_embedding_indexed" -> dedupClustersEmbeddingSql,
       "dedup_paragraph"     -> dedupParagraphSql,
       "dedup_substring"     -> dedupSubstringSql,
-      "dedup_threshold_sweep" -> dedupThresholdSweepSql
+      "dedup_threshold_sweep" -> dedupThresholdSweepSql,
+      "dedup_lsh_plan"      -> dedupLshPlanSql
     ) ++
       globOf("minhash_sigs").map(g => "dedup_minhash" -> dedupMinhashSql(g)) ++
       globOf("minhash_sigs").map(g => "dedup_eval" -> dedupEvalSql(g)) ++

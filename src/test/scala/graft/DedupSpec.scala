@@ -299,6 +299,37 @@ class DedupSpec extends SparkSpec {
     assert(pruned.map(_._5).sum > 0, "corpus has near-dup clusters to prune")
   }
 
+  test("lsh planner matches an independent S-curve computation and ranks sanely") {
+    val rows = Dedup.dedupLshPlan(spark, craftedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == Dedup.lshPlanConfigs.length)
+    rows.foreach { case (b, r, ec, rec, fp) =>
+      assert(b * r == Dedup.minhashK.toLong)
+      assert(rec >= 0.0 && rec <= 1.0 + 1e-9 && fp >= -1e-9)
+      // the identical pair (j = 1) collides with probability exactly 1
+      // under every configuration, so it always counts fully
+      assert(ec >= 1.0 - 1e-9)
+    }
+    // candidates shrink monotonically as rows-per-band grows
+    val byR = rows.sortBy(_._2)
+    byR.sliding(2).foreach { case Array(a, c) =>
+      assert(a._3 >= c._3 && a._4 >= c._4 - 1e-9,
+        s"S-curve not monotone: $a vs $c")
+    }
+    // independent recomputation: crafted truth pairs are (0,1) j=1 and
+    // (0,2),(1,2) at the same 0.8<j<1 — sum 1-(1-j^r)^b via math.pow
+    val truth = Dedup.dedupNgramJaccard(spark, craftedDir).collect()
+      .map(_.getDouble(3))
+    assert(truth.length == 3)
+    byR.foreach { case (b, r, ec, rec, _) =>
+      val expect = truth.map(j =>
+        1.0 - math.pow(1.0 - math.pow(j, r.toDouble), b.toDouble)).sum
+      assert(math.abs(ec - expect) < 1e-3, s"($b,$r): $ec vs $expect")
+      assert(math.abs(rec - expect / 3.0) < 1e-3)
+    }
+  }
+
   test("cost report agrees with the registered operators' own decisions") {
     val rep = Dedup.dedupCostReport(spark, craftedDir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
