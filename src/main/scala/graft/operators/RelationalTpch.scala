@@ -875,7 +875,176 @@ object RelationalTpch {
        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
        |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin
 
+  /** TPC-H Q2 shape (min-cost supplier) — the correlated-scalar-MIN
+    * subquery pattern: for each size/type-filtered part, every
+    * EUROPE supplier whose unit cost equals that part's minimum.
+    * This corpus has no partsupp (reference schema.ts:1-72 models
+    * batches, not supply), so unit cost derives from shipments:
+    * min(l_extendedprice / l_quantity) per (part, supplier).
+    * Decorrelated bottom-up: region suppliers resolve dim-side and
+    * broadcast-SEMI-prune the fact BEFORE the pair aggregate, ONE
+    * (part, supplier) groupBy is the only fact shuffle, the per-part
+    * MIN rolls up from the already-tiny pair table, and the
+    * correlated equality re-joins pair↔min broadcast-side. Costs are
+    * compared as 1e-4-quantized integers — an IEEE double division
+    * is bit-identical on both engines, but the MIN-equality test
+    * must not depend on double formatting. Ties (several suppliers
+    * at the min) are all returned, exactly like classic Q2. */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val parts = Tables.part(s, dir)
+      .filter($"p_type" === "STANDARD" && $"p_size".between(20, 24))
+      .select($"p_partkey", $"p_brand", $"p_size")
+    val eurSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables.region(s, dir).filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val pairCost = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_quantity")
+      .join(broadcast(parts.select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .join(broadcast(eurSupp.select($"s_suppkey")), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(min(quantize($"l_extendedprice" / $"l_quantity", 4).cast("long")).as("unit_cost_q"))
+      // materialized once: pair-sized (≤ |filtered parts| × |their
+      // EUROPE suppliers|), consumed by both the per-part MIN rollup
+      // and the correlated-equality probe — without this the fact is
+      // scanned and pair-aggregated twice (same device as Q20)
+      .localCheckpoint(true)
+    val minCost = pairCost.groupBy($"l_partkey")
+      .agg(min($"unit_cost_q").as("min_cost_q"))
+      .select($"l_partkey".as("m_partkey"), $"min_cost_q")
+    pairCost
+      .join(broadcast(minCost),
+        $"l_partkey" === $"m_partkey" && $"unit_cost_q" === $"min_cost_q")
+      .join(broadcast(eurSupp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_brand",
+        ($"unit_cost_q".cast("double") / lit(10000.0)).as("unit_cost"))
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  val q2MinCostSupplierSql: String =
+    """WITH eur_supp AS (
+      |  SELECT s_suppkey, s_name, s_acctbal, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |), parts AS (
+      |  SELECT p_partkey, p_brand, p_size FROM part
+      |  WHERE p_type = 'STANDARD' AND p_size BETWEEN 20 AND 24
+      |), pair_cost AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    min(CAST(floor(l_extendedprice / l_quantity * 10000 + 0.5) AS BIGINT)) AS unit_cost_q
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM parts)
+      |    AND l_suppkey IN (SELECT s_suppkey FROM eur_supp)
+      |  GROUP BY l_partkey, l_suppkey
+      |), min_cost AS (
+      |  SELECT l_partkey AS m_partkey, min(unit_cost_q) AS min_cost_q
+      |  FROM pair_cost GROUP BY l_partkey
+      |)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |  CAST(unit_cost_q AS DOUBLE) / 10000.0 AS unit_cost
+      |FROM pair_cost
+      |JOIN min_cost ON l_partkey = m_partkey AND unit_cost_q = min_cost_q
+      |JOIN eur_supp ON l_suppkey = s_suppkey
+      |JOIN parts ON l_partkey = p_partkey
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q11 shape (important stock) — the HAVING-against-a-global-
+    * scalar pattern: per-part shipped value restricted to one
+    * nation's suppliers, keeping parts above 0.1% of that nation's
+    * total (supply value derives from shipments — no partsupp here).
+    * The nation's suppliers resolve dim-side and broadcast-SEMI-prune
+    * the fact; ONE per-part aggregate is the only fact shuffle; the
+    * global total rolls up from the per-part table (never a second
+    * fact scan) and rides a 1-row broadcast crossJoin into the
+    * HAVING, which compares exact quantized integers
+    * (1000·part > total — no 0.001 double in the predicate). */
+  def q11ImportantValue(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val natSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).filter($"n_name" === "NATION_3")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val perPart = Tables.lineitem(s, dir)
+      .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy($"l_partkey")
+      .agg(sum(quantize($"l_extendedprice", 4).cast("long").cast(DecimalType(38, 0)))
+        .as("value_q"))
+      // materialized once: part-sized, consumed by both the global
+      // total rollup and the HAVING probe — without this the fact is
+      // scanned and part-aggregated twice (same device as Q20)
+      .localCheckpoint(true)
+    val total = perPart.agg(sum($"value_q").as("total_q"))
+    perPart.join(broadcast(total))
+      .filter($"value_q" * lit(1000) > $"total_q")
+      .select($"l_partkey".as("p_partkey"),
+        ($"value_q".cast("double") / lit(10000.0)).as("value"))
+      .orderBy($"value".desc, $"p_partkey")
+  }
+
+  val q11ImportantValueSql: String =
+    """WITH per_part AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS DECIMAL(38,0))) AS value_q
+      |  FROM lineitem
+      |  WHERE l_suppkey IN (
+      |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |    WHERE n_name = 'NATION_3')
+      |  GROUP BY l_partkey
+      |)
+      |SELECT l_partkey AS p_partkey, CAST(value_q AS DOUBLE) / 10000.0 AS value
+      |FROM per_part
+      |WHERE value_q * 1000 > (SELECT sum(value_q) FROM per_part)
+      |ORDER BY value DESC, p_partkey""".stripMargin
+
+  /** TPC-H Q12 shape (shipping-mode priority audit) — the two-fact
+    * co-shuffle + conditional-CASE-aggregation pattern: per line
+    * status (this corpus's shipmode stand-in), how many late-shipped
+    * lines (> 90 days after order date) belong to critical-priority
+    * orders vs the rest, over one ship-year. Both inputs are facts,
+    * so the ONLY shuffle is the orderkey equi-join (no broadcast —
+    * at 100 TB both sides are corpus-sized; AQE picks the hash side);
+    * the priority split is a codegen'd CASE inside the partial
+    * aggregate, never a second pass. */
+  def q12PriorityLateness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        $"l_shipdate" < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .select($"l_orderkey", $"l_linestatus", $"l_shipdate")
+    li.join(Tables.orders(s, dir).select($"o_orderkey", $"o_orderdate", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy($"l_linestatus")
+      .agg(
+        countIf($"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH")
+          .as("high_line_count"),
+        countIf($"o_orderpriority" =!= "1-URGENT" && $"o_orderpriority" =!= "2-HIGH")
+          .as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q12PriorityLatenessSql: String =
+    s"""SELECT l_linestatus,
+       |  ${countIfSql("o_orderpriority IN ('1-URGENT','2-HIGH')")} AS high_line_count,
+       |  ${countIfSql("o_orderpriority NOT IN ('1-URGENT','2-HIGH')")} AS low_line_count
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+       |GROUP BY l_linestatus
+       |ORDER BY l_linestatus""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q11_important_value"  -> (q11ImportantValue _),
+    "q12_priority_lateness" -> (q12PriorityLateness _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q15_top_supplier"   -> (q15TopSupplier _),
     "q19_bracket_revenue" -> (q19BracketRevenue _),
@@ -899,6 +1068,9 @@ object RelationalTpch {
   )
 
   def oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2MinCostSupplierSql,
+    "q11_important_value"  -> q11ImportantValueSql,
+    "q12_priority_lateness" -> q12PriorityLatenessSql,
     "q6_forecast_revenue" -> q6ForecastRevenueSql,
     "q15_top_supplier"   -> q15TopSupplierSql,
     "q19_bracket_revenue" -> q19BracketRevenueSql,

@@ -518,6 +518,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q2 correlated MIN decorrelates to one pair aggregate — fact scanned once, no merge joins after") {
+    val p = plan(RelationalTpch.q2MinCostSupplier(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // everything downstream of the (checkpointed) pair aggregate is
+    // pair-sized and broadcasts; the region-supplier LEFT SEMI prune
+    // lives inside the checkpointed build
+    assert(!p.contains("SortMergeJoin"),
+      s"post-aggregate joins must broadcast:\n$p")
+    // the pair aggregate is checkpointed once (pair-sized), so the
+    // visible plan consumes the materialized artifact — the fact
+    // never re-scans for the second (MIN-rollup) consumer
+    val factScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("l_extendedprice"))
+    assert(factScans == 0 && p.contains("ExistingRDD"),
+      s"lineitem must feed ONE checkpointed pair aggregate, got $factScans live scans:\n$p")
+  }
+
+  test("q11 HAVING-vs-global-scalar rolls the total up from the per-part aggregate, never a second fact scan") {
+    val p = plan(RelationalTpch.q11ImportantValue(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-part aggregate is checkpointed once (part-sized), so
+    // the fact never re-scans for the second (global-total) consumer
+    val factScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("l_extendedprice"))
+    assert(factScans == 0 && p.contains("ExistingRDD"),
+      s"lineitem must feed ONE checkpointed per-part aggregate, got $factScans live scans:\n$p")
+    // the only row-bearing shuffles: the 1-row total rollup and the
+    // final ordering (the per-part aggregate shuffled pre-checkpoint)
+    assert(shuffleExchanges(p) <= 2, s"expected <=2 shuffles:\n$p")
+  }
+
+  test("q12 priority split is a CASE inside the partial aggregate, not a second pass") {
+    val p = plan(RelationalTpch.q12PriorityLateness(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+    // one equi-join + one aggregate exchange + the final order — the
+    // CASE split must not add a shuffle
+    assert(shuffleExchanges(p) <= 3, s"expected <=3 shuffles:\n$p")
+  }
+
   test("q21 double quantifier is one fact aggregation cascade, not two self-joins") {
     val p = plan(RelationalTpch.q21SoleLateSuppliers(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
