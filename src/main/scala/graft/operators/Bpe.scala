@@ -576,7 +576,68 @@ object Bpe {
        |FROM v LEFT JOIN pf ON v.piece = pf.piece
        |ORDER BY piece_id""".stripMargin
 
+  /** §2.8 — the tokenizer FERTILITY report: per (lang, source), how
+    * many BPE pieces the frozen merge table spends per word and how
+    * many characters each piece carries — the go/no-go numbers a
+    * tokenizer owner reads before committing a vocab (fertility
+    * creeping above ~2 on a language means its text costs double the
+    * context budget; chars-per-piece collapsing toward 1 means the
+    * merges never fire there). Same staged-merge device as the rest
+    * of the family: the replace chain runs once per DISTINCT word,
+    * the corpus side only joins the broadcast piece table and
+    * aggregates — one partial-agged shuffle on (lang, source).
+    * Ratios divide exact BIGINT sums in IEEE double and quantize, so
+    * the oracle comparison is exact. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val merges = bpeMergesDf(s, dir).orderBy($"merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val toks = Tables.documents(s, dir)
+      .select($"lang", $"source", explode(expr(TA.toksExpr)).as("tok"))
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+    val applied = merges.foldLeft(
+      regexp_replace($"tok", "(.)", s"$SEP$$1$SEP"): Column) {
+      case (c, (a, b)) =>
+        org.apache.spark.sql.functions.replace(
+          c, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
+    }
+    val wp = toks.select($"tok").distinct()
+      .withColumn("seq", applied)
+      .select($"tok",
+        size(split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP))
+          .cast("long").as("n_pieces"))
+    toks.join(broadcast(wp), "tok")
+      .groupBy($"lang", $"source")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length($"tok")).cast("long").as("n_chars"),
+        sum($"n_pieces").cast("long").as("n_pieces"))
+      .select($"lang", $"source", $"n_words", $"n_chars", $"n_pieces",
+        expr(rndSql("CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)", 4)).as("fertility"),
+        expr(rndSql("CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)", 4)).as("chars_per_piece"))
+      .orderBy($"lang", $"source")
+  }
+
+  def bpeFertilitySql(mergesGlob: String): String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH ${pieceCountCtes(mergesGlob, "lang, source")},
+       |a AS (
+       |  SELECT lang, source,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(length(tok)) AS BIGINT) AS n_chars,
+       |    CAST(sum(n_pieces) AS BIGINT) AS n_pieces
+       |  FROM tk JOIN wp USING (tok)
+       |  GROUP BY lang, source)
+       |SELECT lang, source, n_words, n_chars, n_pieces,
+       |  ${rndSql("CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)", 4)} AS fertility,
+       |  ${rndSql("CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)", 4)} AS chars_per_piece
+       |FROM a
+       |ORDER BY lang, source""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_fertility"   -> (bpeFertility _),
     "bpe_vocab"       -> (bpeVocab _),
     "vocab_bpe_train" -> (vocabBpeTrain _),
     "token_ids_bpe"   -> (tokenIdsBpe _),
@@ -596,5 +657,7 @@ object Bpe {
       graft.sources.OracleStage.globOf("bpe_merges")
         .map(g => "bpe_vocab" -> bpeVocabSql(g)) ++
       graft.sources.OracleStage.globOf("bpe_merges")
-        .map(g => "pack_efficiency_report" -> packEfficiencyReportSql(g))
+        .map(g => "pack_efficiency_report" -> packEfficiencyReportSql(g)) ++
+      graft.sources.OracleStage.globOf("bpe_merges")
+        .map(g => "bpe_fertility" -> bpeFertilitySql(g))
 }

@@ -1696,7 +1696,170 @@ object Pipeline {
        |    SELECT source, ${TA.duckToks} AS toks FROM documents) GROUP BY 1),
        |$budgetPlanSqlTail""".stripMargin
 
+  /** Context-window chunk size / stride (tokens). Stride < size, so
+    * consecutive chunks overlap by `chunkSize - chunkStride` tokens —
+    * the retrieval-chunking convention that keeps a fact straddling a
+    * boundary fully inside at least one chunk. */
+  val chunkSize = 32
+  val chunkStride = 24
+
+  /** §2.8 — OVERLAPPING sliding-window chunking (the RAG / context-
+    * window prep step): each document becomes ⌈(n−C)/S⌉+1 chunks of
+    * ≤ C tokens starting every S tokens, with stable (doc_id,
+    * chunk_idx) identity, token offsets, and the chunk text — the
+    * frame a downstream embed-and-index pass consumes row-per-chunk.
+    * Docs with zero tokens emit no chunks (nothing to embed).
+    *
+    * Scale layout: pure row-local array work — tokenize once, build
+    * the ≤ w-element start list with `sequence`, one generator
+    * explode; no shuffle at all before the presentation ORDER BY.
+    * Window count w is exact integer arithmetic (`div`-based ceiling
+    * — Spark CAST truncates where DuckDB rounds, so no double ever
+    * touches an index). Chunk-count amplification is bounded: ~n/S
+    * rows of ≤ C tokens each, i.e. ≤ C/S ≈ 1.33× the corpus bytes. */
+  def corpusChunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (c0, s0) = (chunkSize, chunkStride)
+    // coalesce + outer explode defeat the inferred-constraint trap
+    // (see dedupParagraph): otherwise the tokenize+window transform
+    // inlines into per-row isnotnull filters and runs twice. The
+    // token array rides THROUGH the generator (one row-local pass,
+    // ≤ C/S ≈ 1.33× amplification) — never a re-tokenize + doc_id
+    // self-join for the slice.
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(s"coalesce(filter(${TA.toksExpr}, t -> t <> ''), array())"))
+      .withColumn("n", size($"toks"))
+      .withColumn("starts", expr(
+        s"""coalesce(CASE WHEN n > 0 THEN
+           |  transform(sequence(0, CASE WHEN n <= $c0 THEN 0
+           |    ELSE (n - $c0 + $s0 - 1) div $s0 END),
+           |    i -> i * $s0) END, array())""".stripMargin))
+      .select($"doc_id", $"toks", $"n",
+        posexplode_outer($"starts").as(Seq("chunk_idx", "start_tok")))
+      .filter($"start_tok".isNotNull)
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        $"start_tok".cast("long").as("start_tok"),
+        least(lit(c0), $"n" - $"start_tok").cast("long").as("n_toks"),
+        expr(s"array_join(slice(toks, CAST(start_tok AS INT) + 1, $c0), ' ')").as("chunk"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val corpusChunkSql: String = {
+    val (c0, s0) = (chunkSize, chunkStride)
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(${TA.duckToks}, t -> t <> '') AS toks
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    CASE WHEN len(toks) <= $c0 THEN 0
+       |      ELSE (len(toks) - $c0 + $s0 - 1) // $s0 END AS last_w
+       |  FROM t WHERE len(toks) > 0
+       |), e AS (
+       |  SELECT doc_id, toks, n, unnest(range(0, last_w + 1)) AS chunk_idx
+       |  FROM w
+       |)
+       |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       |  CAST(chunk_idx * $s0 AS BIGINT) AS start_tok,
+       |  CAST(least($c0, n - chunk_idx * $s0) AS BIGINT) AS n_toks,
+       |  array_to_string(toks[chunk_idx * $s0 + 1 : chunk_idx * $s0 + $c0], ' ') AS chunk
+       |FROM e
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  /** Expected CDC chunk length: a token closes a chunk with
+    * probability 1/8 (the boundary PRF lands in the low eighth of
+    * the 32-bit range). */
+  val cdcAvgChunk = 8
+
+  /** Token-identity boundary test for [[corpusCdcChunk]], as ONE SQL
+    * fragment evaluated identically by Spark and DuckDB (exact
+    * BIGINT arithmetic — `ascii` is the first code point in both,
+    * `substring(tok, length(tok), 1)` the last character). Fibonacci
+    * hashing with a LOW-RANGE compare, not `% 8` of the product: the
+    * Knuth multiplier is odd ≡ 1 (mod 8), so a low-bits modulus
+    * degrades to `x mod 8` — for same-first/last-char tokens that is
+    * just `length mod 8`, and whole token families never cut
+    * (caught by the resynchronization spec's crafted vocab). The
+    * magnitude compare on the 32-bit product reads the HIGH bits,
+    * where the multiplier actually mixes. */
+  private def cdcBoundarySql(tok: String): String =
+    s"""((((length($tok) * 131 +
+       |  ascii(substring($tok, 1, 1)) * 31 +
+       |  ascii(substring($tok, length($tok), 1))) * 2654435761)
+       |  % 4294967296) < 536870912)""".stripMargin
+
+  /** §2.8 — CONTENT-DEFINED chunking (the storage-dedup cut rule):
+    * chunk boundaries fall AFTER tokens whose identity PRF lands in
+    * the low 1/[[cdcAvgChunk]] of the hash range instead of at fixed
+    * offsets, so an
+    * insertion near a document's head shifts only the chunk it lands
+    * in — every later boundary re-synchronizes, and unchanged tails
+    * keep their chunk text verbatim (fixed-window chunking re-cuts
+    * the whole suffix). Emits one row per chunk with its corpus-wide
+    * occurrence count `n_occ` — the dedup signal CDC exists to
+    * maximize.
+    *
+    * Scale layout: tokenize + PRF are row-local; the chunk-id prefix
+    * sum is a PER-DOCUMENT window (frame bounded by doc length —
+    * never a corpus-wide sort); reassembly is one partial-agged
+    * shuffle on (doc_id, chunk_id); the occurrence count shuffles the
+    * 64-bit chunk hash, never the chunk text (dedup_substring's
+    * device — the oracle counts on the text itself, same counts
+    * absent 64-bit collisions). */
+  def corpusCdcChunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .withColumn("toks", expr(s"coalesce(filter(${TA.toksExpr}, t -> t <> ''), array())"))
+      .select($"doc_id", posexplode_outer($"toks").as(Seq("pos", "tok")))
+      .filter($"tok".isNotNull)
+      .withColumn("boundary", when(expr(cdcBoundarySql("tok")), 1L).otherwise(0L))
+    val win = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = toks
+      .withColumn("chunk_id", coalesce(sum($"boundary").over(win), lit(0L)))
+      .groupBy($"doc_id", $"chunk_id")
+      .agg(
+        count(lit(1)).as("n_toks"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"pos", $"tok"))), x => x("tok"))).as("chunk"))
+    val occ = chunks
+      .select(xxhash64($"chunk").as("ch"))
+      .groupBy($"ch").agg(count(lit(1)).as("n_occ"))
+    chunks.withColumn("ch", xxhash64($"chunk"))
+      .join(occ, Seq("ch"))
+      .select($"doc_id", $"chunk_id", $"n_toks", $"chunk", $"n_occ")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  val corpusCdcChunkSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(list_filter(${TA.duckToks}, t -> t <> '')) AS tok,
+       |    generate_subscripts(list_filter(${TA.duckToks}, t -> t <> ''), 1) - 1 AS pos
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN ${cdcBoundarySql("tok")} THEN 1 ELSE 0 END AS boundary
+       |  FROM t
+       |), cid AS (
+       |  SELECT doc_id, pos, tok,
+       |    CAST(coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
+       |  FROM b
+       |), ck AS (
+       |  SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |    string_agg(tok, ' ' ORDER BY pos) AS chunk
+       |  FROM cid GROUP BY doc_id, chunk_id
+       |), occ AS (
+       |  SELECT chunk, CAST(count(*) AS BIGINT) AS n_occ FROM ck GROUP BY chunk
+       |)
+       |SELECT doc_id, chunk_id, n_toks, ck.chunk, n_occ
+       |FROM ck JOIN occ ON ck.chunk = occ.chunk
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_chunk"      -> (corpusChunk _),
+    "corpus_cdc_chunk"  -> (corpusCdcChunk _),
     "corpus_token_budget" -> (corpusTokenBudget _),
     "sample_entity"     -> (sampleEntity _),
     "text_zipf_fit"     -> (textZipfFit _),
@@ -1729,6 +1892,8 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_chunk"      -> corpusChunkSql,
+    "corpus_cdc_chunk"  -> corpusCdcChunkSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,
     "sample_entity"     -> sampleEntitySql,
     "text_zipf_fit"     -> textZipfFitSql,

@@ -146,6 +146,29 @@ class BpeSpec extends SparkSpec {
     assert(encCounts.keySet.subsetOf(v.map(_._2).toSet))
   }
 
+  test("fertility ratios bound correctly and piece totals reconcile with the per-doc counter") {
+    val s = spark; import s.implicits._
+    val rows = graft.operators.Bpe.bpeFertility(s, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, ch, p) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val (fert, cpp) = (r.getDouble(5), r.getDouble(6))
+      // every word is ≥1 piece; every piece carries ≥1 char
+      assert(p >= w && ch >= p, s"piece bounds broken: words=$w chars=$ch pieces=$p")
+      assert(fert >= 1.0 && cpp >= 1.0, s"ratio bounds broken: $fert / $cpp")
+      // and the merges actually fire somewhere: pieces < chars
+      // (all-singleton encoding would make them equal)
+    }
+    assert(rows.exists(r => r.getLong(4) < r.getLong(3)),
+      "merges never fired: every group encodes as singletons")
+    // group totals reconcile with the packing family's per-doc counter
+    val total = rows.map(_.getLong(4)).sum
+    val perDoc = graft.operators.Bpe.perDocPieces(s, sfDir)
+      .agg(org.apache.spark.sql.functions.sum($"n_tokens")).collect()(0).getLong(0)
+    assert(total == perDoc,
+      s"fertility pieces ($total) must equal per-doc pieces ($perDoc)")
+  }
+
   test("training on the test corpus is non-trivial and fully ranked") {
     val m = Bpe.vocabBpeTrain(spark, sfDir).collect()
     assert(m.length == Bpe.bpeMerges,

@@ -442,6 +442,57 @@ class PipelineSpec extends SparkSpec {
       "a shared 13-gram implies shared 3-grams")
   }
 
+  test("corpus_chunk windows overlap by size−stride and cover every token") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-chunk").toString
+    val t80 = (0 until 80).map(i => s"w$i").mkString(" ")
+    Seq((1L, t80, "en", "s0", t80.length.toLong),
+        (2L, "a b c", "en", "s0", 5L),
+        (3L, "   ", "en", "s0", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.corpusChunk(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // 80 tokens at C=32/S=24 → starts 0,24,48 — full windows only
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(d1.map(c => (c._3, c._4)).toSeq == Seq((0L, 32L), (24L, 32L), (48L, 32L)), d1.mkString("; "))
+    // consecutive chunks share exactly C−S = 8 tokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._5.split(" ").takeRight(8).toSeq == b._5.split(" ").take(8).toSeq,
+        s"overlap broken between ${a._2} and ${b._2}")
+    }
+    // coverage: the strided union re-spells the document
+    val rebuilt = d1.head._5.split(" ") ++ d1.tail.flatMap(_._5.split(" ").drop(8))
+    assert(rebuilt.mkString(" ") == t80, "chunks must cover every token exactly once in order")
+    // short doc → one whole-doc chunk; whitespace-only doc → nothing
+    assert(out.filter(_._1 == 2L).toSeq.map(c => (c._3, c._4, c._5)) == Seq((0L, 3L, "a b c")))
+    assert(!out.exists(_._1 == 3L), "zero-token docs must emit no chunks")
+  }
+
+  test("corpus_cdc_chunk boundaries re-synchronize after a head insertion") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-cdc").toString
+    // varied lengths/letters so the identity PRF fires on some tokens
+    val words = (0 until 60).map(i => ("abcdefghij" (i % 10)).toString * (1 + i % 7))
+    val a = words.mkString(" ")
+    val b = ("zq " + a) // one token prepended
+    Seq((10L, a, "en", "s0", a.length.toLong), (11L, b, "en", "s0", b.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.corpusCdcChunk(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3), r.getLong(4)))
+    val ca = out.filter(_._1 == 10L).sortBy(_._2).map(_._3)
+    val cb = out.filter(_._1 == 11L).sortBy(_._2).map(_._3)
+    assert(ca.length >= 3, s"crafted corpus must cut ≥3 chunks, got ${ca.length}")
+    // the insertion lands in chunk 0; every boundary after the first
+    // cut token re-synchronizes, so the tails are IDENTICAL in order
+    assert(ca.toSeq.drop(1) == cb.toSeq.drop(1),
+      s"CDC must re-synchronize after the first boundary:\nA=${ca.mkString("|")}\nB=${cb.mkString("|")}")
+    // and the shared tail chunks carry the dedup signal: n_occ = 2
+    val occ = out.filter(t => t._1 == 10L && t._2 > 0).map(_._4)
+    assert(occ.forall(_ == 2L), s"shared tail chunks must count both docs: ${occ.mkString(",")}")
+  }
+
   test("entity sample keeps whole users: per-user event counts equal the unsampled counts") {
     val s = spark; import s.implicits._
     val sampled = Pipeline.sampleEntity(s, sfDir).collect()
