@@ -421,6 +421,66 @@ object StreamOps {
     s.table(sink).orderBy(col("canonical_id"))
   }
 
+  /** Continuous LATEST-STATE materialization (the CDC latest-wins
+    * upsert): per user, the most recent event by (ts, event_id) plus
+    * the update count — the streaming half of §2.3's `q_table_upsert`
+    * (reference lib.ts:736-1132 iterates a TABLE; this maintains the
+    * table itself from the change stream). Deliberately a DECLARATIVE
+    * streaming aggregation with a lexicographic struct-max, not
+    * `mapGroupsWithState`: max is a mergeable partial aggregate, so
+    * each micro-batch combines map-side before touching the state
+    * store and state stays ONE struct per key — custom state
+    * functions forfeit partial aggregation and ship every raw event
+    * to its key's partition. Tiebreak inside one timestamp is
+    * event_id, so replay order can't flip the winner. Complete mode
+    * here is the verify harness; production runs update mode into a
+    * keyed upsert sink (each micro-batch emits only keys it touched). */
+  def latestStateStream(s: SparkSession, dir: String): DataFrame =
+    latestStateFrom(StreamAcc.eventsStream(s, dir))
+
+  /** The aggregation over ANY event stream (spec seam — the
+    * multi-batch tiebreak spec drives this with crafted arrival
+    * orders). */
+  private[graft] def latestStateFrom(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupBy($"user_id")
+      .agg(
+        max(struct($"ts", $"event_id", $"event_type", $"value")).as("latest"),
+        count(lit(1)).as("n_updates"))
+      .select($"user_id", $"latest.ts".as("last_ts"),
+        $"latest.event_id".as("last_event_id"),
+        $"latest.event_type".as("last_event_type"),
+        $"latest.value".as("last_value"), $"n_updates")
+  }
+
+  def runLatestStateToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_latest"): DataFrame = {
+    val q = latestStateStream(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("user_id"))
+  }
+
+  /** Run to completion, the latest-wins merge equals the batch
+    * argmax row per user. The oracle takes the SAME (ts, event_id)
+    * lexicographic winner, so replay partitioning can't flip ties. */
+  val latestStateSql: String =
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |  event_type AS last_event_type, value AS last_value, n_updates
+      |FROM (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_updates
+      |  FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   /** Stream-STREAM time-interval join: every purchase matched to the
     * same user's clicks in the preceding 30 minutes — the real-time
     * attribution join. Both sides are watermarked and the join
@@ -1196,6 +1256,8 @@ object StreamOps {
       runBpeEncodeToCompletion(s, dir, sink = "stream_bpe_verify")),
     "stream_dedup_exact" -> ((s, dir) =>
       runDedupExactToCompletion(s, dir, sink = "stream_dedup_verify")),
+    "stream_latest_state" -> ((s, dir) =>
+      runLatestStateToCompletion(s, dir, sink = "stream_latest_verify")),
     "stream_attribution_join" -> ((s, dir) =>
       runAttributionToCompletion(s, dir, sink = "stream_attrib_verify")),
     "stream_attribution_outer" -> ((s, dir) =>
@@ -1255,6 +1317,9 @@ object StreamOps {
     // run to completion, the incremental state merge equals the batch
     // groupBy: shares dedup_exact's oracle verbatim
     "stream_dedup_exact" -> graft.operators.Dedup.dedupExactSql,
+    // run to completion, the struct-max merge equals the batch argmax
+    // row per user under the same (ts, event_id) tiebreak
+    "stream_latest_state" -> latestStateSql,
     "stream_attribution_join" -> attributionJoinSql,
     "stream_attribution_outer" -> attributionOuterJoinSql,
     // incremental exact counts run to completion equal the batch

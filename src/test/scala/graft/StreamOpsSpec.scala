@@ -431,4 +431,45 @@ class StreamOpsSpec extends SparkSpec {
     assert(finalRows < totalPairs / 4,
       s"state must evict closed windows: held $finalRows of $totalPairs pairs")
   }
+
+  test("latest-state tiebreak survives adversarial arrival order across micro-batches") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-latest").toString
+    val t0 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2025-06-01 13:00:00")
+    // user 1: same-ts tie — the WINNER (higher event_id) arrives in
+    // the FIRST file, the loser later: arrival order opposes the
+    // (ts, event_id) tiebreak. user 2: a genuinely later event
+    // arrives in an earlier file than an older one.
+    val f0 = Seq((20L, t1, 1L, "click", 5.0, "{}"), (30L, t1, 2L, "view", 9.0, "{}"))
+    val f1 = Seq((10L, t1, 1L, "view", 7.0, "{}"), (40L, t0, 2L, "click", 1.0, "{}"))
+    Seq(f0, f1).zipWithIndex.foreach { case (rows, i) =>
+      val sub = s"$dir/f$i"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(sub)
+      val src = new java.io.File(sub).listFiles
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(dir, f"part-$i%02d.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = s.read.parquet(s"$dir/part-00.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "part-*.parquet").parquet(dir)
+    val q = StreamOps.latestStateFrom(stream).writeStream
+      .format("memory").queryName("latest_tiebreak")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "expected two non-empty micro-batches")
+    val out = s.table("latest_tiebreak").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(out(1L) == ((20L, "click", 5.0, 2L)),
+      s"same-ts tie must resolve to the higher event_id regardless of arrival: ${out(1L)}")
+    assert(out(2L) == ((30L, "view", 9.0, 2L)),
+      s"later event must win even when it arrived first: ${out(2L)}")
+  }
 }
