@@ -687,7 +687,94 @@ object Graph {
        |LIMIT $linkTopN""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // graph_bfs — bounded-round multi-source breadth-first depth
+  // ------------------------------------------------------------------
+
+  val bfsRounds = 4
+  val bfsSeeds = 3
+
+  /** §2.12 — multi-source BFS depth over the strong co-purchase
+    * graph: hop distance from the [[bfsSeeds]] highest-degree hubs
+    * (ties by id) within [[bfsRounds]] rounds — "how many
+    * co-purchase hops from the bestsellers is every part?", the
+    * reachability census behind recommendation freshness and catalog
+    * coverage. Unreached parts (outside the hub market or beyond the
+    * horizon) report NULL depth, same universe contract as
+    * components/LPA.
+    *
+    * The frontier recurrence is the textbook distributed BFS: per
+    * round ONE edge⋈frontier shuffle produces candidate neighbors,
+    * an anti join against the visited set (vertex-sized — AQE
+    * broadcasts it while it fits) admits only new nodes, lineage cut
+    * per round. Seeds come from a TakeOrdered top-[[bfsSeeds]] on the
+    * vertex-sized degree frame — never a global sort. State is two
+    * vertex-bounded frames (visited, frontier); the frontier can
+    * only shrink the visited complement, so 100× data widens rounds'
+    * row counts, not their number. */
+  def graphBfs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = strongEdges(s, dir)
+    val edges = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+      .repartition($"src").localCheckpoint(true)
+    val seeds = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy($"deg".desc, $"node").limit(bfsSeeds)
+      .select($"node")
+    var dist = seeds.withColumn("depth", lit(0L)).localCheckpoint(true)
+    var frontier = dist.select($"node")
+    for (i <- 1 to bfsRounds) {
+      val next = edges.join(frontier, $"src" === $"node")
+        .select($"dst".as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("depth", lit(i.toLong))
+        .localCheckpoint(true)
+      dist = dist.unionAll(next).localCheckpoint(true)
+      frontier = next.select($"node")
+    }
+    Tables.part(s, dir).select($"p_partkey".as("part_id"))
+      .join(dist.withColumnRenamed("node", "part_id"), Seq("part_id"), "left")
+      .select($"part_id", $"depth")
+      .orderBy($"part_id")
+  }
+
+  val graphBfsSql: String = {
+    val rounds = (1 to bfsRounds).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN f${i - 1} f ON e.src = f.node
+         |  WHERE e.dst NOT IN (SELECT node FROM d${i - 1})),
+         |d$i AS MATERIALIZED (
+         |  SELECT node, depth FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT node, $i AS depth FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT a.l_orderkey) >= $triangleMinSupport),
+       |edges AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM e0
+       |  UNION ALL
+       |  SELECT v, u FROM e0),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |s AS (
+       |  SELECT node FROM (
+       |    SELECT node, row_number() OVER (ORDER BY deg DESC, node) AS rn
+       |    FROM deg) WHERE rn <= $bfsSeeds),
+       |d0 AS MATERIALIZED (SELECT node, 0 AS depth FROM s),
+       |f0 AS MATERIALIZED (SELECT node FROM s),
+       |$rounds
+       |SELECT p.p_partkey AS part_id, CAST(d.depth AS BIGINT) AS depth
+       |FROM part p LEFT JOIN d$bfsRounds d ON p.p_partkey = d.node
+       |ORDER BY part_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs"              -> (graphBfs _),
     "graph_link_predict"     -> (graphLinkPredict _),
     "graph_neighbor_sim"     -> (graphNeighborSim _),
     "graph_pagerank"         -> (graphPagerank _),
@@ -700,6 +787,7 @@ object Graph {
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_bfs"              -> graphBfsSql,
     "graph_link_predict"     -> graphLinkPredictSql,
     "graph_neighbor_sim"     -> graphNeighborSimSql,
     "graph_pagerank"         -> graphPagerankSql,

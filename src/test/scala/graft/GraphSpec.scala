@@ -205,4 +205,27 @@ class GraphSpec extends SparkSpec {
       assert(a == b, "ranks must be bit-identical under any partitioning")
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("bfs depths satisfy the BFS invariants: seed count, edge tension <= 1, horizon completeness") {
+    val s = spark; import s.implicits._
+    val depth = Graph.graphBfs(s, sfDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(depth.values.count(_ == 0L) == Graph.bfsSeeds,
+      s"exactly ${Graph.bfsSeeds} seeds at depth 0")
+    assert(depth.values.max <= Graph.bfsRounds, "no depth beyond the horizon")
+    val edges = Graph.strongEdges(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    edges.foreach { case (u, v) =>
+      val (du, dv) = (depth(u), depth(v))
+      // optimality: adjacent reached nodes differ by at most one hop
+      if (du >= 0 && dv >= 0)
+        assert(math.abs(du - dv) <= 1, s"edge ($u,$v) tension: $du vs $dv")
+      // completeness: a neighbor of a node strictly inside the
+      // horizon cannot be unreached
+      if (du >= 0 && du < Graph.bfsRounds)
+        assert(dv >= 0, s"($v) unreached next to depth-$du ($u)")
+      if (dv >= 0 && dv < Graph.bfsRounds)
+        assert(du >= 0, s"($u) unreached next to depth-$dv ($v)")
+    }
+  }
 }
