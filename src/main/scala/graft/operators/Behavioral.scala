@@ -2022,6 +2022,83 @@ object Behavioral {
        |  ${rndSql("quantile_cont(CAST(dur_us AS DOUBLE), 0.9) / CAST(3600000000 AS DOUBLE)", 6)} AS p90_hours
        |FROM d""".stripMargin
 
+  /** §2.10 — classical additive decomposition of the per-type daily
+    * series (the STL shape, moving-average flavored): trend = centered
+    * 7-day moving average, seasonal = day-of-week mean of the
+    * detrended series, residual = the rest — the first chart an
+    * anomaly triage opens ("is the dip trend, weekday, or genuinely
+    * anomalous?"). Sits beside [[qSeasonality]] (static hour-of-day
+    * shares) and [[qHoltForecast]] (recursive smoothing): this one
+    * SEPARATES the components.
+    *
+    * Determinism: the corpus collapses to a (type, day) frame first
+    * (one partial-agged shuffle, dsum-exact); the trend window is a
+    * ROWS frame ordered by day, so both engines sum the same exact
+    * values in the same order; the seasonal mean re-quantizes its
+    * numerator before the exact decimal sum (a groupBy avg of raw
+    * doubles would be partial-aggregation-order-dependent). Edge days
+    * keep their partial window (avg over what exists) — same
+    * convention both engines. Scale: every window after the first
+    * aggregate runs on the day-grain frame (≤ types × days rows). */
+  def qStlDecompose(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", date_trunc("day", $"ts").cast("date").as("day"))
+      .agg(dsum($"value").as("y"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(-3, 3)
+    val trended = daily
+      .withColumn("yq", quantize($"y", 4).cast("long"))
+      .withColumn("tsum", sum($"yq").over(w))
+      .withColumn("tn", count(lit(1)).over(w))
+      .withColumn("trend",
+        expr(rndSql("(CAST(tsum AS DOUBLE) / 10000.0) / CAST(tn AS DOUBLE)", 6)))
+      .withColumn("detr", quantize($"y" - $"trend", 6).cast("long"))
+      .withColumn("dow", weekday($"day") + lit(1))
+    val seas = trended
+      .groupBy($"event_type", $"dow")
+      .agg((sum($"detr".cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast("double") / lit(1000000.0) / count(lit(1))).as("seas_raw"))
+      .select($"event_type", $"dow", expr(rndSql("seas_raw", 6)).as("seasonal"))
+    trended
+      .join(broadcast(seas), Seq("event_type", "dow"))
+      .select($"event_type", $"day", $"y", $"trend", $"seasonal",
+        expr(rndSql("y - trend - seasonal", 6)).as("resid"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val qStlDecomposeSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    ${dsumSql("value")} AS y
+       |  FROM events GROUP BY 1, 2
+       |), tr AS (
+       |  SELECT event_type, day, y,
+       |    CAST(sum(CAST(floor(y * 10000 + 0.5) AS BIGINT))
+       |      OVER w AS BIGINT) AS tsum,
+       |    CAST(count(*) OVER w AS BIGINT) AS tn
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+       |), tr2 AS (
+       |  SELECT event_type, day, y,
+       |    ${rndSql("(CAST(tsum AS DOUBLE) / 10000.0) / CAST(tn AS DOUBLE)", 6)} AS trend
+       |  FROM tr
+       |), tr3 AS (
+       |  SELECT event_type, day, y, trend,
+       |    CAST(floor((y - trend) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS detr,
+       |    isodow(day) AS dow
+       |  FROM tr2
+       |), se AS (
+       |  SELECT event_type, dow,
+       |    ${rndSql("CAST(sum(detr) AS DOUBLE) / 1000000.0 / count(*)", 6)} AS seasonal
+       |  FROM tr3 GROUP BY 1, 2
+       |)
+       |SELECT t.event_type, t.day, t.y, t.trend, se.seasonal,
+       |  ${rndSql("t.y - t.trend - se.seasonal", 6)} AS resid
+       |FROM tr3 t JOIN se ON t.event_type = se.event_type AND t.dow = se.dow
+       |ORDER BY t.event_type, t.day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel_latency"  -> (qFunnelLatency _),
     "q_data_gaps"       -> (qDataGaps _),
@@ -2041,6 +2118,7 @@ object Behavioral {
     "q_cusum"         -> (qCusum _),
     "q_lateness"      -> (qLateness _),
     "q_seasonality"   -> (qSeasonality _),
+    "q_stl_decompose" -> (qStlDecompose _),
     "q_lag_features"  -> (qLagFeatures _),
     "q_markov"        -> (qMarkov _),
     "q_ewma"          -> (qEwma _),
@@ -2076,6 +2154,7 @@ object Behavioral {
     "q_cusum"         -> qCusumSql,
     "q_lateness"      -> qLatenessSql,
     "q_seasonality"   -> qSeasonalitySql,
+    "q_stl_decompose" -> qStlDecomposeSql,
     "q_lag_features"  -> qLagFeaturesSql,
     "q_markov"        -> qMarkovSql,
     "q_ewma"          -> qEwmaSql,

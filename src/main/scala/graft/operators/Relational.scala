@@ -1857,6 +1857,95 @@ object Relational {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** t-closeness threshold: a quasi-identifier group violates when
+    * its sensitive-attribute distribution sits further than this
+    * total-variation distance from the global distribution. Kept a
+    * ratio of small integers so the violation predicate can compare
+    * EXACT integers ([[qTCloseness]]). */
+  val tClosenessNum = 1L
+  val tClosenessDen = 5L
+
+  /** §2.3 — t-closeness audit (Li et al. 2007), completing the
+    * k-anonymity → l-diversity → t-closeness privacy triad: per
+    * quasi-identifier group (nation, balance bucket), the TOTAL
+    * VARIATION distance between the group's market-segment
+    * distribution and the global one — l-diversity counts distinct
+    * sensitive values, t-closeness catches the skew l-diversity
+    * misses (a group with all 5 segments but 96% BUILDING still
+    * leaks).
+    *
+    * Exactness: TVD = Σ|n_s·N − g_s·k| / (2·k·N) has an all-integer
+    * numerator, so the distance sums exactly (DECIMAL(38) products —
+    * n·N overflows int64 at 100 TB row counts) and the violation
+    * test cross-multiplies integers (den·Σ > 2·num·k·N) — no double
+    * ever decides a verdict. Scale: one partial-agged fact pass to
+    * (group, segment) cells; everything after runs on the
+    * group × |segments| spine (bounded), global marginals broadcast.
+    * Absent segments contribute |0 − g_s·k| via the spine's left
+    * join — the term a naive cells-only join silently drops. */
+  def qTCloseness(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val cells = Tables.customer(s, dir)
+      .groupBy($"c_nationkey",
+        (floor($"c_acctbal" / kAnonBalBucket) * kAnonBalBucket.toLong)
+          .cast("long").as("bal_bucket"),
+        $"c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val groups = cells.groupBy($"c_nationkey", $"bal_bucket")
+      .agg(sum($"n").cast("long").as("k"))
+    val global = cells.groupBy($"c_mktsegment").agg(sum($"n").cast("long").as("g"))
+      .localCheckpoint(true)
+    val totalN = global.agg(sum($"g").cast("long").as("big_n"))
+    val spine = groups
+      .join(broadcast(global.select($"c_mktsegment", $"g")))
+      .join(broadcast(totalN))
+    spine
+      .join(cells.withColumnRenamed("n", "n_s"),
+        Seq("c_nationkey", "bal_bucket", "c_mktsegment"), "left")
+      .withColumn("n0", coalesce($"n_s", lit(0L)))
+      .groupBy($"c_nationkey", $"bal_bucket", $"k", $"big_n")
+      .agg(sum(abs($"n0".cast(DecimalType(38, 0)) * $"big_n" -
+        $"g".cast(DecimalType(38, 0)) * $"k")).as("num"))
+      .select($"c_nationkey", $"bal_bucket", $"k",
+        expr(rndSql("CAST(num AS DOUBLE) / (2.0 * CAST(k AS DOUBLE) * CAST(big_n AS DOUBLE))", 6)).as("tvd"),
+        ($"num" * lit(tClosenessDen) >
+          $"k".cast(DecimalType(38, 0)) * $"big_n" * lit(2L * tClosenessNum)).as("violates"))
+      .orderBy($"c_nationkey", $"bal_bucket")
+  }
+
+  val qTClosenessSql: String =
+    s"""WITH cells AS (
+       |  SELECT c_nationkey,
+       |    CAST(floor(c_acctbal / $kAnonBalBucket) * ${kAnonBalBucket.toLong} AS BIGINT) AS bal_bucket,
+       |    c_mktsegment, count(*) AS n
+       |  FROM customer GROUP BY 1, 2, 3
+       |), groups AS (
+       |  SELECT c_nationkey, bal_bucket, CAST(sum(n) AS BIGINT) AS k
+       |  FROM cells GROUP BY 1, 2
+       |), global AS (
+       |  SELECT c_mktsegment, CAST(sum(n) AS BIGINT) AS g FROM cells GROUP BY 1
+       |), tot AS (SELECT CAST(sum(g) AS BIGINT) AS big_n FROM global),
+       |spine AS (
+       |  SELECT gr.c_nationkey, gr.bal_bucket, gr.k, gl.c_mktsegment, gl.g, t.big_n
+       |  FROM groups gr CROSS JOIN global gl CROSS JOIN tot t
+       |), terms AS (
+       |  SELECT s.c_nationkey, s.bal_bucket, s.k, s.big_n,
+       |    abs(CAST(coalesce(c.n, 0) AS DECIMAL(38,0)) * s.big_n
+       |        - CAST(s.g AS DECIMAL(38,0)) * s.k) AS term
+       |  FROM spine s LEFT JOIN cells c
+       |    ON s.c_nationkey = c.c_nationkey AND s.bal_bucket = c.bal_bucket
+       |   AND s.c_mktsegment = c.c_mktsegment
+       |)
+       |SELECT c_nationkey, bal_bucket, k,
+       |  ${rndSql("CAST(sum(term) AS DOUBLE) / (2.0 * CAST(k AS DOUBLE) * CAST(big_n AS DOUBLE))", 6)} AS tvd,
+       |  sum(term) * $tClosenessDen >
+       |    CAST(k AS DECIMAL(38,0)) * big_n * ${2L * tClosenessNum} AS violates
+       |FROM terms
+       |GROUP BY c_nationkey, bal_bucket, k, big_n
+       |ORDER BY c_nationkey, bal_bucket""".stripMargin
+
   /** §2.3 — peak session concurrency per day: the classic sweep-line
     * over session intervals — +1 at each session start, −1 at each
     * end, the running sum IS the live-session count, its per-day max
@@ -1970,6 +2059,7 @@ object Relational {
     "q_join_skew_audit"  -> (qJoinSkewAudit _),
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_l_diversity"      -> (qLDiversity _),
+    "q_t_closeness"      -> (qTCloseness _),
     "q_fd_audit"            -> (qFdAudit _),
     "q_pareto_deciles"   -> (qParetoDeciles _),
     "q_winsorize"        -> (qWinsorize _),
@@ -2020,6 +2110,7 @@ object Relational {
     "q_join_skew_audit"  -> qJoinSkewAuditSql,
     "q_peak_concurrency" -> qPeakConcurrencySql,
     "q_l_diversity"      -> qLDiversitySql,
+    "q_t_closeness"      -> qTClosenessSql,
     "q_fd_audit"            -> qFdAuditSql,
     "q_pareto_deciles"   -> qParetoDecilesSql,
     "q_winsorize"        -> qWinsorizeSql,

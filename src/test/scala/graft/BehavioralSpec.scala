@@ -466,4 +466,26 @@ class BehavioralSpec extends SparkSpec {
     assert(rows(("view", "0_in_order")) == ((2L, 0L)))
     assert(rows.size == 3, s"unexpected buckets: ${rows.keys}")
   }
+
+  test("stl decomposition: components reconstruct y and seasonal means center the detrended series") {
+    val s = spark; import s.implicits._
+    val rows = Behavioral.qStlDecompose(s, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // identity: resid is defined as y − trend − seasonal (rounded), so
+    // the components must reconstruct y within the 1e-6 quantum
+    rows.foreach { case (t, d, y, tr, se, re) =>
+      assert(math.abs(y - (tr + se + re)) < 2e-6, s"($t,$d): $y vs ${tr + se + re}")
+    }
+    // centering: seasonal is the per-(type, dow) MEAN of the
+    // detrended series, so per-group residuals sum to ~0 (rounding
+    // accumulates at most n × 1e-6)
+    rows.groupBy { case (t, d, _, _, _, _) =>
+      (t, java.time.LocalDate.parse(d.toString).getDayOfWeek)
+    }.foreach { case (g, rs) =>
+      val sumRe = rs.map(_._6).sum
+      assert(math.abs(sumRe) < rs.size * 2e-6, s"$g residuals off-center: $sumRe")
+    }
+  }
 }

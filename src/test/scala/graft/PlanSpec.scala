@@ -558,6 +558,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffleExchanges(p) <= 3, s"expected <=3 shuffles:\n$p")
   }
 
+  test("t-closeness runs on the bounded group×segment spine — the fact feeds one checkpointed cell aggregate") {
+    val p = plan(Relational.qTCloseness(spark, sfDir))
+    // cells are checkpointed once; groups/global/total all roll up
+    // from that artifact — the customer fact never re-scans
+    val factScans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("c_acctbal"))
+    assert(factScans == 0 && p.contains("ExistingRDD"),
+      s"customer must feed ONE checkpointed cell aggregate, got $factScans live scans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q21 double quantifier is one fact aggregation cascade, not two self-joins") {
     val p = plan(RelationalTpch.q21SoleLateSuppliers(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
