@@ -1140,7 +1140,70 @@ object Similarity {
        |QUALIFY rank <= $k
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Row-local exact squared norm in the 1e-6 quantum: one
+    * codegen'd `aggregate` fold, no per-element shuffle — the Spark
+    * side of the audit never explodes the corpus. */
+  private val normSqExpr =
+    """aggregate(embedding, CAST(0 AS BIGINT), (acc, x) ->
+      |  acc + CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      |      * CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + CAST(0.5 AS DOUBLE)) AS BIGINT))""".stripMargin
+
+  /** §2.5 — the embedding HEALTH gate run before any index build:
+    * per label, vector count, zero-vector count (a zero vector has
+    * no direction — cosine against it is undefined, and one crashed
+    * encoder shard shows up as a zero burst), and the norm
+    * min/max/mean (norm collapse or explosion is the first symptom
+    * of a bad encoder checkpoint; matryoshka/whitening both assume a
+    * sane norm envelope). Row-local exact arithmetic: components
+    * quantize to 1e-6 longs inside ONE codegen'd fold per row (no
+    * explode, no per-element shuffle — d=64 squared quanta sum to
+    * ~6e13, inside int64), the norm re-quantizes after the only
+    * float op (sqrt), and the mean divides an exact decimal sum.
+    * ONE partial-agged |labels|-bounded shuffle total. */
+  def embedNormAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Agg.countIf
+    Tables.embeddings(s, dir)
+      .select($"label", expr(normSqExpr).as("ss"))
+      .withColumn("norm_q",
+        expr("CAST(floor(sqrt(CAST(ss AS DOUBLE)) + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+      .groupBy($"label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        countIf($"ss" === 0L).as("n_zero"),
+        min($"norm_q").as("min_q"),
+        max($"norm_q").as("max_q"),
+        sum($"norm_q".cast(DecimalType(38, 0))).as("sum_q"))
+      .select($"label", $"n_vecs", $"n_zero",
+        ($"min_q".cast("double") / lit(1000000.0)).as("min_norm"),
+        ($"max_q".cast("double") / lit(1000000.0)).as("max_norm"),
+        expr(rndSql("(CAST(sum_q AS DOUBLE) / 1000000.0) / CAST(n_vecs AS DOUBLE)", 6)).as("mean_norm"))
+      .orderBy($"label")
+  }
+
+  val embedNormAuditSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |    CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+       |           * CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ss
+       |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+       |  GROUP BY 1, 2),
+       |n AS (
+       |  SELECT label, ss,
+       |    CAST(floor(sqrt(CAST(ss AS DOUBLE)) + 0.5) AS BIGINT) AS norm_q
+       |  FROM q)
+       |SELECT label, count(*) AS n_vecs,
+       |  ${graft.functions.Agg.countIfSql("ss = 0")} AS n_zero,
+       |  CAST(min(norm_q) AS DOUBLE) / 1000000.0 AS min_norm,
+       |  CAST(max(norm_q) AS DOUBLE) / 1000000.0 AS max_norm,
+       |  ${rndSql("(CAST(sum(norm_q) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE)", 6)} AS mean_norm
+       |FROM n
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_norm_audit" -> (embedNormAudit _),
     "embed_binary"     -> (embedBinary _),
     "ann_hamming"      -> (annHamming _),
     "ann_hamming_refine" -> (annHammingRefine _),
@@ -1157,7 +1220,8 @@ object Similarity {
   )
 
   def oracles: Map[String, String] =
-    Map("embed_binary" -> embedBinarySql,
+    Map("embed_norm_audit" -> embedNormAuditSql,
+      "embed_binary" -> embedBinarySql,
         "ann_hamming" -> annHammingSql,
         "ann_hamming_refine" -> annHammingRefineSql,
         "embed_drift" -> embedDriftSql,

@@ -137,4 +137,28 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("norm audit catches zero vectors and norm explosions") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-normaudit").toString
+    def v(x: Float*) = x.toArray
+    // label 0: healthy unit vectors; label 1: one zero vector and one
+    // norm-10 explosion around a healthy one
+    Seq(
+      (0L, v(1f, 0f, 0f, 0f), 0L),
+      (1L, v(0f, 1f, 0f, 0f), 0L),
+      (2L, v(0f, 0f, 0f, 0f), 1L),
+      (3L, v(0f, 0f, 10f, 0f), 1L),
+      (4L, v(0f, 0f, 0f, 1f), 1L))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = graft.operators.Similarity.embedNormAudit(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows(0L) == ((2L, 0L, 1.0, 1.0, 1.0)), s"healthy label: ${rows(0L)}")
+    val (n, nz, mn, mx, mean) = rows(1L)
+    assert(n == 3L && nz == 1L, s"zero vector missed: ${rows(1L)}")
+    assert(mn == 0.0 && mx == 10.0, s"norm envelope wrong: ${rows(1L)}")
+    assert(math.abs(mean - 11.0 / 3) < 1e-5, s"mean norm wrong: $mean")
+  }
 }
