@@ -824,7 +824,175 @@ object Experimentation {
         acc.replaceAll(s"\\b$k\\b", java.util.regex.Matcher.quoteReplacement(v)) }, 6)
   }
 
+  /** Shared scaffolding for the nonparametric two-sample tests
+    * ([[qMannWhitney]], [[qKsTest]]): per-user total value as the
+    * observation (the experiment unit of analysis — the same
+    * user_id%2 assignment as [[qAbtest]]), collapsed to one row per
+    * DISTINCT quantized value carrying per-arm counts and the three
+    * cumulative counts. The cumulative device is
+    * [[graft.functions.Ranks.globalRunningSum]] — a per-value window
+    * would be a single-task global sort, and the distinct-value
+    * frame is NOT bounded at 100 TB (per-user sums take ~as many
+    * values as users). Three running sums = three passes over the
+    * value-distinct frame, each two-phase and never single-partition. */
+  private def rankScaffold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Ranks
+    val obs = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(quantize(dsum($"value"), 4).cast("long").as("x_q"))
+      .withColumn("a", $"user_id" % 2 === 0)
+    val v = obs.groupBy($"x_q")
+      .agg(countIf($"a").as("ca"), countIf(!$"a").as("cb"))
+      .withColumn("t", $"ca" + $"cb")
+      .localCheckpoint(true)
+    val np = Ranks.defaultPartitions(v)
+    val c1 = Ranks.globalRunningSum(v, $"x_q", $"t", np, "cum_n")
+    val c2 = Ranks.globalRunningSum(c1, $"x_q", $"ca", np, "cum_a")
+    Ranks.globalRunningSum(c2, $"x_q", $"cb", np, "cum_b")
+  }
+
+  /** SQL twin of [[rankScaffold]] as WITH-clause CTEs ending in
+    * `cum(x_q, ca, cb, t, cum_n, cum_a, cum_b)`. The oracle may use a
+    * plain window — it is not graded on scale. */
+  private val rankScaffoldCtes: String =
+    """obs AS (
+      |  SELECT user_id,
+      |    CAST(floor((CAST(sum(CAST(floor(value * 10000 + 0.5) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) * 10000 + 0.5) AS BIGINT) AS x_q,
+      |    user_id % 2 = 0 AS a
+      |  FROM events GROUP BY user_id
+      |), v AS (
+      |  SELECT x_q,
+      |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM obs GROUP BY x_q
+      |), cum AS (
+      |  SELECT x_q, ca, cb, ca + cb AS t,
+      |    CAST(sum(ca + cb) OVER w AS BIGINT) AS cum_n,
+      |    CAST(sum(ca) OVER w AS BIGINT) AS cum_a,
+      |    CAST(sum(cb) OVER w AS BIGINT) AS cum_b
+      |  FROM v
+      |  WINDOW w AS (ORDER BY x_q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)""".stripMargin
+
+  /** §2.10 — Mann-Whitney U (Wilcoxon rank-sum) with tie correction:
+    * the nonparametric companion to [[qAbtest]]'s t-test — the
+    * readout that survives the heavy-tailed revenue distributions
+    * where a mean test is driven by a handful of whales. Ranks come
+    * from the cumulative counts over DISTINCT values (average rank
+    * for ties, carried as the exact integer 2·rank to avoid a .5),
+    * so the rank sum, U, and the tie term Σ(t³−t) are all exact
+    * decimal sums — float enters at the final z (identical IEEE ops
+    * on identical exact inputs on both engines, then quantized, so
+    * the significance verdict cannot flip cross-engine). */
+  def qMannWhitney(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val d18 = DecimalType(18, 0)
+    val cum = rankScaffold(s, dir)
+    cum
+      .select($"ca", $"cb", $"t", $"cum_n")
+      .withColumn("r2", lit(2L) * $"cum_n" - $"t" + lit(1L))
+      .agg(
+        sum($"ca".cast(d18)).cast("long").as("n_a"),
+        sum($"cb".cast(d18)).cast("long").as("n_b"),
+        sum($"ca".cast(d18) * $"r2".cast(d18)).as("ra2"),
+        sum(($"t".cast(DecimalType(12, 0)) * $"t".cast(DecimalType(12, 0))
+          * $"t".cast(DecimalType(12, 0))) - $"t".cast(DecimalType(38, 0))).as("ties"))
+      .withColumn("u2_a", $"ra2" - ($"n_a".cast(d18) * ($"n_a".cast(d18) + lit(1L))))
+      .withColumn("n", $"n_a" + $"n_b")
+      .withColumn("z", expr(rndSql(
+        """(CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+          |  (2.0 * sqrt(
+          |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
+          |    ((CAST(n AS DOUBLE) + 1.0) -
+          |      CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))))""".stripMargin, 6)))
+      .select($"n_a", $"n_b",
+        (($"u2_a".cast("double")) / lit(2.0)).as("u_a"),
+        $"z", (abs($"z") > lit(1.959964)).as("significant"))
+  }
+
+  val qMannWhitneySql: String =
+    s"""WITH $rankScaffoldCtes,
+       |m AS (
+       |  SELECT
+       |    CAST(sum(ca) AS BIGINT) AS n_a,
+       |    CAST(sum(cb) AS BIGINT) AS n_b,
+       |    sum(CAST(ca AS DECIMAL(18,0)) * CAST(2 * cum_n - t + 1 AS DECIMAL(18,0))) AS ra2,
+       |    sum(CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0)) * CAST(t AS DECIMAL(12,0))
+       |        - CAST(t AS DECIMAL(38,0))) AS ties
+       |  FROM cum
+       |), u AS (
+       |  SELECT n_a, n_b, ties, n_a + n_b AS n,
+       |    ra2 - CAST(n_a AS DECIMAL(18,0)) * (CAST(n_a AS DECIMAL(18,0)) + 1) AS u2_a
+       |  FROM m
+       |)
+       |SELECT n_a, n_b, CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
+       |  ${rndSql(
+      """(CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |  (2.0 * sqrt(
+        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
+        |    ((CAST(n AS DOUBLE) + 1.0) -
+        |      CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))))""".stripMargin, 6)} AS z,
+       |  abs(${rndSql(
+      """(CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+        |  (2.0 * sqrt(
+        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
+        |    ((CAST(n AS DOUBLE) + 1.0) -
+        |      CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))))""".stripMargin, 6)}) > 1.959964 AS significant
+       |FROM u""".stripMargin
+
+  /** §2.10 — two-sample Kolmogorov-Smirnov: the DISTRIBUTION-shape
+    * companion to the rank test — catches a variance or tail change
+    * that leaves the location unmoved (Mann-Whitney blind spot). The
+    * statistic is the max empirical-CDF gap over the same cumulative
+    * scaffold; the max runs on the exact integer cross-products
+    * |cum_a·n_b − cum_b·n_a| (a double CDF difference could order two
+    * near-ties differently per engine), and D divides the exact max
+    * once at the end. Verdict vs the α=0.05 large-sample critical
+    * value 1.358·√((n_a+n_b)/(n_a·n_b)), both sides quantized. */
+  def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val d18 = DecimalType(18, 0)
+    val cum = rankScaffold(s, dir)
+      .select($"ca", $"cb", $"cum_a", $"cum_b")
+      .localCheckpoint(true)
+    val totals = cum.agg(
+      sum($"ca".cast(d18)).cast("long").as("n_a"),
+      sum($"cb".cast(d18)).cast("long").as("n_b"))
+    cum.join(broadcast(totals))
+      .groupBy($"n_a", $"n_b")
+      .agg(max(abs($"cum_a".cast(d18) * $"n_b" - $"cum_b".cast(d18) * $"n_a")).as("d_num"))
+      .withColumn("d", expr(rndSql(
+        "CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))", 9)))
+      .withColumn("d_crit", expr(rndSql(
+        "1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))", 9)))
+      .select($"n_a", $"n_b", $"d", $"d_crit", ($"d" > $"d_crit").as("significant"))
+  }
+
+  val qKsTestSql: String =
+    s"""WITH $rankScaffoldCtes,
+       |tot AS (
+       |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b
+       |  FROM cum
+       |), d AS (
+       |  SELECT t.n_a, t.n_b,
+       |    max(abs(CAST(c.cum_a AS DECIMAL(18,0)) * t.n_b
+       |          - CAST(c.cum_b AS DECIMAL(18,0)) * t.n_a)) AS d_num
+       |  FROM cum c CROSS JOIN tot t
+       |  GROUP BY t.n_a, t.n_b
+       |), f AS (
+       |  SELECT n_a, n_b,
+       |    ${rndSql("CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))", 9)} AS d,
+       |    ${rndSql("1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))", 9)} AS d_crit
+       |  FROM d
+       |)
+       |SELECT n_a, n_b, d, d_crit, d > d_crit AS significant FROM f""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mann_whitney"    -> (qMannWhitney _),
+    "q_ks_test"         -> (qKsTest _),
     "q_abtest_cuped"    -> (qAbtestCuped _),
     "q_chi2_independence" -> (qChi2Independence _),
     "q_srm_check"            -> (qSrmCheck _),
@@ -838,6 +1006,8 @@ object Experimentation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mann_whitney"    -> qMannWhitneySql,
+    "q_ks_test"         -> qKsTestSql,
     "q_abtest_cuped"    -> qAbtestCupedSql,
     "q_chi2_independence" -> qChi2IndependenceSql,
     "q_srm_check"            -> qSrmCheckSql,

@@ -467,6 +467,37 @@ class BehavioralSpec extends SparkSpec {
     assert(rows.size == 3, s"unexpected buckets: ${rows.keys}")
   }
 
+  test("mann-whitney and ks: separated arms read significant, identical arms read exactly null") {
+    val s = spark; import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    def writeEvents(dir: String, rows: Seq[(Long, Long, Double)]): Unit =
+      rows.map { case (eid, uid, v) => (eid, t0, uid, "click", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // every even user (arm A) strictly above every odd user (arm B)
+    val sep = Files.createTempDirectory("graft-mw-sep").toString
+    writeEvents(sep, (0L until 40L).map(u =>
+      (u, u, if (u % 2 == 0) 1000.0 + u else 1.0 + u)))
+    val mw = Experimentation.qMannWhitney(s, sep).collect()(0)
+    assert(mw.getLong(0) == 20L && mw.getLong(1) == 20L)
+    assert(mw.getDouble(2) == 400.0, s"complete separation must max U_A: ${mw.getDouble(2)}")
+    assert(mw.getBoolean(4), "complete separation must be significant")
+    val ks = Experimentation.qKsTest(s, sep).collect()(0)
+    assert(ks.getDouble(2) == 1.0, s"disjoint supports must give D=1: ${ks.getDouble(2)}")
+    assert(ks.getBoolean(4))
+    // arms with IDENTICAL value multisets: U_A = n·n/2 exactly, z = 0,
+    // D = 0 — the tie handling must land on the null, not near it
+    val same = Files.createTempDirectory("graft-mw-same").toString
+    writeEvents(same, (0L until 40L).map(u => (u, u, 10.0 + (u / 2) % 5)))
+    val mw2 = Experimentation.qMannWhitney(s, same).collect()(0)
+    assert(mw2.getDouble(2) == 200.0 && mw2.getDouble(3) == 0.0,
+      s"identical arms must read U=n²/2, z=0: ${mw2.getDouble(2)}, ${mw2.getDouble(3)}")
+    assert(!mw2.getBoolean(4))
+    val ks2 = Experimentation.qKsTest(s, same).collect()(0)
+    assert(ks2.getDouble(2) == 0.0 && !ks2.getBoolean(4),
+      s"identical arms must give D=0: ${ks2.getDouble(2)}")
+  }
+
   test("stl decomposition: components reconstruct y and seasonal means center the detrended series") {
     val s = spark; import s.implicits._
     val rows = Behavioral.qStlDecompose(s, sfDir).collect()
