@@ -503,7 +503,101 @@ object Multimodal {
        |FROM idx ORDER BY asset_id""".stripMargin
   }
 
+  /** Merge two wanted ranges when the unwanted gap between them is
+    * below this: one 7 KiB-wasting read beats a second request
+    * round-trip on any object store. */
+  val readPlanGapBytes = 7168L
+
+  /** Deterministic ~1/7 "the trainer wants these assets" query set —
+    * Fibonacci-hashed with a LOW-RANGE compare (the CDC-boundary
+    * device), NOT a plain modulus: `id % 7` wants exactly every 7th
+    * entry, so with near-uniform entry sizes every gap is identical
+    * and the plan degenerates to all-merge or all-split at any
+    * threshold; the hashed set has geometric spacing (1, 2, … wanted
+    * runs and long holes), which is both what random access actually
+    * looks like and what exercises BOTH plan regimes. */
+  val readPlanHashCut = 613566757L // 2^32 / 7
+
+  /** §2.7 — the RANGED-READ PLAN a dataloader executes against the
+    * tar shards: given the wanted asset subset, the minimal set of
+    * coalesced byte ranges per shard — adjacent wanted entries whose
+    * gap is under [[readPlanGapBytes]] merge into one read (one
+    * slightly-wasteful GET beats a second round-trip), with the
+    * wasted-byte accounting that tells the loader owner whether the
+    * shard layout still matches the access pattern. Completes the
+    * multimodal story: 36e makes random access POSSIBLE (exact
+    * offsets), this op makes it CHEAP (request count).
+    *
+    * Scale: runs entirely on the asset-manifest frame (never payload
+    * bytes); the gap test and read numbering are per-SHARD windows —
+    * bounded partitions by shard construction — and the rollup is
+    * one partial-agged (shard, read) groupBy. */
+  def mmShardReadPlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wanted = mmTarManifest(s, dir)
+      .filter(expr(s"(asset_id * 2654435761) % 4294967296 < $readPlanHashCut"))
+      .select($"shard_id", $"asset_id", $"tar_offset", $"entry_bytes")
+    val w = Window.partitionBy($"shard_id").orderBy($"tar_offset")
+    val marked = wanted
+      .withColumn("prev_end",
+        lag($"tar_offset" + $"entry_bytes", 1).over(w))
+      .withColumn("new_read",
+        when($"prev_end".isNull ||
+          $"tar_offset" - $"prev_end" > readPlanGapBytes, 1L).otherwise(0L))
+      .withColumn("read_idx",
+        sum($"new_read").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+    marked.groupBy($"shard_id", $"read_idx")
+      .agg(
+        min($"tar_offset").as("start_off"),
+        max($"tar_offset" + $"entry_bytes").as("end_off"),
+        count(lit(1)).as("n_assets"),
+        sum($"entry_bytes").cast("long").as("wanted_bytes"))
+      .select($"shard_id", $"read_idx", $"start_off", $"end_off", $"n_assets",
+        ($"end_off" - $"start_off").as("read_bytes"),
+        ($"end_off" - $"start_off" - $"wanted_bytes").as("wasted_bytes"))
+      .orderBy($"shard_id", $"read_idx")
+  }
+
+  lazy val mmShardReadPlanSql: String =
+    s"""WITH idx AS ($mmShardIndexBodySql),
+       |man AS (
+       |  SELECT asset_id, shard_id,
+       |    CAST(512 AS BIGINT) + ((n_bytes + 511) // 512) * 512 AS entry_bytes,
+       |    CAST(sum(CAST(512 AS BIGINT) + ((n_bytes + 511) // 512) * 512)
+       |      OVER (PARTITION BY shard_id ORDER BY asset_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - (CAST(512 AS BIGINT) + ((n_bytes + 511) // 512) * 512) AS tar_offset
+       |  FROM idx
+       |), wanted AS (
+       |  SELECT shard_id, asset_id, tar_offset, entry_bytes
+       |  FROM man WHERE (asset_id * 2654435761) % 4294967296 < $readPlanHashCut
+       |), marked AS (
+       |  SELECT shard_id, tar_offset, entry_bytes,
+       |    CASE WHEN lag(tar_offset + entry_bytes) OVER w IS NULL
+       |           OR tar_offset - lag(tar_offset + entry_bytes) OVER w > $readPlanGapBytes
+       |         THEN 1 ELSE 0 END AS new_read
+       |  FROM wanted
+       |  WINDOW w AS (PARTITION BY shard_id ORDER BY tar_offset)
+       |), numbered AS (
+       |  SELECT shard_id, tar_offset, entry_bytes,
+       |    CAST(sum(new_read) OVER (PARTITION BY shard_id ORDER BY tar_offset
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS read_idx
+       |  FROM marked
+       |)
+       |SELECT shard_id, read_idx,
+       |  CAST(min(tar_offset) AS BIGINT) AS start_off,
+       |  CAST(max(tar_offset + entry_bytes) AS BIGINT) AS end_off,
+       |  count(*) AS n_assets,
+       |  CAST(max(tar_offset + entry_bytes) - min(tar_offset) AS BIGINT) AS read_bytes,
+       |  CAST(max(tar_offset + entry_bytes) - min(tar_offset)
+       |    - sum(entry_bytes) AS BIGINT) AS wasted_bytes
+       |FROM numbered
+       |GROUP BY shard_id, read_idx
+       |ORDER BY shard_id, read_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_shard_read_plan" -> (mmShardReadPlan _),
     "mm_tar_manifest"  -> (mmTarManifest _),
     "mm_shard_balance" -> (mmShardBalance _),
     "mm_shard_index"   -> (mmShardIndex _),
@@ -515,6 +609,7 @@ object Multimodal {
   )
 
   def oracles: Map[String, String] = Map(
+    "mm_shard_read_plan" -> mmShardReadPlanSql,
     "mm_tar_manifest"  -> mmTarManifestSql,
     "mm_shard_balance" -> mmShardBalanceSql,
     "mm_shard_index"   -> mmShardIndexSql,

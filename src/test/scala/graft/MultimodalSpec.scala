@@ -67,4 +67,32 @@ class MultimodalSpec extends SparkSpec {
       val e = r.getDouble(i); e >= 0.0 && e <= 1.0
     }))
   }
+
+  test("read plan is disjoint, ordered, and maximally merged") {
+    val plan = Multimodal.mmShardReadPlan(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(plan.nonEmpty)
+    plan.foreach { case (_, _, s0, e0, na, rb, wb) =>
+      assert(e0 > s0 && rb == e0 - s0 && wb >= 0 && wb < rb, s"degenerate read: ($s0,$e0,$rb,$wb)")
+      assert(na >= 1)
+    }
+    // the plan must exercise BOTH regimes on this corpus: some reads
+    // merged several assets, some stayed singletons
+    assert(plan.exists(_._5 > 1) && plan.exists(_._5 == 1),
+      s"plan is degenerate (all-merge or all-split): ${plan.map(_._5).mkString(",")}")
+    plan.groupBy(_._1).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.map(_.toLong),
+        s"shard $shard read_idx must be dense from 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          // disjoint AND maximal: consecutive reads must be separated
+          // by MORE than the coalesce gap, else they'd have merged
+          assert(b._3 - a._4 > Multimodal.readPlanGapBytes,
+            s"shard $shard reads ${a._2},${b._2} should have merged: gap ${b._3 - a._4}")
+        case _ =>
+      }
+    }
+  }
 }
