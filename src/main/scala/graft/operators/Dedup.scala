@@ -1247,7 +1247,11 @@ object Dedup {
        |pj AS (
        |  SELECT ${rndSql("CAST(inter AS DOUBLE) / (n1 + n2 - inter)", 6)} AS j
        |  FROM ip),
-       |a AS (
+       |-- MATERIALIZED is load-bearing: `a` is referenced by all 7
+       |-- UNION ALL branches, and DuckDB inlines multiply-referenced
+       |-- CTEs — without it the whole n-gram pair build runs 7 times
+       |-- (~70 GB of temp spill at sf≈1, caught by the 10x sweep)
+       |a AS MATERIALIZED (
        |  SELECT
        |$aggCols,
        |    ${countIfSql(s"j >= $tau")} AS n_true

@@ -956,14 +956,20 @@ object RelationalTpch {
 
   /** TPC-H Q11 shape (important stock) — the HAVING-against-a-global-
     * scalar pattern: per-part shipped value restricted to one
-    * nation's suppliers, keeping parts above 0.1% of that nation's
-    * total (supply value derives from shipments — no partsupp here).
+    * nation's suppliers, keeping parts above TWICE the mean per-part
+    * value (supply value derives from shipments — no partsupp here).
+    * The threshold is SCALE-FREE where classic Q11's fixed fraction
+    * is not: TPC-H divides its 0.0001 by SF for exactly this reason —
+    * a fixed share-of-total degenerates to zero rows as the part
+    * count grows (caught by the 10× sweep: 363 rows at sf0.01 but 0
+    * at sf≈1 under a fixed 0.1% cut; the 2×-mean cut stays populated
+    * at every scale — 127 rows at sf0.01, 12,280 at sf≈1).
     * The nation's suppliers resolve dim-side and broadcast-SEMI-prune
     * the fact; ONE per-part aggregate is the only fact shuffle; the
-    * global total rolls up from the per-part table (never a second
-    * fact scan) and rides a 1-row broadcast crossJoin into the
-    * HAVING, which compares exact quantized integers
-    * (1000·part > total — no 0.001 double in the predicate). */
+    * global (total, count) rolls up from the per-part table (never a
+    * second fact scan) and rides a 1-row broadcast crossJoin into the
+    * HAVING, which compares exact integers (n_parts·part > 2·total —
+    * no double in the predicate). */
   def q11ImportantValue(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.types.DecimalType
@@ -980,9 +986,10 @@ object RelationalTpch {
       // total rollup and the HAVING probe — without this the fact is
       // scanned and part-aggregated twice (same device as Q20)
       .localCheckpoint(true)
-    val total = perPart.agg(sum($"value_q").as("total_q"))
+    val total = perPart.agg(sum($"value_q").as("total_q"),
+      count(lit(1)).cast("long").as("n_parts"))
     perPart.join(broadcast(total))
-      .filter($"value_q" * lit(1000) > $"total_q")
+      .filter($"value_q" * $"n_parts" > $"total_q" * lit(2L))
       .select($"l_partkey".as("p_partkey"),
         ($"value_q".cast("double") / lit(10000.0)).as("value"))
       .orderBy($"value".desc, $"p_partkey")
@@ -997,10 +1004,12 @@ object RelationalTpch {
       |    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |    WHERE n_name = 'NATION_3')
       |  GROUP BY l_partkey
+      |), tot AS (
+      |  SELECT sum(value_q) AS total_q, count(*) AS n_parts FROM per_part
       |)
       |SELECT l_partkey AS p_partkey, CAST(value_q AS DOUBLE) / 10000.0 AS value
-      |FROM per_part
-      |WHERE value_q * 1000 > (SELECT sum(value_q) FROM per_part)
+      |FROM per_part CROSS JOIN tot
+      |WHERE value_q * n_parts > total_q * 2
       |ORDER BY value DESC, p_partkey""".stripMargin
 
   /** TPC-H Q12 shape (shipping-mode priority audit) — the two-fact
