@@ -1806,7 +1806,9 @@ object Pipeline {
     * 64-bit chunk hash, never the chunk text (dedup_substring's
     * device — the oracle counts on the text itself, same counts
     * absent 64-bit collisions). */
-  def corpusCdcChunk(s: SparkSession, dir: String): DataFrame = {
+  /** The CDC chunk frame (doc_id, chunk_id, n_toks, chunk) shared by
+    * [[corpusCdcChunk]] and [[dedupCdc]]. */
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val toks = Tables.documents(s, dir)
@@ -1816,24 +1818,19 @@ object Pipeline {
       .withColumn("boundary", when(expr(cdcBoundarySql("tok")), 1L).otherwise(0L))
     val win = Window.partitionBy($"doc_id").orderBy($"pos")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = toks
+    toks
       .withColumn("chunk_id", coalesce(sum($"boundary").over(win), lit(0L)))
       .groupBy($"doc_id", $"chunk_id")
       .agg(
         count(lit(1)).as("n_toks"),
         concat_ws(" ", transform(
           array_sort(collect_list(struct($"pos", $"tok"))), x => x("tok"))).as("chunk"))
-    val occ = chunks
-      .select(xxhash64($"chunk").as("ch"))
-      .groupBy($"ch").agg(count(lit(1)).as("n_occ"))
-    chunks.withColumn("ch", xxhash64($"chunk"))
-      .join(occ, Seq("ch"))
-      .select($"doc_id", $"chunk_id", $"n_toks", $"chunk", $"n_occ")
-      .orderBy($"doc_id", $"chunk_id")
   }
 
-  val corpusCdcChunkSql: String =
-    s"""WITH t AS (
+  /** SQL twin of [[cdcChunks]] as CTEs ending in
+    * `ck(doc_id, chunk_id, n_toks, chunk)`. */
+  private lazy val cdcChunksCtes: String =
+    s"""t AS (
        |  SELECT doc_id, unnest(list_filter(${TA.duckToks}, t -> t <> '')) AS tok,
        |    generate_subscripts(list_filter(${TA.duckToks}, t -> t <> ''), 1) - 1 AS pos
        |  FROM documents
@@ -1846,11 +1843,81 @@ object Pipeline {
        |    CAST(coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_id
        |  FROM b
-       |), ck AS (
+       |), ck AS MATERIALIZED (
        |  SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_toks,
        |    string_agg(tok, ' ' ORDER BY pos) AS chunk
        |  FROM cid GROUP BY doc_id, chunk_id
-       |), occ AS (
+       |)""".stripMargin
+
+  def corpusCdcChunk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = cdcChunks(s, dir)
+    val occ = chunks
+      .select(xxhash64($"chunk").as("ch"))
+      .groupBy($"ch").agg(count(lit(1)).as("n_occ"))
+    chunks.withColumn("ch", xxhash64($"chunk"))
+      .join(occ, Seq("ch"))
+      .select($"doc_id", $"chunk_id", $"n_toks", $"chunk", $"n_occ")
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
+  /** §2.8 — CDC-granularity cross-document dedup: every repeated CDC
+    * chunk survives exactly ONCE corpus-wide (at its canonical
+    * instance — lowest (doc_id, chunk_id)); other instances drop and
+    * each document reassembles from its surviving chunks. This is
+    * the dedup CDC cutting exists to enable: because boundaries are
+    * content-defined, a shared passage embedded at DIFFERENT offsets
+    * in different documents still chunks identically and dedups —
+    * fixed windows only catch alignment-preserving duplication
+    * ([[Dedup.dedupParagraph]]'s granularity) and a one-token prefix
+    * insertion defeats them.
+    *
+    * Scale: canonicalization shuffles the 64-bit chunk hash with a
+    * min-struct aggregate (never the text — dedup_substring's
+    * device; the oracle groups on the text itself, same winners
+    * absent collisions), the survivor probe is the hash-keyed join
+    * back, reassembly one partial-agged doc shuffle. */
+  def dedupCdc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunks = cdcChunks(s, dir)
+      .withColumn("ch", xxhash64($"chunk"))
+      .localCheckpoint(true)
+    val canon = chunks.groupBy($"ch")
+      .agg(min(struct($"doc_id", $"chunk_id")).as("c"))
+      .select($"ch", $"c.doc_id".as("c_doc"), $"c.chunk_id".as("c_chunk"))
+    chunks.join(canon, Seq("ch"))
+      .withColumn("kept",
+        ($"doc_id" === $"c_doc" && $"chunk_id" === $"c_chunk").cast("long"))
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum($"kept").as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when($"kept" === 1L, struct($"chunk_id", $"chunk")))),
+          x => x("chunk"))).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupCdcSql: String =
+    s"""WITH $cdcChunksCtes,
+       |canon AS (
+       |  SELECT chunk, min(doc_id * 1000000000 + chunk_id) AS c_key
+       |  FROM ck GROUP BY chunk
+       |)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |  ${graft.functions.Agg.countIfSql("doc_id * 1000000000 + chunk_id = c_key")} AS n_kept,
+       |  coalesce(string_agg(CASE WHEN doc_id * 1000000000 + chunk_id = c_key
+       |    THEN chunk END, ' ' ORDER BY chunk_id), '') AS clean_text
+       |FROM ck JOIN canon USING (chunk)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ck is MATERIALIZED in the shared CTEs: it is referenced twice
+  // here (occ + the final join) and DuckDB inlines multiply-
+  // referenced CTEs — the dedup_lsh_plan lesson
+  lazy val corpusCdcChunkSql: String =
+    s"""WITH $cdcChunksCtes,
+       |occ AS (
        |  SELECT chunk, CAST(count(*) AS BIGINT) AS n_occ FROM ck GROUP BY chunk
        |)
        |SELECT doc_id, chunk_id, n_toks, ck.chunk, n_occ
@@ -1860,6 +1927,7 @@ object Pipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_chunk"      -> (corpusChunk _),
     "corpus_cdc_chunk"  -> (corpusCdcChunk _),
+    "dedup_cdc"         -> (dedupCdc _),
     "corpus_token_budget" -> (corpusTokenBudget _),
     "sample_entity"     -> (sampleEntity _),
     "text_zipf_fit"     -> (textZipfFit _),
@@ -1894,6 +1962,7 @@ object Pipeline {
   def oracles: Map[String, String] = Map(
     "corpus_chunk"      -> corpusChunkSql,
     "corpus_cdc_chunk"  -> corpusCdcChunkSql,
+    "dedup_cdc"         -> dedupCdcSql,
     "corpus_token_budget" -> corpusTokenBudgetSql,
     "sample_entity"     -> sampleEntitySql,
     "text_zipf_fit"     -> textZipfFitSql,

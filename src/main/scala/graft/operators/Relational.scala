@@ -1946,6 +1946,69 @@ object Relational {
        |GROUP BY c_nationkey, bal_bucket, k, big_n
        |ORDER BY c_nationkey, bal_bucket""".stripMargin
 
+  /** DP release budget for [[qDpCounts]] (Laplace scale b = 1/ε for
+    * a count query's sensitivity of 1). */
+  val dpEpsilon = 1.0
+
+  /** §2.3 — differentially-private noisy count release, completing
+    * the privacy family's OUTPUT side (k-anon/l-div/t-closeness audit
+    * the quasi-identifier table; this is how aggregate counts leave
+    * the enclave): per (event_type, day), the true count plus
+    * Laplace(1/ε) noise. Noise is DETERMINISTIC — a Knuth-multiplied
+    * PRF of the integer group key feeds the inverse-CDF Laplace
+    * transform — which is what makes the release oracle-checkable
+    * AND idempotent (re-running the release never publishes a second
+    * independent sample of the same statistic, which would halve the
+    * effective privacy budget; real DP systems memoize answers for
+    * exactly this reason). Float enters only in the one ln() (both
+    * engines' libm agree — the zipf/lm-score precedent), then the
+    * release quantizes. ONE partial-agged fact shuffle; the noise is
+    * a row-local expression on the bounded group frame. */
+  def qDpCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val g = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      // integer group key: epoch-day ⊕ a type code — exact in both
+      // engines (ascii = first code point; length in chars)
+      .withColumn("k",
+        datediff($"day", to_date(lit("1970-01-01"))).cast("long") * lit(31L) +
+          length($"event_type") * lit(7L) +
+          ascii(substring($"event_type", 1, 1)))
+      .withColumn("u",
+        (pmod($"k" * lit(2654435761L), lit(2147483647L)).cast("double") + lit(1.0)) /
+          lit(2147483649.0))
+    g.select($"event_type", $"day",
+        expr(rndSql(
+          s"""CAST(n AS DOUBLE) + CASE WHEN u >= 0.5
+             |  THEN -(1.0 / $dpEpsilon) * ln(1.0 - 2.0 * (u - 0.5))
+             |  ELSE  (1.0 / $dpEpsilon) * ln(1.0 - 2.0 * (0.5 - u)) END""".stripMargin, 4))
+          .as("noisy_count"),
+        lit(dpEpsilon).as("epsilon"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val qDpCountsSql: String =
+    s"""WITH g AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), k AS (
+       |  SELECT event_type, day, n,
+       |    (CAST((date_diff('day', DATE '1970-01-01', day) * 31
+       |       + length(event_type) * 7
+       |       + ascii(substring(event_type, 1, 1))) * 2654435761 % 2147483647 AS DOUBLE)
+       |      + 1.0) / 2147483649.0 AS u
+       |  FROM g
+       |)
+       |SELECT event_type, day,
+       |  ${rndSql(
+      s"""CAST(n AS DOUBLE) + CASE WHEN u >= 0.5
+         |  THEN -(1.0 / $dpEpsilon) * ln(1.0 - 2.0 * (u - 0.5))
+         |  ELSE  (1.0 / $dpEpsilon) * ln(1.0 - 2.0 * (0.5 - u)) END""".stripMargin, 4)} AS noisy_count,
+       |  $dpEpsilon AS epsilon
+       |FROM k
+       |ORDER BY event_type, day""".stripMargin
+
   /** §2.3 — peak session concurrency per day: the classic sweep-line
     * over session intervals — +1 at each session start, −1 at each
     * end, the running sum IS the live-session count, its per-day max
@@ -2060,6 +2123,7 @@ object Relational {
     "q_peak_concurrency" -> (qPeakConcurrency _),
     "q_l_diversity"      -> (qLDiversity _),
     "q_t_closeness"      -> (qTCloseness _),
+    "q_dp_counts"        -> (qDpCounts _),
     "q_fd_audit"            -> (qFdAudit _),
     "q_pareto_deciles"   -> (qParetoDeciles _),
     "q_winsorize"        -> (qWinsorize _),
@@ -2111,6 +2175,7 @@ object Relational {
     "q_peak_concurrency" -> qPeakConcurrencySql,
     "q_l_diversity"      -> qLDiversitySql,
     "q_t_closeness"      -> qTClosenessSql,
+    "q_dp_counts"        -> qDpCountsSql,
     "q_fd_audit"            -> qFdAuditSql,
     "q_pareto_deciles"   -> qParetoDecilesSql,
     "q_winsorize"        -> qWinsorizeSql,

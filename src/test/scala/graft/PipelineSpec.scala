@@ -493,6 +493,50 @@ class PipelineSpec extends SparkSpec {
     assert(occ.forall(_ == 2L), s"shared tail chunks must count both docs: ${occ.mkString(",")}")
   }
 
+  test("dedup_cdc catches a shared passage at a DIFFERENT offset — the case fixed windows miss") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-cdcdedup").toString
+    val words = (0 until 60).map(i => ("abcdefghij" (i % 10)).toString * (1 + i % 7))
+    val passage = words.mkString(" ")
+    // doc 1 IS the passage; doc 2 embeds it one token deep (offsets
+    // shifted — a fixed-window chunker sees entirely different rows)
+    Seq((1L, passage, "en", "s0", passage.length.toLong),
+        (2L, "zq " + passage, "en", "s0", passage.length + 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.dedupCdc(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val (n1, k1, t1) = out(1L)
+    assert(n1 == k1 && t1 == passage, "the canonical doc must keep everything verbatim")
+    val (n2, k2, t2) = out(2L)
+    // doc 2 keeps ONLY its first chunk (the zq-prefixed head) — every
+    // re-synchronized tail chunk dedups against doc 1
+    assert(k2 == 1L && k2 < n2, s"shifted passage must dedup: kept $k2 of $n2")
+    assert(t2.startsWith("zq ") && t2.length < passage.length / 2,
+      s"survivor should be the short head, got ${t2.length} chars")
+  }
+
+  test("dp release noise is deterministic, bounded, and actually present") {
+    val s = spark
+    val a = graft.operators.Relational.qDpCounts(s, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    val b = graft.operators.Relational.qDpCounts(s, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+    assert(a.toSeq == b.toSeq, "re-running the release must publish the SAME sample (budget idempotence)")
+    val truth = {
+      import s.implicits._
+      graft.sources.Tables.events(s, sfDir)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    }
+    val noises = a.map { case (t, d, noisy) => noisy - truth((t, d)) }
+    // Laplace(1/ε) from a (0,1) PRF: |noise| ≤ ln(2^31)/ε ≈ 21.5
+    assert(noises.forall(n => math.abs(n) <= 22.0), s"noise out of envelope: ${noises.max}")
+    assert(noises.exists(n => math.abs(n) > 0.01), "noise must actually perturb")
+    assert(noises.exists(_ > 0) && noises.exists(_ < 0), "noise must be two-sided")
+  }
+
   test("entity sample keeps whole users: per-user event counts equal the unsampled counts") {
     val s = spark; import s.implicits._
     val sampled = Pipeline.sampleEntity(s, sfDir).collect()
