@@ -773,7 +773,94 @@ object Graph {
        |ORDER BY part_id""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // graph_random_walk — deterministic PRF walks (embedding-training pairs)
+  // ------------------------------------------------------------------
+
+  val walkSteps = 3
+
+  /** Per-step neighbor choice for [[graphRandomWalk]]: the neighbor
+    * minimizing an exact-integer PRF of (current, neighbor, step) —
+    * one SQL fragment both engines evaluate identically. Products
+    * bounded: id ≤ 1e9 at 100 TB × the Knuth multiplier ≈ 2.6e18,
+    * inside int64. */
+  private def walkScoreSql(cur: String, nxt: String, step: Int): String =
+    s"(($cur * 1000003 + $nxt * 2654435761 + $step * 31) % 2147483647)"
+
+  /** §2.12 — DETERMINISTIC random walks (node2vec's data step): from
+    * every vertex of the strong co-purchase graph, a [[walkSteps]]-hop
+    * walk whose step-i move is the PRF-argmin neighbor — the
+    * (start, visited, step) rows are exactly the skip-gram positive
+    * pairs an embedding trainer consumes. Determinism is the point,
+    * not a concession: the same corpus always emits the same pairs
+    * (resumable, diffable, oracle-checkable), and the PRF varies by
+    * step so walks don't ping-pong on one edge.
+    *
+    * Scale shape = the pagerank loop: per step ONE edge⋈frontier
+    * shuffle, the argmin is a mergeable min-struct partial aggregate
+    * keyed by walk (never a window), frontier stays vertex-sized,
+    * lineage cut per step. Dead ends (none here — the undirected
+    * strong graph has no sinks) would simply emit shorter walks. */
+  def graphRandomWalk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = strongEdges(s, dir)
+    val edges = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+      .repartition($"src").localCheckpoint(true)
+    val starts = edges.select($"src".as("start")).distinct()
+    var frontier = starts.withColumn("cur", $"start")
+    var walk = frontier.select($"start", lit(0L).as("step"), $"cur".as("node"))
+      .localCheckpoint(true)
+    for (i <- 1 to walkSteps) {
+      val nxt = edges.join(frontier, $"src" === $"cur")
+        .withColumn("score", expr(walkScoreSql("cur", "dst", i)))
+        .groupBy($"start")
+        .agg(min(struct($"score", $"dst")).as("m"))
+        .select($"start", $"m.dst".as("cur"))
+        .localCheckpoint(true)
+      walk = walk.unionAll(nxt.select($"start", lit(i.toLong).as("step"),
+        $"cur".as("node"))).localCheckpoint(true)
+      frontier = nxt
+    }
+    walk.orderBy($"start", $"step")
+  }
+
+  val graphRandomWalkSql: String = {
+    val rounds = (1 to walkSteps).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT start, dst AS cur FROM (
+         |    SELECT f.start, e.dst,
+         |      row_number() OVER (PARTITION BY f.start
+         |        ORDER BY ${walkScoreSql("f.cur", "e.dst", i)}, e.dst) AS rn
+         |    FROM f${i - 1} f JOIN edges e ON e.src = f.cur)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val emits = (1 to walkSteps).map { i =>
+      s"SELECT start, $i AS step, cur AS node FROM f$i"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT a.l_orderkey) >= $triangleMinSupport),
+       |edges AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM e0
+       |  UNION ALL
+       |  SELECT v, u FROM e0),
+       |f0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS start, src AS cur FROM edges),
+       |$rounds
+       |SELECT start, CAST(step AS BIGINT) AS step, node FROM (
+       |  SELECT start, 0 AS step, cur AS node FROM f0
+       |  UNION ALL
+       |  $emits)
+       |ORDER BY start, step""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_random_walk"      -> (graphRandomWalk _),
     "graph_bfs"              -> (graphBfs _),
     "graph_link_predict"     -> (graphLinkPredict _),
     "graph_neighbor_sim"     -> (graphNeighborSim _),
@@ -787,6 +874,7 @@ object Graph {
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_random_walk"      -> graphRandomWalkSql,
     "graph_bfs"              -> graphBfsSql,
     "graph_link_predict"     -> graphLinkPredictSql,
     "graph_neighbor_sim"     -> graphNeighborSimSql,

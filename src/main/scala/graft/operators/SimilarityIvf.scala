@@ -290,16 +290,76 @@ object SimilarityIvf {
        |WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
 
+  /** §2.5 — label PURITY per IVF cluster: the clustering-quality eval
+    * a vector-index owner reads next to [[ivfClusterSizes]] — sizes
+    * say the lists are balanced, purity says the geometry is real
+    * (a cluster whose majority label barely clears chance means the
+    * quantizer is slicing noise, and IVF recall will pay for it).
+    * Majority taken with a total tie-break (count desc, label asc) so
+    * both engines pick the same winner. Runs on the staged assignment
+    * artifact: one (cid, label) partial agg, a per-cid top-1 on the
+    * bounded cell frame, purity = exact-integer ratio quantized. */
+  def embedClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Agg.rndSql
+    val (_, assigned) = kmeans(s, dir)
+    val cells = assigned
+      .join(graft.sources.Tables.embeddings(s, dir).select($"vec_id", $"label"), "vec_id")
+      .groupBy($"cid", $"label").agg(count(lit(1)).as("c"))
+    val tot = cells.groupBy($"cid").agg(sum($"c").cast("long").as("n_vectors"))
+    cells
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"cid").orderBy($"c".desc, $"label".asc)))
+      .filter($"rn" === 1)
+      .select($"cid", $"label".as("top_label"), $"c".as("n_top"))
+      .join(tot, "cid")
+      .select($"cid", $"n_vectors", $"top_label", $"n_top",
+        expr(rndSql("CAST(n_top AS DOUBLE) / CAST(n_vectors AS DOUBLE)", 6)).as("purity"))
+      .orderBy($"cid")
+  }
+
+  def embedClusterPuritySql(glob: String): String =
+    s"""WITH cents AS (SELECT cid, c FROM read_parquet('$glob')),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |scoredc AS (
+       |  SELECT v.vec_id, cents.cid,
+       |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(v.v, cents.c) AS s
+       |  FROM v, cents),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM scoredc)
+       |  WHERE rn = 1),
+       |cells AS MATERIALIZED (
+       |  SELECT a.cid, e.label, count(*) AS c
+       |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT cid, CAST(sum(c) AS BIGINT) AS n_vectors FROM cells GROUP BY 1),
+       |top AS (
+       |  SELECT cid, label AS top_label, c AS n_top FROM (
+       |    SELECT cid, label, c,
+       |      row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn
+       |    FROM cells) WHERE rn = 1)
+       |SELECT t.cid, n_vectors, top_label, CAST(n_top AS BIGINT) AS n_top,
+       |  ${graft.functions.Agg.rndSql("CAST(n_top AS DOUBLE) / CAST(n_vectors AS DOUBLE)", 6)} AS purity
+       |FROM top t JOIN tot USING (cid)
+       |ORDER BY cid""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf"           -> (annIvf _),
     "ivf_cluster_sizes" -> (ivfClusterSizes _),
+    "embed_cluster_purity" -> (embedClusterPurity _),
     "ann_ivf_append"    -> (annIvfAppend _)
   )
 
   def oracles: Map[String, String] =
     (graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
       "ann_ivf"           -> annIvfSql(g),
-      "ivf_cluster_sizes" -> ivfClusterSizesSql(g))) ++
+      "ivf_cluster_sizes" -> ivfClusterSizesSql(g),
+      "embed_cluster_purity" -> embedClusterPuritySql(g))) ++
      graft.sources.OracleStage.globOf("ivf_corpus_centroids").toSeq.map(g =>
       "ann_ivf_append"    -> annIvfAppendSql(g))).toMap
 }

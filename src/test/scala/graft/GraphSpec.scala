@@ -206,6 +206,34 @@ class GraphSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("random walks move along real edges, run full length, and are partition-invariant") {
+    val s = spark; import s.implicits._
+    val walks = Graph.graphRandomWalk(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edgeSet = Graph.strongEdges(s, sfDir).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    val byStart = walks.groupBy(_._1)
+    assert(byStart.nonEmpty)
+    byStart.foreach { case (start, rows) =>
+      val path = rows.sortBy(_._2).map(_._3)
+      assert(rows.map(_._2).sorted.toSeq == (0L to Graph.walkSteps).toSeq,
+        s"walk from $start has gaps: ${rows.map(_._2).sorted.mkString(",")}")
+      assert(path.head == start)
+      path.sliding(2).foreach { case Array(a, b) =>
+        assert(edgeSet.contains((a, b)), s"walk from $start teleported: $a -> $b")
+      }
+    }
+    // deterministic under any partitioning (the PRF is row-local and
+    // the argmin a commutative aggregate)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "7")
+      val again = Graph.graphRandomWalk(s, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(walks.toSeq == again.toSeq, "walks must be partition-invariant")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("bfs depths satisfy the BFS invariants: seed count, edge tension <= 1, horizon completeness") {
     val s = spark; import s.implicits._
     val depth = Graph.graphBfs(s, sfDir).collect()

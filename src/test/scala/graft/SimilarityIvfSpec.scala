@@ -97,4 +97,17 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning(cid"),
       s"index side must not reshuffle on cid:\n$p")
   }
+
+  test("cluster purity accounts for every vector and bounds correctly") {
+    val rows = SimilarityIvf.embedClusterPurity(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val corpus = graft.sources.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_._2).sum == corpus, "every vector belongs to exactly one cluster")
+    rows.foreach { case (cid, n, nTop, purity) =>
+      assert(nTop >= 1 && nTop <= n, s"cid $cid: majority count out of range")
+      assert(purity > 0.0 && purity <= 1.0, s"cid $cid: purity $purity")
+      assert(math.abs(purity - nTop.toDouble / n) < 1e-5)
+    }
+  }
 }
