@@ -404,7 +404,9 @@ object Graph {
     * count is edge-bounded, a per-node bounded top-1 window, lineage
     * cut per round. Isolated parts keep their own label → singleton
     * communities, same universe contract as components. */
-  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+  /** The converged (node, label) frame shared by [[graphLabelProp]]
+    * and [[graphModularity]]. */
+  private[graft] def lpaLabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val e = strongEdges(s, dir)
@@ -426,13 +428,23 @@ object Graph {
         .localCheckpoint(true)
     }
     lab
+  }
+
+  def graphLabelProp(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lpaLabels(s, dir)
       .withColumn("community_size",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy($"label")))
       .select($"node".as("part_id"), $"label".as("community_id"), $"community_size")
       .orderBy($"part_id")
   }
 
-  val graphLabelPropSql: String = {
+  /** Shared LPA oracle scaffolding: strong-edge build + the unrolled
+    * synchronous rounds, ending in `l$labelPropIters(node, label)`
+    * (and `e(u, v)` / `edges(src, dst)` for downstream use). `edges`
+    * is MATERIALIZED — it is referenced once per round and DuckDB
+    * inlines multiply-referenced CTEs. */
+  private lazy val lpaCtesSql: String = {
     val rounds = (1 to labelPropIters).map { i =>
       s"""c$i AS (
          |  SELECT e.dst AS node, l.label, count(*) AS c
@@ -446,23 +458,90 @@ object Graph {
          |  SELECT l.node, coalesce(p.label, l.label) AS label
          |  FROM l${i - 1} l LEFT JOIN p$i p USING (node))""".stripMargin
     }.mkString(",\n")
-    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
-       |e AS (
+    s"""li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e AS MATERIALIZED (
        |  SELECT a.l_partkey AS u, b.l_partkey AS v
        |  FROM li a JOIN li b
        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        |  GROUP BY 1, 2
        |  HAVING count(DISTINCT a.l_orderkey) >= $triangleMinSupport),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT u AS src, v AS dst FROM e
        |  UNION ALL
        |  SELECT v, u FROM e),
        |l0 AS (SELECT p_partkey AS node, p_partkey AS label FROM part),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  lazy val graphLabelPropSql: String =
+    s"""WITH $lpaCtesSql
        |SELECT node AS part_id, label AS community_id,
        |  count(*) OVER (PARTITION BY label) AS community_size
        |FROM l$labelPropIters ORDER BY part_id""".stripMargin
+
+  /** §2.12 — MODULARITY of the LPA communities: the one number that
+    * says whether the partition is better than chance
+    * (Newman-Girvan Q = Σ_c (e_c/m − (d_c/2m)²)). Emitted per
+    * community with EXACT integer internals — contribution numerator
+    * 4m·e_c − d_c², denominator 4m² — so the score is
+    * partitioning-independent and the oracle compares integers; the
+    * double division happens once per (bounded) community row, then
+    * quantizes. Scale: e_c is one edge-sized join against the
+    * broadcast-joined label frame aggregated per community; d_c rolls
+    * up the vertex-sized degree frame; m is a 1-row broadcast. */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val lab = lpaLabels(s, dir).localCheckpoint(true)
+    val e = strongEdges(s, dir).localCheckpoint(true)
+    val m = e.agg(count(lit(1)).as("m"))
+    val eIn = e
+      .join(lab.select($"node".as("u"), $"label".as("lu")), "u")
+      .join(lab.select($"node".as("v"), $"label".as("lv")), "v")
+      .filter($"lu" === $"lv")
+      .groupBy($"lu".as("community_id")).agg(count(lit(1)).as("e_in"))
+    val deg = e.select($"u".as("x")).unionAll(e.select($"v".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("d"))
+      .join(lab.select($"node".as("x"), $"label"), "x")
+      .groupBy($"label".as("community_id"))
+      .agg(sum($"d").cast("long").as("d_sum"), count(lit(1)).as("n_nodes"))
+    deg.join(eIn, Seq("community_id"), "left")
+      .withColumn("e_in", coalesce($"e_in", lit(0L)))
+      .join(broadcast(m))
+      .withColumn("contrib_num",
+        lit(4L) * $"m".cast(DecimalType(38, 0)) * $"e_in" -
+          $"d_sum".cast(DecimalType(38, 0)) * $"d_sum")
+      .select($"community_id", $"n_nodes", $"e_in", $"d_sum",
+        expr(graft.functions.Agg.rndSql(
+          "CAST(contrib_num AS DOUBLE) / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))", 9))
+          .as("contribution"))
+      .orderBy($"community_id")
   }
+
+  lazy val graphModularitySql: String =
+    s"""WITH $lpaCtesSql,
+       |lab AS MATERIALIZED (SELECT node, label FROM l$labelPropIters),
+       |m AS (SELECT count(*) AS m FROM e),
+       |e_in AS (
+       |  SELECT a.label AS community_id, count(*) AS e_in
+       |  FROM e JOIN lab a ON e.u = a.node JOIN lab b ON e.v = b.node
+       |  WHERE a.label = b.label GROUP BY 1),
+       |deg AS (
+       |  SELECT l.label AS community_id,
+       |    CAST(sum(d.d) AS BIGINT) AS d_sum, count(*) AS n_nodes
+       |  FROM (
+       |    SELECT x, count(*) AS d FROM (
+       |      SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY 1) d
+       |  JOIN lab l ON d.x = l.node
+       |  GROUP BY 1)
+       |SELECT deg.community_id, n_nodes,
+       |  CAST(coalesce(e_in.e_in, 0) AS BIGINT) AS e_in, d_sum,
+       |  ${graft.functions.Agg.rndSql(
+      """CAST(4 * m.m * CAST(coalesce(e_in.e_in, 0) AS DECIMAL(38,0))
+        |  - CAST(d_sum AS DECIMAL(38,0)) * d_sum AS DOUBLE)
+        |  / (4.0 * CAST(m.m AS DOUBLE) * CAST(m.m AS DOUBLE))""".stripMargin, 9)} AS contribution
+       |FROM deg LEFT JOIN e_in USING (community_id) CROSS JOIN m
+       |ORDER BY community_id""".stripMargin
 
   // ------------------------------------------------------------------
   // graph_kcore — bounded-round 2-core peeling
@@ -861,6 +940,7 @@ object Graph {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_random_walk"      -> (graphRandomWalk _),
+    "graph_modularity"       -> (graphModularity _),
     "graph_bfs"              -> (graphBfs _),
     "graph_link_predict"     -> (graphLinkPredict _),
     "graph_neighbor_sim"     -> (graphNeighborSim _),
@@ -875,6 +955,7 @@ object Graph {
 
   def oracles: Map[String, String] = Map(
     "graph_random_walk"      -> graphRandomWalkSql,
+    "graph_modularity"       -> graphModularitySql,
     "graph_bfs"              -> graphBfsSql,
     "graph_link_predict"     -> graphLinkPredictSql,
     "graph_neighbor_sim"     -> graphNeighborSimSql,

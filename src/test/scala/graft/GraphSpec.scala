@@ -206,6 +206,22 @@ class GraphSpec extends SparkSpec {
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("modularity internals reconcile: degrees sum to 2m, internal edges bounded, Q in range") {
+    val s = spark
+    val rows = Graph.graphModularity(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val m = Graph.strongEdges(s, sfDir).count()
+    assert(rows.map(_._4).sum == 2 * m, "community degree sums must cover every edge end")
+    assert(rows.map(_._3).sum <= m, "internal edges cannot exceed the edge count")
+    rows.foreach { case (c, n, eIn, dSum, _) =>
+      assert(eIn <= dSum / 2, s"community $c: $eIn internal edges need $dSum/2 degree")
+      assert(n >= 1)
+    }
+    val q = rows.map(_._5).sum
+    assert(q >= -0.5 && q <= 1.0, s"Q out of range: $q")
+  }
+
   test("random walks move along real edges, run full length, and are partition-invariant") {
     val s = spark; import s.implicits._
     val walks = Graph.graphRandomWalk(s, sfDir).collect()
