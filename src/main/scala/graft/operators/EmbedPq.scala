@@ -750,11 +750,148 @@ object EmbedPq {
     "ann_ivf_pq"    -> (annIvfPq _),
     "ann_ivf_pq_refine" -> (annIvfPqRefine _),
     "embed_opq"     -> (embedOpq _),
-    "ann_opq"       -> (annOpq _)
+    "ann_opq"       -> (annOpq _),
+    "embed_distortion_report" -> (embedDistortionReport _)
   )
+
+  /** §2.5 — the quantization DISTORTION table: mean/max
+    * reconstruction L2² per storage tier (pq, opq, int8, binary) with
+    * bytes-per-vector — the other axis of the index-selection
+    * decision next to `ann_recall_report` (recall says what the
+    * search finds; distortion says what the code can still express,
+    * and it degrades BEFORE recall does). Tiers reuse the operators'
+    * own per-vector reconstructions verbatim (pq/opq recon_err,
+    * int8 recon_l2 squared on both engines identically); the binary
+    * tier's optimal-scale sign-code error has the row-local closed
+    * form Σx² − (Σ|x|)²/d, with both folds in the engines' shared
+    * left-to-right order. Per-vector errors quantize to 1e-6 longs,
+    * so the mean divides an exact decimal sum and the max compares
+    * integers — the 4-row report is partitioning-independent. */
+  def embedDistortionReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    import org.apache.spark.sql.types.DecimalType
+    // the UNSORTED encode paths — the public ops' presentation
+    // orderBy is pure waste under an aggregate
+    val pq = encode(s, dir, trainCodebooks(s, dir))
+      .select(lit("pq").as("tier"), lit(pqM.toLong).as("bytes_per_vec"),
+        $"recon_err".as("e2"))
+    val opq = encodeOn(rotatedVectors(s, dir), trainOpqCodebooks(s, dir))
+      .select(lit("opq").as("tier"), lit(pqM.toLong).as("bytes_per_vec"),
+        $"recon_err".as("e2"))
+    val i8 = embedInt8(s, dir)
+      .select(lit("int8").as("tier"), lit(72L).as("bytes_per_vec"),
+        expr(rndSql("recon_l2 * recon_l2", 6)).as("e2"))
+    val bin = graft.sources.Tables.embeddings(s, dir)
+      .select(expr(graft.functions.VectorFns.asDouble("embedding")).as("v"))
+      .select(lit("binary").as("tier"), lit(8L).as("bytes_per_vec"),
+        expr(rndSql(
+          """graft_dot(v, v) -
+            |  aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + abs(x)) *
+            |  aggregate(v, CAST(0 AS DOUBLE), (a, x) -> a + abs(x)) /
+            |  CAST(size(v) AS DOUBLE)""".stripMargin, 6)).as("e2"))
+    pq.unionAll(opq).unionAll(i8).unionAll(bin)
+      .withColumn("eq", graft.functions.Agg.quantize($"e2", 6).cast("long"))
+      .groupBy($"tier", $"bytes_per_vec")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum($"eq".cast(DecimalType(38, 0))).as("sq"),
+        max($"eq").as("mq"))
+      .select($"tier", $"bytes_per_vec", $"n_vecs",
+        expr(rndSql("(CAST(sq AS DOUBLE) / 1e6) / CAST(n_vecs AS DOUBLE)", 6)).as("mean_l2sq"),
+        ($"mq".cast("double") / lit(1000000.0)).as("max_l2sq"))
+      .orderBy($"tier")
+  }
+
+  def embedDistortionReportSql(cbGlob: String, opqCbGlob: String,
+                               rotGlob: String): String = {
+    import graft.functions.Agg.rndSql
+    def branch(suffix: String, cbG: String, rotated: Boolean): String = {
+      val vCte = if (!rotated)
+        s"""v$suffix AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings)""".stripMargin
+      else
+        s"""rot$suffix AS (SELECT i, r FROM read_parquet('$rotGlob')),
+           |rawv$suffix AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |v$suffix AS (
+           |  SELECT rawv$suffix.vec_id, list(list_dot_product(rot$suffix.r, rawv$suffix.v) ORDER BY rot$suffix.i) AS v
+           |  FROM rawv$suffix, rot$suffix GROUP BY rawv$suffix.vec_id)""".stripMargin
+      s"""cb$suffix AS (SELECT m, cid, c FROM read_parquet('$cbG')),
+         |$vCte,
+         |sc$suffix AS (
+         |  SELECT vec_id, cb$suffix.m, cb$suffix.cid,
+         |    v[cb$suffix.m*$pqDsub+1 : cb$suffix.m*$pqDsub+$pqDsub] AS sv, cb$suffix.c,
+         |    list_dot_product(cb$suffix.c, cb$suffix.c) - CAST(2 AS DOUBLE) * list_dot_product(v[cb$suffix.m*$pqDsub+1 : cb$suffix.m*$pqDsub+$pqDsub], cb$suffix.c) AS s
+         |  FROM v$suffix, cb$suffix),
+         |best$suffix AS (
+         |  SELECT vec_id, m, cid, sv, c FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY s, cid) AS rn
+         |    FROM sc$suffix)
+         |  WHERE rn = 1),
+         |errs$suffix AS (
+         |  SELECT vec_id, m,
+         |    list_reduce(list_transform(range(1, ${pqDsub + 1}), i -> (sv[i] - c[i]) * (sv[i] - c[i])), (a, b) -> a + b) AS e
+         |  FROM best$suffix),
+         |pv$suffix AS (
+         |  SELECT vec_id,
+         |    ${rndSql("list_reduce(list(e ORDER BY m), (a, b) -> a + b)", 6)} AS e2
+         |  FROM errs$suffix GROUP BY vec_id)""".stripMargin
+    }
+    s"""WITH ${branch("p", cbGlob, rotated = false)},
+       |${branch("o", opqCbGlob, rotated = true)},
+       |i8v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |i8sc AS (
+       |  SELECT vec_id, v,
+       |    list_aggregate(list_transform(v, x -> abs(x)), 'max') / CAST(127 AS DOUBLE) AS sc
+       |  FROM i8v),
+       |i8c AS (
+       |  SELECT vec_id, v, sc,
+       |    list_transform(v, x -> CASE WHEN sc = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+       |      ELSE greatest(CAST(-127 AS DOUBLE), least(CAST(127 AS DOUBLE), floor(x / sc + CAST(0.5 AS DOUBLE)))) END) AS codes
+       |  FROM i8sc),
+       |i8e AS (
+       |  SELECT ${rndSql(
+      "sqrt(list_aggregate(list_transform(range(1, len(codes) + 1), i -> floor((codes[i] * sc - v[i]) * (codes[i] * sc - v[i]) * 1e12 + CAST(0.5 AS DOUBLE))), 'sum') / 1e12)",
+      6)} AS recon_l2
+       |  FROM i8c),
+       |bine AS (
+       |  SELECT ${rndSql(
+      """list_dot_product(v, v) -
+        |  list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b) *
+        |  list_reduce(list_transform(v, x -> abs(x)), (a, b) -> a + b) /
+        |  CAST(len(v) AS DOUBLE)""".stripMargin, 6)} AS e2
+       |  FROM i8v),
+       |u AS (
+       |  SELECT 'pq' AS tier, CAST($pqM AS BIGINT) AS bytes_per_vec, e2 FROM pvp
+       |  UNION ALL
+       |  SELECT 'opq', CAST($pqM AS BIGINT), e2 FROM pvo
+       |  UNION ALL
+       |  SELECT 'int8', CAST(72 AS BIGINT), ${rndSql("recon_l2 * recon_l2", 6)} FROM i8e
+       |  UNION ALL
+       |  SELECT 'binary', CAST(8 AS BIGINT), e2 FROM bine),
+       |q AS (
+       |  SELECT tier, bytes_per_vec,
+       |    CAST(floor(e2 * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS eq
+       |  FROM u)
+       |SELECT tier, bytes_per_vec, count(*) AS n_vecs,
+       |  ${rndSql("(CAST(sum(eq) AS DOUBLE) / 1e6) / CAST(count(*) AS DOUBLE)", 6)} AS mean_l2sq,
+       |  CAST(max(eq) AS DOUBLE) / 1000000.0 AS max_l2sq
+       |FROM q
+       |GROUP BY tier, bytes_per_vec
+       |ORDER BY tier""".stripMargin
+  }
 
   def oracles: Map[String, String] =
     Map("embed_int8" -> embedInt8Sql) ++
+      (for {
+        g1 <- graft.sources.OracleStage.globOf("pq_codebooks")
+        g2 <- graft.sources.OracleStage.globOf("opq_codebooks")
+        g3 <- graft.sources.OracleStage.globOf("opq_rotation")
+      } yield "embed_distortion_report" -> embedDistortionReportSql(g1, g2, g3)).toSeq ++
       graft.sources.OracleStage.globOf("pq_codebooks").toSeq.flatMap(g => Seq(
         "embed_pq"      -> embedPqSql(g),
         "ann_pq"        -> annPqSql(g),

@@ -177,4 +177,23 @@ class EmbedPqSpec extends SparkSpec {
         s"l2 ${r.getDouble(3)} vs exact $truth")
     }
   }
+
+  test("distortion report: opq's rotation never hurts, int8 is near-lossless, all tiers account every vector") {
+    val rows = graft.operators.EmbedPq.embedDistortionReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set("pq", "opq", "int8", "binary"))
+    val n = rows("pq")._2
+    assert(rows.values.forall(_._2 == n), "every tier must score the same corpus")
+    // OPQ trains its rotation to MINIMIZE this number — beating raw
+    // PQ is the operator's reason to exist
+    assert(rows("opq")._3 <= rows("pq")._3,
+      s"opq ${rows("opq")._3} must not lose to pq ${rows("pq")._3}")
+    // 72 bytes of int8 on unit vectors is near-lossless; any 8-byte
+    // code is orders of magnitude coarser
+    assert(rows("int8")._3 < 0.001 && rows("int8")._3 * 100 < rows("pq")._3,
+      s"int8 ${rows("int8")._3} vs pq ${rows("pq")._3}")
+    rows.foreach { case (t, (_, _, mean, max)) =>
+      assert(mean >= 0 && max >= mean, s"$t: mean $mean max $max")
+    }
+  }
 }
