@@ -472,4 +472,30 @@ class StreamOpsSpec extends SparkSpec {
     assert(out(2L) == ((30L, "view", 9.0, 2L)),
       s"later event must win even when it arrived first: ${out(2L)}")
   }
+
+  test("stream bpe out-of-lexicon fallback encodes identically to the lexicon path") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{pmod, hash, lit}
+    // Withhold every other lexicon word: those tokens miss the
+    // broadcast join and must take the inline replace-chain fallback.
+    // Run-to-completion output must be bit-identical to the full-
+    // lexicon run — the fallback IS the lexicon's defining chain.
+    val full = graft.operators.Bpe.wordPieces(s, sfDir)
+    val crippled = full.filter(pmod(hash($"tok"), lit(2)) === 0)
+    val nFull = full.count()
+    val nKept = crippled.count()
+    assert(nKept > 0 && nKept < nFull,
+      s"crippled lexicon must be a strict non-empty subset ($nKept of $nFull)")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3)).toList
+    val viaLex = key(StreamOps.runBpeEncodeToCompletion(s, sfDir,
+      sink = "bpe_lex_full"))
+    val viaFallback = key(StreamOps.runBpeEncodeToCompletion(s, sfDir,
+      sink = "bpe_lex_half", lexOverride = Some(crippled)))
+    assert(viaLex == viaFallback,
+      "fallback-encoded words must match their lexicon encoding exactly")
+    assert(viaLex.nonEmpty)
+  }
 }
