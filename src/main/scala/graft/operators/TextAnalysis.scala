@@ -468,6 +468,102 @@ object TextAnalysis {
        |WHERE rank <= $searchK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** BM25 parameters — the universal defaults (k1 term-frequency
+    * saturation, b length normalization). */
+  val bm25K1 = 1.2
+  val bm25B = 0.75
+
+  /** §2.6 — BM25 relevance search: the production-default ranking
+    * function (what Lucene/Elasticsearch score with) next to 35d's
+    * plain TF-IDF. Same layout as [[textSearch]] — ONE (doc, term)
+    * partial-agg shuffle builds the postings; doc length and the
+    * corpus avgdl derive from that frame (dl is a doc-keyed partial
+    * agg; avgdl is total_tokens/n_docs, an exact integer ratio
+    * broadcast as a scalar); the bounded query set broadcasts. The
+    * BM25 weight idf·(tf·(k1+1))/(tf + k1·(1−b+b·dl/avgdl)) is
+    * written from one shared template on both engines: idf is
+    * 1e-6-quantized after ln (the transcendental), the full weight
+    * 1e-6-quantized before the exact fixed-point sum, so scores are
+    * bit-stable at any parallelism. Top-k per query runs on the
+    * native bounded-heap TopKPerGroup — a query matching the whole
+    * corpus ships k rows per partition, never the corpus. */
+  def textBm25Search(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{dsum, rnd}
+    val k1p1 = bm25K1 + 1.0
+    val oneMinusB = 1.0 - bm25B
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(expr(toksExpr)).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    // avgdl = total tokens / total docs: one exact integer division in
+    // double space, identical on both engines (docs with zero tokens
+    // still count in n — BM25's avgdl is corpus-wide)
+    val stats = dl.agg(sum($"dl").as("tot")).crossJoin(broadcast(n))
+      .select(($"tot".cast("double") / $"n".cast("double")).as("avgdl"),
+        $"n")
+    val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select($"term",
+        rnd(log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 6)
+          .as("idf"),
+        $"avgdl")
+    val q = broadcast(searchQueries.toDF("query_id", "terms")
+      .select($"query_id", explode(split($"terms", " ")).as("term")))
+    val weighted = tf.join(dl, "doc_id").join(q, "term").join(idf, "term")
+      .select($"query_id", $"doc_id",
+        rnd($"idf" * (($"tf" * lit(k1p1)) /
+          ($"tf" + lit(bm25K1) * (lit(oneMinusB) +
+            lit(bm25B) * ($"dl".cast("double") / $"avgdl")))), 6).as("w"))
+    val scores = weighted.groupBy($"query_id", $"doc_id")
+      .agg(dsum($"w").as("score"))
+    graft.plans.TopK.perGroup(scores, Seq("query_id"),
+        Seq("score" -> true, "doc_id" -> false), searchK)
+      .select($"query_id", $"rank", $"doc_id", $"score")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val textBm25SearchSql: String = {
+    import graft.functions.Agg.{dsumSql, rndSql}
+    val k1p1 = bm25K1 + 1.0
+    val oneMinusB = 1.0 - bm25B
+    val qVals = searchQueries.flatMap { case (id, terms) =>
+      terms.split(" ").map(t => s"($id, '$t')")
+    }.mkString(", ")
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($duckToks) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) /
+       |         (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl,
+       |         (SELECT count(*) FROM documents) AS n),
+       |idf AS (
+       |  SELECT term,
+       |    ${rndSql("ln(1.0 + (n - df + 0.5) / (df + 0.5))", 6)} AS idf,
+       |    avgdl
+       |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats),
+       |q(query_id, term) AS (VALUES $qVals),
+       |weighted AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    ${rndSql(s"idf.idf * ((tf.tf * $k1p1) / (tf.tf + $bm25K1 * " +
+                     s"($oneMinusB + $bm25B * (CAST(dl.dl AS DOUBLE) / idf.avgdl))))", 6)} AS w
+       |  FROM tf JOIN dl USING (doc_id) JOIN q USING (term)
+       |    JOIN idf USING (term)),
+       |scores AS (
+       |  SELECT query_id, doc_id, ${dsumSql("w")} AS score
+       |  FROM weighted GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS rank
+       |  FROM scores)
+       |SELECT query_id, rank, doc_id, score FROM ranked
+       |WHERE rank <= $searchK ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Keywords returned per document. */
   val keywordsK = 3
 
@@ -820,6 +916,7 @@ object TextAnalysis {
     "text_repetition"  -> (textRepetition _),
     "text_redact"      -> (textRedact _),
     "text_search"      -> (textSearch _),
+    "text_bm25_search" -> (textBm25Search _),
     "text_search_indexed" -> (textSearchIndexed _),
     "text_cosine_pairs"  -> (textCosinePairs _),
     "corpus_keywords"  -> (corpusKeywords _),
@@ -838,6 +935,7 @@ object TextAnalysis {
     "text_repetition"  -> textRepetitionSql,
     "text_redact"      -> textRedactSql,
     "text_search"      -> textSearchSql,
+    "text_bm25_search" -> textBm25SearchSql,
     // bit-identical to the from-scratch path — shares its oracle
     "text_search_indexed" -> textSearchSql,
     "text_cosine_pairs"  -> textCosinePairsSql,

@@ -59,4 +59,41 @@ class TextAnalysisSpec extends SparkSpec {
     // prose: many symbols, no dominant char, entropy well above 2 nats
     assert(rows(2L)._1 > 15L && rows(2L)._2 < 0.25 && rows(2L)._3 > 2.0)
   }
+
+  test("BM25 ranks by idf, saturates tf, and normalizes by length") {
+    val s = spark; import s.implicits._
+    // crafted corpus for query 1 = "customer query": "customer" is
+    // COMMON (df high → low idf), "query" is RARE (df low → high idf)
+    val filler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    val docs = Seq(
+      (1L, "customer query " + "pad " * 3),            // both terms, short
+      (2L, "customer query " + "pad " * 120),          // both terms, long
+      (3L, ("customer " * 10) + "pad pad"),            // one common term, tf 10
+      (4L, "query " + filler),                         // rare term only
+      (5L, "customer " + filler)) ++                   // common term only
+      // background docs that make "customer" common corpus-wide
+      (6L to 15L).map(i => (i, s"customer number $i " + filler))
+    val dir = Files.createTempDirectory("graft-bm25").toString
+    docs.toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"),
+        lit("s0").as("source"), length($"text").cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q1 = TextAnalysis.textBm25Search(s, dir).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => r.getLong(2) -> (r.getLong(1), r.getDouble(3)))
+      .toMap
+    def rank(d: Long) = q1(d)._1
+    def score(d: Long) = q1(d)._2
+    // the short both-terms doc is the best match outright
+    assert(rank(1L) == 1L, q1.toString)
+    // length normalization: same tf of both terms, the 120-pad copy
+    // scores a fraction of the short one (and can even fall below the
+    // short rare-term-only doc — correct BM25 behavior)
+    assert(score(1L) > 3.0 * score(2L))
+    // idf: the rare term alone outranks the common term alone AND the
+    // common term repeated 10 times (tf saturation caps doc 3)
+    assert(score(4L) > score(5L) && score(4L) > score(3L))
+    // saturation: tf=10 of "customer" is worth far less than 10x tf=1
+    assert(score(3L) < 10.0 * score(5L))
+  }
 }
