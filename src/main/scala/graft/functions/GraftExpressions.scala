@@ -69,6 +69,10 @@ object GraftExpressions {
       new ExpressionInfo(classOf[CharEntropyStats].getName, "graft_entropy"),
       (es: Seq[Expression]) => CharEntropyStats(es(0))))
     ext.injectFunction((
+      FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      (es: Seq[Expression]) => HilbertIndex(es(0), es(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[TextNormalize].getName, "graft_normalize"),
       (es: Seq[Expression]) => TextNormalize(es(0))))
@@ -144,6 +148,72 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** 16-level Hilbert curve index of two keys masked to [0, 2¹⁶) —
+  * the space-filling-curve layout key with strictly better locality
+  * than Z-order (every curve step is grid-adjacent; Z-order jumps).
+  * The per-level quadrant rotation is inherently sequential state
+  * (x, y mutate each level), which as 16 chained Column projections
+  * risks CollapseProject expression blow-up — so it runs as ONE
+  * codegen'd primitive loop, keeping layout staging inside
+  * whole-stage codegen. Classic xy2d (Wikipedia Hilbert-curve
+  * algorithm): d += s²·((3·rx) xor ry), then reflect+swap when
+  * ry = 0. The DuckDB oracle unrolls the same 16 levels as a CTE
+  * chain ([[graft.operators.Layout.hilbertLevelSql]]) — all-integer
+  * arithmetic, so both engines agree bit-for-bit. */
+case class HilbertIndex(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_hilbert expects (bigint, bigint), got (${left.dataType}, ${right.dataType})")
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    var x = (a.asInstanceOf[Long] & 65535L).toInt
+    var y = (b.asInstanceOf[Long] & 65535L).toInt
+    var d = 0L
+    var s = 32768
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s.toLong * s * (if (rx == 1) 3 - ry else ry)
+      if (ry == 0) {
+        if (rx == 1) { x = 65535 - x; y = 65535 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val rx = ctx.freshName("rx"); val ry = ctx.freshName("ry")
+      val t = ctx.freshName("t")
+      s"""
+         |int $x = (int) ($a & 65535L);
+         |int $y = (int) ($b & 65535L);
+         |long $d = 0L;
+         |for (int $s = 32768; $s > 0; $s >>= 1) {
+         |  int $rx = (($x & $s) > 0) ? 1 : 0;
+         |  int $ry = (($y & $s) > 0) ? 1 : 0;
+         |  $d += ((long) $s) * $s * (($rx == 1) ? (3 - $ry) : $ry);
+         |  if ($ry == 0) {
+         |    if ($rx == 1) { $x = 65535 - $x; $y = 65535 - $y; }
+         |    int $t = $x; $x = $y; $y = $t;
+         |  }
+         |}
+         |${ev.value} = $d;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): HilbertIndex =
     copy(left = newLeft, right = newRight)
 }
 

@@ -80,6 +80,202 @@ object Layout {
        |FROM lineitem ORDER BY position""".stripMargin
 
   // ------------------------------------------------------------------
+  // layout_hilbert — space-filling-curve clustering, one step up
+  // ------------------------------------------------------------------
+
+  /** One unrolled level of the xy2d Hilbert transform as oracle SQL:
+    * reads x{p}/y{p}/d{p} from CTE h{p}, emits x{k}/y{k}/d{k}. Level
+    * variables carry DISTINCT names so DuckDB's lateral column
+    * aliasing can never bind a reference to the level's own output.
+    * Same algorithm as [[graft.functions.HilbertIndex]]: pure integer
+    * arithmetic, bit-identical across engines. */
+  private[operators] def hilbertLevelSql(k: Int, s: Int, keep: String): String = {
+    val p = k - 1
+    val ry = s"(CASE WHEN (y$p & $s) > 0 THEN 1 ELSE 0 END)"
+    s"""h$k AS (SELECT $keep,
+       |  CASE WHEN (y$p & $s) > 0 THEN x$p
+       |       WHEN (x$p & $s) > 0 THEN 65535 - y$p ELSE y$p END AS x$k,
+       |  CASE WHEN (y$p & $s) > 0 THEN y$p
+       |       WHEN (x$p & $s) > 0 THEN 65535 - x$p ELSE x$p END AS y$k,
+       |  d$p + CAST(${s.toLong * s} AS BIGINT) * (CASE WHEN (x$p & $s) > 0
+       |    THEN 3 - $ry ELSE $ry END) AS d$k
+       |FROM h$p)""".stripMargin
+  }
+
+  /** The full 16-level chain `h0 AS (...), ..., h16 AS (...)` over
+    * lineitem; `keep` columns ride through every level. Each CTE is
+    * referenced exactly once by the next, so the chain stays linear
+    * in DuckDB's planner (no MATERIALIZED needed). */
+  private[operators] def hilbertCtes(keep: Seq[String]): String = {
+    val ks = keep.mkString(", ")
+    val h0 = s"""h0 AS (SELECT $ks, (l_partkey & 65535) AS x0,
+                |  (l_suppkey & 65535) AS y0, CAST(0 AS BIGINT) AS d0
+                |FROM lineitem)""".stripMargin
+    val levels = (1 to 16).map(k => hilbertLevelSql(k, 1 << (16 - k), ks))
+    (h0 +: levels).mkString(",\n")
+  }
+
+  /** §2.9 — Hilbert-curve layout of lineitem on (l_partkey,
+    * l_suppkey): same contract as [[zorderLayout]] but on the
+    * space-filling curve with strictly better locality (every curve
+    * step is grid-adjacent, so row-group min/max envelopes are tight
+    * SQUARES; Z-order's quadrant jumps stretch envelopes across the
+    * key space — [[scanPruneReport]] quantifies the difference). The
+    * curve index is the codegen'd [[graft.functions.HilbertIndex]]
+    * primitive loop: the per-level rotation is sequential state that
+    * would blow up as 16 chained projections. Write position again
+    * via the TeraSort-layout [[Ranks.globalRowNumber]]. */
+  def hilbertLayout(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .withColumn("hval", expr("graft_hilbert(l_partkey, l_suppkey)"))
+    Ranks.globalRowNumber(keyed,
+        Seq($"hval", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+        Ranks.defaultPartitions(keyed), "position",
+        bucketKeys = Seq($"hval"))
+      .select($"position", $"l_orderkey", $"l_linenumber",
+        $"l_partkey", $"l_suppkey", $"hval")
+      .orderBy($"position")
+  }
+
+  val hilbertLayoutSql: String =
+    s"""WITH ${hilbertCtes(Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"))}
+       |SELECT row_number() OVER (ORDER BY d16, l_orderkey, l_linenumber,
+       |    l_partkey, l_suppkey) AS position,
+       |  l_orderkey, l_linenumber, l_partkey, l_suppkey, d16 AS hval
+       |FROM h16 ORDER BY position""".stripMargin
+
+  // ------------------------------------------------------------------
+  // scan_prune_report — data-skipping effectiveness across layouts
+  // ------------------------------------------------------------------
+
+  /** Simulated parquet row-group size (rows) for the prune report. */
+  val pruneGroupRows = 8192L
+
+  /** §2.9 — the measurement that justifies every layout choice above:
+    * per-row-group min/max envelopes (exactly what parquet footers
+    * store) computed under FOUR physical orderings of the same table
+    * — natural/insertion, single-key sort, Z-order, Hilbert — then a
+    * fixed predicate workload (a 5% band on each key, and their
+    * conjunction) evaluated against the envelopes. `groups_read` is
+    * the number of row groups a min/max-pruning reader must open;
+    * at 100 TB this ratio IS the scan cost. Scale-free predicate
+    * bounds (fractions of the observed key maxima via exact integer
+    * cross-multiplication — no fixed constants that degenerate at
+    * 10×). Each ordering's global position comes from the TeraSort
+    * layout; group stats are one partial-agged groupBy per layout;
+    * the rest is a layouts×predicates-bounded frame. Duplicate rows
+    * are interchangeable under the full-column sort, so group
+    * envelopes are deterministic at any parallelism. */
+  def scanPruneReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    // one narrow frame feeds 4 rankings (each: sample pass + count
+    // pass + main pass) — checkpoint so the scan+curve math runs once
+    val base = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+      .withColumn("zval", expr(zvalExpr("l_partkey", "l_suppkey", sparkShift)))
+      .withColumn("hval", expr("graft_hilbert(l_partkey, l_suppkey)"))
+      .localCheckpoint()
+    val layouts = Seq(
+      "natural" -> Seq($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+      "sort_partkey" -> Seq($"l_partkey", $"l_orderkey", $"l_linenumber", $"l_suppkey"),
+      "zorder" -> Seq($"zval", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
+      "hilbert" -> Seq($"hval", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"))
+    val stats = layouts.map { case (name, keys) =>
+      Ranks.globalRowNumber(base, keys, Ranks.defaultPartitions(base), "pos",
+          bucketKeys = Seq(keys.head))
+        .select(expr(s"(pos - 1) div $pruneGroupRows").as("gid"),
+          $"l_partkey", $"l_suppkey")
+        .groupBy($"gid")
+        .agg(min($"l_partkey").as("min_pk"), max($"l_partkey").as("max_pk"),
+          min($"l_suppkey").as("min_sk"), max($"l_suppkey").as("max_sk"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("layout", lit(name))
+    }.reduce(_ unionByName _)
+    val bounds = Tables.lineitem(s, dir)
+      .agg(max($"l_partkey").as("maxpk"), max($"l_suppkey").as("maxsk"))
+      .selectExpr("(maxpk * 40) div 100 AS pk_lo", "(maxpk * 45) div 100 AS pk_hi",
+        "(maxsk * 40) div 100 AS sk_lo", "(maxsk * 45) div 100 AS sk_hi")
+    val per = stats.crossJoin(broadcast(bounds))
+      .withColumn("hit_pk",
+        ($"min_pk" <= $"pk_hi" && $"max_pk" >= $"pk_lo").cast("long"))
+      .withColumn("hit_sk",
+        ($"min_sk" <= $"sk_hi" && $"max_sk" >= $"sk_lo").cast("long"))
+      .groupBy($"layout").agg(
+        count(lit(1)).as("n_groups"), sum($"n_rows").as("rows_total"),
+        sum($"hit_pk").as("g_pk"), sum($"hit_pk" * $"n_rows").as("r_pk"),
+        sum($"hit_sk").as("g_sk"), sum($"hit_sk" * $"n_rows").as("r_sk"),
+        sum($"hit_pk" * $"hit_sk").as("g_both"),
+        sum($"hit_pk" * $"hit_sk" * $"n_rows").as("r_both"))
+    per.selectExpr("layout", "n_groups", "rows_total",
+        "stack(3, 'pk_band', g_pk, r_pk, 'sk_band', g_sk, r_sk, " +
+          "'both_bands', g_both, r_both) AS (predicate, groups_read, rows_read)")
+      .withColumn("read_frac",
+        rnd($"groups_read".cast("double") / $"n_groups".cast("double"), 6))
+      .select($"layout", $"predicate", $"n_groups", $"groups_read",
+        $"rows_read", $"rows_total", $"read_frac")
+      .orderBy($"layout", $"predicate")
+  }
+
+  val scanPruneReportSql: String = {
+    import graft.functions.Agg.rndSql
+    val keep = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val ord = Map(
+      "natural" -> "l_orderkey, l_linenumber, l_partkey, l_suppkey",
+      "sort_partkey" -> "l_partkey, l_orderkey, l_linenumber, l_suppkey",
+      "zorder" -> "zval, l_orderkey, l_linenumber, l_partkey, l_suppkey",
+      "hilbert" -> "hval, l_orderkey, l_linenumber, l_partkey, l_suppkey")
+    val posBranches = Seq("natural", "sort_partkey", "zorder", "hilbert").map { n =>
+      s"""SELECT '$n' AS layout, row_number() OVER (ORDER BY ${ord(n)}) AS pos,
+         |    l_partkey, l_suppkey FROM hz""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${hilbertCtes(keep)},
+       |hz AS MATERIALIZED (
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    ${zvalExpr("l_partkey", "l_suppkey", duckShift)} AS zval,
+       |    d16 AS hval
+       |  FROM h16),
+       |b AS MATERIALIZED (
+       |  SELECT (max(l_partkey) * 40) // 100 AS pk_lo,
+       |         (max(l_partkey) * 45) // 100 AS pk_hi,
+       |         (max(l_suppkey) * 40) // 100 AS sk_lo,
+       |         (max(l_suppkey) * 45) // 100 AS sk_hi
+       |  FROM lineitem),
+       |pos AS ($posBranches),
+       |g AS (
+       |  SELECT layout, (pos - 1) // $pruneGroupRows AS gid,
+       |    min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+       |    min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk,
+       |    count(*) AS n_rows
+       |  FROM pos GROUP BY 1, 2),
+       |f AS (
+       |  SELECT layout, n_rows,
+       |    CASE WHEN min_pk <= pk_hi AND max_pk >= pk_lo THEN 1 ELSE 0 END AS hit_pk,
+       |    CASE WHEN min_sk <= sk_hi AND max_sk >= sk_lo THEN 1 ELSE 0 END AS hit_sk
+       |  FROM g, b),
+       |p AS MATERIALIZED (
+       |  SELECT layout, count(*) AS n_groups,
+       |    CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       |    CAST(sum(hit_pk) AS BIGINT) AS g_pk,
+       |    CAST(sum(hit_pk * n_rows) AS BIGINT) AS r_pk,
+       |    CAST(sum(hit_sk) AS BIGINT) AS g_sk,
+       |    CAST(sum(hit_sk * n_rows) AS BIGINT) AS r_sk,
+       |    CAST(sum(hit_pk * hit_sk) AS BIGINT) AS g_both,
+       |    CAST(sum(hit_pk * hit_sk * n_rows) AS BIGINT) AS r_both
+       |  FROM f GROUP BY 1),
+       |u AS (
+       |  SELECT layout, 'pk_band' AS predicate, n_groups, g_pk AS groups_read,
+       |    r_pk AS rows_read, rows_total FROM p
+       |  UNION ALL SELECT layout, 'sk_band', n_groups, g_sk, r_sk, rows_total FROM p
+       |  UNION ALL SELECT layout, 'both_bands', n_groups, g_both, r_both, rows_total FROM p)
+       |SELECT layout, predicate, n_groups, groups_read, rows_read, rows_total,
+       |  ${rndSql("CAST(groups_read AS DOUBLE) / CAST(n_groups AS DOUBLE)", 6)} AS read_frac
+       |FROM u ORDER BY layout, predicate""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // layout_partitioned — directory-partitioned writes + pruned scans
   // ------------------------------------------------------------------
 
@@ -193,12 +389,16 @@ object Layout {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder"      -> (zorderLayout _),
+    "layout_hilbert"     -> (hilbertLayout _),
+    "scan_prune_report"  -> (scanPruneReport _),
     "layout_partitioned" -> (layoutPartitioned _),
     "layout_compact"     -> (layoutCompact _)
   )
 
   def oracles: Map[String, String] = Map(
     "layout_zorder"      -> zorderLayoutSql,
+    "layout_hilbert"     -> hilbertLayoutSql,
+    "scan_prune_report"  -> scanPruneReportSql,
     "layout_partitioned" -> layoutPartitionedSql,
     "layout_compact"     -> layoutCompactSql
   )

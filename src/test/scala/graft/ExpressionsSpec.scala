@@ -101,6 +101,28 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows.getInt(0) < rows.getInt(1))
   }
 
+  test("graft_hilbert: bijective over cells and every curve step is grid-adjacent") {
+    val s = spark; import s.implicits._
+    // one point per cell of the 32x32 top-bits subgrid: each cell owns
+    // a contiguous 2048^2-sized block of the curve, so d div 2048^2
+    // must enumerate 0..1023 exactly (bijectivity), and consecutive
+    // blocks must sit in grid-adjacent cells (the Hilbert continuity
+    // property — Z-order fails this: its quadrant seams jump)
+    val cells = for (i <- 0 until 32; j <- 0 until 32)
+      yield (i.toLong * 2048L, j.toLong * 2048L)
+    val d = cells.toDF("x", "y")
+      .selectExpr("x", "y", "graft_hilbert(x, y) AS d")
+      .collect()
+      .map(r => (r.getLong(2) / (2048L * 2048L), r.getLong(0) / 2048L,
+        r.getLong(1) / 2048L))
+      .sortBy(_._1)
+    assert(d.map(_._1).toSeq == (0L until 1024L), "block ids must be 0..1023")
+    d.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x2 - x1) + math.abs(y2 - y1) == 1L,
+        s"curve step ($x1,$y1)->($x2,$y2) is not grid-adjacent")
+    }
+  }
+
   test("native expressions stay inside whole-stage codegen spans") {
     val df = graft.sources.Tables.documents(spark, sfDir)
       .withColumn("toks", expr("split(trim(text), '\\\\s+')"))

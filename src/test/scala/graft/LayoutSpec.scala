@@ -73,6 +73,32 @@ class LayoutSpec extends SparkSpec {
     assert(avg(zs) < 0.85 * avg(ps), s"suppkey ${avg(zs)} vs ${avg(ps)}")
   }
 
+  test("scan-prune report: curve layouts dominate natural order on the 2-d predicate") {
+    val s = spark; import org.apache.spark.sql.functions._
+    // sf0.01 -> 8 simulated row groups: coarse, but the orderings
+    // already separate (finer granularity only widens the gap)
+    val rows = Layout.scanPruneReport(s, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(6)).toMap
+    assert(rows.size == 12, s"4 layouts x 3 predicates, got ${rows.size}")
+    // natural/insertion order: every group spans both full key ranges,
+    // so a min/max-pruning reader opens everything
+    assert(rows(("natural", "pk_band")) == 1.0 &&
+      rows(("natural", "both_bands")) == 1.0, rows.toString)
+    // the single-key sort prunes its own key hard but is blind to the
+    // other key
+    assert(rows(("sort_partkey", "pk_band")) <= 0.5)
+    assert(rows(("sort_partkey", "sk_band")) == 1.0)
+    // both space-filling curves keep the 5% partkey band and the 2-d
+    // box to a fraction of the groups (top curve bits follow the
+    // wider key's high bits)
+    for (l <- Seq("zorder", "hilbert")) {
+      assert(rows((l, "pk_band")) <= 0.5, s"$l pk_band ${rows((l, "pk_band"))}")
+      assert(rows((l, "both_bands")) <= rows((l, "pk_band")) &&
+        rows((l, "both_bands")) < rows(("natural", "both_bands")),
+        s"$l both_bands ${rows((l, "both_bands"))}")
+    }
+  }
+
   test("compaction collapses the fragmented landing files into few sorted ones") {
     val s = spark
     Layout.layoutCompact(s, sfDir).collect() // forces staging
