@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Accumulator, Behavioral, Bpe, Dedup, Experimentation, RelationalTpch, EmbedPq, Graph, Iterators, Layout, Multimodal, Pipeline, Relational, Similarity, SimilarityIvf, SimilarityKnn, Sequences, SourceFormats, TextAnalysis}
+import graft.operators.{Accumulator, Behavioral, Bpe, Dedup, Experimentation, RelationalTpch, EmbedPq, Graph, Iterators, Layout, Multimodal, Pipeline, QualityModel, Relational, Similarity, SimilarityIvf, SimilarityKnn, Sequences, SourceFormats, TextAnalysis}
 import graft.streaming.{StreamAcc, StreamOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -29,6 +29,7 @@ object SparkEntry {
     "SimilarityKnn" -> (SimilarityKnn.queries, SimilarityKnn.oracles),
     "EmbedPq" -> (EmbedPq.queries, EmbedPq.oracles),
     "Pipeline" -> (Pipeline.queries, Pipeline.oracles),
+    "QualityModel" -> (QualityModel.queries, QualityModel.oracles),
     "Bpe" -> (Bpe.queries, Bpe.oracles),
     "Layout" -> (Layout.queries, Layout.oracles),
     "Multimodal" -> (Multimodal.queries, Multimodal.oracles),
