@@ -1924,7 +1924,98 @@ object Pipeline {
        |FROM ck JOIN occ ON ck.chunk = occ.chunk
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // sample_kcenter — diversity sampling by farthest-point traversal
+  // ------------------------------------------------------------------
+
+  /** Centers selected by [[sampleKcenter]]. */
+  val kCenters = 8
+
+  /** §2.8 — greedy k-center (farthest-point traversal) over the
+    * embedding table: the DIVERSITY sampler next to the frequency/
+    * quality ones (38-38g) — pick the point farthest from everything
+    * chosen so far, k times. The classic 2-approximation to the
+    * k-center objective, and the shape coreset/`diverse subset`
+    * selection takes in curation pipelines (cover the embedding
+    * space, don't resample the dense blob).
+    *
+    * Distribution shape: each round is ONE row-local pass over the
+    * staged corpus — min-distance to the (broadcast-literal) chosen
+    * centers, then a bounded top-1 — so k centers cost k linear
+    * passes, never a corpus self-join. Driver state = k (vector,
+    * norm) pairs, PQ-codebook-bounded. Distances are squared-L2 via
+    * the codegen'd graft_dot (same left-to-right order as DuckDB's
+    * list kernel), 1e-6-quantized before every comparison, ties by
+    * vec_id — fully deterministic, so the oracle replays the greedy
+    * loop in unrolled MATERIALIZED CTEs to the identical center set.
+    * Output: (round, vec_id, radius) — the selection's max-min
+    * distance sequence, non-increasing by the greedy invariant (the
+    * k-center "coverage radius" curve a curator reads to pick k). */
+  def sampleKcenter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    import graft.functions.VectorFns
+    val cv = Tables.embeddings(s, dir)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .withColumn("n2", expr(VectorFns.dot("v", "v")))
+      .localCheckpoint()
+    val first = cv.orderBy($"vec_id").limit(1).collect()(0)
+    // (id, vector, |v|^2, selection radius)
+    val centers = scala.collection.mutable.ArrayBuffer[
+      (Long, Array[Double], Double, Option[Double])](
+      (first.getLong(0), first.getSeq[Double](1).toArray, first.getDouble(2), None))
+    for (_ <- 2 to kCenters) {
+      val dmin = centers.map { case (_, vc, n2c, _) =>
+        rnd($"n2" + lit(n2c) - lit(2.0) *
+          call_function("graft_dot", lit(vc), $"v"), 6)
+      }.reduce(least(_, _))
+      val chosen = centers.map(_._1)
+      val r = cv.filter(!$"vec_id".isin(chosen.toSeq: _*))
+        .select($"vec_id", $"v", $"n2", dmin.as("dmin"))
+        .orderBy($"dmin".desc, $"vec_id").limit(1).collect()(0)
+      centers += ((r.getLong(0), r.getSeq[Double](1).toArray,
+        r.getDouble(2), Some(r.getDouble(3))))
+    }
+    centers.toSeq.zipWithIndex
+      .map { case ((id, _, _, rad), i) => (i + 1, id, rad) }
+      .toDF("round", "vec_id", "radius")
+      .orderBy($"round")
+  }
+
+  lazy val sampleKcenterSql: String = {
+    import graft.functions.Agg.rndSql
+    def d2(c: String) =
+      rndSql(s"n.n2 + $c.n2 - 2 * list_dot_product($c.v, n.v)", 6)
+    val head =
+      """v0 AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS MATERIALIZED (
+        |  SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM v0),
+        |c1 AS MATERIALIZED (
+        |  SELECT vec_id, v, n2 FROM n ORDER BY vec_id LIMIT 1)""".stripMargin
+    val rounds = (2 to kCenters).map { r =>
+      val prev = (1 until r).map(i => s"c$i")
+      val dmin = prev.map(d2).reduce((a, b) => s"least($a, $b)")
+      val notIn = prev.map(c => s"SELECT vec_id FROM $c").mkString(" UNION ALL ")
+      s"""c$r AS MATERIALIZED (
+         |  SELECT n.vec_id, n.v, n.n2, $dmin AS dmin
+         |  FROM n, ${prev.mkString(", ")}
+         |  WHERE n.vec_id NOT IN ($notIn)
+         |  ORDER BY dmin DESC, n.vec_id LIMIT 1)""".stripMargin
+    }
+    val uni = (Seq(
+      "SELECT 1 AS round, vec_id, CAST(NULL AS DOUBLE) AS radius FROM c1") ++
+      (2 to kCenters).map(r => s"SELECT $r, vec_id, dmin FROM c$r"))
+      .mkString("\n  UNION ALL ")
+    s"""WITH $head,
+       |${rounds.mkString(",\n")}
+       |$uni
+       |ORDER BY round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_kcenter"    -> (sampleKcenter _),
     "corpus_chunk"      -> (corpusChunk _),
     "corpus_cdc_chunk"  -> (corpusCdcChunk _),
     "dedup_cdc"         -> (dedupCdc _),
@@ -1960,6 +2051,7 @@ object Pipeline {
   )
 
   def oracles: Map[String, String] = Map(
+    "sample_kcenter"    -> sampleKcenterSql,
     "corpus_chunk"      -> corpusChunkSql,
     "corpus_cdc_chunk"  -> corpusCdcChunkSql,
     "dedup_cdc"         -> dedupCdcSql,

@@ -554,4 +554,37 @@ class PipelineSpec extends SparkSpec {
       .select($"user_id").distinct().count()
     assert(sampled.size < nUsers / 2, s"${sampled.size} of $nUsers selected — not a sample")
   }
+
+  test("k-center traversal covers every separated cluster before densifying") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcenter").toString
+    // four tight clusters at the corners of a far-apart square: the
+    // farthest-point traversal MUST visit all four clusters in its
+    // first four picks (any sampler that prefers density would not),
+    // and only then start refining within clusters
+    val corners = Seq((0f, 0f), (100f, 0f), (0f, 100f), (100f, 100f))
+    val vecs = for {
+      (c, ci) <- corners.zipWithIndex
+      j <- 0 until 10
+    } yield (ci * 10L + j,
+      Array(c._1 + (j % 3) * 0.1f, c._2 + (j % 5) * 0.1f, 0f, 0f), ci.toLong)
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Pipeline.sampleKcenter(s, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    assert(rows.length == Pipeline.kCenters)
+    val clusterOf = rows.map(_._2 / 10L)
+    assert(clusterOf.take(4).distinct.length == 4,
+      s"first 4 picks must hit all 4 clusters: ${rows.mkString(", ")}")
+    // greedy invariant: the max-min coverage radius never increases
+    val radii = rows.flatMap(_._3)
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"radius increased: $a -> $b in ${radii.mkString(",")}")
+    }
+    // after the 4 corners the radius collapses from cross-cluster
+    // (~100^2) to within-cluster (<1) scale
+    assert(radii(2) > 1000.0 && radii(3) < 1.0, radii.mkString(","))
+  }
 }
