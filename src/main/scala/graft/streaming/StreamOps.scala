@@ -651,6 +651,93 @@ object StreamOps {
       |  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL '30 minutes'
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** Effective time of the SCD2 change batch for [[scd2EnrichStream]]:
+    * 2024-01-15 00:00:00 UTC — the MIDDLE of the events window, so the
+    * temporal join visibly resolves different versions on the two
+    * sides of the change. */
+  val scd2JoinEffUs: Long = 1705276800000000L
+
+  /** The versioned dimension the stream enriches against: customer
+    * segments with one change batch applied at [[scd2JoinEffUs]]
+    * (same construction as the batch SCD2 merge, 24m — every 7th
+    * customer moves to MACHINERY-2). Bounded: |customer| × ~1.1
+    * versions. */
+  private[graft] def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = graft.sources.Tables.customer(s, dir)
+      .select($"c_custkey", $"c_mktsegment".as("segment"),
+        lit(0L).as("valid_from_us"))
+    val changed = dim.filter($"c_custkey" % 7 === 3)
+    dim.join(broadcast(changed.select($"c_custkey")), Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", $"segment", $"valid_from_us",
+        lit(null).cast("long").as("valid_to_us"))
+      .unionByName(changed.select($"c_custkey", $"segment", $"valid_from_us",
+        lit(scd2JoinEffUs).as("valid_to_us")))
+      .unionByName(changed.select($"c_custkey", lit("MACHINERY-2").as("segment"),
+        lit(scd2JoinEffUs).as("valid_from_us"),
+        lit(null).cast("long").as("valid_to_us")))
+  }
+
+  /** §2.3 — stream-STATIC temporal join against the SCD2 dimension:
+    * every purchase enriched with the dimension version VALID AT ITS
+    * EVENT TIME (valid_from ≤ t < valid_to), not the current one —
+    * the lookup production enrichment needs the moment a dimension
+    * becomes versioned (joining `is_current` would misattribute every
+    * event that predates the change). Stream-static joins are
+    * STATELESS (each micro-batch joins the static snapshot; no
+    * watermark, no state store), and the dimension broadcasts — at
+    * 100 TB/day of events the stream never shuffles, which is the
+    * whole reason dimension enrichment scales. SCD2 contiguity
+    * guarantees exactly one version matches per event (spec-pinned:
+    * output rows == input purchases). */
+  def scd2EnrichStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val purchases = StreamAcc.eventsStream(s, dir)
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("event_us"))
+    purchases.join(broadcast(scd2Dim(s, dir)),
+      $"user_id" === $"c_custkey" &&
+        $"event_us" >= $"valid_from_us" &&
+        ($"valid_to_us".isNull || $"event_us" < $"valid_to_us"))
+      .select($"event_id", $"user_id", $"event_us", $"segment",
+        $"valid_from_us")
+  }
+
+  def runScd2EnrichToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_scd2"): DataFrame = {
+    val q = scd2EnrichStream(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("event_id"))
+  }
+
+  /** Oracle: the identical batch temporal join. */
+  val scd2EnrichSql: String =
+    s"""WITH dim AS (
+       |  SELECT c_custkey, c_mktsegment AS segment,
+       |    CAST(0 AS BIGINT) AS valid_from_us, CAST(NULL AS BIGINT) AS valid_to_us
+       |  FROM customer WHERE c_custkey % 7 <> 3
+       |  UNION ALL
+       |  SELECT c_custkey, c_mktsegment, CAST(0 AS BIGINT),
+       |    CAST($scd2JoinEffUs AS BIGINT)
+       |  FROM customer WHERE c_custkey % 7 = 3
+       |  UNION ALL
+       |  SELECT c_custkey, 'MACHINERY-2', CAST($scd2JoinEffUs AS BIGINT),
+       |    CAST(NULL AS BIGINT)
+       |  FROM customer WHERE c_custkey % 7 = 3),
+       |p AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS event_us
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT p.event_id, p.user_id, p.event_us, d.segment, d.valid_from_us
+       |FROM p JOIN dim d
+       |  ON p.user_id = d.c_custkey
+       |  AND p.event_us >= d.valid_from_us
+       |  AND (d.valid_to_us IS NULL OR p.event_us < d.valid_to_us)
+       |ORDER BY event_id""".stripMargin
+
   /** §2.4 #29h — streaming ordered funnel (the CEP pattern): per-user
     * state machine over view → click → purchase with the batch
     * [[graft.operators.Behavioral.qFunnel]] semantics (strictly-after
@@ -1282,6 +1369,8 @@ object StreamOps {
       runDedupExactToCompletion(s, dir, sink = "stream_dedup_verify")),
     "stream_latest_state" -> ((s, dir) =>
       runLatestStateToCompletion(s, dir, sink = "stream_latest_verify")),
+    "stream_scd2_join" -> ((s, dir) =>
+      runScd2EnrichToCompletion(s, dir, sink = "stream_scd2_verify")),
     "stream_attribution_join" -> ((s, dir) =>
       runAttributionToCompletion(s, dir, sink = "stream_attrib_verify")),
     "stream_attribution_outer" -> ((s, dir) =>
@@ -1344,6 +1433,7 @@ object StreamOps {
     // run to completion, the struct-max merge equals the batch argmax
     // row per user under the same (ts, event_id) tiebreak
     "stream_latest_state" -> latestStateSql,
+    "stream_scd2_join" -> scd2EnrichSql,
     "stream_attribution_join" -> attributionJoinSql,
     "stream_attribution_outer" -> attributionOuterJoinSql,
     // incremental exact counts run to completion equal the batch

@@ -498,4 +498,33 @@ class StreamOpsSpec extends SparkSpec {
       "fallback-encoded words must match their lexicon encoding exactly")
     assert(viaLex.nonEmpty)
   }
+
+  test("scd2 stream enrichment resolves the version valid at event time") {
+    val s = spark
+    import s.implicits._
+    val out = StreamOps.runScd2EnrichToCompletion(s, sfDir,
+      sink = "stream_scd2_spec").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val purchases = graft.sources.Tables.events(s, sfDir)
+      .filter($"event_type" === "purchase").count()
+    // SCD2 contiguity: exactly ONE version matches every purchase —
+    // no drops (gap) and no duplicates (overlap)
+    assert(out.length == purchases, s"${out.length} vs $purchases")
+    assert(out.map(_._1).distinct.length == out.length, "duplicate event_id")
+    // changed users (custkey % 7 == 3) split on the effective time:
+    // the pre-change purchase reads the ORIGINAL segment, the
+    // post-change one the new version
+    val changed = out.filter(_._2 % 7 == 3)
+    assert(changed.nonEmpty)
+    val (before, after) =
+      changed.partition(_._3 < StreamOps.scd2JoinEffUs)
+    assert(before.nonEmpty && after.nonEmpty,
+      "events must straddle the mid-window change")
+    assert(before.forall(_._4 != "MACHINERY-2"),
+      s"pre-change event got the new version: ${before.find(_._4 == "MACHINERY-2")}")
+    assert(after.forall(_._4 == "MACHINERY-2"),
+      s"post-change event kept the old version: ${after.find(_._4 != "MACHINERY-2")}")
+    // unchanged users never see the synthetic segment
+    assert(out.filter(_._2 % 7 != 3).forall(_._4 != "MACHINERY-2"))
+  }
 }
