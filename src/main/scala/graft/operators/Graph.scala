@@ -853,6 +853,101 @@ object Graph {
   }
 
   // ------------------------------------------------------------------
+  // graph_harmonic — sampled-source harmonic centrality
+  // ------------------------------------------------------------------
+
+  /** Sources (highest-degree hubs) and hop horizon for
+    * [[graphHarmonic]]. */
+  val harmonicSources = 4
+  val harmonicRounds = 4
+
+  /** §2.12 — sampled-source harmonic centrality: hc(v) = Σ_s 1/d(s,v)
+    * over the [[harmonicSources]] highest-degree hubs within a
+    * [[harmonicRounds]]-hop horizon — the centrality ranking that,
+    * unlike closeness, stays defined on disconnected graphs (the
+    * standard k-source approximation; exact all-pairs is quadratic
+    * and not a 100 TB shape). PER-SOURCE distances: BFS state keyed
+    * (node, src) — [[graphBfs]]'s loop with a compound frontier, so
+    * each round is still ONE edges⋈frontier shuffle (frontier ≤
+    * |V|·k rows) and the lineage is cut per round. The 1/d terms are
+    * EXACT integer micro-units (1000000 div d) — no float anywhere,
+    * so cross-engine equality is trivial rather than engineered. */
+  def graphHarmonic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = strongEdges(s, dir)
+    val edges = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+      .repartition($"src").localCheckpoint(true)
+    val seeds = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      .orderBy($"deg".desc, $"node").limit(harmonicSources)
+      .select($"node")
+    var dist = seeds.select($"node", $"node".as("source"),
+      lit(0L).as("depth")).localCheckpoint(true)
+    var frontier = dist.select($"node", $"source")
+    for (i <- 1 to harmonicRounds) {
+      val next = edges.join(frontier, $"src" === $"node")
+        .select($"dst".as("node"), $"source").distinct()
+        .join(dist, Seq("node", "source"), "left_anti")
+        .withColumn("depth", lit(i.toLong))
+        .localCheckpoint(true)
+      dist = dist.unionAll(next).localCheckpoint(true)
+      frontier = next.select($"node", $"source")
+    }
+    val hc = dist.filter($"depth" > 0L)
+      .groupBy($"node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div depth")).as("harmonic_micro"))
+    Tables.part(s, dir).select($"p_partkey".as("part_id"))
+      .join(hc.withColumnRenamed("node", "part_id"), Seq("part_id"), "left")
+      .select($"part_id",
+        coalesce($"n_reached", lit(0L)).as("n_reached"),
+        coalesce($"harmonic_micro", lit(0L)).as("harmonic_micro"))
+      .orderBy($"part_id")
+  }
+
+  val graphHarmonicSql: String = {
+    val rounds = (1 to harmonicRounds).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node, f.source
+         |  FROM edges e JOIN f${i - 1} f ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM d${i - 1} d
+         |    WHERE d.node = e.dst AND d.source = f.source)),
+         |d$i AS MATERIALIZED (
+         |  SELECT node, source, depth FROM d${i - 1}
+         |  UNION ALL
+         |  SELECT node, source, $i AS depth FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT a.l_orderkey) >= $triangleMinSupport),
+       |edges AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM e0
+       |  UNION ALL
+       |  SELECT v, u FROM e0),
+       |deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |s AS (
+       |  SELECT node FROM (
+       |    SELECT node, row_number() OVER (ORDER BY deg DESC, node) AS rn
+       |    FROM deg) WHERE rn <= $harmonicSources),
+       |d0 AS MATERIALIZED (SELECT node, node AS source, 0 AS depth FROM s),
+       |f0 AS MATERIALIZED (SELECT node, node AS source FROM s),
+       |$rounds,
+       |hc AS (
+       |  SELECT node, count(*) AS n_reached,
+       |    CAST(sum(1000000 // depth) AS BIGINT) AS harmonic_micro
+       |  FROM d$harmonicRounds WHERE depth > 0 GROUP BY node)
+       |SELECT p.p_partkey AS part_id,
+       |  coalesce(hc.n_reached, 0) AS n_reached,
+       |  coalesce(hc.harmonic_micro, 0) AS harmonic_micro
+       |FROM part p LEFT JOIN hc ON p.p_partkey = hc.node
+       |ORDER BY part_id""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // graph_random_walk — deterministic PRF walks (embedding-training pairs)
   // ------------------------------------------------------------------
 
@@ -942,6 +1037,7 @@ object Graph {
     "graph_random_walk"      -> (graphRandomWalk _),
     "graph_modularity"       -> (graphModularity _),
     "graph_bfs"              -> (graphBfs _),
+    "graph_harmonic"         -> (graphHarmonic _),
     "graph_link_predict"     -> (graphLinkPredict _),
     "graph_neighbor_sim"     -> (graphNeighborSim _),
     "graph_pagerank"         -> (graphPagerank _),
@@ -957,6 +1053,7 @@ object Graph {
     "graph_random_walk"      -> graphRandomWalkSql,
     "graph_modularity"       -> graphModularitySql,
     "graph_bfs"              -> graphBfsSql,
+    "graph_harmonic"         -> graphHarmonicSql,
     "graph_link_predict"     -> graphLinkPredictSql,
     "graph_neighbor_sim"     -> graphNeighborSimSql,
     "graph_pagerank"         -> graphPagerankSql,

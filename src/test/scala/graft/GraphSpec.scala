@@ -272,4 +272,27 @@ class GraphSpec extends SparkSpec {
         assert(du >= 0, s"($u) unreached next to depth-$dv ($v)")
     }
   }
+
+  test("harmonic centrality: bounded terms, zero iff unreached, hubs dominate") {
+    val s = spark
+    val rows = Graph.graphHarmonic(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val parts = graft.sources.Tables.part(s, sfDir).count()
+    assert(rows.length == parts)
+    rows.foreach { case (id, nr, hm) =>
+      assert(nr >= 0 && nr <= Graph.harmonicSources, s"$id n_reached $nr")
+      // each reached source contributes at most 1/1 = 1e6 micro-units
+      assert(hm <= nr * 1000000L, s"$id harmonic $hm for $nr sources")
+      assert((nr == 0L) == (hm == 0L), s"$id inconsistent ($nr, $hm)")
+    }
+    val reached = rows.filter(_._2 > 0)
+    assert(reached.nonEmpty, "no node reached any source")
+    // nodes adjacent to every source (full depth-1 coverage) must
+    // outrank any node that misses a source — holds whenever some
+    // node reaches all k at distance 1
+    val full = rows.filter(_._3 == Graph.harmonicSources * 1000000L)
+    val partial = rows.filter(_._2 < Graph.harmonicSources).map(_._3)
+    if (full.nonEmpty && partial.nonEmpty)
+      assert(full.map(_._3).max > partial.max)
+  }
 }
