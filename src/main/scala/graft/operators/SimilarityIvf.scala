@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Agg.{dsum, rndSql}
+import graft.functions.Agg.{dsum, rnd, rndSql}
 import graft.functions.VectorFns
 
 /** §2.5 IVF (inverted-file) ANN — the second scale path next to
@@ -207,6 +207,132 @@ object SimilarityIvf {
        |QUALIFY rank <= ${Similarity.k}
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---- ann_ivf_probe_sweep — the nprobe tuning curve ---------------
+
+  /** nprobe values swept (up to [[nlist]] = exhaustive scan). */
+  val probeSweep: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** §2.5 — the IVF TUNING CURVE: recall@k against the exact
+    * brute-force truth and the scanned-corpus fraction, per nprobe in
+    * [[probeSweep]] — the measurement an operator reads to trade
+    * latency for recall before an index serves anything (the ANN
+    * sibling of dedup_threshold_sweep). Probe rankings compute once
+    * per query against the staged centroids (driver-bounded:
+    * nQueries × nlist); each sweep point reuses them with a prefix
+    * filter, so the sweep costs |sweep| bounded candidate joins over
+    * the staged assignment — never a corpus rescan per point. The
+    * p = nlist row scans everything and must land recall = 1.0
+    * exactly, which the spec pins as the curve's anchor. */
+  def annIvfProbeSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, assigned) = kmeans(s, dir)
+    val maxP = probeSweep.max
+    val probes = vectors(s, dir)
+      .filter($"vec_id" < Similarity.nQueries)
+      .withColumn("cents", typedLit(cents))
+      .withColumn("probes",
+        expr(s"""transform(slice(array_sort(
+                |  transform(sequence(0, ${nlist - 1}), i -> named_struct(
+                |    's', element_at(transform(cents, c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(v, c)), i + 1),
+                |    'c', i))), 1, $maxP), p -> p.c)""".stripMargin))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        posexplode($"probes").as(Seq("prank", "cid")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2),
+        r.getInt(3) + 1, r.getInt(4)))
+    val truth = Similarity.annBruteforce(s, dir)
+      .select($"query_id", $"neighbor_id").localCheckpoint()
+    val corpus = assigned.agg(count(lit(1)).as("n_corpus"))
+    val denomK = (Similarity.nQueries * Similarity.k).toDouble
+    probeSweep.map { p =>
+      val probesDf = broadcast(probes.filter(_._4 <= p).toSeq
+        .toDF("query_id", "qv", "qnrm", "prank", "cid"))
+      val cand = assigned.join(probesDf,
+          assigned("cid") === probesDf("cid") && $"vec_id" =!= $"query_id")
+        .dropDuplicates("query_id", "vec_id")
+      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+      val topk = cand
+        .withColumn("cosine",
+          expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= Similarity.k)
+        .select($"query_id", $"vec_id".as("neighbor_id"))
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nHit = topk.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      nCand.crossJoin(nHit).crossJoin(broadcast(corpus))
+        .select(lit(p).as("nprobe"), $"n_candidates",
+          rnd($"n_candidates".cast("double") /
+            (lit(Similarity.nQueries.toLong) * $"n_corpus").cast("double"), 6)
+            .as("scan_frac"),
+          $"n_hits",
+          rnd($"n_hits".cast("double") / lit(denomK), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy($"nprobe")
+  }
+
+  /** Oracle: shared MATERIALIZED assignment/probe-ranking/truth CTEs
+    * + one candidate/metric pair per sweep point. */
+  def annIvfProbeSweepSql(glob: String): String = {
+    val k = Similarity.k
+    val nq = Similarity.nQueries
+    val perP = probeSweep.map { p =>
+      s"""cand$p AS MATERIALIZED (
+         |  SELECT DISTINCT pr.query_id, a.vec_id AS neighbor_id
+         |  FROM probesall pr JOIN assigned a ON a.cid = pr.cid
+         |  WHERE pr.rn <= $p AND a.vec_id <> pr.query_id),
+         |top$p AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT c.query_id, c.neighbor_id,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY ${rndSql("list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)", 6)} DESC,
+         |          c.neighbor_id) AS rank
+         |    FROM cand$p c JOIN n qn ON qn.vec_id = c.query_id
+         |                  JOIN n cn ON cn.vec_id = c.neighbor_id)
+         |  WHERE rank <= $k),
+         |m$p AS (
+         |  SELECT $p AS nprobe,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand$p) AS n_candidates,
+         |    ${rndSql(s"CAST((SELECT count(*) FROM cand$p) AS DOUBLE) / CAST($nq * (SELECT count(*) FROM embeddings) AS DOUBLE)", 6)} AS scan_frac,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM top$p t
+         |      JOIN truth USING (query_id, neighbor_id)) AS n_hits,
+         |    ${rndSql(s"CAST((SELECT count(*) FROM top$p t JOIN truth USING (query_id, neighbor_id)) AS DOUBLE) / CAST(${nq * k} AS DOUBLE)", 6)} AS recall)""".stripMargin
+    }.mkString(",\n")
+    val metricUnion = probeSweep.map(p => s"SELECT * FROM m$p")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cents AS (SELECT cid, c FROM read_parquet('$glob')),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |scoredc AS MATERIALIZED (
+       |  SELECT n.vec_id, cents.cid,
+       |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(n.v, cents.c) AS s
+       |  FROM n, cents),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM scoredc)
+       |  WHERE rn = 1),
+       |probesall AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cid, rn FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM scoredc WHERE vec_id < $nq)
+       |  WHERE rn <= ${probeSweep.max}),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${rndSql("list_dot_product(q.v, c.v) / (q.nrm * c.nrm)", 6)} DESC,
+       |          c.vec_id) AS rank
+       |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $nq)
+       |  WHERE rank <= $k),
+       |$perP
+       |$metricUnion
+       |ORDER BY nprobe""".stripMargin
+  }
+
   // ---- incremental index maintenance (the 29d pattern on ANN) -----
 
   /** Continuous-ingest split: vectors with `vec_id % mod == rem`
@@ -350,6 +476,7 @@ object SimilarityIvf {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf"           -> (annIvf _),
+    "ann_ivf_probe_sweep" -> (annIvfProbeSweep _),
     "ivf_cluster_sizes" -> (ivfClusterSizes _),
     "embed_cluster_purity" -> (embedClusterPurity _),
     "ann_ivf_append"    -> (annIvfAppend _)
@@ -358,6 +485,7 @@ object SimilarityIvf {
   def oracles: Map[String, String] =
     (graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
       "ann_ivf"           -> annIvfSql(g),
+      "ann_ivf_probe_sweep" -> annIvfProbeSweepSql(g),
       "ivf_cluster_sizes" -> ivfClusterSizesSql(g),
       "embed_cluster_purity" -> embedClusterPuritySql(g))) ++
      graft.sources.OracleStage.globOf("ivf_corpus_centroids").toSeq.map(g =>

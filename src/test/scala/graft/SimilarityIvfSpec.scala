@@ -110,4 +110,18 @@ class SimilarityIvfSpec extends SparkSpec {
       assert(math.abs(purity - nTop.toDouble / n) < 1e-5)
     }
   }
+
+  test("probe sweep: recall rises with scan fraction and anchors at 1.0") {
+    val rows = SimilarityIvf.annIvfProbeSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == SimilarityIvf.probeSweep)
+    rows.sliding(2).foreach { case Array((p1, s1, r1), (p2, s2, r2)) =>
+      assert(s1 < s2, s"scan_frac must rise: p$p1 $s1 vs p$p2 $s2")
+      assert(r1 <= r2, s"recall must not fall: p$p1 $r1 vs p$p2 $r2")
+    }
+    // nprobe = nlist scans every list: the exact result by definition
+    assert(rows.last._3 == 1.0, s"exhaustive recall ${rows.last._3}")
+    assert(rows.head._2 < 0.5, s"nprobe=1 should scan a fraction: ${rows.head._2}")
+  }
 }
