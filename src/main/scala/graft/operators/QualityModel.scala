@@ -64,18 +64,21 @@ object QualityModel {
   // ------------------------------------------------------------------
 
   /** The three metrics in 1e-6 QUANTA (exact integers) + the 1e-4
-    * quality quanta the label derives from. Row-local. */
-  private def rawFeatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    TextAnalysis.withQualityMetrics(
-        Tables.documents(s, dir).withColumn("toks", expr(TextAnalysis.toksExpr)))
+    * quality quanta the label derives from. Row-local — works on any
+    * documents-shaped frame, batch or stream. */
+  private def rawFeaturesOf(docs: DataFrame): DataFrame = {
+    TextAnalysis.withQualityMetrics(docs.withColumn("toks", expr(TextAnalysis.toksExpr)))
       .select(
-        quantize($"stop_ratio", 6).as("q1"),
-        quantize($"ttr", 6).as("q2"),
-        quantize($"len_score", 6).as("q3"),
-        quantize(lit(0.4) * (lit(1.0) - $"stop_ratio") + lit(0.4) * $"ttr" +
-          lit(0.2) * $"len_score", 4).as("qq"))
+        col("doc_id"),
+        quantize(col("stop_ratio"), 6).as("q1"),
+        quantize(col("ttr"), 6).as("q2"),
+        quantize(col("len_score"), 6).as("q3"),
+        quantize(lit(0.4) * (lit(1.0) - col("stop_ratio")) + lit(0.4) * col("ttr") +
+          lit(0.2) * col("len_score"), 4).as("qq"))
   }
+
+  private def rawFeatures(s: SparkSession, dir: String): DataFrame =
+    rawFeaturesOf(Tables.documents(s, dir))
 
   /** DuckDB rendering of [[rawFeatures]] (CTEs `t`, `raw`). */
   private def rawFeaturesSql: String = {
@@ -83,10 +86,10 @@ object QualityModel {
     def q(e: String, scale: Long) =
       s"floor(($e) * $scale + CAST(0.5 AS DOUBLE))"
     s"""t AS (
-       |  SELECT $toks AS toks, len($toks) AS n_tokens
+       |  SELECT doc_id, $toks AS toks, len($toks) AS n_tokens
        |  FROM documents),
        |raw AS MATERIALIZED (
-       |  SELECT
+       |  SELECT doc_id,
        |    ${q("CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) / n_tokens", 1000000L)} AS q1,
        |    ${q("CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens", 1000000L)} AS q2,
        |    ${q("least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)", 1000000L)} AS q3,
@@ -133,19 +136,36 @@ object QualityModel {
 
   /** (z1, z2, z3, y): standardized features (1e-6-requantized) and
     * the above-mean-quality label; staged once per dataset. */
+  /** The standardized columns z1..z3 for a frame carrying q1..q3. */
+  private def zCols(st: Stats): Seq[Column] =
+    (1 to 3).map { j =>
+      rnd((col(s"q$j") - lit(st.mu(j - 1))) / lit(st.sd(j - 1)), 6)
+        .as(s"z$j")
+    }
+
   private[graft] def features(s: SparkSession, dir: String): DataFrame =
     featStage.getOrElseUpdate(dir, {
       import s.implicits._
       val st = stats(s, dir)
-      val zs = (1 to 3).map { j =>
-        rnd((col(s"q$j") - lit(st.mu(j - 1))) / lit(st.sd(j - 1)), 6)
-          .as(s"z$j")
-      }
       rawFeatures(s, dir)
-        .select(zs :+
+        .select(zCols(st) :+
           when($"qq" > lit(st.qmean), lit(1.0)).otherwise(lit(0.0)).as("y"): _*)
         .localCheckpoint()
     })
+
+  /** Score any documents-shaped frame (batch or STREAM — everything
+    * here is row-local against driver-literal weights and moments,
+    * the model-serving path): per doc, the calibrated probability and
+    * the keep verdict. */
+  private[graft] def scoreDocs(s: SparkSession, dir: String,
+                               docs: DataFrame): DataFrame = {
+    val st = stats(s, dir)
+    val (w, _) = trainedWeights(s, dir)
+    val z = rawFeaturesOf(docs).select(col("doc_id") +: zCols(st): _*)
+    val m = margin(w)
+    z.select(col("doc_id"), rnd(sigmoid(m), 6).as("score"),
+      when(m > lit(0.0), lit(1L)).otherwise(lit(0L)).as("keep"))
+  }
 
   /** Oracle CTEs mirroring [[stats]] + [[features]]: `st` (one row of
     * μ/σ/threshold) and `f` (standardized features + label). */
@@ -312,6 +332,24 @@ object QualityModel {
        |  ${rndSql(s"CAST(${countIfSql("y = CAST(1 AS DOUBLE)")} AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS pos_rate
        |FROM scored
        |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Batch oracle for the streaming scorer: replay training, then the
+    * identical per-doc z/margin arithmetic keyed by doc_id. */
+  val qualityScoreSql: String = {
+    val zs = (1 to 3).map { j =>
+      s"${rndSql(s"(raw.q$j - st.mu$j) / st.sd$j", 6)} AS z$j"
+    }.mkString(",\n    ")
+    val m = s"(w.w0 + w.w1 * z.z1 + w.w2 * z.z2 + w.w3 * z.z3)"
+    val pp = s"(CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) * $m / " +
+      s"(CAST(1 AS DOUBLE) + abs($m)))"
+    s"""WITH $trainCtes,
+       |z AS (SELECT raw.doc_id, $zs FROM raw, st)
+       |SELECT z.doc_id, ${rndSql(pp, 6)} AS score,
+       |  CASE WHEN $m > CAST(0 AS DOUBLE) THEN CAST(1 AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS keep
+       |FROM z, w$gdRounds w
+       |ORDER BY z.doc_id""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

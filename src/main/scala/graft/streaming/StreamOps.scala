@@ -184,6 +184,31 @@ object StreamOps {
     graft.operators.Pipeline.qualityFilterOn(stream, canon)
   }
 
+  /** §2.8/streaming — the trained quality model SERVED on the ingest
+    * stream: the batch-trained logistic regression (45p) scores each
+    * arriving document row-locally — weights and standardization
+    * moments are driver literals (trained/memoized batch-side, like
+    * the BPE lexicon broadcast), so the streaming plan has NO state
+    * store, no aggregation, no shuffle: pure stateless projection,
+    * the model-serving path a production gate runs at 100 TB/day.
+    * Scores are bit-identical to batch scoring by construction (all
+    * row-local IEEE arithmetic on identical literals) — the oracle
+    * replays training AND scoring in SQL. */
+  def qualityScoreStream(s: SparkSession, dir: String): DataFrame =
+    graft.operators.QualityModel.scoreDocs(s, dir,
+      StreamAcc.fileStream(s, dir, "documents"))
+
+  def runQualityScoreToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_qscore"): DataFrame = {
+    val q = qualityScoreStream(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("doc_id"))
+  }
+
   /** §2.8/streaming — continuous corpus heavy hitters: the exact
     * token-count aggregation run as a streaming aggregation over the
     * documents stream. The batch operator's Misra-Gries candidate
@@ -1371,6 +1396,8 @@ object StreamOps {
       runLatestStateToCompletion(s, dir, sink = "stream_latest_verify")),
     "stream_scd2_join" -> ((s, dir) =>
       runScd2EnrichToCompletion(s, dir, sink = "stream_scd2_verify")),
+    "stream_quality_score" -> ((s, dir) =>
+      runQualityScoreToCompletion(s, dir, sink = "stream_qscore_verify")),
     "stream_attribution_join" -> ((s, dir) =>
       runAttributionToCompletion(s, dir, sink = "stream_attrib_verify")),
     "stream_attribution_outer" -> ((s, dir) =>
@@ -1434,6 +1461,7 @@ object StreamOps {
     // row per user under the same (ts, event_id) tiebreak
     "stream_latest_state" -> latestStateSql,
     "stream_scd2_join" -> scd2EnrichSql,
+    "stream_quality_score" -> graft.operators.QualityModel.qualityScoreSql,
     "stream_attribution_join" -> attributionJoinSql,
     "stream_attribution_outer" -> attributionOuterJoinSql,
     // incremental exact counts run to completion equal the batch
