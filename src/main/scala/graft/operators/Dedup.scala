@@ -498,6 +498,76 @@ object Dedup {
       .orderBy($"doc1", $"doc2")
   }
 
+  /** Bits kept per MinHash value in the b-bit compression audit. */
+  val bbitBits = 4
+  private val bbitMask = (1L << bbitBits) - 1 // 15
+  /** Collision floor 2^-b and its complement, exact in double. */
+  private val bbitFloor = 1.0 / (1 << bbitBits) // 0.0625
+  private val bbitSpan = 1.0 - bbitFloor // 0.9375
+
+  /** §2.4 — b-bit MinHash compression audit (Li & König): keep only
+    * the low [[bbitBits]] bits of each of the 64 MinHash values —
+    * 16× smaller signatures (64×64 bits → 64×4), which at 100 TB is
+    * the difference between an index that fits executor memory and
+    * one that doesn't — and measure what the compression costs: per
+    * estimated-similarity decile of the SAME banding candidates, the
+    * mean full-precision estimate, the mean debiased b-bit estimate
+    * ((r − 2⁻ᵇ)/(1 − 2⁻ᵇ), floored at 0 — random 4-bit values collide
+    * 1/16 of the time and the correction removes exactly that), and
+    * the mean absolute gap. One pass over the staged signatures; the
+    * report is a ≤11-row frame. */
+  def dedupMinhashBbit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val banded = bandedSigs(minhashSignatures(s, dir))
+    val cand = banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"),
+        $"a.sig".as("sig1"), $"b.sig".as("sig2"))
+      .dropDuplicates("doc1", "doc2")
+    cand
+      .withColumn("est_full", expr(estJaccard("sig1", "sig2")))
+      .withColumn("est_bbit", expr(rndSql(
+        s"greatest(CAST(0 AS DOUBLE), (CAST(size(filter(zip_with(sig1, sig2, " +
+          s"(x, y) -> (x & $bbitMask) = (y & $bbitMask)), m -> m)) AS DOUBLE) " +
+          s"/ $minhashK - $bbitFloor) / $bbitSpan)", 4)))
+      .withColumn("bin", floor($"est_full" * lit(10.0)).cast("long"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr(rndSql(davgExpr("est_full"), 4)).as("mean_full"),
+        expr(rndSql(davgExpr("est_bbit"), 4)).as("mean_bbit"),
+        expr(rndSql(davgExpr("abs(est_full - est_bbit)"), 4)).as("mean_abs_err"))
+      .orderBy($"bin")
+  }
+
+  /** [[graft.functions.Agg.davg]] as a SQL fragment valid in BOTH
+    * engines (Spark parses the same text the oracle runs). */
+  private def davgExpr(e: String): String =
+    s"(CAST(sum(CAST(floor(($e) * 10000 + CAST(0.5 AS DOUBLE)) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0 / count(*))"
+
+  def dedupMinhashBbitSql(glob: String): String = {
+    val bb = s"(CAST(len(list_filter(range(1, ${minhashK + 1}), " +
+      s"i -> (s1.sig[i] & $bbitMask) = (s2.sig[i] & $bbitMask))) AS DOUBLE) " +
+      s"/ $minhashK - $bbitFloor) / $bbitSpan"
+    s"""WITH ${sigBandCtes(glob)},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT doc1, doc2,
+       |    ${estJaccardDuck("s1.sig", "s2.sig")} AS est_full,
+       |    ${rndSql(s"greatest(CAST(0 AS DOUBLE), $bb)", 4)} AS est_bbit
+       |  FROM cand JOIN sigs s1 ON cand.doc1 = s1.doc_id
+       |            JOIN sigs s2 ON cand.doc2 = s2.doc_id)
+       |SELECT CAST(floor(est_full * CAST(10 AS DOUBLE)) AS BIGINT) AS bin,
+       |  count(*) AS n_pairs,
+       |  ${rndSql(davgExpr("est_full"), 4)} AS mean_full,
+       |  ${rndSql(davgExpr("est_bbit"), 4)} AS mean_bbit,
+       |  ${rndSql(davgExpr("abs(est_full - est_bbit)"), 4)} AS mean_abs_err
+       |FROM est GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Incoming-shard membership for [[dedupIncremental]]: every 10th
     * document plays the freshly-ingested batch; the rest are the
     * persisted corpus the index is built over. */
@@ -1561,6 +1631,7 @@ object Dedup {
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_containment"   -> (dedupContainment _),
     "dedup_minhash"       -> (dedupMinhash _),
+    "dedup_minhash_bbit"  -> (dedupMinhashBbit _),
     "dedup_eval"          -> (dedupEval _),
     "dedup_threshold_sweep" -> (dedupThresholdSweep _),
     "dedup_lsh_plan"      -> (dedupLshPlan _),
@@ -1607,6 +1678,7 @@ object Dedup {
       "dedup_lsh_plan"      -> dedupLshPlanSql
     ) ++
       globOf("minhash_sigs").map(g => "dedup_minhash" -> dedupMinhashSql(g)) ++
+      globOf("minhash_sigs").map(g => "dedup_minhash_bbit" -> dedupMinhashBbitSql(g)) ++
       globOf("minhash_sigs").map(g => "dedup_eval" -> dedupEvalSql(g)) ++
       globOf("minhash_sigs").map(g => "dedup_incremental" -> dedupIncrementalSql(g)) ++
       globOf("simhash_sigs").map(g => "dedup_simhash" -> dedupSimhashSql(g)) ++

@@ -402,4 +402,26 @@ class DedupSpec extends SparkSpec {
       s"LSH banding must have recall 1.0 at spec SF: " +
         s"missing=${allPairs.toSet -- bucketed.toSet} extra=${bucketed.toSet -- allPairs.toSet}")
   }
+
+  test("b-bit compression: debiased estimates track full MinHash per decile") {
+    val s = spark
+    val rows = graft.operators.Dedup.dedupMinhashBbit(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // the banding candidates and the full-precision pair count agree
+    val nPairs = graft.operators.Dedup.dedupMinhash(s, sfDir).count()
+    assert(rows.map(_._2).sum == nPairs)
+    rows.foreach { case (bin, _, full, bbit, err) =>
+      // the 2^-b debias keeps the compressed estimate within a few
+      // hash-collisions of the full one on every similarity decile
+      assert(err <= 0.05, s"bin $bin mean_abs_err $err")
+      assert(math.abs(full - bbit) <= 0.05, s"bin $bin $full vs $bbit")
+    }
+    // exact duplicates survive compression exactly: all 64 low-4-bit
+    // values match, r = 1, and the correction maps 1 -> 1
+    rows.find(_._1 == 10L).foreach { case (_, _, full, bbit, _) =>
+      assert(full == 1.0 && bbit == 1.0)
+    }
+  }
 }
