@@ -332,6 +332,51 @@ object Layout {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Range buckets planned by [[layoutRangeBounds]]. */
+  val rangeBuckets = 8
+
+  /** §2.9 — range-partition boundary planning: the EXACT B-quantile
+    * cut table for a clustered write (what repartitionByRange samples
+    * approximately, computed exactly): per bucket, its key envelope
+    * [lo, hi] and row count — counts balanced to ±1 BY CONSTRUCTION
+    * (bucket = ⌊(rank−1)·B/n⌋ over the global rank). This is the
+    * planning artifact for a TeraSort-layout write at 100 TB: balanced
+    * buckets mean no straggler reducers, and the (lo, hi) table is
+    * what a min/max-pruning reader consults. Global ranks via the
+    * two-phase bucketed [[Ranks.globalRowNumber]]; the rest is one
+    * partial-agged groupBy to a B-row frame. Tie rows (equal keys)
+    * are interchangeable, so envelopes and counts are deterministic
+    * at any parallelism. */
+  def layoutRangeBounds(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    val n = keyed.count()
+    val ranked = Ranks.globalRowNumber(keyed,
+      Seq($"l_partkey", $"l_orderkey", $"l_linenumber", $"l_suppkey"),
+      Ranks.defaultPartitions(keyed), "rank",
+      bucketKeys = Seq($"l_partkey"))
+    ranked
+      .select(expr(s"(rank - 1) * $rangeBuckets div ${n}L").as("bucket"),
+        $"l_partkey")
+      .groupBy($"bucket")
+      .agg(min($"l_partkey").as("lo"), max($"l_partkey").as("hi"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"bucket")
+  }
+
+  val layoutRangeBoundsSql: String =
+    s"""WITH r AS (
+       |  SELECT l_partkey,
+       |    row_number() OVER (ORDER BY l_partkey, l_orderkey,
+       |      l_linenumber, l_suppkey) AS rank,
+       |    count(*) OVER () AS n
+       |  FROM lineitem)
+       |SELECT (rank - 1) * $rangeBuckets // n AS bucket,
+       |  min(l_partkey) AS lo, max(l_partkey) AS hi,
+       |  count(*) AS n_rows
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Compaction targets: files per output table / rows per file cap. */
   val compactTargetFiles = 4
   val compactMaxRecords = 100000L
@@ -390,6 +435,7 @@ object Layout {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder"      -> (zorderLayout _),
     "layout_hilbert"     -> (hilbertLayout _),
+    "layout_range_bounds" -> (layoutRangeBounds _),
     "scan_prune_report"  -> (scanPruneReport _),
     "layout_partitioned" -> (layoutPartitioned _),
     "layout_compact"     -> (layoutCompact _)
@@ -398,6 +444,7 @@ object Layout {
   def oracles: Map[String, String] = Map(
     "layout_zorder"      -> zorderLayoutSql,
     "layout_hilbert"     -> hilbertLayoutSql,
+    "layout_range_bounds" -> layoutRangeBoundsSql,
     "scan_prune_report"  -> scanPruneReportSql,
     "layout_partitioned" -> layoutPartitionedSql,
     "layout_compact"     -> layoutCompactSql

@@ -99,6 +99,21 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("range bounds: buckets balanced to ±1 with ordered envelopes") {
+    val rows = Layout.layoutRangeBounds(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until Layout.rangeBuckets.toLong))
+    val counts = rows.map(_._4)
+    assert(counts.max - counts.min <= 1L,
+      s"buckets must balance to ±1: ${counts.mkString(",")}")
+    rows.foreach { case (b, lo, hi, _) => assert(lo <= hi, s"bucket $b") }
+    // consecutive envelopes may touch on a tied key but never invert
+    rows.sliding(2).foreach { case Array((_, _, hi1, _), (_, lo2, _, _)) =>
+      assert(lo2 >= hi1, s"envelope inversion: hi $hi1 then lo $lo2")
+    }
+  }
+
   test("compaction collapses the fragmented landing files into few sorted ones") {
     val s = spark
     Layout.layoutCompact(s, sfDir).collect() // forces staging
