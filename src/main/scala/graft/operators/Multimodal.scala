@@ -102,6 +102,71 @@ object Multimodal {
        |FROM m ORDER BY asset_id""".stripMargin
   }
 
+  /** Caption gates for [[mmCaptionPairs]]. */
+  val captionMinTokens = 3L
+  val captionMaxTokens = 256L
+  val captionMinBytes = 16L
+
+  /** §2.7 — image-text PAIR construction (the LAION-style curation
+    * step): each image asset joined to its caption document, gated by
+    * the TRAINED quality model's verdict (45p — the modern pipeline
+    * gates captions with a learned scorer, not a heuristic) plus
+    * caption-length and asset-size floors. Emits the pair manifest a
+    * contrastive trainer consumes, with the gate verdict kept as a
+    * column so the drop reasons stay auditable. All row-local
+    * projections over doc-keyed 1:1 joins — payload bytes never load
+    * (metadata-only scan), captions score against broadcast-literal
+    * weights; at 100 TB this is a metadata join, not a media job. */
+  def mmCaptionPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = withPayload(s, dir)
+      .select($"doc_id".as("asset_id"), $"mime",
+        length($"payload").cast("long").as("byte_size"))
+      .filter($"mime".startsWith("image/"))
+    val caps = Tables.documents(s, dir)
+      .select($"doc_id".as("asset_id"),
+        size(expr(TextAnalysis.toksExpr)).cast("long").as("n_caption_tokens"))
+    val sc = QualityModel.scoreDocs(s, dir, Tables.documents(s, dir))
+      .select($"doc_id".as("asset_id"), $"score", $"keep")
+    a.join(caps, "asset_id").join(sc, "asset_id")
+      .select($"asset_id", $"mime", $"byte_size", $"n_caption_tokens", $"score",
+        when($"keep" === 1L &&
+          $"n_caption_tokens" >= captionMinTokens &&
+          $"n_caption_tokens" <= captionMaxTokens &&
+          $"byte_size" >= captionMinBytes, lit(1L)).otherwise(lit(0L))
+          .as("keep_pair"))
+      .orderBy($"asset_id")
+  }
+
+  val mmCaptionPairsSql: String = {
+    val magicCase = magics.zipWithIndex.map { case ((hexs, _), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN unhex('$hexs')"
+    }.mkString("CASE ", " ", " END")
+    val mimeCase = magics.zipWithIndex.map { case ((_, mime), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN '$mime'"
+    }.mkString("CASE ", " ", " ELSE 'application/octet-stream' END")
+    val toks = TextAnalysis.duckToks
+    s"""WITH sc0 AS MATERIALIZED (${QualityModel.qualityScoreSql}),
+       |m AS (
+       |  SELECT doc_id, $magicCase || CAST(text AS BLOB) AS payload,
+       |    $mimeCase AS mime
+       |  FROM documents),
+       |a AS (
+       |  SELECT doc_id AS asset_id, mime, octet_length(payload) AS byte_size
+       |  FROM m WHERE mime LIKE 'image/%'),
+       |c AS (
+       |  SELECT doc_id AS asset_id, CAST(len($toks) AS BIGINT) AS n_caption_tokens
+       |  FROM documents)
+       |SELECT a.asset_id, a.mime, a.byte_size, c.n_caption_tokens, sc0.score,
+       |  CASE WHEN sc0.keep = 1
+       |        AND c.n_caption_tokens >= $captionMinTokens
+       |        AND c.n_caption_tokens <= $captionMaxTokens
+       |        AND a.byte_size >= $captionMinBytes
+       |       THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep_pair
+       |FROM a JOIN c USING (asset_id) JOIN sc0 ON sc0.doc_id = a.asset_id
+       |ORDER BY a.asset_id""".stripMargin
+  }
+
   /** Typed manifest for the decode stage. */
   def assets(s: SparkSession, dir: String): Dataset[MediaAsset] = {
     import s.implicits._
@@ -602,6 +667,7 @@ object Multimodal {
     "mm_shard_balance" -> (mmShardBalance _),
     "mm_shard_index"   -> (mmShardIndex _),
     "mm_manifest"      -> (mmManifest _),
+    "mm_caption_pairs" -> (mmCaptionPairs _),
     "mm_frame_extract" -> (mmFrameExtract _),
     "mm_thumbnail"     -> (mmThumbnail _),
     "mm_batch_infer"   -> (mmBatchInfer _),
@@ -614,6 +680,7 @@ object Multimodal {
     "mm_shard_balance" -> mmShardBalanceSql,
     "mm_shard_index"   -> mmShardIndexSql,
     "mm_manifest"      -> mmManifestSql,
+    "mm_caption_pairs" -> mmCaptionPairsSql,
     "mm_frame_extract" -> mmFrameExtractSql,
     "mm_thumbnail"     -> mmThumbnailSql,
     "mm_batch_infer"   -> mmBatchInferSql,

@@ -95,4 +95,31 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("caption pairs: image assets only, 1:1, gate composes model verdict and floors") {
+    val s = spark; import s.implicits._
+    val rows = graft.operators.Multimodal.mmCaptionPairs(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // only image mimes pair (doc_id % 3 in {0, 1}), exactly once each
+    assert(rows.forall(_._2.startsWith("image/")))
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val images = graft.sources.Tables.documents(s, sfDir)
+      .filter($"doc_id" % 3 < 2).count()
+    assert(rows.length == images, s"${rows.length} vs $images image docs")
+    // the gate: keep_pair == 1 iff every clause holds
+    val sc = graft.operators.QualityModel
+      .scoreDocs(s, sfDir, graft.sources.Tables.documents(s, sfDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { case (id, _, bytes, toks, _, keepPair) =>
+      val expected = sc(id) == 1L &&
+        toks >= graft.operators.Multimodal.captionMinTokens &&
+        toks <= graft.operators.Multimodal.captionMaxTokens &&
+        bytes >= graft.operators.Multimodal.captionMinBytes
+      assert(keepPair == (if (expected) 1L else 0L), s"asset $id")
+    }
+    // the gate must actually split (some kept, some dropped)
+    assert(rows.exists(_._6 == 1L) && rows.exists(_._6 == 0L))
+  }
 }
