@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Agg.rndSql
+import graft.functions.Agg.{rnd, rndSql}
 import graft.functions.VectorFns
 import graft.sources.Tables
 
@@ -223,6 +223,122 @@ object Similarity {
       .select($"query_id", $"rank".cast("long").as("rank"),
         $"vec_id".as("neighbor_id"), $"cosine")
       .orderBy($"query_id", $"rank")
+  }
+
+  /** Prefix lengths swept by [[annMatryoshkaSweep]] (64 = full dim). */
+  val mrlSweep: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** §2.5 — the matryoshka TUNING CURVE (the dim-truncation sibling
+    * of the IVF nprobe sweep): per prefix length d ∈ [[mrlSweep]],
+    * recall@k vs the full-dim truth for (a) DIRECT truncated search
+    * and (b) the truncate-shortlist-then-rerank serving pattern the
+    * 31g operator ships — the table that tells an operator how many
+    * dims the index tier actually needs and what the rerank buys
+    * back. Each sweep point is a broadcast-query pass over the
+    * corpus (|Q| bounded) + bounded-heap top-k; d = 64 is exact by
+    * construction and must land 1.0/1.0 (spec anchor). */
+  def annMatryoshkaSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = vectors(s, dir).localCheckpoint()
+    val truth = annBruteforce(s, dir)
+      .select($"query_id", $"neighbor_id").localCheckpoint()
+    val qf = v.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"))
+    val denomK = (nQueries * k).toDouble
+    mrlSweep.map { d =>
+      val pv = v.select($"vec_id", $"v", $"nrm",
+          expr(s"slice(v, 1, $d)").as("pv"))
+        .withColumn("pnrm", expr(VectorFns.norm("pv")))
+      val q = pv.filter($"vec_id" < nQueries)
+        .select($"vec_id".as("query_id"), $"pv".as("qpv"), $"pnrm".as("qpnrm"))
+      val scored = pv.join(broadcast(q), $"vec_id" =!= $"query_id")
+        .withColumn("pcos",
+          expr(rndSql(s"${VectorFns.dot("qpv", "pv")} / (qpnrm * pnrm)", 6)))
+        .select($"query_id", $"vec_id", $"pcos")
+      val direct = graft.plans.TopK.perGroup(scored, Seq("query_id"),
+          Seq("pcos" -> true, "vec_id" -> false), k)
+        .select($"query_id", $"vec_id".as("neighbor_id"))
+      val shortlist = graft.plans.TopK.perGroup(scored, Seq("query_id"),
+          Seq("pcos" -> true, "vec_id" -> false), k * mrlFactor)
+        .select($"query_id", $"vec_id")
+      val rescored = shortlist.join(v, "vec_id").join(broadcast(qf), "query_id")
+        .withColumn("cosine",
+          expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
+        .select($"query_id", $"vec_id", $"cosine")
+      val rerank = graft.plans.TopK.perGroup(rescored, Seq("query_id"),
+          Seq("cosine" -> true, "vec_id" -> false), k)
+        .select($"query_id", $"vec_id".as("neighbor_id"))
+      val hd = direct.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits_direct"))
+      val hr = rerank.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits_rerank"))
+      hd.crossJoin(hr).select(
+        lit(d).as("dims"),
+        $"n_hits_direct",
+        rnd($"n_hits_direct".cast("double") / lit(denomK), 6).as("recall_direct"),
+        $"n_hits_rerank",
+        rnd($"n_hits_rerank".cast("double") / lit(denomK), 6).as("recall_rerank"))
+    }.reduce(_ unionByName _).orderBy($"dims")
+  }
+
+  val annMatryoshkaSweepSql: String = {
+    val perD = mrlSweep.map { d =>
+      s"""sc$d AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         |    ${rndSql(s"list_dot_product(q.v[1:$d], c.v[1:$d]) / (sqrt(list_sum(list_transform(q.v[1:$d], x -> x * x))) * sqrt(list_sum(list_transform(c.v[1:$d], x -> x * x))))", 6)} AS pcos
+         |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $nQueries),
+         |direct$d AS (
+         |  SELECT query_id, vec_id AS neighbor_id FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY pcos DESC, vec_id) AS prank
+         |    FROM sc$d)
+         |  WHERE prank <= $k),
+         |rr$d AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT s.query_id, s.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |        ORDER BY ${rndSql("list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)", 6)} DESC,
+         |          s.vec_id) AS rank
+         |    FROM (
+         |      SELECT query_id, vec_id FROM (
+         |        SELECT query_id, vec_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY pcos DESC, vec_id) AS prank
+         |        FROM sc$d)
+         |      WHERE prank <= ${k * mrlFactor}) s
+         |    JOIN n qn ON qn.vec_id = s.query_id
+         |    JOIN n cn ON cn.vec_id = s.vec_id)
+         |  WHERE rank <= $k),
+         |m$d AS (
+         |  SELECT $d AS dims,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM direct$d
+         |      JOIN truth USING (query_id, neighbor_id)) AS n_hits_direct,
+         |    ${rndSql(s"CAST((SELECT count(*) FROM direct$d JOIN truth USING (query_id, neighbor_id)) AS DOUBLE) / CAST(${nQueries * k} AS DOUBLE)", 6)} AS recall_direct,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM rr$d
+         |      JOIN truth USING (query_id, neighbor_id)) AS n_hits_rerank,
+         |    ${rndSql(s"CAST((SELECT count(*) FROM rr$d JOIN truth USING (query_id, neighbor_id)) AS DOUBLE) / CAST(${nQueries * k} AS DOUBLE)", 6)} AS recall_rerank)""".stripMargin
+    }.mkString(",\n")
+    val uni = mrlSweep.map(d => s"SELECT * FROM m$d").mkString("\n  UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |truth AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${rndSql("list_dot_product(q.v, c.v) / (q.nrm * c.nrm)", 6)} DESC,
+       |          c.vec_id) AS rank
+       |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id < $nQueries)
+       |  WHERE rank <= $k),
+       |$perD
+       |$uni
+       |ORDER BY dims""".stripMargin
   }
 
   val annMatryoshkaSql: String =
@@ -1214,6 +1330,7 @@ object Similarity {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh"        -> (annLsh _),
     "ann_matryoshka" -> (annMatryoshka _),
+    "ann_matryoshka_sweep" -> (annMatryoshkaSweep _),
     "embed_centroids" -> (embedCentroids _),
     "embed_outliers" -> (embedOutliers _),
     "embed_knn_eval" -> (embedKnnEval _)
@@ -1228,6 +1345,7 @@ object Similarity {
         "embed_covariance" -> embedCovarianceSql,
         "ann_bruteforce" -> annBruteforceSql,
         "ann_matryoshka" -> annMatryoshkaSql,
+        "ann_matryoshka_sweep" -> annMatryoshkaSweepSql,
         "embed_centroids" -> embedCentroidsSql,
         "embed_outliers" -> embedOutliersSql,
         "embed_knn_eval" -> embedKnnEvalSql) ++

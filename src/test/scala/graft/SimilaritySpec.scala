@@ -161,4 +161,18 @@ class SimilaritySpec extends SparkSpec {
     assert(mn == 0.0 && mx == 10.0, s"norm envelope wrong: ${rows(1L)}")
     assert(math.abs(mean - 11.0 / 3) < 1e-5, s"mean norm wrong: $mean")
   }
+
+  test("matryoshka sweep: rerank dominates direct truncation, full dim is exact") {
+    val rows = Similarity.annMatryoshkaSweep(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(2), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Similarity.mrlSweep)
+    rows.foreach { case (d, direct, rerank) =>
+      // a truth neighbor surviving the prefix top-k also survives the
+      // exact rerank of the wider shortlist — dominance is structural
+      assert(rerank >= direct, s"d=$d rerank $rerank < direct $direct")
+    }
+    // the full-length prefix IS the exact search
+    assert(rows.last == ((64, 1.0, 1.0)), rows.last.toString)
+  }
 }
