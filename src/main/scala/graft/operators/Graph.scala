@@ -853,6 +853,83 @@ object Graph {
   }
 
   // ------------------------------------------------------------------
+  // graph_assortativity — degree-degree mixing
+  // ------------------------------------------------------------------
+
+  /** The Pearson formula over the exact integer sums, as ONE SQL
+    * fragment both engines parse (expects m, sx, sy, sxy, sxx, syy in
+    * scope — all exact DECIMAL/BIGINT aggregates). The division-by-
+    * zero guard returns NULL identically on both engines (Spark's
+    * non-ANSI double division would return NULL where DuckDB says
+    * inf — the qPowerMde lesson). */
+  private val assortativityExpr: String = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val num = s"(${d("m")} * ${d("sxy")} - ${d("sx")} * ${d("sy")})"
+    val dx = s"(${d("m")} * ${d("sxx")} - ${d("sx")} * ${d("sx")})"
+    val dy = s"(${d("m")} * ${d("syy")} - ${d("sy")} * ${d("sy")})"
+    s"CASE WHEN $dx > 0 AND $dy > 0 THEN " +
+      graft.functions.Agg.rndSql(s"$num / (sqrt($dx) * sqrt($dy))", 6) +
+      " ELSE CAST(NULL AS DOUBLE) END"
+  }
+
+  /** §2.12 — degree assortativity (Newman's r): the Pearson
+    * correlation of endpoint degrees over the directed-both-ways
+    * edge list — do hubs link to hubs (assortative, r > 0) or to the
+    * periphery (disassortative, r < 0)? The one-number mixing
+    * diagnostic read next to 53's centralities before trusting any
+    * sampled-walk training data. Degrees are INTEGERS, so every sum
+    * (Σj, Σk, Σjk, Σj², Σk²) is an exact DECIMAL(38,0) aggregate —
+    * order-free at any parallelism — and only the final Pearson
+    * division runs in (identical) double arithmetic. Two node-keyed
+    * joins of the edge list against the degree frame (AQE broadcasts
+    * it while it fits), one partial-agged pass. */
+  def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val D0 = DecimalType(38, 0)
+    val e = strongEdges(s, dir)
+    val edges = e.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(e.select($"v".as("src"), $"u".as("dst")))
+    val deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+    val paired = edges
+      .join(deg.select($"node".as("src"), $"deg".as("dx")), "src")
+      .join(deg.select($"node".as("dst"), $"deg".as("dy")), "dst")
+    paired.agg(
+        count(lit(1)).as("m"),
+        sum($"dx".cast(D0)).as("sx"), sum($"dy".cast(D0)).as("sy"),
+        sum(($"dx" * $"dy").cast(D0)).as("sxy"),
+        sum(($"dx" * $"dx").cast(D0)).as("sxx"),
+        sum(($"dy" * $"dy").cast(D0)).as("syy"))
+      .select($"m".as("n_edges"), expr(assortativityExpr).as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (
+       |  SELECT a.l_partkey AS u, b.l_partkey AS v
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(DISTINCT a.l_orderkey) >= $triangleMinSupport),
+       |edges AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst FROM e0
+       |  UNION ALL
+       |  SELECT v, u FROM e0),
+       |deg AS MATERIALIZED (
+       |  SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+       |agg AS (
+       |  SELECT count(*) AS m,
+       |    sum(CAST(a.deg AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(b.deg AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(a.deg * b.deg AS DECIMAL(38,0))) AS sxy,
+       |    sum(CAST(a.deg * a.deg AS DECIMAL(38,0))) AS sxx,
+       |    sum(CAST(b.deg * b.deg AS DECIMAL(38,0))) AS syy
+       |  FROM edges e JOIN deg a ON e.src = a.node
+       |               JOIN deg b ON e.dst = b.node)
+       |SELECT m AS n_edges, $assortativityExpr AS assortativity
+       |FROM agg""".stripMargin
+
+  // ------------------------------------------------------------------
   // graph_harmonic — sampled-source harmonic centrality
   // ------------------------------------------------------------------
 
@@ -1038,6 +1115,7 @@ object Graph {
     "graph_modularity"       -> (graphModularity _),
     "graph_bfs"              -> (graphBfs _),
     "graph_harmonic"         -> (graphHarmonic _),
+    "graph_assortativity"    -> (graphAssortativity _),
     "graph_link_predict"     -> (graphLinkPredict _),
     "graph_neighbor_sim"     -> (graphNeighborSim _),
     "graph_pagerank"         -> (graphPagerank _),
@@ -1054,6 +1132,7 @@ object Graph {
     "graph_modularity"       -> graphModularitySql,
     "graph_bfs"              -> graphBfsSql,
     "graph_harmonic"         -> graphHarmonicSql,
+    "graph_assortativity"    -> graphAssortativitySql,
     "graph_link_predict"     -> graphLinkPredictSql,
     "graph_neighbor_sim"     -> graphNeighborSimSql,
     "graph_pagerank"         -> graphPagerankSql,

@@ -273,6 +273,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("assortativity: a crafted star graph is maximally disassortative") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-assort").toString
+    // hub part 0 co-purchased with each leaf 1..5 in two orders (so
+    // every edge clears triangleMinSupport); the co-purchase graph is
+    // a 5-leaf star — every edge joins the deg-5 hub to a deg-1 leaf,
+    // the textbook r = -1 case
+    val rows = for {
+      leaf <- 1L to 5L
+      rep <- 0 until 2
+      part <- Seq(0L, leaf)
+    } yield (leaf * 10L + rep, part)
+    rows.toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Graph.graphAssortativity(s, dir).collect()(0)
+    assert(r.getLong(0) == 10L, s"star must have 2x5 directed edges: $r")
+    assert(math.abs(r.getDouble(1) - -1.0) < 1e-9, s"star r must be -1: $r")
+    // and on the real corpus r stays a valid correlation
+    val real = Graph.graphAssortativity(s, sfDir).collect()(0)
+    assert(!real.isNullAt(1) &&
+      math.abs(real.getDouble(1)) <= 1.0, real.toString)
+  }
+
   test("harmonic centrality: bounded terms, zero iff unreached, hubs dominate") {
     val s = spark
     val rows = Graph.graphHarmonic(s, sfDir).collect()
