@@ -499,6 +499,68 @@ class StreamOpsSpec extends SparkSpec {
     assert(viaLex.nonEmpty)
   }
 
+  test("checkpointed funnel restarts from state: exactly-once across a stop/resume") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.unix_micros
+    import org.apache.spark.sql.streaming.Trigger
+    // three time-ordered arrival files; the SECOND AND THIRD arrive
+    // only after the first query has terminated — the restarted query
+    // must resume from the CHECKPOINT (offsets + per-user funnel
+    // state), so a user whose step-1 view arrived before the stop
+    // still completes steps 2/3 after the resume
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ev = graft.sources.Tables.events(s, sfDir).withColumn("us", unix_micros($"ts"))
+    val cuts = ev.stat.approxQuantile("us", Array(0.33, 0.66), 0.0)
+    val parts = Seq(
+      ev.filter($"us" <= cuts(0)),
+      ev.filter($"us" > cuts(0) && $"us" <= cuts(1)),
+      ev.filter($"us" > cuts(1)))
+    val staged = s"$dir/staged"; new java.io.File(staged).mkdirs()
+    def arrive(i: Int): Unit = {
+      val f = s"$dir/f$i"
+      parts(i).drop("us").coalesce(1).write.parquet(f)
+      val src = new java.io.File(f).listFiles.find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(staged, f"part-$i%02d.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    arrive(0)
+    val schema = s.read.parquet(staged).schema
+    def run(): Unit = {
+      val q = StreamOps.funnelHitsFrom(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged))
+        .toDF().writeStream
+        .format("parquet").option("path", s"$dir/sink")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val phase1 = s.read.parquet(s"$dir/sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    arrive(1); arrive(2)
+    run() // NEW query object, SAME checkpoint: offsets + state resume
+    val resumed = s.read.parquet(s"$dir/sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = StreamOps.runFunnelToCompletion(s, sfDir, sink = "ckpt_funnel_ref")
+      .collect().map { r =>
+        val t = r.getTimestamp(2).toInstant
+        (r.getLong(0), r.getLong(1), t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      }.toSet
+    // the restart added work (the stop really split the stream) ...
+    assert(phase1.subsetOf(resumed) && phase1 != resumed,
+      s"restart added nothing: ${phase1.size} vs ${resumed.size}")
+    // ... and the union equals one uninterrupted run: no loss, no
+    // duplicates, and cross-restart state carry-over (step-2/3 hits
+    // whose step-1 predates the stop would be missing if state died)
+    assert(resumed == expected,
+      s"stop/resume diverged: missing=${(expected -- resumed).take(3)} " +
+        s"extra=${(resumed -- expected).take(3)}")
+    val crossRestart = (resumed -- phase1).filter(_._2 >= 2L)
+    assert(crossRestart.nonEmpty, "no post-restart step-2/3 hits exercised state")
+  }
+
   test("scd2 stream enrichment resolves the version valid at event time") {
     val s = spark
     import s.implicits._
