@@ -130,7 +130,8 @@ class ExpressionsSpec extends SparkSpec {
         "graft_minhash64(graft_shingles(toks)) AS sig",
         "graft_simhash64(toks) AS sh",
         "graft_count_in(toks, array('a', 'b')) AS cnt",
-        "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot")
+        "graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dot",
+        "graft_hilbert(doc_id, n_chars) AS hil")
     // CodegenFallback expressions force their ProjectExec OUT of
     // WholeStageCodegen: every Project here must carry the *(n) mark
     val plan = df.queryExecution.executedPlan.toString

@@ -561,6 +561,25 @@ class StreamOpsSpec extends SparkSpec {
     assert(crossRestart.nonEmpty, "no post-restart step-2/3 hits exercised state")
   }
 
+  test("scd2 enrichment and model scoring streams carry NO state store") {
+    val s = spark
+    import org.apache.spark.sql.streaming.Trigger
+    // both ops claim statelessness (broadcast dim / literal weights);
+    // pin it via the runtime's own progress telemetry — a watermark,
+    // aggregation, or stream-stream join would surface here
+    for ((df, name) <- Seq(
+        (StreamOps.scd2EnrichStream(s, sfDir), "stateless_scd2"),
+        (StreamOps.qualityScoreStream(s, sfDir), "stateless_qscore"))) {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(q.recentProgress.nonEmpty, name)
+      assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+        s"$name must run stateless: " +
+          q.recentProgress.last.stateOperators.mkString(","))
+    }
+  }
+
   test("scd2 stream enrichment resolves the version valid at event time") {
     val s = spark
     import s.implicits._
