@@ -990,7 +990,191 @@ object Experimentation {
        |)
        |SELECT n_a, n_b, d, d_crit, d > d_crit AS significant FROM f""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_anova — one-way ANOVA F across 3 assignment arms
+  // ------------------------------------------------------------------
+
+  /** §2.10 — one-way ANOVA: the K-arm generalization of [[qAbtest]]'s
+    * two-arm t — ONE omnibus F answering "does ANY of the 3 arms move
+    * per-user total value" before per-pair readouts multiply the
+    * testing burden (controlling that multiplication is [[qFdrBh]]'s
+    * job). Unit of analysis is the per-user value total, the same
+    * convention as the rank tests — users roll up first, so
+    * within-user correlation never inflates the df. The decomposition
+    * runs on exact sums: per-arm S_g, Q_g via dsum (order-free
+    * decimal), SSB/SSW assembled from the ≤3 per-arm terms with every
+    * double term 1e-6 quantized BEFORE the cross-arm sum — bit-stable
+    * at any partitioning. Verdict vs F(2,∞) = χ²₂(0.95)/2 = 2.995732:
+    * with n−k in the tens of thousands the asymptote is exact to the
+    * printed precision. Two shuffles total (user rollup, then a 3-row
+    * arm rollup) — the 100 TB shape is one pass over the fact table
+    * with map-side partials all the way down. */
+  def qAnova(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perUser = Tables.events(s, dir)
+      .groupBy($"user_id")
+      .agg(dsum($"value").as("x"))
+      .withColumn("arm", $"user_id" % 3)
+    val arms = perUser.groupBy($"arm")
+      .agg(count(lit(1)).as("n_g"),
+        dsum($"x").as("s_g"),
+        dsum($"x" * $"x").as("q_g"))
+    arms
+      .agg(
+        count(lit(1)).cast("long").as("k"),
+        sum($"n_g").as("n"),
+        sum(expr("CAST(floor(s_g * s_g / CAST(n_g AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("ssb_num_q"),
+        sum(expr("CAST(floor(s_g * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("s_tot_q"),
+        sum(expr("CAST(floor((q_g - s_g * s_g / CAST(n_g AS DOUBLE)) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("ssw_q"))
+      .withColumn("s_tot", $"s_tot_q".cast("double") / lit(10000.0))
+      .withColumn("ssb", expr(rndSql(
+        """(CAST(ssb_num_q AS DOUBLE)
+          | - CAST(floor(s_tot * s_tot / CAST(n AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+          | / CAST(1000000 AS DOUBLE)""".stripMargin, 6)))
+      .withColumn("ssw", expr(rndSql("CAST(ssw_q AS DOUBLE) / CAST(1000000 AS DOUBLE)", 6)))
+      .withColumn("f_stat", expr(rndSql(
+        "(ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))", 6)))
+      .select($"k", $"n", $"ssb", $"ssw", $"f_stat",
+        ($"f_stat" > lit(2.995732)).as("significant"))
+  }
+
+  val qAnovaSql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, ${dsumSql("value")} AS x FROM events GROUP BY 1
+       |), arms AS (
+       |  SELECT user_id % 3 AS arm, count(*) AS n_g,
+       |    ${dsumSql("x")} AS s_g, ${dsumSql("x * x")} AS q_g
+       |  FROM pu GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+       |    CAST(sum(CAST(floor(s_g * s_g / CAST(n_g AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ssb_num_q,
+       |    CAST(CAST(sum(CAST(floor(s_g * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 10000.0 AS DOUBLE) AS s_tot,
+       |    CAST(sum(CAST(floor((q_g - s_g * s_g / CAST(n_g AS DOUBLE)) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ssw_q
+       |  FROM arms
+       |), f AS (
+       |  SELECT k, n,
+       |    ${rndSql(
+        """(CAST(ssb_num_q AS DOUBLE)
+          | - CAST(floor(s_tot * s_tot / CAST(n AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT))
+          | / CAST(1000000 AS DOUBLE)""".stripMargin, 6)} AS ssb,
+       |    ${rndSql("CAST(ssw_q AS DOUBLE) / CAST(1000000 AS DOUBLE)", 6)} AS ssw
+       |  FROM t
+       |), ff AS (
+       |  SELECT k, n, ssb, ssw,
+       |    ${rndSql("(ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))", 6)} AS f_stat
+       |  FROM f
+       |)
+       |SELECT k, n, ssb, ssw, f_stat, f_stat > 2.995732 AS significant FROM ff""".stripMargin
+
+  // ------------------------------------------------------------------
+  // q_fdr_bh — Benjamini-Hochberg over the per-metric z family
+  // ------------------------------------------------------------------
+
+  /** Zelen & Severo 26.2.17 upper-tail normal approximation as a SQL
+    * fragment valid (and textually identical) in Spark and DuckDB.
+    * `z` must already be quantized so both engines evaluate the
+    * polynomial on the same double; every arithmetic op here is
+    * IEEE-deterministic except exp(), whose cross-engine risk is ≤1
+    * ulp on an identical input — invisible after the caller's 1e-9
+    * quantization away from razor-edge boundaries (|err| < 1e-15 vs a
+    * 1e-9 grid). Absolute error of the approximation itself < 7.5e-8,
+    * fine for a rejection decision at α = 0.05. */
+  private def normSfSql(z: String): String =
+    s"""(0.3989422804014327 * exp(-(($z) * ($z)) / 2.0)
+       | * ((1.0 / (1.0 + 0.2316419 * ($z)))
+       |    * (0.319381530 + (1.0 / (1.0 + 0.2316419 * ($z)))
+       |      * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * ($z)))
+       |        * (1.781477937 + (1.0 / (1.0 + 0.2316419 * ($z)))
+       |          * (-1.821255978 + (1.0 / (1.0 + 0.2316419 * ($z))) * 1.330274429))))))""".stripMargin
+
+  /** §2.10 — Benjamini-Hochberg FDR over the per-metric test family:
+    * [[qAbtest]] reads out one Welch z PER event_type, and shipping
+    * those as independent α = 0.05 verdicts is the classic
+    * multiple-testing trap every experimentation platform guards.
+    * Per metric: two-sided p from the Zelen-Severo tail approximation
+    * on the 1e-6-quantized z (both engines see the same double), p
+    * quantized 1e-9 → the BH step-up runs entirely on exact integers
+    * (p_q · m ≤ i · α·1e9 — no double compare can flip a rank between
+    * engines). The step-up window is unpartitioned but bounded by the
+    * metric-family size (#event_types, single digits) — the 100 TB
+    * cost is [[qAbtest]]'s one fact pass; the BH pass is free. */
+  def qFdrBh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir).withColumn("a", $"user_id" % 2 === 0)
+    val stats = ev.groupBy($"event_type")
+      .agg(
+        countIf($"a").as("n_a"),
+        countIf(!$"a").as("n_b"),
+        dsum(when($"a", $"value").otherwise(lit(0.0))).as("sx_a"),
+        dsum(when(!$"a", $"value").otherwise(lit(0.0))).as("sx_b"),
+        dsum(when($"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_a"),
+        dsum(when(!$"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_b"))
+      .withColumn("m_a", $"sx_a" / $"n_a".cast("double"))
+      .withColumn("m_b", $"sx_b" / $"n_b".cast("double"))
+      .withColumn("v_a", ($"sxx_a" - $"sx_a" * $"sx_a" / $"n_a".cast("double")) / ($"n_a" - 1).cast("double"))
+      .withColumn("v_b", ($"sxx_b" - $"sx_b" * $"sx_b" / $"n_b".cast("double")) / ($"n_b" - 1).cast("double"))
+      .withColumn("z", expr(rndSql(
+        "(m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))", 6)))
+      .withColumn("p_q", expr(
+        s"CAST(floor(2.0 * ${normSfSql("abs(z)")} * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+    val w = Window.orderBy($"p_q", $"event_type")
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    stats
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(all))
+      .withColumn("pass", when($"p_q" * $"m" <= $"rnk" * lit(50000000L), $"rnk"))
+      .withColumn("cutoff", max($"pass").over(all))
+      .select($"event_type",
+        $"z",
+        ($"p_q".cast("double") / lit(1000000000.0)).as("p"),
+        $"rnk", $"m",
+        expr(rndSql("CAST(rnk AS DOUBLE) * 0.05 / CAST(m AS DOUBLE)", 9)).as("bh_thr"),
+        coalesce($"rnk" <= $"cutoff", lit(false)).as("rejected"))
+      .orderBy($"rnk")
+  }
+
+  val qFdrBhSql: String =
+    s"""WITH st AS (
+       |  SELECT event_type,
+       |    ${countIfSql("user_id % 2 = 0")} AS n_a,
+       |    ${countIfSql("user_id % 2 <> 0")} AS n_b,
+       |    ${dsumSql("CASE WHEN user_id % 2 = 0 THEN value ELSE 0.0 END")} AS sx_a,
+       |    ${dsumSql("CASE WHEN user_id % 2 <> 0 THEN value ELSE 0.0 END")} AS sx_b,
+       |    ${dsumSql("CASE WHEN user_id % 2 = 0 THEN value * value ELSE 0.0 END")} AS sxx_a,
+       |    ${dsumSql("CASE WHEN user_id % 2 <> 0 THEN value * value ELSE 0.0 END")} AS sxx_b
+       |  FROM events GROUP BY 1
+       |), m AS (
+       |  SELECT event_type, n_a, n_b,
+       |    sx_a / CAST(n_a AS DOUBLE) AS m_a, sx_b / CAST(n_b AS DOUBLE) AS m_b,
+       |    (sxx_a - sx_a * sx_a / CAST(n_a AS DOUBLE)) / CAST(n_a - 1 AS DOUBLE) AS v_a,
+       |    (sxx_b - sx_b * sx_b / CAST(n_b AS DOUBLE)) / CAST(n_b - 1 AS DOUBLE) AS v_b
+       |  FROM st
+       |), zz AS (
+       |  SELECT event_type,
+       |    ${rndSql("(m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))", 6)} AS z
+       |  FROM m
+       |), pp AS (
+       |  SELECT event_type, z,
+       |    CAST(floor(2.0 * ${normSfSql("abs(z)")} * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p_q
+       |  FROM zz
+       |), rk AS (
+       |  SELECT event_type, z, p_q,
+       |    CAST(row_number() OVER (ORDER BY p_q, event_type) AS BIGINT) AS rnk,
+       |    CAST(count(*) OVER () AS BIGINT) AS m
+       |  FROM pp
+       |), co AS (
+       |  SELECT rk.*, (SELECT max(CASE WHEN p_q * m <= rnk * 50000000 THEN rnk END) FROM rk) AS cutoff
+       |  FROM rk
+       |)
+       |SELECT event_type, z, CAST(p_q AS DOUBLE) / 1000000000.0 AS p, rnk, m,
+       |  ${rndSql("CAST(rnk AS DOUBLE) * 0.05 / CAST(m AS DOUBLE)", 9)} AS bh_thr,
+       |  COALESCE(rnk <= cutoff, false) AS rejected
+       |FROM co ORDER BY rnk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anova"           -> (qAnova _),
+    "q_fdr_bh"          -> (qFdrBh _),
     "q_mann_whitney"    -> (qMannWhitney _),
     "q_ks_test"         -> (qKsTest _),
     "q_abtest_cuped"    -> (qAbtestCuped _),
@@ -1006,6 +1190,8 @@ object Experimentation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_anova"           -> qAnovaSql,
+    "q_fdr_bh"          -> qFdrBhSql,
     "q_mann_whitney"    -> qMannWhitneySql,
     "q_ks_test"         -> qKsTestSql,
     "q_abtest_cuped"    -> qAbtestCupedSql,

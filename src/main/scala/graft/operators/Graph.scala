@@ -1110,7 +1110,97 @@ object Graph {
        |ORDER BY start, step""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // graph_ppr — personalized PageRank from a seed set
+  // ------------------------------------------------------------------
+
+  /** Seed-set size and rounds for [[graphPpr]]. */
+  val pprSeedCount = 5
+  val pprIters = 5
+
+  /** §2.12 — PERSONALIZED PageRank: restart mass concentrated on a
+    * seed set (the [[pprSeedCount]] top-degree parts, total-ordered
+    * by (outdeg DESC, id) so the seed pick is deterministic) instead
+    * of uniform — the "related to THESE products" ranking every
+    * recommender ships next to global PageRank. Same quantized-exact
+    * iteration as [[graphPagerank]] (1e-12 integer contributions —
+    * cross-engine bit-stable), with two PPR-specific twists: the
+    * restart term is per-node (1/|S| on seeds, 0 elsewhere), carried
+    * on the node frame so every round is still one edge⋈frontier
+    * join + a node-sized LEFT join (a node the frontier misses keeps
+    * its restart mass — dropping it would leak seed mass the moment a
+    * seed has no seed neighbor); and the contribution scan filters to
+    * the POSITIVE-rank frontier, so early rounds touch only the
+    * seeds' expanding neighborhood — at 100 TB the per-round work is
+    * frontier-edges, not graph-edges, until saturation. Output keeps
+    * rank > 0 rows only: the seed neighborhood IS the result. */
+  def graphPpr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = edges(s, dir).repartition($"src").localCheckpoint(true)
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+    val seeds = deg.orderBy($"outdeg".desc, $"src").limit(pprSeedCount)
+      .select($"src".as("sid"))
+    val rst = deg.join(broadcast(seeds), deg("src") === seeds("sid"), "left")
+      .select($"src", $"outdeg",
+        when($"sid".isNotNull, lit(1.0) / lit(pprSeedCount.toDouble))
+          .otherwise(lit(0.0)).as("restart"))
+      .localCheckpoint(true)
+    var state = rst.select($"src".as("id"), $"outdeg", $"restart".as("rank"), $"restart")
+    for (k <- 1 to pprIters) {
+      val contribs = state.filter($"rank" > 0.0).select($"id",
+        expr(s"CAST(floor(rank / outdeg * $Q + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("cq"))
+      val sums = e.join(contribs, e("src") === contribs("id"))
+        .groupBy($"dst").agg(sum($"cq").as("sq"))
+      state = rst.join(sums, rst("src") === sums("dst"), "left")
+        .select($"src".as("id"), $"outdeg",
+          (lit(1.0 - damping) * $"restart" +
+            lit(damping) * (coalesce($"sq", lit(0L)).cast("double") / expr(s"CAST($Q AS DOUBLE)"))).as("rank"),
+          $"restart")
+      if (k % checkpointEvery == 0 && k < pprIters)
+        state = state.localCheckpoint(true)
+    }
+    state.filter(state("rank") > 0.0)
+      .select(state("id").as("part_id"), state("rank").as("rank"))
+      .orderBy("part_id")
+  }
+
+  val graphPprSql: String = {
+    val base =
+      s"""WITH e AS (
+         |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+         |), d AS (
+         |  SELECT src, count(*) AS outdeg FROM e GROUP BY src
+         |), sd AS (
+         |  SELECT src FROM d ORDER BY outdeg DESC, src LIMIT $pprSeedCount
+         |), rst AS (
+         |  SELECT d.src AS id, d.outdeg,
+         |    CASE WHEN sd.src IS NOT NULL
+         |      THEN CAST(1.0 AS DOUBLE) / CAST($pprSeedCount AS DOUBLE)
+         |      ELSE CAST(0.0 AS DOUBLE) END AS restart
+         |  FROM d LEFT JOIN sd ON sd.src = d.src
+         |), r0 AS (
+         |  SELECT id, outdeg, restart, restart AS rank FROM rst
+         |)""".stripMargin
+    val iters = (1 to pprIters).map { k =>
+      s"""r$k AS (
+         |  SELECT rst.id, rst.outdeg, rst.restart,
+         |    CAST(${1.0 - damping} AS DOUBLE) * rst.restart + CAST($damping AS DOUBLE) *
+         |      (CAST(COALESCE(m.sq, 0) AS DOUBLE) / CAST($Q AS DOUBLE)) AS rank
+         |  FROM rst LEFT JOIN (
+         |    SELECT e.dst,
+         |      sum(CAST(floor(r.rank / r.outdeg * $Q + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS sq
+         |    FROM e JOIN r${k - 1} r ON e.src = r.id AND r.rank > 0
+         |    GROUP BY e.dst) m ON m.dst = rst.id
+         |)""".stripMargin
+    }
+    (base +: iters).mkString(",\n") +
+      s"\nSELECT id AS part_id, rank FROM r$pprIters WHERE rank > 0 ORDER BY part_id"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_ppr"              -> (graphPpr _),
     "graph_random_walk"      -> (graphRandomWalk _),
     "graph_modularity"       -> (graphModularity _),
     "graph_bfs"              -> (graphBfs _),
@@ -1128,6 +1218,7 @@ object Graph {
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_ppr"              -> graphPprSql,
     "graph_random_walk"      -> graphRandomWalkSql,
     "graph_modularity"       -> graphModularitySql,
     "graph_bfs"              -> graphBfsSql,

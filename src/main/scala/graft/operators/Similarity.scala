@@ -1318,7 +1318,106 @@ object Similarity {
        |GROUP BY label
        |ORDER BY label""".stripMargin
 
+  // ------------------------------------------------------------------
+  // embed_jl — Johnson-Lindenstrauss sign projection
+  // ------------------------------------------------------------------
+
+  /** Target dimension for [[embedJl]]. A power of 4 keeps the 1/√k
+    * scale factor (= 1/4) an exact double, so the projected
+    * coordinates stay exact multiples of the fold quantum. */
+  val jlDim = 16
+
+  /** Staged JL basis: k rows (j, sgn[d]) of deterministic Rademacher
+    * ±1 signs (xxhash64 parity per (j, i) cell — the same seedless
+    * PRF device as the LSH hyperplanes). Staged via [[graft.sources
+    * .OracleStage]] because no DuckDB SQL replicates Spark's
+    * xxhash64; everything downstream of the sign matrix is plain
+    * relational arithmetic the oracle recomputes in full. */
+  private[graft] def jlBasis(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "jl_basis", dir) {
+      import s.implicits._
+      val d = Tables.embeddings(s, dir)
+        .select(size($"embedding")).head.getInt(0)
+      s.range(1, jlDim + 1).toDF("j")
+        .select($"j".cast("int").as("j"),
+          expr(s"transform(sequence(1, $d), i -> CAST(1 - 2 * (xxhash64(j * 4096 + i) & 1) AS DOUBLE))").as("sgn"))
+    }
+
+  /** §2.5 — Johnson-Lindenstrauss random projection: d → [[jlDim]]
+    * via the database-friendly Achlioptas sign matrix, y = (1/√k)·Sx.
+    * THE cheap dimensionality squeeze when PCA's train-a-basis pass
+    * is unavailable or the basis must be data-independent (streaming
+    * ingest, privacy): no corpus statistics, no training, and the
+    * distance-preservation guarantee is distribution-free. Per row
+    * the projection is a k·d row-local codegen'd fold against the
+    * broadcast ±1 basis (exact 1e-9-quantized per-component sums —
+    * identical doubles both engines); reported per vector: leading
+    * two projected coordinates plus projected/original squared norms
+    * and their ratio, the per-vector JL distortion (E[ratio] = 1,
+    * Var = 2/k — SimilaritySpec asserts the concentration). The 100
+    * TB shape is [[embedWhiten]]'s: corpus never shuffles, the basis
+    * rides broadcast. */
+  def embedJl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val b = jlBasis(s, dir)
+      .agg(sort_array(collect_list(struct($"j", $"sgn"))).as("bs"))
+      .select(expr("transform(bs, x -> x.sgn)").as("sgns"))
+    Tables.embeddings(s, dir)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .crossJoin(broadcast(b))
+      .withColumn("pcs", expr(
+        s"""transform(sgns, g ->
+           |  CAST(aggregate(
+           |    zip_with(v, g, (x, w) -> CAST(floor(x * w * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),
+           |    CAST(0 AS BIGINT), (a, q) -> a + q) AS DOUBLE)
+           |  / CAST(1000000000 AS DOUBLE) / sqrt(CAST($jlDim AS DOUBLE)))""".stripMargin))
+      .withColumn("pn2_q", expr(
+        """aggregate(transform(pcs, y -> CAST(floor(y * y * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, t) -> a + t)""".stripMargin))
+      .withColumn("on2_q", expr(
+        """aggregate(transform(v, x -> CAST(floor(x * x * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),
+          |  CAST(0 AS BIGINT), (a, t) -> a + t)""".stripMargin))
+      .select($"vec_id",
+        expr(rndSql("element_at(pcs, 1)", 6)).as("jc1"),
+        expr(rndSql("element_at(pcs, 2)", 6)).as("jc2"),
+        expr(rndSql("CAST(pn2_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)).as("pnorm2"),
+        expr(rndSql("CAST(on2_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)).as("onorm2"),
+        expr(rndSql("CAST(pn2_q AS DOUBLE) / CAST(on2_q AS DOUBLE)", 6)).as("ratio"))
+      .orderBy($"vec_id")
+  }
+
+  def embedJlSql(glob: String): String =
+    s"""WITH b AS (SELECT j, sgn FROM read_parquet('$glob')),
+       |pj AS (
+       |  SELECT e.vec_id, b.j,
+       |    (CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+       |      CAST(floor(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) * b.sgn[CAST(i AS INT)]
+       |        * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS DOUBLE)
+       |     / CAST(1000000000 AS DOUBLE) / sqrt(CAST($jlDim AS DOUBLE))) AS y
+       |  FROM embeddings e, b),
+       |pn AS (
+       |  SELECT vec_id,
+       |    max(CASE WHEN j = 1 THEN y END) AS y1,
+       |    max(CASE WHEN j = 2 THEN y END) AS y2,
+       |    CAST(sum(CAST(floor(y * y * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS pn2_q
+       |  FROM pj GROUP BY vec_id),
+       |onq AS (
+       |  SELECT vec_id,
+       |    CAST(list_sum(list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |        * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))) AS BIGINT) AS on2_q
+       |  FROM embeddings)
+       |SELECT pn.vec_id,
+       |  ${rndSql("y1", 6)} AS jc1,
+       |  ${rndSql("y2", 6)} AS jc2,
+       |  ${rndSql("CAST(pn2_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)} AS pnorm2,
+       |  ${rndSql("CAST(on2_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)} AS onorm2,
+       |  ${rndSql("CAST(pn2_q AS DOUBLE) / CAST(on2_q AS DOUBLE)", 6)} AS ratio
+       |FROM pn JOIN onq ON pn.vec_id = onq.vec_id
+       |ORDER BY pn.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_jl"         -> (embedJl _),
     "embed_norm_audit" -> (embedNormAudit _),
     "embed_binary"     -> (embedBinary _),
     "ann_hamming"      -> (annHamming _),
@@ -1354,5 +1453,7 @@ object Similarity {
       graft.sources.OracleStage.globOf("pca_basis")
         .map(g => "embed_pca" -> embedPcaSql(g)) ++
       graft.sources.OracleStage.globOf("whiten_basis")
-        .map(g => "embed_whiten" -> embedWhitenSql(g))
+        .map(g => "embed_whiten" -> embedWhitenSql(g)) ++
+      graft.sources.OracleStage.globOf("jl_basis")
+        .map(g => "embed_jl" -> embedJlSql(g))
 }

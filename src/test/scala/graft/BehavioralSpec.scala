@@ -498,6 +498,57 @@ class BehavioralSpec extends SparkSpec {
       s"identical arms must give D=0: ${ks2.getDouble(2)}")
   }
 
+  test("anova: separated arms read significant, identical arm multisets read F = 0 exactly") {
+    val s = spark; import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    def writeEvents(dir: String, rows: Seq[(Long, Long, Double)]): Unit =
+      rows.map { case (eid, uid, v) => (eid, t0, uid, "click", v, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // arm means 0 / 1000 / 2000 with ±1 within-arm jitter: SSB ≫ SSW
+    val sep = Files.createTempDirectory("graft-anova-sep").toString
+    writeEvents(sep, (0L until 30L).map(u =>
+      (u, u, 1000.0 * (u % 3) + (u % 2))))
+    val r = Experimentation.qAnova(s, sep).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 30L)
+    assert(r.getDouble(4) > 100.0, s"separated arms must read a large F: ${r.getDouble(4)}")
+    assert(r.getBoolean(5))
+    // value depends only on u/3, so the three arms carry IDENTICAL
+    // per-user multisets: SSB must land on 0 exactly (quantized), F = 0
+    val same = Files.createTempDirectory("graft-anova-same").toString
+    writeEvents(same, (0L until 30L).map(u => (u, u, 10.0 + (u / 3))))
+    val r2 = Experimentation.qAnova(s, same).collect()(0)
+    assert(r2.getDouble(2) == 0.0, s"identical arms must read SSB=0: ${r2.getDouble(2)}")
+    assert(r2.getDouble(4) == 0.0 && !r2.getBoolean(5))
+  }
+
+  test("fdr bh: a real effect is rejected, a null metric is not, and rejections are a p-ordered prefix") {
+    val s = spark; import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    // metric "moved": even users (arm A) at value 1000+jitter, odd at
+    // 1+jitter — a z far past any threshold. metric "flat": value is a
+    // function of u/2 only, so the two arms are identical multisets
+    // (z = 0, p = 1) — BH must reject "moved" and keep "flat".
+    val dir = Files.createTempDirectory("graft-fdr").toString
+    val rows =
+      (0L until 40L).map(u => (u, t0, u, "moved", if (u % 2 == 0) 1000.0 + u else 1.0 + u, "{}")) ++
+      (0L until 40L).map(u => (1000L + u, t0, u, "flat", 10.0 + (u / 2) % 5, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Experimentation.qFdrBh(s, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getLong(3), r.getBoolean(6))).toMap
+    assert(out("moved")._3, s"separated arms must be rejected: ${out("moved")}")
+    assert(!out("flat")._3, s"identical arms must not be rejected: ${out("flat")}")
+    assert(out("flat")._1 > 0.9, s"z=0 must read p≈1: ${out("flat")._1}")
+    assert(out("moved")._2 < out("flat")._2, "the effect must rank first")
+    // step-up structure on the real corpus: rejected rows form a
+    // prefix of the p-ascending order (BH's defining invariant)
+    val real = Experimentation.qFdrBh(s, sfDir).collect()
+      .sortBy(_.getLong(3)).map(_.getBoolean(6))
+    assert(!real.sliding(2).exists(p => p.length == 2 && !p(0) && p(1)),
+      s"rejections must be a prefix: ${real.mkString(",")}")
+  }
+
   test("stl decomposition: components reconstruct y and seasonal means center the detrended series") {
     val s = spark; import s.implicits._
     val rows = Behavioral.qStlDecompose(s, sfDir).collect()

@@ -318,4 +318,39 @@ class GraphSpec extends SparkSpec {
     if (full.nonEmpty && partial.nonEmpty)
       assert(full.map(_._3).max > partial.max)
   }
+  test("ppr: mass conserved, seeds positive, disconnected component excluded") {
+    val s = spark; import s.implicits._
+    // component A: hub 100 with leaves 1..8 (degree 8 vs 1); component
+    // B: isolated pair 200-201. Top-5 seeds by (outdeg DESC, id) =
+    // {100, 1, 2, 3, 4} — all in A, so B must receive ZERO rank.
+    val dir = Files.createTempDirectory("graft-ppr").toString
+    val a = (1L to 8L).map(l => (l, 100L, l))
+    val b = Seq((50L, 200L, 201L))
+    (a ++ b).flatMap { case (o, p1, p2) => Seq((o, p1), (o, p2)) }
+      .toDF("l_orderkey", "l_partkey")
+      .select($"l_orderkey", $"l_partkey", lit(1L).as("l_suppkey"),
+        lit(1).as("l_linenumber"), lit(1.0).as("l_quantity"),
+        lit(1.0).as("l_extendedprice"), lit(0.0).as("l_discount"),
+        lit(0.0).as("l_tax"), lit("N").as("l_returnflag"),
+        lit("O").as("l_linestatus"),
+        lit("2024-01-01 00:00:00").cast("timestamp").as("l_shipdate"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = Graph.graphPpr(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    // locality: the disconnected pair gets no rank at all
+    assert(!r.contains(200L) && !r.contains(201L), r.toString)
+    assert(r.keySet.subsetOf((1L to 8L).toSet + 100L), r.toString)
+    // every seed keeps at least its restart share
+    for (seed <- Seq(100L, 1L, 2L, 3L, 4L))
+      assert(r(seed) > 0.0, s"seed $seed lost its restart mass: $r")
+    // symmetric component, full restart vector sums to 1: total mass
+    // stays 1 every round up to the 1e-12 contribution quantum
+    assert(math.abs(r.values.sum - 1.0) < 1e-6, s"mass: ${r.values.sum}")
+    // the hub receives mass from every seed leaf: it must dominate
+    assert(r(100L) == r.values.max, r.toString)
+    // non-seed leaves (5..8) are reached only through the hub —
+    // positive but strictly below the seed leaves
+    for (ns <- Seq(5L, 6L, 7L, 8L); sd <- Seq(1L, 2L, 3L, 4L))
+      assert(r(ns) < r(sd), s"non-seed leaf $ns must trail seed leaf $sd: $r")
+  }
 }

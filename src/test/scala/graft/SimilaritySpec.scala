@@ -111,6 +111,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("jl projection concentrates norm ratios at 1 with the promised 2/k variance") {
+    val rows = Similarity.embedJl(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ratios = rows.map(_.getDouble(5))
+    val n = ratios.length.toDouble
+    val mean = ratios.sum / n
+    // E[ratio] = 1 for a Rademacher projection; mean of ~500
+    // independent ratios (each Var = 2/k = 0.125) lands within a few
+    // sd/sqrt(n) of 1
+    assert(math.abs(mean - 1.0) < 0.08, s"mean distortion $mean must be ~1")
+    // per-vector concentration: sd = sqrt(2/k) = 0.354 — allow 4 sd
+    assert(ratios.forall(r => r > 0.0 && r < 2.5),
+      s"pathological distortion: ${ratios.filter(r => r <= 0 || r >= 2.5).mkString(",")}")
+    val varr = ratios.map(r => (r - mean) * (r - mean)).sum / n
+    assert(varr < 3.0 * 2.0 / Similarity.jlDim, s"ratio variance $varr vs promised ${2.0 / Similarity.jlDim}")
+    // the projection is a contraction of information, not of scale:
+    // projected norms are positive wherever the input norm is
+    assert(rows.forall(r => r.getDouble(4) <= 0.0 || r.getDouble(3) >= 0.0))
+  }
+
   test("hamming refine dominates raw hamming recall and reports exact cosines") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
