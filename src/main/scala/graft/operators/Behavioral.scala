@@ -2099,7 +2099,120 @@ object Behavioral {
        |FROM tr3 t JOIN se ON t.event_type = se.event_type AND t.dow = se.dow
        |ORDER BY t.event_type, t.day""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_holt_winters — additive triple exponential smoothing
+  // ------------------------------------------------------------------
+
+  /** Seasonal period for [[qHoltWinters]] (weekly cycle on daily
+    * counts). */
+  val hwPeriod = 7
+
+  /** §2.10 — Holt-Winters ADDITIVE seasonal smoothing, the seasonal
+    * upgrade of [[qHoltForecast]] (whose level+trend state is blind
+    * to the weekly cycle [[qSeasonality]] measures): per event_type
+    * daily counts, first [[hwPeriod]] days initialize level = mean
+    * and the seasonal vector s_i = x_i − mean, then the classic
+    * recurrences (α=0.5, β=0.3, γ=0.3) with the one-step-ahead
+    * forecast l+b+s_{t−m} emitted BEFORE the update — an honest
+    * out-of-sample forecast at every step. Same scale shape as Holt:
+    * the fact table collapses to per-(type, day) counts (one partial-
+    * agged shuffle), each series folds ROW-LOCALLY inside one
+    * `aggregate` HOF carrying a bounded m-slot seasonal ring — state
+    * is O(m), series parallelism is across types/keys, and the
+    * recursion never leaves the executor. Every recurrence is plain
+    * IEEE mult/add on integer-derived doubles — the identical
+    * expression tree runs in DuckDB's recursive CTE, so the walk is
+    * bit-identical cross-engine with float only quantized at output. */
+  def qHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val m = hwPeriod
+    // the init mean over the first m raw counts (exact integer sum)
+    val mInit = s"(CAST(aggregate(concat(acc.buf, array(dd.x)), CAST(0 AS BIGINT), (a2, q2) -> a2 + q2) AS DOUBLE) / CAST($m AS DOUBLE))"
+    val sTm = "element_at(acc.ss, 1)"
+    val lNew = s"(CAST(0.5 AS DOUBLE) * (CAST(dd.x AS DOUBLE) - $sTm) + CAST(0.5 AS DOUBLE) * (acc.l + acc.b))"
+    val bNew = s"(CAST(0.3 AS DOUBLE) * ($lNew - acc.l) + CAST(0.7 AS DOUBLE) * acc.b)"
+    val sNew = s"(CAST(0.3 AS DOUBLE) * (CAST(dd.x AS DOUBLE) - $lNew) + CAST(0.7 AS DOUBLE) * $sTm)"
+    val fNext = "(acc.l + acc.b + element_at(acc.ss, 1))"
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"x"))).as("ds"))
+    series
+      .withColumn("walk", expr(
+        s"""aggregate(ds,
+           |  named_struct(
+           |    'buf', CAST(array() AS array<bigint>),
+           |    'l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+           |    'ss', CAST(array() AS array<double>),
+           |    'out', CAST(array() AS array<struct<day:date,x:bigint,l:double,b:double,sn:double,f:double>>)),
+           |  (acc, dd) -> CASE
+           |    WHEN size(acc.buf) < ${m - 1} THEN named_struct(
+           |      'buf', concat(acc.buf, array(dd.x)),
+           |      'l', acc.l, 'b', acc.b, 'ss', acc.ss, 'out', acc.out)
+           |    WHEN size(acc.buf) = ${m - 1} THEN named_struct(
+           |      'buf', concat(acc.buf, array(dd.x)),
+           |      'l', $mInit,
+           |      'b', CAST(0 AS DOUBLE),
+           |      'ss', transform(concat(acc.buf, array(dd.x)), q -> CAST(q AS DOUBLE) - $mInit),
+           |      'out', acc.out)
+           |    ELSE named_struct(
+           |      'buf', acc.buf,
+           |      'l', $lNew,
+           |      'b', $bNew,
+           |      'ss', concat(slice(acc.ss, 2, ${m - 1}), array($sNew)),
+           |      'out', concat(acc.out, array(named_struct(
+           |        'day', dd.day, 'x', dd.x,
+           |        'l', $lNew, 'b', $bNew, 'sn', $sNew, 'f', $fNext))))
+           |  END,
+           |  acc -> acc.out)""".stripMargin))
+      .select($"event_type", explode($"walk").as("w"))
+      .select($"event_type", $"w.day".as("day"), $"w.x".as("n_events"),
+        rnd($"w.l", 6).as("level"), rnd($"w.b", 6).as("trend"),
+        rnd($"w.sn", 6).as("seasonal"), rnd($"w.f", 6).as("forecast"))
+      .orderBy($"event_type", $"day")
+  }
+
+  val qHoltWintersSql: String = {
+    import graft.functions.Agg.rndSql
+    val m = hwPeriod
+    val sTm = "w.ss[1]"
+    val lNew = s"(CAST(0.5 AS DOUBLE) * (CAST(i.x AS DOUBLE) - $sTm) + CAST(0.5 AS DOUBLE) * (w.l + w.b))"
+    val bNew = s"(CAST(0.3 AS DOUBLE) * ($lNew - w.l) + CAST(0.7 AS DOUBLE) * w.b)"
+    val sNew = s"(CAST(0.3 AS DOUBLE) * (CAST(i.x AS DOUBLE) - $lNew) + CAST(0.7 AS DOUBLE) * $sTm)"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, day, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM daily),
+       |init AS (
+       |  SELECT event_type,
+       |    CAST(sum(x) AS DOUBLE) / CAST($m AS DOUBLE) AS l0,
+       |    list(CAST(x AS DOUBLE) ORDER BY rn) AS xs
+       |  FROM idx WHERE rn <= $m GROUP BY event_type
+       |  HAVING count(*) = $m),
+       |walk(event_type, rn, day, x, l, b, ss, sn, f) AS (
+       |  SELECT event_type, $m, NULL::DATE, NULL::BIGINT, l0, CAST(0 AS DOUBLE),
+       |    list_transform(xs, q -> q - l0), NULL::DOUBLE, NULL::DOUBLE
+       |  FROM init
+       |  UNION ALL
+       |  SELECT i.event_type, i.rn, i.day, i.x,
+       |    $lNew, $bNew,
+       |    w.ss[2:$m] || [$sNew],
+       |    $sNew,
+       |    w.l + w.b + w.ss[1]
+       |  FROM walk w JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1)
+       |SELECT event_type, day, x AS n_events,
+       |  ${rndSql("l", 6)} AS level, ${rndSql("b", 6)} AS trend,
+       |  ${rndSql("sn", 6)} AS seasonal, ${rndSql("f", 6)} AS forecast
+       |FROM walk WHERE rn > $m ORDER BY event_type, day""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_holt_winters"    -> (qHoltWinters _),
     "q_funnel_latency"  -> (qFunnelLatency _),
     "q_data_gaps"       -> (qDataGaps _),
     "q_mv_retract"      -> (qMvRetract _),
@@ -2136,6 +2249,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_holt_winters"    -> qHoltWintersSql,
     "q_funnel_latency"  -> qFunnelLatencySql,
     "q_data_gaps"       -> qDataGapsSql,
     "q_mv_retract"      -> qMvRetractSql,

@@ -498,6 +498,49 @@ class BehavioralSpec extends SparkSpec {
       s"identical arms must give D=0: ${ks2.getDouble(2)}")
   }
 
+  test("holt-winters: a perfectly periodic series forecasts itself exactly, and the lag-m chain holds on real data") {
+    val s = spark; import s.implicits._
+    // 4 weeks of a pure weekly cycle [10..70], sum 280 → mean 40
+    // exact: every recurrence stays on exact doubles, so the
+    // one-step forecast must equal the actual COUNT exactly, trend
+    // pinned at 0, level at 40
+    val dir = Files.createTempDirectory("graft-hw").toString
+    val pattern = Array(10, 20, 30, 40, 50, 60, 70)
+    var id = 0L
+    val rows = (0 until 28).flatMap { d =>
+      (0 until pattern(d % 7)).map { i =>
+        id += 1
+        (id, java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2025, 1, 1, 0, 0).plusDays(d).plusSeconds(i)),
+          i.toLong, "clk", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Behavioral.qHoltWinters(s, dir).collect()
+    assert(out.length == 21, s"28 days - 7 warmup = 21 rows, got ${out.length}")
+    out.foreach { r =>
+      assert(r.getDouble(6) == r.getLong(2).toDouble,
+        s"periodic series must forecast itself exactly: ${r.getDate(1)} f=${r.getDouble(6)} x=${r.getLong(2)}")
+      assert(r.getDouble(4) == 0.0, s"trend must stay 0: ${r.getDouble(4)}")
+      assert(r.getDouble(3) == 40.0, s"level must stay at the mean: ${r.getDouble(3)}")
+    }
+    // real data: the emitted state must satisfy the defining chain
+    // f_t = l_{t-1} + b_{t-1} + sn_{t-m} wherever sn_{t-m} is emitted
+    val real = Behavioral.qHoltWinters(s, sfDir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(real.nonEmpty)
+    real.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._2)
+      for (t <- (Behavioral.hwPeriod) until sorted.length) {
+        val (_, _, _, _, snLag, _) = sorted(t - Behavioral.hwPeriod)
+        val (_, day, _, _, _, f) = sorted(t)
+        val (_, _, lPrev, bPrev, _, _) = sorted(t - 1)
+        assert(math.abs(f - (lPrev + bPrev + snLag)) < 4e-6,
+          s"$day: f=$f vs ${lPrev + bPrev + snLag}")
+      }
+    }
+  }
+
   test("anova: separated arms read significant, identical arm multisets read F = 0 exactly") {
     val s = spark; import s.implicits._
     val t0 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
