@@ -2100,6 +2100,89 @@ object Behavioral {
        |ORDER BY t.event_type, t.day""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_changepoint — single best mean-shift split per series
+  // ------------------------------------------------------------------
+
+  /** §2.10 — changepoint detection (binary segmentation, depth 1):
+    * per event_type, the split day t* maximizing the between-segment
+    * sum of squares of daily volume — the RETROSPECTIVE "when did the
+    * level shift" answer next to [[qCusum]]'s sequential alarm (CUSUM
+    * says THAT a shift happened while streaming; this says WHERE,
+    * exactly, after the fact). The gain uses the integer cross-term
+    * identity SSB(t) = (S_A·n_B − S_B·n_A)² / (n_A·n_B·D): numerator
+    * from exact BIGINT prefix sums (one bounded per-type window over
+    * the day-sized frame), so both engines square the SAME exact
+    * double and the argmax can't flip cross-engine; day breaks ties.
+    * Scale: the fact table collapses to per-(type, day) counts before
+    * any window — the candidate scan is day-sized, not event-sized.
+    * (The BIGINT→DOUBLE cast is exact while |S_A·n_B| < 2⁵³ — beyond
+    * that, rescale the daily unit, the graph_harmonic micro-unit
+    * device.) */
+  def qChangepoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val wOrd = Window.partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy($"event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cand = daily
+      .withColumn("s_a", sum($"x").over(wOrd))
+      .withColumn("n_a", count(lit(1)).over(wOrd))
+      .withColumn("s", sum($"x").over(wAll))
+      .withColumn("d", count(lit(1)).over(wAll))
+      .filter($"n_a" < $"d")
+      .withColumn("n_b", $"d" - $"n_a")
+      .withColumn("s_b", $"s" - $"s_a")
+      .withColumn("num", expr("CAST(s_a * n_b - s_b * n_a AS DOUBLE)"))
+      .withColumn("gain", expr(
+        "num * num / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * CAST(d AS DOUBLE))"))
+    cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"event_type").orderBy($"gain".desc, $"day")))
+      .filter($"rn" === 1)
+      .select($"event_type", $"day".as("split_day"), $"n_a", $"n_b",
+        rnd($"s_a".cast("double") / $"n_a".cast("double"), 6).as("mean_before"),
+        rnd($"s_b".cast("double") / $"n_b".cast("double"), 6).as("mean_after"),
+        rnd($"gain", 6).as("gain"))
+      .orderBy($"event_type")
+  }
+
+  val qChangepointSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT event_type, day,
+       |    sum(x) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_a,
+       |    count(*) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_a,
+       |    sum(x) OVER (PARTITION BY event_type) AS s,
+       |    count(*) OVER (PARTITION BY event_type) AS d
+       |  FROM daily),
+       |gains AS (
+       |  SELECT event_type, day, n_a, d - n_a AS n_b, s_a, s - s_a AS s_b,
+       |    (CAST(s_a * (d - n_a) - (s - s_a) * n_a AS DOUBLE)
+       |     * CAST(s_a * (d - n_a) - (s - s_a) * n_a AS DOUBLE))
+       |      / (CAST(n_a AS DOUBLE) * CAST(d - n_a AS DOUBLE) * CAST(d AS DOUBLE)) AS gain
+       |  FROM cand WHERE n_a < d),
+       |best AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type
+       |    ORDER BY gain DESC, day) AS rn
+       |  FROM gains)
+       |SELECT event_type, day AS split_day,
+       |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       |  ${rndSql("CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)", 6)} AS mean_before,
+       |  ${rndSql("CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)", 6)} AS mean_after,
+       |  ${rndSql("gain", 6)} AS gain
+       |FROM best WHERE rn = 1 ORDER BY event_type""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q_holt_winters — additive triple exponential smoothing
   // ------------------------------------------------------------------
 
@@ -2212,6 +2295,7 @@ object Behavioral {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_changepoint"     -> (qChangepoint _),
     "q_holt_winters"    -> (qHoltWinters _),
     "q_funnel_latency"  -> (qFunnelLatency _),
     "q_data_gaps"       -> (qDataGaps _),
@@ -2249,6 +2333,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_changepoint"     -> qChangepointSql,
     "q_holt_winters"    -> qHoltWintersSql,
     "q_funnel_latency"  -> qFunnelLatencySql,
     "q_data_gaps"       -> qDataGapsSql,

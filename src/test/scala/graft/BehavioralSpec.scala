@@ -498,6 +498,33 @@ class BehavioralSpec extends SparkSpec {
       s"identical arms must give D=0: ${ks2.getDouble(2)}")
   }
 
+  test("changepoint lands on the exact shift day with the segment means") {
+    val s = spark; import s.implicits._
+    // days 1-20 alternate 99/101 (mean 100), days 21-30 run at 150:
+    // the best single split is after day 20 exactly
+    val dir = Files.createTempDirectory("graft-chgpt").toString
+    val dayUs = 86400L * 1000000L
+    var id = 0L
+    val rows = (1 to 30).flatMap { d =>
+      val n = if (d <= 20) { if (d % 2 == 0) 99 else 101 } else 150
+      (0 until n).map { i =>
+        id += 1
+        (id, new java.sql.Timestamp((d.toLong * dayUs + i * 1000000L) / 1000L), (i % 7).toLong, "click", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Behavioral.qChangepoint(s, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(2) == 20L && r(0).getLong(3) == 10L,
+      s"split must isolate the 20/10 segments: ${r(0)}")
+    assert(r(0).getDouble(4) == 100.0, s"mean_before ${r(0).getDouble(4)}")
+    assert(r(0).getDouble(5) == 150.0, s"mean_after ${r(0).getDouble(5)}")
+    // gain at the true split: (S_A n_B - S_B n_A)^2/(n_A n_B D) =
+    // (2000*10 - 1500*20)^2 / (20*10*30) = 1e8/6000
+    assert(math.abs(r(0).getDouble(6) - 1.0e8 / 6000.0) < 1e-3, r(0).toString)
+  }
+
   test("holt-winters: a perfectly periodic series forecasts itself exactly, and the lag-m chain holds on real data") {
     val s = spark; import s.implicits._
     // 4 weeks of a pure weekly cycle [10..70], sum 280 → mean 40
