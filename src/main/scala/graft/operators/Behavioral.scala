@@ -2100,6 +2100,125 @@ object Behavioral {
        |ORDER BY t.event_type, t.day""".stripMargin
 
   // ------------------------------------------------------------------
+  // q_forecast_backtest — rolling-origin model selection
+  // ------------------------------------------------------------------
+
+  /** §2.10 — rolling-origin one-step BACKTEST: naive (yesterday),
+    * EWMA (α=0.3) and Holt (α=0.5, β=0.3) each forecast every day of
+    * per-type volume from the data before it, and the table reports
+    * MAE/RMSE per (type, model) — the model-selection readout that
+    * must exist before anyone ships [[qHoltForecast]]'s numbers (a
+    * forecaster chosen without a backtest is a guess). All three
+    * recursions ride ONE row-local fold per series (state: 5 doubles
+    * + 6 exact error accumulators), so adding a model costs no extra
+    * pass; per-step errors quantize to 1e-6 BIGINTs before
+    * accumulation — exact integer adds, engine-order-free, and the
+    * final MAE/RMSE divide once. Scale shape as the other
+    * recurrences: the fact table partial-aggs to day-sized series,
+    * parallelism across types; the walk never leaves the executor.
+    * (Error quanta stay inside BIGINT while daily volume < ~3·10⁶ —
+    * beyond that, coarsen the error quantum, the harmonic micro-unit
+    * device.) */
+  def qForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def qz(v: String) = s"CAST(floor(($v) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val x = "CAST(dd.x AS DOUBLE)"
+    val lNew = s"(CAST(0.5 AS DOUBLE) * $x + CAST(0.5 AS DOUBLE) * (acc.l + acc.b))"
+    val daily = Tables.events(s, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = daily.groupBy($"event_type")
+      .agg(sort_array(collect_list(struct($"day", $"x"))).as("ds"))
+    series
+      .withColumn("st", expr(
+        s"""aggregate(ds,
+           |  named_struct('i', CAST(0 AS BIGINT),
+           |    'prev', CAST(0 AS DOUBLE), 'ew', CAST(0 AS DOUBLE),
+           |    'l', CAST(0 AS DOUBLE), 'b', CAST(0 AS DOUBLE),
+           |    'ae_n', CAST(0 AS BIGINT), 'se_n', CAST(0 AS BIGINT),
+           |    'ae_e', CAST(0 AS BIGINT), 'se_e', CAST(0 AS BIGINT),
+           |    'ae_h', CAST(0 AS BIGINT), 'se_h', CAST(0 AS BIGINT)),
+           |  (acc, dd) -> CASE WHEN acc.i = 0 THEN named_struct(
+           |      'i', CAST(1 AS BIGINT),
+           |      'prev', $x, 'ew', $x, 'l', $x, 'b', CAST(0 AS DOUBLE),
+           |      'ae_n', CAST(0 AS BIGINT), 'se_n', CAST(0 AS BIGINT),
+           |      'ae_e', CAST(0 AS BIGINT), 'se_e', CAST(0 AS BIGINT),
+           |      'ae_h', CAST(0 AS BIGINT), 'se_h', CAST(0 AS BIGINT))
+           |    ELSE named_struct(
+           |      'i', acc.i + CAST(1 AS BIGINT),
+           |      'prev', $x,
+           |      'ew', CAST(0.3 AS DOUBLE) * $x + CAST(0.7 AS DOUBLE) * acc.ew,
+           |      'l', $lNew,
+           |      'b', CAST(0.3 AS DOUBLE) * ($lNew - acc.l) + CAST(0.7 AS DOUBLE) * acc.b,
+           |      'ae_n', acc.ae_n + ${qz(s"abs($x - acc.prev)")},
+           |      'se_n', acc.se_n + ${qz(s"($x - acc.prev) * ($x - acc.prev)")},
+           |      'ae_e', acc.ae_e + ${qz(s"abs($x - acc.ew)")},
+           |      'se_e', acc.se_e + ${qz(s"($x - acc.ew) * ($x - acc.ew)")},
+           |      'ae_h', acc.ae_h + ${qz(s"abs($x - (acc.l + acc.b))")},
+           |      'se_h', acc.se_h + ${qz(s"($x - (acc.l + acc.b)) * ($x - (acc.l + acc.b))")})
+           |  END,
+           |  acc -> acc)""".stripMargin))
+      .filter(expr("st.i >= 2"))
+      .select($"event_type", expr("st.i - 1").as("n"),
+        explode(expr(
+          """array(
+            |  named_struct('model', 'ewma',  'ae', st.ae_e, 'se', st.se_e),
+            |  named_struct('model', 'holt',  'ae', st.ae_h, 'se', st.se_h),
+            |  named_struct('model', 'naive', 'ae', st.ae_n, 'se', st.se_n))""".stripMargin)).as("m"))
+      .select($"event_type", $"m.model".as("model"), $"n",
+        expr(rndSql("(CAST(m.ae AS DOUBLE) / CAST(1000000 AS DOUBLE)) / CAST(n AS DOUBLE)", 6)).as("mae"),
+        expr(rndSql("sqrt((CAST(m.se AS DOUBLE) / CAST(1000000 AS DOUBLE)) / CAST(n AS DOUBLE))", 6)).as("rmse"))
+      .orderBy($"event_type", $"model")
+  }
+
+  val qForecastBacktestSql: String = {
+    import graft.functions.Agg.rndSql
+    def qz(v: String) = s"CAST(floor(($v) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val x = "CAST(i.x AS DOUBLE)"
+    val lNew = s"(CAST(0.5 AS DOUBLE) * $x + CAST(0.5 AS DOUBLE) * (w.l + w.b))"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
+       |  FROM events GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT event_type, day, x,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+       |  FROM daily),
+       |walk(event_type, rn, prev, ew, l, b, ae_n, se_n, ae_e, se_e, ae_h, se_h) AS (
+       |  SELECT event_type, rn, CAST(x AS DOUBLE), CAST(x AS DOUBLE),
+       |    CAST(x AS DOUBLE), CAST(0 AS DOUBLE),
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  FROM idx WHERE rn = 1
+       |  UNION ALL
+       |  SELECT i.event_type, i.rn, $x,
+       |    CAST(0.3 AS DOUBLE) * $x + CAST(0.7 AS DOUBLE) * w.ew,
+       |    $lNew,
+       |    CAST(0.3 AS DOUBLE) * ($lNew - w.l) + CAST(0.7 AS DOUBLE) * w.b,
+       |    w.ae_n + ${qz(s"abs($x - w.prev)")},
+       |    w.se_n + ${qz(s"($x - w.prev) * ($x - w.prev)")},
+       |    w.ae_e + ${qz(s"abs($x - w.ew)")},
+       |    w.se_e + ${qz(s"($x - w.ew) * ($x - w.ew)")},
+       |    w.ae_h + ${qz(s"abs($x - (w.l + w.b))")},
+       |    w.se_h + ${qz(s"($x - (w.l + w.b)) * ($x - (w.l + w.b))")}
+       |  FROM walk w JOIN idx i ON i.event_type = w.event_type AND i.rn = w.rn + 1),
+       |last AS (
+       |  SELECT w.* FROM walk w
+       |  JOIN (SELECT event_type, max(rn) AS mr FROM walk GROUP BY 1) t
+       |    ON t.event_type = w.event_type AND t.mr = w.rn
+       |  WHERE w.rn >= 2),
+       |un AS (
+       |  SELECT event_type, 'ewma' AS model, rn - 1 AS n, ae_e AS ae, se_e AS se FROM last
+       |  UNION ALL
+       |  SELECT event_type, 'holt', rn - 1, ae_h, se_h FROM last
+       |  UNION ALL
+       |  SELECT event_type, 'naive', rn - 1, ae_n, se_n FROM last)
+       |SELECT event_type, model, CAST(n AS BIGINT) AS n,
+       |  ${rndSql("(CAST(ae AS DOUBLE) / CAST(1000000 AS DOUBLE)) / CAST(n AS DOUBLE)", 6)} AS mae,
+       |  ${rndSql("sqrt((CAST(se AS DOUBLE) / CAST(1000000 AS DOUBLE)) / CAST(n AS DOUBLE))", 6)} AS rmse
+       |FROM un ORDER BY event_type, model""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // q_changepoint — single best mean-shift split per series
   // ------------------------------------------------------------------
 
@@ -2295,6 +2414,7 @@ object Behavioral {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_forecast_backtest" -> (qForecastBacktest _),
     "q_changepoint"     -> (qChangepoint _),
     "q_holt_winters"    -> (qHoltWinters _),
     "q_funnel_latency"  -> (qFunnelLatency _),
@@ -2333,6 +2453,7 @@ object Behavioral {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_forecast_backtest" -> qForecastBacktestSql,
     "q_changepoint"     -> qChangepointSql,
     "q_holt_winters"    -> qHoltWintersSql,
     "q_funnel_latency"  -> qFunnelLatencySql,

@@ -1365,7 +1365,52 @@ object StreamOps {
       .orderBy($"day")
   }
 
+  /** §2.10 — the LIVE A/B readout: per-metric sufficient statistics
+    * (arm counts, exact decimal Σx and Σx²) maintained as one
+    * incremental streaming aggregation — the experiment dashboard
+    * never stores raw events, and the Welch z at any instant derives
+    * from six numbers per metric. The decimal fixed-point sums are
+    * what make the incremental merge EXACT: state merges are integer
+    * adds in any order, so the completed stream's statistics are
+    * bit-identical to the batch [[graft.operators.Experimentation
+    * .qAbtest]] readout and this shares its oracle verbatim. State is
+    * bounded by #metrics × 6 numbers — nothing event-sized survives a
+    * batch. */
+  def runAbtestToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_abtest"): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg._
+    val st = StreamAcc.eventsStream(s, dir)
+      .withColumn("a", $"user_id" % 2 === 0)
+      .groupBy($"event_type")
+      .agg(
+        countIf($"a").as("n_a"),
+        countIf(!$"a").as("n_b"),
+        dsum(when($"a", $"value").otherwise(lit(0.0))).as("sx_a"),
+        dsum(when(!$"a", $"value").otherwise(lit(0.0))).as("sx_b"),
+        dsum(when($"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_a"),
+        dsum(when(!$"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_b"))
+    val q = st.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink)
+      .withColumn("m_a", $"sx_a" / $"n_a".cast("double"))
+      .withColumn("m_b", $"sx_b" / $"n_b".cast("double"))
+      .withColumn("v_a", ($"sxx_a" - $"sx_a" * $"sx_a" / $"n_a".cast("double")) / ($"n_a" - 1).cast("double"))
+      .withColumn("v_b", ($"sxx_b" - $"sx_b" * $"sx_b" / $"n_b".cast("double")) / ($"n_b" - 1).cast("double"))
+      .select($"event_type", $"n_a", $"n_b",
+        expr(rndSql("m_a", 6)).as("mean_a"),
+        expr(rndSql("m_b", 6)).as("mean_b"),
+        expr(rndSql("(m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))", 6)).as("t_stat"))
+      .orderBy($"event_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_abtest" -> ((s, dir) =>
+      runAbtestToCompletion(s, dir, sink = "stream_abtest_verify")),
     "stream_dau" -> ((s, dir) =>
       runDauToCompletion(s, dir, sink = "stream_dau_verify")),
     "stream_embed_dedup" -> ((s, dir) =>
@@ -1426,6 +1471,9 @@ object StreamOps {
   /** stream_sessionize runs the same session_window operator as the
     * batch q_session_window, so it shares that oracle verbatim. */
   def oracles: Map[String, String] = Map(
+    // exact decimal sufficient statistics merge order-free, so the
+    // completed stream equals the batch readout: shares q_abtest
+    "stream_abtest"         -> graft.operators.Experimentation.qAbtestSql,
     // order-independent exactly-once (user, day) dedup run to
     // completion equals the batch distinct: shares q_dau_new_returning
     "stream_dau"            -> graft.operators.Behavioral.qDauNewReturningSql,

@@ -498,6 +498,45 @@ class BehavioralSpec extends SparkSpec {
       s"identical arms must give D=0: ${ks2.getDouble(2)}")
   }
 
+  test("forecast backtest: constant series scores zero, holt beats naive on a ramp, rmse >= mae always") {
+    val s = spark; import s.implicits._
+    val dayUs = 86400L * 1000000L
+    def write(dir: String, counts: Seq[Int], tpe: String): Unit = {
+      var id = 0L
+      counts.zipWithIndex.flatMap { case (n, d) =>
+        (0 until n).map { i =>
+          id += 1
+          (id, new java.sql.Timestamp(((d + 1).toLong * dayUs + i * 1000000L) / 1000L), (i % 7).toLong, tpe, 1.0, "{}")
+        }
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    }
+    // constant volume: every model forecasts it exactly — MAE/RMSE 0
+    val cdir = Files.createTempDirectory("graft-bt-const").toString
+    write(cdir, Seq.fill(20)(42), "flat")
+    Behavioral.qForecastBacktest(s, cdir).collect().foreach { r =>
+      assert(r.getLong(2) == 19L, r.toString)
+      assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0,
+        s"constant series must score 0: $r")
+    }
+    // linear ramp 10, 15, 20, ... over 60 days: naive is ALWAYS off by
+    // exactly the slope (MAE = 5); holt learns the trend and converges
+    // to ~0 error, so it must dominate; EWMA lags hardest
+    val rdir = Files.createTempDirectory("graft-bt-ramp").toString
+    write(rdir, (0 until 60).map(d => 10 + 5 * d), "ramp")
+    val byModel = Behavioral.qForecastBacktest(s, rdir).collect()
+      .map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(byModel("naive") == 5.0, s"naive on a slope-5 ramp: ${byModel("naive")}")
+    assert(byModel("holt") < byModel("naive"),
+      s"holt must learn the trend: ${byModel("holt")} vs ${byModel("naive")}")
+    assert(byModel("ewma") > byModel("naive"),
+      s"ewma must lag a ramp hardest: ${byModel("ewma")} vs ${byModel("naive")}")
+    // real data: rmse dominates mae (Jensen), n = days - 1 per type
+    Behavioral.qForecastBacktest(s, sfDir).collect().foreach { r =>
+      assert(r.getDouble(4) >= r.getDouble(3) - 1e-9, s"rmse < mae: $r")
+    }
+  }
+
   test("changepoint lands on the exact shift day with the segment means") {
     val s = spark; import s.implicits._
     // days 1-20 alternate 99/101 (mean 100), days 21-30 run at 150:

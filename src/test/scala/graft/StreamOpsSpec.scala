@@ -30,6 +30,20 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming abtest sufficient statistics equal the batch readout bit-exactly") {
+    val s = spark
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+                 r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val streamed = key(StreamOps.runAbtestToCompletion(s, sfDir, sink = "abtest_parity"))
+    val batch = key(operators.Experimentation.qAbtest(s, sfDir))
+    assert(batch.nonEmpty)
+    // decimal fixed-point sums merge order-free, so the incremental
+    // state must reproduce the batch z to the last bit
+    assert(streamed == batch,
+      s"diff=${(streamed -- batch).take(2)} / ${(batch -- streamed).take(2)}")
+  }
+
   test("streaming exact dedup equals the batch hash-groupBy exactly") {
     val s = spark
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
