@@ -50,11 +50,15 @@ object EmbedPq {
   /** argmin codeword id for subspace `m` against codebook literal
     * column `cbs` (pqM × pqKsub × pqDsub): minimizes
     * |c|² − 2·sub·c (monotone in L2). */
+  // the distance array is BOUND to a lambda variable (the transform-
+  // over-singleton device) so argmin evaluates it once, not twice —
+  // measured ~2x less encode math per (vector, subspace); argmin
+  // semantics unchanged (array_position takes the FIRST minimum, the
+  // same lowest-cid tie-break the oracle replays)
   private def codeExpr(m: String) =
-    s"""CAST(array_position(
-       |   transform(element_at(cbs, ($m) + 1), c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(${sub(m)}, c)),
-       |   array_min(transform(element_at(cbs, ($m) + 1), c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(${sub(m)}, c)))
-       | ) - 1 AS INT)""".stripMargin
+    s"""element_at(transform(
+       |   array(transform(element_at(cbs, ($m) + 1), c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(${sub(m)}, c))),
+       |   ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT)), 1)""".stripMargin
 
   /** Codebooks are a deterministic artifact of the corpus (decimal-
     * exact k-means from a fixed init), so they are trained once per
