@@ -663,15 +663,25 @@ object EmbedPq {
   }
 
   /** Vectors in the rotated basis: v' = R·v, row-local against the
-    * broadcast rotation literal (d dot products per vector). */
-  private def rotatedVectors(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val d = pqM * pqDsub
-    vectors(s, dir)
-      .withColumn("rot", typedLit(opqRotation(s, dir)))
-      .select($"vec_id", expr(
-        s"transform(sequence(0, ${d - 1}), i -> graft_dot(element_at(rot, i + 1), v))").as("v"))
-  }
+    * broadcast rotation literal (d dot products per vector) — STAGED
+    * as a parquet artifact, not a live projection. Two reasons: it is
+    * what a production OPQ index persists (rotate once at ingest,
+    * every encode/scan reads the rotated corpus), and it is a
+    * correctness-of-cost guard — a live projection under the encode's
+    * nested lambdas invites CollapseProject to inline the d² rotation
+    * fold into EVERY codeword-distance evaluation (measured: ann_opq
+    * 1.4 s → 30 s when the single-reference encode form made the
+    * rotation look inlineable; the parquet boundary makes that
+    * impossible for any future expression shape). */
+  private def rotatedVectors(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "opq_rotated", dir) {
+      import s.implicits._
+      val d = pqM * pqDsub
+      vectors(s, dir)
+        .withColumn("rot", typedLit(opqRotation(s, dir)))
+        .select($"vec_id", expr(
+          s"transform(sequence(0, ${d - 1}), i -> graft_dot(element_at(rot, i + 1), v))").as("v"))
+    }
 
   def trainOpqCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
     val cbs = cbCache.getOrElseUpdate(s"opq:$dir",

@@ -1319,6 +1319,65 @@ object Similarity {
        |ORDER BY label""".stripMargin
 
   // ------------------------------------------------------------------
+  // ann_hard_negatives — contrastive-training negative mining
+  // ------------------------------------------------------------------
+
+  /** §2.5 — HARD-NEGATIVE mining: for each query vector, the top-k
+    * most-similar vectors from OTHER classes — the gradient-richest
+    * negatives for contrastive/triplet training (random negatives are
+    * trivially separated after the first epochs; the pairs that still
+    * teach sit just across the class boundary, and this is the query
+    * that finds them). Same scan shape as [[annBruteforce]] (broadcast
+    * query set against one corpus pass — linear, no self-join) with
+    * the label inequality fused into the join predicate so mismatched
+    * pairs never materialize; per-query top-k on the bounded window.
+    * At 100 TB this runs per training round off the ANN tier instead
+    * (probe IVF/PQ then label-filter); the exact scan is the recall
+    * ground truth for that, exactly as ann_bruteforce is for ANN. */
+  def annHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.embeddings(s, dir)
+      .select($"vec_id", $"label", expr(VectorFns.asDouble("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorFns.norm("v")))
+    val q = base.filter($"vec_id" < nQueries)
+      .select($"vec_id".as("query_id"), $"label".as("q_label"),
+        $"v".as("qv"), $"nrm".as("qnrm"))
+    val scored = base.join(broadcast(q),
+        $"vec_id" =!= $"query_id" && $"label" =!= $"q_label")
+      .withColumn("cosine",
+        expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"q_label", $"rank", $"vec_id".as("neighbor_id"),
+        $"label".as("n_label"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  val annHardNegativesSql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS q_label,
+       |    c.vec_id AS neighbor_id, c.label AS n_label,
+       |    ${rndSql("list_dot_product(q.v, c.v) / (q.nrm * c.nrm)", 6)} AS cosine
+       |  FROM n q JOIN n c ON c.vec_id <> q.vec_id AND c.label <> q.label
+       |  WHERE q.vec_id < $nQueries)
+       |SELECT query_id, q_label,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+       |  neighbor_id, n_label, cosine
+       |FROM scored
+       |QUALIFY rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ------------------------------------------------------------------
   // embed_jl — Johnson-Lindenstrauss sign projection
   // ------------------------------------------------------------------
 
@@ -1417,6 +1476,7 @@ object Similarity {
        |ORDER BY pn.vec_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_hard_negatives" -> (annHardNegatives _),
     "embed_jl"         -> (embedJl _),
     "embed_norm_audit" -> (embedNormAudit _),
     "embed_binary"     -> (embedBinary _),
@@ -1436,7 +1496,8 @@ object Similarity {
   )
 
   def oracles: Map[String, String] =
-    Map("embed_norm_audit" -> embedNormAuditSql,
+    Map("ann_hard_negatives" -> annHardNegativesSql,
+      "embed_norm_audit" -> embedNormAuditSql,
       "embed_binary" -> embedBinarySql,
         "ann_hamming" -> annHammingSql,
         "ann_hamming_refine" -> annHammingRefineSql,

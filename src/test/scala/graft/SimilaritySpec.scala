@@ -111,6 +111,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: cross-class only, cosine-sorted, dominated by the unrestricted top-1") {
+    val hn = Similarity.annHardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4), r.getDouble(5)))
+    assert(hn.nonEmpty)
+    // every mined negative is from a DIFFERENT class
+    assert(hn.forall { case (_, ql, _, _, nl, _) => ql != nl },
+      s"same-class row: ${hn.find { case (_, ql, _, _, nl, _) => ql == nl }}")
+    val byQ = hn.groupBy(_._1)
+    byQ.foreach { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      // ranks are 1..k and cosine non-increasing along them
+      assert(sorted.map(_._3).sameElements(1L to sorted.length))
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._6 >= p(1)._6), s"q=$q not sorted")
+    }
+    // the unrestricted exact top-1 searches a superset of candidates,
+    // so it must dominate the best hard negative per query
+    val bf1 = Similarity.annBruteforce(spark, sfDir).collect()
+      .filter(_.getLong(1) == 1L).map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    byQ.foreach { case (q, rows) =>
+      val hn1 = rows.minBy(_._3)._6
+      assert(bf1(q) >= hn1 - 1e-9, s"q=$q: bruteforce ${bf1(q)} < hard-neg $hn1")
+    }
+  }
+
   test("jl projection concentrates norm ratios at 1 with the promised 2/k variance") {
     val rows = Similarity.embedJl(spark, sfDir).collect()
     assert(rows.nonEmpty)
