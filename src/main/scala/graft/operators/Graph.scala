@@ -1111,6 +1111,87 @@ object Graph {
   }
 
   // ------------------------------------------------------------------
+  // graph_degree_stats — degree distribution + Hill tail estimate
+  // ------------------------------------------------------------------
+
+  /** Hill-estimator degree floor: nodes with degree ≥ this form the
+    * tail whose power-law exponent is estimated. */
+  val degreeTailMin = 2
+
+  /** §2.12 — the degree-distribution AUDIT: per decimal-digit degree
+    * bucket (an integer-exact binning — a log2 bucket from double
+    * log arithmetic can flip at powers of two cross-engine) the node
+    * count, degree range and share, plus the Hill maximum-likelihood
+    * tail exponent α = 1 + n_tail / Σ ln(deg/d_min). This is the
+    * first question asked of any production graph — join planning
+    * (hub replication, 24t's salting threshold), sampler design, and
+    * whether PageRank/LPA rounds will skew all hinge on how heavy the
+    * tail is. The ln terms quantize to 1e-9 integers per node before
+    * the decimal sum (the survival-curve device), so α is bit-stable
+    * cross-engine; everything else is exact integer counts off ONE
+    * node-sized degree frame (the edge build amortizes via the staged
+    * artifact). */
+  def graphDegreeStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    import org.apache.spark.sql.types.DecimalType
+    val deg = edges(s, dir).groupBy($"src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val hill = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(when($"deg" >= degreeTailMin, 1L).otherwise(0L)).as("n_tail"),
+        sum(when($"deg" >= degreeTailMin,
+          expr(s"CAST(floor(ln(CAST(deg AS DOUBLE) / CAST($degreeTailMin AS DOUBLE)) * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+          .otherwise(lit(0L)).cast(DecimalType(38, 0))).as("lnsum_q"))
+      .select($"n_nodes", $"n_tail",
+        // degenerate-tail guard: every tail node AT d_min gives
+        // lnsum 0 (alpha undefined) — NULL on both sides, never a
+        // division by zero (Spark ANSI errors, DuckDB infs)
+        expr(rndSql(
+          "CASE WHEN lnsum_q = 0 THEN CAST(NULL AS DOUBLE) ELSE 1.0 + CAST(n_tail AS DOUBLE) / (CAST(lnsum_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)) END", 6)).as("alpha_hill"))
+    deg
+      .groupBy(length($"deg".cast("string")).cast("int").as("digits"))
+      .agg(count(lit(1)).as("n_nodes_bucket"),
+        min($"deg").as("min_deg"), max($"deg").as("max_deg"))
+      .crossJoin(broadcast(hill))
+      .select($"digits", $"n_nodes_bucket", $"min_deg", $"max_deg",
+        expr(rndSql("CAST(n_nodes_bucket AS DOUBLE) / CAST(n_nodes AS DOUBLE)", 6)).as("share"),
+        $"n_tail", $"alpha_hill")
+      .orderBy($"digits")
+  }
+
+  val graphDegreeStatsSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH e AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |), d AS (
+       |  SELECT src, count(*) AS deg FROM e GROUP BY src
+       |), hill AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(CASE WHEN deg >= $degreeTailMin THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+       |    sum(CASE WHEN deg >= $degreeTailMin
+       |      THEN CAST(floor(ln(CAST(deg AS DOUBLE) / CAST($degreeTailMin AS DOUBLE)) * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)
+       |      ELSE 0 END) AS lnsum_q
+       |  FROM d
+       |), h AS (
+       |  SELECT n_nodes, n_tail,
+       |    ${rndSql("CASE WHEN lnsum_q = 0 THEN CAST(NULL AS DOUBLE) ELSE 1.0 + CAST(n_tail AS DOUBLE) / (CAST(lnsum_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)) END", 6)} AS alpha_hill
+       |  FROM hill
+       |), b AS (
+       |  SELECT CAST(length(CAST(deg AS VARCHAR)) AS INT) AS digits,
+       |    count(*) AS n_nodes_bucket, min(deg) AS min_deg, max(deg) AS max_deg
+       |  FROM d GROUP BY 1
+       |)
+       |SELECT digits, CAST(n_nodes_bucket AS BIGINT) AS n_nodes_bucket,
+       |  CAST(min_deg AS BIGINT) AS min_deg, CAST(max_deg AS BIGINT) AS max_deg,
+       |  ${rndSql("CAST(n_nodes_bucket AS DOUBLE) / CAST(n_nodes AS DOUBLE)", 6)} AS share,
+       |  n_tail, alpha_hill
+       |FROM b, h ORDER BY digits""".stripMargin
+  }
+
+  // ------------------------------------------------------------------
   // graph_ppr — personalized PageRank from a seed set
   // ------------------------------------------------------------------
 
@@ -1200,6 +1281,7 @@ object Graph {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_degree_stats"     -> (graphDegreeStats _),
     "graph_ppr"              -> (graphPpr _),
     "graph_random_walk"      -> (graphRandomWalk _),
     "graph_modularity"       -> (graphModularity _),
@@ -1218,6 +1300,7 @@ object Graph {
   )
 
   def oracles: Map[String, String] = Map(
+    "graph_degree_stats"     -> graphDegreeStatsSql,
     "graph_ppr"              -> graphPprSql,
     "graph_random_walk"      -> graphRandomWalkSql,
     "graph_modularity"       -> graphModularitySql,

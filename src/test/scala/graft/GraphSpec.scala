@@ -318,6 +318,27 @@ class GraphSpec extends SparkSpec {
     if (full.nonEmpty && partial.nonEmpty)
       assert(full.map(_._3).max > partial.max)
   }
+  test("degree stats: hub graph buckets and hill alpha match hand computation; flat tail reads NULL") {
+    // hubDir degrees: hub 500 has 80 distinct neighbors; leaves 1 and
+    // 1001 have 2 (hub + each other); the other 78 leaves have 1.
+    // n_tail = 3, ln-sum = ln(80/2) + ln(2/2) + ln(2/2) = ln(40),
+    // alpha = 1 + 3/ln(40)
+    val rows = Graph.graphDegreeStats(spark, hubDir).collect()
+    val byDigits = rows.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(byDigits(1) == ((80L, 1L, 2L, 0.987654)), byDigits.toString)
+    assert(byDigits(2) == ((1L, 80L, 80L, 0.012346)), byDigits.toString)
+    val alpha = rows.head.getDouble(6)
+    assert(math.abs(alpha - (1.0 + 3.0 / math.log(40.0))) < 1e-4, s"alpha $alpha")
+    assert(rows.forall(_.getLong(5) == 3L), "n_tail")
+    // starDir: the only tail node sits AT d_min, so the ln-sum is 0
+    // and alpha is undefined — must read NULL, not a crash or inf
+    val star = Graph.graphDegreeStats(spark, starDir).collect()
+    assert(star.forall(_.isNullAt(6)), star.mkString(";"))
+    // shares always sum to 1
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+  }
+
   test("ppr: mass conserved, seeds positive, disconnected component excluded") {
     val s = spark; import s.implicits._
     // component A: hub 100 with leaves 1..8 (degree 8 vs 1); component

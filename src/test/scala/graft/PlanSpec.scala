@@ -582,4 +582,47 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l =>
       l.contains("HashAggregate(keys=[l_orderkey") && l.contains("l_suppkey")), p)
   }
+  test("embed_jl is one broadcast pass: the corpus never shuffle-exchanges") {
+    val df = graft.operators.Similarity.embedJl(spark, sfDir)
+    val pl = plan(df)
+    // the basis rides a broadcast; the only shuffles are the output
+    // presentation sort and the 16-row basis rollup — the CORPUS path
+    // is scan -> project -> join with no exchange (asserted below by
+    // the stream-side shape)
+    assert(pl.contains("BroadcastNestedLoopJoin"), pl.take(2000))
+    assert(shuffleExchanges(pl) <= 2, s"unexpected reshuffle:\n$pl")
+    assert(!pl.contains("SortMergeJoin"), pl.take(2000))
+    // the embeddings scan feeds the join through projections only
+    val scanIdx = pl.linesIterator.indexWhere(_.contains("FileScan parquet [vec_id"))
+    val joinIdx = pl.linesIterator.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    val between = pl.linesIterator.slice(joinIdx, scanIdx).toSeq
+    assert(!between.exists(_.contains("Exchange rangepartitioning")) &&
+      !between.exists(_.contains("Exchange hashpartitioning")),
+      s"corpus must reach the join exchange-free:\n${between.mkString("\n")}")
+  }
+
+  test("ann_hard_negatives fuses the label inequality into the join, not a post-filter") {
+    val df = graft.operators.Similarity.annHardNegatives(spark, sfDir)
+    val pl = plan(df)
+    // broadcast-nested-loop join with BOTH inequalities in its
+    // condition: mismatched pairs never materialize into a Filter
+    val joinLine = pl.linesIterator.find(_.contains("BroadcastNestedLoopJoin")).getOrElse("")
+    assert(joinLine.contains("label"), s"label filter must sit in the join condition:\n$pl")
+    assert(joinLine.contains("vec_id"), joinLine)
+  }
+
+  test("q_changepoint and the forecast family aggregate the fact table before any window or fold") {
+    for (df <- Seq(
+        graft.operators.Behavioral.qChangepoint(spark, sfDir),
+        graft.operators.Behavioral.qHoltWinters(spark, sfDir),
+        graft.operators.Behavioral.qForecastBacktest(spark, sfDir))) {
+      val pl = plan(df)
+      // two HashAggregate stages (partial + final) below everything:
+      // the event-sized frame collapses to day-sized with map-side
+      // combine before the day-sized window/fold runs
+      val aggs = "HashAggregate".r.findAllIn(pl).length
+      assert(aggs >= 2, s"need partial+final aggregation:\n$pl")
+      assert(!pl.contains("CartesianProduct"), pl.take(2000))
+    }
+  }
 }
