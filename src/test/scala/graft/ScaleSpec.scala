@@ -194,6 +194,29 @@ class ScaleSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("round-8 statistical operators are invariant to the shuffle-partition setting") {
+    val s = spark
+    // anova's cross-arm terms, the changepoint argmax, the backtest's
+    // error accumulators and fdr's step-up all claim exact-integer /
+    // quantized-before-sum layouts — prove bit-equality at two
+    // partition settings
+    val key = "spark.sql.shuffle.partitions"
+    val orig = s.conf.get(key)
+    def run() = (
+      graft.operators.Experimentation.qAnova(s, sfDir).collect().map(_.toSeq).toList,
+      graft.operators.Experimentation.qFdrBh(s, sfDir).collect().map(_.toSeq).toList,
+      graft.operators.Behavioral.qChangepoint(s, sfDir).collect().map(_.toSeq).toList,
+      graft.operators.Behavioral.qForecastBacktest(s, sfDir).collect().map(_.toSeq).toList,
+      graft.operators.Graph.graphDegreeStats(s, sfDir).collect().map(_.toSeq).toList)
+    try {
+      s.conf.set(key, "4")
+      val a = run()
+      s.conf.set(key, "13")
+      val b = run()
+      assert(a == b)
+    } finally s.conf.set(key, orig)
+  }
+
   test("sweep-line interval overlap honors inclusive endpoints") {
     val s = spark; import s.implicits._
     // user 0: events at 00:00 and 00:10 → one session [00:00, 00:10]
