@@ -1172,7 +1172,91 @@ object Experimentation {
        |  COALESCE(rnk <= cutoff, false) AS rejected
        |FROM co ORDER BY rnk""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_attribution_shapley — exact Shapley credit over channel subsets
+  // ------------------------------------------------------------------
+
+  /** Channel → bitmask bit, fixed and explicit (never collation
+    * order): the 4 non-conversion event types. */
+  val shapleyBitCase: String =
+    "CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END"
+
+  /** §2.10 — SHAPLEY-value attribution, the game-theoretic credit
+    * model beside linear (50b), U-shaped (50b') and Markov
+    * removal-effect (50b''): each channel's credit is its average
+    * marginal lift of the observed conversion rate across all
+    * channel-subset orderings — the only attribution satisfying
+    * efficiency/symmetry/dummy, which is why ad platforms quote it.
+    * Practical observed-subsets variant: v(S) = conversion rate of
+    * users whose touched-channel set is EXACTLY S (unobserved subsets
+    * contribute 0), so the whole game lives on a 2⁴-mask table.
+    * Exact arithmetic end to end: user → mask is one fact-table
+    * rollup (sum DISTINCT of power-of-two bits), v quantizes to 1e-9
+    * integers, the factorial weights |S|!(|C|−|S|−1)! are the exact
+    * integers {6,2,2,6} summed as BIGINTs, and one division by
+    * 4!·1e9 happens at the end — the Shapley EFFICIENCY axiom
+    * (Σφ = v(full) − v(∅)) holds exactly and the spec asserts it.
+    * Scale: one user-keyed shuffle; every frame after is ≤16 rows. */
+  def qAttributionShapley(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val um = Tables.events(s, dir).groupBy($"user_id")
+      .agg(expr(s"CAST(sum(DISTINCT $shapleyBitCase) AS INT)").as("mask"),
+        expr("max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)").as("conv"))
+    val vq = um.groupBy($"mask")
+      .agg(expr("CAST(floor(CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("vqv"))
+      .localCheckpoint(true) // ≤16 rows
+    val channels = Seq(("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+      .toDF("channel", "bit")
+    val masks = s.range(16).select($"id".cast("int").as("m"))
+    val terms = broadcast(channels).crossJoin(masks)
+      .filter(expr("(m & bit) = 0"))
+      .join(vq.select($"mask".as("m1"), $"vqv".as("v1")), expr("m1 = (m | bit)"), "left")
+      .join(vq.select($"mask".as("m0"), $"vqv".as("v0")), expr("m0 = m"), "left")
+      .withColumn("t", expr(
+        """CAST(CASE bit_count(m) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END AS BIGINT)
+          | * (COALESCE(v1, CAST(0 AS BIGINT)) - COALESCE(v0, CAST(0 AS BIGINT)))""".stripMargin))
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    terms.groupBy($"channel")
+      .agg(sum($"t").as("tq"))
+      .withColumn("tsum", sum($"tq").over(all))
+      .select($"channel",
+        expr(rndSql("CAST(tq AS DOUBLE) / CAST(24 AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 9)).as("phi"),
+        expr(rndSql("CASE WHEN tsum = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(tq AS DOUBLE) / CAST(tsum AS DOUBLE) END", 6)).as("phi_share"))
+      .orderBy($"channel")
+  }
+
+  val qAttributionShapleySql: String =
+    s"""WITH um AS (
+       |  SELECT user_id,
+       |    CAST(sum(DISTINCT $shapleyBitCase) AS INT) AS mask,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1
+       |), vq AS (
+       |  SELECT mask,
+       |    CAST(floor(CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS vqv
+       |  FROM um GROUP BY 1
+       |), channels(channel, bit) AS (
+       |  VALUES ('click', 1), ('error', 2), ('signup', 4), ('view', 8)
+       |), masks AS (
+       |  SELECT CAST(range AS INT) AS m FROM range(16)
+       |), terms AS (
+       |  SELECT c.channel,
+       |    CAST(CASE bit_count(ms.m) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END AS BIGINT)
+       |      * (COALESCE(v1.vqv, CAST(0 AS BIGINT)) - COALESCE(v0.vqv, CAST(0 AS BIGINT))) AS t
+       |  FROM channels c JOIN masks ms ON (ms.m & c.bit) = 0
+       |  LEFT JOIN vq v1 ON v1.mask = (ms.m | c.bit)
+       |  LEFT JOIN vq v0 ON v0.mask = ms.m
+       |), phi AS (
+       |  SELECT channel, CAST(sum(t) AS BIGINT) AS tq FROM terms GROUP BY 1
+       |)
+       |SELECT channel,
+       |  ${rndSql("CAST(tq AS DOUBLE) / CAST(24 AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 9)} AS phi,
+       |  ${rndSql("CASE WHEN sum(tq) OVER () = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(tq AS DOUBLE) / CAST(sum(tq) OVER () AS DOUBLE) END", 6)} AS phi_share
+       |FROM phi ORDER BY channel""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution_shapley" -> (qAttributionShapley _),
     "q_anova"           -> (qAnova _),
     "q_fdr_bh"          -> (qFdrBh _),
     "q_mann_whitney"    -> (qMannWhitney _),
@@ -1190,6 +1274,7 @@ object Experimentation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_attribution_shapley" -> qAttributionShapleySql,
     "q_anova"           -> qAnovaSql,
     "q_fdr_bh"          -> qFdrBhSql,
     "q_mann_whitney"    -> qMannWhitneySql,

@@ -498,6 +498,41 @@ class BehavioralSpec extends SparkSpec {
       s"identical arms must give D=0: ${ks2.getDouble(2)}")
   }
 
+  test("shapley attribution: symmetry on twin channels, efficiency axiom exact on real data") {
+    val s = spark; import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    // click and view constructed EXACTLY symmetric: 10 users each
+    // solo (5 convert), 10 users touch both (8 convert)
+    var id = 0L
+    def ev(uid: Long, tpe: String) = { id += 1; (id, t0, uid, tpe, 1.0, "{}") }
+    val rows =
+      (1L to 10L).flatMap(u => Seq(ev(u, "click")) ++ (if (u <= 5) Seq(ev(u, "purchase")) else Nil)) ++
+      (11L to 20L).flatMap(u => Seq(ev(u, "view")) ++ (if (u <= 15) Seq(ev(u, "purchase")) else Nil)) ++
+      (21L to 30L).flatMap(u => Seq(ev(u, "click"), ev(u, "view")) ++ (if (u <= 28) Seq(ev(u, "purchase")) else Nil))
+    val dir = Files.createTempDirectory("graft-shap").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val phi = Experimentation.qAttributionShapley(s, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(phi("click") == phi("view"),
+      s"symmetric channels must tie exactly: $phi")
+    // the full mask (all four channels) is unobserved here, so
+    // efficiency forces the total credit to v(1111) - v(0000) = 0
+    assert(math.abs(phi.values.sum) < 1e-8, s"sum ${phi.values.sum}")
+    // real data: sum(phi) = v(full) - v(empty), both recomputed
+    // straight from the definition
+    val um = graft.sources.Tables.events(s, sfDir).groupBy($"user_id")
+      .agg(expr(s"CAST(sum(DISTINCT ${Experimentation.shapleyBitCase}) AS INT)").as("mask"),
+        expr("max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)").as("conv"))
+      .groupBy($"mask").agg(count(lit(1)).as("n"), sum($"conv").as("c"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def vOf(m: Int) = um.get(m)
+      .map { case (n, c) => math.floor(c.toDouble / n * 1e9 + 0.5) / 1e9 }.getOrElse(0.0)
+    val real = Experimentation.qAttributionShapley(s, sfDir).collect().map(_.getDouble(1))
+    assert(math.abs(real.sum - (vOf(15) - vOf(0))) < 1e-7,
+      s"efficiency: ${real.sum} vs ${vOf(15) - vOf(0)}")
+  }
+
   test("forecast backtest: constant series scores zero, holt beats naive on a ramp, rmse >= mae always") {
     val s = spark; import s.implicits._
     val dayUs = 86400L * 1000000L
