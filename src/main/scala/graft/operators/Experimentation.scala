@@ -1255,7 +1255,63 @@ object Experimentation {
        |  ${rndSql("CASE WHEN sum(tq) OVER () = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(tq AS DOUBLE) / CAST(sum(tq) OVER () AS DOUBLE) END", 6)} AS phi_share
        |FROM phi ORDER BY channel""".stripMargin
 
+  // ------------------------------------------------------------------
+  // q_qte — quantile treatment effects
+  // ------------------------------------------------------------------
+
+  /** §2.10 — QUANTILE treatment effects at p ∈ {.25, .5, .75}: where
+    * in the distribution the treatment acts — a mean shift
+    * ([[qAbtest]]) from whales-only looks identical to one from
+    * everyone until you read the quartiles (the classic "significant
+    * t, flat median" trap). Nearest-rank quantiles selected by the
+    * PURE integer predicate 100·cum ≥ pq·n (≡ cum ≥ ⌈p·n⌉ with no
+    * division or cast anywhere — DuckDB ROUNDS integer casts where
+    * Spark truncates, so a divided rank is a cross-engine trap) over
+    * the SAME cumulative scaffold the rank tests ride, so the whole
+    * family still costs one user rollup + three two-phase running
+    * sums; the 3-quantile spine rides a broadcast. */
+  def qQte(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cum = rankScaffold(s, dir)
+      .select($"x_q", $"cum_a", $"cum_b").localCheckpoint(true)
+    val tot = cum.agg(max($"cum_a").as("n_a"), max($"cum_b").as("n_b"))
+    val ps = Seq(25, 50, 75).toDF("pq")
+    cum
+      .crossJoin(broadcast(ps)).crossJoin(broadcast(tot))
+      // cum >= ceil(pq*n/100) as the PURE integer predicate
+      // 100*cum >= pq*n: no division, no cast — DuckDB rounds integer
+      // casts where Spark truncates, so a divided rank is a trap
+      .groupBy($"pq")
+      .agg(min(when($"cum_a" * 100 >= $"pq" * $"n_a", $"x_q")).as("qa_q"),
+        min(when($"cum_b" * 100 >= $"pq" * $"n_b", $"x_q")).as("qb_q"))
+      .select(($"pq".cast("double") / lit(100.0)).as("p"),
+        ($"qa_q".cast("double") / lit(10000.0)).as("q_a"),
+        ($"qb_q".cast("double") / lit(10000.0)).as("q_b"),
+        (($"qa_q" - $"qb_q").cast("double") / lit(10000.0)).as("qte"))
+      .orderBy($"p")
+  }
+
+  val qQteSql: String =
+    s"""WITH $rankScaffoldCtes,
+       |tot AS (
+       |  SELECT CAST(max(cum_a) AS BIGINT) AS n_a, CAST(max(cum_b) AS BIGINT) AS n_b FROM cum
+       |), ps AS (
+       |  SELECT CAST(pq AS BIGINT) AS pq FROM (VALUES (25), (50), (75)) AS t(pq)
+       |), sel AS (
+       |  SELECT ps.pq,
+       |    min(CASE WHEN c.cum_a * 100 >= ps.pq * tot.n_a THEN c.x_q END) AS qa_q,
+       |    min(CASE WHEN c.cum_b * 100 >= ps.pq * tot.n_b THEN c.x_q END) AS qb_q
+       |  FROM cum c, ps, tot
+       |  GROUP BY ps.pq
+       |)
+       |SELECT CAST(pq AS DOUBLE) / 100.0 AS p,
+       |  CAST(qa_q AS DOUBLE) / 10000.0 AS q_a,
+       |  CAST(qb_q AS DOUBLE) / 10000.0 AS q_b,
+       |  CAST(qa_q - qb_q AS DOUBLE) / 10000.0 AS qte
+       |FROM sel ORDER BY p""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_qte"             -> (qQte _),
     "q_attribution_shapley" -> (qAttributionShapley _),
     "q_anova"           -> (qAnova _),
     "q_fdr_bh"          -> (qFdrBh _),
@@ -1274,6 +1330,7 @@ object Experimentation {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_qte"             -> qQteSql,
     "q_attribution_shapley" -> qAttributionShapleySql,
     "q_anova"           -> qAnovaSql,
     "q_fdr_bh"          -> qFdrBhSql,

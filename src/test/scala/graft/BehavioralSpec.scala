@@ -498,6 +498,28 @@ class BehavioralSpec extends SparkSpec {
       s"identical arms must give D=0: ${ks2.getDouble(2)}")
   }
 
+  test("qte localizes a whales-only shift: flat q25/median, +1000 at q75") {
+    val s = spark; import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    // both arms carry identical per-user totals 0..49, except arm A's
+    // top 30% (base >= 35) gains +1000: the mean test would scream,
+    // but the shift lives ONLY above q75 — qte must read 0 at q25/q50
+    // and exactly 1000 at q75
+    val rows = (0L until 100L).map { u =>
+      val base = (u / 2).toDouble
+      val v = if (u % 2 == 0 && base >= 35) base + 1000.0 else base
+      (u, t0, u, "click", v, "{}")
+    }
+    val dir = Files.createTempDirectory("graft-qte").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Experimentation.qQte(s, dir).collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(0.25) == ((12.0, 12.0, 0.0)), out.toString)
+    assert(out(0.5) == ((24.0, 24.0, 0.0)), out.toString)
+    assert(out(0.75)._3 == 1000.0, s"q75 must carry the whale shift: ${out(0.75)}")
+  }
+
   test("shapley attribution: symmetry on twin channels, efficiency axiom exact on real data") {
     val s = spark; import s.implicits._
     val t0 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
