@@ -43,21 +43,22 @@ object EmbedPq {
       .select($"vec_id", expr(graft.functions.VectorFns.asDouble("embedding")).as("v"))
   }
 
-  /** Sub-vector of `v` for subspace `m` (0-based), as a SQL fragment.
-    * `m` may be a literal or a lambda variable name. */
-  private def sub(m: String) = s"slice(v, ($m) * $pqDsub + 1, $pqDsub)"
+  /** Sub-vector of `vec` for subspace `m` (0-based), as a SQL
+    * fragment. `m`/`vec` may be literals or lambda variable names. */
+  private def sub(m: String, vec: String = "v") =
+    s"slice($vec, ($m) * $pqDsub + 1, $pqDsub)"
 
-  /** argmin codeword id for subspace `m` against codebook literal
-    * column `cbs` (pqM × pqKsub × pqDsub): minimizes
+  /** argmin codeword id for subspace `m` of vector `vec` against
+    * codebook literal column `cbs` (pqM × pqKsub × pqDsub): minimizes
     * |c|² − 2·sub·c (monotone in L2). */
   // the distance array is BOUND to a lambda variable (the transform-
   // over-singleton device) so argmin evaluates it once, not twice —
   // measured ~2x less encode math per (vector, subspace); argmin
   // semantics unchanged (array_position takes the FIRST minimum, the
   // same lowest-cid tie-break the oracle replays)
-  private def codeExpr(m: String) =
+  private def codeExpr(m: String, vec: String = "v") =
     s"""element_at(transform(
-       |   array(transform(element_at(cbs, ($m) + 1), c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(${sub(m)}, c))),
+       |   array(transform(element_at(cbs, ($m) + 1), c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(${sub(m, vec)}, c))),
        |   ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT)), 1)""".stripMargin
 
   /** Codebooks are a deterministic artifact of the corpus (decimal-
@@ -131,8 +132,13 @@ object EmbedPq {
     import s.implicits._
     vecs
       .withColumn("cbs", typedLit(cbs))
+      // v is BOUND once per row (transform-over-singleton again):
+      // left free, a single textual reference invites CollapseProject
+      // to inline v's defining projection (a float->double cast pass,
+      // or worse) into every codeword-distance lambda — the §5
+      // round-8 materialization-boundary rule, enforced in-expression
       .withColumn("codes", expr(
-        s"transform(sequence(0, ${pqM - 1}), m -> ${codeExpr("m")})"))
+        s"element_at(transform(array(v), vv -> transform(sequence(0, ${pqM - 1}), m -> ${codeExpr("m", "vv")})), 1)"))
       .withColumn("recon_err", expr(graft.functions.Agg.rndSql(
         s"""aggregate(sequence(0, ${pqM - 1}), CAST(0 AS DOUBLE), (acc, m) ->
            |  acc + aggregate(

@@ -304,6 +304,74 @@ object StreamOps {
        |FROM ranked WHERE rank <= $hhWindowTopN
        |ORDER BY window_start, rank""".stripMargin
 
+  /** Chi-squared α=0.05 critical value (df=1), shared with the batch
+    * SRM check's convention. */
+  private val srmWinCrit = 3.841459
+
+  /** §2.10 — WINDOWED streaming SRM monitor: per event-time day, the
+    * exposure traffic split between arms with a chi-squared 50/50
+    * alarm, emitted when the watermark closes the window — the
+    * IN-FLIGHT ramp guard next to [[graft.operators.Experimentation
+    * .qSrmCheck]]'s end-of-experiment distinct-user audit (a broken
+    * assignment caught on day 1 saves the experiment; the batch audit
+    * only explains why it died). Declarative windowed aggregation:
+    * bounded state (two counters per open window), watermark-evicted,
+    * nothing event-sized retained. The oracle replays completed
+    * windows only — the same watermark-cut device as
+    * [[windowedHeavyHittersSql]]. */
+  def windowedSrm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg._
+    StreamAcc.eventsStream(s, dir)
+      .withColumn("a", $"user_id" % 2 === 0)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day").as("w"))
+      .agg(countIf($"a").as("n_a"), countIf(!$"a").as("n_b"))
+      .select($"w.start".as("window_start"), $"n_a", $"n_b")
+  }
+
+  def runWindowedSrmToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_srm_win"): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val q = windowedSrm(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val chi2 = "(CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e + " +
+      "(CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e"
+    s.table(sink)
+      .withColumn("e", ($"n_a" + $"n_b").cast("double") / lit(2.0))
+      .select($"window_start", $"n_a", $"n_b",
+        expr(rndSql(chi2, 6)).as("chi2"),
+        (expr(rndSql(chi2, 6)) > lit(srmWinCrit)).as("srm_detected"))
+      .orderBy($"window_start")
+  }
+
+  val windowedSrmSql: String = {
+    import graft.functions.Agg.{countIfSql, rndSql}
+    val chi2 = "(CAST(n_a AS DOUBLE) - e) * (CAST(n_a AS DOUBLE) - e) / e + " +
+      "(CAST(n_b AS DOUBLE) - e) * (CAST(n_b AS DOUBLE) - e) / e"
+    s"""WITH counts AS (
+       |  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
+       |    ${countIfSql("user_id % 2 = 0")} AS n_a,
+       |    ${countIfSql("user_id % 2 <> 0")} AS n_b
+       |  FROM events GROUP BY 1),
+       |wm AS (
+       |  SELECT time_bucket(INTERVAL '1 millisecond', max(ts)) - INTERVAL '1 hour' AS w
+       |  FROM events),
+       |closed AS (
+       |  SELECT window_start, n_a, n_b,
+       |    (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / 2.0 AS e
+       |  FROM counts, wm
+       |  WHERE window_start + INTERVAL '1 day' <= wm.w)
+       |SELECT window_start, n_a, n_b, ${rndSql(chi2, 6)} AS chi2,
+       |  ${rndSql(chi2, 6)} > $srmWinCrit AS srm_detected
+       |FROM closed ORDER BY window_start""".stripMargin
+  }
+
   def runQualityFilterToCompletion(s: SparkSession, dir: String,
       sink: String = "stream_quality"): DataFrame = {
     val q = qualityFilterStream(s, dir).writeStream
@@ -1411,6 +1479,8 @@ object StreamOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_abtest" -> ((s, dir) =>
       runAbtestToCompletion(s, dir, sink = "stream_abtest_verify")),
+    "stream_srm_windowed" -> ((s, dir) =>
+      runWindowedSrmToCompletion(s, dir, sink = "stream_srm_verify")),
     "stream_dau" -> ((s, dir) =>
       runDauToCompletion(s, dir, sink = "stream_dau_verify")),
     "stream_embed_dedup" -> ((s, dir) =>
@@ -1474,6 +1544,8 @@ object StreamOps {
     // exact decimal sufficient statistics merge order-free, so the
     // completed stream equals the batch readout: shares q_abtest
     "stream_abtest"         -> graft.operators.Experimentation.qAbtestSql,
+    // watermark-closed windows only, the hh-windowed cut device
+    "stream_srm_windowed"   -> windowedSrmSql,
     // order-independent exactly-once (user, day) dedup run to
     // completion equals the batch distinct: shares q_dau_new_returning
     "stream_dau"            -> graft.operators.Behavioral.qDauNewReturningSql,

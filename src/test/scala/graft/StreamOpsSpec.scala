@@ -44,6 +44,36 @@ class StreamOpsSpec extends SparkSpec {
       s"diff=${(streamed -- batch).take(2)} / ${(batch -- streamed).take(2)}")
   }
 
+  test("windowed srm emits only watermark-closed windows and a forced imbalance alarms") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    // 3 full days of balanced traffic + a partial 4th day that the
+    // 1-hour watermark cannot close: exactly 3 windows emit. Day 2
+    // drops arm B to 1/5 of arm A — its chi2 must alarm; days 1/3 are
+    // perfectly balanced (chi2 = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-srmw").toString
+    var id = 0L
+    def day(d: Int, nA: Int, nB: Int) = {
+      val t0 = java.time.LocalDateTime.of(2025, 3, d, 6, 0)
+      (0 until nA).map { i => id += 1; (id, java.sql.Timestamp.valueOf(t0.plusSeconds(i)), 2L * i, "click", 1.0, "{}") } ++
+      (0 until nB).map { i => id += 1; (id, java.sql.Timestamp.valueOf(t0.plusSeconds(i)), 2L * i + 1L, "click", 1.0, "{}") }
+    }
+    (day(1, 100, 100) ++ day(2, 100, 20) ++ day(3, 50, 50) ++ day(4, 9, 9))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = StreamOps.runWindowedSrmToCompletion(s, dir, sink = "srm_win_spec").collect()
+    assert(out.length == 3, s"only the 3 closed windows may emit: ${out.mkString(";")}")
+    val byDay = out.map(r => r.getTimestamp(0).toString.take(10) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(byDay("2025-03-01") == ((100L, 100L, 0.0, false)), byDay.toString)
+    assert(byDay("2025-03-03") == ((50L, 50L, 0.0, false)), byDay.toString)
+    val d2 = byDay("2025-03-02")
+    assert(d2._1 == 100L && d2._2 == 20L && d2._4,
+      s"the broken ramp day must alarm: $d2")
+    // chi2 for (100, 20): e = 60, 2*(40^2/60) = 53.333333
+    assert(math.abs(d2._3 - 53.333333) < 1e-5, d2.toString)
+  }
+
   test("streaming exact dedup equals the batch hash-groupBy exactly") {
     val s = spark
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
