@@ -1032,10 +1032,12 @@ object Experimentation {
           | - CAST(floor(s_tot * s_tot / CAST(n AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT))
           | / CAST(1000000 AS DOUBLE)""".stripMargin, 6)))
       .withColumn("ssw", expr(rndSql("CAST(ssw_q AS DOUBLE) / CAST(1000000 AS DOUBLE)", 6)))
+      // degenerate-design guard (k<2 arms, n<=k users, zero within-arm
+      // variance): NULL, never an inf/NaN that engines render apart
       .withColumn("f_stat", expr(rndSql(
-        "(ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))", 6)))
+        "CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN CAST(NULL AS DOUBLE) ELSE (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) END", 6)))
       .select($"k", $"n", $"ssb", $"ssw", $"f_stat",
-        ($"f_stat" > lit(2.995732)).as("significant"))
+        coalesce($"f_stat" > lit(2.995732), lit(false)).as("significant"))
   }
 
   val qAnovaSql: String =
@@ -1061,10 +1063,10 @@ object Experimentation {
        |  FROM t
        |), ff AS (
        |  SELECT k, n, ssb, ssw,
-       |    ${rndSql("(ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))", 6)} AS f_stat
+       |    ${rndSql("CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN CAST(NULL AS DOUBLE) ELSE (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) END", 6)} AS f_stat
        |  FROM f
        |)
-       |SELECT k, n, ssb, ssw, f_stat, f_stat > 2.995732 AS significant FROM ff""".stripMargin
+       |SELECT k, n, ssb, ssw, f_stat, COALESCE(f_stat > 2.995732, false) AS significant FROM ff""".stripMargin
 
   // ------------------------------------------------------------------
   // q_fdr_bh — Benjamini-Hochberg over the per-metric z family
@@ -1113,10 +1115,13 @@ object Experimentation {
       .withColumn("m_b", $"sx_b" / $"n_b".cast("double"))
       .withColumn("v_a", ($"sxx_a" - $"sx_a" * $"sx_a" / $"n_a".cast("double")) / ($"n_a" - 1).cast("double"))
       .withColumn("v_b", ($"sxx_b" - $"sx_b" * $"sx_b" / $"n_b".cast("double")) / ($"n_b" - 1).cast("double"))
+      // degenerate metric (single-row arm or zero pooled variance):
+      // z NULL, p pinned to 1.0 so it ranks deterministically LAST
+      // (NULL p_q would sort first in Spark and last in DuckDB)
       .withColumn("z", expr(rndSql(
-        "(m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))", 6)))
+        "CASE WHEN n_a < 2 OR n_b < 2 OR (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) <= 0 THEN CAST(NULL AS DOUBLE) ELSE (m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) END", 6)))
       .withColumn("p_q", expr(
-        s"CAST(floor(2.0 * ${normSfSql("abs(z)")} * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"))
+        s"CASE WHEN z IS NULL THEN CAST(1000000000 AS BIGINT) ELSE CAST(floor(2.0 * ${normSfSql("abs(z)")} * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) END"))
     val w = Window.orderBy($"p_q", $"event_type")
     val all = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -1152,11 +1157,11 @@ object Experimentation {
        |  FROM st
        |), zz AS (
        |  SELECT event_type,
-       |    ${rndSql("(m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))", 6)} AS z
+       |    ${rndSql("CASE WHEN n_a < 2 OR n_b < 2 OR (v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) <= 0 THEN CAST(NULL AS DOUBLE) ELSE (m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) END", 6)} AS z
        |  FROM m
        |), pp AS (
        |  SELECT event_type, z,
-       |    CAST(floor(2.0 * ${normSfSql("abs(z)")} * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS p_q
+       |    CASE WHEN z IS NULL THEN CAST(1000000000 AS BIGINT) ELSE CAST(floor(2.0 * ${normSfSql("abs(z)")} * 1000000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) END AS p_q
        |  FROM zz
        |), rk AS (
        |  SELECT event_type, z, p_q,
@@ -1282,8 +1287,10 @@ object Experimentation {
       // 100*cum >= pq*n: no division, no cast — DuckDB rounds integer
       // casts where Spark truncates, so a divided rank is a trap
       .groupBy($"pq")
-      .agg(min(when($"cum_a" * 100 >= $"pq" * $"n_a", $"x_q")).as("qa_q"),
-        min(when($"cum_b" * 100 >= $"pq" * $"n_b", $"x_q")).as("qb_q"))
+      // empty arm: n = 0 makes the rank predicate vacuously true on
+      // every row - guard to NULL instead of the global min
+      .agg(min(when($"n_a" > 0 && $"cum_a" * 100 >= $"pq" * $"n_a", $"x_q")).as("qa_q"),
+        min(when($"n_b" > 0 && $"cum_b" * 100 >= $"pq" * $"n_b", $"x_q")).as("qb_q"))
       .select(($"pq".cast("double") / lit(100.0)).as("p"),
         ($"qa_q".cast("double") / lit(10000.0)).as("q_a"),
         ($"qb_q".cast("double") / lit(10000.0)).as("q_b"),
@@ -1299,8 +1306,8 @@ object Experimentation {
        |  SELECT CAST(pq AS BIGINT) AS pq FROM (VALUES (25), (50), (75)) AS t(pq)
        |), sel AS (
        |  SELECT ps.pq,
-       |    min(CASE WHEN c.cum_a * 100 >= ps.pq * tot.n_a THEN c.x_q END) AS qa_q,
-       |    min(CASE WHEN c.cum_b * 100 >= ps.pq * tot.n_b THEN c.x_q END) AS qb_q
+       |    min(CASE WHEN tot.n_a > 0 AND c.cum_a * 100 >= ps.pq * tot.n_a THEN c.x_q END) AS qa_q,
+       |    min(CASE WHEN tot.n_b > 0 AND c.cum_b * 100 >= ps.pq * tot.n_b THEN c.x_q END) AS qb_q
        |  FROM cum c, ps, tot
        |  GROUP BY ps.pq
        |)

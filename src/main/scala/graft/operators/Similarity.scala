@@ -1441,7 +1441,7 @@ object Similarity {
         expr(rndSql("element_at(pcs, 2)", 6)).as("jc2"),
         expr(rndSql("CAST(pn2_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)).as("pnorm2"),
         expr(rndSql("CAST(on2_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)).as("onorm2"),
-        expr(rndSql("CAST(pn2_q AS DOUBLE) / CAST(on2_q AS DOUBLE)", 6)).as("ratio"))
+        expr(rndSql("CASE WHEN on2_q = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(pn2_q AS DOUBLE) / CAST(on2_q AS DOUBLE) END", 6)).as("ratio"))
       .orderBy($"vec_id")
   }
 
@@ -1471,7 +1471,7 @@ object Similarity {
        |  ${rndSql("y2", 6)} AS jc2,
        |  ${rndSql("CAST(pn2_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)} AS pnorm2,
        |  ${rndSql("CAST(on2_q AS DOUBLE) / CAST(1000000000 AS DOUBLE)", 6)} AS onorm2,
-       |  ${rndSql("CAST(pn2_q AS DOUBLE) / CAST(on2_q AS DOUBLE)", 6)} AS ratio
+       |  ${rndSql("CASE WHEN on2_q = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(pn2_q AS DOUBLE) / CAST(on2_q AS DOUBLE) END", 6)} AS ratio
        |FROM pn JOIN onq ON pn.vec_id = onq.vec_id
        |ORDER BY pn.vec_id""".stripMargin
 
