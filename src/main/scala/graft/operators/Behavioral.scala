@@ -2119,11 +2119,19 @@ object Behavioral {
     * (Error quanta stay inside BIGINT while daily volume < ~3·10⁶ —
     * beyond that, coarsen the error quantum, the harmonic micro-unit
     * device.) */
+  /** Backtest error quantum (1e-6) — ONE definition for the fold and
+    * the recursive-CTE oracle, so coarsening the quantum (the
+    * docstring's escape hatch) cannot desynchronize the twins. */
+  private def btQz(v: String) = s"CAST(floor(($v) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+  private def btX(alias: String) = s"CAST($alias AS DOUBLE)"
+  private def btLNew(x: String, st: String) =
+    s"(CAST(0.5 AS DOUBLE) * $x + CAST(0.5 AS DOUBLE) * ($st.l + $st.b))"
+
   def qForecastBacktest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def qz(v: String) = s"CAST(floor(($v) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
-    val x = "CAST(dd.x AS DOUBLE)"
-    val lNew = s"(CAST(0.5 AS DOUBLE) * $x + CAST(0.5 AS DOUBLE) * (acc.l + acc.b))"
+    def qz(v: String) = btQz(v)
+    val x = btX("dd.x")
+    val lNew = btLNew(x, "acc")
     val daily = Tables.events(s, dir)
       .groupBy($"event_type", to_date($"ts").as("day"))
       .agg(count(lit(1)).as("x"))
@@ -2173,9 +2181,9 @@ object Behavioral {
 
   val qForecastBacktestSql: String = {
     import graft.functions.Agg.rndSql
-    def qz(v: String) = s"CAST(floor(($v) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
-    val x = "CAST(i.x AS DOUBLE)"
-    val lNew = s"(CAST(0.5 AS DOUBLE) * $x + CAST(0.5 AS DOUBLE) * (w.l + w.b))"
+    def qz(v: String) = btQz(v)
+    val x = btX("i.x")
+    val lNew = btLNew(x, "w")
     s"""WITH RECURSIVE daily AS (
        |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS x
        |  FROM events GROUP BY 1, 2),

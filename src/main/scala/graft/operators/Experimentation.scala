@@ -89,27 +89,43 @@ object Experimentation {
     * bit-stable at any parallelism, and the downstream t arithmetic
     * is pure deterministic IEEE double (sqrt is correctly rounded),
     * so the statistic is hash-exact cross-engine. */
-  def qAbtest(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val ev = Tables.events(s, dir)
-      .withColumn("a", $"user_id" % 2 === 0)
-    ev.groupBy($"event_type")
-      .agg(
-        countIf($"a").as("n_a"),
-        countIf(!$"a").as("n_b"),
-        dsum(when($"a", $"value").otherwise(lit(0.0))).as("sx_a"),
-        dsum(when(!$"a", $"value").otherwise(lit(0.0))).as("sx_b"),
-        dsum(when($"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_a"),
-        dsum(when(!$"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_b"))
-      .withColumn("m_a", $"sx_a" / $"n_a".cast("double"))
-      .withColumn("m_b", $"sx_b" / $"n_b".cast("double"))
-      .withColumn("v_a", ($"sxx_a" - $"sx_a" * $"sx_a" / $"n_a".cast("double")) / ($"n_a" - 1).cast("double"))
-      .withColumn("v_b", ($"sxx_b" - $"sx_b" * $"sx_b" / $"n_b".cast("double")) / ($"n_b" - 1).cast("double"))
-      .select($"event_type", $"n_a", $"n_b",
+  /** The six Welch sufficient statistics over an `a`-flagged event
+    * frame — ONE definition shared by the batch readout ([[qAbtest]]),
+    * the FDR family ([[qFdrBh]]) and the streaming dashboard
+    * ([[graft.streaming.StreamOps.runAbtestToCompletion]], where the
+    * exact decimal sums are what make incremental merges exact). A
+    * guard or split change lands in all three or none. */
+  private[graft] def welchAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    countIf(col("a")).as("n_a"),
+    countIf(!col("a")).as("n_b"),
+    dsum(when(col("a"), col("value")).otherwise(lit(0.0))).as("sx_a"),
+    dsum(when(!col("a"), col("value")).otherwise(lit(0.0))).as("sx_b"),
+    dsum(when(col("a"), col("value") * col("value")).otherwise(lit(0.0))).as("sxx_a"),
+    dsum(when(!col("a"), col("value") * col("value")).otherwise(lit(0.0))).as("sxx_b"))
+
+  /** Mean/variance derivation over a [[welchAggs]] frame. */
+  private[graft] def welchDerive(df: DataFrame): DataFrame = df
+    .withColumn("m_a", col("sx_a") / col("n_a").cast("double"))
+    .withColumn("m_b", col("sx_b") / col("n_b").cast("double"))
+    .withColumn("v_a", (col("sxx_a") - col("sx_a") * col("sx_a") / col("n_a").cast("double")) / (col("n_a") - 1).cast("double"))
+    .withColumn("v_b", (col("sxx_b") - col("sx_b") * col("sx_b") / col("n_b").cast("double")) / (col("n_b") - 1).cast("double"))
+
+  /** The per-metric Welch readout over a [[welchAggs]] stats frame —
+    * shared verbatim by the batch and streaming A/B tables. */
+  private[graft] def welchReadout(stats: DataFrame): DataFrame =
+    welchDerive(stats)
+      .select(col("event_type"), col("n_a"), col("n_b"),
         expr(rndSql("m_a", 6)).as("mean_a"),
         expr(rndSql("m_b", 6)).as("mean_b"),
         expr(rndSql("(m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))", 6)).as("t_stat"))
-      .orderBy($"event_type")
+      .orderBy(col("event_type"))
+
+  def qAbtest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    welchReadout(Tables.events(s, dir)
+      .withColumn("a", $"user_id" % 2 === 0)
+      .groupBy($"event_type")
+      .agg(welchAggs.head, welchAggs.tail: _*))
   }
 
   val qAbtestSql: String =
@@ -1008,7 +1024,11 @@ object Experimentation {
     * with n−k in the tens of thousands the asymptote is exact to the
     * printed precision. Two shuffles total (user rollup, then a 3-row
     * arm rollup) — the 100 TB shape is one pass over the fact table
-    * with map-side partials all the way down. */
+    * with map-side partials all the way down. The cross-arm sums ride
+    * DECIMAL(38,0) (a BIGINT sum could wrap); the remaining ceiling is
+    * each arm's own 1e-6-quantized term staying inside double's 2⁵³
+    * (s_g²/n_g < 9·10⁹) — beyond that, rescale the value unit, the
+    * graph_harmonic micro-unit device. */
   def qAnova(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val perUser = Tables.events(s, dir)
@@ -1023,9 +1043,9 @@ object Experimentation {
       .agg(
         count(lit(1)).cast("long").as("k"),
         sum($"n_g").as("n"),
-        sum(expr("CAST(floor(s_g * s_g / CAST(n_g AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("ssb_num_q"),
-        sum(expr("CAST(floor(s_g * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("s_tot_q"),
-        sum(expr("CAST(floor((q_g - s_g * s_g / CAST(n_g AS DOUBLE)) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)")).as("ssw_q"))
+        sum(expr("CAST(CAST(floor(s_g * s_g / CAST(n_g AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DECIMAL(38,0))")).as("ssb_num_q"),
+        sum(expr("CAST(CAST(floor(s_g * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DECIMAL(38,0))")).as("s_tot_q"),
+        sum(expr("CAST(CAST(floor((q_g - s_g * s_g / CAST(n_g AS DOUBLE)) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS DECIMAL(38,0))")).as("ssw_q"))
       .withColumn("s_tot", $"s_tot_q".cast("double") / lit(10000.0))
       .withColumn("ssb", expr(rndSql(
         """(CAST(ssb_num_q AS DOUBLE)
@@ -1049,9 +1069,9 @@ object Experimentation {
        |  FROM pu GROUP BY 1
        |), t AS (
        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(n_g) AS BIGINT) AS n,
-       |    CAST(sum(CAST(floor(s_g * s_g / CAST(n_g AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ssb_num_q,
+       |    CAST(sum(CAST(floor(s_g * s_g / CAST(n_g AS DOUBLE) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DECIMAL(38,0)) AS ssb_num_q,
        |    CAST(CAST(sum(CAST(floor(s_g * 10000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DOUBLE) / 10000.0 AS DOUBLE) AS s_tot,
-       |    CAST(sum(CAST(floor((q_g - s_g * s_g / CAST(n_g AS DOUBLE)) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS ssw_q
+       |    CAST(sum(CAST(floor((q_g - s_g * s_g / CAST(n_g AS DOUBLE)) * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT)) AS DECIMAL(38,0)) AS ssw_q
        |  FROM arms
        |), f AS (
        |  SELECT k, n,
@@ -1102,19 +1122,10 @@ object Experimentation {
     * cost is [[qAbtest]]'s one fact pass; the BH pass is free. */
   def qFdrBh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, dir).withColumn("a", $"user_id" % 2 === 0)
-    val stats = ev.groupBy($"event_type")
-      .agg(
-        countIf($"a").as("n_a"),
-        countIf(!$"a").as("n_b"),
-        dsum(when($"a", $"value").otherwise(lit(0.0))).as("sx_a"),
-        dsum(when(!$"a", $"value").otherwise(lit(0.0))).as("sx_b"),
-        dsum(when($"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_a"),
-        dsum(when(!$"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_b"))
-      .withColumn("m_a", $"sx_a" / $"n_a".cast("double"))
-      .withColumn("m_b", $"sx_b" / $"n_b".cast("double"))
-      .withColumn("v_a", ($"sxx_a" - $"sx_a" * $"sx_a" / $"n_a".cast("double")) / ($"n_a" - 1).cast("double"))
-      .withColumn("v_b", ($"sxx_b" - $"sx_b" * $"sx_b" / $"n_b".cast("double")) / ($"n_b" - 1).cast("double"))
+    val stats = welchDerive(Tables.events(s, dir)
+      .withColumn("a", $"user_id" % 2 === 0)
+      .groupBy($"event_type")
+      .agg(welchAggs.head, welchAggs.tail: _*))
       // degenerate metric (single-row arm or zero pooled variance):
       // z NULL, p pinned to 1.0 so it ranks deterministically LAST
       // (NULL p_q would sort first in Spark and last in DuckDB)

@@ -1447,33 +1447,18 @@ object StreamOps {
   def runAbtestToCompletion(s: SparkSession, dir: String,
       sink: String = "stream_abtest"): DataFrame = {
     import s.implicits._
-    import graft.functions.Agg._
+    import graft.operators.Experimentation.{welchAggs, welchReadout}
     val st = StreamAcc.eventsStream(s, dir)
       .withColumn("a", $"user_id" % 2 === 0)
       .groupBy($"event_type")
-      .agg(
-        countIf($"a").as("n_a"),
-        countIf(!$"a").as("n_b"),
-        dsum(when($"a", $"value").otherwise(lit(0.0))).as("sx_a"),
-        dsum(when(!$"a", $"value").otherwise(lit(0.0))).as("sx_b"),
-        dsum(when($"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_a"),
-        dsum(when(!$"a", $"value" * $"value").otherwise(lit(0.0))).as("sxx_b"))
+      .agg(welchAggs.head, welchAggs.tail: _*)
     val q = st.writeStream
       .format("memory").queryName(sink)
       .outputMode("complete")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(sink)
-      .withColumn("m_a", $"sx_a" / $"n_a".cast("double"))
-      .withColumn("m_b", $"sx_b" / $"n_b".cast("double"))
-      .withColumn("v_a", ($"sxx_a" - $"sx_a" * $"sx_a" / $"n_a".cast("double")) / ($"n_a" - 1).cast("double"))
-      .withColumn("v_b", ($"sxx_b" - $"sx_b" * $"sx_b" / $"n_b".cast("double")) / ($"n_b" - 1).cast("double"))
-      .select($"event_type", $"n_a", $"n_b",
-        expr(rndSql("m_a", 6)).as("mean_a"),
-        expr(rndSql("m_b", 6)).as("mean_b"),
-        expr(rndSql("(m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))", 6)).as("t_stat"))
-      .orderBy($"event_type")
+    welchReadout(s.table(sink))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -595,6 +595,8 @@ class PlanSpec extends SparkSpec {
     // the embeddings scan feeds the join through projections only
     val scanIdx = pl.linesIterator.indexWhere(_.contains("FileScan parquet [vec_id"))
     val joinIdx = pl.linesIterator.indexWhere(_.contains("BroadcastNestedLoopJoin"))
+    // guard against vacuous passes: both lines must exist, scan below join
+    assert(joinIdx >= 0 && scanIdx > joinIdx, s"plan shape changed:\n$pl")
     val between = pl.linesIterator.slice(joinIdx, scanIdx).toSeq
     assert(!between.exists(_.contains("Exchange rangepartitioning")) &&
       !between.exists(_.contains("Exchange hashpartitioning")),

@@ -196,18 +196,24 @@ class ScaleSpec extends SparkSpec {
 
   test("round-8 statistical operators are invariant to the shuffle-partition setting") {
     val s = spark
-    // anova's cross-arm terms, the changepoint argmax, the backtest's
-    // error accumulators and fdr's step-up all claim exact-integer /
-    // quantized-before-sum layouts — prove bit-equality at two
-    // partition settings
+    // every round-8 operator claims an exact-integer / quantized-
+    // before-sum / PRF-deterministic layout — prove bit-equality for
+    // ALL of them at two partition settings
     val key = "spark.sql.shuffle.partitions"
     val orig = s.conf.get(key)
-    def run() = (
-      graft.operators.Experimentation.qAnova(s, sfDir).collect().map(_.toSeq).toList,
-      graft.operators.Experimentation.qFdrBh(s, sfDir).collect().map(_.toSeq).toList,
-      graft.operators.Behavioral.qChangepoint(s, sfDir).collect().map(_.toSeq).toList,
-      graft.operators.Behavioral.qForecastBacktest(s, sfDir).collect().map(_.toSeq).toList,
-      graft.operators.Graph.graphDegreeStats(s, sfDir).collect().map(_.toSeq).toList)
+    def run() = List(
+      graft.operators.Experimentation.qAnova(s, sfDir),
+      graft.operators.Experimentation.qFdrBh(s, sfDir),
+      graft.operators.Experimentation.qQte(s, sfDir),
+      graft.operators.Experimentation.qAttributionShapley(s, sfDir),
+      graft.operators.Behavioral.qChangepoint(s, sfDir),
+      graft.operators.Behavioral.qHoltWinters(s, sfDir),
+      graft.operators.Behavioral.qForecastBacktest(s, sfDir),
+      graft.operators.Similarity.embedJl(s, sfDir),
+      graft.operators.Similarity.annHardNegatives(s, sfDir),
+      graft.operators.Graph.graphDegreeStats(s, sfDir),
+      graft.operators.Graph.graphPpr(s, sfDir)
+    ).map(_.collect().map(_.toSeq).toList)
     try {
       s.conf.set(key, "4")
       val a = run()

@@ -151,8 +151,9 @@ class SimilaritySpec extends SparkSpec {
     val varr = ratios.map(r => (r - mean) * (r - mean)).sum / n
     assert(varr < 3.0 * 2.0 / Similarity.jlDim, s"ratio variance $varr vs promised ${2.0 / Similarity.jlDim}")
     // the projection is a contraction of information, not of scale:
-    // projected norms are positive wherever the input norm is
-    assert(rows.forall(r => r.getDouble(4) <= 0.0 || r.getDouble(3) >= 0.0))
+    // projected norms are strictly positive wherever the input norm is
+    assert(rows.forall(r => r.getDouble(4) <= 0.0 || r.getDouble(3) > 0.0),
+      s"zeroed projection: ${rows.filter(r => r.getDouble(4) > 0 && r.getDouble(3) <= 0).mkString(",")}")
   }
 
   test("hamming refine dominates raw hamming recall and reports exact cosines") {
