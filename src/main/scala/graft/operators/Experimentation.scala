@@ -103,21 +103,34 @@ object Experimentation {
     dsum(when(col("a"), col("value") * col("value")).otherwise(lit(0.0))).as("sxx_a"),
     dsum(when(!col("a"), col("value") * col("value")).otherwise(lit(0.0))).as("sxx_b"))
 
-  /** Mean/variance derivation over a [[welchAggs]] frame. */
+  /** Mean/variance derivation over a [[welchAggs]] frame. Variances
+    * are NULL below n=2 (ANSI divide would otherwise throw on the
+    * n-1=0 divisor); the readout's t_stat guard checks n first so the
+    * NULL never reaches arithmetic. */
   private[graft] def welchDerive(df: DataFrame): DataFrame = df
-    .withColumn("m_a", col("sx_a") / col("n_a").cast("double"))
-    .withColumn("m_b", col("sx_b") / col("n_b").cast("double"))
-    .withColumn("v_a", (col("sxx_a") - col("sx_a") * col("sx_a") / col("n_a").cast("double")) / (col("n_a") - 1).cast("double"))
-    .withColumn("v_b", (col("sxx_b") - col("sx_b") * col("sx_b") / col("n_b").cast("double")) / (col("n_b") - 1).cast("double"))
+    .withColumn("m_a", when(col("n_a") >= 1, col("sx_a") / col("n_a").cast("double")))
+    .withColumn("m_b", when(col("n_b") >= 1, col("sx_b") / col("n_b").cast("double")))
+    .withColumn("v_a", when(col("n_a") >= 2,
+      (col("sxx_a") - col("sx_a") * col("sx_a") / col("n_a").cast("double")) / (col("n_a") - 1).cast("double")))
+    .withColumn("v_b", when(col("n_b") >= 2,
+      (col("sxx_b") - col("sx_b") * col("sx_b") / col("n_b").cast("double")) / (col("n_b") - 1).cast("double")))
 
   /** The per-metric Welch readout over a [[welchAggs]] stats frame —
-    * shared verbatim by the batch and streaming A/B tables. */
+    * shared verbatim by the batch and streaming A/B tables.
+    * Degenerate-arm guard (n<2 per arm or zero pooled variance):
+    * t_stat is NULL, never an engine-dependent inf/NaN — the same
+    * trap class [[qFdrBh]]'s z family guards against. mean_a/mean_b
+    * stay defined whenever the arm is non-empty. */
   private[graft] def welchReadout(stats: DataFrame): DataFrame =
     welchDerive(stats)
       .select(col("event_type"), col("n_a"), col("n_b"),
         expr(rndSql("m_a", 6)).as("mean_a"),
         expr(rndSql("m_b", 6)).as("mean_b"),
-        expr(rndSql("(m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))", 6)).as("t_stat"))
+        expr(rndSql(
+          """CASE WHEN n_a < 2 OR n_b < 2
+            |       OR v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE) <= 0
+            |  THEN CAST(NULL AS DOUBLE)
+            |  ELSE (m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) END""".stripMargin, 6)).as("t_stat"))
       .orderBy(col("event_type"))
 
   def qAbtest(s: SparkSession, dir: String): DataFrame = {
@@ -147,7 +160,11 @@ object Experimentation {
        |)
        |SELECT event_type, n_a, n_b,
        |  ${rndSql("m_a", 6)} AS mean_a, ${rndSql("m_b", 6)} AS mean_b,
-       |  ${rndSql("(m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE))", 6)} AS t_stat
+       |  ${rndSql(
+        """CASE WHEN n_a < 2 OR n_b < 2
+          |       OR v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE) <= 0
+          |  THEN CAST(NULL AS DOUBLE)
+          |  ELSE (m_a - m_b) / sqrt(v_a / CAST(n_a AS DOUBLE) + v_b / CAST(n_b AS DOUBLE)) END""".stripMargin, 6)} AS t_stat
        |FROM m
        |ORDER BY event_type""".stripMargin
 
@@ -1056,9 +1073,19 @@ object Experimentation {
       // variance): NULL, never an inf/NaN that engines render apart
       .withColumn("f_stat", expr(rndSql(
         "CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN CAST(NULL AS DOUBLE) ELSE (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) END", 6)))
+      // critical value follows the DATA-DERIVED arm count: F(k-1, inf)
+      // at alpha=0.05 — an empty user_id%3 arm (k=2) must be judged
+      // against 3.841459, not the 3-arm 2.995732 (anti-conservative)
       .select($"k", $"n", $"ssb", $"ssw", $"f_stat",
-        coalesce($"f_stat" > lit(2.995732), lit(false)).as("significant"))
+        coalesce($"f_stat" > expr(anovaFCritSql), lit(false)).as("significant"))
   }
+
+  /** F(k-1, inf) upper 5% points, selected by the observed arm count;
+    * NULL outside the 2..4 arms this design can produce (coalesced to
+    * a false verdict, matching the f_stat NULL guard). */
+  private val anovaFCritSql: String =
+    """CASE WHEN k = 2 THEN 3.841459 WHEN k = 3 THEN 2.995732
+      |     WHEN k = 4 THEN 2.604695 ELSE CAST(NULL AS DOUBLE) END""".stripMargin
 
   val qAnovaSql: String =
     s"""WITH pu AS (
@@ -1086,7 +1113,8 @@ object Experimentation {
        |    ${rndSql("CASE WHEN k < 2 OR n <= k OR ssw <= 0 THEN CAST(NULL AS DOUBLE) ELSE (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) END", 6)} AS f_stat
        |  FROM f
        |)
-       |SELECT k, n, ssb, ssw, f_stat, COALESCE(f_stat > 2.995732, false) AS significant FROM ff""".stripMargin
+       |SELECT k, n, ssb, ssw, f_stat,
+       |  COALESCE(f_stat > ($anovaFCritSql), false) AS significant FROM ff""".stripMargin
 
   // ------------------------------------------------------------------
   // q_fdr_bh — Benjamini-Hochberg over the per-metric z family

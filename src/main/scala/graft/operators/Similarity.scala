@@ -507,9 +507,18 @@ object Similarity {
        |FROM r WHERE rank <= $outlierK
        |ORDER BY label, rank""".stripMargin
 
-  /** Deterministic ~14% query sample for the kNN label probe. */
-  val knnEvalMod = 7L
-  val knnEvalRem = 3L
+  /** ABSOLUTE query-sample bound for the kNN label probe: the
+    * queries are the [[knnEvalCap]] vectors ranking lowest under a
+    * deterministic LCG scramble of vec_id — an unbiased fixed-size
+    * sample whatever the corpus size, so eval cost is O(cap·corpus)
+    * (one linear scan against a broadcast constant), NOT a
+    * proportional slice that turns the probe quadratic. 256 binds at
+    * every test SF (500-2,000 vectors); a production corpus would
+    * raise it (~2,048) and the cost stays linear in the corpus. */
+  val knnEvalCap = 256
+  /** LCG scramble, identical integer arithmetic in Spark and DuckDB
+    * (BIGINT throughout, no overflow below vec_id ~ 8.4e9). */
+  val knnEvalHashSql = "(vec_id * 1103515245 + 12345) % 2147483648"
 
   /** §2.5 #31n — kNN label-consistency probe: every sampled vector is
     * classified by the majority label of its k nearest neighbors
@@ -517,17 +526,21 @@ object Similarity {
     * reported per label — THE embedding-quality diagnostic a training
     * pipeline runs after (re)embedding: low consistency for one label
     * flags a class whose embedding region collapsed or overlaps.
-    * Layout is the exact-kNN scan shape: the bounded query sample
-    * broadcasts, the corpus is scanned once (linear, no self-join),
-    * top-k per query on the bounded-heap operator, the vote and the
-    * accuracy rollup are label-sized. */
+    * Layout is the exact-kNN scan shape: the query sample is capped
+    * at an ABSOLUTE [[knnEvalCap]] (hash-rank top-N — Spark plans the
+    * sort+limit as a per-partition bounded heap + driver merge, never
+    * a global sort), broadcasts, and the corpus is scanned once
+    * (linear, no self-join); top-k per query on the bounded-heap
+    * operator, the vote and the accuracy rollup are label-sized. */
   def embedKnnEval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.Agg.{countIf, rnd}
     val base = Tables.embeddings(s, dir)
       .select($"vec_id", $"label", expr(VectorFns.asDouble("embedding")).as("v"))
       .withColumn("nrm", expr(VectorFns.norm("v")))
-    val q = base.filter($"vec_id" % knnEvalMod === knnEvalRem)
+    val q = base
+      .withColumn("h", expr(knnEvalHashSql))
+      .orderBy($"h", $"vec_id").limit(knnEvalCap)
       .select($"vec_id".as("query_id"), $"label".as("true_label"),
         $"v".as("qv"), $"nrm".as("qnrm"))
     val scored = base.join(broadcast(q), $"vec_id" =!= $"query_id")
@@ -558,7 +571,7 @@ object Similarity {
        |  FROM v),
        |q AS (
        |  SELECT vec_id AS query_id, label AS true_label, v AS qv, nrm AS qnrm
-       |  FROM n WHERE vec_id % $knnEvalMod = $knnEvalRem),
+       |  FROM n ORDER BY $knnEvalHashSql, vec_id LIMIT $knnEvalCap),
        |scored AS (
        |  SELECT q.query_id, q.true_label, c.vec_id, c.label,
        |    ${rndSql("list_dot_product(q.qv, c.v) / (q.qnrm * c.nrm)", 6)} AS cosine

@@ -688,6 +688,51 @@ class BehavioralSpec extends SparkSpec {
     assert(r2.getDouble(4) == 0.0 && !r2.getBoolean(5))
   }
 
+  test("anova: an empty arm (k=2) is judged against the F(1,inf) cutoff, not the 3-arm one") {
+    val s = spark; import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    // only users with uid%3 in {0,1} → k=2 arms. Jitter tuned so
+    // 2.995732 < F < 3.841459: anti-conservative under the fixed
+    // 3-arm cutoff, NOT significant under the correct F(1,inf).
+    // With arm means 0/d and within-arm variance ~s², F ≈ n·d²/(4s²);
+    // search a d that lands F in the open interval.
+    def events(d: Double) = (0L until 60L).filter(_ % 3 != 2).map { u =>
+      (u, t0, u, "click", d * (u % 3) + 3.0 * (u % 5), "{}") }
+    val dir = Files.createTempDirectory("graft-anova-k2").toString
+    val f = (1 to 60).view.map { i =>
+      val d = 0.1 * i
+      events(d).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+      Experimentation.qAnova(s, dir).collect()(0)
+    }.find { r => r.getDouble(4) > 2.995732 && r.getDouble(4) < 3.841459 }
+      .getOrElse(fail("no jitter scale landed F between the k=3 and k=2 cutoffs"))
+    assert(f.getLong(0) == 2L, s"expected k=2, got ${f.getLong(0)}")
+    assert(!f.getBoolean(5),
+      s"F=${f.getDouble(4)} is under the F(1,inf)=3.841459 cutoff and must NOT read significant")
+  }
+
+  test("abtest: a single-user arm yields NULL t_stat, never an engine-dependent inf/NaN") {
+    val s = spark; import s.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")
+    // arm A (even uid) has ONE user; arm B has many → v_a undefined
+    val dir = Files.createTempDirectory("graft-welch-degen").toString
+    val rows = Seq((0L, t0, 0L, "click", 5.0, "{}")) ++
+      (0L until 10L).map(i => (i + 1L, t0, 2 * i + 1L, "click", 1.0 + i, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Experimentation.qAbtest(s, dir).collect()(0)
+    assert(r.getLong(1) == 1L && r.getLong(2) == 10L)
+    assert(!r.isNullAt(3) && !r.isNullAt(4), "means stay defined for non-empty arms")
+    assert(r.isNullAt(5), s"t_stat must be NULL for a 1-user arm, got ${r.get(5)}")
+    // zero pooled variance (both arms constant) must also read NULL
+    val dir2 = Files.createTempDirectory("graft-welch-const").toString
+    (0L until 20L).map(u => (u, t0, u, "click", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/events.parquet")
+    val r2 = Experimentation.qAbtest(s, dir2).collect()(0)
+    assert(r2.isNullAt(5), s"zero-variance arms must read NULL t_stat, got ${r2.get(5)}")
+  }
+
   test("fdr bh: a real effect is rejected, a null metric is not, and rejections are a p-ordered prefix") {
     val s = spark; import s.implicits._
     val t0 = java.sql.Timestamp.valueOf("2025-06-01 12:00:00")

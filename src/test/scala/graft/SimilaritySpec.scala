@@ -220,4 +220,17 @@ class SimilaritySpec extends SparkSpec {
     // the full-length prefix IS the exact search
     assert(rows.last == ((64, 1.0, 1.0)), rows.last.toString)
   }
+
+  test("knn eval: query sample is capped at the absolute bound regardless of corpus size") {
+    val s = spark
+    val rows = Similarity.embedKnnEval(s, sfDir).collect()
+    val totalQueries = rows.map(_.getLong(1)).sum
+    // sf0.001 has 500 vectors > cap → the probe must cost O(cap·corpus)
+    assert(totalQueries == Similarity.knnEvalCap.toLong,
+      s"query sample must be exactly the cap (${Similarity.knnEvalCap}), got $totalQueries")
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1), "n_correct bounded by n_queries")
+    }
+  }
 }
