@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  "-Dfile.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The sandbox locale is ANSI_X3.4-1968 (ASCII): sun.jnu.encoding is
+// fixed from the OS locale before -D flags apply, so without a UTF-8
+// LC_ALL a partitionBy over a unicode column mangles the directory
+// name ("café" -> "caf?") and the task write dies with
+// InvalidPathException. Production clusters run UTF-8 locales; pin the
+// same for every forked run/test JVM.
+Test / envVars += "LC_ALL" -> "C.UTF-8"
+run / envVars += "LC_ALL" -> "C.UTF-8"

@@ -71,9 +71,11 @@ object Behavioral {
         max(when($"q3".isNotNull, 1L).otherwise(0L)).as("s3"))
       .agg(
         count(lit(1)).as("users_total"),
-        sum($"s1").as("users_view"),
-        sum($"s2").as("users_click"),
-        sum($"s3").as("users_purchase"))
+        // coalesce: an empty corpus sums to NULL where the oracle's
+        // scalar counts say 0
+        coalesce(sum($"s1"), lit(0L)).as("users_view"),
+        coalesce(sum($"s2"), lit(0L)).as("users_click"),
+        coalesce(sum($"s3"), lit(0L)).as("users_purchase"))
   }
 
   val qFunnelSql: String =
@@ -1521,9 +1523,11 @@ object Behavioral {
         max(when($"q3".isNotNull, 1L).otherwise(0L)).as("s3"))
       .agg(
         count(lit(1)).as("users_total"),
-        sum($"s1").as("users_view"),
-        sum($"s2").as("users_click"),
-        sum($"s3").as("users_purchase"))
+        // coalesce: an empty corpus sums to NULL where the oracle's
+        // scalar counts say 0
+        coalesce(sum($"s1"), lit(0L)).as("users_view"),
+        coalesce(sum($"s2"), lit(0L)).as("users_click"),
+        coalesce(sum($"s3"), lit(0L)).as("users_purchase"))
   }
 
   val qFunnelBoxedSql: String =

@@ -771,6 +771,7 @@ object Dedup {
     val v = Tables.embeddings(s, dir)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
       .withColumn("nrm", expr(VectorFns.norm("v")))
+      .filter($"nrm" > 0.0) // no defined cosine for a zero vector
     v.as("a").join(v.as("b"), $"a.vec_id" < $"b.vec_id")
       .withColumn("cosine",
         expr(rndSql(s"${VectorFns.dot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)))
@@ -786,7 +787,8 @@ object Dedup {
        |n AS (
        |  SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-       |  FROM v)
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0)
        |SELECT a.vec_id AS id1, b.vec_id AS id2,
        |  ${rndSql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS cosine
        |FROM n a JOIN n b ON a.vec_id < b.vec_id
@@ -1506,7 +1508,8 @@ object Dedup {
        |labs AS (SELECT id, min(lab) AS canonical_id FROM reach GROUP BY 1),
        |mem AS (
        |  SELECT l.id AS vec_id, l.canonical_id, n.v, n.nrm
-       |  FROM labs l JOIN n ON n.vec_id = l.id),
+       |  FROM labs l JOIN n ON n.vec_id = l.id
+       |  WHERE n.nrm > 0),
        |dims AS (
        |  SELECT canonical_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x
        |  FROM mem),
@@ -1561,6 +1564,9 @@ object Dedup {
           sum(when($"doc_id" =!= $"canonical_id", $"n_chars").otherwise(0L))
             .as("chars_dropped"),
           sum($"n_chars").as("chars_total"))
+        // empty corpus: no per-method row (the oracle's grouped
+        // rollups emit none), and no 0/0 share
+        .filter($"n_docs" > 0)
         .select(lit(method).as("method"), $"n_docs", $"n_dropped",
           expr(rndSql("CAST(n_dropped AS DOUBLE) / CAST(n_docs AS DOUBLE)", 6))
             .as("pct_docs_dropped"),

@@ -91,9 +91,16 @@ object EmbedPq {
   private def trainCodebooksOn(s: SparkSession, v: DataFrame): Seq[Seq[Seq[Double]]] = {
     import s.implicits._
     var cbs: Seq[Seq[Seq[Double]]] = {
-      val init = v.filter($"vec_id" < pqKsub).orderBy($"vec_id")
-        .collect().map(_.getSeq[Double](1).toSeq)
-      Seq.tabulate(pqM)(m => init.toSeq.map(_.slice(m * pqDsub, (m + 1) * pqDsub)))
+      val init0 = v.filter($"vec_id" < pqKsub).orderBy($"vec_id")
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+      // corpus smaller than ksub: pad the seed by cycling (empty →
+      // one zero vector). Duplicated codewords tie on every distance
+      // and the first-match argmin never picks them — same in the
+      // oracle's staged-artifact recomputation — while encode/ADC
+      // plans keep their full ksub shape on a degenerate corpus.
+      val base = if (init0.isEmpty) Seq(Seq.fill(pqM * pqDsub)(0.0)) else init0
+      val init = Seq.tabulate(pqKsub)(i => base(i % base.size))
+      Seq.tabulate(pqM)(m => init.map(_.slice(m * pqDsub, (m + 1) * pqDsub)))
     }
     for (_ <- 1 to pqIters) {
       val stats = v.withColumn("cbs", typedLit(cbs))
@@ -315,12 +322,16 @@ object EmbedPq {
     s"""cents AS (SELECT cid, c FROM read_parquet('$centGlob')),
        |iscored AS (
        |  SELECT v.vec_id, cents.cid,
+       |    list_sum(list_transform(v.v, x -> x * x)) AS n2,
        |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(v.v, cents.c) AS s
        |  FROM v, cents),
        |assigned AS (
+       |  -- zero-norm vectors are excluded from the IVF index (the
+       |  -- engine's staged assignment never contains them); queries
+       |  -- keep them — ADC is an L2 scan and a zero query is defined
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
-       |    FROM iscored)
+       |    FROM iscored WHERE n2 > 0)
        |  WHERE rn = 1),
        |probes AS (
        |  SELECT vec_id AS query_id, cid FROM (
@@ -600,6 +611,11 @@ object EmbedPq {
     // the codebooks. Artifact indices are 1-based.
     val stats = Similarity.embedMoments(s, dir)
       .select($"i", $"j", $"sq12", $"sx12", $"n").collect()
+    // empty corpus: no moments to diagonalize — the identity rotation
+    // keeps every downstream plan well-formed (they all join/cross an
+    // empty corpus anyway)
+    if (stats.isEmpty)
+      return Seq.tabulate(d)(i => Seq.tabulate(d)(j => if (i == j) 1.0 else 0.0))
     val n = stats.head.getLong(4).toDouble
     val sx = Array.ofDim[Double](d)
     val sp = Array.ofDim[Double](d, d)

@@ -209,8 +209,12 @@ object Experimentation {
         Seq("t_pre", "t_post", "c_pre", "c_post"))
       .agg(first(struct($"n", $"m", $"v")))
     p.select(
-      $"t_pre.n".as("n_t_pre"), $"t_post.n".as("n_t_post"),
-      $"c_pre.n".as("n_c_pre"), $"c_post.n".as("n_c_post"),
+      // an absent cell pivots to a NULL struct; the cell COUNT is 0,
+      // not NULL (DuckDB's scalar count(*) of an empty cell says 0)
+      coalesce($"t_pre.n", lit(0L)).as("n_t_pre"),
+      coalesce($"t_post.n", lit(0L)).as("n_t_post"),
+      coalesce($"c_pre.n", lit(0L)).as("n_c_pre"),
+      coalesce($"c_post.n", lit(0L)).as("n_c_post"),
       expr(rndSql("(t_post.m - t_pre.m) - (c_post.m - c_pre.m)", 6)).as("did"),
       expr(rndSql(
         """CASE WHEN (t_post.v / CAST(t_post.n AS DOUBLE) + t_pre.v / CAST(t_pre.n AS DOUBLE)
@@ -358,6 +362,12 @@ object Experimentation {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val nFrom = trans.groupBy(_._1._1).map { case (src, m) => src -> m.values.sum }
     val transients = nFrom.keys.toSeq.sorted
+    // no journeys at all (empty/converted-out corpus): no chain to
+    // solve and no channels to attribute — the oracle's channel CTE
+    // is empty the same way
+    if (!nFrom.contains("START"))
+      return Seq.empty[(String, Double, Double, Double)]
+        .toDF("channel", "p_removed", "removal_effect", "attribution")
     def qq(i: String, j: String): Long = trans.get((i, j)).map(n =>
       math.floor(n.toDouble / nFrom(i) * 1e9 + 0.5).toLong).getOrElse(0L)
     def rq(i: String): Long = trans.get((i, "CONV")).map(n =>
@@ -782,13 +792,33 @@ object Experimentation {
       sum(when(!$"a", $"yq").otherwise(0L).cast(D)).as("sy_b"))
     m.select(
       $"n_a", $"n_b",
-      expr(cupedRnd("syad / nad")).as("mean_a"),
-      expr(cupedRnd("sybd / nbd")).as("mean_b"),
-      expr(cupedRnd("theta")).as("theta"),
-      expr(cupedRnd("(syad / nad) - theta * ((sxad / nad) - (sxd / nd))")).as("adj_mean_a"),
-      expr(cupedRnd("(sybd / nbd) - theta * ((sxbd / nbd) - (sxd / nd))")).as("adj_mean_b"),
-      expr(cupedRnd("(covxy * covxy) / (varx * vary)")).as("var_reduction"))
+      expr(cupedRnd(cupedMeanA)).as("mean_a"),
+      expr(cupedRnd(cupedMeanB)).as("mean_b"),
+      expr(cupedRnd(cupedTheta)).as("theta"),
+      expr(cupedRnd(cupedAdjA)).as("adj_mean_a"),
+      expr(cupedRnd(cupedAdjB)).as("adj_mean_b"),
+      expr(cupedRnd(cupedVarRed)).as("var_reduction"))
   }
+
+  // Degenerate guards for the CUPED readout, shared verbatim by engine
+  // and oracle. The zero-variance test runs on the EXACT decimal sums
+  // (n·sxx = sx·sx ⇔ all per-user covariates equal, covers n<2) — the
+  // double-derived varx could land ±1 ulp from 0 and the two engines
+  // must take the same branch. Empty-arm means are NULL, never 0/0.
+  private val cupedDegX = "n * sxx = sx * sx"
+  private val cupedDegY = "n * syy = sy * sy"
+  private val cupedMeanA =
+    "CASE WHEN n_a = 0 THEN CAST(NULL AS DOUBLE) ELSE syad / nad END"
+  private val cupedMeanB =
+    "CASE WHEN n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE sybd / nbd END"
+  private val cupedTheta =
+    s"CASE WHEN $cupedDegX THEN CAST(NULL AS DOUBLE) ELSE theta END"
+  private val cupedAdjA =
+    s"CASE WHEN n_a = 0 OR $cupedDegX THEN CAST(NULL AS DOUBLE) ELSE (syad / nad) - theta * ((sxad / nad) - (sxd / nd)) END"
+  private val cupedAdjB =
+    s"CASE WHEN n_b = 0 OR $cupedDegX THEN CAST(NULL AS DOUBLE) ELSE (sybd / nbd) - theta * ((sxbd / nbd) - (sxd / nd)) END"
+  private val cupedVarRed =
+    s"CASE WHEN $cupedDegX OR $cupedDegY THEN CAST(NULL AS DOUBLE) ELSE (covxy * covxy) / (varx * vary) END"
 
   val qAbtestCupedSql: String =
     s"""WITH ev AS (
@@ -815,12 +845,12 @@ object Experimentation {
        |    sum(CASE WHEN NOT a THEN CAST(yq AS HUGEINT) ELSE 0 END) AS sy_b
        |  FROM pu)
        |SELECT n_a, n_b,
-       |  ${cupedRnd("syad / nad")} AS mean_a,
-       |  ${cupedRnd("sybd / nbd")} AS mean_b,
-       |  ${cupedRnd("theta")} AS theta,
-       |  ${cupedRnd("(syad / nad) - theta * ((sxad / nad) - (sxd / nd))")} AS adj_mean_a,
-       |  ${cupedRnd("(sybd / nbd) - theta * ((sxbd / nbd) - (sxd / nd))")} AS adj_mean_b,
-       |  ${cupedRnd("(covxy * covxy) / (varx * vary)")} AS var_reduction
+       |  ${cupedRnd(cupedMeanA)} AS mean_a,
+       |  ${cupedRnd(cupedMeanB)} AS mean_b,
+       |  ${cupedRnd(cupedTheta)} AS theta,
+       |  ${cupedRnd(cupedAdjA)} AS adj_mean_a,
+       |  ${cupedRnd(cupedAdjB)} AS adj_mean_b,
+       |  ${cupedRnd(cupedVarRed)} AS var_reduction
        |FROM m""".stripMargin
 
   // ------------------------------------------------------------------
@@ -934,16 +964,29 @@ object Experimentation {
           * $"t".cast(DecimalType(12, 0))) - $"t".cast(DecimalType(38, 0))).as("ties"))
       .withColumn("u2_a", $"ra2" - ($"n_a".cast(d18) * ($"n_a".cast(d18) + lit(1L))))
       .withColumn("n", $"n_a" + $"n_b")
-      .withColumn("z", expr(rndSql(
-        """(CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
-          |  (2.0 * sqrt(
-          |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
-          |    ((CAST(n AS DOUBLE) + 1.0) -
-          |      CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))))""".stripMargin, 6)))
+      .withColumn("z", expr(rndSql(mwZFrag, 6)))
       .select($"n_a", $"n_b",
         (($"u2_a".cast("double")) / lit(2.0)).as("u_a"),
         $"z", (abs($"z") > lit(1.959964)).as("significant"))
   }
+
+  /** The Mann-Whitney z with the degenerate guard: an empty arm, a
+    * single observation (n−1 = 0 divisor) or an all-tied sample (zero
+    * rank variance) has no defined z — NULL in both engines (and a
+    * NULL verdict), never an ANSI throw vs a DuckDB NULL/inf. All
+    * inputs are exact decimal sums, so the branch decision and the
+    * surviving arithmetic are engine-identical. */
+  private val mwZFrag: String =
+    """CASE WHEN n_a = 0 OR n_b = 0 OR n < 2
+      |       OR (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
+      |          ((CAST(n AS DOUBLE) + 1.0) -
+      |            CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) <= 0
+      |THEN CAST(NULL AS DOUBLE)
+      |ELSE (CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
+      |  (2.0 * sqrt(
+      |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
+      |    ((CAST(n AS DOUBLE) + 1.0) -
+      |      CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))) END""".stripMargin
 
   val qMannWhitneySql: String =
     s"""WITH $rankScaffoldCtes,
@@ -961,18 +1004,8 @@ object Experimentation {
        |  FROM m
        |)
        |SELECT n_a, n_b, CAST(u2_a AS DOUBLE) / 2.0 AS u_a,
-       |  ${rndSql(
-      """(CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
-        |  (2.0 * sqrt(
-        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
-        |    ((CAST(n AS DOUBLE) + 1.0) -
-        |      CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))))""".stripMargin, 6)} AS z,
-       |  abs(${rndSql(
-      """(CAST(u2_a AS DOUBLE) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) /
-        |  (2.0 * sqrt(
-        |    (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0) *
-        |    ((CAST(n AS DOUBLE) + 1.0) -
-        |      CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))))""".stripMargin, 6)}) > 1.959964 AS significant
+       |  ${rndSql(mwZFrag, 6)} AS z,
+       |  abs(${rndSql(mwZFrag, 6)}) > 1.959964 AS significant
        |FROM u""".stripMargin
 
   /** §2.10 — two-sample Kolmogorov-Smirnov: the DISTRIBUTION-shape
@@ -997,10 +1030,11 @@ object Experimentation {
     cum.join(broadcast(totals))
       .groupBy($"n_a", $"n_b")
       .agg(max(abs($"cum_a".cast(d18) * $"n_b" - $"cum_b".cast(d18) * $"n_a")).as("d_num"))
+      // empty-arm guard: a one-sample "two-sample" KS has no defined D
       .withColumn("d", expr(rndSql(
-        "CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))", 9)))
+        "CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END", 9)))
       .withColumn("d_crit", expr(rndSql(
-        "1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))", 9)))
+        "CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE 1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) END", 9)))
       .select($"n_a", $"n_b", $"d", $"d_crit", ($"d" > $"d_crit").as("significant"))
   }
 
@@ -1017,8 +1051,8 @@ object Experimentation {
        |  GROUP BY t.n_a, t.n_b
        |), f AS (
        |  SELECT n_a, n_b,
-       |    ${rndSql("CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))", 9)} AS d,
-       |    ${rndSql("1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))", 9)} AS d_crit
+       |    ${rndSql("CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE CAST(d_num AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END", 9)} AS d,
+       |    ${rndSql("CASE WHEN n_a = 0 OR n_b = 0 THEN CAST(NULL AS DOUBLE) ELSE 1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))) END", 9)} AS d_crit
        |  FROM d
        |)
        |SELECT n_a, n_b, d, d_crit, d > d_crit AS significant FROM f""".stripMargin

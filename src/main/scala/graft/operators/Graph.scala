@@ -133,6 +133,11 @@ object Graph {
     import s.implicits._
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
     val n = deg.count() // one scalar to the driver: the vertex count
+    // edge-free graph: the oracle returns 0 rows and the engine must
+    // too — without this, plan-time constant folding evaluates the
+    // 1/n seed rank eagerly and ANSI throws even though no row exists
+    if (n == 0)
+      return deg.select($"src".as("part_id"), lit(0.0).as("rank"))
     // state carries outdeg so each round's quantized contribution
     // rank/outdeg is computed on the NODE-sized frame — the only
     // edge-scale work per round is one equi-join plus the partial-

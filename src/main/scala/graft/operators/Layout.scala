@@ -318,7 +318,14 @@ object Layout {
     * assertion. */
   private[graft] def prunedScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.read.parquet(s"${stagePartitioned(s, dir)}/events_by_type")
+    val ev = Tables.events(s, dir)
+      .select($"event_id", unix_micros($"ts").as("us"), $"user_id",
+        $"event_type", $"value")
+    // a 0-row partitionBy writes no files at all and the read-back
+    // can't infer a schema — an empty source short-circuits to the
+    // same (empty) frame the partitioned scan would produce
+    if (ev.isEmpty) ev.filter(col("event_type").isin("purchase", "click"))
+    else s.read.parquet(s"${stagePartitioned(s, dir)}/events_by_type")
       .filter(col("event_type").isin("purchase", "click"))
   }
 

@@ -93,7 +93,7 @@ object Multimodal {
       s"WHEN doc_id % ${magics.size} = $i THEN '$mime'"
     }.mkString("CASE ", " ", " ELSE 'application/octet-stream' END")
     s"""WITH m AS (
-       |  SELECT doc_id, $magicCase || CAST(text AS BLOB) AS payload,
+       |  SELECT doc_id, $magicCase || encode(text) AS payload,
        |    $mimeCase AS mime
        |  FROM documents)
        |SELECT doc_id AS asset_id, mime,
@@ -148,7 +148,7 @@ object Multimodal {
     val toks = TextAnalysis.duckToks
     s"""WITH sc0 AS MATERIALIZED (${QualityModel.qualityScoreSql}),
        |m AS (
-       |  SELECT doc_id, $magicCase || CAST(text AS BLOB) AS payload,
+       |  SELECT doc_id, $magicCase || encode(text) AS payload,
        |    $mimeCase AS mime
        |  FROM documents),
        |a AS (
@@ -218,7 +218,7 @@ object Multimodal {
       s"WHEN doc_id % ${magics.size} = $i THEN unhex('$hexs')"
     }.mkString("CASE ", " ", " END")
     s"""WITH m AS (
-       |  SELECT doc_id AS asset_id, $magicCase || CAST(text AS BLOB) AS payload
+       |  SELECT doc_id AS asset_id, $magicCase || encode(text) AS payload
        |  FROM documents),
        |b AS (
        |  SELECT asset_id, hex(payload) AS h, octet_length(payload) AS len FROM m),
@@ -285,7 +285,7 @@ object Multimodal {
     }.mkString("CASE ", " ", " ELSE 'application/octet-stream' END")
     s"""WITH m AS (
        |  SELECT doc_id AS asset_id, $mimeCase AS mime,
-       |    hex($magicCase || CAST(text AS BLOB)) AS h
+       |    hex($magicCase || encode(text)) AS h
        |  FROM documents),
        |t AS (
        |  SELECT asset_id, mime, h,
@@ -370,7 +370,7 @@ object Multimodal {
          |         (strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 1))) AS DOUBLE)
          |    / (255.0 * ${cnt(k)}) END AS e$k""".stripMargin
     s"""WITH m AS (
-       |  SELECT doc_id AS asset_id, $magicCase || CAST(text AS BLOB) AS payload
+       |  SELECT doc_id AS asset_id, $magicCase || encode(text) AS payload
        |  FROM documents),
        |b AS (
        |  SELECT asset_id, hex(payload) AS h,
@@ -420,7 +420,7 @@ object Multimodal {
       s"WHEN doc_id % ${magics.size} = $i THEN '$mime'"
     }.mkString("CASE ", " ", " ELSE 'application/octet-stream' END")
     s"""WITH m AS (
-       |  SELECT doc_id, $magicCase || CAST(text AS BLOB) AS payload,
+       |  SELECT doc_id, $magicCase || encode(text) AS payload,
        |    $mimeCase AS mime
        |  FROM documents)
        |SELECT md5(hex(payload)) AS payload_md5, mime,
@@ -516,7 +516,7 @@ object Multimodal {
     }.mkString("CASE ", " ", " ELSE 'application/octet-stream' END")
     s"""WITH a AS (
        |  SELECT doc_id AS asset_id, $mimeCase AS mime,
-       |    4 + octet_length(CAST(text AS BLOB)) AS n_bytes
+       |    4 + octet_length(encode(text)) AS n_bytes
        |  FROM documents),
        |c AS (
        |  SELECT asset_id, mime, n_bytes,

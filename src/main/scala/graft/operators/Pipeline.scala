@@ -634,6 +634,99 @@ object Pipeline {
 
   // -------------------------------------------------------------------
 
+  /** Embeddings with vec_id below this are the designated eval-set
+    * representations for [[decontaminateSemantic]] (the embedding
+    * counterpart of [[evalMaxId]]). */
+  val evalVecMaxId = 25L
+  /** Cosine threshold for paraphrase-level contamination. Well above
+    * [[Dedup.cosineTau]]'s near-dup floor: a leak is a REWRITE of an
+    * eval item, not merely a related document. At 0.8 the (48, 3)
+    * banding's per-pair miss probability is (1 − 0.502³)^48 ≈ 3e-15 —
+    * candidate recall is total for every pair the threshold keeps. */
+  val semanticTau = 0.8
+
+  /** §2.8 #44e — SEMANTIC decontamination: flag every training-corpus
+    * vector whose embedding cosine to ANY designated eval vector is
+    * ≥ τ. [[decontaminateSpan]] catches verbatim ≥13-token leaks;
+    * this is the companion screen real release gates also run —
+    * PARAPHRASED eval items share no 13-token window but land next to
+    * the original in embedding space.
+    *
+    * Scale layout: the eval side is a benchmark suite — bounded,
+    * thousands — so its LSH bucket assignment broadcasts; the corpus's
+    * bucket assignment ([[Similarity.lshBucketsOf]], row-local) probes
+    * it with an equi-join on (tbl, bucket), cosine evaluated inline,
+    * τ-filter before the only corpus-keyed aggregate. The corpus is
+    * never self-joined and never shuffled on buckets — the exchange
+    * carries (vec_id, hits) pairs. Same candidate machinery as
+    * [[Dedup.embeddingPairsUncached]] (Dedup.scala) with the
+    * corpus×corpus banding join replaced by corpus×broadcast(eval).
+    * Zero-norm vectors (a crashed encoder shard — see
+    * embed_norm_audit) have no defined cosine and are reported
+    * contaminated=0 with max_cosine NULL on the corpus side, and are
+    * excluded as eval probes, identically in both engines.
+    * Oracle: the all-pairs eval×corpus formulation (eval is small, so
+    * the oracle stays quadratic-free in corpus size too). */
+  def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val v = Similarity.vectors(s, dir)
+    val bands = Similarity.lshBucketsOf(v.filter($"nrm" > 0.0),
+      Dedup.dedupLshTables, Dedup.dedupLshBits)
+    // alias dance: lshBucketsOf emits (vec_id, v, nrm) on both sides —
+    // rename the eval side before the join
+    val evB = bands.filter($"vec_id" < evalVecMaxId)
+      .select($"tbl", $"bucket", $"vec_id".as("eval_id"),
+        $"v".as("ev"), $"nrm".as("enrm"))
+    val hits = bands.filter($"vec_id" >= evalVecMaxId)
+      .join(broadcast(evB), Seq("tbl", "bucket"))
+      .withColumn("cosine",
+        expr(rndSql(s"${graft.functions.VectorFns.dot("v", "ev")} / (nrm * enrm)", 6)))
+      .filter($"cosine" >= semanticTau)
+      // multi-table collisions duplicate a pair — count each eval id once
+      .select($"vec_id", $"eval_id", $"cosine").dropDuplicates("vec_id", "eval_id")
+      .groupBy($"vec_id")
+      .agg(count(lit(1)).as("n_matches"), max($"cosine").as("max_cosine"))
+    // the report base is the UNFILTERED corpus: a zero-norm vector
+    // can't be probed (Similarity.vectors excludes it) but still
+    // appears, clean with NULL max_cosine — same base as the oracle
+    Tables.embeddings(s, dir).select($"vec_id")
+      .filter($"vec_id" >= evalVecMaxId)
+      .join(hits, Seq("vec_id"), "left")
+      .select($"vec_id",
+        when($"n_matches".isNotNull, 1L).otherwise(0L).as("contaminated"),
+        coalesce($"n_matches", lit(0L)).as("n_matches"),
+        $"max_cosine")
+      .orderBy($"vec_id")
+  }
+
+  val decontaminateSemanticSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |ev AS (SELECT vec_id AS eval_id, v AS evv, nrm AS enrm FROM n
+       |       WHERE vec_id < $evalVecMaxId AND nrm > 0),
+       |hits AS (
+       |  SELECT c.vec_id, count(*) AS n_matches,
+       |    max(${rndSql("list_dot_product(c.v, ev.evv) / (c.nrm * ev.enrm)", 6)}) AS max_cosine
+       |  FROM n c JOIN ev ON c.vec_id >= $evalVecMaxId AND c.nrm > 0
+       |  WHERE ${rndSql("list_dot_product(c.v, ev.evv) / (c.nrm * ev.enrm)", 6)} >= $semanticTau
+       |  GROUP BY 1)
+       |SELECT c.vec_id,
+       |  CAST(CASE WHEN h.n_matches IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS contaminated,
+       |  coalesce(h.n_matches, 0) AS n_matches,
+       |  h.max_cosine
+       |FROM (SELECT vec_id FROM n WHERE vec_id >= $evalVecMaxId) c
+       |LEFT JOIN hits h ON c.vec_id = h.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
   /** Misra-Gries capacity for [[corpusHeavyHitters]]: any term with
     * frequency > totalTokens/(hhK+1) is a heavy hitter. */
   val hhK = 32
@@ -1323,19 +1416,32 @@ object Pipeline {
     import graft.functions.Agg.countIf
     val docs = Tables.documents(s, dir)
       .select($"doc_id", size(expr(TextAnalysis.toksExpr)).cast("long").as("n_toks"))
-    val maxId = docs.agg(max($"doc_id")).head.getLong(0)
+    val maxRow = docs.agg(max($"doc_id")).head
+    // empty corpus: the oracle emits one all-zero row per checkpoint
+    // with a NULL checkpoint_id (ceil of a NULL max) — mirror it
+    if (maxRow.isNullAt(0))
+      return (1 to vocabCheckpoints)
+        .map(_ => (None: Option[Long], 0L, 0L, 0L))
+        .toDF("checkpoint_id", "n_docs", "n_tokens", "vocab")
+    val maxId = maxRow.getLong(0)
     val cps = (1 to vocabCheckpoints)
       .map(i => math.ceil(i.toDouble * maxId / vocabCheckpoints).toLong)
     val firstDoc = Tables.documents(s, dir)
       .select($"doc_id", explode(expr(TextAnalysis.toksExpr)).as("term"))
       .groupBy($"term").agg(min($"doc_id").as("first_doc"))
-    val vCols = cps.map(c => countIf($"first_doc" <= c).as(s"v$c"))
+    // generated columns are keyed by checkpoint INDEX, not value — a
+    // tiny corpus can collapse several checkpoints onto one doc_id
+    // (maxId=0 makes all ten equal) and value-keyed names collide
+    val vCols = cps.zipWithIndex.map { case (c, i) =>
+      countIf($"first_doc" <= c).as(s"v$i") }
     val vocabRow = firstDoc.agg(vCols.head, vCols.tail: _*)
-    val dCols = cps.map(c => countIf($"doc_id" <= c).as(s"d$c")) ++
-      cps.map(c => sum(when($"doc_id" <= c, $"n_toks").otherwise(0L)).as(s"t$c"))
+    val dCols = cps.zipWithIndex.map { case (c, i) =>
+      countIf($"doc_id" <= c).as(s"d$i") } ++
+      cps.zipWithIndex.map { case (c, i) =>
+        sum(when($"doc_id" <= c, $"n_toks").otherwise(0L)).as(s"t$i") }
     val docRow = docs.agg(dCols.head, dCols.tail: _*)
-    val stacked = cps.map(c =>
-      s"struct(CAST($c AS BIGINT) AS checkpoint_id, d$c AS n_docs, t$c AS n_tokens, v$c AS vocab)")
+    val stacked = cps.zipWithIndex.map { case (c, i) =>
+      s"struct(CAST($c AS BIGINT) AS checkpoint_id, d$i AS n_docs, t$i AS n_tokens, v$i AS vocab)" }
       .mkString("array(", ", ", ")")
     docRow.crossJoin(vocabRow)
       .select(explode(expr(stacked)).as("r"))
@@ -1567,10 +1673,22 @@ object Pipeline {
       sum($"xxq".cast(DecimalType(38, 0))).as("sxx"),
       sum($"yyq".cast(DecimalType(38, 0))).as("syy"))
     m.select($"n".as("n_tokens"),
-      expr(zipfRnd("(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)")).as("slope"),
-      expr(zipfRnd("(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd")).as("intercept"),
-      expr(zipfRnd("((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))")).as("r2"))
+      expr(zipfRnd(zipfSlope)).as("slope"),
+      expr(zipfRnd(zipfIntercept)).as("intercept"),
+      expr(zipfRnd(zipfR2)).as("r2"))
   }
+
+  // Degenerate-vocabulary guards (a 1-distinct-token corpus has zero
+  // rank variance; the fit is undefined): NULL in both engines, with
+  // the branch decided on the EXACT decimal sums — the double-derived
+  // denominator could sit ±1 ulp from 0 and the engines must agree.
+  private val zipfDegX = "n < 2 OR n * sxx = sx * sx"
+  private val zipfSlope =
+    s"CASE WHEN $zipfDegX THEN CAST(NULL AS DOUBLE) ELSE (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END"
+  private val zipfIntercept =
+    s"CASE WHEN $zipfDegX THEN CAST(NULL AS DOUBLE) ELSE (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd END"
+  private val zipfR2 =
+    s"CASE WHEN $zipfDegX OR n * syy = sy * sy THEN CAST(NULL AS DOUBLE) ELSE ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END"
 
   /** Shared rnd6 wrapper with the decimal-sum → double bindings
     * inlined, so Spark and DuckDB evaluate ONE identical expression
@@ -1610,9 +1728,9 @@ object Pipeline {
        |    sum(xyq) AS sxy, sum(xxq) AS sxx, sum(yyq) AS syy
        |  FROM t2)
        |SELECT n AS n_tokens,
-       |  ${zipfRnd("(nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)")} AS slope,
-       |  ${zipfRnd("(syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd")} AS intercept,
-       |  ${zipfRnd("((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))")} AS r2
+       |  ${zipfRnd(zipfSlope)} AS slope,
+       |  ${zipfRnd(zipfIntercept)} AS intercept,
+       |  ${zipfRnd(zipfR2)} AS r2
        |FROM m""".stripMargin
 
   // ------------------------------------------------------------------
@@ -1959,22 +2077,33 @@ object Pipeline {
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
       .withColumn("n2", expr(VectorFns.dot("v", "v")))
       .localCheckpoint()
-    val first = cv.orderBy($"vec_id").limit(1).collect()(0)
+    val firstRows = cv.orderBy($"vec_id").limit(1).collect()
+    // corpus smaller than the center budget: emit what exists (the
+    // oracle's per-round LIMIT 1 CTEs go empty the same way)
+    if (firstRows.isEmpty)
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("round", "vec_id", "radius")
+    val first = firstRows(0)
     // (id, vector, |v|^2, selection radius)
     val centers = scala.collection.mutable.ArrayBuffer[
       (Long, Array[Double], Double, Option[Double])](
       (first.getLong(0), first.getSeq[Double](1).toArray, first.getDouble(2), None))
-    for (_ <- 2 to kCenters) {
+    var exhausted = false
+    for (_ <- 2 to kCenters if !exhausted) {
       val dmin = centers.map { case (_, vc, n2c, _) =>
         rnd($"n2" + lit(n2c) - lit(2.0) *
           call_function("graft_dot", lit(vc), $"v"), 6)
       }.reduce(least(_, _))
       val chosen = centers.map(_._1)
-      val r = cv.filter(!$"vec_id".isin(chosen.toSeq: _*))
+      val rs = cv.filter(!$"vec_id".isin(chosen.toSeq: _*))
         .select($"vec_id", $"v", $"n2", dmin.as("dmin"))
-        .orderBy($"dmin".desc, $"vec_id").limit(1).collect()(0)
-      centers += ((r.getLong(0), r.getSeq[Double](1).toArray,
-        r.getDouble(2), Some(r.getDouble(3))))
+        .orderBy($"dmin".desc, $"vec_id").limit(1).collect()
+      if (rs.isEmpty) exhausted = true
+      else {
+        val r = rs(0)
+        centers += ((r.getLong(0), r.getSeq[Double](1).toArray,
+          r.getDouble(2), Some(r.getDouble(3))))
+      }
     }
     centers.toSeq.zipWithIndex
       .map { case ((id, _, _, rad), i) => (i + 1, id, rad) }
@@ -2044,6 +2173,7 @@ object Pipeline {
     "decontaminate"     -> (decontaminate _),
     "decontaminate_bloom" -> (decontaminateBloom _),
     "decontaminate_span" -> (decontaminateSpan _),
+    "decontaminate_semantic" -> (decontaminateSemantic _),
     "corpus_contamination_report" -> (corpusContaminationReport _),
     "split_assign"      -> (splitAssign _),
     "split_by_source"   -> (splitBySource _),
@@ -2081,6 +2211,7 @@ object Pipeline {
     // bit-identical scale path: shares the exact-broadcast oracle
     "decontaminate_bloom" -> decontaminateSql,
     "decontaminate_span" -> decontaminateSpanSql,
+    "decontaminate_semantic" -> decontaminateSemanticSql,
     "corpus_contamination_report" -> corpusContaminationReportSql,
     "split_assign"      -> splitAssignSql,
     "split_by_source"   -> splitBySourceSql,

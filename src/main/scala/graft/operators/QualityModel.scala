@@ -115,20 +115,26 @@ object QualityModel {
         count(lit(1)).as("n"))
       val r = raw.agg(aggs.head, aggs.tail: _*).collect()(0)
       val n = r.getLong(7)
-      val nD = n.toDouble
-      val mu = new Array[Double](3); val sd = new Array[Double](3)
-      for (j <- 0 until 3) {
-        val sj = r.getDecimal(2 * j).doubleValue
-        val ssj = r.getDecimal(2 * j + 1).doubleValue
-        mu(j) = sj / nD
-        // population variance in quanta² — identical two-pass-free
-        // formula on both engines; floored at 1 quantum² so a
-        // constant feature can't divide by zero
-        sd(j) = math.sqrt(math.max(ssj / nD - mu(j) * mu(j), 1.0))
+      // empty corpus: no statistics to train on — identity
+      // standardization and a zero threshold keep the model defined
+      // (all consumers score an empty corpus to an empty frame)
+      if (n == 0L) Stats(0L, Array.fill(3)(0.0), Array.fill(3)(1.0), 0.0)
+      else {
+        val nD = n.toDouble
+        val mu = new Array[Double](3); val sd = new Array[Double](3)
+        for (j <- 0 until 3) {
+          val sj = r.getDecimal(2 * j).doubleValue
+          val ssj = r.getDecimal(2 * j + 1).doubleValue
+          mu(j) = sj / nD
+          // population variance in quanta² — identical two-pass-free
+          // formula on both engines; floored at 1 quantum² so a
+          // constant feature can't divide by zero
+          sd(j) = math.sqrt(math.max(ssj / nD - mu(j) * mu(j), 1.0))
+        }
+        // label threshold: mean quality, re-quantized to 1e-4 quanta
+        val qmean = math.floor(r.getDecimal(6).doubleValue / nD + 0.5)
+        Stats(n, mu, sd, qmean)
       }
-      // label threshold: mean quality, re-quantized to 1e-4 quanta
-      val qmean = math.floor(r.getDecimal(6).doubleValue / nD + 0.5)
-      Stats(n, mu, sd, qmean)
     })
 
   private val featStage =
@@ -215,7 +221,8 @@ object QualityModel {
       val n = stats(s, dir).n
       val nD = n.toDouble
       var w = Array(0.0, 0.0, 0.0, 0.0)
-      for (_ <- 1 to gdRounds) {
+      // empty corpus: zero gradient rounds — the zero model
+      for (_ <- 1 to (if (n == 0L) 0 else gdRounds)) {
         val p = sigmoid(margin(w))
         val xs = Seq(lit(1.0), col("z1"), col("z2"), col("z3"))
         val row = f.select(xs.zipWithIndex.map { case (x, j) =>
@@ -239,6 +246,9 @@ object QualityModel {
     f.agg(
         countIf((m > lit(0.0)) === ($"y" === lit(1.0))).as("n_correct"),
         count(lit(1)).as("n"))
+      // empty corpus: no model row (the oracle's f-grouped readout
+      // yields none either), and no 0/0 accuracy
+      .filter($"n" > 0)
       .select(
         lit(gdRounds).as("n_rounds"),
         lit(w(0)).as("w_bias"), lit(w(1)).as("w_stop"),

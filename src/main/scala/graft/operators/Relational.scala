@@ -174,6 +174,10 @@ object Relational {
        |FROM customer, nation, region
        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
        |GROUP BY ROLLUP (r_name, n_name)
+       |-- SQL-standard ROLLUP emits a grand-total row even for empty
+       |-- input; Spark's rollup does not — drop the synthetic row
+       |-- (real groups always have count >= 1)
+       |HAVING count(*) > 0
        |ORDER BY region, nation""".stripMargin
 
   /** Distinct + conditional aggregation per nation. */
@@ -782,8 +786,11 @@ object Relational {
     * runs at scan speed; no UDF, no intermediate parse tree. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // try_cast: a non-numeric props.k (messy ingest JSON) reads NULL
+    // and falls out of the aggregates — in BOTH engines — instead of
+    // an ANSI cast error killing the whole scan
     Tables.events(s, dir)
-      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
            sum($"k").as("sum_k"), min($"k").as("min_k"), max($"k").as("max_k"))
@@ -792,9 +799,9 @@ object Relational {
 
   val qEventsJsonSql: String =
     """SELECT event_type, count(*) AS n,
-      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-      |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
-      |  max(CAST(props->>'k' AS BIGINT)) AS max_k
+      |  CAST(sum(TRY_CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  min(TRY_CAST(props->>'k' AS BIGINT)) AS min_k,
+      |  max(TRY_CAST(props->>'k' AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Exact interpolated percentiles per group (both engines use the
@@ -966,6 +973,8 @@ object Relational {
        |  ${dsumSql("o_totalprice")} AS sum_price
        |FROM orders
        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |-- see qRollupSql: Spark emits no grand-total row on empty input
+       |HAVING count(*) > 0
        |ORDER BY status, priority""".stripMargin
 
   // -------------------------------------------------------------------
@@ -1453,14 +1462,25 @@ object Relational {
     * partition-independent and oracle-exact (Spark's own corr is a
     * float co-moment stream whose value depends on partitioning).
     * Output unpivots to one row per pair via `stack`. */
+  /** Pearson r with the degenerate guard (n=1 or an all-equal series
+    * has zero variance → r undefined → NULL in BOTH engines; ANSI
+    * Spark would otherwise throw where DuckDB yields NULL). The zero
+    * test is RELATIVE — see [[degFrag]]: a constant series computes a
+    * variance within ±1 ulp of 0 and sqrt(-4e-16) is an error in
+    * DuckDB, NaN in Spark. */
+  private def corrFrag(sx: String, sy: String, sxy: String,
+      sxx: String, syy: String): String =
+    s"""CASE WHEN ${degFrag(sxx, sx)} OR ${degFrag(syy, sy)}
+       |THEN CAST(NULL AS DOUBLE)
+       |ELSE (CAST(n AS DOUBLE) * $sxy - $sx * $sy) /
+       |sqrt((CAST(n AS DOUBLE) * $sxx - $sx * $sx) *
+       |     (CAST(n AS DOUBLE) * $syy - $sy * $sy)) END""".stripMargin
+
   def qCorrelation(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     def r(x: String, y: String, sx: String, sy: String, sxy: String,
         sxx: String, syy: String): org.apache.spark.sql.Column =
-      expr(Agg0.rndSql(
-        s"""(CAST(n AS DOUBLE) * $sxy - $sx * $sy) /
-           |sqrt((CAST(n AS DOUBLE) * $sxx - $sx * $sx) *
-           |     (CAST(n AS DOUBLE) * $syy - $sy * $sy))""".stripMargin, 6))
+      expr(Agg0.rndSql(corrFrag(sx, sy, sxy, sxx, syy), 6))
     Tables.lineitem(s, dir)
       .agg(count(lit(1)).as("n"),
         dsum($"l_quantity").as("sq"), dsum($"l_extendedprice").as("sp"),
@@ -1482,10 +1502,7 @@ object Relational {
 
   val qCorrelationSql: String = {
     def rS(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
-      Agg0.rndSql(
-        s"""(CAST(n AS DOUBLE) * $sxy - $sx * $sy) /
-           |sqrt((CAST(n AS DOUBLE) * $sxx - $sx * $sx) *
-           |     (CAST(n AS DOUBLE) * $syy - $sy * $sy))""".stripMargin, 6)
+      Agg0.rndSql(corrFrag(sx, sy, sxy, sxx, syy), 6)
     s"""WITH sums AS (
        |  SELECT count(*) AS n,
        |    ${dsumSql("l_quantity")} AS sq, ${dsumSql("l_extendedprice")} AS sp,
@@ -1522,15 +1539,33 @@ object Relational {
         dsum($"l_quantity" * $"l_quantity").as("sxx"),
         dsum($"l_extendedprice" * $"l_extendedprice").as("syy"))
       .select($"l_returnflag", $"n",
-        expr(Agg0.rndSql(
-          "(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)", 6)).as("slope"),
-        expr(Agg0.rndSql(
-          "(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)", 6)).as("intercept"),
-        expr(Agg0.rndSql(
-          """((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) /
-            |((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))""".stripMargin, 6)).as("r2"))
+        expr(Agg0.rndSql(regSlopeFrag, 6)).as("slope"),
+        expr(Agg0.rndSql(regInterceptFrag, 6)).as("intercept"),
+        expr(Agg0.rndSql(regR2Frag, 6)).as("r2"))
       .orderBy($"l_returnflag")
   }
+
+  // degenerate-group guards (1-row group, all-equal x or y): the fit
+  // is undefined — NULL in both engines, never an ANSI throw vs a
+  // DuckDB NULL. The zero test is RELATIVE (term ≤ 1e-12 of its own
+  // magnitude): an all-equal column's n·sxx − sx² lands within ±1 ulp
+  // of 0 (observed −4.4e-16 on a constant l_discount), where an exact
+  // = 0 misses and the statistic explodes past the quantizer; both
+  // engines compute the identical doubles, so the branch agrees.
+  private def degFrag(sxx: String, sx: String) =
+    s"(CAST(n AS DOUBLE) * $sxx - $sx * $sx) <= 1e-12 * (CAST(n AS DOUBLE) * $sxx + $sx * $sx)"
+  private val regDx = "(CAST(n AS DOUBLE) * sxx - sx * sx)"
+  private val regDy = "(CAST(n AS DOUBLE) * syy - sy * sy)"
+  private val regDegX = degFrag("sxx", "sx")
+  private val regDegY = degFrag("syy", "sy")
+  private val regSlopeFrag =
+    s"CASE WHEN $regDegX THEN CAST(NULL AS DOUBLE) ELSE (CAST(n AS DOUBLE) * sxy - sx * sy) / $regDx END"
+  private val regInterceptFrag =
+    s"CASE WHEN $regDegX THEN CAST(NULL AS DOUBLE) ELSE (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / $regDx) * sx) / CAST(n AS DOUBLE) END"
+  private val regR2Frag =
+    s"""CASE WHEN $regDegX OR $regDegY THEN CAST(NULL AS DOUBLE)
+       |ELSE ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) /
+       |($regDx * $regDy) END""".stripMargin
 
   val qRegressionSql: String =
     s"""WITH sums AS (
@@ -1541,11 +1576,9 @@ object Relational {
        |    ${dsumSql("l_extendedprice * l_extendedprice")} AS syy
        |  FROM lineitem GROUP BY l_returnflag)
        |SELECT l_returnflag, n,
-       |  ${Agg0.rndSql("(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)", 6)} AS slope,
-       |  ${Agg0.rndSql("(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)", 6)} AS intercept,
-       |  ${Agg0.rndSql(
-      """((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)) /
-        |((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy))""".stripMargin, 6)} AS r2
+       |  ${Agg0.rndSql(regSlopeFrag, 6)} AS slope,
+       |  ${Agg0.rndSql(regInterceptFrag, 6)} AS intercept,
+       |  ${Agg0.rndSql(regR2Frag, 6)} AS r2
        |FROM sums ORDER BY l_returnflag""".stripMargin
 
   /** §2.3 #24s — Gini concentration of customer revenue ("what share

@@ -33,11 +33,17 @@ object Similarity {
   val lshTables = 8
   val lshBits = 6
 
+  /** The cosine-space corpus view: zero-norm vectors (a crashed
+    * encoder shard — embed_norm_audit is the gate that surfaces them)
+    * have no direction and are EXCLUDED as both queries and
+    * candidates, identically in every consumer's oracle; without the
+    * filter every cosine is an ANSI divide-by-zero vs a DuckDB NULL. */
   private[graft] def vectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.embeddings(s, dir)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
       .withColumn("nrm", expr(VectorFns.norm("v")))
+      .filter($"nrm" > 0.0)
   }
 
   /** Exact cosine top-k for the query set. */
@@ -64,7 +70,8 @@ object Similarity {
        |n AS (
        |  SELECT vec_id, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-       |  FROM v),
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${rndSql("list_dot_product(q.v, c.v) / (q.nrm * c.nrm)", 6)} AS cosine
@@ -156,7 +163,8 @@ object Similarity {
        |  FROM embeddings),
        |n AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-       |  FROM v),
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM b q JOIN b c
@@ -326,7 +334,8 @@ object Similarity {
        |  FROM embeddings),
        |n AS MATERIALIZED (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-       |  FROM v),
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
        |truth AS MATERIALIZED (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -349,7 +358,8 @@ object Similarity {
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
        |    v[1:$mrlDims] AS pv,
        |    sqrt(list_sum(list_transform(v[1:$mrlDims], x -> x * x))) AS pnrm
-       |  FROM v),
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
        |short AS (
        |  SELECT query_id, vec_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -538,6 +548,7 @@ object Similarity {
     val base = Tables.embeddings(s, dir)
       .select($"vec_id", $"label", expr(VectorFns.asDouble("embedding")).as("v"))
       .withColumn("nrm", expr(VectorFns.norm("v")))
+      .filter($"nrm" > 0.0) // no defined cosine for a zero vector
     val q = base
       .withColumn("h", expr(knnEvalHashSql))
       .orderBy($"h", $"vec_id").limit(knnEvalCap)
@@ -568,7 +579,8 @@ object Similarity {
        |n AS (
        |  SELECT vec_id, label, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-       |  FROM v),
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
        |q AS (
        |  SELECT vec_id AS query_id, label AS true_label, v AS qv, nrm AS qnrm
        |  FROM n ORDER BY $knnEvalHashSql, vec_id LIMIT $knnEvalCap),
@@ -828,6 +840,11 @@ object Similarity {
       import s.implicits._
       val cov = embedCovariance(s, dir).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      // empty corpus: no covariance — stage an empty basis (the
+      // projection consumers cross an empty corpus with it anyway)
+      if (cov.isEmpty)
+        Seq.empty[(Int, Double, Double)].toDF("i", "mu", "w")
+      else {
       val d = cov.iterator.map(_._2).max
       val C = Array.ofDim[Double](d, d)
       cov.foreach { case (i, j, c) => C(i - 1)(j - 1) = c; C(j - 1)(i - 1) = c }
@@ -846,12 +863,19 @@ object Similarity {
           while (j < d) { acc += math.floor(C(i)(j) * v(j) * 1e9 + 0.5).toLong; j += 1 }
           acc.toDouble / 1e9
         }
-        var n2 = 0L
-        w.foreach(x => n2 += math.floor(x * x * 1e9 + 0.5).toLong)
+        // BigInt: the FIRST iterate is unnormalized (entries ~ the
+        // covariance scale); on a 1e2-magnitude corpus Σ floor(w²·1e9)
+        // is ~1e20 and a Long accumulator wraps negative → NaN basis
+        var n2 = BigInt(0)
+        w.foreach(x => n2 += BigInt(math.floor(x * x * 1e9 + 0.5).toLong))
         val nrm = math.sqrt(n2.toDouble / 1e9)
-        v = w.map(_ / nrm)
+        // zero covariance (single vector / all-identical corpus): the
+        // iterate lands in the null space — keep the previous unit
+        // vector instead of staging a NaN basis both engines choke on
+        v = if (nrm == 0.0) v else w.map(_ / nrm)
       }
       (1 to d).map(i => (i, mu(i), v(i - 1))).toDF("i", "mu", "w")
+      }
     }
 
   /** §2.5 — first-principal-component scores for every embedding:
@@ -1107,6 +1131,12 @@ object Similarity {
       import s.implicits._
       val cov = embedCovariance(s, dir).collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      // empty corpus: no covariance — stage an empty basis (consumers
+      // cross an empty corpus with it anyway)
+      if (cov.isEmpty)
+        Seq.empty[(Int, Double, Seq[Double], Seq[Double])]
+          .toDF("j", "lam", "r", "mu")
+      else {
       val d = cov.iterator.map(_._2).max
       val C = Array.ofDim[Double](d, d)
       cov.foreach { case (i, j, c) => C(i - 1)(j - 1) = c; C(j - 1)(i - 1) = c }
@@ -1127,6 +1157,7 @@ object Similarity {
         (jm1 + 1, eigVals(c), signed.toSeq, muArr.toSeq)
       }
       rows.toSeq.toDF("j", "lam", "r", "mu")
+      }
     }
 
   /** §2.5 — WHITENING transform: every embedding centered, rotated
@@ -1255,7 +1286,8 @@ object Similarity {
        |  FROM embeddings),
        |n AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-       |  FROM v),
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
        |ex AS (
        |  SELECT sl.query_id, sl.vec_id AS neighbor_id,
        |    ${rndSql("list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)", 6)} AS cosine
@@ -1352,6 +1384,7 @@ object Similarity {
     val base = Tables.embeddings(s, dir)
       .select($"vec_id", $"label", expr(VectorFns.asDouble("embedding")).as("v"))
       .withColumn("nrm", expr(VectorFns.norm("v")))
+      .filter($"nrm" > 0.0) // no defined cosine for a zero vector
     val q = base.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"label".as("q_label"),
         $"v".as("qv"), $"nrm".as("qnrm"))
@@ -1376,7 +1409,8 @@ object Similarity {
        |n AS (
        |  SELECT vec_id, label, v,
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-       |  FROM v),
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
        |scored AS (
        |  SELECT q.vec_id AS query_id, q.label AS q_label,
        |    c.vec_id AS neighbor_id, c.label AS n_label,
@@ -1408,8 +1442,11 @@ object Similarity {
   private[graft] def jlBasis(s: SparkSession, dir: String): DataFrame =
     graft.sources.OracleStage.stage(s, "jl_basis", dir) {
       import s.implicits._
+      // data-independent basis: only the dimensionality is read from
+      // the corpus; an empty corpus falls back to the schema's 64
       val d = Tables.embeddings(s, dir)
-        .select(size($"embedding")).head.getInt(0)
+        .select(size($"embedding")).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(64)
       s.range(1, jlDim + 1).toDF("j")
         .select($"j".cast("int").as("j"),
           expr(s"transform(sequence(1, $d), i -> CAST(1 - 2 * (xxhash64(j * 4096 + i) & 1) AS DOUBLE))").as("sgn"))

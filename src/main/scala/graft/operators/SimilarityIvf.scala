@@ -32,9 +32,12 @@ object SimilarityIvf {
 
   private def vectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // zero-norm vectors can't be cosine-probed: excluded from the
+    // index and the query set (see Similarity.vectors)
     graft.sources.Tables.embeddings(s, dir)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
       .withColumn("nrm", expr(VectorFns.norm("v")))
+      .filter($"nrm" > 0.0)
   }
 
   /** Per-row cluster id against a centroid literal: argmin over
@@ -57,6 +60,16 @@ object SimilarityIvf {
     val v = v0
     var cents: Seq[Seq[Double]] = v.orderBy($"vec_id").limit(nlist)
       .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    // corpus smaller than nlist: pad the seed by cycling (an empty
+    // corpus seeds one zero centroid). A duplicated centroid ties on
+    // every distance and array_position's FIRST-match argmin never
+    // picks it — identical semantics in the oracle's recomputation
+    // from the staged artifact — while every downstream probe/sweep
+    // plan keeps its full nlist shape instead of crashing on a
+    // degenerate corpus.
+    if (cents.isEmpty) cents = Seq(Seq.fill(dims)(0.0))
+    if (cents.size < nlist)
+      cents = Seq.tabulate(nlist)(i => cents(i % cents.size))
     for (_ <- 1 to kmeansIters) {
       val assigned = v.withColumn("cents", typedLit(cents))
         .withColumn("cid", cidExpr)
@@ -149,7 +162,8 @@ object SimilarityIvf {
     s"""WITH cents AS (SELECT cid, c FROM read_parquet('$glob')),
        |v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)) > 0),
        |scoredc AS (
        |  SELECT v.vec_id, cents.cid,
        |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(v.v, cents.c) AS s
@@ -176,7 +190,8 @@ object SimilarityIvf {
        |  FROM embeddings),
        |n AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-       |  FROM v),
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
        |scoredc AS (
        |  SELECT n.vec_id, cents.cid,
        |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(n.v, cents.c) AS s
@@ -261,8 +276,10 @@ object SimilarityIvf {
         .agg(count(lit(1)).as("n_hits"))
       nCand.crossJoin(nHit).crossJoin(broadcast(corpus))
         .select(lit(p).as("nprobe"), $"n_candidates",
-          rnd($"n_candidates".cast("double") /
-            (lit(Similarity.nQueries.toLong) * $"n_corpus").cast("double"), 6)
+          // empty index: no searchable corpus → scan fraction
+          // undefined (DuckDB's 0/0 reads NULL; match it)
+          rnd(when($"n_corpus" > 0, $"n_candidates".cast("double") /
+            (lit(Similarity.nQueries.toLong) * $"n_corpus").cast("double")), 6)
             .as("scan_frac"),
           $"n_hits",
           rnd($"n_hits".cast("double") / lit(denomK), 6).as("recall"))
@@ -291,7 +308,7 @@ object SimilarityIvf {
          |m$p AS (
          |  SELECT $p AS nprobe,
          |    (SELECT CAST(count(*) AS BIGINT) FROM cand$p) AS n_candidates,
-         |    ${rndSql(s"CAST((SELECT count(*) FROM cand$p) AS DOUBLE) / CAST($nq * (SELECT count(*) FROM embeddings) AS DOUBLE)", 6)} AS scan_frac,
+         |    ${rndSql(s"CAST((SELECT count(*) FROM cand$p) AS DOUBLE) / CAST($nq * (SELECT count(*) FROM assigned) AS DOUBLE)", 6)} AS scan_frac,
          |    (SELECT CAST(count(*) AS BIGINT) FROM top$p t
          |      JOIN truth USING (query_id, neighbor_id)) AS n_hits,
          |    ${rndSql(s"CAST((SELECT count(*) FROM top$p t JOIN truth USING (query_id, neighbor_id)) AS DOUBLE) / CAST(${nq * k} AS DOUBLE)", 6)} AS recall)""".stripMargin
@@ -304,7 +321,8 @@ object SimilarityIvf {
        |  FROM embeddings),
        |n AS MATERIALIZED (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-       |  FROM v),
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
        |scoredc AS MATERIALIZED (
        |  SELECT n.vec_id, cents.cid,
        |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(n.v, cents.c) AS s
@@ -405,7 +423,8 @@ object SimilarityIvf {
        |v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
-       |  WHERE vec_id % $ivfShardMod = $ivfShardRem),
+       |  WHERE vec_id % $ivfShardMod = $ivfShardRem
+       |    AND list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)) > 0),
        |scoredc AS (
        |  SELECT v.vec_id, cents.cid,
        |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(v.v, cents.c) AS s
@@ -449,7 +468,8 @@ object SimilarityIvf {
     s"""WITH cents AS (SELECT cid, c FROM read_parquet('$glob')),
        |v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)) > 0),
        |scoredc AS (
        |  SELECT v.vec_id, cents.cid,
        |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(v.v, cents.c) AS s

@@ -211,7 +211,10 @@ object SourceFormats {
        |bad AS (
        |  SELECT 'corrupt' AS status, CAST(NULL AS VARCHAR) AS event_type,
        |    count(*) AS n_rows, CAST(NULL AS DOUBLE) AS sum_value
-       |  FROM events WHERE event_id % $badRecordMod = 0)
+       |  FROM events WHERE event_id % $badRecordMod = 0
+       |  -- no quarantine row at all when nothing landed (the engine's
+       |  -- grouped reconcile emits none on an empty source)
+       |  HAVING count(*) > 0)
        |SELECT * FROM ok UNION ALL SELECT * FROM bad
        |ORDER BY status, event_type""".stripMargin
 

@@ -718,10 +718,12 @@ object TextAnalysis {
        |)
        |SELECT doc_id,
        |  CAST(len(counts) AS BIGINT) AS n_distinct_chars,
-       |  ${rndSql("list_aggregate(counts, 'max') / n", 6)} AS top_char_ratio,
-       |  -list_aggregate(list_transform(counts,
+       |  CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+       |    ELSE ${rndSql("list_aggregate(counts, 'max') / n", 6)} END AS top_char_ratio,
+       |  CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+       |    ELSE -list_aggregate(list_transform(counts,
        |      c -> floor((c / n) * ln(c / n) * 1000000.0 + CAST(0.5 AS DOUBLE))), 'sum')
-       |    / 1000000.0 AS char_entropy
+       |    / 1000000.0 END AS char_entropy
        |FROM h ORDER BY doc_id""".stripMargin
   }
 

@@ -260,7 +260,9 @@ object StreamOps {
   def windowedHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     StreamAcc.eventsStream(s, dir)
-      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      // try_cast: malformed props.k reads NULL instead of killing the
+      // whole microbatch (same fail-soft as the batch q_events_json)
+      .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS BIGINT)"))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 day").as("w"), $"k")
       .agg(count(lit(1)).as("n_occurrences"))
@@ -289,7 +291,7 @@ object StreamOps {
   val windowedHeavyHittersSql: String =
     s"""WITH counts AS (
        |  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start,
-       |    CAST(props->>'k' AS BIGINT) AS k, count(*) AS n_occurrences
+       |    TRY_CAST(props->>'k' AS BIGINT) AS k, count(*) AS n_occurrences
        |  FROM events GROUP BY 1, 2),
        |wm AS (
        |  SELECT time_bucket(INTERVAL '1 millisecond', max(ts)) - INTERVAL '1 hour' AS w
@@ -1333,6 +1335,7 @@ object StreamOps {
       .filter($"vec_id" % Dedup.embedShardMod === Dedup.embedShardRem)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
       .withColumn("nrm", expr(VectorFns.norm("v")))
+      .filter($"nrm" > 0.0) // no defined cosine for a zero vector
     val probe = Similarity.lshBucketsOf(incoming,
       Dedup.dedupLshTables, Dedup.dedupLshBits)
     s.table(Dedup.embedProbeIndexTable).as("i").join(probe.as("p"),
@@ -1366,7 +1369,8 @@ object StreamOps {
        |  FROM embeddings),
        |n AS (
        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-       |  FROM v)
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0)
        |SELECT c.vec_id AS corpus_id, p.vec_id AS new_id,
        |  ${rndSql("list_dot_product(c.v, p.v) / (c.nrm * p.nrm)", 6)} AS cosine
        |FROM n c JOIN n p

@@ -587,4 +587,35 @@ class PipelineSpec extends SparkSpec {
     // (~100^2) to within-cluster (<1) scale
     assert(radii(2) > 1000.0 && radii(3) < 1.0, radii.mkString(","))
   }
+
+  test("semantic decontamination flags a planted paraphrase, not an orthogonal doc or a zero vector") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdecon").toString
+    val d = 64
+    // eval vector (id < evalVecMaxId): a fixed direction
+    def base(i: Int): Float = ((i % 7) - 3).toFloat
+    val evalVec = Array.tabulate(d)(base)
+    // "paraphrase": the eval direction plus small noise (cosine ≈ 0.99)
+    val para = Array.tabulate(d)(i => base(i) + 0.05f * ((i % 3) - 1))
+    // orthogonal: support on a rotated index pattern, cosine far below τ
+    val orth = Array.tabulate(d)(i => (((i * 31 + 5) % 7) - 3).toFloat)
+    val zero = Array.fill(d)(0f)
+    Seq(
+      (3L, evalVec, 0L),
+      (30L, para, 0L),
+      (40L, orth, 1L),
+      (50L, zero, 1L))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Pipeline.decontaminateSemantic(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(rows.keySet == Set(30L, 40L, 50L), s"corpus side only: ${rows.keySet}")
+    val (c30, n30, cos30) = rows(30L)
+    assert(c30 == 1L && n30 == 1L && cos30.exists(_ >= Pipeline.semanticTau),
+      s"planted paraphrase must be flagged: ${rows(30L)}")
+    assert(rows(40L) == ((0L, 0L, None)), s"orthogonal doc is clean: ${rows(40L)}")
+    assert(rows(50L) == ((0L, 0L, None)),
+      s"zero vector has no cosine and reads clean: ${rows(50L)}")
+  }
 }

@@ -20,13 +20,31 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:
+        spark_failed = json.load(open(f"{out_dir}/_failed.json"))
+    except FileNotFoundError:
+        spark_failed = {}
     n_ok = n_bad = 0
     for name in sorted(oracle):
+        # a query that THREW on the Spark side is a failure even when
+        # the oracle result happens to be empty (e.g. pagerank over an
+        # edge-free graph: the oracle returns 0 rows, the engine must
+        # too — not crash)
+        if name in spark_failed:
+            print(f"SPARK-FAILED {name}: {spark_failed[name][:200]}")
+            n_bad += 1
+            continue
         try:
             want = con.execute(oracle[name]).df()
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").df()
+            if files:
+                got = con.execute(
+                    f"SELECT * FROM read_parquet({files!r})").df()
+            else:
+                # a 0-partition Spark result writes no part files at all
+                # (AQE empty-relation propagation) — an empty frame with
+                # the oracle's columns compares correctly below
+                got = want.iloc[0:0].copy()
             # driver semantics: sort columns by name, then sort rows
             want = want[sorted(want.columns)]
             got = got[sorted(got.columns)]
@@ -60,6 +78,9 @@ def main(sf_dir, out_dir):
         except Exception as e:
             print(f"ERROR {name}: {e}")
             n_bad += 1
+    for name in sorted(set(spark_failed) - set(oracle)):
+        print(f"SPARK-FAILED {name} (rows-only): {spark_failed[name][:200]}")
+        n_bad += 1
     print(f"== {n_ok} ok, {n_bad} bad ==")
     return 1 if n_bad else 0
 
