@@ -661,7 +661,106 @@ object Multimodal {
        |GROUP BY shard_id, read_idx
        |ORDER BY shard_id, read_idx""".stripMargin
 
+  // ------------------------------------------------------------------
+  // mm_dedup_near — perceptual near-duplicate media detection
+  // ------------------------------------------------------------------
+
+  /** Max Hamming distance for a reported near-dup pair. Unrelated
+    * payloads land near 32/64 differing bits; a local edit flips only
+    * the buckets it touches. */
+  val mmNearMaxHamming = 6L
+  /** Banding geometry over the 64-bit signature: 4 bands × 16 bits —
+    * any pair within Hamming 6 shares at least one intact band
+    * whenever its flips cluster in ≤3 bands; the same (bands, rows)
+    * trade [[Dedup.dedupSimhash]] documents. */
+  private val mmNearBands = 4
+
+  /** STUBBED perceptual signature — the byte-stride-stats device of
+    * [[inferOne]] bit-packed: payload bytes fall into 64
+    * position-proportional buckets, bit k = 1 iff bucket k's mean
+    * byte exceeds the whole-payload mean (the aHash recipe on raw
+    * bytes instead of decoded pixels — no codecs in this container;
+    * a real deploy swaps `phashOne` for a decode+DCT without touching
+    * the banding/verify plan around it). The comparison is
+    * integer-exact (sums·len, never a float mean), so the signature
+    * is deterministic on any host. */
+  private[graft] def phashOne(a: MediaAsset): (Long, String, Long) = {
+    val p = a.payload
+    val len = p.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < len) {
+      val b = p(i) & 0xff
+      val k = ((i.toLong << 6) / len).toInt
+      sums(k) += b; cnts(k) += 1; tot += b
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) {
+      if (cnts(k) > 0 && sums(k) * len > tot * cnts(k)) sig |= (1L << k)
+      k += 1
+    }
+    (a.asset_id, a.mime, sig)
+  }
+
+  /** Staged signature artifact (asset_id, mime, phash) — computed in
+    * the same per-partition batch shape as [[mmBatchInfer]], persisted
+    * like the SimHash signatures so the oracle recomputes banding +
+    * verify from it. */
+  private[graft] def phashSignatures(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "mm_phash_sigs", dir) {
+      import s.implicits._
+      assets(s, dir).mapPartitions(_.map(phashOne))
+        .toDF("asset_id", "mime", "phash")
+    }
+
+  /** §2.7 #36g — PERCEPTUAL near-dup over media payloads: exact
+    * digests ([[mmDedup]]) only catch byte-identical copies; a
+    * LAION-class pipeline also drops re-encoded/cropped/watermarked
+    * copies, which land within a few bits in perceptual-hash space.
+    * Candidates come from 16-bit Hamming banding over the staged
+    * signatures ([[Dedup.dedupSimhash]]'s layout verbatim — only
+    * (band, bucket) rows ride the shuffle, the corpus never
+    * self-joins); survivors verify with an exact bit_count ≤
+    * [[mmNearMaxHamming]] within the same mime. */
+  def mmDedupNear(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = phashSignatures(s, dir)
+    val banded = sigs.select($"asset_id", $"mime", $"phash",
+        posexplode(expr(s"transform(sequence(0, ${mmNearBands - 1}), b -> (phash >> (b * 16)) & 65535L)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.as("a").hint("shuffle_hash").join(banded.as("b"),
+        $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" &&
+          $"a.mime" === $"b.mime" && $"a.asset_id" < $"b.asset_id")
+      .select($"a.asset_id".as("id1"), $"b.asset_id".as("id2"),
+        $"a.mime".as("mime"),
+        bit_count($"a.phash".bitwiseXOR($"b.phash")).cast("long").as("hamming"))
+      .filter($"hamming" <= mmNearMaxHamming)
+      .dropDuplicates("id1", "id2")
+      .orderBy($"id1", $"id2")
+  }
+
+  def mmDedupNearSql(glob: String): String =
+    s"""WITH sigs AS (SELECT asset_id, mime, phash FROM read_parquet('$glob')),
+       |banded AS (
+       |  SELECT asset_id, mime, phash, b AS band,
+       |    (phash >> (b * 16)) & 65535 AS bucket
+       |  FROM sigs, unnest(range(0, $mmNearBands)) AS u(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.asset_id AS id1, b.asset_id AS id2, a.mime AS mime,
+       |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.mime = b.mime AND a.asset_id < b.asset_id)
+       |SELECT id1, id2, mime, hamming FROM pairs
+       |WHERE hamming <= $mmNearMaxHamming
+       |ORDER BY id1, id2""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_dedup_near"    -> (mmDedupNear _),
     "mm_shard_read_plan" -> (mmShardReadPlan _),
     "mm_tar_manifest"  -> (mmTarManifest _),
     "mm_shard_balance" -> (mmShardBalance _),
@@ -674,7 +773,11 @@ object Multimodal {
     "mm_dedup"         -> (mmDedup _)
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    import graft.sources.OracleStage.globOf
+    globOf("mm_phash_sigs")
+      .map(g => "mm_dedup_near" -> mmDedupNearSql(g)).toMap ++
+    Map(
     "mm_shard_read_plan" -> mmShardReadPlanSql,
     "mm_tar_manifest"  -> mmTarManifestSql,
     "mm_shard_balance" -> mmShardBalanceSql,
@@ -685,5 +788,6 @@ object Multimodal {
     "mm_thumbnail"     -> mmThumbnailSql,
     "mm_batch_infer"   -> mmBatchInferSql,
     "mm_dedup"         -> mmDedupSql
-  )
+    )
+  }
 }

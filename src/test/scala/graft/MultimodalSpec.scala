@@ -122,4 +122,40 @@ class MultimodalSpec extends SparkSpec {
     // the gate must actually split (some kept, some dropped)
     assert(rows.exists(_._6 == 1L) && rows.exists(_._6 == 0L))
   }
+
+  test("perceptual near-dup pairs a tail-edited payload, not an unrelated one, and never crosses mimes") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmnear").toString
+    // bucket-aligned high/low byte blocks: bucket means sit far from
+    // the global mean, so only genuinely edited buckets flip bits
+    def blocky(n: Int): String =
+      (0 until n).map(i => if ((i / 10) % 2 == 0) 'A' else 'z').mkString
+    val base = blocky(600)
+    val nearDup = base.dropRight(20) + blocky(600).takeRight(20).map {
+      case 'A' => 'z'; case 'z' => 'A' }                 // tail-only edit
+    val unrelated = (0 until 600).map(i => ('a' + (i * 7) % 26).toChar).mkString
+    // ids 0, 3, 6 are all doc_id%3=0 -> image/png; id 1 -> image/jpeg
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src0", base.length.toLong),     // same text, other mime
+      (3L, nearDup, "en", "src0", nearDup.length.toLong),
+      (6L, unrelated, "en", "src0", unrelated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Multimodal.mmDedupNear(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(pairs.exists { case (a, b, m, h) =>
+      a == 0L && b == 3L && m == "image/png" && h <= Multimodal.mmNearMaxHamming },
+      s"planted tail-edit near-dup must be found: ${pairs.mkString(", ")}")
+    assert(!pairs.exists { case (a, b, _, _) => Set(a, b) == Set(0L, 6L) },
+      s"unrelated payloads must not pair: ${pairs.mkString(", ")}")
+    assert(!pairs.exists { case (a, b, _, _) => a == 1L || b == 1L },
+      s"a cross-mime pair must never be reported: ${pairs.mkString(", ")}")
+    // the signature itself: tail edit flips few bits, unrelated many
+    val sigs = Multimodal.assets(s, dir).collect()
+      .map(a => a.asset_id -> Multimodal.phashOne(a)._3).toMap
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)) <= 6)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(6L)) > 10,
+      s"unrelated hamming too small: ${java.lang.Long.bitCount(sigs(0L) ^ sigs(6L))}")
+  }
 }
