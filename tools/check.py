@@ -8,17 +8,46 @@ tables, loads the Spark-written parquet for the same key, sorts both
 by all columns (column names sorted), and compares values exactly
 (doubles to 1e-9 rel tolerance as a diagnostic; exact-equal is the
 goal). Prints one line per query: OK / MISMATCH / ERROR.
+
+Oracle results are memoized under /tmp/graft_oracle_cache keyed by
+(sql text, dataset file stats): the unrolled-CTE oracles (pagerank
+family) take ~12 min each at sf~1, and a re-sweep after an
+engine-only change should not re-pay them. Staged-artifact oracles
+embed per-run /tmp stage paths in their SQL, so their key never
+matches a stale stage. GRAFT_ORACLE_CACHE=0 disables.
 """
-import sys, json, glob, math
+import sys, json, glob, math, os, hashlib
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
+CACHE_DIR = "/tmp/graft_oracle_cache"
+
+
+def oracle_df(con, sql, data_digest):
+    if os.environ.get("GRAFT_ORACLE_CACHE", "1") == "0":
+        return con.execute(sql).df()
+    key = hashlib.sha256((sql + "\x00" + data_digest).encode()).hexdigest()[:24]
+    path = f"{CACHE_DIR}/{key}.parquet"
+    if not os.path.exists(path):
+        # DuckDB writes its own result types — a pandas round-trip
+        # would degrade an all-NULL VARCHAR column to float NaN
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        tmp = f"{path}.tmp{os.getpid()}"
+        con.execute(f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET)")
+        os.replace(tmp, path)
+    return con.execute(f"SELECT * FROM read_parquet('{path}')").df()
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    digest_parts = []
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        st = os.stat(f"{sf_dir}/{t}.parquet")
+        digest_parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+    data_digest = ";".join(digest_parts)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     try:
         spark_failed = json.load(open(f"{out_dir}/_failed.json"))
@@ -35,7 +64,7 @@ def main(sf_dir, out_dir):
             n_bad += 1
             continue
         try:
-            want = con.execute(oracle[name]).df()
+            want = oracle_df(con, oracle[name], data_digest)
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
             if files:
                 got = con.execute(
