@@ -605,6 +605,73 @@ class StreamOpsSpec extends SparkSpec {
     assert(crossRestart.nonEmpty, "no post-restart step-2/3 hits exercised state")
   }
 
+  test("crash MID-microbatch (sink written, batch uncommitted): restart replays exactly that batch, end state exactly-once") {
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions.unix_micros
+    import org.apache.spark.sql.streaming.Trigger
+    // the window the durable-control-plane spec covers for the batch
+    // iterator, here for the STREAM: the microbatch's work is done
+    // (sink files on disk) but the commit log hasn't recorded it when
+    // the process dies. Recovery must re-offer EXACTLY that batch —
+    // the sink write is idempotent (deterministic per-batch path,
+    // overwrite), so the replay repairs rather than duplicates, and
+    // the stateful funnel's state store must rewind to the last
+    // COMMITTED batch version or replayed step-2/3 hits would double.
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val ev = graft.sources.Tables.events(s, sfDir).withColumn("us", unix_micros($"ts"))
+    val cuts = ev.stat.approxQuantile("us", Array(0.33, 0.66), 0.0)
+    val parts = Seq(
+      ev.filter($"us" <= cuts(0)),
+      ev.filter($"us" > cuts(0) && $"us" <= cuts(1)),
+      ev.filter($"us" > cuts(1)))
+    val staged = s"$dir/staged"; new java.io.File(staged).mkdirs()
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val f = s"$dir/f$i"
+      p.drop("us").coalesce(1).write.parquet(f)
+      val src = new java.io.File(f).listFiles.find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(staged, f"part-$i%02d.parquet")
+      java.nio.file.Files.copy(src.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = s.read.parquet(staged).schema
+    val batch1Writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def run(): Unit = {
+      val q = StreamOps.funnelHitsFrom(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged))
+        .toDF().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          // idempotent sink: deterministic per-batch path, overwrite
+          df.write.mode("overwrite").parquet(s"$dir/sink/batch=$id")
+          if (id == 1L) {
+            batch1Writes.incrementAndGet()
+            if (crashArmed.getAndSet(false))
+              throw new RuntimeException("injected crash: sink written, batch 1 uncommitted")
+          }
+        }
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val died = intercept[org.apache.spark.sql.streaming.StreamingQueryException](run())
+    assert(died.getMessage.contains("injected crash") ||
+      Option(died.getCause).exists(_.getMessage.contains("injected crash")))
+    run() // same checkpoint: recovery must replay batch 1, then run batch 2
+    assert(batch1Writes.get() == 2,
+      s"batch 1 must be written once pre-crash and once on replay, saw ${batch1Writes.get()}")
+    val got = s.read.parquet(s"$dir/sink/batch=*").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = StreamOps.runFunnelToCompletion(s, sfDir, sink = "crash_funnel_ref")
+      .collect().map { r =>
+        val t = r.getTimestamp(2).toInstant
+        (r.getLong(0), r.getLong(1), t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      }.toSet
+    assert(got == expected,
+      s"crash/replay diverged from one uninterrupted run: " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("scd2 enrichment and model scoring streams carry NO state store") {
     val s = spark
     import org.apache.spark.sql.streaming.Trigger
