@@ -513,6 +513,58 @@ object StreamOps {
     s.table(sink).orderBy(col("doc_id"))
   }
 
+  /** §2.8 #44e' — the SEMANTIC release gate run AT INGEST: the
+    * bounded eval-set embeddings ship as a literal (the 44c'
+    * device — an eval suite is thousands of vectors, well inside a
+    * task binary), and the whole check is ROW-LOCAL: one codegen'd
+    * transform computes the quantized cosine of the incoming vector
+    * against every eval rep, the τ-filter and the match count/max
+    * fold over that bounded array. A STATELESS append-mode stream —
+    * one emission per vector, no state store, no per-batch corpus
+    * re-read. Zero-norm arrivals emit clean with NULL max_cosine,
+    * exactly like the batch gate. Run to completion equals
+    * [[graft.operators.Pipeline.decontaminateSemantic]] → shares its
+    * oracle. At fleet scale a giant eval suite swaps the literal for
+    * the persisted LSH bucket index ([[embedDedupStream]]'s
+    * stream-static probe); the gate semantics stay identical. */
+  def decontaminateSemanticStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.{Agg, VectorFns}
+    import graft.operators.{Pipeline, Similarity}
+    // bounded driver collect: the designated eval reps (zero-norm
+    // eval vectors are already excluded by Similarity.vectors)
+    val evalReps: Seq[(Seq[Double], Double)] = Similarity.vectors(s, dir)
+      .filter($"vec_id" < Pipeline.evalVecMaxId)
+      .select($"v", $"nrm").collect()
+      .map(r => (r.getSeq[Double](0), r.getDouble(1))).toSeq
+    StreamAcc.fileStream(s, dir, "embeddings")
+      .filter($"vec_id" >= Pipeline.evalVecMaxId)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorFns.norm("v")))
+      .withColumn("evs", typedLit(evalReps))
+      .withColumn("coss", expr(
+        s"""CASE WHEN nrm > CAST(0 AS DOUBLE)
+           |  THEN filter(
+           |    transform(evs, e -> ${Agg.rndSql("graft_dot(v, e._1) / (nrm * e._2)", 6)}),
+           |    c -> c >= CAST(${Pipeline.semanticTau} AS DOUBLE))
+           |  ELSE CAST(array() AS array<double>) END""".stripMargin))
+      .select($"vec_id",
+        when(size($"coss") > 0, 1L).otherwise(0L).as("contaminated"),
+        size($"coss").cast("long").as("n_matches"),
+        array_max($"coss").as("max_cosine"))
+  }
+
+  def runDecontaminateSemanticToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_semdecontam"): DataFrame = {
+    val q = decontaminateSemanticStream(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("vec_id"))
+  }
+
   /** Continuous-ingest EXACT dedup: the §2.4 `dedup_exact` layout run
     * as a streaming aggregation — per content hash the state store
     * carries (min canonical id, copy count), merged incrementally
@@ -1492,6 +1544,8 @@ object StreamOps {
       runQualityFilterToCompletion(s, dir, sink = "stream_quality_verify")),
     "stream_decontaminate_span" -> ((s, dir) =>
       runDecontaminateSpanToCompletion(s, dir, sink = "stream_decontam_verify")),
+    "stream_decontaminate_semantic" -> ((s, dir) =>
+      runDecontaminateSemanticToCompletion(s, dir, sink = "stream_semdecontam_verify")),
     "stream_bpe_encode" -> ((s, dir) =>
       runBpeEncodeToCompletion(s, dir, sink = "stream_bpe_verify")),
     "stream_dedup_exact" -> ((s, dir) =>
@@ -1558,6 +1612,8 @@ object StreamOps {
     "stream_quality_filter" -> graft.operators.Pipeline.qualityFilterSql,
     // stateless row-local stream == batch gate: shares 44c's oracle
     "stream_decontaminate_span" -> graft.operators.Pipeline.decontaminateSpanSql,
+    // run to completion equals the batch gate exactly → shared oracle
+    "stream_decontaminate_semantic" -> graft.operators.Pipeline.decontaminateSemanticSql,
   ) ++ graft.sources.OracleStage.globOf("bpe_merges").map(g =>
     // stateless per-token encode run to completion == the batch
     // encoder: shares 42c's staged-merge oracle

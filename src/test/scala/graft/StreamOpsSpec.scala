@@ -30,6 +30,19 @@ class StreamOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming semantic decontamination equals the batch gate exactly") {
+    val s = spark
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toList
+    val streamed = key(StreamOps.runDecontaminateSemanticToCompletion(
+      s, sfDir, sink = "semdecon_parity"))
+    val batch = key(graft.operators.Pipeline.decontaminateSemantic(s, sfDir))
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("streaming abtest sufficient statistics equal the batch readout bit-exactly") {
     val s = spark
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
