@@ -51,18 +51,32 @@ object Multimodal {
   val frameSize = 64
   val frameStride = 48
 
-  /** doc_id + mime + raw payload (magic header ++ text bytes). */
-  private def withPayload(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** doc_id + mime + raw payload (magic header ++ text bytes) over
+    * ANY documents-shaped frame — shared by the batch readers and the
+    * streaming ingest gate (every expression is row-local). */
+  private[graft] def withPayloadOf(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
     val magicExpr = magics.zipWithIndex.foldRight(lit(null): org.apache.spark.sql.Column) {
       case (((hexs, _), i), alt) => when(pmod($"doc_id", lit(magics.size)) === i, unhex(lit(hexs))).otherwise(alt)
     }
     val mimeExpr = magics.zipWithIndex.foldRight(lit("application/octet-stream")) {
       case (((_, mime), i), alt) => when(pmod($"doc_id", lit(magics.size)) === i, lit(mime)).otherwise(alt)
     }
-    Tables.documents(s, dir)
+    docs
       .withColumn("payload", concat(magicExpr, $"text".cast("binary")))
       .withColumn("mime", mimeExpr)
+  }
+
+  private def withPayload(s: SparkSession, dir: String): DataFrame =
+    withPayloadOf(Tables.documents(s, dir))
+
+  /** [[assets]] over ANY documents-shaped frame (streaming included). */
+  private[graft] def assetsOf(docs: DataFrame): Dataset[MediaAsset] = {
+    import docs.sparkSession.implicits._
+    withPayloadOf(docs)
+      .select($"doc_id".as("asset_id"), $"mime",
+        length($"payload").cast("long").as("byte_size"), $"payload")
+      .as[MediaAsset]
   }
 
   /** Manifest: typed metadata columns (payload digest, not bytes).
@@ -743,6 +757,32 @@ object Multimodal {
       .orderBy($"id1", $"id2")
   }
 
+  /** Arrival shard for the STREAMING near-dup gate: assets with
+    * doc_id % mod == rem play "freshly crawled", the rest are the
+    * established corpus behind the persisted index. */
+  val mmNearShardMod = 5L
+  val mmNearShardRem = 4L
+
+  val mmNearIndexTable = "graft_mm_phash_idx"
+  val mmNearIndexBuckets = 16
+
+  /** Persisted Hamming-band index over the CORPUS-shard signatures:
+    * one row per (band, bucket) assignment, bucketed+sorted on the
+    * band keys so the streaming probe join reads it exchange-free —
+    * the multimodal sibling of [[graft.operators.Dedup
+    * .buildEmbedProbeIndex]]. */
+  def buildMmNearIndex(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.sources.Sinks.writeBucketedOnce(dir, mmNearIndexTable,
+        Seq("band", "bucket"), mmNearIndexBuckets) {
+      phashSignatures(s, dir)
+        .filter($"asset_id" % mmNearShardMod =!= mmNearShardRem)
+        .select($"asset_id", $"mime", $"phash",
+          posexplode(expr(s"transform(sequence(0, ${mmNearBands - 1}), b -> (phash >> (b * 16)) & 65535L)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    }
+  }
+
   def mmDedupNearSql(glob: String): String =
     s"""WITH sigs AS (SELECT asset_id, mime, phash FROM read_parquet('$glob')),
        |banded AS (
@@ -758,6 +798,31 @@ object Multimodal {
        |SELECT id1, id2, mime, hamming FROM pairs
        |WHERE hamming <= $mmNearMaxHamming
        |ORDER BY id1, id2""".stripMargin
+
+  /** Oracle for the STREAMING gate: the cross-shard banding cut over
+    * the staged signatures (incoming shard probes the corpus shard —
+    * identical candidates and verify as the stream, batch-replayed). */
+  def streamMmDedupNearSql(glob: String): String =
+    s"""WITH sigs AS (SELECT asset_id, mime, phash FROM read_parquet('$glob')),
+       |cb AS (
+       |  SELECT asset_id, mime, phash, b AS band,
+       |    (phash >> (b * 16)) & 65535 AS bucket
+       |  FROM sigs, unnest(range(0, $mmNearBands)) AS u(b)
+       |  WHERE asset_id % $mmNearShardMod <> $mmNearShardRem),
+       |ib AS (
+       |  SELECT asset_id, mime, phash, b AS band,
+       |    (phash >> (b * 16)) & 65535 AS bucket
+       |  FROM sigs, unnest(range(0, $mmNearBands)) AS u(b)
+       |  WHERE asset_id % $mmNearShardMod = $mmNearShardRem),
+       |pairs AS (
+       |  SELECT DISTINCT c.asset_id AS corpus_id, i.asset_id AS new_id,
+       |    c.mime AS mime,
+       |    CAST(bit_count(xor(c.phash, i.phash)) AS BIGINT) AS hamming
+       |  FROM cb c JOIN ib i
+       |    ON c.band = i.band AND c.bucket = i.bucket AND c.mime = i.mime)
+       |SELECT corpus_id, new_id, mime, hamming FROM pairs
+       |WHERE hamming <= $mmNearMaxHamming
+       |ORDER BY new_id, corpus_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup_near"    -> (mmDedupNear _),

@@ -727,6 +727,70 @@ object Pipeline {
        |ORDER BY c.vec_id""".stripMargin
   }
 
+  /** §2.8 #44f — the EVAL-side semantic burn report: per designated
+    * eval vector, how many training-corpus vectors sit at cosine ≥ τ,
+    * and the closest one — [[corpusContaminationReport]] answers
+    * "which benchmarks are burned" for verbatim spans, this answers
+    * it for PARAPHRASE-level leakage ([[decontaminateSemantic]] says
+    * which corpus rows must go; this says whether the eval numbers
+    * are void even after they do). Same bounded-broadcast LSH probe,
+    * aggregated on the EVAL side (eval-sized rollup); zero-norm eval
+    * vectors report clean with NULL max_cosine, identically in both
+    * engines. */
+  def semanticContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val v = Similarity.vectors(s, dir)
+    val bands = Similarity.lshBucketsOf(v,
+      Dedup.dedupLshTables, Dedup.dedupLshBits)
+    val evB = bands.filter($"vec_id" < evalVecMaxId)
+      .select($"tbl", $"bucket", $"vec_id".as("eval_id"),
+        $"v".as("ev"), $"nrm".as("enrm"))
+    val hits = bands.filter($"vec_id" >= evalVecMaxId)
+      .join(broadcast(evB), Seq("tbl", "bucket"))
+      .withColumn("cosine",
+        expr(rndSql(s"${graft.functions.VectorFns.dot("v", "ev")} / (nrm * enrm)", 6)))
+      .filter($"cosine" >= semanticTau)
+      .select($"eval_id", $"vec_id", $"cosine").dropDuplicates("eval_id", "vec_id")
+      .groupBy($"eval_id")
+      .agg(count(lit(1)).as("n_corpus_matches"), max($"cosine").as("max_cosine"))
+    Tables.embeddings(s, dir).select($"vec_id".as("eval_id"))
+      .filter($"eval_id" < evalVecMaxId)
+      .join(hits, Seq("eval_id"), "left")
+      .select($"eval_id",
+        when($"n_corpus_matches".isNotNull, 1L).otherwise(0L).as("burned"),
+        coalesce($"n_corpus_matches", lit(0L)).as("n_corpus_matches"),
+        $"max_cosine")
+      .orderBy($"eval_id")
+  }
+
+  val semanticContaminationReportSql: String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v),
+       |ev AS (SELECT vec_id AS eval_id, v AS evv, nrm AS enrm FROM n
+       |       WHERE vec_id < $evalVecMaxId AND nrm > 0),
+       |hits AS (
+       |  SELECT ev.eval_id, count(*) AS n_corpus_matches,
+       |    max(${rndSql("list_dot_product(c.v, ev.evv) / (c.nrm * ev.enrm)", 6)}) AS max_cosine
+       |  FROM n c JOIN ev ON c.vec_id >= $evalVecMaxId AND c.nrm > 0
+       |  WHERE ${rndSql("list_dot_product(c.v, ev.evv) / (c.nrm * ev.enrm)", 6)} >= $semanticTau
+       |  GROUP BY 1)
+       |SELECT e.eval_id,
+       |  CAST(CASE WHEN h.n_corpus_matches IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS burned,
+       |  coalesce(h.n_corpus_matches, 0) AS n_corpus_matches,
+       |  h.max_cosine
+       |FROM (SELECT vec_id AS eval_id FROM embeddings WHERE vec_id < $evalVecMaxId) e
+       |LEFT JOIN hits h ON e.eval_id = h.eval_id
+       |ORDER BY e.eval_id""".stripMargin
+  }
+
   /** Misra-Gries capacity for [[corpusHeavyHitters]]: any term with
     * frequency > totalTokens/(hhK+1) is a heavy hitter. */
   val hhK = 32
@@ -2174,6 +2238,7 @@ object Pipeline {
     "decontaminate_bloom" -> (decontaminateBloom _),
     "decontaminate_span" -> (decontaminateSpan _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
+    "semantic_contamination_report" -> (semanticContaminationReport _),
     "corpus_contamination_report" -> (corpusContaminationReport _),
     "split_assign"      -> (splitAssign _),
     "split_by_source"   -> (splitBySource _),
@@ -2212,6 +2277,7 @@ object Pipeline {
     "decontaminate_bloom" -> decontaminateSql,
     "decontaminate_span" -> decontaminateSpanSql,
     "decontaminate_semantic" -> decontaminateSemanticSql,
+    "semantic_contamination_report" -> semanticContaminationReportSql,
     "corpus_contamination_report" -> corpusContaminationReportSql,
     "split_assign"      -> splitAssignSql,
     "split_by_source"   -> splitBySourceSql,

@@ -554,6 +554,51 @@ object StreamOps {
         array_max($"coss").as("max_cosine"))
   }
 
+  /** §2.7 #36g' — the perceptual near-dup gate run AT INGEST: freshly
+    * crawled media (the arrival shard) is signed ROW-LOCAL in the
+    * same per-partition batch shape as mm_batch_infer, its 16-bit
+    * Hamming bands probe the PERSISTED corpus band index
+    * ([[graft.operators.Multimodal.buildMmNearIndex]], bucketed on
+    * the band keys so the stream-static join reads it exchange-free),
+    * and survivors verify with the exact bit_count within the same
+    * mime — the multimodal sibling of [[embedDedupStream]]'s
+    * admission gate ("is this asset already represented, byte-exact
+    * OR re-encoded?"). State = one tiny key per emitted pair. Run to
+    * completion equals the cross-shard banding cut over the staged
+    * signatures → the oracle recomputes it from that artifact. */
+  def mmNearDupStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Multimodal
+    Multimodal.buildMmNearIndex(s, dir)
+    val incoming = Multimodal.assetsOf(
+        StreamAcc.fileStream(s, dir, "documents")
+          .filter($"doc_id" % Multimodal.mmNearShardMod === Multimodal.mmNearShardRem))
+      .mapPartitions(_.map(Multimodal.phashOne))
+      .toDF("new_id", "new_mime", "new_phash")
+    val probe = incoming.select($"new_id", $"new_mime", $"new_phash",
+        posexplode(expr("transform(sequence(0, 3), b -> (new_phash >> (b * 16)) & 65535L)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    s.table(Multimodal.mmNearIndexTable).as("i").join(probe.as("p"),
+        $"i.band" === $"p.band" && $"i.bucket" === $"p.bucket" &&
+          $"i.mime" === $"p.new_mime")
+      .select($"i.asset_id".as("corpus_id"), $"p.new_id".as("new_id"),
+        $"i.mime".as("mime"),
+        bit_count($"i.phash".bitwiseXOR($"p.new_phash")).cast("long").as("hamming"))
+      .filter($"hamming" <= Multimodal.mmNearMaxHamming)
+      .dropDuplicates("corpus_id", "new_id")
+  }
+
+  def runMmNearDupToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_mm_near"): DataFrame = {
+    val q = mmNearDupStream(s, dir).writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(sink).orderBy(col("new_id"), col("corpus_id"))
+  }
+
   def runDecontaminateSemanticToCompletion(s: SparkSession, dir: String,
       sink: String = "stream_semdecontam"): DataFrame = {
     val q = decontaminateSemanticStream(s, dir).writeStream
@@ -1563,7 +1608,9 @@ object StreamOps {
     "stream_heavy_hitters" -> ((s, dir) =>
       runHeavyHittersToCompletion(s, dir, sink = "stream_hh_verify")),
     "stream_hh_windowed" -> ((s, dir) =>
-      runWindowedHeavyHittersToCompletion(s, dir, sink = "stream_hh_win_verify"))
+      runWindowedHeavyHittersToCompletion(s, dir, sink = "stream_hh_win_verify")),
+    "stream_mm_dedup_near" -> ((s, dir) =>
+      runMmNearDupToCompletion(s, dir, sink = "stream_mm_near_verify"))
   )
 
   /** DuckDB oracle for the size-threshold flushes: a flush emits
@@ -1635,5 +1682,9 @@ object StreamOps {
     // append-mode windowed top-N equals the batch windowed rank over
     // windows the final watermark closed
     "stream_hh_windowed" -> windowedHeavyHittersSql
-  )
+  ) ++ graft.sources.OracleStage.globOf("mm_phash_sigs")
+    // run to completion the stream-static band probe equals the
+    // cross-shard banding cut over the staged signatures
+    .map(g => "stream_mm_dedup_near" ->
+      graft.operators.Multimodal.streamMmDedupNearSql(g)).toMap
 }

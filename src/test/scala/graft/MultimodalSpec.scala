@@ -151,6 +151,25 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated payloads must not pair: ${pairs.mkString(", ")}")
     assert(!pairs.exists { case (a, b, _, _) => a == 1L || b == 1L },
       s"a cross-mime pair must never be reported: ${pairs.mkString(", ")}")
+    // the streaming admission gate on the same plant, arranged so the
+    // near-dup CROSSES the arrival shard: id 9 (9%5=4 -> incoming,
+    // 9%3=0 -> same png mime as corpus id 0) carries the tail edit,
+    // id 24 (also incoming, same mime) is unrelated
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-mmnear-stream").toString
+    Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (9L, nearDup, "en", "src0", nearDup.length.toLong),
+      (24L, unrelated, "en", "src0", unrelated.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val streamed = graft.streaming.StreamOps.runMmNearDupToCompletion(
+        s, dir2, sink = "mm_near_plant")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(streamed.exists { case (c, n, h) =>
+      c == 0L && n == 9L && h <= Multimodal.mmNearMaxHamming },
+      s"planted cross-shard near-dup must be admitted-flagged: ${streamed.mkString(", ")}")
+    assert(!streamed.exists { case (_, n, _) => n == 24L },
+      s"unrelated arrival must pass clean: ${streamed.mkString(", ")}")
     // the signature itself: tail edit flips few bits, unrelated many
     val sigs = Multimodal.assets(s, dir).collect()
       .map(a => a.asset_id -> Multimodal.phashOne(a)._3).toMap

@@ -617,5 +617,14 @@ class PipelineSpec extends SparkSpec {
     assert(rows(40L) == ((0L, 0L, None)), s"orthogonal doc is clean: ${rows(40L)}")
     assert(rows(50L) == ((0L, 0L, None)),
       s"zero vector has no cosine and reads clean: ${rows(50L)}")
+    // the EVAL-side view of the same plant: eval vector 3 is burned
+    // by exactly the paraphrase, nothing else
+    val burn = Pipeline.semanticContaminationReport(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(burn.keySet == Set(3L), s"eval side only: ${burn.keySet}")
+    val (b, nb, bc) = burn(3L)
+    assert(b == 1L && nb == 1L && bc.exists(_ >= Pipeline.semanticTau),
+      s"eval 3 must read burned by the planted paraphrase: ${burn(3L)}")
   }
 }
