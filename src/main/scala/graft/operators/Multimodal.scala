@@ -773,8 +773,13 @@ object Multimodal {
     * .buildEmbedProbeIndex]]. */
   def buildMmNearIndex(s: SparkSession, dir: String): Unit = {
     import s.implicits._
+    // mime rides in the BUCKETING keys: the probe joins on all three,
+    // and a (band, bucket)-only layout can't satisfy the 3-key
+    // partitioning requirement — the planner silently disables the
+    // bucketed read and reshuffles the index (caught by PlanSpec's
+    // exchange-free assertion)
     graft.sources.Sinks.writeBucketedOnce(dir, mmNearIndexTable,
-        Seq("band", "bucket"), mmNearIndexBuckets) {
+        Seq("band", "bucket", "mime"), mmNearIndexBuckets) {
       phashSignatures(s, dir)
         .filter($"asset_id" % mmNearShardMod =!= mmNearShardRem)
         .select($"asset_id", $"mime", $"phash",
@@ -798,6 +803,23 @@ object Multimodal {
        |SELECT id1, id2, mime, hamming FROM pairs
        |WHERE hamming <= $mmNearMaxHamming
        |ORDER BY id1, id2""".stripMargin
+
+  /** The stream's probe join in batch shape — exposed for PlanSpec's
+    * exchange-free assertion (the index side must never reshuffle).
+    * Requires [[buildMmNearIndex]] to have run. */
+  private[graft] def mmNearProbePlan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = assetsOf(Tables.documents(s, dir)
+        .filter($"doc_id" % mmNearShardMod === mmNearShardRem))
+      .mapPartitions(_.map(phashOne))
+      .toDF("new_id", "new_mime", "new_phash")
+      .select($"new_id", $"new_mime", $"new_phash",
+        posexplode(expr(s"transform(sequence(0, ${mmNearBands - 1}), b -> (new_phash >> (b * 16)) & 65535L)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    s.table(mmNearIndexTable).as("i").join(probe.as("p"),
+      $"i.band" === $"p.band" && $"i.bucket" === $"p.bucket" &&
+        $"i.mime" === $"p.new_mime")
+  }
 
   /** Oracle for the STREAMING gate: the cross-shard banding cut over
     * the staged signatures (incoming shard probes the corpus shard —

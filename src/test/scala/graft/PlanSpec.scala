@@ -192,6 +192,20 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("perceptual-gate probe reads the persisted band index exchange-free") {
+    val s = spark
+    graft.operators.Multimodal.buildMmNearIndex(s, sfDir)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = s.conf.get(key)
+    try {
+      s.conf.set(key, "-1")
+      val p = plan(graft.operators.Multimodal.mmNearProbePlan(s, sfDir))
+      assert(p.contains("Bucketed: true"), p)
+      assert("Exchange".r.findAllIn(p).length == 1,
+        s"index side must not reshuffle — one probe-side exchange only:\n$p")
+    } finally s.conf.set(key, orig)
+  }
+
   test("sample_reservoir tops-k per group on the bounded heap — no window, no per-group sort") {
     val p = plan(graft.operators.Pipeline.sampleReservoir(spark, sfDir))
     assert(p.contains("TopKPerGroup"), p)
