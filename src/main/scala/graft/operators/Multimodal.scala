@@ -804,6 +804,52 @@ object Multimodal {
        |WHERE hamming <= $mmNearMaxHamming
        |ORDER BY id1, id2""".stripMargin
 
+  /** §2.7 #36h — media near-dup CANONICALIZATION: connected
+    * components over the [[mmDedupNear]] pair graph, every asset
+    * labelled with its component's minimum id — the keep-one-
+    * representative step completing the media dedup ladder (exact
+    * digest → perceptual pairs → clusters), exactly as
+    * dedup_clusters/dedup_clusters_embedding complete the text and
+    * embedding ladders. Identical propagation machinery and scale
+    * layout ([[graft.operators.Dedup.clustersOf]] — per-round state
+    * is the pair-graph vertices, singletons rejoin at the end);
+    * universe = every asset. Oracle = WITH RECURSIVE closure over the
+    * banding pairs recomputed from the staged signatures. */
+  def mmDedupNearClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = mmDedupNear(s, dir).select($"id1".as("doc1"), $"id2".as("doc2"))
+    Dedup.clustersOf(s,
+        Tables.documents(s, dir).select($"doc_id"),
+        pairs, Dedup.maxClusterIters)
+      .select($"doc_id".as("asset_id"), $"canonical_id", $"cluster_size")
+  }
+
+  def mmDedupNearClustersSql(glob: String): String =
+    s"""WITH RECURSIVE sigs AS (
+       |  SELECT asset_id, mime, phash FROM read_parquet('$glob')),
+       |banded AS (
+       |  SELECT asset_id, mime, phash, b AS band,
+       |    (phash >> (b * 16)) & 65535 AS bucket
+       |  FROM sigs, unnest(range(0, $mmNearBands)) AS u(b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.asset_id AS id1, b.asset_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.mime = b.mime AND a.asset_id < b.asset_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $mmNearMaxHamming),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION ALL
+       |  SELECT id2, id1 FROM pairs),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |labs AS (SELECT id, min(lab) AS canonical_id FROM reach GROUP BY 1)
+       |SELECT id AS asset_id, canonical_id,
+       |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+       |FROM labs ORDER BY asset_id""".stripMargin
+
   /** The stream's probe join in batch shape — exposed for PlanSpec's
     * exchange-free assertion (the index side must never reshuffle).
     * Requires [[buildMmNearIndex]] to have run. */
@@ -848,6 +894,7 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup_near"    -> (mmDedupNear _),
+    "mm_dedup_near_clusters" -> (mmDedupNearClusters _),
     "mm_shard_read_plan" -> (mmShardReadPlan _),
     "mm_tar_manifest"  -> (mmTarManifest _),
     "mm_shard_balance" -> (mmShardBalance _),
@@ -864,6 +911,8 @@ object Multimodal {
     import graft.sources.OracleStage.globOf
     globOf("mm_phash_sigs")
       .map(g => "mm_dedup_near" -> mmDedupNearSql(g)).toMap ++
+    globOf("mm_phash_sigs")
+      .map(g => "mm_dedup_near_clusters" -> mmDedupNearClustersSql(g)).toMap ++
     Map(
     "mm_shard_read_plan" -> mmShardReadPlanSql,
     "mm_tar_manifest"  -> mmTarManifestSql,

@@ -151,6 +151,14 @@ class MultimodalSpec extends SparkSpec {
       s"unrelated payloads must not pair: ${pairs.mkString(", ")}")
     assert(!pairs.exists { case (a, b, _, _) => a == 1L || b == 1L },
       s"a cross-mime pair must never be reported: ${pairs.mkString(", ")}")
+    // canonicalization over the same plant: {0, 3} form one cluster
+    // labelled by the minimum id; 1 and 6 stay singletons
+    val clusters = Multimodal.mmDedupNearClusters(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(clusters(0L) == ((0L, 2L)) && clusters(3L) == ((0L, 2L)),
+      s"planted pair must canonicalize to id 0: $clusters")
+    assert(clusters(1L) == ((1L, 1L)) && clusters(6L) == ((6L, 1L)),
+      s"cross-mime twin and unrelated doc stay singletons: $clusters")
     // the streaming admission gate on the same plant, arranged so the
     // near-dup CROSSES the arrival shard: id 9 (9%5=4 -> incoming,
     // 9%3=0 -> same png mime as corpus id 0) carries the tail edit,

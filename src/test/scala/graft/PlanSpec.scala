@@ -192,6 +192,21 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("semantic decontamination broadcasts the eval side; the corpus is never pair-joined with itself") {
+    val s = spark
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = s.conf.get(key)
+    try {
+      s.conf.set(key, "-1") // pin: the eval broadcast must be EXPLICIT
+      val p = plan(graft.operators.Pipeline.decontaminateSemantic(s, sfDir))
+      assert("BroadcastExchange".r.findAllIn(p).nonEmpty,
+        "the bounded eval side must broadcast:\n" + p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "no all-pairs stage anywhere:\n" + p)
+    } finally s.conf.set(key, orig)
+  }
+
   test("perceptual-gate probe reads the persisted band index exchange-free") {
     val s = spark
     graft.operators.Multimodal.buildMmNearIndex(s, sfDir)
