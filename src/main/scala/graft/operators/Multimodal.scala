@@ -850,6 +850,100 @@ object Multimodal {
        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        |FROM labs ORDER BY asset_id""".stripMargin
 
+  /** §2.7 #36i — the END-TO-END media curation pass in one auditable
+    * per-mime report: what the full dedup ladder keeps and why each
+    * dropped asset fell. Canonical = the near-dup cluster label
+    * ([[mmDedupNearClusters]]) — exact copies collide at Hamming 0,
+    * so the cluster tier SUBSUMES the digest tier and the report
+    * attributes each dropped asset to the FIRST tier that would have
+    * caught it (exact digest twin of its canonical vs perceptual-
+    * only), the same tier-attribution read as dedup_cost_report.
+    * Everything joins on asset_id/digest keys — payload bytes never
+    * ride a shuffle; byte sums are exact longs. */
+  def mmPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val m = withPayload(s, dir)
+      .select($"doc_id".as("asset_id"), $"mime",
+        md5(hex($"payload")).as("payload_md5"),
+        length($"payload").cast("long").as("byte_size"))
+    val clusters = mmDedupNearClusters(s, dir)
+      .select($"asset_id", $"canonical_id")
+    val canonDigest = m.select($"asset_id".as("canonical_id"),
+      $"payload_md5".as("canon_md5"))
+    m.join(clusters, "asset_id")
+      .join(canonDigest, "canonical_id")
+      .withColumn("kept", ($"asset_id" === $"canonical_id").cast("long"))
+      .withColumn("exact_dup",
+        ($"asset_id" =!= $"canonical_id" && $"payload_md5" === $"canon_md5").cast("long"))
+      .withColumn("near_only",
+        ($"asset_id" =!= $"canonical_id" && $"payload_md5" =!= $"canon_md5").cast("long"))
+      .groupBy($"mime")
+      .agg(
+        count(lit(1)).as("n_assets"),
+        sum($"kept").as("n_kept"),
+        sum($"exact_dup").as("n_dropped_exact"),
+        sum($"near_only").as("n_dropped_near"),
+        sum($"kept" * $"byte_size").as("bytes_kept"),
+        sum(($"exact_dup" + $"near_only") * $"byte_size").as("bytes_dropped"))
+      .withColumn("keep_ratio",
+        expr(rndSql("CAST(n_kept AS DOUBLE) / CAST(n_assets AS DOUBLE)", 6)))
+      .orderBy($"mime")
+  }
+
+  def mmPipelineE2eSql(glob: String): String = {
+    import graft.functions.Agg.rndSql
+    val magicCase = magics.zipWithIndex.map { case ((hexs, _), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN unhex('$hexs')"
+    }.mkString("CASE ", " ", " END")
+    val mimeCase = magics.zipWithIndex.map { case ((_, mime), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN '$mime'"
+    }.mkString("CASE ", " ", " ELSE 'application/octet-stream' END")
+    s"""WITH RECURSIVE sigs AS (
+       |  SELECT asset_id, mime, phash FROM read_parquet('$glob')),
+       |banded AS (
+       |  SELECT asset_id, mime, phash, b AS band,
+       |    (phash >> (b * 16)) & 65535 AS bucket
+       |  FROM sigs, unnest(range(0, $mmNearBands)) AS u(b)),
+       |prs AS (
+       |  SELECT DISTINCT a.asset_id AS id1, b.asset_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.mime = b.mime AND a.asset_id < b.asset_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $mmNearMaxHamming),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM prs
+       |  UNION ALL SELECT id2, id1 FROM prs),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |labs AS (SELECT id, min(lab) AS canonical_id FROM reach GROUP BY 1),
+       |m AS (
+       |  SELECT doc_id AS asset_id, $mimeCase AS mime,
+       |    md5(hex($magicCase || encode(text))) AS payload_md5,
+       |    CAST(octet_length($magicCase || encode(text)) AS BIGINT) AS byte_size
+       |  FROM documents),
+       |j AS (
+       |  SELECT m.mime, m.byte_size,
+       |    CASE WHEN m.asset_id = l.canonical_id THEN 1 ELSE 0 END AS kept,
+       |    CASE WHEN m.asset_id <> l.canonical_id AND m.payload_md5 = cm.payload_md5
+       |      THEN 1 ELSE 0 END AS exact_dup,
+       |    CASE WHEN m.asset_id <> l.canonical_id AND m.payload_md5 <> cm.payload_md5
+       |      THEN 1 ELSE 0 END AS near_only
+       |  FROM m
+       |  JOIN labs l ON l.id = m.asset_id
+       |  JOIN m cm ON cm.asset_id = l.canonical_id)
+       |SELECT mime, count(*) AS n_assets,
+       |  CAST(sum(kept) AS BIGINT) AS n_kept,
+       |  CAST(sum(exact_dup) AS BIGINT) AS n_dropped_exact,
+       |  CAST(sum(near_only) AS BIGINT) AS n_dropped_near,
+       |  CAST(sum(kept * byte_size) AS BIGINT) AS bytes_kept,
+       |  CAST(sum((exact_dup + near_only) * byte_size) AS BIGINT) AS bytes_dropped,
+       |  ${rndSql("CAST(sum(kept) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS keep_ratio
+       |FROM j GROUP BY mime ORDER BY mime""".stripMargin
+  }
+
   /** The stream's probe join in batch shape — exposed for PlanSpec's
     * exchange-free assertion (the index side must never reshuffle).
     * Requires [[buildMmNearIndex]] to have run. */
@@ -895,6 +989,7 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup_near"    -> (mmDedupNear _),
     "mm_dedup_near_clusters" -> (mmDedupNearClusters _),
+    "mm_pipeline_e2e"  -> (mmPipelineE2e _),
     "mm_shard_read_plan" -> (mmShardReadPlan _),
     "mm_tar_manifest"  -> (mmTarManifest _),
     "mm_shard_balance" -> (mmShardBalance _),
@@ -913,6 +1008,8 @@ object Multimodal {
       .map(g => "mm_dedup_near" -> mmDedupNearSql(g)).toMap ++
     globOf("mm_phash_sigs")
       .map(g => "mm_dedup_near_clusters" -> mmDedupNearClustersSql(g)).toMap ++
+    globOf("mm_phash_sigs")
+      .map(g => "mm_pipeline_e2e" -> mmPipelineE2eSql(g)).toMap ++
     Map(
     "mm_shard_read_plan" -> mmShardReadPlanSql,
     "mm_tar_manifest"  -> mmTarManifestSql,
