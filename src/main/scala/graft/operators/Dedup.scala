@@ -1462,7 +1462,7 @@ object Dedup {
     val clusters = graft.sources.OracleStage.stage(s, "embed_clusters", dir)(
       dedupClustersEmbedding(s, dir))
     val members = clusters
-      .join(Similarity.vectors(s, dir), "vec_id")
+      .join(Similarity.nonDegenerate(Similarity.vectors(s, dir)), "vec_id")
     val sums = members
       .select($"canonical_id", posexplode($"v").as(Seq("dim", "x")))
       .groupBy($"canonical_id", $"dim")

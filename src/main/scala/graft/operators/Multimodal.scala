@@ -686,8 +686,12 @@ object Multimodal {
   /** Banding geometry over the 64-bit signature: 4 bands × 16 bits —
     * any pair within Hamming 6 shares at least one intact band
     * whenever its flips cluster in ≤3 bands; the same (bands, rows)
-    * trade [[Dedup.dedupSimhash]] documents. */
-  private val mmNearBands = 4
+    * trade [[Dedup.dedupSimhash]] documents.
+    * `private[graft]` so the streaming probe ([[graft.streaming
+    * .StreamOps.mmNearDupStream]]) derives its band explode from the
+    * SAME constant — a banding change can never desync the ingest
+    * gate from the persisted index or the oracle. */
+  private[graft] val mmNearBands = 4
 
   /** STUBBED perceptual signature — the byte-stride-stats device of
     * [[inferOne]] bit-packed: payload bytes fall into 64
@@ -739,7 +743,18 @@ object Multimodal {
     * signatures ([[Dedup.dedupSimhash]]'s layout verbatim — only
     * (band, bucket) rows ride the shuffle, the corpus never
     * self-joins); survivors verify with an exact bit_count ≤
-    * [[mmNearMaxHamming]] within the same mime. */
+    * [[mmNearMaxHamming]] within the same mime.
+    *
+    * RECALL CONTRACT (the standard LSH trade, stated here because it
+    * is part of the QUERY's semantics, not just the constant's): with
+    * [[mmNearBands]] = 4 bands the gate reports a qualifying pair only
+    * when its ≤6 flipped bits leave at least one 16-bit band intact —
+    * i.e. flips clustered in ≤3 bands. A pair whose flips spread
+    * across all 4 bands (e.g. 2+2+1+1) is NOT emitted, by both the
+    * engine and the oracle (which replays the same banding). Total
+    * recall at Hamming 6 would need ≥7 bands (pigeonhole) at ~1.75×
+    * the candidate volume; the cluster ([[mmDedupNearClusters]]) and
+    * e2e tiers inherit whichever geometry is configured here. */
   def mmDedupNear(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sigs = phashSignatures(s, dir)

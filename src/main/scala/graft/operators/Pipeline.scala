@@ -671,7 +671,7 @@ object Pipeline {
     import s.implicits._
     import graft.functions.Agg.rndSql
     val v = Similarity.vectors(s, dir)
-    val bands = Similarity.lshBucketsOf(v.filter($"nrm" > 0.0),
+    val bands = Similarity.lshBucketsOf(Similarity.nonDegenerate(v),
       Dedup.dedupLshTables, Dedup.dedupLshBits)
     // alias dance: lshBucketsOf emits (vec_id, v, nrm) on both sides —
     // rename the eval side before the join
@@ -741,7 +741,7 @@ object Pipeline {
     import s.implicits._
     import graft.functions.Agg.rndSql
     val v = Similarity.vectors(s, dir)
-    val bands = Similarity.lshBucketsOf(v,
+    val bands = Similarity.lshBucketsOf(Similarity.nonDegenerate(v),
       Dedup.dedupLshTables, Dedup.dedupLshBits)
     val evB = bands.filter($"vec_id" < evalVecMaxId)
       .select($"tbl", $"bucket", $"vec_id".as("eval_id"),

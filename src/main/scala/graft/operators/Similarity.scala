@@ -33,17 +33,27 @@ object Similarity {
   val lshTables = 8
   val lshBits = 6
 
-  /** The cosine-space corpus view: zero-norm vectors (a crashed
-    * encoder shard — embed_norm_audit is the gate that surfaces them)
-    * have no direction and are EXCLUDED as both queries and
-    * candidates, identically in every consumer's oracle; without the
-    * filter every cosine is an ANSI divide-by-zero vs a DuckDB NULL. */
+  /** THE zero-norm contract for the cosine family, in one named
+    * place: a zero-norm vector (a crashed encoder shard —
+    * embed_norm_audit is the gate that surfaces them) has no
+    * direction, so it is excluded as both query and candidate,
+    * identically in every consumer's oracle; without the filter every
+    * cosine is an ANSI divide-by-zero vs a DuckDB NULL. Cosine-family
+    * operators OUTSIDE this file call this explicitly on whatever
+    * frame they feed into a cosine — even when the frame came from
+    * [[vectors]] — so no operator's correctness hinges on an
+    * exclusion it doesn't own (Catalyst collapses the duplicate
+    * filter; the double call is free). */
+  private[graft] def nonDegenerate(df: DataFrame): DataFrame =
+    df.filter(col("nrm") > 0.0)
+
+  /** The cosine-space corpus view: (vec_id, v, nrm) with the
+    * [[nonDegenerate]] zero-norm exclusion applied. */
   private[graft] def vectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.embeddings(s, dir)
+    nonDegenerate(Tables.embeddings(s, dir)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
-      .withColumn("nrm", expr(VectorFns.norm("v")))
-      .filter($"nrm" > 0.0)
+      .withColumn("nrm", expr(VectorFns.norm("v"))))
   }
 
   /** Exact cosine top-k for the query set. */
@@ -526,9 +536,13 @@ object Similarity {
     * every test SF (500-2,000 vectors); a production corpus would
     * raise it (~2,048) and the cost stays linear in the corpus. */
   val knnEvalCap = 256
-  /** LCG scramble, identical integer arithmetic in Spark and DuckDB
-    * (BIGINT throughout, no overflow below vec_id ~ 8.4e9). */
-  val knnEvalHashSql = "(vec_id * 1103515245 + 12345) % 2147483648"
+  /** LCG scramble, identical integer arithmetic in Spark and DuckDB.
+    * vec_id is reduced mod 2^31 BEFORE the multiply, so the largest
+    * intermediate is (2^31-1)*1103515245 ≈ 2.4e18 < 2^63-1 — no ANSI
+    * overflow at any corpus size (ids are non-negative, so both
+    * engines' %, which follows the dividend's sign, agree). */
+  val knnEvalHashSql =
+    "((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648"
 
   /** §2.5 #31n — kNN label-consistency probe: every sampled vector is
     * classified by the majority label of its k nearest neighbors

@@ -80,7 +80,8 @@ object SimilarityKnn {
   private[graft] def poolOf(s: SparkSession, dir: String, rounds: Int): DataFrame =
     {
       import s.implicits._
-      val v = Similarity.vectors(s, dir).localCheckpoint(true)
+      val v = Similarity.nonDegenerate(Similarity.vectors(s, dir))
+        .localCheckpoint(true)
       val b = Similarity.lshBuckets(s, dir).select($"vec_id", $"tbl", $"bucket")
       val bw = Window.partitionBy($"tbl", $"bucket").orderBy($"vec_id")
       // lead-linked seeds: vec -> next j ids in its bucket

@@ -532,8 +532,10 @@ object StreamOps {
     import graft.functions.{Agg, VectorFns}
     import graft.operators.{Pipeline, Similarity}
     // bounded driver collect: the designated eval reps (zero-norm
-    // eval vectors are already excluded by Similarity.vectors)
-    val evalReps: Seq[(Seq[Double], Double)] = Similarity.vectors(s, dir)
+    // eval vectors excluded — owned here via nonDegenerate, per the
+    // cosine-family contract)
+    val evalReps: Seq[(Seq[Double], Double)] =
+      Similarity.nonDegenerate(Similarity.vectors(s, dir))
       .filter($"vec_id" < Pipeline.evalVecMaxId)
       .select($"v", $"nrm").collect()
       .map(r => (r.getSeq[Double](0), r.getDouble(1))).toSeq
@@ -576,7 +578,7 @@ object StreamOps {
       .mapPartitions(_.map(Multimodal.phashOne))
       .toDF("new_id", "new_mime", "new_phash")
     val probe = incoming.select($"new_id", $"new_mime", $"new_phash",
-        posexplode(expr("transform(sequence(0, 3), b -> (new_phash >> (b * 16)) & 65535L)")))
+        posexplode(expr(s"transform(sequence(0, ${Multimodal.mmNearBands - 1}), b -> (new_phash >> (b * 16)) & 65535L)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     s.table(Multimodal.mmNearIndexTable).as("i").join(probe.as("p"),
         $"i.band" === $"p.band" && $"i.bucket" === $"p.bucket" &&

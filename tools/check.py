@@ -72,7 +72,13 @@ def main(sf_dir, out_dir):
             else:
                 # a 0-partition Spark result writes no part files at all
                 # (AQE empty-relation propagation) — an empty frame with
-                # the oracle's columns compares correctly below
+                # the oracle's columns compares correctly below. That
+                # fabrication means Spark's column names/types were NOT
+                # verified for this query: say so, loudly, so an
+                # all-green sweep can't hide a schema-only divergence
+                # behind an empty result.
+                print(f"WARN {name}: no Spark part files — row count 0 "
+                      f"verified, Spark-side schema NOT verified")
                 got = want.iloc[0:0].copy()
             # driver semantics: sort columns by name, then sort rows
             want = want[sorted(want.columns)]
