@@ -137,6 +137,141 @@ object SimilarityKnn {
        |WHERE rank <= $knnK
        |ORDER BY vec_id, rank""".stripMargin
 
+  /** Beam width of the graph search (candidates expanded per round). */
+  val beamWidth = 8
+  /** Fixed descent rounds — the bounded-iteration contract of every
+    * graph loop here (Graph.scala's BFS shape): each round costs one
+    * frontier expansion, never "until converged" on a skewed graph. */
+  val searchRounds = 4
+  /** Entry points shared by every query: the [[Similarity
+    * .knnEvalHashSql]]-ranked lowest ids — a deterministic pseudo-
+    * random sample, the same device as the kNN-eval query sample. */
+  val entryCount = 4
+
+  /** The reported graph re-cut to the denser SEARCH degree
+    * ([[searchK]]) — the adjacency the descent walks. Staged via the
+    * same candidate pool, so search and graph share one artifact. */
+  private def searchEdges(s: SparkSession, dir: String): DataFrame =
+    topK(knnCandidatePool(s, dir), searchK)
+      .select(col("src"), col("dst"))
+
+  /** §2.5 — GRAPH-ANN SEARCH: greedy beam descent over the staged
+    * NN-descent graph — the query path of an HNSW-class index (flat
+    * variant: one layer, fixed entry points), completing the graph
+    * tier that [[annKnnGraph]] builds: the graph answers "neighbors
+    * of a corpus member", this answers "neighbors of a QUERY" by
+    * walking edges instead of scanning the corpus.
+    *
+    * Per round: the per-query top-[[beamWidth]] of everything scored
+    * so far expands one hop through the edge table, unseen candidates
+    * are scored against the query vector, and the beam re-forms —
+    * [[searchRounds]] bounded rounds, then top-[[Similarity.k]] of
+    * the visited set (self excluded).
+    *
+    * Scale layout: the frontier is queries×beam rows and BROADCASTS
+    * into the edge and vector tables, so the corpus and the n·k edge
+    * artifact are only ever scanned, never shuffled — per-round cost
+    * is |queries|·beam·degree scored rows. A production run with a
+    * large query batch partitions the queries and runs batches
+    * independently (queries never interact); the corpus-side plan is
+    * unchanged. Visited sets localCheckpoint per round (lineage cut,
+    * the loop contract of [[poolOf]]). */
+  def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = Similarity.nonDegenerate(Similarity.vectors(s, dir))
+      .localCheckpoint(true)
+    val edges = searchEdges(s, dir).localCheckpoint(true)
+    val q = v.filter($"vec_id" < Similarity.nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val entry = v.withColumn("h", expr(Similarity.knnEvalHashSql))
+      .orderBy($"h", $"vec_id").limit(entryCount)
+      .select($"vec_id".as("node"))
+    val cv = v.select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nn"))
+    // (query_id, node) candidates -> scored cosine; candidates are
+    // tiny (queries-bounded) and broadcast — the corpus never shuffles
+    def scoreCands(cand: DataFrame): DataFrame =
+      cv.join(broadcast(cand), "node")
+        .join(broadcast(q), "query_id")
+        .select($"query_id", $"node",
+          cosine("qv", "nv", "qn", "nn").as("cosine"))
+    val bw = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"node")
+    var visited = scoreCands(q.select($"query_id").crossJoin(entry))
+      .localCheckpoint(true)
+    for (_ <- 1 to searchRounds) {
+      val frontier = visited.withColumn("rk", row_number().over(bw))
+        .filter($"rk" <= beamWidth).select($"query_id", $"node")
+      val cand = edges.join(broadcast(frontier), $"src" === $"node")
+        .select($"query_id", $"dst".as("node")).distinct()
+        .join(visited.select($"query_id", $"node"),
+          Seq("query_id", "node"), "left_anti")
+      visited = visited.union(scoreCands(cand)).localCheckpoint(true)
+    }
+    visited.filter($"node" =!= $"query_id")
+      .withColumn("rank", row_number().over(bw).cast("long"))
+      .filter($"rank" <= Similarity.k)
+      .select($"query_id", $"rank", $"node".as("neighbor_id"), $"cosine")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle: the descent unrolled round-by-round as CTEs over the
+    * staged pool (the pagerank-family device — the loop is
+    * deterministic, so fixed rounds are expressible as nested
+    * relational algebra; DuckDB replays beam, expansion, anti-join
+    * and re-beam exactly). */
+  def annGraphSearchSql(glob: String): String = {
+    val cos = rndSql("list_dot_product(q.qv, c.v) / (q.qn * c.nrm)", 6)
+    val rounds = (1 to searchRounds).map { r =>
+      s"""f${r - 1} AS (
+         |  SELECT query_id, node FROM (
+         |    SELECT query_id, node,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, node) AS rk
+         |    FROM vis${r - 1}) WHERE rk <= $beamWidth),
+         |x$r AS (
+         |  SELECT DISTINCT f.query_id, e.dst AS node
+         |  FROM f${r - 1} f JOIN e ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${r - 1} w
+         |    WHERE w.query_id = f.query_id AND w.node = e.dst)),
+         |vis$r AS (
+         |  SELECT * FROM vis${r - 1}
+         |  UNION ALL
+         |  SELECT x.query_id, x.node, $cos AS cosine
+         |  FROM x$r x
+         |  JOIN n c ON c.vec_id = x.node
+         |  JOIN q ON q.query_id = x.query_id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+       |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+       |      WHERE vec_id < ${Similarity.nQueries}),
+       |e AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+       |    FROM '$glob') WHERE rk <= $searchK),
+       |entry AS (
+       |  SELECT vec_id AS node FROM n
+       |  ORDER BY ${Similarity.knnEvalHashSql}, vec_id LIMIT $entryCount),
+       |vis0 AS (
+       |  SELECT q.query_id, c.vec_id AS node, $cos AS cosine
+       |  FROM q, entry JOIN n c ON c.vec_id = entry.node),
+       |$rounds
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, node) AS rank,
+       |    node AS neighbor_id, cosine
+       |  FROM vis$searchRounds WHERE node <> query_id)
+       |WHERE rank <= ${Similarity.k}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** §2.5 — the INDEX-SELECTION report: recall@k of every ANN tier
     * against the exact brute-force truth on the shared query set, in
     * one table — the measurement an operator reads before choosing
@@ -161,7 +296,9 @@ object SimilarityKnn {
         .select($"query_id", $"neighbor_id"),
       "ann_knn_graph" -> annKnnGraph(s, dir)
         .filter($"vec_id" < Similarity.nQueries)
-        .select($"vec_id".as("query_id"), $"neighbor_id"))
+        .select($"vec_id".as("query_id"), $"neighbor_id"),
+      "ann_graph_search" -> annGraphSearch(s, dir)
+        .select($"query_id", $"neighbor_id"))
     val preds = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_ unionByName _)
@@ -197,7 +334,9 @@ object SimilarityKnn {
        |  FROM (${Similarity.annHammingRefineSql})
        |  UNION ALL SELECT 'ann_knn_graph', vec_id, neighbor_id
        |  FROM (${annKnnGraphSql(knnGlob)})
-       |  WHERE vec_id < ${Similarity.nQueries}),
+       |  WHERE vec_id < ${Similarity.nQueries}
+       |  UNION ALL SELECT 'ann_graph_search', query_id, neighbor_id
+       |  FROM (${annGraphSearchSql(knnGlob)})),
        |tc AS (SELECT count(*) AS t_n FROM truth),
        |j AS (
        |  SELECT p.method,
@@ -213,12 +352,15 @@ object SimilarityKnn {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_knn_graph" -> (annKnnGraph _),
+    "ann_graph_search" -> (annGraphSearch _),
     "ann_recall_report" -> (annRecallReport _)
   )
 
   def oracles: Map[String, String] =
     graft.sources.OracleStage.globOf("knn_candidates")
       .map(g => "ann_knn_graph" -> annKnnGraphSql(g)).toMap ++
+      graft.sources.OracleStage.globOf("knn_candidates")
+        .map(g => "ann_graph_search" -> annGraphSearchSql(g)).toMap ++
       (for {
         lg <- graft.sources.OracleStage.globOf("lsh_buckets")
         kg <- graft.sources.OracleStage.globOf("knn_candidates")

@@ -69,7 +69,7 @@ class SimilarityKnnSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
     assert(rows.keySet == Set("ann_lsh", "ann_matryoshka", "ann_hamming",
-      "ann_hamming_refine", "ann_knn_graph"))
+      "ann_hamming_refine", "ann_knn_graph", "ann_graph_search"))
     val maxPairs = Similarity.nQueries.toLong * SimilarityKnn.knnK
     rows.foreach { case (m, (nRet, nHits, rec)) =>
       assert(nRet <= maxPairs, s"$m returned $nRet > $maxPairs")
@@ -79,6 +79,25 @@ class SimilarityKnnSpec extends SparkSpec {
     // the exact re-rank can only repair Hamming's quantization
     // mis-ordering (the 31v dominance property, visible here too)
     assert(rows("ann_hamming_refine")._3 >= rows("ann_hamming")._3)
+  }
+
+  test("graph search: ranked self-free top-k per query, recall at least the LSH tier's") {
+    val rows = SimilarityKnn.annGraphSearch(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet.forall(_ < Similarity.nQueries))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length <= Similarity.k)
+      assert(rs.map(_.getLong(1)).sorted.toList == (1L to rs.length).toList)
+      rs.foreach(r => assert(r.getLong(2) != qid, "self in results"))
+      val cos = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // the graph tier must justify its index cost: beam descent over
+    // the staged edges has to at least match the LSH bucket probe
+    val report = SimilarityKnn.annRecallReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(report("ann_graph_search") >= report("ann_lsh"),
+      s"graph search ${report("ann_graph_search")} < lsh ${report("ann_lsh")}")
   }
 
   test("graph edges carry exact quantized cosines") {

@@ -16,17 +16,39 @@ per copy, so any engine/oracle divergence surfaced at 10x is a real
 scale bug (partition-boundary sampling, shared-name grouping,
 overflow), not generator noise. Deterministic: no randomness anywhere.
 
+--extend-span changes the density model: by default every copy shares
+the source's time axis and text content, so per-instant interval
+density and cross-copy near-dup groups grow with REPS — which makes
+the interval sweeps (q_interval_overlap, q_peak_concurrency) and the
+banding dedups LOOK super-linear even when they scale with work. With
+the flag, copy i additionally:
+  * shifts events.ts by i * (source span + 1h) — constant events/sec;
+  * shifts o_orderdate and l_shipdate by i * (source day span + 1) —
+    the SAME day offset for both tables, so within-copy date
+    relationships are untouched (note: absolute date-literal
+    predicates then select only copy 0 — this mode is for measuring
+    the density-sensitive operators, not the TPC-H literal filters);
+  * renames every \\w+ token in documents.text with an 'r{i}' suffix —
+    a bijection on the token vocabulary, so each copy's INTERNAL
+    shingle/jaccard/minhash structure is exactly the source's while
+    cross-copy similarity drops to ~0 (n_chars is recomputed).
+Engine-vs-oracle hash-exactness is unaffected either way (both read
+the same parquet); the flag exists so the sf~10 SCALING measurement
+reflects constant density, the way a real 100 TB corpus grows.
+
 Usage:
-  python3 tools/make_sf1.py [src_dir] [dst_dir] [reps]
+  python3 tools/make_sf1.py [src_dir] [dst_dir] [reps] [--extend-span]
   # defaults: /root/testdata/sf0.1 /tmp/sf1_synth 10
 """
 import sys
 
 import duckdb
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
-REPS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+args = [a for a in sys.argv[1:] if a != "--extend-span"]
+EXTEND_SPAN = "--extend-span" in sys.argv[1:]
+SRC = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+DST = args[1] if len(args) > 1 else "/tmp/sf1_synth"
+REPS = int(args[2]) if len(args) > 2 else 10
 
 # table -> list of (column, key_domain or None). Key domains are
 # shared across tables so strides agree between fact and dim copies.
@@ -76,6 +98,36 @@ def main():
             strides[dom] = max(strides.get(dom, 0), int(m) + 1)
     print("strides:", strides)
 
+    # per-copy span shifts (only used with --extend-span)
+    span_sql = {}
+    if EXTEND_SPAN:
+        ts_span_us = con.execute(
+            f"SELECT epoch_us(max(ts)) - epoch_us(min(ts)) + 3600000000 "
+            f"FROM '{SRC}/events.parquet'").fetchone()[0]
+        day_span = con.execute(
+            f"SELECT greatest("
+            f" (SELECT date_diff('day', min(o_orderdate), max(o_orderdate))"
+            f"    FROM '{SRC}/orders.parquet'),"
+            f" (SELECT date_diff('day', min(l_shipdate), max(l_shipdate))"
+            f"    FROM '{SRC}/lineitem.parquet')) + 1").fetchone()[0]
+        print(f"extend-span: ts +{ts_span_us}us/copy, dates +{day_span}d/copy")
+        span_sql = {
+            "ts": f"ts + to_microseconds(i * {int(ts_span_us)}) AS ts",
+            # o_orderdate / l_shipdate are physically TIMESTAMPs —
+            # add whole days as an interval (type-preserving)
+            "o_orderdate":
+                f"o_orderdate + to_days(CAST(i * {int(day_span)} AS INTEGER))"
+                f" AS o_orderdate",
+            "l_shipdate":
+                f"l_shipdate + to_days(CAST(i * {int(day_span)} AS INTEGER))"
+                f" AS l_shipdate",
+            "text": r"regexp_replace(text, '(\w+)',"
+                    r" '\1r' || CAST(i AS VARCHAR), 'g') AS text",
+            "n_chars": r"CAST(length(regexp_replace(text, '(\w+)',"
+                       r" '\1r' || CAST(i AS VARCHAR), 'g')) AS BIGINT)"
+                       r" AS n_chars",
+        }
+
     for t in SHARED_DIMS:
         con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
                     f"TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
@@ -83,7 +135,8 @@ def main():
 
     for t, cols in TABLES.items():
         sel = ", ".join(
-            f"{c} + i * {strides[d]} AS {c}" if d else c for c, d in cols)
+            f"{c} + i * {strides[d]} AS {c}" if d
+            else span_sql.get(c, c) for c, d in cols)
         con.execute(
             f"COPY (SELECT {sel} FROM '{SRC}/{t}.parquet', "
             f"(SELECT unnest(range({REPS})) AS i)) "
