@@ -1166,6 +1166,130 @@ object Dedup {
        |  ${graft.functions.Agg.rndSql(s"count(DISTINCT j) * CAST(1.0 AS DOUBLE) / max(n_tokens)", 4)} AS dup_ratio
        |FROM cover GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Minimum merged duplicated-run length (tokens) that
+    * [[dedupSpanRemoval]] actually cuts — the Lee et al. 2022
+    * ExactSubstr length floor, scaled to this corpus's short synthetic
+    * documents (production deploys run ~50). */
+  val spanRemovalMinTokens = 5
+
+  /** §2.4 — ExactSubstr-class duplicated-SPAN REMOVAL (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): where [[dedupSubstring]] PROFILES duplication, this
+    * operator performs the production edit — every maximal run of
+    * token positions covered by corpus-duplicated [[spanTokens]]-token
+    * windows (stride 1, within- or cross-document occurrences both
+    * count) is cut when the run reaches [[spanRemovalMinTokens]],
+    * and each document is reassembled from its surviving tokens.
+    * Sub-threshold runs survive (a repeated idiom is not boilerplate);
+    * a fully-duplicated document comes back as an empty string, NOT a
+    * dropped row — downstream length filters decide its fate.
+    *
+    * Scale layout: [[dedupSubstring]]'s one-shuffle window-occurrence
+    * count feeds a covered-offset set that is per-document bounded;
+    * the run merge is gaps-and-islands under a (doc_id)-partitioned
+    * window (docs are the partition key — no single-partition stage),
+    * and reassembly is one partial-aggregated shuffle on doc_id. The
+    * token-position explode is corpus×tokens rows — the same volume
+    * every tokenizing operator here already scans — and shuffles once
+    * for the anti-join + once for the rebuild. */
+  def dedupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = spanTokens
+    val toks = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size($"toks").cast("long"))
+    val grams = toks
+      .withColumn("grams", expr(
+        s"""coalesce(CASE WHEN size(toks) >= $k THEN
+           |  transform(sequence(0, size(toks) - $k),
+           |    i -> array_join(slice(toks, i + 1, $k), ' ')) END, array())""".stripMargin))
+      .select($"doc_id", posexplode_outer($"grams").as(Seq("pos", "gram")))
+      .withColumn("gh", xxhash64($"gram")).drop("gram")
+    val dup = grams.groupBy($"gh")
+      .agg(count(lit(1)).as("n_occ")).filter($"n_occ" >= 2).select($"gh")
+    val covered = grams.join(dup, Seq("gh"))
+      .select($"doc_id", explode(expr(s"sequence(pos, pos + ${k - 1})")).as("off"))
+      .distinct()
+    // gaps-and-islands: consecutive covered offsets share (off - rn)
+    val iw = Window.partitionBy($"doc_id").orderBy($"off")
+    val spans = covered
+      .withColumn("grp", $"off" - row_number().over(iw))
+      .groupBy($"doc_id", $"grp")
+      .agg(min($"off").as("span_start"), count(lit(1)).as("span_len"))
+      .filter($"span_len" >= spanRemovalMinTokens)
+    val removedOffs = spans.select($"doc_id",
+      explode(expr("sequence(span_start, span_start + span_len - 1)")).as("off"))
+    val tokPos = toks
+      .select($"doc_id", posexplode($"toks").as(Seq("off", "tok")))
+      .withColumn("off", $"off".cast("long"))
+    val rebuilt = tokPos
+      .join(removedOffs, Seq("doc_id", "off"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(off, tok))), t -> t.tok), ' ')")
+        .as("clean_text"))
+    val stats = spans.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans_removed"),
+        sum($"span_len").as("n_tokens_removed"))
+    toks.select($"doc_id", $"n_tokens")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(stats, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        coalesce($"n_spans_removed", lit(0L)).as("n_spans_removed"),
+        coalesce($"n_tokens_removed", lit(0L)).as("n_tokens_removed"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: the same window-count → covered-offset → islands → cut →
+    * reassemble pipeline in DuckDB (0-based offsets to match the
+    * engine's posexplode; the join is on window TEXT where the engine
+    * shuffles xxhash64 of it — equal text iff equal hash mod 2^-64). */
+  val dedupSpanRemovalSql: String =
+    s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i, array_to_string(t[i : i + ${spanTokens - 1}], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(t) - $spanTokens + 2)) AS u(i)),
+       |dup AS (
+       |  SELECT gram FROM (SELECT gram, count(*) AS n_occ FROM grams GROUP BY gram)
+       |  WHERE n_occ >= 2),
+       |covered AS (
+       |  SELECT DISTINCT g.doc_id, j - 1 AS off
+       |  FROM grams g JOIN dup d USING (gram),
+       |       unnest(range(g.i, g.i + $spanTokens)) AS v(j)),
+       |isl AS (
+       |  SELECT doc_id, off,
+       |    off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
+       |  FROM covered),
+       |spans AS (
+       |  SELECT doc_id, min(off) AS span_start, count(*) AS span_len
+       |  FROM isl GROUP BY doc_id, grp
+       |  HAVING count(*) >= $spanRemovalMinTokens),
+       |removed AS (
+       |  SELECT doc_id, r AS off
+       |  FROM spans, unnest(range(span_start, span_start + span_len)) AS w(r)),
+       |tokpos AS (
+       |  SELECT doc_id, i - 1 AS off, t[i] AS tok
+       |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+       |re AS (
+       |  SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.off) AS clean_text
+       |  FROM tokpos tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM removed r
+       |    WHERE r.doc_id = tp.doc_id AND r.off = tp.off)
+       |  GROUP BY tp.doc_id),
+       |st AS (
+       |  SELECT doc_id, count(*) AS n_spans_removed,
+       |    CAST(sum(span_len) AS BIGINT) AS n_tokens_removed
+       |  FROM spans GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+       |  coalesce(st.n_spans_removed, 0) AS n_spans_removed,
+       |  coalesce(st.n_tokens_removed, 0) AS n_tokens_removed,
+       |  coalesce(re.clean_text, '') AS clean_text
+       |FROM toks t
+       |LEFT JOIN re ON re.doc_id = t.doc_id
+       |LEFT JOIN st ON st.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // ---- staged-signature oracles ------------------------------------
   // The XXH64 signatures aren't SQL-replicable, but everything
   // downstream of them is: these oracles recompute banding, candidate
@@ -1649,7 +1773,8 @@ object Dedup {
     "dedup_clusters_embedding_indexed" -> (dedupClustersEmbeddingIndexed _),
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_paragraph"     -> (dedupParagraph _),
-    "dedup_substring"     -> (dedupSubstring _)
+    "dedup_substring"     -> (dedupSubstring _),
+    "dedup_span_removal"  -> (dedupSpanRemoval _)
   )
 
   /** The hash-family rows' oracles are built from the staged
@@ -1680,6 +1805,7 @@ object Dedup {
       "dedup_clusters_embedding_indexed" -> dedupClustersEmbeddingSql,
       "dedup_paragraph"     -> dedupParagraphSql,
       "dedup_substring"     -> dedupSubstringSql,
+      "dedup_span_removal"  -> dedupSpanRemovalSql,
       "dedup_threshold_sweep" -> dedupThresholdSweepSql,
       "dedup_lsh_plan"      -> dedupLshPlanSql
     ) ++

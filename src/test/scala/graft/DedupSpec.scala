@@ -424,4 +424,32 @@ class DedupSpec extends SparkSpec {
       assert(full == 1.0 && bbit == 1.0)
     }
   }
+
+  test("span removal: planted cross-doc passage disappears, everything else survives") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-spanrm").toString
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")   // 8 >= min 5: cut
+    val idiom = (1 to 4).map(i => s"q$i").mkString(" ")     // 4 < min 5: kept
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $passage a4 a5"),
+      (2L, s"b1 b2 $passage b3 b4 b5"),
+      (3L, "c1 c2 c3 c4 c5 c6"),
+      (4L, s"d1 d2 $idiom d3"),
+      (5L, s"e1 $idiom e2 e3"))
+    docs.map { case (id, t) => (id, t, "en", "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.dedupSpanRemoval(s, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // ONLY the 8-token duplicated passage disappears from docs 1-2
+    assert(rows(1L) == ((13L, 1L, 8L, "a1 a2 a3 a4 a5")))
+    assert(rows(2L) == ((13L, 1L, 8L, "b1 b2 b3 b4 b5")))
+    // unique doc untouched
+    assert(rows(3L) == ((6L, 0L, 0L, "c1 c2 c3 c4 c5 c6")))
+    // a shared run BELOW the length floor is an idiom, not boilerplate
+    assert(rows(4L) == ((7L, 0L, 0L, s"d1 d2 $idiom d3")))
+    assert(rows(5L) == ((7L, 0L, 0L, s"e1 $idiom e2 e3")))
+  }
 }
