@@ -959,6 +959,126 @@ object Multimodal {
        |FROM j GROUP BY mime ORDER BY mime""".stripMargin
   }
 
+  /** §2.7 #36j — the MEDIA dedup-ladder COST report (the 36-family
+    * analog of [[Dedup.dedupCostReport]]): what each tier of the media
+    * ladder removes, in one table — assets dropped, payload BYTES
+    * dropped (the number a storage bill reads), and their corpus
+    * shares, per tier. Tiers, each a canonicalization the registered
+    * operators themselves produce, in increasing reach:
+    *   - `digest` — byte-identical copies only (min asset_id per
+    *     payload digest, [[mmDedup]]'s grouping);
+    *   - `near_pairs` — single-hop perceptual: an asset drops iff a
+    *     SMALLER-id direct near-dup partner exists ([[mmDedupNear]]'s
+    *     pair graph without closure — what a pair-at-a-time reviewer
+    *     tool would act on);
+    *   - `near_clusters` — the full connected-component
+    *     canonicalization ([[mmDedupNearClusters]]).
+    * Identical payloads share a phash (Hamming 0) and a mime, so
+    * drops are monotone nondecreasing down the ladder — the spec pins
+    * it. The delta between rows is the read: if near_clusters only
+    * drops 1% more bytes than digest, the perceptual pipeline isn't
+    * paying for itself on this corpus. Each rollup is one aggregate
+    * over an asset-keyed mapping join; payload bytes never ride a
+    * shuffle (byte sizes are metadata longs). Oracle shares the
+    * recursive-closure device of [[mmDedupNearClustersSql]]. */
+  def mmDedupCostReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val m = withPayload(s, dir)
+      .select($"doc_id".as("asset_id"),
+        md5(hex($"payload")).as("payload_md5"),
+        length($"payload").cast("long").as("byte_size"))
+    def report(tier: String, mapping: DataFrame): DataFrame =
+      mapping.join(m.select($"asset_id", $"byte_size"), "asset_id")
+        .agg(
+          count(lit(1)).as("n_assets"),
+          sum(when($"asset_id" =!= $"canonical_id", 1L).otherwise(0L))
+            .as("n_dropped"),
+          sum(when($"asset_id" =!= $"canonical_id", $"byte_size").otherwise(0L))
+            .as("bytes_dropped"),
+          sum($"byte_size").as("bytes_total"))
+        // empty corpus: no per-tier row (the oracle's grouped rollups
+        // emit none), and no 0/0 share — the dedup_cost_report device
+        .filter($"n_assets" > 0)
+        .select(lit(tier).as("tier"), $"n_assets", $"n_dropped",
+          expr(rndSql("CAST(n_dropped AS DOUBLE) / CAST(n_assets AS DOUBLE)", 6))
+            .as("pct_assets_dropped"),
+          $"bytes_dropped",
+          expr(rndSql("CAST(bytes_dropped AS DOUBLE) / CAST(bytes_total AS DOUBLE)", 6))
+            .as("pct_bytes_dropped"))
+    val digest = m.select($"asset_id", $"payload_md5")
+      .join(m.groupBy($"payload_md5").agg(min($"asset_id").as("canonical_id")),
+        "payload_md5")
+      .select($"asset_id", $"canonical_id")
+    val pairMin = mmDedupNear(s, dir)
+      .groupBy($"id2".as("asset_id")).agg(min($"id1").as("nbr_min"))
+    val nearPairs = m.select($"asset_id")
+      .join(pairMin, Seq("asset_id"), "left")
+      .select($"asset_id",
+        coalesce($"nbr_min", $"asset_id").as("canonical_id"))
+    val clusters = mmDedupNearClusters(s, dir)
+      .select($"asset_id", $"canonical_id")
+    report("digest", digest)
+      .unionByName(report("near_pairs", nearPairs))
+      .unionByName(report("near_clusters", clusters))
+      .orderBy($"tier")
+  }
+
+  def mmDedupCostReportSql(glob: String): String = {
+    import graft.functions.Agg.rndSql
+    val magicCase = magics.zipWithIndex.map { case ((hexs, _), i) =>
+      s"WHEN doc_id % ${magics.size} = $i THEN unhex('$hexs')"
+    }.mkString("CASE ", " ", " END")
+    s"""WITH RECURSIVE sigs AS (
+       |  SELECT asset_id, mime, phash FROM read_parquet('$glob')),
+       |banded AS (
+       |  SELECT asset_id, mime, phash, b AS band,
+       |    (phash >> (b * 16)) & 65535 AS bucket
+       |  FROM sigs, unnest(range(0, $mmNearBands)) AS u(b)),
+       |prs AS (
+       |  SELECT DISTINCT a.asset_id AS id1, b.asset_id AS id2
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket
+       |   AND a.mime = b.mime AND a.asset_id < b.asset_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= $mmNearMaxHamming),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM prs
+       |  UNION ALL SELECT id2, id1 FROM prs),
+       |reach(id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |labs AS (SELECT id, min(lab) AS canonical_id FROM reach GROUP BY 1),
+       |m AS (
+       |  SELECT doc_id AS asset_id,
+       |    md5(hex($magicCase || encode(text))) AS payload_md5,
+       |    CAST(octet_length($magicCase || encode(text)) AS BIGINT) AS byte_size
+       |  FROM documents),
+       |dg AS (
+       |  SELECT asset_id,
+       |    min(asset_id) OVER (PARTITION BY payload_md5) AS canonical_id
+       |  FROM m),
+       |pm AS (SELECT id2 AS asset_id, min(id1) AS nbr_min FROM prs GROUP BY 1),
+       |np AS (
+       |  SELECT m.asset_id, coalesce(pm.nbr_min, m.asset_id) AS canonical_id
+       |  FROM m LEFT JOIN pm USING (asset_id)),
+       |u AS (
+       |  SELECT 'digest' AS tier, asset_id, canonical_id FROM dg
+       |  UNION ALL SELECT 'near_pairs', asset_id, canonical_id FROM np
+       |  UNION ALL SELECT 'near_clusters', id, canonical_id FROM labs)
+       |SELECT tier, count(*) AS n_assets,
+       |  CAST(sum(CASE WHEN u.asset_id <> canonical_id THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dropped,
+       |  ${rndSql("CAST(sum(CASE WHEN u.asset_id <> canonical_id THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)}
+       |    AS pct_assets_dropped,
+       |  CAST(sum(CASE WHEN u.asset_id <> canonical_id THEN byte_size ELSE 0 END) AS BIGINT)
+       |    AS bytes_dropped,
+       |  ${rndSql("CAST(sum(CASE WHEN u.asset_id <> canonical_id THEN byte_size ELSE 0 END) AS DOUBLE) / CAST(sum(byte_size) AS DOUBLE)", 6)}
+       |    AS pct_bytes_dropped
+       |FROM u JOIN m USING (asset_id)
+       |GROUP BY tier ORDER BY tier""".stripMargin
+  }
+
   /** The stream's probe join in batch shape — exposed for PlanSpec's
     * exchange-free assertion (the index side must never reshuffle).
     * Requires [[buildMmNearIndex]] to have run. */
@@ -1004,6 +1124,7 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_dedup_near"    -> (mmDedupNear _),
     "mm_dedup_near_clusters" -> (mmDedupNearClusters _),
+    "mm_dedup_cost_report" -> (mmDedupCostReport _),
     "mm_pipeline_e2e"  -> (mmPipelineE2e _),
     "mm_shard_read_plan" -> (mmShardReadPlan _),
     "mm_tar_manifest"  -> (mmTarManifest _),
@@ -1025,6 +1146,8 @@ object Multimodal {
       .map(g => "mm_dedup_near_clusters" -> mmDedupNearClustersSql(g)).toMap ++
     globOf("mm_phash_sigs")
       .map(g => "mm_pipeline_e2e" -> mmPipelineE2eSql(g)).toMap ++
+    globOf("mm_phash_sigs")
+      .map(g => "mm_dedup_cost_report" -> mmDedupCostReportSql(g)).toMap ++
     Map(
     "mm_shard_read_plan" -> mmShardReadPlanSql,
     "mm_tar_manifest"  -> mmTarManifestSql,

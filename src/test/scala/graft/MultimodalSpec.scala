@@ -185,4 +185,23 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(6L)) > 10,
       s"unrelated hamming too small: ${java.lang.Long.bitCount(sigs(0L) ^ sigs(6L))}")
   }
+
+  test("media dedup cost report: drops are monotone down the ladder and agree with the tier mappings") {
+    val rows = Multimodal.mmDedupCostReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    assert(rows.keySet == Set("digest", "near_pairs", "near_clusters"))
+    val n = rows("digest")._1
+    assert(rows.values.forall(_._1 == n), s"every tier covers all $n assets: $rows")
+    // identical payloads share a phash (Hamming 0) and a mime, so the
+    // ladder's reach is monotone: digest ⊆ near_pairs ⊆ near_clusters
+    assert(rows("digest")._2 <= rows("near_pairs")._2, rows.toString)
+    assert(rows("near_pairs")._2 <= rows("near_clusters")._2, rows.toString)
+    assert(rows("digest")._3 <= rows("near_pairs")._3, rows.toString)
+    assert(rows("near_pairs")._3 <= rows("near_clusters")._3, rows.toString)
+    // the cluster tier's count is the cluster mapping's own drop count
+    val clusterDrops = Multimodal.mmDedupNearClusters(spark, sfDir).collect()
+      .count(r => r.getLong(0) != r.getLong(1)).toLong
+    assert(rows("near_clusters")._2 == clusterDrops)
+  }
 }
