@@ -41,8 +41,11 @@ object SimilarityIvf {
   }
 
   /** Per-row cluster id against a centroid literal: argmin over
-    * |c|² − 2·v·c (monotone in L2 distance). */
-  private def cidExpr: Column =
+    * |c|² − 2·v·c (monotone in L2 distance). `private[graft]` so the
+    * streaming ingest gate routes with the IDENTICAL expression — a
+    * quantizer change can never desync the stream from the batch
+    * append path or the oracle. */
+  private[graft] def cidExpr: Column =
     expr(s"""array_position(
             |  transform(cents, c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(v, c)),
             |  array_min(transform(cents, c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(v, c)))
@@ -434,6 +437,73 @@ object SimilarityIvf {
        |  FROM scoredc)
        |WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
+
+  // ---- streaming ingest into the inverted file (29l ∘ 31s) --------
+
+  /** The STREAM-ingest inverted file. Its own table (not
+    * [[ivfIndexTable]]): the batch append row and the streaming gate
+    * both run in one Verify/Bench JVM, and sharing a table would
+    * double-insert the shard. */
+  val ivfStreamTable = "graft_ivf_idx_stream"
+
+  /** Rebuild the stream-ingest inverted file from the staged
+    * corpus-trained assignment — an UNCONDITIONAL overwrite (unlike
+    * [[graft.sources.Sinks.writeBucketedOnce]]) so every run of the
+    * ingest gate is self-contained: re-running the stream (Verify
+    * then both Bench passes) rebuilds the base and appends the shard
+    * exactly once, never twice. Returns the staged corpus centroids
+    * for the stream's row-local router. */
+  private[graft] def rebuildIvfStreamBase(
+      s: SparkSession, dir: String): Seq[Seq[Double]] = {
+    val (cents, assigned) = kmeansCorpus(s, dir)
+    graft.sources.Sinks.writeBucketed(assigned, ivfStreamTable,
+      Seq("cid"), ivfIndexBuckets)
+    cents
+  }
+
+  /** Per-cid occupancy of the GROWN stream-ingest inverted file —
+    * what the gate's consumer reads after a micro-batch lands: how
+    * the day's arrivals distributed over the corpus-trained lists
+    * (a cid whose n_new outruns its n_corpus share flags drift the
+    * quantizer was never trained on). One partial-agged pass over
+    * the bucketed table. */
+  private[graft] def ivfStreamOccupancy(s: SparkSession): DataFrame = {
+    import s.implicits._
+    s.table(ivfStreamTable)
+      .groupBy($"cid")
+      .agg(
+        sum(when($"vec_id" % ivfShardMod =!= ivfShardRem, 1L).otherwise(0L))
+          .as("n_corpus"),
+        sum(when($"vec_id" % ivfShardMod === ivfShardRem, 1L).otherwise(0L))
+          .as("n_new"),
+        count(lit(1)).as("n_total"))
+      .orderBy($"cid")
+  }
+
+  /** Oracle for the streaming ingest gate: the grown table's per-cid
+    * occupancy equals one-batch argmin assignment of the UNION
+    * (corpus + shard) against the staged corpus centroids, split by
+    * the shard predicate. */
+  def streamIvfIngestSql(glob: String): String =
+    s"""WITH cents AS (SELECT cid, c FROM read_parquet('$glob')),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)), x -> x * x)) > 0),
+       |scoredc AS (
+       |  SELECT v.vec_id, cents.cid,
+       |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(v.v, cents.c) AS s
+       |  FROM v, cents),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM scoredc)
+       |  WHERE rn = 1)
+       |SELECT cid,
+       |  CAST(sum(CASE WHEN vec_id % $ivfShardMod <> $ivfShardRem THEN 1 ELSE 0 END) AS BIGINT) AS n_corpus,
+       |  CAST(sum(CASE WHEN vec_id % $ivfShardMod = $ivfShardRem THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  count(*) AS n_total
+       |FROM assigned GROUP BY cid ORDER BY cid""".stripMargin
 
   /** §2.5 — label PURITY per IVF cluster: the clustering-quality eval
     * a vector-index owner reads next to [[ivfClusterSizes]] — sizes

@@ -1479,6 +1479,52 @@ object StreamOps {
        |ORDER BY new_id, corpus_id""".stripMargin
   }
 
+  /** §2.5 31s' — IVF INGEST run at stream time (the [[embedDedupStream]]
+    * admission gate composed with the [[graft.operators.SimilarityIvf
+    * .annIvfAppend]] index-maintenance write): each micro-batch of
+    * freshly-arrived vectors routes ROW-LOCAL to its inverted list
+    * (argmin against the broadcast staged corpus centroids — the
+    * IDENTICAL [[graft.operators.SimilarityIvf.cidExpr]] the batch
+    * path uses, zero exchanges, no retrain, no corpus re-read) and
+    * lands in the persisted inverted file IN ITS BUCKET LAYOUT within
+    * the same micro-batch — so every probe join over the grown table
+    * stays exchange-free (PlanSpec-asserted) while the stream runs.
+    * At 100 TB this is continuous index maintenance: the day's ingest
+    * extends a corpus-sized IVF at shard cost, with zero serving
+    * downtime. SimilarityIvfSpec proves parity: run to completion the
+    * grown table is row-identical to one-batch assignment of the
+    * union. Readout = the grown file's per-cid occupancy split
+    * corpus/new; oracle recomputes it from the staged centroids. */
+  def runIvfIngestToCompletion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.VectorFns
+    import graft.operators.SimilarityIvf
+    val cents = SimilarityIvf.rebuildIvfStreamBase(s, dir)
+    val routed = StreamAcc.fileStream(s, dir, "embeddings")
+      .filter($"vec_id" % SimilarityIvf.ivfShardMod === SimilarityIvf.ivfShardRem)
+      .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
+      .withColumn("nrm", expr(VectorFns.norm("v")))
+      .filter($"nrm" > 0.0) // zero-norm vectors can't be cosine-probed
+      .withColumn("cents", typedLit(cents))
+      .withColumn("cid", SimilarityIvf.cidExpr)
+      .select($"vec_id", $"cid", $"v", $"nrm")
+    val q = routed.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the bucketed append: each task hashes its rows to bucket
+        // files — no shuffle, no rewrite of the existing files
+        batch.write
+          .bucketBy(SimilarityIvf.ivfIndexBuckets, "cid")
+          .sortBy("cid")
+          .format("parquet")
+          .mode("append")
+          .saveAsTable(SimilarityIvf.ivfStreamTable)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    SimilarityIvf.ivfStreamOccupancy(s)
+  }
+
   // ------------------------------------------------------------------
   // stream_dau — exactly-once (user, day) activity dedup
   // ------------------------------------------------------------------
@@ -1573,6 +1619,7 @@ object StreamOps {
       runDauToCompletion(s, dir, sink = "stream_dau_verify")),
     "stream_embed_dedup" -> ((s, dir) =>
       runEmbedDedupToCompletion(s, dir, sink = "stream_embed_dedup_verify")),
+    "stream_ivf_ingest" -> (runIvfIngestToCompletion _),
     "stream_rate_limit" -> ((s, dir) =>
       runRateLimitToCompletion(s, dir, sink = "stream_rate_limit_verify")),
     "stream_anomaly" -> ((s, dir) =>
@@ -1688,5 +1735,10 @@ object StreamOps {
     // run to completion the stream-static band probe equals the
     // cross-shard banding cut over the staged signatures
     .map(g => "stream_mm_dedup_near" ->
-      graft.operators.Multimodal.streamMmDedupNearSql(g)).toMap
+      graft.operators.Multimodal.streamMmDedupNearSql(g)).toMap ++
+  graft.sources.OracleStage.globOf("ivf_corpus_centroids")
+    // run to completion the grown inverted file equals one-batch
+    // assignment of the union against the staged corpus centroids
+    .map(g => "stream_ivf_ingest" ->
+      graft.operators.SimilarityIvf.streamIvfIngestSql(g)).toMap
 }

@@ -98,6 +98,54 @@ class SimilarityIvfSpec extends SparkSpec {
       s"index side must not reshuffle on cid:\n$p")
   }
 
+  test("streaming ivf ingest: grown table equals one-batch assignment of the union") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val occ = graft.streaming.StreamOps.runIvfIngestToCompletion(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(occ.nonEmpty)
+    // occupancy is internally consistent and covers the whole corpus
+    assert(occ.forall { case (_, c, n, t) => c + n == t }, occ.mkString(", "))
+    assert(occ.map(_._4).sum ==
+      graft.sources.Tables.embeddings(spark, sfDir).count())
+    assert(occ.map(_._3).sum > 0, "some arrivals must actually land")
+    // row-level parity: the streamed-append table is indistinguishable
+    // from assigning corpus + shard in one batch against the same
+    // corpus-trained centroids
+    val grown = spark.table(SimilarityIvf.ivfStreamTable)
+      .select($"vec_id", $"cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val (cents, _) = SimilarityIvf.kmeansCorpus(spark, sfDir)
+    val batch = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", expr(graft.functions.VectorFns.asDouble("embedding")).as("v"))
+      .withColumn("cents", typedLit(cents))
+      .withColumn("cid", expr(
+        """array_position(
+          |  transform(cents, c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(v, c)),
+          |  array_min(transform(cents, c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(v, c)))
+          |) - 1""".stripMargin).cast("int"))
+      .select($"vec_id", $"cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(grown == batch,
+      s"grown stream table diverges: only-grown=${(grown -- batch).take(5)} only-batch=${(batch -- grown).take(5)}")
+    // re-running the gate is idempotent (rebuild + single append)
+    graft.streaming.StreamOps.runIvfIngestToCompletion(spark, sfDir)
+    assert(spark.table(SimilarityIvf.ivfStreamTable).count() == batch.size.toLong)
+  }
+
+  test("probe join over the stream-grown inverted file reads the index side exchange-free") {
+    import spark.implicits._
+    graft.streaming.StreamOps.runIvfIngestToCompletion(spark, sfDir)
+    val probes = Seq((0, 0L)).toDF("cid", "query_id")
+    val p = spark.table(SimilarityIvf.ivfStreamTable)
+      .join(probes, "cid")
+      .queryExecution.executedPlan.toString
+    // the streamed append lands in the bucket layout, so the grown
+    // index side still never reshuffles; only the probe side moves
+    assert(!p.contains("Exchange hashpartitioning(cid"),
+      s"index side must not reshuffle on cid after streamed append:\n$p")
+  }
+
   test("cluster purity accounts for every vector and bounds correctly") {
     val rows = SimilarityIvf.embedClusterPurity(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
