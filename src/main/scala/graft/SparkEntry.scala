@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Accumulator, Behavioral, Bpe, Dedup, Experimentation, RelationalTpch, EmbedPq, Graph, Iterators, Layout, Multimodal, Pipeline, QualityModel, Relational, Similarity, SimilarityIvf, SimilarityKnn, Sequences, SourceFormats, TextAnalysis}
+import graft.operators.{Accumulator, Behavioral, Bpe, Dedup, Experimentation, RelationalTpch, EmbedPq, Graph, Iterators, Layout, Multimodal, Pipeline, QualityModel, Relational, Similarity, SimilarityIvf, SimilarityKnn, Sequences, SourceFormats, TextAnalysis, Unigram}
 import graft.streaming.{StreamAcc, StreamOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -31,6 +31,7 @@ object SparkEntry {
     "Pipeline" -> (Pipeline.queries, Pipeline.oracles),
     "QualityModel" -> (QualityModel.queries, QualityModel.oracles),
     "Bpe" -> (Bpe.queries, Bpe.oracles),
+    "Unigram" -> ((Unigram.queries, Unigram.oracles)),
     "Layout" -> (Layout.queries, Layout.oracles),
     "Multimodal" -> (Multimodal.queries, Multimodal.oracles),
     "StreamAcc" -> (StreamAcc.queries, StreamAcc.oracles),

@@ -296,7 +296,7 @@ object Bpe {
     * token explode + the unrolled guarded-replace chain + per-word
     * piece counts, as WITH-clause CTEs ending in `wp(tok, n_pieces)`
     * and `tk($keyCol, tok)`. */
-  private def pieceCountCtes(mergesGlob: String, keyCol: String): String = {
+  private[operators] def pieceCountCtes(mergesGlob: String, keyCol: String): String = {
     def lvl(r: Int): String =
       s"""d$r AS MATERIALIZED (
          |  SELECT w.tok, CASE WHEN mr.lhs IS NULL THEN w.seq
