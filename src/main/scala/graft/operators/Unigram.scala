@@ -189,7 +189,11 @@ object Unigram {
       val (_, counts, total) = trainOf(Tables.documents(s, dir))
       val all = wordsOf(Tables.documents(s, dir), capped = false)
       if (counts.isEmpty)
-        all.select($"word", lit("").as("g"), lit(0L).as("n_pieces"))
+        // no trainable words at all (every word overlong): the empty
+        // model char-splits — same fallback as an overlong word
+        all.select($"word",
+          regexp_replace($"word", "(.)", s"$SEP$$1").as("g"),
+          $"n".cast("long").as("n_pieces"))
       else {
         val qm = counts.map { case (p, c) => p -> qlog(c) }
         all
@@ -291,6 +295,46 @@ object Unigram {
        |ORDER BY piece""".stripMargin
   }
 
+  /** §2.8 — encode the corpus with the trained unigram model: every
+    * token position explodes into its maximum-likelihood pieces —
+    * [[Bpe.tokenIdsBpe]]'s positional output shape, so a trainer can
+    * consume either family's ids unchanged. The corpus side only
+    * joins the broadcast staged segmentation lexicon; the DP never
+    * runs per token instance. */
+  def tokenIdsUnigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segs = unigramSegsDf(s, dir)
+      .select($"word".as("tok"),
+        expr(s"filter(split(g, '$SEP'), x -> x <> '')").as("pieces"))
+    Tables.documents(s, dir)
+      .select($"doc_id", posexplode(expr(TA.toksExpr)).as(Seq("pos0", "tok")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"tok")
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+      .join(broadcast(segs), "tok")
+      .select($"doc_id", $"pos", posexplode($"pieces").as(Seq("pp0", "piece")))
+      .select($"doc_id", $"pos",
+        ($"pp0" + 1).cast("long").as("piece_pos"), $"piece")
+      .orderBy($"doc_id", $"pos", $"piece_pos")
+  }
+
+  /** Oracle: applies the STAGED segmentation lexicon independently —
+    * the derivation itself is checked by [[vocabUnigramTrainSql]]
+    * (the [[Bpe.tokenIdsBpeSql]] split of concerns). */
+  def tokenIdsUnigramSql(segsGlob: String): String =
+    s"""WITH sg AS MATERIALIZED (
+       |  SELECT word, list_filter(string_split(g, chr(31)), x -> x <> '') AS ps
+       |  FROM read_parquet('$segsGlob')),
+       |t2 AS MATERIALIZED (
+       |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM (
+       |    SELECT doc_id, generate_subscripts(toks, 1) AS pos, unnest(toks) AS tok
+       |    FROM (SELECT doc_id, ${TA.duckToks} AS toks FROM documents))
+       |  WHERE tok <> '' AND NOT contains(tok, chr(31)))
+       |SELECT doc_id, pos, CAST(piece_pos AS BIGINT) AS piece_pos, piece FROM (
+       |  SELECT t2.doc_id, t2.pos, generate_subscripts(s.ps, 1) AS piece_pos,
+       |    unnest(s.ps) AS piece
+       |  FROM t2 JOIN sg s ON s.word = t2.tok)
+       |ORDER BY doc_id, pos, piece_pos""".stripMargin
+
   /** §2.8 — the tokenizer-family FERTILITY comparison: [[Bpe
     * .bpeFertility]]'s go/no-go numbers for BOTH trained families in
     * one table, per (family, lang, source) — the read a tokenizer
@@ -357,11 +401,14 @@ object Unigram {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_unigram_train" -> (vocabUnigramTrain _),
+    "token_ids_unigram"   -> (tokenIdsUnigram _),
     "tokenizer_fertility" -> (tokenizerFertility _)
   )
 
   def oracles: Map[String, String] =
     Map("vocab_unigram_train" -> vocabUnigramTrainSql) ++
+      graft.sources.OracleStage.globOf("unigram_segs")
+        .map(g => "token_ids_unigram" -> tokenIdsUnigramSql(g)) ++
       (for {
         mg <- graft.sources.OracleStage.globOf("bpe_merges")
         sg <- graft.sources.OracleStage.globOf("unigram_segs")
