@@ -69,7 +69,7 @@ object Unigram {
 
   /** Quantized log score — the one arithmetic both engines must agree
     * on (they do: correctly-rounded libm ln over integer counts). */
-  private def qlog(c: Long): Long =
+  private[graft] def qlog(c: Long): Long =
     math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong
   private val qlogSqlOf: String => String =
     x => s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
@@ -97,7 +97,7 @@ object Unigram {
     * the tie-break: minimum negated score first, then the
     * lexicographically smallest segmentation. Columns required:
     * `cs` (char array) and `qmap` (piece → quantized log count). */
-  private def dpExpr(qt: Long): Column = expr(
+  private[graft] def dpExpr(qt: Long): Column = expr(
     s"""aggregate(
        |  sequence(1, size(cs)),
        |  array(named_struct('ns', CAST(0 AS BIGINT), 'g', '')),
@@ -120,7 +120,7 @@ object Unigram {
     * (final vocab rows (piece, piece_len, kind, n_uses), the shipped
     * score map counts, their total) — the vocab is a bounded driver
     * artifact throughout, exactly like [[Bpe]]'s merge table. */
-  private[graft] def trainOf(docs: DataFrame)
+  private[graft] def trainOf(docs: DataFrame, seedMulti: Int = uniSeedMulti)
       : (Seq[(String, Long, String, Long)], Map[String, Long], Long) = {
     val s = docs.sparkSession
     import s.implicits._
@@ -138,7 +138,7 @@ object Unigram {
     val chars: Seq[(String, Long)] = sub.filter(length($"piece") === 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val multi: Seq[(String, Long)] = sub.filter(length($"piece") >= 2)
-      .orderBy($"c".desc, $"piece").limit(uniSeedMulti)
+      .orderBy($"c".desc, $"piece").limit(seedMulti)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val charSet = chars.map(_._1).toSet
     if (chars.isEmpty) return (Seq.empty, Map.empty, 0L)
@@ -168,14 +168,31 @@ object Unigram {
     (rows, counts, counts.valuesIterator.sum)
   }
 
-  /** The shipped model, staged once per dataset: the surviving
-    * vocabulary with final-round usage (what `vocab_unigram_train`
-    * returns) — the tokenizer artifact a 100 TB deploy trains once
-    * and broadcasts to every encode job. */
-  private[graft] def unigramVocabDf(s: SparkSession, dir: String): DataFrame =
-    graft.sources.OracleStage.stage(s, "unigram_vocab", dir) {
+  /** Per-(dataset, budget) training memo: vocab/segs staging and the
+    * sweep all reuse one driver-side train run, the way a deploy
+    * trains once and ships the artifact. */
+  private val trainMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), (Seq[(String, Long, String, Long)], Map[String, Long], Long)]
+  private[graft] def trainFor(s: SparkSession, dir: String,
+      seedMulti: Int = uniSeedMulti)
+      : (Seq[(String, Long, String, Long)], Map[String, Long], Long) =
+    trainMemo.getOrElseUpdate((dir, seedMulti),
+      trainOf(Tables.documents(s, dir), seedMulti))
+
+  private def vocabKey(b: Int) =
+    if (b == uniSeedMulti) "unigram_vocab" else s"unigram_vocab_b$b"
+  private def segsKey(b: Int) =
+    if (b == uniSeedMulti) "unigram_segs" else s"unigram_segs_b$b"
+
+  /** The shipped model, staged once per (dataset, budget): the
+    * surviving vocabulary with final-round usage (what
+    * `vocab_unigram_train` returns) — the tokenizer artifact a 100 TB
+    * deploy trains once and broadcasts to every encode job. */
+  private[graft] def unigramVocabDf(s: SparkSession, dir: String,
+      seedMulti: Int = uniSeedMulti): DataFrame =
+    graft.sources.OracleStage.stage(s, vocabKey(seedMulti), dir) {
       import s.implicits._
-      val (rows, _, _) = trainOf(Tables.documents(s, dir))
+      val (rows, _, _) = trainFor(s, dir, seedMulti)
       rows.toDF("piece", "piece_len", "kind", "n_uses")
     }
 
@@ -183,10 +200,11 @@ object Unigram {
     * EVERY corpus word (overlong words char-split — the documented
     * fallback), staged like [[Bpe.wordPieces]] so encode-side
     * consumers broadcast it instead of re-running the DP. */
-  private[graft] def unigramSegsDf(s: SparkSession, dir: String): DataFrame =
-    graft.sources.OracleStage.stage(s, "unigram_segs", dir) {
+  private[graft] def unigramSegsDf(s: SparkSession, dir: String,
+      seedMulti: Int = uniSeedMulti): DataFrame =
+    graft.sources.OracleStage.stage(s, segsKey(seedMulti), dir) {
       import s.implicits._
-      val (_, counts, total) = trainOf(Tables.documents(s, dir))
+      val (_, counts, total) = trainFor(s, dir, seedMulti)
       val all = wordsOf(Tables.documents(s, dir), capped = false)
       if (counts.isEmpty)
         // no trainable words at all (every word overlong): the empty
@@ -293,6 +311,73 @@ object Unigram {
        |FROM v$uniRounds v LEFT JOIN u$uniRounds u USING (piece)
        |WHERE v.kind = 'char' OR coalesce(u.n, 0) > 0
        |ORDER BY piece""".stripMargin
+  }
+
+  /** Vocabulary budgets swept by [[tokenizerVocabSweep]] — bracketing
+    * the default so the curve shows both the starved and the
+    * saturated regime. */
+  val uniVocabBudgets: Seq[Int] = Seq(30, 60, 120, 240)
+
+  /** §2.8 — the tokenizer VOCAB-SIZE tuning curve (the
+    * dedup_threshold_sweep / ann_ivf_probe_sweep device applied to
+    * the tokenizer): one unigram model trained per multi-piece budget
+    * in [[uniVocabBudgets]], each reported with its surviving vocab
+    * size and whole-corpus fertility — the elbow a tokenizer owner
+    * reads to pick the vocabulary size BEFORE committing the
+    * expensive full-scale train (fertility flattening while n_vocab
+    * keeps growing means the extra budget buys nothing on this
+    * corpus). Each budget's training is the driver-bounded loop (the
+    * corpus pays one word count, shared across budgets via the
+    * staging memo); the corpus-side cost per sweep point is one
+    * broadcast lexicon join + a global aggregate. */
+  def tokenizerVocabSweep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val toks = Tables.documents(s, dir)
+      .select(explode(expr(TA.toksExpr)).as("tok"))
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+    uniVocabBudgets.map { b =>
+      val segs = unigramSegsDf(s, dir, b)
+        .select($"word".as("tok"), $"n_pieces")
+      val nVocab = unigramVocabDf(s, dir, b).count()
+      toks.join(broadcast(segs), "tok")
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(length($"tok")).cast("long").as("n_chars"),
+          sum($"n_pieces").cast("long").as("n_pieces"))
+        // empty corpus: no sweep rows (the oracle's HAVING emits none)
+        .filter($"n_words" > 0)
+        .select(lit(b.toLong).as("vocab_budget"), lit(nVocab).as("n_vocab"),
+          $"n_words", $"n_chars", $"n_pieces",
+          expr(rndSql("CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)", 4)).as("fertility"),
+          expr(rndSql("CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)", 4)).as("chars_per_piece"))
+    }.reduce(_ unionByName _).orderBy($"vocab_budget")
+  }
+
+  /** Oracle: per budget, the staged vocab's row count + the staged
+    * segmentation lexicon re-aggregated over the corpus tokens — the
+    * per-budget training derivations are the same machinery
+    * [[vocabUnigramTrainSql]] checks at the default budget. */
+  def tokenizerVocabSweepSql(arts: Seq[(Int, String, String)]): String = {
+    import graft.functions.Agg.rndSql
+    val per = arts.map { case (b, vocabGlob, segsGlob) =>
+      s"""SELECT CAST($b AS BIGINT) AS vocab_budget,
+         |  (SELECT count(*) FROM read_parquet('$vocabGlob')) AS n_vocab,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(tk.tok)) AS BIGINT) AS n_chars,
+         |  CAST(sum(sg.n_pieces) AS BIGINT) AS n_pieces,
+         |  ${rndSql("CAST(sum(sg.n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS fertility,
+         |  ${rndSql("CAST(sum(length(tk.tok)) AS DOUBLE) / CAST(sum(sg.n_pieces) AS DOUBLE)", 4)} AS chars_per_piece
+         |FROM tk JOIN read_parquet('$segsGlob') sg ON sg.word = tk.tok
+         |HAVING count(*) > 0""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tk AS MATERIALIZED (
+       |  SELECT tok FROM (
+       |    SELECT unnest(${TA.duckToks}) AS tok FROM documents)
+       |  WHERE tok <> '' AND NOT contains(tok, chr(31)))
+       |SELECT * FROM (
+       |$per)
+       |ORDER BY vocab_budget""".stripMargin
   }
 
   /** §2.8 — encode the corpus with the trained unigram model: every
@@ -402,15 +487,25 @@ object Unigram {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_unigram_train" -> (vocabUnigramTrain _),
     "token_ids_unigram"   -> (tokenIdsUnigram _),
-    "tokenizer_fertility" -> (tokenizerFertility _)
+    "tokenizer_fertility" -> (tokenizerFertility _),
+    "tokenizer_vocab_sweep" -> (tokenizerVocabSweep _)
   )
 
-  def oracles: Map[String, String] =
+  def oracles: Map[String, String] = {
+    import graft.sources.OracleStage.globOf
+    val sweepArts = uniVocabBudgets.flatMap { b =>
+      for { vg <- globOf(vocabKey(b)); sg <- globOf(segsKey(b)) }
+        yield (b, vg, sg)
+    }
     Map("vocab_unigram_train" -> vocabUnigramTrainSql) ++
-      graft.sources.OracleStage.globOf("unigram_segs")
+      globOf("unigram_segs")
         .map(g => "token_ids_unigram" -> tokenIdsUnigramSql(g)) ++
       (for {
-        mg <- graft.sources.OracleStage.globOf("bpe_merges")
-        sg <- graft.sources.OracleStage.globOf("unigram_segs")
-      } yield "tokenizer_fertility" -> tokenizerFertilitySql(mg, sg))
+        mg <- globOf("bpe_merges")
+        sg <- globOf("unigram_segs")
+      } yield "tokenizer_fertility" -> tokenizerFertilitySql(mg, sg)) ++
+      (if (sweepArts.size == uniVocabBudgets.size)
+        Map("tokenizer_vocab_sweep" -> tokenizerVocabSweepSql(sweepArts))
+      else Map.empty)
+  }
 }

@@ -502,6 +502,64 @@ object StreamOps {
       .orderBy(col("doc_id"), col("pos"), col("piece_pos"))
   }
 
+  /** §2.8 42e' — the UNIGRAM encoder run at ingest (the streaming
+    * sibling of [[bpeEncodeStream]] for the second tokenizer family):
+    * arrivals broadcast-join the staged segmentation lexicon; an
+    * out-of-lexicon word (possible in production — the lexicon is a
+    * corpus snapshot) falls back to the SAME row-local Viterbi DP the
+    * trainer used, against the same broadcast score map, with the
+    * same overlong-word char-split — so the stream can never emit a
+    * segmentation the batch encoder wouldn't. Run to completion over
+    * the corpus it equals [[graft.operators.Unigram.tokenIdsUnigram]]
+    * and shares its staged oracle. Corpus-sized output → parquet
+    * sink, the [[runBpeEncodeToCompletion]] rationale. */
+  def unigramEncodeStream(s: SparkSession, dir: String,
+      lexOverride: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Unigram, TextAnalysis => TA}
+    val SEP = ""
+    val (_, counts, total) = Unigram.trainFor(s, dir)
+    val lex = lexOverride.getOrElse(Unigram.unigramSegsDf(s, dir))
+      .select($"word".as("tok"), $"g".as("lex_g"))
+    val base = StreamAcc.fileStream(s, dir, "documents")
+      .select($"doc_id", posexplode(expr(TA.toksExpr)).as(Seq("pos0", "tok")))
+      .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"tok")
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+      .join(broadcast(lex), Seq("tok"), "left")
+    val charSplit = regexp_replace($"tok", "(.)", s"$SEP$$1")
+    val withG =
+      if (counts.isEmpty) base.withColumn("g", coalesce($"lex_g", charSplit))
+      else base
+        .withColumn("cs", expr("regexp_extract_all(tok, '(.)', 1)"))
+        .withColumn("n", size($"cs"))
+        .withColumn("qmap",
+          typedLit(counts.map { case (p, c) => p -> Unigram.qlog(c) }))
+        .withColumn("g", coalesce($"lex_g",
+          when($"n" <= Unigram.uniMaxWordLen,
+            Unigram.dpExpr(Unigram.qlog(total))).otherwise(charSplit)))
+    withG
+      .select($"doc_id", $"pos", posexplode(
+        expr(s"filter(split(g, '$SEP'), x -> x <> '')")).as(Seq("pp0", "piece")))
+      .select($"doc_id", $"pos",
+        ($"pp0" + 1).cast("long").as("piece_pos"), $"piece")
+  }
+
+  def runUnigramEncodeToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_unigram",
+      lexOverride: Option[DataFrame] = None): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory(sink).toString
+    val q = unigramEncodeStream(s, dir, lexOverride).writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$out/data")
+      .orderBy(col("doc_id"), col("pos"), col("piece_pos"))
+  }
+
   def runDecontaminateSpanToCompletion(s: SparkSession, dir: String,
       sink: String = "stream_decontam"): DataFrame = {
     val q = decontaminateSpanStream(s, dir).writeStream
@@ -1642,6 +1700,8 @@ object StreamOps {
       runDecontaminateSemanticToCompletion(s, dir, sink = "stream_semdecontam_verify")),
     "stream_bpe_encode" -> ((s, dir) =>
       runBpeEncodeToCompletion(s, dir, sink = "stream_bpe_verify")),
+    "stream_unigram_encode" -> ((s, dir) =>
+      runUnigramEncodeToCompletion(s, dir, sink = "stream_unigram_verify")),
     "stream_dedup_exact" -> ((s, dir) =>
       runDedupExactToCompletion(s, dir, sink = "stream_dedup_verify")),
     "stream_latest_state" -> ((s, dir) =>
@@ -1714,6 +1774,10 @@ object StreamOps {
     // stateless per-token encode run to completion == the batch
     // encoder: shares 42c's staged-merge oracle
     "stream_bpe_encode" -> graft.operators.Bpe.tokenIdsBpeSql(g)
+  ) ++ graft.sources.OracleStage.globOf("unigram_segs").map(g =>
+    // stateless per-token encode, lexicon-joined with the trainer's
+    // own DP as fallback: shares 42h's staged-lexicon oracle
+    "stream_unigram_encode" -> graft.operators.Unigram.tokenIdsUnigramSql(g)
   ) ++ Map(
     // run to completion, the incremental state merge equals the batch
     // groupBy: shares dedup_exact's oracle verbatim

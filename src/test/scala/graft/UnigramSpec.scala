@@ -72,6 +72,41 @@ class UnigramSpec extends SparkSpec {
     assert(tok._3 < 3L, s"'tok' recurs enough to earn a multi piece: $tok")
   }
 
+  test("vocab sweep: one consistent row per budget over the same word universe") {
+    val rows = Unigram.tokenizerVocabSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == Unigram.uniVocabBudgets.map(_.toLong))
+    // the word universe is budget-independent
+    assert(rows.map(_._3).distinct.length == 1, rows.mkString(", "))
+    rows.foreach { case (b, nVocab, nWords, nPieces, fert) =>
+      // surviving vocab is bounded by alphabet + budget, never empty
+      assert(nVocab > 0 && nVocab <= b + 64, s"budget $b: n_vocab $nVocab")
+      assert(nPieces >= nWords, s"budget $b: at least one piece per word")
+      assert(math.abs(fert - nPieces.toDouble / nWords) < 1e-3)
+    }
+    // the curve must actually move across the swept range: the
+    // starved budget pays more pieces per word than the saturated one
+    assert(rows.head._5 >= rows.last._5,
+      s"fertility should not rise with budget: ${rows.mkString(", ")}")
+  }
+
+  test("streaming encode with an EMPTY lexicon falls back to the trainer's DP and equals the batch encoder") {
+    val s = spark; import s.implicits._
+    val emptyLex = Seq.empty[(String, String)].toDF("word", "g")
+    val streamed = graft.streaming.StreamOps
+      .runUnigramEncodeToCompletion(s, sfDir,
+        sink = "uni_enc_fallback", lexOverride = Some(emptyLex))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val batch = Unigram.tokenIdsUnigram(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(streamed.length == batch.length,
+      s"${streamed.length} streamed vs ${batch.length} batch rows")
+    assert(streamed.toSet == batch.toSet,
+      s"fallback DP diverges from the staged lexicon: " +
+        s"${(streamed.toSet -- batch.toSet).take(3)} vs ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+
   test("fertility table carries both families over the identical word set") {
     val rows = Unigram.tokenizerFertility(spark, sfDir).collect()
       .map(r => (r.getString(7), r.getString(0), r.getString(1), r.getLong(2),
