@@ -175,8 +175,23 @@ object SimilarityKnn {
     * large query batch partitions the queries and runs batches
     * independently (queries never interact); the corpus-side plan is
     * unchanged. Visited sets localCheckpoint per round (lineage cut,
-    * the loop contract of [[poolOf]]). */
+    * the loop contract of [[poolOf]]).
+    *
+    * The descent's top-k is STAGED once per dataset (the §5 artifact
+    * rule): [[annRecallReport]] re-invokes every tier, and without
+    * staging the report would re-pay the full multi-round descent —
+    * measured at sf≈1 it was the report's single largest term
+    * (+7.7 s). The oracle still re-derives the whole descent from
+    * the staged candidate POOL, so staging the result changes what
+    * is cached, not what is checked. */
   def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.sources.OracleStage.stage(s, "graph_search_topk", dir)(
+        graphSearchOf(s, dir))
+      .orderBy($"query_id", $"rank")
+  }
+
+  private def graphSearchOf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val v = Similarity.nonDegenerate(Similarity.vectors(s, dir))
       .localCheckpoint(true)
