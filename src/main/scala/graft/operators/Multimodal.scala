@@ -1010,14 +1010,25 @@ object Multimodal {
       .join(m.groupBy($"payload_md5").agg(min($"asset_id").as("canonical_id")),
         "payload_md5")
       .select($"asset_id", $"canonical_id")
-    val pairMin = mmDedupNear(s, dir)
+    // ONE banded pair join feeds both perceptual tiers instead of the
+    // pair-min and the closure each re-paying the self-join. At the
+    // shared-axis sf≈10 worst case (every asset a 100-way dup, 25M
+    // pairs) the checkpoint materialization costs what the saved join
+    // did — a wash there; at realistic density the pair set is sparse
+    // and the saved self-join dominates.
+    val pairs = mmDedupNear(s, dir)
+      .select($"id1", $"id2").localCheckpoint(true)
+    val pairMin = pairs
       .groupBy($"id2".as("asset_id")).agg(min($"id1").as("nbr_min"))
     val nearPairs = m.select($"asset_id")
       .join(pairMin, Seq("asset_id"), "left")
       .select($"asset_id",
         coalesce($"nbr_min", $"asset_id").as("canonical_id"))
-    val clusters = mmDedupNearClusters(s, dir)
-      .select($"asset_id", $"canonical_id")
+    val clusters = Dedup.clustersOf(s,
+        Tables.documents(s, dir).select($"doc_id"),
+        pairs.select($"id1".as("doc1"), $"id2".as("doc2")),
+        Dedup.maxClusterIters)
+      .select($"doc_id".as("asset_id"), $"canonical_id")
     report("digest", digest)
       .unionByName(report("near_pairs", nearPairs))
       .unionByName(report("near_clusters", clusters))
