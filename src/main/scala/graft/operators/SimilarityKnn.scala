@@ -143,9 +143,15 @@ object SimilarityKnn {
     * graph loop here (Graph.scala's BFS shape): each round costs one
     * frontier expansion, never "until converged" on a skewed graph. */
   val searchRounds = 4
-  /** Entry points shared by every query: the [[Similarity
+  /** Entry points of the GLOBAL-entry fallback seam: the [[Similarity
     * .knnEvalHashSql]]-ranked lowest ids — a deterministic pseudo-
-    * random sample, the same device as the kNN-eval query sample. */
+    * random sample, the same device as the kNN-eval query sample.
+    * The production seed rule is centroid-seeded (see
+    * [[graphSearchOf]]); this variant exists so the multi-cluster
+    * spec can demonstrate WHY: 4 shared entries can all land in one
+    * region of a clustered corpus and the bounded beam never escapes
+    * it — flat greedy search's known failure, the one HNSW's upper
+    * layers (and our IVF coarse layer) exist to fix. */
   val entryCount = 4
 
   /** The reported graph re-cut to the denser SEARCH degree
@@ -177,30 +183,59 @@ object SimilarityKnn {
     * unchanged. Visited sets localCheckpoint per round (lineage cut,
     * the loop contract of [[poolOf]]).
     *
-    * The descent's top-k is STAGED once per dataset (the §5 artifact
-    * rule): [[annRecallReport]] re-invokes every tier, and without
-    * staging the report would re-pay the full multi-round descent —
-    * measured at sf≈1 it was the report's single largest term
-    * (+7.7 s). The oracle still re-derives the whole descent from
-    * the staged candidate POOL, so staging the result changes what
-    * is cached, not what is checked. */
+    * SEED RULE (the IVF coarse layer): each query's beam starts from
+    * the LEAD MEMBER (lowest vec_id) of each of its [[SimilarityIvf
+    * .nprobe]] closest inverted lists — the staged IVF centroids
+    * reused as graph entry points, the flat-graph analogue of HNSW's
+    * upper layers. With global shared entries, every seed can land in
+    * one region of a clustered corpus and the bounded beam never
+    * reaches another (within-cluster kNN edges don't cross
+    * near-orthogonal clusters); per-query centroid seeds start the
+    * descent in the right region by construction. All seed arithmetic
+    * is driver-bounded (nQueries × nlist scores) + one nlist-row
+    * rollup — the corpus-side plan is unchanged.
+    *
+    * The result is NOT staged as a per-dataset artifact (the §5 rule
+    * covers expensive shared INTERMEDIATES, not a query's final
+    * answer — staging it made the bench time a parquet read): every
+    * standalone invocation computes the descent LIVE (so each bench
+    * pass times the real multi-round search) and refreshes a session
+    * memo that ONLY [[annRecallReport]] reads for its tier
+    * re-invocation — the report reuses the already-computed frame
+    * without ever changing what the standalone query costs. */
   def annGraphSearch(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.sources.OracleStage.stage(s, "graph_search_topk", dir)(
-        graphSearchOf(s, dir))
+    val live = graphSearchOf(s, dir, centroidSeeded = true).localCheckpoint(true)
+    gsMemo.put((dir, s), live)
+    live.orderBy($"query_id", $"rank")
+  }
+
+  /** The report-side accessor: reuse the last computed descent for
+    * this (dataset, session) if one exists, else compute and memoize. */
+  private def graphSearchMemoized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    gsMemo.getOrElseUpdate((dir, s),
+        graphSearchOf(s, dir, centroidSeeded = true).localCheckpoint(true))
       .orderBy($"query_id", $"rank")
   }
 
-  private def graphSearchOf(s: SparkSession, dir: String): DataFrame = {
+  /** Session memo of the computed descent (lineage-cut), NOT a disk
+    * artifact: cleared with the session, never read by oracles. */
+  private val gsMemo =
+    scala.collection.concurrent.TrieMap[(String, SparkSession), DataFrame]()
+
+  /** The global-entry variant, spec seam only (see [[entryCount]]). */
+  private[graft] def graphSearchGlobalEntry(s: SparkSession, dir: String): DataFrame =
+    graphSearchOf(s, dir, centroidSeeded = false)
+
+  private def graphSearchOf(s: SparkSession, dir: String,
+                            centroidSeeded: Boolean): DataFrame = {
     import s.implicits._
     val v = Similarity.nonDegenerate(Similarity.vectors(s, dir))
       .localCheckpoint(true)
     val edges = searchEdges(s, dir).localCheckpoint(true)
     val q = v.filter($"vec_id" < Similarity.nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val entry = v.withColumn("h", expr(Similarity.knnEvalHashSql))
-      .orderBy($"h", $"vec_id").limit(entryCount)
-      .select($"vec_id".as("node"))
     val cv = v.select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nn"))
     // (query_id, node) candidates -> scored cosine; candidates are
     // tiny (queries-bounded) and broadcast — the corpus never shuffles
@@ -209,8 +244,36 @@ object SimilarityKnn {
         .join(broadcast(q), "query_id")
         .select($"query_id", $"node",
           cosine("qv", "nv", "qn", "nn").as("cosine"))
+    val entryPairs: DataFrame =
+      if (centroidSeeded) {
+        val (cents, assigned) = SimilarityIvf.kmeans(s, dir)
+        // driver-bounded probe lists: nQueries × nlist scores with the
+        // shared sequential c·c − 2·q·c fold (identical on driver,
+        // executor and DuckDB — the ivfPqScored contract)
+        val qvecs = v.filter($"vec_id" < Similarity.nQueries)
+          .select($"vec_id", $"v").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        def centScore(qv: Seq[Double], c: Seq[Double]): Double = {
+          var cc = 0.0; var qc = 0.0; var i = 0
+          while (i < c.length) { cc += c(i) * c(i); qc += qv(i) * c(i); i += 1 }
+          cc - 2.0 * qc
+        }
+        val probes = qvecs.toSeq.flatMap { case (qid, qv) =>
+          cents.zipWithIndex.map { case (c, i) => (centScore(qv, c), i) }
+            .sorted.take(SimilarityIvf.nprobe).map { case (_, cid) => (qid, cid) }
+        }
+        // lead member per inverted list: one nlist-row rollup
+        val leads = assigned.groupBy($"cid").agg(min($"vec_id").as("node"))
+        leads.join(broadcast(probes.toDF("query_id", "cid")), "cid")
+          .select($"query_id", $"node")
+      } else {
+        val entry = v.withColumn("h", expr(Similarity.knnEvalHashSql))
+          .orderBy($"h", $"vec_id").limit(entryCount)
+          .select($"vec_id".as("node"))
+        q.select($"query_id").crossJoin(entry)
+      }
     val bw = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"node")
-    var visited = scoreCands(q.select($"query_id").crossJoin(entry))
+    var visited = scoreCands(entryPairs)
       .localCheckpoint(true)
     for (_ <- 1 to searchRounds) {
       val frontier = visited.withColumn("rk", row_number().over(bw))
@@ -233,7 +296,7 @@ object SimilarityKnn {
     * deterministic, so fixed rounds are expressible as nested
     * relational algebra; DuckDB replays beam, expansion, anti-join
     * and re-beam exactly). */
-  def annGraphSearchSql(glob: String): String = {
+  def annGraphSearchSql(glob: String, centGlob: String): String = {
     val cos = rndSql("list_dot_product(q.qv, c.v) / (q.qn * c.nrm)", 6)
     val rounds = (1 to searchRounds).map { r =>
       s"""f${r - 1} AS (
@@ -270,12 +333,29 @@ object SimilarityKnn {
        |    SELECT src, dst,
        |      row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
        |    FROM '$glob') WHERE rk <= $searchK),
-       |entry AS (
-       |  SELECT vec_id AS node FROM n
-       |  ORDER BY ${Similarity.knnEvalHashSql}, vec_id LIMIT $entryCount),
+       |cents AS (SELECT cid, c FROM read_parquet('$centGlob')),
+       |iscored AS (
+       |  SELECT n.vec_id, cents.cid,
+       |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(n.v, cents.c) AS s
+       |  FROM n, cents),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM iscored)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM iscored WHERE vec_id < ${Similarity.nQueries})
+       |  WHERE rn <= ${SimilarityIvf.nprobe}),
+       |leads AS (SELECT cid, min(vec_id) AS node FROM assigned GROUP BY cid),
        |vis0 AS (
-       |  SELECT q.query_id, c.vec_id AS node, $cos AS cosine
-       |  FROM q, entry JOIN n c ON c.vec_id = entry.node),
+       |  SELECT p.query_id, l.node, $cos AS cosine
+       |  FROM probes p JOIN leads l USING (cid)
+       |  JOIN n c ON c.vec_id = l.node
+       |  JOIN q ON q.query_id = p.query_id),
        |$rounds
        |SELECT query_id, rank, neighbor_id, cosine FROM (
        |  SELECT query_id,
@@ -312,7 +392,21 @@ object SimilarityKnn {
       "ann_knn_graph" -> annKnnGraph(s, dir)
         .filter($"vec_id" < Similarity.nQueries)
         .select($"vec_id".as("query_id"), $"neighbor_id"),
-      "ann_graph_search" -> annGraphSearch(s, dir)
+      "ann_graph_search" -> graphSearchMemoized(s, dir)
+        .select($"query_id", $"neighbor_id"),
+      // the IVF/PQ PRODUCTION stack (31b/31j/31k/31e/31m): the tiers
+      // an operator actually deploys at 10¹¹ vectors — the report
+      // exists to pick among them, so they must sit in the same table
+      // as the hash/graph tiers (round-10 verdict's top item)
+      "ann_ivf" -> SimilarityIvf.annIvf(s, dir)
+        .select($"query_id", $"neighbor_id"),
+      "ann_ivf_pq" -> EmbedPq.annIvfPq(s, dir)
+        .select($"query_id", $"neighbor_id"),
+      "ann_ivf_pq_refine" -> EmbedPq.annIvfPqRefine(s, dir)
+        .select($"query_id", $"neighbor_id"),
+      "ann_pq_refine" -> EmbedPq.annPqRefine(s, dir)
+        .select($"query_id", $"neighbor_id"),
+      "ann_opq" -> EmbedPq.annOpq(s, dir)
         .select($"query_id", $"neighbor_id"))
     val preds = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
@@ -335,7 +429,9 @@ object SimilarityKnn {
     * nest fine in DuckDB), unioned and scored against the brute-force
     * truth — so the report's oracle is exactly the composition of the
     * already-proven per-tier oracles. */
-  def annRecallReportSql(lshGlob: String, knnGlob: String): String =
+  def annRecallReportSql(lshGlob: String, knnGlob: String,
+                         centGlob: String, pqGlob: String,
+                         opqCbGlob: String, opqRotGlob: String): String =
     s"""WITH truth AS (
        |  SELECT query_id, neighbor_id FROM (${Similarity.annBruteforceSql})),
        |preds AS (
@@ -351,7 +447,17 @@ object SimilarityKnn {
        |  FROM (${annKnnGraphSql(knnGlob)})
        |  WHERE vec_id < ${Similarity.nQueries}
        |  UNION ALL SELECT 'ann_graph_search', query_id, neighbor_id
-       |  FROM (${annGraphSearchSql(knnGlob)})),
+       |  FROM (${annGraphSearchSql(knnGlob, centGlob)})
+       |  UNION ALL SELECT 'ann_ivf', query_id, neighbor_id
+       |  FROM (${SimilarityIvf.annIvfSql(centGlob)})
+       |  UNION ALL SELECT 'ann_ivf_pq', query_id, neighbor_id
+       |  FROM (${EmbedPq.annIvfPqSql(pqGlob, centGlob)})
+       |  UNION ALL SELECT 'ann_ivf_pq_refine', query_id, neighbor_id
+       |  FROM (${EmbedPq.annIvfPqRefineSql(pqGlob, centGlob)})
+       |  UNION ALL SELECT 'ann_pq_refine', query_id, neighbor_id
+       |  FROM (${EmbedPq.annPqRefineSql(pqGlob)})
+       |  UNION ALL SELECT 'ann_opq', query_id, neighbor_id
+       |  FROM (${EmbedPq.annOpqSql(opqCbGlob, opqRotGlob)})),
        |tc AS (SELECT count(*) AS t_n FROM truth),
        |j AS (
        |  SELECT p.method,
@@ -374,10 +480,16 @@ object SimilarityKnn {
   def oracles: Map[String, String] =
     graft.sources.OracleStage.globOf("knn_candidates")
       .map(g => "ann_knn_graph" -> annKnnGraphSql(g)).toMap ++
-      graft.sources.OracleStage.globOf("knn_candidates")
-        .map(g => "ann_graph_search" -> annGraphSearchSql(g)).toMap ++
+      (for {
+        kg <- graft.sources.OracleStage.globOf("knn_candidates")
+        cg <- graft.sources.OracleStage.globOf("ivf_centroids")
+      } yield "ann_graph_search" -> annGraphSearchSql(kg, cg)).toMap ++
       (for {
         lg <- graft.sources.OracleStage.globOf("lsh_buckets")
         kg <- graft.sources.OracleStage.globOf("knn_candidates")
-      } yield "ann_recall_report" -> annRecallReportSql(lg, kg))
+        cg <- graft.sources.OracleStage.globOf("ivf_centroids")
+        pg <- graft.sources.OracleStage.globOf("pq_codebooks")
+        og <- graft.sources.OracleStage.globOf("opq_codebooks")
+        rg <- graft.sources.OracleStage.globOf("opq_rotation")
+      } yield "ann_recall_report" -> annRecallReportSql(lg, kg, cg, pg, og, rg))
 }

@@ -69,7 +69,9 @@ class SimilarityKnnSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
     assert(rows.keySet == Set("ann_lsh", "ann_matryoshka", "ann_hamming",
-      "ann_hamming_refine", "ann_knn_graph", "ann_graph_search"))
+      "ann_hamming_refine", "ann_knn_graph", "ann_graph_search",
+      "ann_ivf", "ann_ivf_pq", "ann_ivf_pq_refine", "ann_pq_refine",
+      "ann_opq"))
     val maxPairs = Similarity.nQueries.toLong * SimilarityKnn.knnK
     rows.foreach { case (m, (nRet, nHits, rec)) =>
       assert(nRet <= maxPairs, s"$m returned $nRet > $maxPairs")
@@ -79,6 +81,12 @@ class SimilarityKnnSpec extends SparkSpec {
     // the exact re-rank can only repair Hamming's quantization
     // mis-ordering (the 31v dominance property, visible here too)
     assert(rows("ann_hamming_refine")._3 >= rows("ann_hamming")._3)
+    // the same dominance for the production stack: exact re-rank of
+    // the IVF×PQ shortlist can't lose a shortlisted true neighbor
+    assert(rows("ann_ivf_pq_refine")._3 >= rows("ann_ivf_pq")._3)
+    // pruning can only lose candidates: raw IVF (exact cosine within
+    // probed lists) bounds its PQ-compressed variant from above
+    assert(rows("ann_ivf")._3 >= rows("ann_ivf_pq")._3)
   }
 
   test("graph search: ranked self-free top-k per query, recall at least the LSH tier's") {
@@ -98,6 +106,56 @@ class SimilarityKnnSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getDouble(3)).toMap
     assert(report("ann_graph_search") >= report("ann_lsh"),
       s"graph search ${report("ann_graph_search")} < lsh ${report("ann_lsh")}")
+  }
+
+  test("centroid seeding reaches clusters global entries provably miss") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gs-blobs").toString
+    // 8 near-orthogonal clusters of 16 (axis direction + a small
+    // next-axis tilt), ids interleaved mod 8 so the 10 query ids
+    // (vec_id < nQueries) cover every cluster. Cluster size 16 >
+    // searchK keeps the working graph's top-10 within-cluster, so a
+    // beam seeded in the wrong cluster cannot walk out — the flat
+    // greedy failure the IVF coarse entry layer exists to fix.
+    val nClusters = 8
+    val vecs = for {
+      j <- 0 until 16
+      ci <- 0 until nClusters
+    } yield {
+      val a = Array.fill(64)(0f)
+      a(ci) = 1f
+      a((ci + 1) % nClusters) = 0.01f * (j + 1)
+      (j.toLong * nClusters + ci, a)
+    }
+    vecs.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def recallVsExact(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val v = vecs.toMap
+      val approx = rows.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val queries = vecs.map(_._1).filter(_ < Similarity.nQueries)
+      queries.map { q =>
+        val qv = v(q)
+        val truth = vecs.filter(_._1 != q).map { case (id, b) =>
+          val dot = qv.zip(b).map { case (x, y) => x.toDouble * y }.sum
+          (id, dot / (math.sqrt(qv.map(x => x.toDouble * x).sum) *
+            math.sqrt(b.map(x => x.toDouble * x).sum)))
+        }.sortBy { case (id, c) => (-c, id) }
+          .take(Similarity.k).map(_._1).toSet
+        (truth & approx.getOrElse(q, Set.empty)).size.toDouble / truth.size
+      }.sum / queries.size
+    }
+    val centroid = recallVsExact(
+      SimilarityKnn.annGraphSearch(s, dir).collect())
+    val global = recallVsExact(
+      SimilarityKnn.graphSearchGlobalEntry(s, dir).collect())
+    // 4 shared entries cover at most 4 of the 8 clusters: at least
+    // half the queries descend from a wrong-cluster seed and the
+    // within-cluster edge structure strands them there
+    assert(global <= 0.6, s"global-entry recall $global should under-recall")
+    assert(centroid >= 0.9, s"centroid-seeded recall $centroid")
+    assert(centroid > global,
+      s"centroid seeding must beat global entries: $centroid vs $global")
   }
 
   test("graph edges carry exact quantized cosines") {
