@@ -76,6 +76,26 @@ object GraftExpressions {
       FunctionIdentifier("graft_normalize"),
       new ExpressionInfo(classOf[TextNormalize].getName, "graft_normalize"),
       (es: Seq[Expression]) => TextNormalize(es(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_matvec"),
+      new ExpressionInfo(classOf[MatVec].getName, "graft_matvec"),
+      (es: Seq[Expression]) => MatVec(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_qmatvec"),
+      new ExpressionInfo(classOf[QuantMatVec].getName, "graft_qmatvec"),
+      (es: Seq[Expression]) => QuantMatVec(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_qmatvec_c"),
+      new ExpressionInfo(classOf[CenteredQuantMatVec].getName, "graft_qmatvec_c"),
+      (es: Seq[Expression]) => CenteredQuantMatVec(es(0), es(1), es(2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (es: Seq[Expression]) => PqEncode(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_adc"),
+      new ExpressionInfo(classOf[AdcSum].getName, "graft_adc"),
+      (es: Seq[Expression]) => AdcSum(es(0), es(1))))
     // Spark's internal bloom-filter pair (what InjectRuntimeFilter
     // plants automatically when stats allow), surfaced as session
     // functions so the engine can build EXPLICIT semi-join reductions:
@@ -103,6 +123,16 @@ object GraftExpressions {
 
   private[functions] def isDoubleArray(t: DataType): Boolean = t match {
     case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private[functions] def isDoubleMatrix(t: DataType): Boolean = t match {
+    case ArrayType(inner, _) => isDoubleArray(inner)
+    case _ => false
+  }
+
+  private[functions] def isIntArray(t: DataType): Boolean = t match {
+    case ArrayType(IntegerType, _) => true
     case _ => false
   }
 
@@ -583,4 +613,297 @@ case class TextNormalize(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): TextNormalize =
     copy(child = newChild)
+}
+
+/** Raw matrix·vector product: `graft_matvec(rows, v)` — one sequential
+  * left-to-right dot per output component, exactly
+  * `transform(sequence(0, k-1), j -> graft_dot(rows[j+1], v))` but as
+  * ONE primitive loop instead of k interpreted lambda dispatches per
+  * row (the OPQ rotation's d² fold — the project's round-3
+  * native-expression rule applied to the matvec family). Each dot
+  * truncates to the shorter operand, matching [[DotProduct]]. */
+case class MatVec(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExpressions.isDoubleMatrix(left.dataType) &&
+        GraftExpressions.isDoubleArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_matvec expects (array<array<double>>, array<double>), got (${left.dataType}, ${right.dataType})")
+
+  def matvec(rows: ArrayData, v: ArrayData): ArrayData = {
+    val k = rows.numElements()
+    val out = new Array[Any](k)
+    var j = 0
+    while (j < k) {
+      val r = rows.getArray(j)
+      val n = math.min(r.numElements(), v.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += r.getDouble(i) * v.getDouble(i); i += 1 }
+      out(j) = s
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    matvec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val ref = ctx.addReferenceObj("matvec", this, classOf[MatVec].getName)
+      s"${ev.value} = $ref.matvec($x, $y);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MatVec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Quantized-term projection: `graft_qmatvec(v, rows)` — per output
+  * component j the BIGINT sum Σᵢ floor(vᵢ·rows[j][i]·1e9 + 0.5),
+  * bit-identical to the whiten/JL/PCA family's
+  * `aggregate(zip_with(v, r, (x, w) -> CAST(floor(x * w * 1e9 + 0.5)
+  * AS BIGINT)), 0, (a, q) -> a + q)` per-component fold (exact
+  * integer sums → order-independent, the family's cross-engine
+  * hash contract) but as one primitive loop instead of a k·d
+  * interpreted lambda chain. Scaling (the /1e9, /√λ, /√k terms)
+  * stays in SQL — it is O(k) per row. */
+case class QuantMatVec(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExpressions.isDoubleArray(left.dataType) &&
+        GraftExpressions.isDoubleMatrix(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_qmatvec expects (array<double>, array<array<double>>), got (${left.dataType}, ${right.dataType})")
+
+  def qmatvec(v: ArrayData, rows: ArrayData): ArrayData = {
+    val k = rows.numElements()
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val r = rows.getArray(j)
+      val n = math.min(r.numElements(), v.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += math.floor(v.getDouble(i) * r.getDouble(i) * 1000000000.0 + 0.5).toLong
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    qmatvec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val ref = ctx.addReferenceObj("qmatvec", this, classOf[QuantMatVec].getName)
+      s"${ev.value} = $ref.qmatvec($x, $y);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): QuantMatVec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** [[QuantMatVec]] with fused centering:
+  * `graft_qmatvec_c(v, mu, rows)` quantizes
+  * floor((vᵢ − muᵢ)·rows[j][i]·1e9 + 0.5) per term — the whiten/PCA
+  * shape, identical to first materializing
+  * `zip_with(v, mu, (x, m) -> x - m)` (same double subtraction,
+  * same product order) and folding. */
+case class CenteredQuantMatVec(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExpressions.isDoubleArray(first.dataType) &&
+        GraftExpressions.isDoubleArray(second.dataType) &&
+        GraftExpressions.isDoubleMatrix(third.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_qmatvec_c expects (array<double>, array<double>, array<array<double>>), " +
+        s"got (${first.dataType}, ${second.dataType}, ${third.dataType})")
+
+  def qmatvec(v: ArrayData, mu: ArrayData, rows: ArrayData): ArrayData = {
+    val k = rows.numElements()
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val r = rows.getArray(j)
+      var n = math.min(r.numElements(), v.numElements())
+      n = math.min(n, mu.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += math.floor(
+          (v.getDouble(i) - mu.getDouble(i)) * r.getDouble(i) * 1000000000.0 + 0.5).toLong
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    qmatvec(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, z) => {
+      val ref = ctx.addReferenceObj("cqmatvec", this, classOf[CenteredQuantMatVec].getName)
+      s"${ev.value} = $ref.qmatvec($x, $y, $z);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CenteredQuantMatVec =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** Fused PQ encode: `graft_pq_encode(v, cbs)` with a FOLDABLE
+  * codebook literal (pqM × pqKsub × pqDsub) returns
+  * `struct(codes array<int>, err double)` — per subspace the argmin
+  * codeword of |c|² − 2·sub·c (FIRST minimum on ties, the
+  * `array_position(ds, array_min(ds))` rule) and the total
+  * reconstruction L2² (per-subspace Σ(x−c)² inner sums, subspaces
+  * accumulated in ascending order — the exact fold order of the
+  * `aggregate`-chain formulation it replaces). The codeword
+  * self-dots |c|² precompute once per expression instance (the
+  * [[CountIn]] foldable-argument device); each row then costs one
+  * tight M·K·dsub loop instead of M·K interpreted lambda dispatches
+  * plus per-position slice allocations. */
+case class PqEncode(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("err", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExpressions.isDoubleArray(left.dataType) &&
+        (right.dataType match {
+          case ArrayType(inner, _) => GraftExpressions.isDoubleMatrix(inner)
+          case _ => false
+        })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode expects (array<double>, array<array<array<double>>>), " +
+        s"got (${left.dataType}, ${right.dataType})")
+
+  // Codebooks and their self-dots, decoded once per task: the
+  // codebook operand is a broadcast literal column, so every row of a
+  // task passes the SAME ArrayData instance — cache keyed on
+  // reference identity (a varying operand would merely rebuild per
+  // row, staying correct). Self-dots |c|² use the sequential
+  // left-to-right graft_dot order.
+  @transient private var cbsRef: AnyRef = _
+  @transient private var cb: Array[Array[Array[Double]]] = _
+  @transient private var cc: Array[Array[Double]] = _
+
+  private def decodeBooks(arr: ArrayData): Unit = {
+    cb = Array.tabulate(arr.numElements()) { m =>
+      val bm = arr.getArray(m)
+      Array.tabulate(bm.numElements()) { c =>
+        val cw = bm.getArray(c)
+        Array.tabulate(cw.numElements())(cw.getDouble)
+      }
+    }
+    cc = cb.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+    cbsRef = arr
+  }
+
+  def encode(v: ArrayData, cbsData: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    if (cbsRef ne cbsData) decodeBooks(cbsData)
+    val m = cb.length
+    val codes = new Array[Any](m)
+    var err = 0.0
+    var mi = 0
+    var off = 0
+    while (mi < m) {
+      val book = cb(mi)
+      val dsub = if (book.isEmpty) 0 else book(0).length
+      var best = Double.MaxValue
+      var bestC = 0
+      var c = 0
+      while (c < book.length) {
+        val cw = book(c)
+        var qc = 0.0
+        var i = 0
+        while (i < dsub) { qc += v.getDouble(off + i) * cw(i); i += 1 }
+        val d = cc(mi)(c) - 2.0 * qc
+        if (d < best) { best = d; bestC = c }
+        c += 1
+      }
+      codes(mi) = bestC
+      // reconstruction: inner Σ(x−c)² left-to-right, then += per
+      // subspace in ascending order (the aggregate-chain fold order)
+      val cw = book(bestC)
+      var e = 0.0
+      var i = 0
+      while (i < dsub) {
+        val dx = v.getDouble(off + i) - cw(i)
+        e += dx * dx
+        i += 1
+      }
+      err += e
+      off += dsub
+      mi += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(new GenericArrayData(codes), err)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+      s"${ev.value} = $ref.encode($x, $y);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ADC lookup-sum: `graft_adc(dt, codes)` = Σₘ dt[m][codes[m]] in
+  * ascending-m order — the `aggregate(sequence(0, M-1), 0, (acc, m)
+  * -> acc + element_at(element_at(dt, m+1), element_at(codes, m+1)
+  * + 1))` chain as one loop. The distance table is a per-query
+  * COLUMN (broadcast join side), so no foldable precompute — the
+  * loop reads both ArrayDatas directly. */
+case class AdcSum(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (GraftExpressions.isDoubleMatrix(left.dataType) &&
+        GraftExpressions.isIntArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_adc expects (array<array<double>>, array<int>), got (${left.dataType}, ${right.dataType})")
+
+  def adc(dt: ArrayData, codes: ArrayData): Double = {
+    val m = math.min(dt.numElements(), codes.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      s += dt.getArray(i).getDouble(codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val ref = ctx.addReferenceObj("adc", this, classOf[AdcSum].getName)
+      s"${ev.value} = $ref.adc($x, $y);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): AdcSum =
+    copy(left = newLeft, right = newRight)
 }

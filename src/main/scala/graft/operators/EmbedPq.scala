@@ -48,18 +48,10 @@ object EmbedPq {
   private def sub(m: String, vec: String = "v") =
     s"slice($vec, ($m) * $pqDsub + 1, $pqDsub)"
 
-  /** argmin codeword id for subspace `m` of vector `vec` against
-    * codebook literal column `cbs` (pqM × pqKsub × pqDsub): minimizes
-    * |c|² − 2·sub·c (monotone in L2). */
-  // the distance array is BOUND to a lambda variable (the transform-
-  // over-singleton device) so argmin evaluates it once, not twice —
-  // measured ~2x less encode math per (vector, subspace); argmin
-  // semantics unchanged (array_position takes the FIRST minimum, the
-  // same lowest-cid tie-break the oracle replays)
-  private def codeExpr(m: String, vec: String = "v") =
-    s"""element_at(transform(
-       |   array(transform(element_at(cbs, ($m) + 1), c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(${sub(m, vec)}, c))),
-       |   ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT)), 1)""".stripMargin
+  // NOTE: the former codeExpr SQL argmin (transform-over-singleton
+  // against codeword-distance lambdas) is replaced everywhere by the
+  // native graft_pq_encode expression — same |c|² − 2·sub·c argmin,
+  // same first-minimum tie-break, one tight loop per row.
 
   /** Codebooks are a deterministic artifact of the corpus (decimal-
     * exact k-means from a fixed init), so they are trained once per
@@ -104,8 +96,7 @@ object EmbedPq {
     }
     for (_ <- 1 to pqIters) {
       val stats = v.withColumn("cbs", typedLit(cbs))
-        .select($"v", posexplode(expr(
-          s"transform(sequence(0, ${pqM - 1}), m -> ${codeExpr("m")})"))
+        .select($"v", posexplode(expr("graft_pq_encode(v, cbs).codes"))
           .as(Seq("m", "cid")))
         .select($"m", $"cid", posexplode(expr(sub("m"))).as(Seq("dim", "x")))
         .groupBy($"m", $"cid", $"dim")
@@ -139,21 +130,16 @@ object EmbedPq {
     import s.implicits._
     vecs
       .withColumn("cbs", typedLit(cbs))
-      // v is BOUND once per row (transform-over-singleton again):
-      // left free, a single textual reference invites CollapseProject
-      // to inline v's defining projection (a float->double cast pass,
-      // or worse) into every codeword-distance lambda — the §5
-      // round-8 materialization-boundary rule, enforced in-expression
-      .withColumn("codes", expr(
-        s"element_at(transform(array(v), vv -> transform(sequence(0, ${pqM - 1}), m -> ${codeExpr("m", "vv")})), 1)"))
-      .withColumn("recon_err", expr(graft.functions.Agg.rndSql(
-        s"""aggregate(sequence(0, ${pqM - 1}), CAST(0 AS DOUBLE), (acc, m) ->
-           |  acc + aggregate(
-           |    zip_with(${sub("m")},
-           |             element_at(element_at(cbs, m + 1), element_at(codes, m + 1) + 1),
-           |             (a, b) -> a - b),
-           |    CAST(0 AS DOUBLE), (s2, x) -> s2 + x * x))""".stripMargin, 6)))
-      .select($"vec_id", concat_ws("-", $"codes").as("pq_code"), $"recon_err")
+      // fused native encode: argmin codes + reconstruction L2² in one
+      // tight loop per row (graft_pq_encode, codebook self-dots
+      // precomputed from the foldable literal) — bit-identical to the
+      // former M·K interpreted codeword-distance lambdas, and immune
+      // by construction to the CollapseProject inline hazard the old
+      // transform-over-singleton device defended against (v is
+      // evaluated exactly once inside the expression)
+      .withColumn("ce", expr("graft_pq_encode(v, cbs)"))
+      .select($"vec_id", concat_ws("-", $"ce.codes").as("pq_code"),
+        expr(graft.functions.Agg.rndSql("ce.err", 6)).as("recon_err"))
   }
 
   def embedPq(s: SparkSession, dir: String): DataFrame = {
@@ -192,10 +178,8 @@ object EmbedPq {
 
   /** The ADC lookup-sum over a `codes` array against a `dt` distance
     * table: pqM table lookups, no float math against raw vectors. */
-  private val adcExpr: String = graft.functions.Agg.rndSql(
-    s"""aggregate(sequence(0, ${pqM - 1}), CAST(0 AS DOUBLE), (acc, m) ->
-       |  acc + element_at(element_at(dt, m + 1), element_at(codes, m + 1) + 1))"""
-      .stripMargin, 6)
+  private val adcExpr: String =
+    graft.functions.Agg.rndSql("graft_adc(dt, codes)", 6)
 
   def annPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -698,11 +682,11 @@ object EmbedPq {
   private def rotatedVectors(s: SparkSession, dir: String): DataFrame =
     graft.sources.OracleStage.stage(s, "opq_rotated", dir) {
       import s.implicits._
-      val d = pqM * pqDsub
       vectors(s, dir)
         .withColumn("rot", typedLit(opqRotation(s, dir)))
-        .select($"vec_id", expr(
-          s"transform(sequence(0, ${d - 1}), i -> graft_dot(element_at(rot, i + 1), v))").as("v"))
+        // d sequential dots as ONE native loop (graft_matvec) — same
+        // left-to-right fold per component as the graft_dot transform
+        .select($"vec_id", expr("graft_matvec(rot, v)").as("v"))
     }
 
   def trainOpqCodebooks(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {

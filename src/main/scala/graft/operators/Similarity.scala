@@ -913,11 +913,11 @@ object Similarity {
     Tables.embeddings(s, dir)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
       .crossJoin(broadcast(basisRow))
+      // single-component centered projection through the shared
+      // native quantized-matvec loop (rows = the one loading vector)
       .select($"vec_id", expr(rndSql(
-        """CAST(aggregate(
-          |  zip_with(zip_with(v, muv, (x, m) -> x - m), wv,
-          |    (c, w) -> CAST(floor(c * w * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),
-          |  CAST(0 AS BIGINT), (acc, q) -> acc + q) AS DOUBLE) / CAST(1000000000 AS DOUBLE)"""
+        """CAST(element_at(graft_qmatvec_c(v, muv, array(wv)), 1) AS DOUBLE)
+          | / CAST(1000000000 AS DOUBLE)"""
           .stripMargin, 6)).as("pc1"))
       .orderBy($"vec_id")
   }
@@ -1196,12 +1196,13 @@ object Similarity {
     Tables.embeddings(s, dir)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
       .crossJoin(broadcast(b))
-      .withColumn("centered", expr("zip_with(v, mu, (x, m) -> x - m)"))
+      // the d² quantized-term projection runs as ONE native loop
+      // (graft_qmatvec_c — bit-identical to the aggregate/zip_with
+      // fold it replaces, the suite's former slowest sf≈1 query);
+      // the O(k) eigenvalue scaling stays declarative
       .withColumn("wcs", expr(
         s"""zip_with(
-           |  transform(rs, r -> aggregate(
-           |    zip_with(centered, r, (c, w) -> CAST(floor(c * w * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),
-           |    CAST(0 AS BIGINT), (a, q) -> a + q)),
+           |  graft_qmatvec_c(v, mu, rs),
            |  lams,
            |  (q, l) -> (CAST(q AS DOUBLE) / CAST(1000000000 AS DOUBLE))
            |    / sqrt(greatest(l, CAST($whitenEps AS DOUBLE))))""".stripMargin))
@@ -1488,11 +1489,11 @@ object Similarity {
     Tables.embeddings(s, dir)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
       .crossJoin(broadcast(b))
+      // k·d quantized fold → one native graft_qmatvec loop; the O(k)
+      // scale to the JL normalization stays declarative
       .withColumn("pcs", expr(
-        s"""transform(sgns, g ->
-           |  CAST(aggregate(
-           |    zip_with(v, g, (x, w) -> CAST(floor(x * w * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),
-           |    CAST(0 AS BIGINT), (a, q) -> a + q) AS DOUBLE)
+        s"""transform(graft_qmatvec(v, sgns), q ->
+           |  CAST(q AS DOUBLE)
            |  / CAST(1000000000 AS DOUBLE) / sqrt(CAST($jlDim AS DOUBLE)))""".stripMargin))
       .withColumn("pn2_q", expr(
         """aggregate(transform(pcs, y -> CAST(floor(y * y * CAST(1000000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),
