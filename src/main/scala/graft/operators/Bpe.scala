@@ -217,7 +217,7 @@ object Bpe {
       .withColumn("seq", applied)
       .select($"tok",
         split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP).as("pieces"))
-    toks.join(broadcast(wordPieces), "tok")
+    toks.join(wordPieces, "tok")  // no hint: staged lexicon, planner-sized (the Unigram rule)
       .select($"doc_id", $"pos",
         posexplode($"pieces").as(Seq("pp0", "piece")))
       .select($"doc_id", $"pos",
@@ -287,7 +287,7 @@ object Bpe {
       .select($"tok",
         size(split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP))
           .cast("long").as("n_pieces"))
-    val counts = toks.join(broadcast(wp), "tok")
+    val counts = toks.join(wp, "tok")  // no hint: staged lexicon, planner-sized
       .groupBy($"source").agg(sum($"n_pieces").as("n_tokens"))
     Pipeline.budgetPlanOf(counts)
   }
@@ -360,7 +360,7 @@ object Bpe {
       .select($"tok",
         size(split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP))
           .cast("long").as("n_pieces"))
-    val perDoc = toks.join(broadcast(wp), "tok")
+    val perDoc = toks.join(wp, "tok")  // no hint: staged lexicon, planner-sized
       .groupBy($"doc_id").agg(sum($"n_pieces").as("n"))
     docs.select($"doc_id")
       .join(perDoc, Seq("doc_id"), "left")
@@ -636,7 +636,7 @@ object Bpe {
       .select($"tok",
         size(split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP))
           .cast("long").as("n_pieces"))
-    toks.join(broadcast(wp), "tok")
+    toks.join(wp, "tok")  // no hint: staged lexicon, planner-sized
       .groupBy($"lang", $"source")
       .agg(
         count(lit(1)).as("n_words"),

@@ -1195,21 +1195,47 @@ object Dedup {
   def dedupSpanRemoval(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val k = spanTokens
-    val toks = Tables.documents(s, dir)
+    val grams = spanGramRows(Tables.documents(s, dir))
+    val dup = grams.groupBy($"gh")
+      .agg(count(lit(1)).as("n_occ")).filter($"n_occ" >= 2).select($"gh")
+    val covered = grams.join(dup, Seq("gh"))
+      .select($"doc_id", explode(expr(s"sequence(pos, pos + ${k - 1})")).as("off"))
+      .distinct()
+    spanRemovalFromCovered(s, dir, covered)
+  }
+
+  /** Stride-1 [[spanTokens]]-token window rows (doc_id, pos, gh) over
+    * ANY documents frame — batch or stream (every expression is
+    * row-local). Shared by [[dedupSpanRemoval]], the persisted
+    * duplicated-window index build, and the streaming probe, so the
+    * three can never disagree on windowing or hashing. */
+  private[graft] def spanGramRows(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val k = spanTokens
+    docs
       .withColumn("toks", expr(toksExpr))
-      .withColumn("n_tokens", size($"toks").cast("long"))
-    val grams = toks
+      // the CASE guards sequence() against size(toks) < k; coalesce +
+      // posexplode_outer defeat the inferred-constraint inline trap
+      // (the dedupParagraph note)
       .withColumn("grams", expr(
         s"""coalesce(CASE WHEN size(toks) >= $k THEN
            |  transform(sequence(0, size(toks) - $k),
            |    i -> array_join(slice(toks, i + 1, $k), ' ')) END, array())""".stripMargin))
       .select($"doc_id", posexplode_outer($"grams").as(Seq("pos", "gram")))
       .withColumn("gh", xxhash64($"gram")).drop("gram")
-    val dup = grams.groupBy($"gh")
-      .agg(count(lit(1)).as("n_occ")).filter($"n_occ" >= 2).select($"gh")
-    val covered = grams.join(dup, Seq("gh"))
-      .select($"doc_id", explode(expr(s"sequence(pos, pos + ${k - 1})")).as("off"))
-      .distinct()
+  }
+
+  /** The covered-offset → islands → cut → reassemble tail over ANY
+    * (doc_id, off) covered-position frame — shared by the batch
+    * operator and the streaming gate's run-to-completion rebuild, so
+    * the stream can never cut differently than the batch edit. */
+  private[graft] def spanRemovalFromCovered(s: SparkSession, dir: String,
+      covered: DataFrame): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
+      .withColumn("n_tokens", size($"toks").cast("long"))
     // gaps-and-islands: consecutive covered offsets share (off - rn)
     val iw = Window.partitionBy($"doc_id").orderBy($"off")
     val spans = covered
@@ -1239,6 +1265,23 @@ object Dedup {
         coalesce($"n_tokens_removed", lit(0L)).as("n_tokens_removed"),
         coalesce($"clean_text", lit("")).as("clean_text"))
       .orderBy($"doc_id")
+  }
+
+  /** The PERSISTED duplicated-window index behind the streaming span
+    * gate: every corpus-duplicated window hash, written hash-bucketed
+    * so each micro-batch's probe join reads the index exchange-free
+    * (the 29d/36g' layout — only the tiny arriving batch shuffles
+    * onto the bucket layout). */
+  val spanIndexTable = "graft_dup_span_idx"
+  val spanIndexBuckets = 8
+
+  private[graft] def buildSpanIndex(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.sources.Sinks.writeBucketed(
+      spanGramRows(Tables.documents(s, dir))
+        .groupBy($"gh").agg(count(lit(1)).as("n_occ"))
+        .filter($"n_occ" >= 2).select($"gh"),
+      spanIndexTable, "gh", spanIndexBuckets)
   }
 
   /** Oracle: the same window-count → covered-offset → islands → cut →

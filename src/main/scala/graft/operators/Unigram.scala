@@ -68,9 +68,17 @@ object Unigram {
   private val SEP = ""
 
   /** Quantized log score — the one arithmetic both engines must agree
-    * on (they do: correctly-rounded libm ln over integer counts). */
+    * on. StrictMath.log pins the JVM side to fdlibm (Math.log is only
+    * 1-ulp-specified and JIT/platform-intrinsic dependent); measured
+    * over counts 1..5×10⁷ the ×1e6 quantization erases every raw-bit
+    * difference between the two (277k raw ulp diffs, 0 quantized
+    * diffs), so the switch is hash-neutral here while removing the
+    * JVM-variance axis. The residual cross-engine dependence is
+    * DuckDB's libm ln agreeing post-quantization — empirically exact
+    * over the same range; a fully platform-free contract would need
+    * integer-only scores. */
   private[graft] def qlog(c: Long): Long =
-    math.floor(math.log(c.toDouble) * 1e6 + 0.5).toLong
+    math.floor(StrictMath.log(c.toDouble) * 1e6 + 0.5).toLong
   private val qlogSqlOf: String => String =
     x => s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
 
@@ -340,7 +348,15 @@ object Unigram {
       val segs = unigramSegsDf(s, dir, b)
         .select($"word".as("tok"), $"n_pieces")
       val nVocab = unigramVocabDf(s, dir, b).count()
-      toks.join(broadcast(segs), "tok")
+      // NO broadcast() hint on the lexicon joins (here and every
+      // encode site): the distinct-word table is Heaps-bounded, which
+      // at test SF means tiny — but at web scale it is 10⁸–10⁹ rows,
+      // and a forced hint doesn't degrade, it OOMs the driver. The
+      // lexicon is a STAGED parquet artifact, so the planner sees its
+      // true size and picks broadcast-hash-join while it fits
+      // (TokenizerPlanSpec pins that), degrading to a shuffled join
+      // beyond the threshold instead of falling over.
+      toks.join(segs, "tok")
         .agg(
           count(lit(1)).as("n_words"),
           sum(length($"tok")).cast("long").as("n_chars"),
@@ -395,7 +411,7 @@ object Unigram {
       .select($"doc_id", posexplode(expr(TA.toksExpr)).as(Seq("pos0", "tok")))
       .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"tok")
       .filter($"tok" =!= "" && !$"tok".contains(SEP))
-      .join(broadcast(segs), "tok")
+      .join(segs, "tok")  // no hint: staged lexicon, planner-sized (see tokenizerVocabSweep)
       .select($"doc_id", $"pos", posexplode($"pieces").as(Seq("pp0", "piece")))
       .select($"doc_id", $"pos",
         ($"pp0" + 1).cast("long").as("piece_pos"), $"piece")
@@ -438,7 +454,7 @@ object Unigram {
     val toks = Tables.documents(s, dir)
       .select($"lang", $"source", explode(expr(TA.toksExpr)).as("tok"))
       .filter($"tok" =!= "" && !$"tok".contains(SEP))
-    val uni = toks.join(broadcast(segs), "tok")
+    val uni = toks.join(segs, "tok")  // no hint: staged lexicon, planner-sized
       .groupBy($"lang", $"source")
       .agg(
         count(lit(1)).as("n_words"),

@@ -179,7 +179,14 @@ object StreamOps {
     * ships to executors. */
   def qualityFilterStream(s: SparkSession, dir: String): DataFrame = {
     val stream = StreamAcc.fileStream(s, dir, "documents")
-    val canon = broadcast(
+    // the canonical-id lookup GROWS WITH THE CORPUS (one row per
+    // distinct text hash) — the one frame in this file a forced
+    // broadcast() would OOM at web scale. Production shape: the gate
+    // probes a PERSISTED dedup snapshot (the 29d/36g' pattern), so
+    // stage it as parquet — the planner then sees its true size and
+    // broadcasts while it fits, degrading to a shuffled stream-static
+    // join beyond the threshold
+    val canon = graft.sources.OracleStage.stage(s, "qf_canon", dir)(
       graft.operators.Pipeline.canonicalIds(graft.sources.Tables.documents(s, dir)))
     graft.operators.Pipeline.qualityFilterOn(stream, canon)
   }
@@ -466,8 +473,11 @@ object StreamOps {
       .select($"doc_id", posexplode(expr(TA.toksExpr)).as(Seq("pos0", "tok")))
       .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"tok")
       .filter($"tok" =!= "" && !$"tok".contains(SEP))
-      .join(broadcast(lexOverride.getOrElse(Bpe.wordPieces(s, dir))
-        .withColumnRenamed("pieces", "lex_pieces")), Seq("tok"), "left")
+      // no broadcast() hint: the lexicon is a staged parquet artifact
+      // whose true size the planner sees — broadcast while it fits,
+      // shuffled join beyond (the Unigram.tokenizerVocabSweep rule)
+      .join(lexOverride.getOrElse(Bpe.wordPieces(s, dir))
+        .withColumnRenamed("pieces", "lex_pieces"), Seq("tok"), "left")
       .withColumn("pieces", coalesce($"lex_pieces",
         split(trim(applied, SEP), SEP + SEP)))
       .select($"doc_id", $"pos",
@@ -525,7 +535,7 @@ object StreamOps {
       .select($"doc_id", posexplode(expr(TA.toksExpr)).as(Seq("pos0", "tok")))
       .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"tok")
       .filter($"tok" =!= "" && !$"tok".contains(SEP))
-      .join(broadcast(lex), Seq("tok"), "left")
+      .join(lex, Seq("tok"), "left")  // no hint: staged lexicon, planner-sized
     val charSplit = regexp_replace($"tok", "(.)", s"$SEP$$1")
     val withG =
       if (counts.isEmpty) base.withColumn("g", coalesce($"lex_g", charSplit))
@@ -534,9 +544,17 @@ object StreamOps {
         .withColumn("n", size($"cs"))
         .withColumn("qmap",
           typedLit(counts.map { case (p, c) => p -> Unigram.qlog(c) }))
+        // final coalesce: a word containing a character ABSENT from
+        // the trained alphabet makes every DP candidate NULL (the
+        // filter drops all predecessors), which would silently drop
+        // the word from the stream — char-split instead, the same
+        // fallback rule as overlong words. Unreachable when the
+        // stream replays the training corpus (the lexicon covers it);
+        // it is exactly the production OOV case.
         .withColumn("g", coalesce($"lex_g",
           when($"n" <= Unigram.uniMaxWordLen,
-            Unigram.dpExpr(Unigram.qlog(total))).otherwise(charSplit)))
+            Unigram.dpExpr(Unigram.qlog(total))).otherwise(charSplit),
+          charSplit))
     withG
       .select($"doc_id", $"pos", posexplode(
         expr(s"filter(split(g, '$SEP'), x -> x <> '')")).as(Seq("pp0", "piece")))
@@ -668,6 +686,52 @@ object StreamOps {
       .start()
     q.awaitTermination()
     s.table(sink).orderBy(col("vec_id"))
+  }
+
+  /** §2.4 29e''' — duplicated-SPAN REMOVAL at ingest: the streaming
+    * gate of [[graft.operators.Dedup.dedupSpanRemoval]]. Arriving
+    * documents window (stride-1, row-local — the shared
+    * [[graft.operators.Dedup.spanGramRows]] path) and PROBE the
+    * persisted duplicated-window index, a hash-bucketed table the
+    * batch side maintains — per micro-batch only the arriving rows
+    * shuffle onto the bucket layout, the index is read exchange-free
+    * (the 29d/36g' probe pattern). The probe emits the covered token
+    * positions row-by-row (no stream-side aggregation — corpus-sized
+    * output goes to the parquet sink, the 42e' rationale); the
+    * island-merge + cut + reassembly is the run-to-completion rebuild
+    * over the probe output, THE SAME tail the batch operator runs
+    * ([[graft.operators.Dedup.spanRemovalFromCovered]]), so completed
+    * output equals the batch edit exactly and shares 29e'''s oracle.
+    * Cross-shard semantics come from the INDEX, not the batch: a
+    * passage duplicated across two shards cuts from both documents
+    * regardless of which micro-batch each arrived in
+    * (StreamSpanRemovalSpec's planted-passage check). */
+  def spanRemovalProbeStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Dedup
+    val idx = s.table(Dedup.spanIndexTable)
+    Dedup.spanGramRows(StreamAcc.fileStream(s, dir, "documents"))
+      .join(idx, Seq("gh"))
+      .select($"doc_id", explode(
+        expr(s"sequence(pos, pos + ${Dedup.spanTokens - 1})")).as("off"))
+  }
+
+  def runDedupSpanToCompletion(s: SparkSession, dir: String,
+      sink: String = "stream_span"): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.buildSpanIndex(s, dir)
+    val out = java.nio.file.Files.createTempDirectory(sink).toString
+    val q = spanRemovalProbeStream(s, dir).writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val covered = s.read.parquet(s"$out/data")
+      .dropDuplicates("doc_id", "off")
+    Dedup.spanRemovalFromCovered(s, dir, covered)
   }
 
   /** Continuous-ingest EXACT dedup: the §2.4 `dedup_exact` layout run
@@ -920,7 +984,10 @@ object StreamOps {
       .select($"c_custkey", $"c_mktsegment".as("segment"),
         lit(0L).as("valid_from_us"))
     val changed = dim.filter($"c_custkey" % 7 === 3)
-    dim.join(broadcast(changed.select($"c_custkey")), Seq("c_custkey"), "left_anti")
+    // no hint: `changed` scales with the dimension table, not a
+    // constant — the parquet-backed scan's stats let the planner
+    // broadcast while small (the lexicon-join rule)
+    dim.join(changed.select($"c_custkey"), Seq("c_custkey"), "left_anti")
       .select($"c_custkey", $"segment", $"valid_from_us",
         lit(null).cast("long").as("valid_to_us"))
       .unionByName(changed.select($"c_custkey", $"segment", $"valid_from_us",
@@ -1704,6 +1771,8 @@ object StreamOps {
       runUnigramEncodeToCompletion(s, dir, sink = "stream_unigram_verify")),
     "stream_dedup_exact" -> ((s, dir) =>
       runDedupExactToCompletion(s, dir, sink = "stream_dedup_verify")),
+    "stream_dedup_span" -> ((s, dir) =>
+      runDedupSpanToCompletion(s, dir, sink = "stream_span_verify")),
     "stream_latest_state" -> ((s, dir) =>
       runLatestStateToCompletion(s, dir, sink = "stream_latest_verify")),
     "stream_scd2_join" -> ((s, dir) =>
@@ -1782,6 +1851,9 @@ object StreamOps {
     // run to completion, the incremental state merge equals the batch
     // groupBy: shares dedup_exact's oracle verbatim
     "stream_dedup_exact" -> graft.operators.Dedup.dedupExactSql,
+    // run to completion, the index probe + shared rebuild tail equals
+    // the batch span edit: shares dedup_span_removal's oracle verbatim
+    "stream_dedup_span" -> graft.operators.Dedup.dedupSpanRemovalSql,
     // run to completion, the struct-max merge equals the batch argmax
     // row per user under the same (ts, event_id) tiebreak
     "stream_latest_state" -> latestStateSql,

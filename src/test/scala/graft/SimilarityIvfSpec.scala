@@ -106,8 +106,14 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(occ.nonEmpty)
     // occupancy is internally consistent and covers the whole corpus
     assert(occ.forall { case (_, c, n, t) => c + n == t }, occ.mkString(", "))
-    assert(occ.map(_._4).sum ==
-      graft.sources.Tables.embeddings(spark, sfDir).count())
+    // zero-norm vectors are excluded from the IVF index (the engine's
+    // documented degenerate-vector contract) — the coverage count and
+    // the batch parity side must apply the same filter, or both
+    // asserts fail spuriously on the 'zerovec' degenerate variant
+    val nonDegenerateN = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(expr(graft.functions.VectorFns.asDouble("embedding")).as("v"))
+      .filter(expr("graft_dot(v, v)") > 0).count()
+    assert(occ.map(_._4).sum == nonDegenerateN)
     assert(occ.map(_._3).sum > 0, "some arrivals must actually land")
     // row-level parity: the streamed-append table is indistinguishable
     // from assigning corpus + shard in one batch against the same
@@ -118,6 +124,7 @@ class SimilarityIvfSpec extends SparkSpec {
     val (cents, _) = SimilarityIvf.kmeansCorpus(spark, sfDir)
     val batch = graft.sources.Tables.embeddings(spark, sfDir)
       .select($"vec_id", expr(graft.functions.VectorFns.asDouble("embedding")).as("v"))
+      .filter(expr("graft_dot(v, v)") > 0)
       .withColumn("cents", typedLit(cents))
       .withColumn("cid", expr(
         """array_position(
