@@ -500,11 +500,103 @@ object Unigram {
        |ORDER BY family, lang, source""".stripMargin
   }
 
+  /** Per-document piece totals from the staged segmentation lexicon —
+    * the unigram analog of [[Bpe.perDocPieces]]: the corpus side only
+    * joins the distinct-word table (planner-sized, no forced
+    * broadcast), docs whose every token is excluded pack as zero. */
+  private def perDocUnigramPieces(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segs = unigramSegsDf(s, dir).select($"word".as("tok"), $"n_pieces")
+    val docs = Tables.documents(s, dir)
+    val perDoc = docs
+      .select($"doc_id", explode(expr(TA.toksExpr)).as("tok"))
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+      .join(segs, "tok")
+      .groupBy($"doc_id").agg(sum($"n_pieces").as("n"))
+    docs.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n", lit(0L)).as("n_tokens"))
+  }
+
+  /** §2.8 41''' — sequence packing in UNIGRAM-tokenizer units: row
+    * 41'/41's contiguous-stream chunking with document lengths
+    * measured in unigram pieces, so packing plans can be read in
+    * either trained family's units (the two drift wherever the
+    * families' fertility tables diverge). Same scale layout: staged
+    * distinct-word lexicon join, then the two-phase bucketed global
+    * running sum — no single-partition stage. */
+  def docPackUnigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = perDocUnigramPieces(s, dir)
+    graft.functions.Ranks.globalRunningSum(d, $"doc_id", $"n_tokens",
+        graft.functions.Ranks.defaultPartitions(d), "cum")
+      .withColumn("start_offset", $"cum" - $"n_tokens")
+      .select($"doc_id", $"n_tokens", $"start_offset",
+        expr(s"start_offset div ${Pipeline.packBudget}").as("bin_id"),
+        expr(s"start_offset % ${Pipeline.packBudget}").as("bin_pos"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: staged-lexicon piece counts + the 41' packing tail. */
+  def docPackUnigramSql(segsGlob: String): String =
+    s"""WITH sg AS MATERIALIZED (
+       |  SELECT word AS tok, n_pieces FROM read_parquet('$segsGlob')),
+       |tk AS MATERIALIZED (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(${TA.duckToks}) AS tok FROM documents)
+       |  WHERE tok <> '' AND NOT contains(tok, chr(31))),
+       |c AS (
+       |  SELECT doc_id, CAST(sum(n_pieces) AS BIGINT) AS n
+       |  FROM tk JOIN sg USING (tok) GROUP BY 1),
+       |t2 AS (
+       |  SELECT d.doc_id, coalesce(c.n, 0) AS n_tokens
+       |  FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id),
+       |cu AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t2)
+       |SELECT doc_id, n_tokens, cum - n_tokens AS start_offset,
+       |  (cum - n_tokens) // ${Pipeline.packBudget} AS bin_id,
+       |  (cum - n_tokens) % ${Pipeline.packBudget} AS bin_pos
+       |FROM cu ORDER BY doc_id""".stripMargin
+
+  /** §2.8 45k''' — the mixing/allocation plan in UNIGRAM units:
+    * [[Bpe.corpusTokenBudgetBpe]]'s temperature-τ allocation with
+    * per-source counts measured in unigram pieces — the second
+    * trained family's billing units, through the same shared
+    * [[Pipeline.budgetPlanOf]] arithmetic. */
+  def corpusTokenBudgetUnigram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val segs = unigramSegsDf(s, dir).select($"word".as("tok"), $"n_pieces")
+    val counts = Tables.documents(s, dir)
+      .select($"source", explode(expr(TA.toksExpr)).as("tok"))
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+      .join(segs, "tok")
+      .groupBy($"source").agg(sum($"n_pieces").as("n_tokens"))
+    Pipeline.budgetPlanOf(counts)
+  }
+
+  /** Oracle: staged-lexicon piece counts + the 45k' allocation tail. */
+  def corpusTokenBudgetUnigramSql(segsGlob: String): String =
+    s"""WITH sg AS MATERIALIZED (
+       |  SELECT word AS tok, n_pieces FROM read_parquet('$segsGlob')),
+       |tk AS MATERIALIZED (
+       |  SELECT source, tok FROM (
+       |    SELECT source, unnest(${TA.duckToks}) AS tok FROM documents)
+       |  WHERE tok <> '' AND NOT contains(tok, chr(31))),
+       |c AS (
+       |  SELECT source, CAST(sum(n_pieces) AS BIGINT) AS n_tokens
+       |  FROM tk JOIN sg USING (tok) GROUP BY 1),
+       |${Pipeline.budgetPlanSqlTail}""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_unigram_train" -> (vocabUnigramTrain _),
     "token_ids_unigram"   -> (tokenIdsUnigram _),
     "tokenizer_fertility" -> (tokenizerFertility _),
-    "tokenizer_vocab_sweep" -> (tokenizerVocabSweep _)
+    "tokenizer_vocab_sweep" -> (tokenizerVocabSweep _),
+    "doc_pack_unigram"    -> (docPackUnigram _),
+    "corpus_token_budget_unigram" -> (corpusTokenBudgetUnigram _)
   )
 
   def oracles: Map[String, String] = {
@@ -516,6 +608,10 @@ object Unigram {
     Map("vocab_unigram_train" -> vocabUnigramTrainSql) ++
       globOf("unigram_segs")
         .map(g => "token_ids_unigram" -> tokenIdsUnigramSql(g)) ++
+      globOf("unigram_segs")
+        .map(g => "doc_pack_unigram" -> docPackUnigramSql(g)) ++
+      globOf("unigram_segs")
+        .map(g => "corpus_token_budget_unigram" -> corpusTokenBudgetUnigramSql(g)) ++
       (for {
         mg <- globOf("bpe_merges")
         sg <- globOf("unigram_segs")
