@@ -83,9 +83,8 @@ object Bench {
     val total = ok.map(_._2).sum
     val cJson = s"""{"pass1_start":$c1s,"pass1_end":$c1e,"pass2_start":$c2s,"pass2_end":$c2e}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failures":$fJson,"control":$cJson,"sf":"$sfDir"}"""
-    println(line)
-    // Also land the line in a file so the driver doesn't have to fish it
-    // out of the sbt log tail (SPARK_GRAFT_OUT dir if set, else cwd).
+    // Full per-query detail goes to bench.json (SPARK_GRAFT_OUT dir if
+    // set, else cwd — the committed round artifact the judge reads).
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
     try {
       val p = java.nio.file.Paths.get(outDir, "bench.json")
@@ -94,6 +93,18 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench.json: ${e.getMessage}")
     }
+    // The driver keeps only the last ~2 KB of stdout, so the full
+    // 300+-query line can never survive its tail capture (round 10's
+    // BENCH artifact carried a cut-off line and parsed: null). Print
+    // the full line FIRST for humans, then a compact machine line
+    // LAST — same shape, per-query map restricted to the 20 slowest
+    // (the ones a reader acts on), full map pointer in
+    // "queries_full" — small enough that the tail always holds it.
+    println(line)
+    val slowest = ok.sortBy(-_._2).take(20)
+      .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":$slowest,"queries_full":"bench.json","failures":$fJson,"control":$cJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
