@@ -1209,10 +1209,9 @@ object Dedup {
     * row-local). Shared by [[dedupSpanRemoval]], the persisted
     * duplicated-window index build, and the streaming probe, so the
     * three can never disagree on windowing or hashing. */
-  private[graft] def spanGramRows(docs: DataFrame): DataFrame = {
+  private[graft] def spanGramRows(docs: DataFrame, k: Int = spanTokens): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val k = spanTokens
     docs
       .withColumn("toks", expr(toksExpr))
       // the CASE guards sequence() against size(toks) < k; coalesce +
@@ -1231,7 +1230,7 @@ object Dedup {
     * operator and the streaming gate's run-to-completion rebuild, so
     * the stream can never cut differently than the batch edit. */
   private[graft] def spanRemovalFromCovered(s: SparkSession, dir: String,
-      covered: DataFrame): DataFrame = {
+      covered: DataFrame, minRun: Int = spanRemovalMinTokens): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir)
       .withColumn("toks", expr(toksExpr))
@@ -1242,7 +1241,7 @@ object Dedup {
       .withColumn("grp", $"off" - row_number().over(iw))
       .groupBy($"doc_id", $"grp")
       .agg(min($"off").as("span_start"), count(lit(1)).as("span_len"))
-      .filter($"span_len" >= spanRemovalMinTokens)
+      .filter($"span_len" >= minRun)
     val removedOffs = spans.select($"doc_id",
       explode(expr("sequence(span_start, span_start + span_len - 1)")).as("off"))
     val tokPos = toks
@@ -1267,6 +1266,36 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  /** §2.4 29e'''' — EXACT ExactSubstr span removal (Lee et al. 2022
+    * with its true boundary semantics): cut EXACTLY the token
+    * positions lying inside some corpus-duplicated substring of
+    * length ≥ [[spanRemovalMinTokens]]. The identity that makes this
+    * one relational pass instead of a suffix array: a position is
+    * inside a duplicated substring of length ≥ L **iff** it is
+    * covered by a duplicated L-token window — every L-window of a
+    * duplicated substring is itself duplicated (a substring of a
+    * duplicate is a duplicate), and a duplicated L-window IS a
+    * duplicated substring of length L. So the exact operator is the
+    * [[dedupSpanRemoval]] pipeline with window length = L and NO
+    * min-run filter; islands survive only as the span statistics.
+    * Where the k=3 approximation differs (and 29e'' documents): two
+    * ADJACENT duplicated 4-token phrases merge into one ≥5 covered
+    * run and get cut there, while no duplicated ≥5-substring exists —
+    * here they survive (DedupSpanExactSpec plants that exact case).
+    * Same scale layout: one shuffle on the 64-bit window hash, one
+    * partial-agged rebuild. */
+  def dedupSpanRemovalExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = spanRemovalMinTokens
+    val grams = spanGramRows(Tables.documents(s, dir), k)
+    val dup = grams.groupBy($"gh")
+      .agg(count(lit(1)).as("n_occ")).filter($"n_occ" >= 2).select($"gh")
+    val covered = grams.join(dup, Seq("gh"))
+      .select($"doc_id", explode(expr(s"sequence(pos, pos + ${k - 1})")).as("off"))
+      .distinct()
+    spanRemovalFromCovered(s, dir, covered, minRun = 1)
+  }
+
   /** The PERSISTED duplicated-window index behind the streaming span
     * gate: every corpus-duplicated window hash, written hash-bucketed
     * so each micro-batch's probe join reads the index exchange-free
@@ -1289,17 +1318,25 @@ object Dedup {
     * engine's posexplode; the join is on window TEXT where the engine
     * shuffles xxhash64 of it — equal text iff equal hash mod 2^-64). */
   val dedupSpanRemovalSql: String =
+    spanRemovalSqlOf(spanTokens, spanRemovalMinTokens)
+
+  /** The exact variant's oracle: window length = the cut threshold,
+    * min-run 1 (see [[dedupSpanRemovalExact]]). */
+  val dedupSpanRemovalExactSql: String =
+    spanRemovalSqlOf(spanRemovalMinTokens, 1)
+
+  private def spanRemovalSqlOf(k: Int, minRun: Int): String =
     s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
        |grams AS (
-       |  SELECT doc_id, i, array_to_string(t[i : i + ${spanTokens - 1}], ' ') AS gram
-       |  FROM toks, unnest(range(1, len(t) - $spanTokens + 2)) AS u(i)),
+       |  SELECT doc_id, i, array_to_string(t[i : i + ${k - 1}], ' ') AS gram
+       |  FROM toks, unnest(range(1, len(t) - $k + 2)) AS u(i)),
        |dup AS (
        |  SELECT gram FROM (SELECT gram, count(*) AS n_occ FROM grams GROUP BY gram)
        |  WHERE n_occ >= 2),
        |covered AS (
        |  SELECT DISTINCT g.doc_id, j - 1 AS off
        |  FROM grams g JOIN dup d USING (gram),
-       |       unnest(range(g.i, g.i + $spanTokens)) AS v(j)),
+       |       unnest(range(g.i, g.i + $k)) AS v(j)),
        |isl AS (
        |  SELECT doc_id, off,
        |    off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
@@ -1307,7 +1344,7 @@ object Dedup {
        |spans AS (
        |  SELECT doc_id, min(off) AS span_start, count(*) AS span_len
        |  FROM isl GROUP BY doc_id, grp
-       |  HAVING count(*) >= $spanRemovalMinTokens),
+       |  HAVING count(*) >= $minRun),
        |removed AS (
        |  SELECT doc_id, r AS off
        |  FROM spans, unnest(range(span_start, span_start + span_len)) AS w(r)),
@@ -1817,7 +1854,8 @@ object Dedup {
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_paragraph"     -> (dedupParagraph _),
     "dedup_substring"     -> (dedupSubstring _),
-    "dedup_span_removal"  -> (dedupSpanRemoval _)
+    "dedup_span_removal"  -> (dedupSpanRemoval _),
+    "dedup_span_removal_exact" -> (dedupSpanRemovalExact _)
   )
 
   /** The hash-family rows' oracles are built from the staged
@@ -1849,6 +1887,7 @@ object Dedup {
       "dedup_paragraph"     -> dedupParagraphSql,
       "dedup_substring"     -> dedupSubstringSql,
       "dedup_span_removal"  -> dedupSpanRemovalSql,
+      "dedup_span_removal_exact" -> dedupSpanRemovalExactSql,
       "dedup_threshold_sweep" -> dedupThresholdSweepSql,
       "dedup_lsh_plan"      -> dedupLshPlanSql
     ) ++
