@@ -248,10 +248,12 @@ object EmbedPq {
 
   def annIvfPq(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.plans.TopK.perGroup(
-        ivfPqScored(s, dir),
-        Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), Similarity.k)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"adist")
+    // memoized for ann_recall_report's re-invocation (TierMemo rules)
+    graft.sources.TierMemo.refresh("ann_ivf_pq", dir, s)(
+        graft.plans.TopK.perGroup(
+          ivfPqScored(s, dir),
+          Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), Similarity.k)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"adist"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -271,7 +273,10 @@ object EmbedPq {
         ivfPqScored(s, dir),
         Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), refineShortlist)
       .select($"query_id", $"vec_id")
-    exactRerank(s, dir, shortlist)
+    // memoized for ann_recall_report's re-invocation (TierMemo rules)
+    graft.sources.TierMemo.refresh("ann_ivf_pq_refine", dir, s)(
+        exactRerank(s, dir, shortlist))
+      .orderBy($"query_id", $"rank")
   }
 
   /** Exact-L2 re-rank of a bounded (query_id, vec_id) shortlist:
@@ -400,7 +405,10 @@ object EmbedPq {
         scored.select($"query_id", $"vec_id", $"adist"),
         Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), refineShortlist)
       .select($"query_id", $"vec_id")
-    exactRerank(s, dir, shortlist)
+    // memoized for ann_recall_report's re-invocation (TierMemo rules)
+    graft.sources.TierMemo.refresh("ann_pq_refine", dir, s)(
+        exactRerank(s, dir, shortlist))
+      .orderBy($"query_id", $"rank")
   }
 
   /** §2.5 #31f — scalar int8 quantization: the simple 4× compression
@@ -734,10 +742,12 @@ object EmbedPq {
     val dtab = broadcast(distTables(qrot, cbs).toDF("query_id", "dt"))
     val scored = codes.join(dtab, $"vec_id" =!= $"query_id")
       .withColumn("adist", expr(adcExpr))
-    graft.plans.TopK.perGroup(
-        scored.select($"query_id", $"vec_id", $"adist"),
-        Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), Similarity.k)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"adist")
+    // memoized for ann_recall_report's re-invocation (TierMemo rules)
+    graft.sources.TierMemo.refresh("ann_opq", dir, s)(
+        graft.plans.TopK.perGroup(
+          scored.select($"query_id", $"vec_id", $"adist"),
+          Seq("query_id"), Seq("adist" -> false, "vec_id" -> false), Similarity.k)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"adist"))
       .orderBy($"query_id", $"rank")
   }
 

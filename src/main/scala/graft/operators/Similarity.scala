@@ -66,10 +66,11 @@ object Similarity {
       .withColumn("cosine",
         expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+    // memoized for the recall report's truth re-use (TierMemo rules)
+    graft.sources.TierMemo.refresh("ann_bruteforce", dir, s)(scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= k)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine"))
       .orderBy($"query_id", $"rank")
   }
 

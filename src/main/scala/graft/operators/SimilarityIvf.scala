@@ -140,12 +140,14 @@ object SimilarityIvf {
         assigned("cid") === probesDf("cid") && $"vec_id" =!= $"query_id")
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
-    cand
-      .withColumn("cosine",
-        expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= Similarity.k)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+    // result memoized for ann_recall_report's re-invocation; each
+    // standalone call still computes the probe scan live (TierMemo)
+    graft.sources.TierMemo.refresh("ann_ivf", dir, s)(cand
+        .withColumn("cosine",
+          expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= Similarity.k)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine"))
       .orderBy($"query_id", $"rank")
   }
 
