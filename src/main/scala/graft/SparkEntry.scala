@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.operators.{Accumulator, Behavioral, Bpe, Dedup, Experimentation, RelationalTpch, EmbedPq, Graph, Iterators, Layout, Multimodal, Pipeline, QualityModel, Relational, Similarity, SimilarityIvf, SimilarityKnn, Sequences, SourceFormats, TextAnalysis, Unigram}
+import graft.operators.{Accumulator, Behavioral, Bpe, Dedup, Experimentation, RelationalTpch, EmbedPq, Graph, HybridSearch, Iterators, Layout, Multimodal, Pipeline, QualityModel, Relational, Similarity, SimilarityIvf, SimilarityKnn, Sequences, SourceFormats, TextAnalysis, Unigram}
 import graft.streaming.{StreamAcc, StreamOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -27,6 +27,7 @@ object SparkEntry {
     "Similarity" -> (Similarity.queries, Similarity.oracles),
     "SimilarityIvf" -> (SimilarityIvf.queries, SimilarityIvf.oracles),
     "SimilarityKnn" -> (SimilarityKnn.queries, SimilarityKnn.oracles),
+    "HybridSearch" -> ((HybridSearch.queries, HybridSearch.oracles)),
     "EmbedPq" -> (EmbedPq.queries, EmbedPq.oracles),
     "Pipeline" -> (Pipeline.queries, Pipeline.oracles),
     "QualityModel" -> (QualityModel.queries, QualityModel.oracles),

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** §2.5/§2.6 bridge — HYBRID retrieval: lexical BM25 and the IVF
+  * vector index fused by Reciprocal Rank Fusion (Cormack et al. 2009,
+  * the production default for combining keyword and embedding
+  * retrieval — what a RAG-ish training-data curation pass runs to
+  * find "documents like this one" when neither modality alone is
+  * trustworthy). The documents and embeddings tables share one id
+  * space (vec_id ≡ doc_id), so the SAME query document drives both
+  * sides: its distinct terms are the BM25 more-like-this query, its
+  * embedding is the ANN query.
+  *
+  * RRF score = Σ_lists 1/([[rrfK]] + rank), summed over the lists
+  * that returned the document — rank-only fusion, so the two sides'
+  * incomparable score scales never need calibration (the reason RRF
+  * beats score interpolation in practice).
+  *
+  * Scale layout: the text side is [[TextAnalysis.textBm25Search]]'s
+  * one (doc, term) partial-agg shuffle with the bounded query-doc
+  * term set broadcast; the vector side is the REGISTERED
+  * [[SimilarityIvf.annIvf]] tier through the TierMemo rules (the
+  * corpus is probed, never shuffled); fusion joins two ≤ queries×k
+  * rank lists — driver-scale. Cross-engine exactness: BM25 weights
+  * quantize exactly as 35l; the RRF reciprocals are deterministic
+  * IEEE divisions written identically on both engines, summed in
+  * fixed textual order, quantized at 1e-6. */
+object HybridSearch {
+
+  /** The standard RRF dampening constant. */
+  val rrfK = 60
+  /** Fused results per query (also the per-side list depth for the
+    * text side; the vector side contributes its own top-k). */
+  val hybridK = 10
+
+  def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{dsum, rnd}
+    import graft.operators.{TextAnalysis => TA}
+    val k1p1 = TA.bm25K1 + 1.0
+    val oneMinusB = 1.0 - TA.bm25B
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(expr(TA.toksExpr)).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val stats = dl.agg(sum($"dl").as("tot")).crossJoin(broadcast(n))
+      .select(($"tot".cast("double") / $"n".cast("double")).as("avgdl"), $"n")
+    val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select($"term",
+        rnd(log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 6)
+          .as("idf"),
+        $"avgdl")
+    // the more-like-this query: each query doc's DISTINCT terms
+    val q = broadcast(tf.filter($"doc_id" < Similarity.nQueries)
+      .select($"doc_id".as("query_id"), $"term").distinct())
+    val weighted = tf.join(dl, "doc_id").join(q, "term")
+      .filter($"doc_id" =!= $"query_id")
+      .join(idf, "term")
+      .select($"query_id", $"doc_id",
+        rnd($"idf" * (($"tf" * lit(k1p1)) /
+          ($"tf" + lit(TA.bm25K1) * (lit(oneMinusB) +
+            lit(TA.bm25B) * ($"dl".cast("double") / $"avgdl")))), 6).as("w"))
+    val tscores = weighted.groupBy($"query_id", $"doc_id")
+      .agg(dsum($"w").as("score"))
+    val tranks = graft.plans.TopK.perGroup(tscores, Seq("query_id"),
+        Seq("score" -> true, "doc_id" -> false), hybridK)
+      .select($"query_id", $"doc_id", $"rank".as("text_rank"))
+    val vranks = graft.sources.TierMemo.cached("ann_ivf", dir, s)(
+        SimilarityIvf.annIvf(s, dir))
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("vec_rank"))
+    val rrfExpr = graft.functions.Agg.rndSql(
+      s"""coalesce(CAST(1 AS DOUBLE) / CAST($rrfK + text_rank AS DOUBLE), CAST(0 AS DOUBLE))
+         | + coalesce(CAST(1 AS DOUBLE) / CAST($rrfK + vec_rank AS DOUBLE), CAST(0 AS DOUBLE))"""
+        .stripMargin, 6)
+    tranks.join(vranks, Seq("query_id", "doc_id"), "full")
+      .withColumn("rrf", expr(rrfExpr))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")).cast("long"))
+      .filter($"rank" <= hybridK)
+      .select($"query_id", $"rank", $"doc_id", $"rrf", $"text_rank", $"vec_rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle: the 35l BM25 CTE chain with the query-doc term set, the
+    * staged-centroid IVF tier (31b's oracle verbatim as a subquery),
+    * and the fusion replayed term-for-term. */
+  def searchHybridRrfSql(centGlob: String): String = {
+    import graft.functions.Agg.{dsumSql, rndSql}
+    import graft.operators.{TextAnalysis => TA}
+    val k1p1 = TA.bm25K1 + 1.0
+    val oneMinusB = 1.0 - TA.bm25B
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${TA.duckToks}) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) /
+       |         (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl,
+       |         (SELECT count(*) FROM documents) AS n),
+       |idf AS (
+       |  SELECT term,
+       |    ${rndSql("ln(1.0 + (n - df + 0.5) / (df + 0.5))", 6)} AS idf,
+       |    avgdl
+       |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats),
+       |q AS (
+       |  SELECT DISTINCT doc_id AS query_id, term FROM tf
+       |  WHERE doc_id < ${Similarity.nQueries}),
+       |weighted AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    ${rndSql(s"idf.idf * ((tf.tf * $k1p1) / (tf.tf + ${TA.bm25K1} * " +
+                     s"($oneMinusB + ${TA.bm25B} * (CAST(dl.dl AS DOUBLE) / idf.avgdl))))", 6)} AS w
+       |  FROM tf JOIN dl USING (doc_id) JOIN q USING (term)
+       |    JOIN idf USING (term)
+       |  WHERE tf.doc_id <> q.query_id),
+       |tscores AS (
+       |  SELECT query_id, doc_id, ${dsumSql("w")} AS score
+       |  FROM weighted GROUP BY 1, 2),
+       |tranks AS (
+       |  SELECT query_id, doc_id, rank AS text_rank FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, doc_id) AS rank
+       |    FROM tscores)
+       |  WHERE rank <= $hybridK),
+       |vranks AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rank AS vec_rank
+       |  FROM (${SimilarityIvf.annIvfSql(centGlob)})),
+       |fused AS (
+       |  SELECT coalesce(t.query_id, v.query_id) AS query_id,
+       |         coalesce(t.doc_id, v.doc_id) AS doc_id,
+       |         t.text_rank, v.vec_rank,
+       |    ${rndSql(s"coalesce(CAST(1 AS DOUBLE) / CAST($rrfK + t.text_rank AS DOUBLE), CAST(0 AS DOUBLE)) " +
+                     s"+ coalesce(CAST(1 AS DOUBLE) / CAST($rrfK + v.vec_rank AS DOUBLE), CAST(0 AS DOUBLE))", 6)} AS rrf
+       |  FROM tranks t FULL JOIN vranks v
+       |    ON t.query_id = v.query_id AND t.doc_id = v.doc_id)
+       |SELECT query_id, rank, doc_id, rrf, text_rank, vec_rank FROM (
+       |  SELECT query_id, doc_id, rrf, text_rank, vec_rank,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $hybridK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_hybrid_rrf" -> (searchHybridRrf _)
+  )
+
+  def oracles: Map[String, String] =
+    graft.sources.OracleStage.globOf("ivf_centroids")
+      .map(g => "search_hybrid_rrf" -> searchHybridRrfSql(g)).toMap
+}

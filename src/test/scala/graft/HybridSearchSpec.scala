@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.{HybridSearch, Similarity}
+
+/** search_hybrid_rrf (31ad): rank-only fusion invariants that the
+  * hash oracle can't express as directly — RRF arithmetic recomputed
+  * from the emitted ranks, both modalities actually contributing,
+  * self-exclusion, and ranked-list shape. */
+class HybridSearchSpec extends SparkSpec {
+
+  private lazy val rows =
+    HybridSearch.searchHybridRrf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+
+  test("ranked self-free fused lists with both modalities contributing") {
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet.forall(_ < Similarity.nQueries))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length <= HybridSearch.hybridK)
+      // the vector side alone always supplies k candidates
+      assert(rs.length >= Similarity.k, s"query $q: only ${rs.length} rows")
+      assert(rs.map(_._2).sorted.toList == (1L to rs.length).toList)
+      rs.foreach { r => assert(r._3 != q, s"self in results: $r") }
+      val rrf = rs.sortBy(_._2).map(_._4)
+      assert(rrf.zip(rrf.tail).forall { case (a, b) => a >= b })
+    }
+    // across the corpus, each side must contribute somewhere
+    assert(rows.exists(_._5.nonEmpty), "no text-side contribution")
+    assert(rows.exists(_._6.nonEmpty), "no vector-side contribution")
+  }
+
+  test("rrf scores are exactly the reciprocal-rank sums of the emitted ranks") {
+    rows.foreach { case (q, _, d, rrf, tr, vr) =>
+      val expect = tr.map(r => 1.0 / (HybridSearch.rrfK + r)).getOrElse(0.0) +
+        vr.map(r => 1.0 / (HybridSearch.rrfK + r)).getOrElse(0.0)
+      val quant = math.floor(expect * 1e6 + 0.5) / 1e6
+      assert(math.abs(quant - rrf) < 1e-9, s"($q,$d): $quant vs $rrf")
+      assert(tr.nonEmpty || vr.nonEmpty, s"($q,$d): fused from nothing")
+    }
+  }
+}
