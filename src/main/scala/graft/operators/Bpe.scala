@@ -194,13 +194,20 @@ object Bpe {
     import s.implicits._
     val merges = bpeMergesDf(s, dir).orderBy($"merge_rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
-    encodeOf(Tables.documents(s, dir), merges)
+    // the corpus path joins the STAGED lexicon: parquet-backed stats
+    // let the planner size the broadcast truthfully (a live distinct
+    // aggregate has no stats, and the planner may elect to broadcast
+    // the CORPUS side instead -- measured 2.3x slower at sf~1, and an
+    // OOM at web scale)
+    encodeOf(Tables.documents(s, dir), merges,
+      lexOverride = Some(wordPieces(s, dir)))
   }
 
   /** Encoding over ANY documents frame with a given merge list (spec
     * seam, same split as [[trainOf]]). */
   private[graft] def encodeOf(docs: DataFrame,
-      merges: Array[(String, String)]): DataFrame = {
+      merges: Array[(String, String)],
+      lexOverride: Option[DataFrame] = None): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val toks = docs
@@ -213,11 +220,16 @@ object Bpe {
         org.apache.spark.sql.functions.replace(
           c, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
     }
-    val wordPieces = toks.select($"tok").distinct()
-      .withColumn("seq", applied)
-      .select($"tok",
-        split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP).as("pieces"))
-    toks.join(wordPieces, "tok")  // no hint: staged lexicon, planner-sized (the Unigram rule)
+    // the inline fallback (spec seam over arbitrary frames) derives
+    // the lexicon from the input's own distinct words -- statless, so
+    // it keeps an explicit small-side hint; every corpus-facing query
+    // passes the staged lexicon instead (planner-sized, the real rule)
+    val lex = lexOverride.getOrElse(broadcast(
+      toks.select($"tok").distinct()
+        .withColumn("seq", applied)
+        .select($"tok",
+          split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP).as("pieces"))))
+    toks.join(lex, "tok")
       .select($"doc_id", $"pos",
         posexplode($"pieces").as(Seq("pp0", "piece")))
       .select($"doc_id", $"pos",
@@ -271,23 +283,13 @@ object Bpe {
     * arithmetic is the shared [[Pipeline.budgetPlanOf]]. */
   def corpusTokenBudgetBpe(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val merges = bpeMergesDf(s, dir).orderBy($"merge_rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
     val toks = Tables.documents(s, dir)
       .select($"source", explode(expr(TA.toksExpr)).as("tok"))
       .filter($"tok" =!= "" && !$"tok".contains(SEP))
-    val applied = merges.foldLeft(
-      regexp_replace($"tok", "(.)", s"$SEP$$1$SEP"): Column) {
-      case (c, (a, b)) =>
-        org.apache.spark.sql.functions.replace(
-          c, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
-    }
-    val wp = toks.select($"tok").distinct()
-      .withColumn("seq", applied)
-      .select($"tok",
-        size(split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP))
-          .cast("long").as("n_pieces"))
-    val counts = toks.join(wp, "tok")  // no hint: staged lexicon, planner-sized
+    // staged lexicon: planner-sized broadcast (see tokenIdsBpe)
+    val wp = wordPieces(s, dir)
+      .select($"tok", size($"pieces").cast("long").as("n_pieces"))
+    val counts = toks.join(wp, "tok")
       .groupBy($"source").agg(sum($"n_pieces").as("n_tokens"))
     Pipeline.budgetPlanOf(counts)
   }
@@ -343,24 +345,14 @@ object Bpe {
     * as 41's empty-token convention. */
   private[graft] def perDocPieces(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val merges = bpeMergesDf(s, dir).orderBy($"merge_rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
     val docs = Tables.documents(s, dir)
     val toks = docs
       .select($"doc_id", explode(expr(TA.toksExpr)).as("tok"))
       .filter($"tok" =!= "" && !$"tok".contains(SEP))
-    val applied = merges.foldLeft(
-      regexp_replace($"tok", "(.)", s"$SEP$$1$SEP"): Column) {
-      case (c, (a, b)) =>
-        org.apache.spark.sql.functions.replace(
-          c, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
-    }
-    val wp = toks.select($"tok").distinct()
-      .withColumn("seq", applied)
-      .select($"tok",
-        size(split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP))
-          .cast("long").as("n_pieces"))
-    val perDoc = toks.join(wp, "tok")  // no hint: staged lexicon, planner-sized
+    // staged lexicon: planner-sized broadcast (see tokenIdsBpe)
+    val wp = wordPieces(s, dir)
+      .select($"tok", size($"pieces").cast("long").as("n_pieces"))
+    val perDoc = toks.join(wp, "tok")
       .groupBy($"doc_id").agg(sum($"n_pieces").as("n"))
     docs.select($"doc_id")
       .join(perDoc, Seq("doc_id"), "left")
@@ -620,23 +612,13 @@ object Bpe {
   def bpeFertility(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.Agg.rndSql
-    val merges = bpeMergesDf(s, dir).orderBy($"merge_rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
     val toks = Tables.documents(s, dir)
       .select($"lang", $"source", explode(expr(TA.toksExpr)).as("tok"))
       .filter($"tok" =!= "" && !$"tok".contains(SEP))
-    val applied = merges.foldLeft(
-      regexp_replace($"tok", "(.)", s"$SEP$$1$SEP"): Column) {
-      case (c, (a, b)) =>
-        org.apache.spark.sql.functions.replace(
-          c, lit(wrap(a) + wrap(b)), lit(wrap(a + b)))
-    }
-    val wp = toks.select($"tok").distinct()
-      .withColumn("seq", applied)
-      .select($"tok",
-        size(split(expr(s"trim(BOTH '$SEP' FROM seq)"), SEP + SEP))
-          .cast("long").as("n_pieces"))
-    toks.join(wp, "tok")  // no hint: staged lexicon, planner-sized
+    // staged lexicon: planner-sized broadcast (see tokenIdsBpe)
+    val wp = wordPieces(s, dir)
+      .select($"tok", size($"pieces").cast("long").as("n_pieces"))
+    toks.join(wp, "tok")
       .groupBy($"lang", $"source")
       .agg(
         count(lit(1)).as("n_words"),

@@ -1296,8 +1296,8 @@ object Pipeline {
     * string thresholds evaluate identically in Spark and DuckDB with
     * no hex→int conversion. */
   val splitSeed = "graft-split-v1"
-  private val splitTestHex = f"${(65536 * 0.01).toInt}%04x"
-  private val splitValHex = f"${(65536 * 0.02).toInt}%04x"
+  private[operators] val splitTestHex = f"${(65536 * 0.01).toInt}%04x"
+  private[operators] val splitValHex = f"${(65536 * 0.02).toInt}%04x"
 
   /** §2.8 — deterministic train/val/test assignment: the split every
     * training run must agree on. Membership is a pure function of

@@ -590,13 +590,117 @@ object Unigram {
        |  FROM tk JOIN sg USING (tok) GROUP BY 1),
        |${Pipeline.budgetPlanSqlTail}""".stripMargin
 
+  /** Holdout-trained model memo (the [[trainFor]] device, keyed so a
+    * full-corpus model can never be confused with the split one). */
+  private val holdoutMemo = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(String, Long, String, Long)], Map[String, Long], Long)]
+
+  /** The TRAIN-split-only segmentation lexicon applied to EVERY
+    * corpus word, staged: held-out words segment under the train
+    * model's DP; overlong words char-split (the documented rule);
+    * words with a character ABSENT from the train alphabet also
+    * char-split (the stream encoder's OOV coalesce — here it is
+    * reachable by construction, since val/test words never informed
+    * the alphabet). */
+  private[graft] def holdoutSegsDf(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "unigram_holdout_segs", dir) {
+      import s.implicits._
+      val trainDocs = Tables.documents(s, dir)
+        .withColumn("h", substring(
+          md5(concat(lit(s"${Pipeline.splitSeed}:"), $"doc_id".cast("string"))
+            .cast("binary")), 1, 4))
+        .filter($"h" >= lit(Pipeline.splitValHex))
+      val (_, counts, total) = holdoutMemo.getOrElseUpdate(dir, trainOf(trainDocs))
+      val all = wordsOf(Tables.documents(s, dir), capped = false)
+      val charSplit = regexp_replace($"word", "(.)", s"$SEP$$1")
+      if (counts.isEmpty)
+        all.select($"word", charSplit.as("g"),
+          $"n".cast("long").as("n_pieces"))
+      else {
+        val qm = counts.map { case (p, c) => p -> qlog(c) }
+        all
+          .withColumn("qmap", typedLit(qm))
+          .withColumn("g", coalesce(
+            when($"n" <= uniMaxWordLen, dpExpr(qlog(total)))
+              .otherwise(charSplit),
+            charSplit))
+          .select($"word", $"g",
+            size(expr(s"filter(split(g, '$SEP'), x -> x <> '')"))
+              .cast("long").as("n_pieces"))
+      }
+    }
+
+  /** §2.8 42j — the tokenizer GENERALIZATION check: fertility of the
+    * TRAIN-split-trained unigram model measured per split — the
+    * number a tokenizer owner reads before shipping a vocabulary
+    * trained on a corpus snapshot (a model that only fits its own
+    * training text shows a train→val fertility gap; the full-corpus
+    * fertility table 42g can't see that by construction). Split
+    * assignment is 38d's row-local seeded hash; the corpus side only
+    * joins the staged holdout lexicon (planner-sized); one
+    * partial-agg rollup per split. */
+  def tokenizerHoldoutFertility(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rndSql
+    val segs = holdoutSegsDf(s, dir).select($"word".as("tok"), $"n_pieces")
+    Tables.documents(s, dir)
+      .withColumn("h", substring(
+        md5(concat(lit(s"${Pipeline.splitSeed}:"), $"doc_id".cast("string"))
+          .cast("binary")), 1, 4))
+      .withColumn("split",
+        when($"h" < lit(Pipeline.splitTestHex), "test")
+          .when($"h" < lit(Pipeline.splitValHex), "val")
+          .otherwise("train"))
+      .select($"split", explode(expr(TA.toksExpr)).as("tok"))
+      .filter($"tok" =!= "" && !$"tok".contains(SEP))
+      .join(segs, "tok")
+      .groupBy($"split")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length($"tok")).cast("long").as("n_chars"),
+        sum($"n_pieces").cast("long").as("n_pieces"))
+      .select($"split", $"n_words", $"n_chars", $"n_pieces",
+        expr(rndSql("CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE)", 4))
+          .as("fertility"))
+      .orderBy($"split")
+  }
+
+  /** Oracle: 38d's split formula + the staged holdout lexicon (the
+    * tokenIdsUnigram split of concerns — derivation spec-checked,
+    * application SQL-replayed). */
+  def tokenizerHoldoutFertilitySql(segsGlob: String): String = {
+    import graft.functions.Agg.rndSql
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN h < '${Pipeline.splitTestHex}' THEN 'test'
+       |         WHEN h < '${Pipeline.splitValHex}' THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM (SELECT doc_id,
+       |          substr(md5('${Pipeline.splitSeed}:' || CAST(doc_id AS VARCHAR)), 1, 4) AS h
+       |        FROM documents)),
+       |sg AS (SELECT word, n_pieces FROM read_parquet('$segsGlob')),
+       |tk AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(${TA.duckToks}) AS tok FROM documents)
+       |  WHERE tok <> '' AND NOT contains(tok, chr(31)))
+       |SELECT sp.split,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(length(tk.tok)) AS BIGINT) AS n_chars,
+       |  CAST(sum(sg.n_pieces) AS BIGINT) AS n_pieces,
+       |  ${rndSql("CAST(sum(sg.n_pieces) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 4)} AS fertility
+       |FROM tk JOIN sp USING (doc_id) JOIN sg ON sg.word = tk.tok
+       |GROUP BY sp.split
+       |ORDER BY sp.split""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vocab_unigram_train" -> (vocabUnigramTrain _),
     "token_ids_unigram"   -> (tokenIdsUnigram _),
     "tokenizer_fertility" -> (tokenizerFertility _),
     "tokenizer_vocab_sweep" -> (tokenizerVocabSweep _),
     "doc_pack_unigram"    -> (docPackUnigram _),
-    "corpus_token_budget_unigram" -> (corpusTokenBudgetUnigram _)
+    "corpus_token_budget_unigram" -> (corpusTokenBudgetUnigram _),
+    "tokenizer_holdout_fertility" -> (tokenizerHoldoutFertility _)
   )
 
   def oracles: Map[String, String] = {
@@ -612,6 +716,8 @@ object Unigram {
         .map(g => "doc_pack_unigram" -> docPackUnigramSql(g)) ++
       globOf("unigram_segs")
         .map(g => "corpus_token_budget_unigram" -> corpusTokenBudgetUnigramSql(g)) ++
+      globOf("unigram_holdout_segs")
+        .map(g => "tokenizer_holdout_fertility" -> tokenizerHoldoutFertilitySql(g)) ++
       (for {
         mg <- globOf("bpe_merges")
         sg <- globOf("unigram_segs")
