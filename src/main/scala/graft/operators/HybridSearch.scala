@@ -20,15 +20,25 @@ import graft.sources.Tables
   * incomparable score scales never need calibration (the reason RRF
   * beats score interpolation in practice).
   *
-  * Scale layout: the text side is [[TextAnalysis.textBm25Search]]'s
-  * one (doc, term) partial-agg shuffle with the bounded query-doc
-  * term set broadcast; the vector side is the REGISTERED
-  * [[SimilarityIvf.annIvf]] tier through the TierMemo rules (the
-  * corpus is probed, never shuffled); fusion joins two ≤ queries×k
-  * rank lists — driver-scale. Cross-engine exactness: BM25 weights
-  * quantize exactly as 35l; the RRF reciprocals are deterministic
-  * IEEE divisions written identically on both engines, summed in
-  * fixed textual order, quantized at 1e-6. */
+  * Scale layout (the repo's parquet-backed-join-side rule, TESTS.md
+  * round 11): the text side probes a PERSISTED bucketed BM25
+  * postings index — each (term, doc) posting stores its FULL BM25
+  * weight, precomputable because tf, dl, df, avgdl and N are all
+  * corpus statistics with no query dependence — so a query pays a
+  * broadcast term join + one bounded partial-agg shuffle, never the
+  * corpus tokenize/df/avgdl aggregates the index build amortizes
+  * (the [[TextAnalysis.buildPostingsIndex]] pattern, with the BM25
+  * saturation baked in instead of tf·idf). Both join sides are
+  * parquet-backed, so the planner sizes them from real stats — no
+  * live corpus aggregate ever feeds a join it must size. The vector
+  * side is the REGISTERED [[SimilarityIvf.annIvf]] tier through the
+  * TierMemo rules (the corpus is probed, never shuffled); fusion
+  * joins two ≤ queries×k rank lists — driver-scale. Cross-engine
+  * exactness: the stored weight is the identical rnd(idf·saturation)
+  * double the round-10 live chain computed (row-local, join-order
+  * independent); the RRF reciprocals are deterministic IEEE
+  * divisions written identically on both engines, summed in fixed
+  * textual order, quantized at 1e-6 — the oracle is unchanged. */
 object HybridSearch {
 
   /** The standard RRF dampening constant. */
@@ -37,37 +47,70 @@ object HybridSearch {
     * text side; the vector side contributes its own top-k). */
   val hybridK = 10
 
-  def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
+  val bm25IndexTable = "graft_bm25_postings_idx"
+  val bm25IndexBuckets = 16
+
+  /** Build the persisted BM25 postings index: one (term, doc_id, w)
+    * row per posting, w = the exact 1e-6-quantized BM25 weight
+    * idf·(tf·(k1+1))/(tf + k1·(1−b + b·dl/avgdl)). Bucketed by term
+    * so term-probe joins read it exchange-free; built once per
+    * (session, dataset) via [[graft.sources.Sinks.writeBucketedOnce]]
+    * — the production shape where the index is written on ingest
+    * cadence and queries only read it. */
+  def buildBm25Index(s: SparkSession, dir: String): Unit = {
     import s.implicits._
-    import graft.functions.Agg.{dsum, rnd}
+    import graft.functions.Agg.rnd
     import graft.operators.{TextAnalysis => TA}
     val k1p1 = TA.bm25K1 + 1.0
     val oneMinusB = 1.0 - TA.bm25B
-    val tf = Tables.documents(s, dir)
-      .select($"doc_id", explode(expr(TA.toksExpr)).as("term"))
-      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
-    val stats = dl.agg(sum($"dl").as("tot")).crossJoin(broadcast(n))
-      .select(($"tot".cast("double") / $"n".cast("double")).as("avgdl"), $"n")
-    val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-      .crossJoin(broadcast(stats))
-      .select($"term",
-        rnd(log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 6)
-          .as("idf"),
-        $"avgdl")
-    // the more-like-this query: each query doc's DISTINCT terms
-    val q = broadcast(tf.filter($"doc_id" < Similarity.nQueries)
-      .select($"doc_id".as("query_id"), $"term").distinct())
-    val weighted = tf.join(dl, "doc_id").join(q, "term")
+    graft.sources.Sinks.writeBucketedOnce(dir, bm25IndexTable,
+        Seq("term"), bm25IndexBuckets) {
+      val tf = Tables.documents(s, dir)
+        .select($"doc_id", explode(expr(TA.toksExpr)).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+      val stats = dl.agg(sum($"dl").as("tot")).crossJoin(broadcast(n))
+        .select(($"tot".cast("double") / $"n".cast("double")).as("avgdl"), $"n")
+      val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select($"term",
+          rnd(log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 6)
+            .as("idf"),
+          $"avgdl")
+      tf.join(dl, "doc_id").join(idf, "term")
+        .select($"term", $"doc_id",
+          rnd($"idf" * (($"tf" * lit(k1p1)) /
+            ($"tf" + lit(TA.bm25K1) * (lit(oneMinusB) +
+              lit(TA.bm25B) * ($"dl".cast("double") / $"avgdl")))), 6).as("w"))
+    }
+  }
+
+  /** The text-side score frame, probing the persisted index: the
+    * bounded query-doc term set (itself a pruned read of the index)
+    * broadcasts onto the bucketed postings scan — the postings side
+    * never reshuffles, never re-derives a corpus statistic — and the
+    * matched rows take one (query, doc) partial-agg shuffle.
+    * `private[graft]` so PlanSpec pins the exchange-free shape. */
+  private[graft] def bm25Tscores(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.dsum
+    buildBm25Index(s, dir)
+    val post = s.table(bm25IndexTable)
+    // the more-like-this query: each query doc's DISTINCT terms,
+    // read back from the index (a posting row exists exactly once
+    // per (term, doc), so this IS the distinct term set)
+    val q = broadcast(post.filter($"doc_id" < Similarity.nQueries)
+      .select($"doc_id".as("query_id"), $"term"))
+    post.join(q, "term")
       .filter($"doc_id" =!= $"query_id")
-      .join(idf, "term")
-      .select($"query_id", $"doc_id",
-        rnd($"idf" * (($"tf" * lit(k1p1)) /
-          ($"tf" + lit(TA.bm25K1) * (lit(oneMinusB) +
-            lit(TA.bm25B) * ($"dl".cast("double") / $"avgdl")))), 6).as("w"))
-    val tscores = weighted.groupBy($"query_id", $"doc_id")
+      .groupBy($"query_id", $"doc_id")
       .agg(dsum($"w").as("score"))
+  }
+
+  def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tscores = bm25Tscores(s, dir)
     val tranks = graft.plans.TopK.perGroup(tscores, Seq("query_id"),
         Seq("score" -> true, "doc_id" -> false), hybridK)
       .select($"query_id", $"doc_id", $"rank".as("text_rank"))

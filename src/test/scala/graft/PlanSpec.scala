@@ -192,6 +192,28 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("hybrid BM25 side probes the persisted postings index exchange-free") {
+    val s = spark
+    graft.operators.HybridSearch.buildBm25Index(s, sfDir)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = s.conf.get(key)
+    try {
+      // the query-term side is EXPLICITLY broadcast; disabling
+      // auto-broadcast pins that the postings side joins without any
+      // planner rescue (the 100 TB shape)
+      s.conf.set(key, "-1")
+      val p = plan(graft.operators.HybridSearch.bm25Tscores(s, sfDir))
+      assert(p.contains("graft_bm25_postings_idx"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      // the ONLY shuffle is the matched-rows (query, doc) partial agg:
+      // the postings never reshuffle and no corpus statistic (df, dl,
+      // avgdl, N) is recomputed at query time
+      assert(shuffleExchanges(p) == 1,
+        s"one matched-rows agg exchange only:\n$p")
+    } finally s.conf.set(key, orig)
+  }
+
   test("semantic decontamination broadcasts the eval side; the corpus is never pair-joined with itself") {
     val s = spark
     val key = "spark.sql.autoBroadcastJoinThreshold"
