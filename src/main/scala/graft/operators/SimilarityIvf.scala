@@ -151,6 +151,145 @@ object SimilarityIvf {
       .orderBy($"query_id", $"rank")
   }
 
+  // ---- ann_filtered — metadata-filtered IVF search ----------------
+
+  /** The metadata predicate for [[annFiltered]]: embeddings.label.
+    * Stands in for the language/license/source/date predicate every
+    * production retrieval pass carries. */
+  val filterLabel = 3
+
+  /** §2.5 — METADATA-FILTERED ANN: search and filter in ONE pass, the
+    * production retrieval shape no unfiltered tier covers.
+    * Post-filtering an unfiltered top-k silently under-recalls when
+    * the predicate is selective (the unfiltered top-k may hold zero
+    * survivors — AnnFilteredSpec constructs the failure); rebuilding
+    * the index per predicate is a non-starter at 10¹¹ vectors. The
+    * filter instead rides INTO the probe: candidates are the probed
+    * lists' members that pass the predicate (the label column joins
+    * from the parquet-backed embeddings scan, filter pushed to the
+    * scan), with a per-QUERY selectivity fallback — a query whose
+    * probed lists hold fewer than k survivors re-ranks the whole
+    * FILTERED slice brute-force (bounded: selectivity × corpus, and
+    * only starved queries pay it; the survivor count is a bounded
+    * partial agg collecting ≤ nQueries rows). Both branches re-rank
+    * with the exact quantized cosine; the oracle replays the same
+    * survivor-count decision, so the emitted `fallback` flag is
+    * hash-checked too. */
+  def annFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cents, assigned) = kmeans(s, dir)
+    val labels = graft.sources.Tables.embeddings(s, dir)
+      .select($"vec_id", $"label")
+    val filtered = assigned.join(labels, "vec_id")
+      .filter($"label" === lit(filterLabel))
+      .select($"vec_id", $"cid", $"v", $"nrm")
+    val probes = vectors(s, dir)
+      .filter($"vec_id" < Similarity.nQueries)
+      .withColumn("cents", typedLit(cents))
+      .withColumn("probes",
+        expr(s"""transform(slice(array_sort(
+                |  transform(sequence(0, ${nlist - 1}), i -> named_struct(
+                |    's', element_at(transform(cents, c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(v, c)), i + 1),
+                |    'c', i))), 1, $nprobe), p -> p.c)""".stripMargin))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        explode($"probes").as("cid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getInt(3)))
+    val probesDf = broadcast(probes.toSeq.toDF("query_id", "qv", "qnrm", "cid"))
+    // pass 1: per-query survivor counts inside the probed lists — a
+    // bounded partial agg (≤ nQueries rows reach the driver)
+    val surv = filtered.join(probesDf,
+        filtered("cid") === probesDf("cid") && $"vec_id" =!= $"query_id")
+      .dropDuplicates("query_id", "vec_id")
+      .groupBy($"query_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qinfo = probes.map(p => (p._1, p._2, p._3)).distinct
+    val fbIds = qinfo.map(_._1)
+      .filter(q => surv.getOrElse(q, 0L) < Similarity.k).toSet
+    // pass 2: probed candidates for satisfied queries; the whole
+    // filtered slice for starved ones
+    val keepDf = broadcast(probes.filter(p => !fbIds.contains(p._1)).toSeq
+      .toDF("query_id", "qv", "qnrm", "cid"))
+    val fbDf = broadcast(qinfo.filter(q => fbIds.contains(q._1)).toSeq
+      .toDF("query_id", "qv", "qnrm"))
+    val candProbed = filtered.join(keepDf,
+        filtered("cid") === keepDf("cid") && $"vec_id" =!= $"query_id")
+      .dropDuplicates("query_id", "vec_id")
+      .select($"query_id", $"vec_id", $"qv", $"qnrm", $"v", $"nrm",
+        lit(false).as("fallback"))
+    val candFb = filtered.crossJoin(fbDf)
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id", $"qv", $"qnrm", $"v", $"nrm",
+        lit(true).as("fallback"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    candProbed.unionByName(candFb)
+      .withColumn("cosine",
+        expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= Similarity.k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"),
+        $"cosine", $"fallback")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle over the staged centroids: assignment, probe lists, the
+    * filtered slice, the per-query survivor-count fallback decision
+    * and both ranking branches, all recomputed in DuckDB. */
+  def annFilteredSql(glob: String): String =
+    s"""WITH cents AS (SELECT cid, c FROM read_parquet('$glob')),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+       |scoredc AS (
+       |  SELECT n.vec_id, cents.cid,
+       |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(n.v, cents.c) AS s
+       |  FROM n, cents),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM scoredc)
+       |  WHERE rn = 1),
+       |filt AS MATERIALIZED (
+       |  SELECT a.vec_id, a.cid
+       |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+       |  WHERE e.label = $filterLabel),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM scoredc WHERE vec_id < ${Similarity.nQueries})
+       |  WHERE rn <= $nprobe),
+       |probedcand AS MATERIALIZED (
+       |  SELECT DISTINCT p.query_id, f.vec_id
+       |  FROM probes p JOIN filt f ON f.cid = p.cid
+       |  WHERE f.vec_id <> p.query_id),
+       |surv AS (
+       |  SELECT q.query_id,
+       |    coalesce((SELECT count(*) FROM probedcand pc
+       |              WHERE pc.query_id = q.query_id), 0) < ${Similarity.k} AS fb
+       |  FROM (SELECT DISTINCT query_id FROM probes) q),
+       |cand AS (
+       |  SELECT pc.query_id, pc.vec_id AS neighbor_id, FALSE AS fallback
+       |  FROM probedcand pc JOIN surv ON surv.query_id = pc.query_id
+       |  WHERE NOT surv.fb
+       |  UNION ALL
+       |  SELECT s2.query_id, f.vec_id, TRUE
+       |  FROM surv s2 JOIN filt f ON f.vec_id <> s2.query_id
+       |  WHERE s2.fb),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id, cand.fallback,
+       |    ${rndSql("list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)", 6)} AS cosine
+       |  FROM cand JOIN n qn ON qn.vec_id = cand.query_id
+       |            JOIN n cn ON cn.vec_id = cand.neighbor_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+       |  neighbor_id, cosine, fallback
+       |FROM scored
+       |QUALIFY rank <= ${Similarity.k}
+       |ORDER BY query_id, rank""".stripMargin
+
   /** §2.5 — cluster occupancy, the index's balance diagnostic (a
     * skewed inverted file makes nprobe search latency long-tailed;
     * this is the rollup an operator watches). One partial-aggregated
@@ -568,6 +707,7 @@ object SimilarityIvf {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_ivf"           -> (annIvf _),
+    "ann_filtered"      -> (annFiltered _),
     "ann_ivf_probe_sweep" -> (annIvfProbeSweep _),
     "ivf_cluster_sizes" -> (ivfClusterSizes _),
     "embed_cluster_purity" -> (embedClusterPurity _),
@@ -577,6 +717,7 @@ object SimilarityIvf {
   def oracles: Map[String, String] =
     (graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
       "ann_ivf"           -> annIvfSql(g),
+      "ann_filtered"      -> annFilteredSql(g),
       "ann_ivf_probe_sweep" -> annIvfProbeSweepSql(g),
       "ivf_cluster_sizes" -> ivfClusterSizesSql(g),
       "embed_cluster_purity" -> embedClusterPuritySql(g))) ++
