@@ -209,33 +209,53 @@ object Relational {
     * O(1) state per group and mergeable (register-wise max), so the
     * partial-aggregate tree is partition-count-invariant — the scale
     * replacement for countDistinct's two-phase exact expand when the
-    * per-group key cardinality is itself huge. Engine-specific sketch
-    * → rows-only driver check; RelationalSpec bounds the error vs the
-    * exact count and asserts partition invariance. */
+    * per-group key cardinality is itself huge. The sketch estimate is
+    * engine-specific, so it is STAGED (the MinHash/PQ artifact
+    * pattern): the oracle reads the same estimates and independently
+    * recomputes the exact NDV, the relative error and the bound
+    * verdict — the row is hash-exact and a sketch-accuracy regression
+    * trips the emitted within_bound (spec-asserted true; ScaleSpec
+    * additionally bounds the error and pins partition invariance). */
   val approxDistinctRsd = 0.02
 
   def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, dir)
-    val approx = ev.groupBy($"event_type")
-      .agg(
-        approx_count_distinct($"user_id", approxDistinctRsd).as("approx_users"),
-        count(lit(1)).as("n_events"))
-    // evidence columns for the driver's rows-only artifact: the exact
-    // NDV via the BOUNDED two-phase exact-distinct layout — shrink to
-    // distinct (event_type, user_id) pairs (agg state = just the group
-    // key), then count per type — NOT an in-agg countDistinct, whose
-    // Expand would fold the exact path into the sketch query's own
-    // aggregate and make the bench measure it
+    val approx = graft.sources.OracleStage.stage(s, "approx_distinct_est", dir) {
+      ev.groupBy($"event_type")
+        .agg(
+          approx_count_distinct($"user_id", approxDistinctRsd).as("approx_users"),
+          count(lit(1)).as("n_events"))
+    }
+    // the exact NDV via the BOUNDED two-phase exact-distinct layout —
+    // shrink to distinct (event_type, user_id) pairs (agg state = just
+    // the group key), then count per type — NOT an in-agg
+    // countDistinct, whose Expand would fold the exact path into the
+    // sketch query's own aggregate and make the bench measure it
     val exact = ev.select($"event_type", $"user_id").distinct()
       .groupBy($"event_type").agg(count(lit(1)).as("exact_users"))
     approx.join(exact, Seq("event_type"))
       .withColumn("rel_err",
-        round(abs($"approx_users" - $"exact_users").cast("double") /
+        rnd(abs($"approx_users" - $"exact_users").cast("double") /
           $"exact_users".cast("double"), 6))
       .withColumn("within_bound", $"rel_err" <= lit(3 * approxDistinctRsd))
       .orderBy($"event_type")
   }
+
+  /** Oracle over the staged estimates: exact NDV, event counts, error
+    * and verdict all recomputed in DuckDB — only the HLL estimate
+    * itself (spec-bounded) comes from the artifact. */
+  def qApproxDistinctSql(glob: String): String =
+    s"""WITH est AS (SELECT event_type, approx_users FROM read_parquet('$glob')),
+       |ex AS (
+       |  SELECT event_type, count(*) AS n_events,
+       |    count(DISTINCT user_id) AS exact_users
+       |  FROM events GROUP BY 1)
+       |SELECT est.event_type, est.approx_users, ex.n_events, ex.exact_users,
+       |  ${rndSql("CAST(abs(est.approx_users - ex.exact_users) AS DOUBLE) / CAST(ex.exact_users AS DOUBLE)", 6)} AS rel_err,
+       |  ${rndSql("CAST(abs(est.approx_users - ex.exact_users) AS DOUBLE) / CAST(ex.exact_users AS DOUBLE)", 6)} <= ${3 * approxDistinctRsd} AS within_bound
+       |FROM est JOIN ex USING (event_type)
+       |ORDER BY event_type""".stripMargin
 
   /** EXISTS / NOT EXISTS as left-semi / left-anti joins. */
   def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
@@ -934,24 +954,69 @@ object Relational {
   /** The 100 TB path for [[qPercentiles]]: approx_percentile keeps a
     * bounded mergeable quantile sketch (Greenwald-Khanna style,
     * O(accuracy·log n) state) per group instead of buffering every
-    * value, so one hot group can't blow an aggregation buffer.
-    * Engine-specific sketch → rows-only driver check. The accuracy
-    * evidence deliberately lives OUTSIDE this query: ScaleSpec bounds
-    * |approx − exact| by the sketch's rank-error guarantee at sf0.1
-    * (exact percentile() there buffers every value per group — the
-    * unbounded state this query exists to avoid, so carrying it as
-    * in-dump evidence columns would defeat the query's own scale
-    * story and make the bench measure the exact path). */
+    * value, so one hot group can't blow an aggregation buffer. The
+    * sketch values are engine-specific, so they are STAGED and the
+    * oracle recomputes everything downstream: the RANK of each
+    * returned value — count(x < v) / count(x ≤ v), ONE extra partial
+    * agg, never the per-group value buffering the exact percentile
+    * would need — and the GK rank-error verdict
+    * |rank − p·n| ≤ n/accuracy (+1 slack for the rank-interval
+    * convention). The row is hash-exact; a sketch-accuracy regression
+    * trips the emitted in_bound flags (spec-asserted true; ScaleSpec
+    * additionally bounds |approx − exact| at sf0.1). */
   def qPercentilesApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.lineitem(s, dir)
-      .groupBy($"l_returnflag")
-      .agg(
-        expr(s"approx_percentile(l_extendedprice, CAST(0.5 AS DOUBLE), $percentileAccuracy)").as("p50"),
-        expr(s"approx_percentile(l_extendedprice, CAST(0.95 AS DOUBLE), $percentileAccuracy)").as("p95"),
-        count(lit(1)).as("n"))
+    val approx = graft.sources.OracleStage.stage(s, "pctl_approx_est", dir) {
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr(s"approx_percentile(l_extendedprice, CAST(0.5 AS DOUBLE), $percentileAccuracy)").as("p50"),
+          expr(s"approx_percentile(l_extendedprice, CAST(0.95 AS DOUBLE), $percentileAccuracy)").as("p95"))
+    }
+    Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+      .join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy($"l_returnflag", $"p50", $"p95")
+      .agg(count(lit(1)).as("n"),
+        countIf($"l_extendedprice" < $"p50").as("lo50"),
+        countIf($"l_extendedprice" <= $"p50").as("hi50"),
+        countIf($"l_extendedprice" < $"p95").as("lo95"),
+        countIf($"l_extendedprice" <= $"p95").as("hi95"))
+      .select($"l_returnflag", $"p50", $"p95", $"n",
+        expr(pctlBoundSql("0.5", "lo50", "hi50")).as("p50_in_bound"),
+        expr(pctlBoundSql("0.95", "lo95", "hi95")).as("p95_in_bound"))
       .orderBy($"l_returnflag")
   }
+
+  /** The GK rank-bound verdict, one SQL text valid (and identical) in
+    * Spark SQL and DuckDB: the returned value v occupies ranks
+    * [lo+1, hi] (lo = count(x < v), hi = count(x ≤ v)); the sketch
+    * promises some rank within ε·n (+1 slack) of p·n. */
+  private def pctlBoundSql(p: String, lo: String, hi: String): String = {
+    val eps = s"(CAST(1 AS DOUBLE) / CAST($percentileAccuracy AS DOUBLE))"
+    s"""(CAST($lo + 1 AS DOUBLE) <=
+       |   CAST($p AS DOUBLE) * CAST(n AS DOUBLE) + $eps * CAST(n AS DOUBLE) + CAST(1 AS DOUBLE)
+       | AND CAST($hi AS DOUBLE) >=
+       |   CAST($p AS DOUBLE) * CAST(n AS DOUBLE) - $eps * CAST(n AS DOUBLE) - CAST(1 AS DOUBLE))""".stripMargin
+  }
+
+  /** Oracle over the staged sketch values: ranks, counts and the
+    * bound verdict recomputed in DuckDB with the same SQL text. */
+  def qPercentilesApproxSql(glob: String): String =
+    s"""WITH est AS (SELECT l_returnflag, p50, p95 FROM read_parquet('$glob')),
+       |agg AS (
+       |  SELECT li.l_returnflag, est.p50, est.p95,
+       |    count(*) AS n,
+       |    ${countIfSql("l_extendedprice < p50")} AS lo50,
+       |    ${countIfSql("l_extendedprice <= p50")} AS hi50,
+       |    ${countIfSql("l_extendedprice < p95")} AS lo95,
+       |    ${countIfSql("l_extendedprice <= p95")} AS hi95
+       |  FROM lineitem li JOIN est USING (l_returnflag)
+       |  GROUP BY 1, 2, 3)
+       |SELECT l_returnflag, p50, p95, n,
+       |  ${pctlBoundSql("0.5", "lo50", "hi50")} AS p50_in_bound,
+       |  ${pctlBoundSql("0.95", "lo95", "hi95")} AS p95_in_bound
+       |FROM agg
+       |ORDER BY l_returnflag""".stripMargin
 
   /** Full cube over two order dimensions with portable ALL labels. */
   def qCube(s: SparkSession, dir: String): DataFrame = {
@@ -2251,5 +2316,9 @@ object Relational {
     "q_correlation"      -> qCorrelationSql,
     "q_regression"       -> qRegressionSql,
     "q_gini"             -> qGiniSql
-  )
+  ) ++
+    graft.sources.OracleStage.globOf("approx_distinct_est")
+      .map(g => "q_approx_distinct" -> qApproxDistinctSql(g)) ++
+    graft.sources.OracleStage.globOf("pctl_approx_est")
+      .map(g => "q_percentiles_approx" -> qPercentilesApproxSql(g))
 }

@@ -89,8 +89,13 @@ class ScaleSpec extends SparkSpec {
            exactAt(0.95 - eps, "p95_lo"), exactAt(0.95 + eps, "p95_hi"))
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    val approx = Relational.qPercentilesApprox(s, dir)
-      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val rows = Relational.qPercentilesApprox(s, dir).collect()
+    // the emitted GK rank-bound verdicts are the oracle-gated
+    // accuracy tripwire — all true on a healthy sketch
+    rows.foreach { r =>
+      assert(r.getBoolean(4) && r.getBoolean(5), s"rank bound tripped: $r")
+    }
+    val approx = rows.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
     assert(approx.nonEmpty)
     approx.foreach { case (flag, p50, p95) =>
       val (lo50, hi50, lo95, hi95) = bounds(flag)
@@ -105,8 +110,10 @@ class ScaleSpec extends SparkSpec {
     val exact = Tables.events(s, dir).groupBy($"event_type")
       .agg(countDistinct($"user_id").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = Relational.qApproxDistinct(s, dir)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val adRows = Relational.qApproxDistinct(s, dir).collect()
+    // the emitted bound verdict is the oracle-gated accuracy tripwire
+    adRows.foreach(r => assert(r.getBoolean(5), s"rsd bound tripped: $r"))
+    val approx = adRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     approx.foreach { case (et, a) =>
       val rel = math.abs(a.toDouble - exact(et)) / exact(et)
       // 5x rsd slack: pin the contract, not one sketch's luck
