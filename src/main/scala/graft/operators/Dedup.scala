@@ -828,6 +828,79 @@ object Dedup {
       ngramPairs(s, dir, shingleDfCap).select($"doc1", $"doc2"), maxIters)
   }
 
+  /** §2.4 #29q — QUALITY-AWARE canonical selection: [[dedupClusters]]'
+    * components re-labelled with each cluster's argmax(quality score,
+    * tie → lowest doc_id) member instead of min doc_id — what a real
+    * curation pipeline keeps (min-id keeps whichever crawl copy was
+    * ingested first; argmax keeps the best-scoring copy). Quality =
+    * the shared [[TextAnalysis.textQuality]] composite (already
+    * oracle-proven hash-exact, so the ordering keys are cross-engine
+    * identical; NULL scores — empty-token docs — rank last via a
+    * coalesce to −1 on both engines). Layout: the closure as 29c, one
+    * quality join on doc_id, and a per-cluster top-1 on the native
+    * bounded-heap [[graft.plans.TopKPerGroup]] — per-partition heaps
+    * ship one row per (partition, cluster), so a mass-dup cluster
+    * never hands its whole membership to one task. */
+  def dedupClustersBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clusters = dedupClusters(s, dir)
+      .select($"doc_id", $"canonical_id".as("cluster_key"), $"cluster_size")
+    val q = TextAnalysis.textQuality(s, dir)
+      .select($"doc_id", coalesce($"quality", lit(-1.0)).as("q"))
+    val members = clusters.join(q, "doc_id")
+    val best = graft.plans.TopK.perGroup(
+        members.select($"cluster_key", $"doc_id", $"q"),
+        Seq("cluster_key"), Seq("q" -> true, "doc_id" -> false), 1)
+      .select($"cluster_key", $"doc_id".as("canonical_id"),
+        $"q".as("canonical_quality"))
+    members.select($"doc_id", $"cluster_key", $"cluster_size")
+      .join(best, "cluster_key")
+      .select($"doc_id", $"canonical_id", $"canonical_quality", $"cluster_size")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle: 29c's WITH RECURSIVE closure verbatim + the textQuality
+    * metric chain, argmax re-ranked in SQL (row_number over
+    * (q DESC, doc_id)). */
+  val dedupClustersBestSql: String =
+    s"""WITH RECURSIVE $ngramPairCtes,
+       |edges AS (
+       |  SELECT doc1 AS src, doc2 AS dst FROM scored
+       |  UNION ALL
+       |  SELECT doc2, doc1 FROM scored),
+       |reach(doc_id, lab) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc_id),
+       |labs AS (SELECT doc_id, min(lab) AS cluster_key FROM reach GROUP BY 1),
+       |sized AS (
+       |  SELECT doc_id, cluster_key,
+       |    count(*) OVER (PARTITION BY cluster_key) AS cluster_size
+       |  FROM labs),
+       |qt AS (
+       |  SELECT doc_id, ${TextAnalysis.duckToks} AS toks,
+       |    len(${TextAnalysis.duckToks}) AS n_tokens
+       |  FROM documents),
+       |qm AS (
+       |  SELECT doc_id, n_tokens,
+       |    ${TextAnalysis.qualityMetricsDuck}
+       |  FROM qt),
+       |tq AS (
+       |  SELECT doc_id,
+       |    coalesce(${TextAnalysis.qualityDuck}, CAST(-1 AS DOUBLE)) AS q
+       |  FROM qm),
+       |best AS (
+       |  SELECT cluster_key, doc_id AS canonical_id, q AS canonical_quality
+       |  FROM (
+       |    SELECT l.cluster_key, l.doc_id, tq.q,
+       |      row_number() OVER (PARTITION BY l.cluster_key
+       |                         ORDER BY tq.q DESC, l.doc_id) AS rn
+       |    FROM labs l JOIN tq USING (doc_id))
+       |  WHERE rn = 1)
+       |SELECT s.doc_id, b.canonical_id, b.canonical_quality, s.cluster_size
+       |FROM sized s JOIN best b USING (cluster_key)
+       |ORDER BY s.doc_id""".stripMargin
+
   /** The 100 TB path for cluster canonicalization: MinHash banding
     * candidates → exact Jaccard re-rank on the (bounded) candidate
     * pairs only → the same propagation. The corpus-quadratic shingle
@@ -1848,6 +1921,7 @@ object Dedup {
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "dedup_clusters"      -> (dedupClusters _),
+    "dedup_clusters_best" -> (dedupClustersBest _),
     "dedup_clusters_minhash" -> (dedupClustersMinhash _),
     "dedup_clusters_embedding" -> (dedupClustersEmbedding _),
     "dedup_clusters_embedding_indexed" -> (dedupClustersEmbeddingIndexed _),
@@ -1877,6 +1951,7 @@ object Dedup {
       "dedup_containment"   -> dedupContainmentSql,
       "dedup_embedding"     -> dedupEmbeddingSql,
       "dedup_clusters"      -> dedupClustersSql,
+      "dedup_clusters_best" -> dedupClustersBestSql,
       // banding recall is total on the driver corpora (checked at
       // sf0.01 and sf0.1), so the scale-path clusters share the
       // transitive-closure oracle verbatim

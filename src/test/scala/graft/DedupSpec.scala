@@ -452,4 +452,37 @@ class DedupSpec extends SparkSpec {
     assert(rows(4L) == ((7L, 0L, 0L, s"d1 d2 $idiom d3")))
     assert(rows(5L) == ((7L, 0L, 0L, s"e1 $idiom e2 e3")))
   }
+
+  test("dedup_clusters_best keeps the best-quality copy where min-id keeps the first-crawled one") {
+    val s = spark; import s.implicits._
+    val dir = Files.createTempDirectory("graft-docs-best").toString
+    // doc 1 = S+S (the mass-crawled copy with boilerplate doubling:
+    // ttr 0.5, the LOWER quality) gets the LOWER id; doc 2 = S (the
+    // clean copy) the higher id — so the min-id and argmax(quality)
+    // winners provably differ. jaccard(shingles(S), shingles(S+S))
+    // = 28/30 >= tau, so they cluster. doc 5 is an unrelated singleton.
+    val sTxt = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    Seq((1L, s"$sTxt $sTxt", "en", "src0"),
+        (2L, sTxt, "en", "src0"),
+        (5L, other, "en", "src1"))
+      .map(t => (t._1, t._2, t._3, t._4, t._2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val minId = graft.operators.Dedup.dedupClusters(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minId(1L) == 1L && minId(2L) == 1L,
+      s"min-id canonicalization should keep doc 1: $minId")
+    val best = graft.operators.Dedup.dedupClustersBest(s, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(best(1L)._1 == 2L && best(2L)._1 == 2L,
+      s"argmax(quality) must keep the clean copy, doc 2: $best")
+    assert(best(1L)._3 == 2L && best(2L)._3 == 2L)
+    assert(best(5L) == ((5L, best(5L)._2, 1L)), s"singleton self-canonical: $best")
+    // the winner's quality is strictly higher than the loser's
+    val q = graft.operators.TextAnalysis.textQuality(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(q(2L) > q(1L), s"construction broken: $q")
+    assert(best(1L)._2 == q(2L), "canonical_quality must be the winner's score")
+  }
 }
