@@ -1249,7 +1249,11 @@ object Similarity {
     * cost of k·overfetch rows per query; SimilaritySpec asserts
     * recall dominance over the raw Hamming top-k and exactness of
     * the reported cosines. */
-  def annHammingRefine(s: SparkSession, dir: String): DataFrame = {
+  /** The Hamming-shortlist ids (query_id, vec_id) — the stage-1
+    * candidate set of [[annHammingRefine]], shared with the recall
+    * report's candidate accounting so the cost column can never
+    * desync from the search path. */
+  private[graft] def hammingShortlistIds(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val codes = Tables.embeddings(s, dir)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
@@ -1258,10 +1262,15 @@ object Similarity {
       .select($"vec_id".as("query_id"), $"code".as("qcode"))
     val scored = codes.join(broadcast(q), $"vec_id" =!= $"query_id")
       .withColumn("hamming", expr("CAST(bit_count(qcode ^ code) AS INT)"))
-    val shortlist = graft.plans.TopK.perGroup(
+    graft.plans.TopK.perGroup(
         scored.select($"query_id", $"vec_id", $"hamming"),
         Seq("query_id"), Seq("hamming" -> false, "vec_id" -> false), hammingShortlist)
       .select($"query_id", $"vec_id")
+  }
+
+  def annHammingRefine(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val shortlist = hammingShortlistIds(s, dir)
     val qside = broadcast(vectors(s, dir).filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm")))
     val exact = vectors(s, dir)

@@ -151,6 +151,36 @@ object SimilarityIvf {
       .orderBy($"query_id", $"rank")
   }
 
+  /** The index artifacts WITHOUT re-training: read the staged
+    * centroids/assignment when this process already trained them
+    * (the cost-report path — counting candidates must not re-pay the
+    * k-means loop), else train via [[kmeans]]. */
+  private[graft] def stagedIndex(s: SparkSession, dir: String): (Seq[Seq[Double]], DataFrame) =
+    (graft.sources.OracleStage.pathOf("ivf_centroids", dir),
+     graft.sources.OracleStage.pathOf("ivf_assigned", dir)) match {
+      case (Some(cp), Some(ap)) =>
+        val cents = s.read.parquet(cp).collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).map(_._2).toSeq
+        (cents, s.read.parquet(ap))
+      case _ => kmeans(s, dir)
+    }
+
+  /** The probe lists (query_id, cid) for an arbitrary query-vector
+    * frame, via the IDENTICAL slice/sort transform the tiers use —
+    * shared so candidate-count accounting can never desync from the
+    * search paths. */
+  private[graft] def probePairsOf(q: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val s = q.sparkSession
+    import s.implicits._
+    q.withColumn("cents", typedLit(cents))
+      .withColumn("probes",
+        expr(s"""transform(slice(array_sort(
+                |  transform(sequence(0, ${nlist - 1}), i -> named_struct(
+                |    's', element_at(transform(cents, c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(v, c)), i + 1),
+                |    'c', i))), 1, $nprobe), p -> p.c)""".stripMargin))
+      .select($"vec_id".as("query_id"), explode($"probes").as("cid"))
+  }
+
   // ---- ann_filtered — metadata-filtered IVF search ----------------
 
   /** The metadata predicate for [[annFiltered]]: embeddings.label.

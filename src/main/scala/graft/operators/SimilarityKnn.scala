@@ -224,6 +224,26 @@ object SimilarityKnn {
   private val gsMemo =
     scala.collection.concurrent.TrieMap[(String, SparkSession), DataFrame]()
 
+  /** |visited| of the last centroid-seeded descent — the tier's
+    * candidates-scanned count, set by the same run the report reuses. */
+  private val gsCandMemo =
+    scala.collection.concurrent.TrieMap[(String, SparkSession), Long]()
+
+  /** The descent's scored-candidate count for the report: the
+    * memoized value if the tier ran this session, else one memoized
+    * run (the same rule [[graphSearchMemoized]] applies to results). */
+  private[graft] def graphSearchCandidates(s: SparkSession, dir: String): Long =
+    gsCandMemo.getOrElse((dir, s), {
+      graphSearchMemoized(s, dir).queryExecution // force memoization
+      gsCandMemo.getOrElseUpdate((dir, s), {
+        // memoized frame predates the counter (older session path):
+        // recompute the descent once to fill it
+        gsMemo.remove((dir, s))
+        graphSearchMemoized(s, dir)
+        gsCandMemo((dir, s))
+      })
+    })
+
   /** The global-entry variant, spec seam only (see [[entryCount]]). */
   private[graft] def graphSearchGlobalEntry(s: SparkSession, dir: String): DataFrame =
     graphSearchOf(s, dir, centroidSeeded = false)
@@ -284,6 +304,12 @@ object SimilarityKnn {
           Seq("query_id", "node"), "left_anti")
       visited = visited.union(scoreCands(cand)).localCheckpoint(true)
     }
+    // candidates-scanned accounting for the recall report's cost
+    // column: every visited (query, node) was cosine-scored exactly
+    // once (the anti-join dedups expansions); the count is a cheap
+    // action on the checkpointed frame. Memoized only for the
+    // production (centroid-seeded) path the report ranks.
+    if (centroidSeeded) gsCandMemo.put((dir, s), visited.count())
     visited.filter($"node" =!= $"query_id")
       .withColumn("rank", row_number().over(bw).cast("long"))
       .filter($"rank" <= Similarity.k)
@@ -296,7 +322,29 @@ object SimilarityKnn {
     * deterministic, so fixed rounds are expressible as nested
     * relational algebra; DuckDB replays beam, expansion, anti-join
     * and re-beam exactly). */
-  def annGraphSearchSql(glob: String, centGlob: String): String = {
+  def annGraphSearchSql(glob: String, centGlob: String): String =
+    s"""WITH ${gsDescentCtes(glob, centGlob)}
+       |SELECT query_id, rank, neighbor_id, cosine FROM (
+       |  SELECT query_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, node) AS rank,
+       |    node AS neighbor_id, cosine
+       |  FROM vis$searchRounds WHERE node <> query_id)
+       |WHERE rank <= ${Similarity.k}
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The tier's candidates-scanned count replayed in SQL: every
+    * visited (query, node) row was scored exactly once. Self-contained
+    * (embeds the full descent CTE chain) so it drops into the report's
+    * counts union as a scalar subquery. */
+  def gsCandidatesSql(glob: String, centGlob: String): String =
+    s"""WITH ${gsDescentCtes(glob, centGlob)}
+       |SELECT CAST(count(*) AS BIGINT) FROM vis$searchRounds""".stripMargin
+
+  /** The full descent CTE chain (seeding + rounds), shared by the
+    * result oracle and the candidate-count oracle so the two can
+    * never diverge. */
+  private def gsDescentCtes(glob: String, centGlob: String): String = {
     val cos = rndSql("list_dot_product(q.qv, c.v) / (q.qn * c.nrm)", 6)
     val rounds = (1 to searchRounds).map { r =>
       s"""f${r - 1} AS (
@@ -318,7 +366,7 @@ object SimilarityKnn {
          |  JOIN n c ON c.vec_id = x.node
          |  JOIN q ON q.query_id = x.query_id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |n AS (
@@ -356,15 +404,7 @@ object SimilarityKnn {
        |  FROM probes p JOIN leads l USING (cid)
        |  JOIN n c ON c.vec_id = l.node
        |  JOIN q ON q.query_id = p.query_id),
-       |$rounds
-       |SELECT query_id, rank, neighbor_id, cosine FROM (
-       |  SELECT query_id,
-       |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cosine DESC, node) AS rank,
-       |    node AS neighbor_id, cosine
-       |  FROM vis$searchRounds WHERE node <> query_id)
-       |WHERE rank <= ${Similarity.k}
-       |ORDER BY query_id, rank""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** §2.5 — the INDEX-SELECTION report: recall@k of every ANN tier
@@ -417,6 +457,10 @@ object SimilarityKnn {
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_ unionByName _)
     val tc = truth.agg(count(lit(1)).as("t_n"))
+    // the COST axis: exact candidates-scanned per tier (TierCost) —
+    // an 11-row bounded frame from index metadata + the memoized
+    // descent count, never a tier re-scan
+    val counts = broadcast(TierCost.tierCandidates(s, dir))
     preds
       .join(truth.withColumn("hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
@@ -424,7 +468,8 @@ object SimilarityKnn {
       .agg(count(lit(1)).as("n_returned"),
         sum(coalesce($"hit", lit(0L))).as("n_hits"))
       .crossJoin(tc) // bounded: one scalar row
-      .select($"method", $"n_returned", $"n_hits",
+      .join(counts, "method")
+      .select($"method", $"n_returned", $"n_candidates", $"n_hits",
         expr(rndSql("CAST(n_hits AS DOUBLE) / CAST(t_n AS DOUBLE)", 6))
           .as("recall"))
       .orderBy($"method")
@@ -468,13 +513,17 @@ object SimilarityKnn {
        |  SELECT p.method,
        |    CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
        |  FROM preds p LEFT JOIN truth t
-       |    ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id)
-       |SELECT method, count(*) AS n_returned,
-       |  CAST(sum(hit) AS BIGINT) AS n_hits,
-       |  ${rndSql("CAST(sum(hit) AS DOUBLE) / CAST(max(t_n) AS DOUBLE)", 6)} AS recall
-       |FROM j, tc
-       |GROUP BY method
-       |ORDER BY method""".stripMargin
+       |    ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id),
+       |rep AS (
+       |  SELECT method, count(*) AS n_returned,
+       |    CAST(sum(hit) AS BIGINT) AS n_hits,
+       |    ${rndSql("CAST(sum(hit) AS DOUBLE) / CAST(max(t_n) AS DOUBLE)", 6)} AS recall
+       |  FROM j, tc
+       |  GROUP BY method),
+       |counts AS (${TierCost.tierCandidatesSql(lshGlob, knnGlob, centGlob)})
+       |SELECT rep.method, n_returned, n_candidates, n_hits, recall
+       |FROM rep JOIN counts ON counts.method = rep.method
+       |ORDER BY rep.method""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_knn_graph" -> (annKnnGraph _),

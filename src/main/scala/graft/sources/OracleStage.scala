@@ -54,4 +54,10 @@ object OracleStage {
   /** The parquet glob DuckDB should read for `key`, if staged. */
   def globOf(key: String): Option[String] =
     last.get(key).map(p => s"$p/*.parquet")
+
+  /** The staged path for (key, dataset), if this process staged it —
+    * lets a consumer read an existing artifact without constructing
+    * (or re-running) the builder frame. */
+  def pathOf(key: String, dir: String): Option[String] =
+    memo.get((key, dir))
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Similarity, SimilarityKnn}
+import graft.operators.{Similarity, SimilarityIvf, SimilarityKnn}
 
 class SimilarityKnnSpec extends SparkSpec {
 
@@ -66,18 +66,36 @@ class SimilarityKnnSpec extends SparkSpec {
 
   test("recall report ranks the tiers sanely: refine dominates raw hamming, truth recall bounds hold") {
     val rows = SimilarityKnn.annRecallReport(spark, sfDir).collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getDouble(4), r.getLong(2)))
       .toMap
     assert(rows.keySet == Set("ann_lsh", "ann_matryoshka", "ann_hamming",
       "ann_hamming_refine", "ann_knn_graph", "ann_graph_search",
       "ann_ivf", "ann_ivf_pq", "ann_ivf_pq_refine", "ann_pq_refine",
       "ann_opq"))
     val maxPairs = Similarity.nQueries.toLong * SimilarityKnn.knnK
-    rows.foreach { case (m, (nRet, nHits, rec)) =>
+    rows.foreach { case (m, (nRet, nHits, rec, nCand)) =>
       assert(nRet <= maxPairs, s"$m returned $nRet > $maxPairs")
       assert(nHits <= nRet)
       assert(rec >= 0.0 && rec <= 1.0, s"$m recall $rec")
+      assert(nCand > 0, s"$m scanned no candidates")
     }
+    // the cost axis orders as the index structures promise: pruned
+    // probes scan less than full ADC scans; the graph lookup scans
+    // the least; refine adds exactly a bounded shortlist
+    val cand = rows.map { case (m, t) => m -> t._4 }
+    assert(cand("ann_ivf") < cand("ann_opq"),
+      s"IVF pruning must scan less than a full scan: $cand")
+    assert(cand("ann_ivf_pq") <= cand("ann_ivf_pq_refine"))
+    assert(cand("ann_hamming") <= cand("ann_hamming_refine"))
+    assert(cand("ann_knn_graph") < cand("ann_hamming"),
+      s"the stored-graph lookup must be the cheap tier: $cand")
+    // reconciliation with the probe sweep: the report's ann_ivf count
+    // IS the sweep's n_candidates at nprobe = 4 (same construction)
+    val sweep = SimilarityIvf.annIvfProbeSweep(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cand("ann_ivf") == sweep(SimilarityIvf.nprobe),
+      s"report ${cand("ann_ivf")} vs sweep ${sweep(SimilarityIvf.nprobe)}")
     // the exact re-rank can only repair Hamming's quantization
     // mis-ordering (the 31v dominance property, visible here too)
     assert(rows("ann_hamming_refine")._3 >= rows("ann_hamming")._3)
@@ -103,7 +121,7 @@ class SimilarityKnnSpec extends SparkSpec {
     // the graph tier must justify its index cost: beam descent over
     // the staged edges has to at least match the LSH bucket probe
     val report = SimilarityKnn.annRecallReport(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(report("ann_graph_search") >= report("ann_lsh"),
       s"graph search ${report("ann_graph_search")} < lsh ${report("ann_lsh")}")
   }
