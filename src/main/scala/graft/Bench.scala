@@ -82,12 +82,48 @@ object Bench {
     val fJson = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = ok.map(_._2).sum
     val cJson = s"""{"pass1_start":$c1s,"pass1_end":$c1e,"pass2_start":$c2s,"pass2_end":$c2e}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failures":$fJson,"control":$cJson,"sf":"$sfDir"}"""
+    // Round-over-round read, normalized by the control probes: parse
+    // the PREVIOUS committed bench.json (the file this run overwrites)
+    // and emit {raw_ratio, control_factor, normalized_ratio} over the
+    // common keys — so a pass that ran inside a host stall shows a
+    // control_factor >> 1 and its normalized_ratio stays honest,
+    // without a three-run footnote.
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
+    val prevPath = java.nio.file.Paths.get(outDir, "bench.json")
+    val kvRe = """"([^"]+)":([0-9][0-9.Ee+-]*)""".r
+    val prev: Option[(Map[String, Double], Seq[Double])] =
+      try {
+        if (java.nio.file.Files.exists(prevPath)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+          def obj(name: String): String =
+            ("\"" + name + "\":\\{([^}]*)\\}").r
+              .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          val qmap = kvRe.findAllMatchIn(obj("queries"))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val ctrl = kvRe.findAllMatchIn(obj("control"))
+            .map(_.group(2).toDouble).toSeq
+          if (qmap.nonEmpty && ctrl.nonEmpty) Some((qmap, ctrl)) else None
+        } else None
+      } catch { case _: Throwable => None }
+    val ratioJson = prev.map { case (pq, pc) =>
+      val common = ok.map(_._1).filter(pq.contains)
+      val prevSum = common.map(pq).sum
+      if (common.isEmpty || prevSum <= 0.0) "" else {
+        val curSum = ok.toMap.view.filterKeys(common.contains).values.sum
+        val rawRatio = curSum / prevSum
+        val curCtrl = Seq(c1s, c1e, c2s, c2e)
+        val controlFactor = (curCtrl.sum / curCtrl.size) / (pc.sum / pc.size)
+        val norm = rawRatio / controlFactor
+        def r4(x: Double) = math.rint(x * 10000) / 10000
+        s""","n_common":${common.size},"raw_ratio":${r4(rawRatio)}""" +
+          s""","control_factor":${r4(controlFactor)},"normalized_ratio":${r4(norm)}"""
+      }
+    }.getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failures":$fJson,"control":$cJson$ratioJson,"sf":"$sfDir"}"""
     // Full per-query detail goes to bench.json (SPARK_GRAFT_OUT dir if
     // set, else cwd — the committed round artifact the judge reads).
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT", ".")
     try {
-      val p = java.nio.file.Paths.get(outDir, "bench.json")
+      val p = prevPath
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
@@ -104,7 +140,7 @@ object Bench {
     val slowest = ok.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":$slowest,"queries_full":"bench.json","failures":$fJson,"control":$cJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${ok.size},"queries":$slowest,"queries_full":"bench.json","failures":$fJson,"control":$cJson$ratioJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
