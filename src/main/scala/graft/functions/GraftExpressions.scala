@@ -640,7 +640,16 @@ case class MatVec(left: Expression, right: Expression) extends BinaryExpression 
       val n = math.min(r.numElements(), v.numElements())
       var s = 0.0
       var i = 0
-      while (i < n) { s += r.getDouble(i) * v.getDouble(i); i += 1 }
+      while (i < n) {
+        // containsNull=true inputs are accepted by the type check
+        // (parquet-derived arrays carry the flag); a null ELEMENT is
+        // malformed vector data and must fail loudly — UnsafeArrayData
+        // getDouble would silently read it as 0.0
+        if (r.isNullAt(i) || v.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"graft_matvec: null element at row $j index $i")
+        s += r.getDouble(i) * v.getDouble(i); i += 1
+      }
       out(j) = s
       j += 1
     }
@@ -688,6 +697,10 @@ case class QuantMatVec(left: Expression, right: Expression) extends BinaryExpres
       var acc = 0L
       var i = 0
       while (i < n) {
+        // see MatVec.matvec: null elements are malformed, fail loudly
+        if (r.isNullAt(i) || v.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"graft_qmatvec: null element at row $j index $i")
         acc += math.floor(v.getDouble(i) * r.getDouble(i) * 1000000000.0 + 0.5).toLong
         i += 1
       }
@@ -739,6 +752,10 @@ case class CenteredQuantMatVec(first: Expression, second: Expression, third: Exp
       var acc = 0L
       var i = 0
       while (i < n) {
+        // see MatVec.matvec: null elements are malformed, fail loudly
+        if (r.isNullAt(i) || v.isNullAt(i) || mu.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"graft_qmatvec_c: null element at row $j index $i")
         acc += math.floor(
           (v.getDouble(i) - mu.getDouble(i)) * r.getDouble(i) * 1000000000.0 + 0.5).toLong
         i += 1
@@ -796,28 +813,45 @@ case class PqEncode(left: Expression, right: Expression) extends BinaryExpressio
   // reference identity (a varying operand would merely rebuild per
   // row, staying correct). Self-dots |c|² use the sequential
   // left-to-right graft_dot order.
+  //
+  // THREAD-SAFETY CONTRACT: Spark deserializes a fresh expression
+  // instance per task, so this mutable cache is single-threaded in
+  // every execution path Spark has today. Defensively, decodeBooks
+  // still follows local-assemble-then-publish: cb/cc/dims build into
+  // locals first and cbsRef (the cache-hit key) is assigned LAST, so
+  // even a hypothetical shared-instance evaluator could never see
+  // cbsRef set while the decoded arrays are stale.
   @transient private var cbsRef: AnyRef = _
   @transient private var cb: Array[Array[Array[Double]]] = _
   @transient private var cc: Array[Array[Double]] = _
+  @transient private var dims: Int = _
 
   private def decodeBooks(arr: ArrayData): Unit = {
-    cb = Array.tabulate(arr.numElements()) { m =>
+    val b = Array.tabulate(arr.numElements()) { m =>
       val bm = arr.getArray(m)
       Array.tabulate(bm.numElements()) { c =>
         val cw = bm.getArray(c)
         Array.tabulate(cw.numElements())(cw.getDouble)
       }
     }
-    cc = cb.map(_.map { c =>
+    cb = b
+    cc = b.map(_.map { c =>
       var s = 0.0; var i = 0
       while (i < c.length) { s += c(i) * c(i); i += 1 }
       s
     })
-    cbsRef = arr
+    dims = b.map(bm => if (bm.isEmpty) 0 else bm(0).length).sum
+    cbsRef = arr // publish last (see contract above)
   }
 
   def encode(v: ArrayData, cbsData: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
     if (cbsRef ne cbsData) decodeBooks(cbsData)
+    // UnsafeArrayData.getDouble does not bounds-check: a vector
+    // shorter than the codebooks' combined subspace width would
+    // silently encode garbage — reject it loudly instead
+    if (v.numElements() < dims)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode: vector has ${v.numElements()} elements, codebooks need $dims")
     val m = cb.length
     val codes = new Array[Any](m)
     var err = 0.0
@@ -889,7 +923,15 @@ case class AdcSum(left: Expression, right: Expression) extends BinaryExpression 
     var s = 0.0
     var i = 0
     while (i < m) {
-      s += dt.getArray(i).getDouble(codes.getInt(i))
+      val row = dt.getArray(i)
+      val c = codes.getInt(i)
+      // UnsafeArrayData does not bounds-check: a malformed code would
+      // silently read a neighboring slot — reject it loudly (the
+      // element_at chain this loop replaced errored here)
+      if (c < 0 || c >= row.numElements())
+        throw new IllegalArgumentException(
+          s"graft_adc: code $c out of range for a ${row.numElements()}-entry distance row (m=$i)")
+      s += row.getDouble(c)
       i += 1
     }
     s

@@ -14,8 +14,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * never read by any oracle. */
 object TierMemo {
 
+  // IMMUTABLE-DATASET ASSUMPTION: entries are keyed (name, dir,
+  // session) and never expire — correct because a dataset dir is
+  // immutable for the life of a session (the library's ingest paths
+  // write to catalog tables and staging dirs, never INTO a dataset
+  // dir). A writer that does mutate a dataset in place must call
+  // invalidate() so reports re-score against the new data instead of
+  // a stale checkpointed frame (entries also pin their session's
+  // checkpoint blocks until then).
   private val m =
     scala.collection.concurrent.TrieMap[(String, String, SparkSession), DataFrame]()
+
+  /** Drop every memoized tier result for `dir` — the hook an in-place
+    * dataset writer calls (no writer in this library needs it today;
+    * see the immutability note above). */
+  def invalidate(dir: String): Unit =
+    m.keys.filter(_._2 == dir).foreach(m.remove)
 
   /** Standalone path: evaluate the frame now, remember it. */
   def refresh(name: String, dir: String, s: SparkSession)(df: => DataFrame): DataFrame = {

@@ -729,9 +729,19 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // materialize the covered frame (lineage cut off the temp files),
+    // then delete the run's sink/checkpoint dirs — repeated stream
+    // runs must not accumulate temp data
     val covered = s.read.parquet(s"$out/data")
       .dropDuplicates("doc_id", "off")
+      .localCheckpoint(true)
+    deleteRecursively(new java.io.File(out))
     Dedup.spanRemovalFromCovered(s, dir, covered)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
   }
 
   /** Continuous-ingest EXACT dedup: the §2.4 `dedup_exact` layout run

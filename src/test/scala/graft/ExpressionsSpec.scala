@@ -177,4 +177,33 @@ class ExpressionsSpec extends SparkSpec {
     // the ΣΙΣΥΦΟΣ literal case above pins the intended simple mapping
     assert(viaExpr == viaSql)
   }
+
+  test("native matvec family rejects malformed inputs loudly, never reads garbage") {
+    val s = spark
+    def fails(sql: String): Unit = {
+      val e = intercept[Exception](s.sql(s"SELECT $sql").collect())
+      // unwrap SparkException task-failure nesting
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(m => m.contains("out of range") ||
+        m.contains("null element") || m.contains("codebooks need")),
+        s"wrong failure for [$sql]: $e")
+    }
+    // graft_adc: out-of-range code (UnsafeArrayData would silently
+    // read a neighbor slot)
+    fails("graft_adc(array(array(1.0D, 2.0D)), array(5))")
+    fails("graft_adc(array(array(1.0D, 2.0D)), array(-1))")
+    // graft_pq_encode: vector shorter than the codebooks' width
+    fails("graft_pq_encode(array(1.0D), array(array(array(1.0D, 2.0D))))")
+    // null elements in the hot loops (getDouble would read 0.0)
+    fails("graft_matvec(array(array(1.0D, CAST(NULL AS DOUBLE))), array(1.0D, 2.0D))")
+    fails("graft_qmatvec(array(1.0D, CAST(NULL AS DOUBLE)), array(array(1.0D, 2.0D)))")
+    fails("graft_qmatvec_c(array(1.0D, CAST(NULL AS DOUBLE)), array(0.0D, 0.0D), array(array(1.0D, 2.0D)))")
+    // healthy inputs still work
+    val ok = s.sql(
+      "SELECT graft_adc(array(array(1.0D, 2.0D)), array(1)) AS a, " +
+      "graft_pq_encode(array(1.0D, 2.0D), array(array(array(1.0D, 2.0D)))).err AS e")
+      .collect()(0)
+    assert(ok.getDouble(0) == 2.0 && ok.getDouble(1) == 0.0)
+  }
 }
