@@ -92,7 +92,8 @@ object HybridSearch {
     * never reshuffles, never re-derives a corpus statistic — and the
     * matched rows take one (query, doc) partial-agg shuffle.
     * `private[graft]` so PlanSpec pins the exchange-free shape. */
-  private[graft] def bm25Tscores(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bm25Tscores(s: SparkSession, dir: String,
+                                 keep: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import graft.functions.Agg.dsum
     buildBm25Index(s, dir)
@@ -102,21 +103,20 @@ object HybridSearch {
     // per (term, doc), so this IS the distinct term set)
     val q = broadcast(post.filter($"doc_id" < Similarity.nQueries)
       .select($"doc_id".as("query_id"), $"term"))
-    post.join(q, "term")
+    val matched = post.join(q, "term")
       .filter($"doc_id" =!= $"query_id")
+    // the metadata gate rides INTO the probe (filtered variant):
+    // candidates outside the slice never reach the score agg
+    keep.fold(matched)(kd => matched.join(kd, "doc_id"))
       .groupBy($"query_id", $"doc_id")
       .agg(dsum($"w").as("score"))
   }
 
-  def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
+  /** Rank-only RRF fusion of the two sides' rank lists (both
+    * ≤ queries×k — driver-scale), shared by the unfiltered and
+    * filtered variants. */
+  private def fuse(s: SparkSession, tranks: DataFrame, vranks: DataFrame): DataFrame = {
     import s.implicits._
-    val tscores = bm25Tscores(s, dir)
-    val tranks = graft.plans.TopK.perGroup(tscores, Seq("query_id"),
-        Seq("score" -> true, "doc_id" -> false), hybridK)
-      .select($"query_id", $"doc_id", $"rank".as("text_rank"))
-    val vranks = graft.sources.TierMemo.cached("ann_ivf", dir, s)(
-        SimilarityIvf.annIvf(s, dir))
-      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("vec_rank"))
     val rrfExpr = graft.functions.Agg.rndSql(
       s"""coalesce(CAST(1 AS DOUBLE) / CAST($rrfK + text_rank AS DOUBLE), CAST(0 AS DOUBLE))
          | + coalesce(CAST(1 AS DOUBLE) / CAST($rrfK + vec_rank AS DOUBLE), CAST(0 AS DOUBLE))"""
@@ -131,10 +131,80 @@ object HybridSearch {
       .orderBy($"query_id", $"rank")
   }
 
+  private def textRanks(s: SparkSession, tscores: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.plans.TopK.perGroup(tscores, Seq("query_id"),
+        Seq("score" -> true, "doc_id" -> false), hybridK)
+      .select($"query_id", $"doc_id", $"rank".as("text_rank"))
+  }
+
+  def searchHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tranks = textRanks(s, bm25Tscores(s, dir))
+    val vranks = graft.sources.TierMemo.cached("ann_ivf", dir, s)(
+        SimilarityIvf.annIvf(s, dir))
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("vec_rank"))
+    fuse(s, tranks, vranks)
+  }
+
+  /** The language predicate of [[searchHybridFiltered]] — stands in
+    * for the license/source/date filter every production retrieval
+    * pass carries. */
+  val hybridFilterLang = "zh"
+
+  /** §2.5/§2.6 — FILTERED hybrid retrieval: 31ad's fusion with a
+    * metadata predicate (documents.lang) riding into BOTH sides —
+    * the full production RAG shape ("documents like this one, but
+    * only <language/license>"), composing the round's two mechanisms:
+    * the text side probes the persisted BM25 postings index with the
+    * slice join BEFORE the score agg (candidates outside the slice
+    * never reach a shuffle), and the vector side is the
+    * filter-aware IVF probe with the per-query starved-list
+    * brute-force fallback within the slice ([[SimilarityIvf
+    * .annFilteredOn]] — post-filtering either side's unfiltered
+    * top-k would silently under-recall, AnnFilteredSpec's
+    * construction). BM25 weights stay the full-corpus statistics
+    * (the index is slice-agnostic — one artifact serves every
+    * predicate); only candidate admission filters. Queries
+    * themselves are NOT filtered: "neighbors of this document within
+    * the slice" is well-posed for any query document. */
+  def searchHybridFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keep = Tables.documents(s, dir)
+      .filter($"lang" === lit(hybridFilterLang)).select($"doc_id")
+    val tranks = textRanks(s, bm25Tscores(s, dir, Some(keep)))
+    val vranks = SimilarityIvf.annFilteredOn(s, dir,
+        keep.select($"doc_id".as("vec_id")))
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("vec_rank"))
+    fuse(s, tranks, vranks)
+  }
+
   /** Oracle: the 35l BM25 CTE chain with the query-doc term set, the
     * staged-centroid IVF tier (31b's oracle verbatim as a subquery),
     * and the fusion replayed term-for-term. */
-  def searchHybridRrfSql(centGlob: String): String = {
+  def searchHybridRrfSql(centGlob: String): String =
+    hybridSqlOf(
+      vranksSub = s"SELECT query_id, neighbor_id AS doc_id, rank AS vec_rank\n" +
+        s"  FROM (${SimilarityIvf.annIvfSql(centGlob)})",
+      keepCte = "", keepJoin = "")
+
+  /** Oracle for the FILTERED variant: the same chain with the
+    * language slice admitted into the weighted candidates, and the
+    * filtered-probe oracle (31ae's, with the documents-lang filt
+    * body) as the vector subquery. */
+  def searchHybridFilteredSql(centGlob: String): String =
+    hybridSqlOf(
+      vranksSub = s"SELECT query_id, neighbor_id AS doc_id, rank AS vec_rank\n" +
+        s"  FROM (${SimilarityIvf.annFilteredSqlOf(centGlob,
+          s"""SELECT a.vec_id, a.cid
+             |  FROM assigned a JOIN documents d ON d.doc_id = a.vec_id
+             |  WHERE d.lang = '$hybridFilterLang'""".stripMargin)})",
+      keepCte =
+        s"keep AS (SELECT doc_id FROM documents WHERE lang = '$hybridFilterLang'),\n",
+      keepJoin = " JOIN keep ON keep.doc_id = tf.doc_id")
+
+  private def hybridSqlOf(vranksSub: String, keepCte: String,
+                          keepJoin: String): String = {
     import graft.functions.Agg.{dsumSql, rndSql}
     import graft.operators.{TextAnalysis => TA}
     val k1p1 = TA.bm25K1 + 1.0
@@ -156,12 +226,12 @@ object HybridSearch {
        |q AS (
        |  SELECT DISTINCT doc_id AS query_id, term FROM tf
        |  WHERE doc_id < ${Similarity.nQueries}),
-       |weighted AS (
+       |${keepCte}weighted AS (
        |  SELECT q.query_id, tf.doc_id,
        |    ${rndSql(s"idf.idf * ((tf.tf * $k1p1) / (tf.tf + ${TA.bm25K1} * " +
                      s"($oneMinusB + ${TA.bm25B} * (CAST(dl.dl AS DOUBLE) / idf.avgdl))))", 6)} AS w
        |  FROM tf JOIN dl USING (doc_id) JOIN q USING (term)
-       |    JOIN idf USING (term)
+       |    JOIN idf USING (term)$keepJoin
        |  WHERE tf.doc_id <> q.query_id),
        |tscores AS (
        |  SELECT query_id, doc_id, ${dsumSql("w")} AS score
@@ -174,8 +244,7 @@ object HybridSearch {
        |    FROM tscores)
        |  WHERE rank <= $hybridK),
        |vranks AS (
-       |  SELECT query_id, neighbor_id AS doc_id, rank AS vec_rank
-       |  FROM (${SimilarityIvf.annIvfSql(centGlob)})),
+       |  $vranksSub),
        |fused AS (
        |  SELECT coalesce(t.query_id, v.query_id) AS query_id,
        |         coalesce(t.doc_id, v.doc_id) AS doc_id,
@@ -194,10 +263,12 @@ object HybridSearch {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "search_hybrid_rrf" -> (searchHybridRrf _)
+    "search_hybrid_rrf" -> (searchHybridRrf _),
+    "search_hybrid_filtered" -> (searchHybridFiltered _)
   )
 
   def oracles: Map[String, String] =
-    graft.sources.OracleStage.globOf("ivf_centroids")
-      .map(g => "search_hybrid_rrf" -> searchHybridRrfSql(g)).toMap
+    graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
+      "search_hybrid_rrf" -> searchHybridRrfSql(g),
+      "search_hybrid_filtered" -> searchHybridFilteredSql(g))).toMap
 }

@@ -207,11 +207,22 @@ object SimilarityIvf {
     * hash-checked too. */
   def annFiltered(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    annFilteredOn(s, dir,
+      graft.sources.Tables.embeddings(s, dir)
+        .filter($"label" === lit(filterLabel)).select($"vec_id"))
+  }
+
+  /** The filtered-probe core over an arbitrary predicate: `keep` is
+    * the single-column (vec_id) frame of ids passing the caller's
+    * metadata predicate — [[annFiltered]] passes the label slice,
+    * [[HybridSearch.searchHybridFiltered]] the language slice (the
+    * doc/vec id spaces coincide). Same probe + per-query
+    * starved-list fallback machinery either way. */
+  private[graft] def annFilteredOn(s: SparkSession, dir: String,
+                                   keep: DataFrame): DataFrame = {
+    import s.implicits._
     val (cents, assigned) = kmeans(s, dir)
-    val labels = graft.sources.Tables.embeddings(s, dir)
-      .select($"vec_id", $"label")
-    val filtered = assigned.join(labels, "vec_id")
-      .filter($"label" === lit(filterLabel))
+    val filtered = assigned.join(keep, "vec_id")
       .select($"vec_id", $"cid", $"v", $"nrm")
     val probes = vectors(s, dir)
       .filter($"vec_id" < Similarity.nQueries)
@@ -265,6 +276,15 @@ object SimilarityIvf {
     * filtered slice, the per-query survivor-count fallback decision
     * and both ranking branches, all recomputed in DuckDB. */
   def annFilteredSql(glob: String): String =
+    annFilteredSqlOf(glob,
+      s"""SELECT a.vec_id, a.cid
+         |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  WHERE e.label = $filterLabel""".stripMargin)
+
+  /** [[annFilteredSql]] with a caller-supplied `filt` body (must
+    * select (vec_id, cid) from `assigned` joined against the
+    * caller's predicate source). */
+  private[graft] def annFilteredSqlOf(glob: String, filtBody: String): String =
     s"""WITH cents AS (SELECT cid, c FROM read_parquet('$glob')),
        |v AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -283,9 +303,7 @@ object SimilarityIvf {
        |    FROM scoredc)
        |  WHERE rn = 1),
        |filt AS MATERIALIZED (
-       |  SELECT a.vec_id, a.cid
-       |  FROM assigned a JOIN embeddings e ON e.vec_id = a.vec_id
-       |  WHERE e.label = $filterLabel),
+       |  $filtBody),
        |probes AS MATERIALIZED (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn

@@ -40,4 +40,36 @@ class HybridSearchSpec extends SparkSpec {
       assert(tr.nonEmpty || vr.nonEmpty, s"($q,$d): fused from nothing")
     }
   }
+
+  test("filtered hybrid returns only the language slice, both modalities contributing") {
+    val s = spark; import s.implicits._
+    val slice = graft.sources.Tables.documents(s, sfDir)
+      .filter($"lang" === HybridSearch.hybridFilterLang)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(slice.nonEmpty)
+    val frows = HybridSearch.searchHybridFiltered(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(frows.nonEmpty)
+    frows.foreach { case (q, _, d, _, _, _) =>
+      assert(slice.contains(d), s"doc $d leaked past the $q filter")
+      assert(d != q)
+    }
+    // ranked lists, k-deep via the vector fallback, monotone rrf
+    frows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length >= Similarity.k, s"query $q: only ${rs.length} rows")
+      assert(rs.map(_._2).sorted.toList == (1L to rs.length).toList)
+      val rrf = rs.sortBy(_._2).map(_._4)
+      assert(rrf.zip(rrf.tail).forall { case (a, b) => a >= b })
+    }
+    // both retrieval sides must place slice members somewhere
+    assert(frows.exists(_._5.nonEmpty), "no text-side contribution in-slice")
+    assert(frows.exists(_._6.nonEmpty), "no vector-side contribution in-slice")
+    // and the unfiltered fusion is NOT a substitute: post-filtering
+    // its top-k finds fewer slice docs than the filtered query returns
+    val postFiltered = rows.filter(r => slice.contains(r._3))
+    assert(postFiltered.length < frows.length,
+      s"post-filter kept ${postFiltered.length} vs filtered ${frows.length}")
+  }
 }
