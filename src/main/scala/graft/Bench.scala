@@ -98,11 +98,17 @@ object Bench {
           def obj(name: String): String =
             ("\"" + name + "\":\\{([^}]*)\\}").r
               .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          // a ratio against a DIFFERENT scale factor is a ~10x
+          // pseudo-regression, not a signal: only compare same-sf runs
+          val prevSf = """"sf":"([^"]*)"""".r
+            .findFirstMatchIn(txt).map(_.group(1))
           val qmap = kvRe.findAllMatchIn(obj("queries"))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
           val ctrl = kvRe.findAllMatchIn(obj("control"))
             .map(_.group(2).toDouble).toSeq
-          if (qmap.nonEmpty && ctrl.nonEmpty) Some((qmap, ctrl)) else None
+          if (qmap.nonEmpty && ctrl.nonEmpty && prevSf.forall(_ == sfDir))
+            Some((qmap, ctrl))
+          else None
         } else None
       } catch { case _: Throwable => None }
     val ratioJson = prev.map { case (pq, pc) =>
@@ -112,10 +118,16 @@ object Bench {
         val curSum = ok.toMap.view.filterKeys(common.contains).values.sum
         val rawRatio = curSum / prevSum
         val curCtrl = Seq(c1s, c1e, c2s, c2e)
-        val controlFactor = (curCtrl.sum / curCtrl.size) / (pc.sum / pc.size)
+        // min-of-probes on BOTH sides: query totals are min-over-two-
+        // passes (stall windows mostly excluded by construction), so
+        // the control must be the stall-free probe too — an averaged
+        // control inflated by one stalled pass would deflate
+        // normalized_ratio and mask a real regression
+        val controlFactor = curCtrl.min / pc.min
         val norm = rawRatio / controlFactor
         def r4(x: Double) = math.rint(x * 10000) / 10000
-        s""","n_common":${common.size},"raw_ratio":${r4(rawRatio)}""" +
+        if (!rawRatio.isFinite || !controlFactor.isFinite || !norm.isFinite) ""
+        else s""","n_common":${common.size},"raw_ratio":${r4(rawRatio)}""" +
           s""","control_factor":${r4(controlFactor)},"normalized_ratio":${r4(norm)}"""
       }
     }.getOrElse("")

@@ -923,6 +923,12 @@ case class AdcSum(left: Expression, right: Expression) extends BinaryExpression 
     var s = 0.0
     var i = 0
     while (i < m) {
+      // see MatVec.matvec: null elements are malformed, fail loudly —
+      // getInt on a null slot silently reads 0 (a VALID index), which
+      // is exactly the silent-garbage class the bounds check rejects
+      if (codes.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_adc: null element (code) at index $i")
       val row = dt.getArray(i)
       val c = codes.getInt(i)
       // UnsafeArrayData does not bounds-check: a malformed code would

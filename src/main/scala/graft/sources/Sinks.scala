@@ -63,6 +63,22 @@ object Sinks {
     }
   }
 
+  /** Cheap dataset fingerprint for [[writeBucketedOnce]] memo keys
+    * over paths an INGEST SIMULATION may grow between two runs in one
+    * session: file count + total bytes + max mtime under `path`. A
+    * grown dir changes the key, so the next build call rebuilds
+    * instead of probing a stale index. Plain `dir` keys assume
+    * per-session immutability — right for the static testdata tables,
+    * wrong for any index whose base table is also a stream source. */
+  def dirFingerprint(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else if (f.exists()) Seq(f) else Seq.empty
+    val fs = walk(new java.io.File(path))
+    val mt = if (fs.isEmpty) 0L else fs.map(_.lastModified()).max
+    s"$path#${fs.size}#${fs.map(_.length()).sum}#$mt"
+  }
+
   private val appended =
     scala.collection.concurrent.TrieMap.empty[(String, String), Boolean]
 

@@ -193,6 +193,9 @@ class ExpressionsSpec extends SparkSpec {
     // read a neighbor slot)
     fails("graft_adc(array(array(1.0D, 2.0D)), array(5))")
     fails("graft_adc(array(array(1.0D, 2.0D)), array(-1))")
+    // graft_adc: NULL code (getInt would silently read it as 0 — a
+    // VALID index, so the bounds check alone never fires)
+    fails("graft_adc(array(array(1.0D, 2.0D)), array(CAST(NULL AS INT)))")
     // graft_pq_encode: vector shorter than the codebooks' width
     fails("graft_pq_encode(array(1.0D), array(array(array(1.0D, 2.0D))))")
     // null elements in the hot loops (getDouble would read 0.0)

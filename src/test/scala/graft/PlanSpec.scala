@@ -229,6 +229,26 @@ class PlanSpec extends SparkSpec {
     } finally s.conf.set(key, orig)
   }
 
+  test("batch span family probes the persisted duplicated-window index exchange-free") {
+    val s = spark
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val orig = s.conf.get(key)
+    try {
+      s.conf.set(key, "-1")
+      val p = plan(Dedup.spanProbePlan(s, sfDir))
+      // the gram side hashes onto the index's bucket layout; the index
+      // itself (the n_occ>=2 occurrence count the trio used to
+      // re-derive live) is read, never recomputed — no aggregate
+      // anywhere in the probe plan
+      assert(p.contains("graft_dup_span_idx"), p)
+      assert(p.contains("Bucketed: true"), p)
+      assert(!p.contains("HashAggregate"),
+        s"the duplicated-window count must come from the index, not a live agg:\n$p")
+      assert("Exchange".r.findAllIn(p).length == 1,
+        s"index side must not reshuffle — one probe-side exchange only:\n$p")
+    } finally s.conf.set(key, orig)
+  }
+
   test("perceptual-gate probe reads the persisted band index exchange-free") {
     val s = spark
     graft.operators.Multimodal.buildMmNearIndex(s, sfDir)
