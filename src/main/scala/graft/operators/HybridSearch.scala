@@ -57,33 +57,57 @@ object HybridSearch {
     * (session, dataset) via [[graft.sources.Sinks.writeBucketedOnce]]
     * — the production shape where the index is written on ingest
     * cadence and queries only read it. */
-  def buildBm25Index(s: SparkSession, dir: String): Unit = {
+  def buildBm25Index(s: SparkSession, dir: String): Unit =
+    graft.sources.Sinks.writeBucketedOnce(dir, bm25IndexTable,
+        Seq("term"), bm25IndexBuckets)(
+      bm25PostingsOf(s, Tables.documents(s, dir)))
+
+  /** (doc_id, term, tf) of an arbitrary documents frame. */
+  private def bm25Tf(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.operators.{TextAnalysis => TA}
+    docs.select($"doc_id", explode(expr(TA.toksExpr)).as("term"))
+      .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+  }
+
+  /** Corpus term statistics of an arbitrary documents frame:
+    * (term, idf, avgdl) — the SNAPSHOT the streaming ingest path
+    * freezes (weights for arriving docs use these until the periodic
+    * index rebuild, the same staleness contract as IVF centroids). */
+  private[graft] def bm25IdfOf(s: SparkSession, docs: DataFrame,
+                               tf0: Option[DataFrame] = None): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    val tf = tf0.getOrElse(bm25Tf(s, docs))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val stats = dl.agg(sum($"dl").as("tot")).crossJoin(broadcast(n))
+      .select(($"tot".cast("double") / $"n".cast("double")).as("avgdl"), $"n")
+    tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select($"term",
+        rnd(log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 6)
+          .as("idf"),
+        $"avgdl")
+  }
+
+  /** The full postings frame (term, doc_id, w) of an arbitrary
+    * documents frame — tf, dl and the corpus statistics all derive
+    * from `docs`, so an index built on a RETAINED corpus (post-
+    * compaction rebuild) gets fresh statistics by construction. */
+  private[graft] def bm25PostingsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     import graft.functions.Agg.rnd
     import graft.operators.{TextAnalysis => TA}
     val k1p1 = TA.bm25K1 + 1.0
     val oneMinusB = 1.0 - TA.bm25B
-    graft.sources.Sinks.writeBucketedOnce(dir, bm25IndexTable,
-        Seq("term"), bm25IndexBuckets) {
-      val tf = Tables.documents(s, dir)
-        .select($"doc_id", explode(expr(TA.toksExpr)).as("term"))
-        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
-      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
-      val stats = dl.agg(sum($"dl").as("tot")).crossJoin(broadcast(n))
-        .select(($"tot".cast("double") / $"n".cast("double")).as("avgdl"), $"n")
-      val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .select($"term",
-          rnd(log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 6)
-            .as("idf"),
-          $"avgdl")
-      tf.join(dl, "doc_id").join(idf, "term")
-        .select($"term", $"doc_id",
-          rnd($"idf" * (($"tf" * lit(k1p1)) /
-            ($"tf" + lit(TA.bm25K1) * (lit(oneMinusB) +
-              lit(TA.bm25B) * ($"dl".cast("double") / $"avgdl")))), 6).as("w"))
-    }
+    val tf = bm25Tf(s, docs)
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+    tf.join(dl, "doc_id").join(bm25IdfOf(s, docs, Some(tf)), "term")
+      .select($"term", $"doc_id",
+        rnd($"idf" * (($"tf" * lit(k1p1)) /
+          ($"tf" + lit(TA.bm25K1) * (lit(oneMinusB) +
+            lit(TA.bm25B) * ($"dl".cast("double") / $"avgdl")))), 6).as("w"))
   }
 
   /** The text-side score frame, probing the persisted index: the
@@ -262,13 +286,258 @@ object HybridSearch {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- index lifecycle: retraction (tombstones) + compaction -------
+
+  /** Takedown split: every doc with `doc_id % retractMod ==
+    * retractRem` receives a deletion event (the right-to-be-forgotten
+    * / licence-revocation shape) — 10%, including one member of the
+    * query set so the deleted-QUERY semantics is exercised. */
+  val retractMod = 10L
+  val retractRem = 3L
+  /** The compacted index: [[bm25IndexTable]] rewritten minus
+    * tombstoned rows, same bucket layout. */
+  val bm25CompactTable = "graft_bm25_postings_cmp"
+
+  private[graft] def bm25Tombstones(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" % retractMod === retractRem).select($"doc_id")
+  }
+
+  /** The tombstone-aware probe over an arbitrary postings frame: the
+    * tombstone set (bounded: deleted ids only) broadcasts into an
+    * anti-join BEFORE any other work, so deleted docs can neither be
+    * returned nor source query terms — the index behaves as if their
+    * postings are gone, while the corpus-sized postings files sit
+    * untouched. Weights stay the build-time snapshot statistics until
+    * the periodic rebuild (documented staleness, same contract as IVF
+    * centroids after append). */
+  private[graft] def bm25RetractProbe(s: SparkSession, post: DataFrame,
+                                      tomb: DataFrame): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.dsum
+    val live = post.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val q = broadcast(live.filter($"doc_id" < Similarity.nQueries)
+      .select($"doc_id".as("query_id"), $"term"))
+    live.join(q, "term").filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id")
+      .agg(dsum($"w").as("score"))
+  }
+
+  /** §2.6 — index RETRACTION: the deletion lifecycle for the persisted
+    * postings index (the template for every persisted probe index
+    * here). A takedown event must take effect at PROBE time, not at
+    * the next full rebuild: tombstoned doc_ids are anti-joined out of
+    * the postings scan, so a deleted document stops being retrievable
+    * immediately while the index files stay untouched — at 100 TB a
+    * rebuild per deletion batch is a non-starter. The emitted frame is
+    * the post-retraction BM25 search; [[compactBm25Index]] is the
+    * periodic pass that makes the deletion physical, and
+    * HybridSearchSpec proves probe-equality of the two plus posting-
+    * SET parity (weights aside — they are snapshot statistics) against
+    * an index rebuilt from the retained corpus. */
+  def bm25Retract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildBm25Index(s, dir)
+    val scores = bm25RetractProbe(s, s.table(bm25IndexTable),
+      bm25Tombstones(s, dir))
+    graft.plans.TopK.perGroup(scores, Seq("query_id"),
+        Seq("score" -> true, "doc_id" -> false), hybridK)
+      .select($"query_id", $"rank", $"doc_id", $"score")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The compaction pass: rewrite the postings minus tombstones into
+    * [[bm25CompactTable]] (same term-bucketed layout, so every probe
+    * plan is unchanged). Run on maintenance cadence — after it, the
+    * tombstone join has nothing to remove and reads stay one anti-join
+    * cheaper; weights still carry pre-deletion statistics until the
+    * next full rebuild ([[bm25PostingsOf]] on the retained corpus). */
+  private[graft] def compactBm25Index(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    buildBm25Index(s, dir)
+    graft.sources.Sinks.writeBucketedOnce(dir, bm25CompactTable,
+        Seq("term"), bm25IndexBuckets)(
+      s.table(bm25IndexTable)
+        .join(broadcast(bm25Tombstones(s, dir)), Seq("doc_id"), "left_anti")
+        .select($"term", $"doc_id", $"w"))
+  }
+
+  /** Oracle: full-corpus tf/dl/idf/avgdl (the stale snapshot the index
+    * holds), with tombstoned docs excluded both as candidates and as
+    * query-term sources — exactly the probe's semantics. */
+  def bm25RetractSql: String = {
+    import graft.functions.Agg.{dsumSql, rndSql}
+    import graft.operators.{TextAnalysis => TA}
+    val k1p1 = TA.bm25K1 + 1.0
+    val oneMinusB = 1.0 - TA.bm25B
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${TA.duckToks}) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) /
+       |         (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl,
+       |         (SELECT count(*) FROM documents) AS n),
+       |idf AS (
+       |  SELECT term,
+       |    ${rndSql("ln(1.0 + (n - df + 0.5) / (df + 0.5))", 6)} AS idf,
+       |    avgdl
+       |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats),
+       |q AS (
+       |  SELECT DISTINCT doc_id AS query_id, term FROM tf
+       |  WHERE doc_id < ${Similarity.nQueries}
+       |    AND doc_id % $retractMod <> $retractRem),
+       |weighted AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    ${rndSql(s"idf.idf * ((tf.tf * $k1p1) / (tf.tf + ${TA.bm25K1} * " +
+                     s"($oneMinusB + ${TA.bm25B} * (CAST(dl.dl AS DOUBLE) / idf.avgdl))))", 6)} AS w
+       |  FROM tf JOIN dl USING (doc_id) JOIN q USING (term)
+       |    JOIN idf USING (term)
+       |  WHERE tf.doc_id <> q.query_id
+       |    AND tf.doc_id % $retractMod <> $retractRem),
+       |tscores AS (
+       |  SELECT query_id, doc_id, ${dsumSql("w")} AS score
+       |  FROM weighted GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, score FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS rank
+       |  FROM tscores)
+       |WHERE rank <= $hybridK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- streaming postings maintenance (the 31s' pattern on text) ---
+
+  /** The STREAM-ingest postings table. Its own table (not
+    * [[bm25IndexTable]]): batch lifecycle rows and the streaming gate
+    * run in one Verify/Bench JVM, and sharing a table would
+    * double-insert the shard (the [[SimilarityIvf.ivfStreamTable]]
+    * rationale). */
+  val bm25StreamTable = "graft_bm25_postings_stream"
+
+  /** Established corpus behind the stream-maintained index: documents
+    * NOT in the arriving shard ([[Dedup.incrementalShardMod]] split —
+    * the repo's one continuous-ingest split for the documents table). */
+  private[graft] def bm25CorpusDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter($"doc_id" % Dedup.incrementalShardMod =!= Dedup.incrementalShardRem)
+  }
+
+  /** Rebuild the stream-ingest postings from the corpus only — an
+    * UNCONDITIONAL overwrite (the [[SimilarityIvf.rebuildIvfStreamBase]]
+    * contract: every run of the gate is self-contained; re-running
+    * rebuilds the base and appends the shard exactly once). Returns
+    * the frozen snapshot statistics (term → idf, avgdl; plus the
+    * unseen-term default) the stream's router prices arriving
+    * postings with: df/avgdl/N are corpus statistics, so arriving
+    * docs CANNOT update them row-locally — they stay snapshot values
+    * until the periodic rebuild, exactly the IVF-centroid staleness
+    * contract, and the documented delta vs a batch rebuild on the
+    * union. */
+  private[graft] def rebuildBm25StreamBase(s: SparkSession, dir: String): DataFrame = {
+    val corpus = bm25CorpusDocs(s, dir)
+    graft.sources.Sinks.writeBucketed(bm25PostingsOf(s, corpus),
+      bm25StreamTable, Seq("term"), bm25IndexBuckets)
+    bm25IdfOf(s, corpus).localCheckpoint(true)
+  }
+
+  /** The unseen-term idf default: a term the corpus snapshot never saw
+    * has df = 0 → idf = rnd(ln(1 + (n + 0.5) / 0.5)) with n = corpus
+    * doc count — the same formula, continuously. */
+  private[graft] def bm25UnseenIdf(s: SparkSession, dir: String): Double = {
+    import graft.functions.Agg.rndSql
+    import s.implicits._
+    bm25CorpusDocs(s, dir).agg(count(lit(1)).as("n"))
+      .select(expr(rndSql("ln(1.0 + (CAST(n AS DOUBLE) + 0.5) / 0.5)", 6)))
+      .collect()(0).getDouble(0)
+  }
+
+  /** The post-ingest probe: the standard BM25 search over the GROWN
+    * stream table (query terms read back from it, one bounded
+    * partial-agg shuffle — [[bm25Tscores]]'s exact plan shape on the
+    * stream table). */
+  private[graft] def bm25StreamProbe(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.dsum
+    val post = s.table(bm25StreamTable)
+    val q = broadcast(post.filter($"doc_id" < Similarity.nQueries)
+      .select($"doc_id".as("query_id"), $"term").distinct())
+    val scores = post.join(q, "term")
+      .filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id")
+      .agg(dsum($"w").as("score"))
+    graft.plans.TopK.perGroup(scores, Seq("query_id"),
+        Seq("score" -> true, "doc_id" -> false), hybridK)
+      .select($"query_id", $"rank", $"doc_id", $"score")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle for the streaming postings gate: tf/dl for ALL docs, but
+    * idf/avgdl/N frozen to the CORPUS snapshot (left join, unseen
+    * default) — one unified weight formula that is exact for corpus
+    * rows (their stats ARE the snapshot) and replays the router's
+    * stale-stats pricing for shard rows; then the standard search over
+    * the union. */
+  def streamBm25IngestSql: String = {
+    import graft.functions.Agg.{dsumSql, rndSql}
+    import graft.operators.{TextAnalysis => TA}
+    val k1p1 = TA.bm25K1 + 1.0
+    val oneMinusB = 1.0 - TA.bm25B
+    val (mod, rem) = (Dedup.incrementalShardMod, Dedup.incrementalShardRem)
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${TA.duckToks}) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |ctf AS (SELECT * FROM tf WHERE doc_id % $mod <> $rem),
+       |cstats AS (
+       |  SELECT (SELECT CAST(sum(tf) AS DOUBLE) FROM ctf) /
+       |         (SELECT CAST(count(*) AS DOUBLE) FROM documents
+       |          WHERE doc_id % $mod <> $rem) AS avgdl,
+       |         (SELECT count(*) FROM documents
+       |          WHERE doc_id % $mod <> $rem) AS n),
+       |cidf AS (
+       |  SELECT term,
+       |    ${rndSql("ln(1.0 + (n - df + 0.5) / (df + 0.5))", 6)} AS idf
+       |  FROM (SELECT term, count(*) AS df FROM ctf GROUP BY 1), cstats),
+       |weighted AS (
+       |  SELECT tf.term, tf.doc_id,
+       |    ${rndSql(
+             s"coalesce(cidf.idf, ${rndSql("ln(1.0 + (CAST(cstats.n AS DOUBLE) + 0.5) / 0.5)", 6)})" +
+             s" * ((tf.tf * $k1p1) / (tf.tf + ${TA.bm25K1} * " +
+             s"($oneMinusB + ${TA.bm25B} * (CAST(dl.dl AS DOUBLE) / cstats.avgdl))))", 6)} AS w
+       |  FROM tf JOIN dl USING (doc_id)
+       |    LEFT JOIN cidf ON cidf.term = tf.term, cstats),
+       |q AS (
+       |  SELECT DISTINCT doc_id AS query_id, term FROM tf
+       |  WHERE doc_id < ${Similarity.nQueries}),
+       |tscores AS (
+       |  SELECT q.query_id, w.doc_id, ${dsumSql("w.w")} AS score
+       |  FROM weighted w JOIN q USING (term)
+       |  WHERE w.doc_id <> q.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rank, doc_id, score FROM (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS rank
+       |  FROM tscores)
+       |WHERE rank <= $hybridK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_hybrid_rrf" -> (searchHybridRrf _),
-    "search_hybrid_filtered" -> (searchHybridFiltered _)
+    "search_hybrid_filtered" -> (searchHybridFiltered _),
+    "bm25_retract" -> (bm25Retract _)
   )
 
   def oracles: Map[String, String] =
     graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
       "search_hybrid_rrf" -> searchHybridRrfSql(g),
-      "search_hybrid_filtered" -> searchHybridFilteredSql(g))).toMap
+      "search_hybrid_filtered" -> searchHybridFilteredSql(g))).toMap ++
+      Map("bm25_retract" -> bm25RetractSql)
 }

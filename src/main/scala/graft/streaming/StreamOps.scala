@@ -1660,6 +1660,63 @@ object StreamOps {
     SimilarityIvf.ivfStreamOccupancy(s)
   }
 
+  /** §2.6 — BM25 POSTINGS maintained at stream time (the
+    * [[runIvfIngestToCompletion]] pattern on the text index): each
+    * micro-batch of freshly-arrived documents computes its postings
+    * ROW-LOCAL-per-doc (tf and dl are functions of the one arriving
+    * row; the only non-local input is the broadcast frozen snapshot of
+    * corpus term statistics) and lands them in the persisted postings
+    * table IN ITS BUCKET LAYOUT within the same micro-batch — probe
+    * joins over the grown index stay exchange-free while the stream
+    * runs. STALENESS CONTRACT: df/avgdl/N are corpus statistics no
+    * row-local router can update — arriving postings are priced with
+    * the SNAPSHOT values (unseen terms get the df=0 idf), and the
+    * statistics refresh only at the periodic index rebuild, exactly
+    * the IVF-centroid contract. Readout = the standard BM25 search
+    * over the grown table; the oracle replays the snapshot pricing
+    * term-for-term, so the documented staleness is itself
+    * hash-checked. */
+  def runBm25IngestToCompletion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    import graft.operators.{Dedup, HybridSearch => HS, TextAnalysis => TA}
+    val idfSnap = HS.rebuildBm25StreamBase(s, dir)
+    val avgdl = idfSnap.select($"avgdl").limit(1).collect()(0).getDouble(0)
+    val unseen = HS.bm25UnseenIdf(s, dir)
+    val k1p1 = TA.bm25K1 + 1.0
+    val oneMinusB = 1.0 - TA.bm25B
+    val idfBc = broadcast(idfSnap.select($"term", $"idf"))
+    val arriving = StreamAcc.fileStream(s, dir, "documents")
+      .filter($"doc_id" % Dedup.incrementalShardMod === Dedup.incrementalShardRem)
+      .select($"doc_id", $"text")
+    val q = arriving.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // a document is ONE arriving row, so its tf/dl are complete
+        // within whatever micro-batch carries it — no cross-batch state
+        val tf = batch
+          .select($"doc_id", explode(expr(TA.toksExpr)).as("term"))
+          .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+        tf.join(dl, "doc_id")
+          .join(idfBc, Seq("term"), "left")
+          .select($"term", $"doc_id",
+            rnd(coalesce($"idf", lit(unseen)) * (($"tf" * lit(k1p1)) /
+              ($"tf" + lit(TA.bm25K1) * (lit(oneMinusB) +
+                lit(TA.bm25B) * ($"dl".cast("double") / lit(avgdl))))), 6)
+              .as("w"))
+          .write
+          .bucketBy(HS.bm25IndexBuckets, "term")
+          .sortBy("term")
+          .format("parquet")
+          .mode("append")
+          .saveAsTable(HS.bm25StreamTable)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    HS.bm25StreamProbe(s)
+  }
+
   // ------------------------------------------------------------------
   // stream_dau — exactly-once (user, day) activity dedup
   // ------------------------------------------------------------------
@@ -1755,6 +1812,7 @@ object StreamOps {
     "stream_embed_dedup" -> ((s, dir) =>
       runEmbedDedupToCompletion(s, dir, sink = "stream_embed_dedup_verify")),
     "stream_ivf_ingest" -> (runIvfIngestToCompletion _),
+    "stream_bm25_ingest" -> (runBm25IngestToCompletion _),
     "stream_rate_limit" -> ((s, dir) =>
       runRateLimitToCompletion(s, dir, sink = "stream_rate_limit_verify")),
     "stream_anomaly" -> ((s, dir) =>
@@ -1876,7 +1934,11 @@ object StreamOps {
     "stream_heavy_hitters" -> graft.operators.Pipeline.corpusHeavyHittersSql,
     // append-mode windowed top-N equals the batch windowed rank over
     // windows the final watermark closed
-    "stream_hh_windowed" -> windowedHeavyHittersSql
+    "stream_hh_windowed" -> windowedHeavyHittersSql,
+    // run to completion the grown postings table's search equals the
+    // union priced with the frozen corpus statistics (the documented
+    // staleness contract, replayed term-for-term)
+    "stream_bm25_ingest" -> graft.operators.HybridSearch.streamBm25IngestSql
   ) ++ graft.sources.OracleStage.globOf("mm_phash_sigs")
     // run to completion the stream-static band probe equals the
     // cross-shard banding cut over the staged signatures

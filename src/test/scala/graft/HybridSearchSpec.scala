@@ -72,4 +72,67 @@ class HybridSearchSpec extends SparkSpec {
     assert(postFiltered.length < frows.length,
       s"post-filter kept ${postFiltered.length} vs filtered ${frows.length}")
   }
+
+  test("retraction: tombstone probe, compacted probe and the emitted search agree; deleted docs gone") {
+    val s = spark; import s.implicits._
+    val deleted = graft.sources.Tables.documents(s, sfDir)
+      .filter($"doc_id" % HybridSearch.retractMod === HybridSearch.retractRem)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty)
+    val res = HybridSearch.bm25Retract(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(res.nonEmpty)
+    // a deleted doc is neither a result nor a query
+    res.foreach { case (q, _, d, _) =>
+      assert(!deleted.contains(d), s"deleted doc $d returned")
+      assert(!deleted.contains(q), s"deleted doc $q issued a query")
+    }
+    // probe-over-compacted (no tombstones left to join) is
+    // row-identical to tombstone-at-probe over the live index
+    HybridSearch.compactBm25Index(s, sfDir)
+    val emptyTomb = Seq.empty[Long].toDF("doc_id")
+    val viaCompact = HybridSearch.bm25RetractProbe(s,
+        s.table(HybridSearch.bm25CompactTable), emptyTomb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaTomb = HybridSearch.bm25RetractProbe(s,
+        s.table(HybridSearch.bm25IndexTable),
+        HybridSearch.bm25Tombstones(s, sfDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaCompact == viaTomb,
+      s"compacted vs tombstoned probe diverged: ${viaCompact.size}/${viaTomb.size}")
+    // posting-SET parity vs an index REBUILT from the retained corpus
+    // (same (term, doc) pairs), while the weights differ — the
+    // documented stale-statistics delta the periodic rebuild clears
+    val retained = graft.sources.Tables.documents(s, sfDir)
+      .filter($"doc_id" % HybridSearch.retractMod =!= HybridSearch.retractRem)
+    val rebuilt = HybridSearch.bm25PostingsOf(s, retained)
+      .select($"term", $"doc_id", $"w")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val compacted = s.table(HybridSearch.bm25CompactTable)
+      .select($"term", $"doc_id", $"w")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(compacted.keySet == rebuilt.keySet,
+      "compaction must keep exactly the retained corpus's posting set")
+    assert(compacted.exists { case (k, w) => math.abs(rebuilt(k) - w) > 1e-9 },
+      "expected stale-statistics weight deltas vs the rebuilt index")
+  }
+
+  test("stream postings ingest: grown-table probe is idempotent across reruns and covers the shard") {
+    val s = spark; import s.implicits._
+    import graft.operators.Dedup
+    val r1 = graft.streaming.StreamOps.runBm25IngestToCompletion(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    // rerun: the base rebuild + exactly-once append must not
+    // double-insert the shard
+    val r2 = graft.streaming.StreamOps.runBm25IngestToCompletion(s, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(r1 == r2, "rerunning the ingest gate changed the probe result")
+    // the grown table holds postings for BOTH splits
+    val grown = s.table(HybridSearch.bm25StreamTable)
+      .select($"doc_id").distinct().collect().map(_.getLong(0))
+    assert(grown.exists(_ % Dedup.incrementalShardMod == Dedup.incrementalShardRem),
+      "no shard postings landed")
+    assert(grown.exists(_ % Dedup.incrementalShardMod != Dedup.incrementalShardRem),
+      "no corpus postings in the base")
+  }
 }
