@@ -286,6 +286,206 @@ object HybridSearch {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- chunk-granular hybrid retrieval ------------------------------
+
+  /** The chunk-level postings index: one (term, doc_id, chunk_idx, w)
+    * row per posting over [[Pipeline.corpusChunk]]'s overlapping
+    * sliding windows, with BM25 statistics computed over the CHUNK
+    * corpus (dl = chunk length, df = chunks containing the term,
+    * N = chunk count, avgdl over chunks) — the passage is the
+    * retrieval unit, so the passage is the statistics unit. Term-
+    * bucketed like [[bm25IndexTable]]; same probe plan. */
+  val bm25ChunkTable = "graft_bm25_chunk_idx"
+
+  /** (doc_id, chunk_idx, term) rows — the chunk boundaries are
+    * EXACTLY [[Pipeline.corpusChunk]]'s (size/stride/empty-token
+    * filter), derived from the token-array slice directly so no
+    * re-tokenization of joined chunk text can drift from the chunking
+    * operator. Row-local: tokenize once, one start-list build, two
+    * generator explodes — the ≤ C/S ≈ 1.33× amplification
+    * corpus_chunk already pays, nothing more. */
+  private def chunkTermRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{Pipeline, TextAnalysis => TA}
+    val (c0, s0) = (Pipeline.chunkSize, Pipeline.chunkStride)
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(s"coalesce(filter(${TA.toksExpr}, t -> t <> ''), array())"))
+      .withColumn("n", size($"toks"))
+      .withColumn("starts", expr(
+        s"""coalesce(CASE WHEN n > 0 THEN
+           |  transform(sequence(0, CASE WHEN n <= $c0 THEN 0
+           |    ELSE (n - $c0 + $s0 - 1) div $s0 END),
+           |    i -> i * $s0) END, array())""".stripMargin))
+      .select($"doc_id", $"toks",
+        posexplode_outer($"starts").as(Seq("chunk_idx", "start_tok")))
+      .filter($"start_tok".isNotNull)
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        explode(expr(s"slice(toks, CAST(start_tok AS INT) + 1, $c0)")).as("term"))
+  }
+
+  /** Build the persisted chunk postings (once per session/dataset). */
+  def buildBm25ChunkIndex(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    import graft.operators.{TextAnalysis => TA}
+    val k1p1 = TA.bm25K1 + 1.0
+    val oneMinusB = 1.0 - TA.bm25B
+    graft.sources.Sinks.writeBucketedOnce(dir, bm25ChunkTable,
+        Seq("term"), bm25IndexBuckets) {
+      val tf = chunkTermRows(s, dir)
+        .groupBy($"doc_id", $"chunk_idx", $"term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy($"doc_id", $"chunk_idx").agg(sum($"tf").as("dl"))
+      val stats = dl.agg(
+          (sum($"dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+          count(lit(1)).as("n"))
+      val idf = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select($"term",
+          rnd(log(lit(1.0) + ($"n" - $"df" + lit(0.5)) / ($"df" + lit(0.5))), 6)
+            .as("idf"),
+          $"avgdl")
+      tf.join(dl, Seq("doc_id", "chunk_idx")).join(idf, "term")
+        .select($"term", $"doc_id", $"chunk_idx",
+          rnd($"idf" * (($"tf" * lit(k1p1)) /
+            ($"tf" + lit(TA.bm25K1) * (lit(oneMinusB) +
+              lit(TA.bm25B) * ($"dl".cast("double") / $"avgdl")))), 6).as("w"))
+    }
+  }
+
+  /** §2.5/§2.6 — CHUNK-granular hybrid retrieval: production RAG
+    * retrieves PASSAGES, not documents. The text side scores
+    * (doc_id, chunk_idx) passages against the query doc's terms over
+    * the persisted chunk postings, rolls up per-doc MAX-PASSAGE
+    * (best chunk wins, tie → lowest chunk_idx — so the emitted
+    * best_chunk_idx is the passage a RAG pass would actually stuff
+    * into context), and ranks docs by their best passage; the vector
+    * side is the registered doc-level IVF tier; RRF fuses the two
+    * rank lists. Scale layout identical to [[searchHybridRrf]]: the
+    * postings never reshuffle (bucket probe + broadcast query terms,
+    * one (query, doc, chunk) partial-agg shuffle), the passage rollup
+    * and fusion are queries×k-bounded. */
+  def searchChunkHybrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.dsum
+    buildBm25ChunkIndex(s, dir)
+    val post = s.table(bm25ChunkTable)
+    val q = broadcast(post.filter($"doc_id" < Similarity.nQueries)
+      .select($"doc_id".as("query_id"), $"term").distinct())
+    val cscores = post.join(q, "term")
+      .filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id", $"chunk_idx")
+      .agg(dsum($"w").as("cscore"))
+    val best = graft.plans.TopK.perGroup(cscores, Seq("query_id", "doc_id"),
+        Seq("cscore" -> true, "chunk_idx" -> false), 1)
+      .select($"query_id", $"doc_id", $"chunk_idx".as("best_chunk_idx"),
+        $"cscore".as("score"))
+    val tranks = graft.plans.TopK.perGroup(best, Seq("query_id"),
+        Seq("score" -> true, "doc_id" -> false), hybridK)
+      .select($"query_id", $"doc_id", $"best_chunk_idx",
+        $"rank".as("text_rank"))
+    val vranks = graft.sources.TierMemo.cached("ann_ivf", dir, s)(
+        SimilarityIvf.annIvf(s, dir))
+      .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("vec_rank"))
+    val rrfExpr = graft.functions.Agg.rndSql(
+      s"""coalesce(CAST(1 AS DOUBLE) / CAST($rrfK + text_rank AS DOUBLE), CAST(0 AS DOUBLE))
+         | + coalesce(CAST(1 AS DOUBLE) / CAST($rrfK + vec_rank AS DOUBLE), CAST(0 AS DOUBLE))"""
+        .stripMargin, 6)
+    tranks.join(vranks, Seq("query_id", "doc_id"), "full")
+      .withColumn("rrf", expr(rrfExpr))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"rrf".desc, $"doc_id")).cast("long"))
+      .filter($"rank" <= hybridK)
+      .select($"query_id", $"rank", $"doc_id", $"best_chunk_idx", $"rrf",
+        $"text_rank", $"vec_rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle: the chunk postings (corpus_chunk's boundary arithmetic
+    * verbatim), passage scoring, max-passage rollup, the IVF vector
+    * subquery and the fusion, all replayed in DuckDB. */
+  def searchChunkHybridSql(centGlob: String): String = {
+    import graft.functions.Agg.{dsumSql, rndSql}
+    import graft.operators.{Pipeline, TextAnalysis => TA}
+    val (c0, s0) = (Pipeline.chunkSize, Pipeline.chunkStride)
+    val k1p1 = TA.bm25K1 + 1.0
+    val oneMinusB = 1.0 - TA.bm25B
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(${TA.duckToks}, t -> t <> '') AS toks
+       |  FROM documents),
+       |w0 AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    CASE WHEN len(toks) <= $c0 THEN 0
+       |      ELSE (len(toks) - $c0 + $s0 - 1) // $s0 END AS last_w
+       |  FROM t WHERE len(toks) > 0),
+       |ch AS (
+       |  SELECT doc_id, chunk_idx,
+       |    toks[chunk_idx * $s0 + 1 : chunk_idx * $s0 + $c0] AS ctoks
+       |  FROM (SELECT doc_id, toks, unnest(range(0, last_w + 1)) AS chunk_idx
+       |        FROM w0)),
+       |ctf AS (
+       |  SELECT doc_id, chunk_idx, tm AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, chunk_idx, unnest(ctoks) AS tm FROM ch)
+       |  GROUP BY 1, 2, 3),
+       |cdl AS (SELECT doc_id, chunk_idx, sum(tf) AS dl FROM ctf GROUP BY 1, 2),
+       |cstats AS (
+       |  SELECT (SELECT CAST(sum(dl) AS DOUBLE) FROM cdl) /
+       |         (SELECT CAST(count(*) AS DOUBLE) FROM cdl) AS avgdl,
+       |         (SELECT count(*) FROM cdl) AS n),
+       |cidf AS (
+       |  SELECT term,
+       |    ${rndSql("ln(1.0 + (n - df + 0.5) / (df + 0.5))", 6)} AS idf,
+       |    avgdl
+       |  FROM (SELECT term, count(*) AS df FROM ctf GROUP BY 1), cstats),
+       |q AS (
+       |  SELECT DISTINCT doc_id AS query_id, term FROM ctf
+       |  WHERE doc_id < ${Similarity.nQueries}),
+       |weighted AS (
+       |  SELECT q.query_id, ctf.doc_id, ctf.chunk_idx,
+       |    ${rndSql(s"cidf.idf * ((ctf.tf * $k1p1) / (ctf.tf + ${TA.bm25K1} * " +
+                     s"($oneMinusB + ${TA.bm25B} * (CAST(cdl.dl AS DOUBLE) / cidf.avgdl))))", 6)} AS w
+       |  FROM ctf JOIN cdl USING (doc_id, chunk_idx) JOIN q USING (term)
+       |    JOIN cidf USING (term)
+       |  WHERE ctf.doc_id <> q.query_id),
+       |cs AS (
+       |  SELECT query_id, doc_id, chunk_idx, ${dsumSql("w")} AS cscore
+       |  FROM weighted GROUP BY 1, 2, 3),
+       |best AS (
+       |  SELECT query_id, doc_id, chunk_idx AS best_chunk_idx,
+       |         cscore AS score
+       |  FROM (SELECT query_id, doc_id, chunk_idx, cscore,
+       |          row_number() OVER (PARTITION BY query_id, doc_id
+       |                             ORDER BY cscore DESC, chunk_idx) AS rn
+       |        FROM cs)
+       |  WHERE rn = 1),
+       |tranks AS (
+       |  SELECT query_id, doc_id, best_chunk_idx, rank AS text_rank FROM (
+       |    SELECT query_id, doc_id, best_chunk_idx,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, doc_id) AS rank
+       |    FROM best)
+       |  WHERE rank <= $hybridK),
+       |vranks AS (
+       |  SELECT query_id, neighbor_id AS doc_id, rank AS vec_rank
+       |  FROM (${SimilarityIvf.annIvfSql(centGlob)})),
+       |fused AS (
+       |  SELECT coalesce(tr.query_id, v.query_id) AS query_id,
+       |         coalesce(tr.doc_id, v.doc_id) AS doc_id,
+       |         tr.best_chunk_idx, tr.text_rank, v.vec_rank,
+       |    ${rndSql(s"coalesce(CAST(1 AS DOUBLE) / CAST($rrfK + tr.text_rank AS DOUBLE), CAST(0 AS DOUBLE)) " +
+                     s"+ coalesce(CAST(1 AS DOUBLE) / CAST($rrfK + v.vec_rank AS DOUBLE), CAST(0 AS DOUBLE))", 6)} AS rrf
+       |  FROM tranks tr FULL JOIN vranks v
+       |    ON tr.query_id = v.query_id AND tr.doc_id = v.doc_id)
+       |SELECT query_id, rank, doc_id, best_chunk_idx, rrf, text_rank, vec_rank
+       |FROM (
+       |  SELECT query_id, doc_id, best_chunk_idx, rrf, text_rank, vec_rank,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf DESC, doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $hybridK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- index lifecycle: retraction (tombstones) + compaction -------
 
   /** Takedown split: every doc with `doc_id % retractMod ==
@@ -532,12 +732,14 @@ object HybridSearch {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "search_hybrid_filtered" -> (searchHybridFiltered _),
-    "bm25_retract" -> (bm25Retract _)
+    "bm25_retract" -> (bm25Retract _),
+    "search_chunk_hybrid" -> (searchChunkHybrid _)
   )
 
   def oracles: Map[String, String] =
     graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
       "search_hybrid_rrf" -> searchHybridRrfSql(g),
-      "search_hybrid_filtered" -> searchHybridFilteredSql(g))).toMap ++
+      "search_hybrid_filtered" -> searchHybridFilteredSql(g),
+      "search_chunk_hybrid" -> searchChunkHybridSql(g))).toMap ++
       Map("bm25_retract" -> bm25RetractSql)
 }

@@ -73,6 +73,39 @@ class HybridSearchSpec extends SparkSpec {
       s"post-filter kept ${postFiltered.length} vs filtered ${frows.length}")
   }
 
+  test("chunk hybrid: best_chunk_idx is a real corpus_chunk passage of that doc; lists ranked and self-free") {
+    val s = spark; import s.implicits._
+    val chunks = graft.operators.Pipeline.corpusChunk(s, sfDir)
+      .select($"doc_id", $"chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crows = HybridSearch.searchChunkHybrid(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getDouble(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(crows.nonEmpty)
+    crows.foreach { case (q, _, d, bc, _, tr, vr) =>
+      assert(d != q, s"self in results: ($q,$d)")
+      // text-ranked rows carry the winning passage; vector-only rows
+      // carry no passage — exactly one of the two shapes
+      assert(bc.nonEmpty == tr.nonEmpty, s"($q,$d): chunk/text mismatch")
+      assert(tr.nonEmpty || vr.nonEmpty, s"($q,$d): fused from nothing")
+      bc.foreach { c =>
+        assert(chunks.contains((d, c)),
+          s"($q,$d): best_chunk_idx $c is not a corpus_chunk passage")
+      }
+    }
+    crows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toList == (1L to rs.length).toList, s"query $q ranks")
+      val rrf = rs.sortBy(_._2).map(_._5)
+      assert(rrf.zip(rrf.tail).forall { case (a, b) => a >= b })
+    }
+    // the passage side must actually contribute somewhere
+    assert(crows.exists(_._4.nonEmpty), "no passage-side contribution")
+    assert(crows.exists(_._7.nonEmpty), "no vector-side contribution")
+  }
+
   test("retraction: tombstone probe, compacted probe and the emitted search agree; deleted docs gone") {
     val s = spark; import s.implicits._
     val deleted = graft.sources.Tables.documents(s, sfDir)
