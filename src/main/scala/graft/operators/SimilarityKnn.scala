@@ -76,13 +76,22 @@ object SimilarityKnn {
       poolOf(s, dir, knnRounds))
 
   /** The descent with an explicit round count (spec seam: rounds = 0
-    * exposes the seed-only graph for convergence comparison). */
-  private[graft] def poolOf(s: SparkSession, dir: String, rounds: Int): DataFrame =
+    * exposes the seed-only graph for convergence comparison).
+    * `corpusOnly` restricts the descent to the established corpus
+    * (the [[SimilarityIvf.ivfShardMod]] continuous-ingest split) —
+    * the training set of the append path's persisted edge artifact. */
+  private[graft] def poolOf(s: SparkSession, dir: String, rounds: Int,
+                            corpusOnly: Boolean = false): DataFrame =
     {
       import s.implicits._
+      val pred =
+        if (corpusOnly)
+          col("vec_id") % SimilarityIvf.ivfShardMod =!= SimilarityIvf.ivfShardRem
+        else lit(true)
       val v = Similarity.nonDegenerate(Similarity.vectors(s, dir))
-        .localCheckpoint(true)
+        .filter(pred).localCheckpoint(true)
       val b = Similarity.lshBuckets(s, dir).select($"vec_id", $"tbl", $"bucket")
+        .filter(pred)
       val bw = Window.partitionBy($"tbl", $"bucket").orderBy($"vec_id")
       // lead-linked seeds: vec -> next j ids in its bucket
       val seeds = (1 to initFanout).map { j =>
@@ -248,6 +257,39 @@ object SimilarityKnn {
   private[graft] def graphSearchGlobalEntry(s: SparkSession, dir: String): DataFrame =
     graphSearchOf(s, dir, centroidSeeded = false)
 
+  /** The bounded greedy beam descent over an arbitrary (vectors,
+    * edges, query, seed) quadruple — the shared core of the
+    * unfiltered search, the filter-aware search and the graph-append
+    * insert path, so the three can never disagree on beam semantics.
+    * Returns the full visited set (query_id, node, cosine): every
+    * row was cosine-scored exactly once (expansion anti-joins the
+    * visited set). Frontiers are queries×beam rows and BROADCAST into
+    * the edge and vector tables — corpus and edge artifact are only
+    * ever scanned, never shuffled. */
+  private def beamDescent(v: DataFrame, edges: DataFrame,
+                          q: DataFrame, entryPairs: DataFrame): DataFrame = {
+    val s = v.sparkSession
+    import s.implicits._
+    val cv = v.select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nn"))
+    def scoreCands(cand: DataFrame): DataFrame =
+      cv.join(broadcast(cand), "node")
+        .join(broadcast(q), "query_id")
+        .select($"query_id", $"node",
+          cosine("qv", "nv", "qn", "nn").as("cosine"))
+    val bw = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"node")
+    var visited = scoreCands(entryPairs).localCheckpoint(true)
+    for (_ <- 1 to searchRounds) {
+      val frontier = visited.withColumn("rk", row_number().over(bw))
+        .filter($"rk" <= beamWidth).select($"query_id", $"node")
+      val cand = edges.join(broadcast(frontier), $"src" === $"node")
+        .select($"query_id", $"dst".as("node")).distinct()
+        .join(visited.select($"query_id", $"node"),
+          Seq("query_id", "node"), "left_anti")
+      visited = visited.union(scoreCands(cand)).localCheckpoint(true)
+    }
+    visited
+  }
+
   private def graphSearchOf(s: SparkSession, dir: String,
                             centroidSeeded: Boolean): DataFrame = {
     import s.implicits._
@@ -256,14 +298,6 @@ object SimilarityKnn {
     val edges = searchEdges(s, dir).localCheckpoint(true)
     val q = v.filter($"vec_id" < Similarity.nQueries)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
-    val cv = v.select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nn"))
-    // (query_id, node) candidates -> scored cosine; candidates are
-    // tiny (queries-bounded) and broadcast — the corpus never shuffles
-    def scoreCands(cand: DataFrame): DataFrame =
-      cv.join(broadcast(cand), "node")
-        .join(broadcast(q), "query_id")
-        .select($"query_id", $"node",
-          cosine("qv", "nv", "qn", "nn").as("cosine"))
     val entryPairs: DataFrame =
       if (centroidSeeded) {
         val (cents, assigned) = SimilarityIvf.kmeans(s, dir)
@@ -293,17 +327,7 @@ object SimilarityKnn {
         q.select($"query_id").crossJoin(entry)
       }
     val bw = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"node")
-    var visited = scoreCands(entryPairs)
-      .localCheckpoint(true)
-    for (_ <- 1 to searchRounds) {
-      val frontier = visited.withColumn("rk", row_number().over(bw))
-        .filter($"rk" <= beamWidth).select($"query_id", $"node")
-      val cand = edges.join(broadcast(frontier), $"src" === $"node")
-        .select($"query_id", $"dst".as("node")).distinct()
-        .join(visited.select($"query_id", $"node"),
-          Seq("query_id", "node"), "left_anti")
-      visited = visited.union(scoreCands(cand)).localCheckpoint(true)
-    }
+    val visited = beamDescent(v, edges, q, entryPairs)
     // candidates-scanned accounting for the recall report's cost
     // column: every visited (query, node) was cosine-scored exactly
     // once (the anti-join dedups expansions); the count is a cheap
@@ -344,7 +368,19 @@ object SimilarityKnn {
   /** The full descent CTE chain (seeding + rounds), shared by the
     * result oracle and the candidate-count oracle so the two can
     * never diverge. */
-  private def gsDescentCtes(glob: String, centGlob: String): String = {
+  private def gsDescentCtes(glob: String, centGlob: String): String =
+    gsDescentCtesOf(glob, centGlob,
+      queryPred = s"vec_id < ${Similarity.nQueries}",
+      assignedPred = "TRUE",
+      leadsCte = "leads AS (SELECT cid, min(vec_id) AS node FROM assigned GROUP BY cid)")
+
+  /** Parameterized form: `queryPred` selects the query set (both the
+    * q CTE and the probe lists), `assignedPred` restricts which
+    * vectors the inverted-list assignment covers (corpus-only for the
+    * append path), `leadsCte` supplies the per-list entry-point rule
+    * (the filtered variant seeds from slice members only). */
+  private def gsDescentCtesOf(glob: String, centGlob: String,
+      queryPred: String, assignedPred: String, leadsCte: String): String = {
     val cos = rndSql("list_dot_product(q.qv, c.v) / (q.qn * c.nrm)", 6)
     val rounds = (1 to searchRounds).map { r =>
       s"""f${r - 1} AS (
@@ -375,7 +411,7 @@ object SimilarityKnn {
        |  FROM v
        |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
        |q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
-       |      WHERE vec_id < ${Similarity.nQueries}),
+       |      WHERE $queryPred),
        |e AS (
        |  SELECT src, dst FROM (
        |    SELECT src, dst,
@@ -390,21 +426,232 @@ object SimilarityKnn {
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
-       |    FROM iscored)
+       |    FROM iscored WHERE $assignedPred)
        |  WHERE rn = 1),
        |probes AS (
        |  SELECT vec_id AS query_id, cid FROM (
        |    SELECT vec_id, cid,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
-       |    FROM iscored WHERE vec_id < ${Similarity.nQueries})
+       |    FROM iscored WHERE $queryPred)
        |  WHERE rn <= ${SimilarityIvf.nprobe}),
-       |leads AS (SELECT cid, min(vec_id) AS node FROM assigned GROUP BY cid),
+       |$leadsCte,
        |vis0 AS (
        |  SELECT p.query_id, l.node, $cos AS cosine
        |  FROM probes p JOIN leads l USING (cid)
        |  JOIN n c ON c.vec_id = l.node
        |  JOIN q ON q.query_id = p.query_id),
        |$rounds""".stripMargin
+  }
+
+  // ---- filter-aware graph search (the ACORN shape) -----------------
+
+  /** §2.5 — METADATA-FILTERED graph-ANN: the [[SimilarityIvf
+    * .annFiltered]] predicate carried into the beam descent, so the
+    * recall report's best tier stops being unfiltered-only. Mechanics
+    * (the ACORN insight, adapted to the flat graph):
+    *  - SEEDS are in-slice: each query's probed inverted lists
+    *    contribute their lowest-id member that PASSES the predicate —
+    *    the descent starts inside the slice region by construction.
+    *  - TRAVERSAL stays unrestricted: the beam ranks over everything
+    *    scored, passing THROUGH non-matching hubs — a selective
+    *    predicate makes the filtered subgraph disconnected, and a
+    *    beam confined to survivors would strand (the reason ACORN
+    *    widens expansion rather than pruning the walk).
+    *  - ADMISSION filters: only visited nodes passing the predicate
+    *    can be returned.
+    *  - A per-query STARVED fallback re-ranks the whole filtered
+    *    slice brute-force when the walk surfaced fewer than k
+    *    survivors (bounded: selectivity × corpus, only starved
+    *    queries pay) — the [[SimilarityIvf.annFilteredOn]] contract,
+    *    with the fallback decision an emitted, hash-checked column. */
+  def annGraphFiltered(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    annGraphFilteredOn(s, dir,
+      graft.sources.Tables.embeddings(s, dir)
+        .filter($"label" === SimilarityIvf.filterLabel).select($"vec_id"))
+  }
+
+  private[graft] def annGraphFilteredOn(s: SparkSession, dir: String,
+                                        keep: DataFrame): DataFrame = {
+    import s.implicits._
+    val v = Similarity.nonDegenerate(Similarity.vectors(s, dir))
+      .localCheckpoint(true)
+    val edges = searchEdges(s, dir).localCheckpoint(true)
+    val q = v.filter($"vec_id" < Similarity.nQueries)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val (cents, assigned) = SimilarityIvf.kmeans(s, dir)
+    val probes = SimilarityIvf.probePairsOf(
+      v.filter($"vec_id" < Similarity.nQueries).select($"vec_id", $"v"), cents)
+    // in-slice entry points: lowest-id PASSING member per probed list
+    val fleads = assigned.join(keep, "vec_id")
+      .groupBy($"cid").agg(min($"vec_id").as("node"))
+    val entryPairs = fleads.join(broadcast(probes), "cid")
+      .select($"query_id", $"node")
+    val visited = beamDescent(v, edges, q, entryPairs)
+    val surv = visited
+      .join(keep.select($"vec_id".as("node")), "node")
+      .filter($"node" =!= $"query_id")
+      .localCheckpoint(true)
+    // bounded partial agg: ≤ nQueries rows reach the driver
+    val counts = surv.groupBy($"query_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val allQ = q.select($"query_id").collect().map(_.getLong(0)).toSeq
+    val fbIds = allQ.filter(qid => counts.getOrElse(qid, 0L) < Similarity.k)
+    val okPart = surv.filter(!$"query_id".isin(fbIds: _*))
+      .withColumn("fallback", lit(false))
+    val fbQ = q.filter($"query_id".isin(fbIds: _*))
+    val fbPart = v.join(keep, "vec_id")
+      .select($"vec_id".as("node"), $"v".as("nv"), $"nrm".as("nn"))
+      .crossJoin(broadcast(fbQ))
+      .filter($"node" =!= $"query_id")
+      .select($"query_id", $"node",
+        cosine("qv", "nv", "qn", "nn").as("cosine"))
+      .withColumn("fallback", lit(true))
+    val bw = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"node")
+    okPart.unionByName(fbPart)
+      .withColumn("rank", row_number().over(bw).cast("long"))
+      .filter($"rank" <= Similarity.k)
+      .select($"query_id", $"rank", $"node".as("neighbor_id"),
+        $"cosine", $"fallback")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle: the descent CTEs with in-slice leads, then the survivor
+    * admission, the starved-query decision and both branches. */
+  def annGraphFilteredSql(glob: String, centGlob: String): String = {
+    val cos = rndSql("list_dot_product(q.qv, c.v) / (q.qn * c.nrm)", 6)
+    val leads =
+      s"""leads AS (
+         |  SELECT a.cid, min(a.vec_id) AS node
+         |  FROM assigned a JOIN embeddings em ON em.vec_id = a.vec_id
+         |  WHERE em.label = ${SimilarityIvf.filterLabel}
+         |  GROUP BY a.cid)""".stripMargin
+    s"""WITH ${gsDescentCtesOf(glob, centGlob,
+           queryPred = s"vec_id < ${Similarity.nQueries}",
+           assignedPred = "TRUE", leadsCte = leads)},
+       |keepset AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE label = ${SimilarityIvf.filterLabel}),
+       |surv AS (
+       |  SELECT w.query_id, w.node, w.cosine
+       |  FROM vis$searchRounds w JOIN keepset k ON k.vec_id = w.node
+       |  WHERE w.node <> w.query_id),
+       |cnts AS (SELECT query_id, count(*) AS ns FROM surv GROUP BY 1),
+       |fbq AS (
+       |  SELECT q.query_id, coalesce(c2.ns, 0) < ${Similarity.k} AS fb
+       |  FROM q LEFT JOIN cnts c2 ON c2.query_id = q.query_id),
+       |cand AS (
+       |  SELECT s2.query_id, s2.node, s2.cosine, FALSE AS fallback
+       |  FROM surv s2 JOIN fbq ON fbq.query_id = s2.query_id
+       |  WHERE NOT fbq.fb
+       |  UNION ALL
+       |  SELECT f.query_id, c.vec_id AS node, $cos AS cosine, TRUE
+       |  FROM fbq f
+       |  JOIN q ON q.query_id = f.query_id
+       |  JOIN n c ON c.vec_id <> f.query_id
+       |  JOIN keepset k3 ON k3.vec_id = c.vec_id
+       |  WHERE f.fb)
+       |SELECT query_id, rank, node AS neighbor_id, cosine, fallback FROM (
+       |  SELECT query_id, node, cosine, fallback,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, node) AS rank
+       |  FROM cand)
+       |WHERE rank <= ${Similarity.k}
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- incremental graph maintenance (the HNSW insert path) --------
+
+  /** The persisted kNN edge artifact: corpus-trained NN-descent edges
+    * written bucketed (and sorted) on `src`, so per-node adjacency
+    * probes read it exchange-free, and an arriving shard's edges
+    * APPEND into the same bucket layout (the [[SimilarityIvf
+    * .annIvfAppend]] contract on the graph tier). */
+  val knnEdgesTable = "graft_knn_edges"
+  val knnEdgesBuckets = 8
+
+  /** NN-descent candidate pool over the ESTABLISHED corpus only
+    * ([[SimilarityIvf.ivfShardMod]] split — the same continuous-
+    * ingest split the IVF maintenance path uses, so one arrival
+    * stream maintains both indexes), staged once per dataset. */
+  private[graft] def corpusCandidatePool(s: SparkSession, dir: String): DataFrame =
+    graft.sources.OracleStage.stage(s, "knn_corpus_candidates", dir)(
+      poolOf(s, dir, knnRounds, corpusOnly = true))
+
+  private[graft] def buildKnnEdges(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    graft.sources.Sinks.writeBucketedOnce(dir, knnEdgesTable,
+        Seq("src"), knnEdgesBuckets)(
+      topK(corpusCandidatePool(s, dir), searchK)
+        .select($"src", $"dst", $"cosine"))
+  }
+
+  /** §2.5 — incremental kNN-GRAPH maintenance: a new-vector shard is
+    * inserted into the persisted corpus-trained edge artifact WITHOUT
+    * an NN-descent rebuild — each arrival runs the IVF-seeded beam
+    * descent over the corpus graph (exactly HNSW's insert rule: search
+    * first, link to what the search surfaces) and its top-[[searchK]]
+    * scored candidates become its adjacency, bucketed-appended so
+    * every probe plan survives the growth. The walk reads CORPUS
+    * edges only (new nodes link outward; the corpus's own lists
+    * refresh at the periodic rebuild — the same one-sided-freshness
+    * contract as [[SimilarityIvf.annIvfAppend]]'s centroids).
+    * SimilarityKnnSpec proves the grown graph's shard adjacency holds
+    * recall against the exact per-shard truth, and idempotence across
+    * reruns. At 100 TB: a day's arrivals extend an n·k edge artifact
+    * at shard cost; the corpus is scanned for scoring, never
+    * reshuffled, never re-descended. */
+  def annGraphAppend(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildKnnEdges(s, dir)
+    val v = Similarity.nonDegenerate(Similarity.vectors(s, dir))
+      .localCheckpoint(true)
+    val shard = $"vec_id" % SimilarityIvf.ivfShardMod === SimilarityIvf.ivfShardRem
+    val q = v.filter(shard)
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
+    val (cents, assigned) = SimilarityIvf.kmeansCorpus(s, dir)
+    val probes = SimilarityIvf.probePairsOf(
+      v.filter(shard).select($"vec_id", $"v"), cents)
+    val leads = assigned.groupBy($"cid").agg(min($"vec_id").as("node"))
+    val entryPairs = leads.join(broadcast(probes), "cid")
+      .select($"query_id", $"node")
+    // walk CORPUS edges only: deterministic across reruns even after
+    // the shard's own rows landed in the table
+    val edges = s.table(knnEdgesTable)
+      .filter($"src" % SimilarityIvf.ivfShardMod =!= SimilarityIvf.ivfShardRem)
+      .select($"src", $"dst").localCheckpoint(true)
+    val visited = beamDescent(v, edges, q, entryPairs)
+    val newEdges = topK(visited.select($"query_id".as("src"),
+        $"node".as("dst"), $"cosine"), searchK)
+      .select($"src", $"dst", $"cosine")
+    graft.sources.Sinks.appendBucketedOnce(dir, knnEdgesTable,
+      Seq("src"), knnEdgesBuckets)(newEdges)
+    val w = Window.partitionBy($"src").orderBy($"cosine".desc, $"dst")
+    s.table(knnEdgesTable)
+      .filter($"src" % SimilarityIvf.ivfShardMod === SimilarityIvf.ivfShardRem)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= knnK)
+      .select($"src".as("vec_id"), $"rank", $"dst".as("neighbor_id"), $"cosine")
+      .orderBy($"vec_id", $"rank")
+  }
+
+  /** Oracle: the insert-path descent replayed for the SHARD query set
+    * over the staged corpus pool + corpus centroids, top-[[knnK]] per
+    * arrival. */
+  def annGraphAppendSql(glob: String, centGlob: String): String = {
+    val (mod, rem) = (SimilarityIvf.ivfShardMod, SimilarityIvf.ivfShardRem)
+    s"""WITH ${gsDescentCtesOf(glob, centGlob,
+           queryPred = s"vec_id % $mod = $rem",
+           assignedPred = s"vec_id % $mod <> $rem",
+           leadsCte = "leads AS (SELECT cid, min(vec_id) AS node FROM assigned GROUP BY cid)")}
+       |SELECT query_id AS vec_id, rank, node AS neighbor_id, cosine FROM (
+       |  SELECT query_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, node) AS rank,
+       |    node, cosine
+       |  FROM vis$searchRounds)
+       |WHERE rank <= $knnK
+       |ORDER BY vec_id, rank""".stripMargin
   }
 
   /** §2.5 — the INDEX-SELECTION report: recall@k of every ANN tier
@@ -528,6 +775,8 @@ object SimilarityKnn {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_knn_graph" -> (annKnnGraph _),
     "ann_graph_search" -> (annGraphSearch _),
+    "ann_graph_filtered" -> (annGraphFiltered _),
+    "ann_graph_append" -> (annGraphAppend _),
     "ann_recall_report" -> (annRecallReport _)
   )
 
@@ -538,6 +787,14 @@ object SimilarityKnn {
         kg <- graft.sources.OracleStage.globOf("knn_candidates")
         cg <- graft.sources.OracleStage.globOf("ivf_centroids")
       } yield "ann_graph_search" -> annGraphSearchSql(kg, cg)).toMap ++
+      (for {
+        kg <- graft.sources.OracleStage.globOf("knn_candidates")
+        cg <- graft.sources.OracleStage.globOf("ivf_centroids")
+      } yield "ann_graph_filtered" -> annGraphFilteredSql(kg, cg)).toMap ++
+      (for {
+        kg <- graft.sources.OracleStage.globOf("knn_corpus_candidates")
+        cg <- graft.sources.OracleStage.globOf("ivf_corpus_centroids")
+      } yield "ann_graph_append" -> annGraphAppendSql(kg, cg)).toMap ++
       (for {
         lg <- graft.sources.OracleStage.globOf("lsh_buckets")
         kg <- graft.sources.OracleStage.globOf("knn_candidates")

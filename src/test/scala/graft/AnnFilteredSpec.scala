@@ -102,4 +102,35 @@ class AnnFilteredSpec extends SparkSpec {
         filteredTruth(q).toList, s"fallback query $q not exact")
     }
   }
+
+  test("graph tier: post-filtering the unfiltered descent under-recalls; the filter-aware descent doesn't") {
+    import graft.operators.SimilarityKnn
+    val label3Ids = label3.map(_._1).toSet
+    // the unfiltered graph search post-filtered: blob-mates dominate
+    // every beam, so label-3 survivors rarely reach the emitted top-k
+    val unfiltered = SimilarityKnn.annGraphSearch(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val postFiltered = unfiltered.filter(p => label3Ids.contains(p._2))
+      .groupBy(_._1).map { case (q, ps) => q -> ps.map(_._2).toSet }
+    assert(recall(postFiltered) <= 0.2,
+      s"post-filter graph recall ${recall(postFiltered)} should collapse on a 5% slice")
+    val rows = SimilarityKnn.annGraphFiltered(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    val got = byQ.map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    assert(recall(got) >= 0.9, s"filter-aware graph recall ${recall(got)}")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.length == Similarity.k, s"query $q: ${rs.length} rows")
+      assert(rs.map(_.getLong(1)).sorted.toList == (1L to rs.length).toList)
+      rs.foreach { r =>
+        assert(label3Ids.contains(r.getLong(2)), s"unfiltered leak: $r")
+        assert(r.getLong(2) != q)
+      }
+    }
+    // starved queries fall back to the exact filtered slice
+    val fbQ = rows.filter(_.getBoolean(4)).map(_.getLong(0)).toSet
+    fbQ.foreach { q =>
+      assert(byQ(q).sortBy(_.getLong(1)).map(_.getLong(2)).toList ==
+        filteredTruth(q).toList, s"fallback query $q not exact")
+    }
+  }
 }

@@ -176,6 +176,47 @@ class SimilarityKnnSpec extends SparkSpec {
       s"centroid seeding must beat global entries: $centroid vs $global")
   }
 
+  test("graph append: inserted shard adjacency holds recall vs exact truth, corpus-only targets, rerun-stable") {
+    val s = spark; import s.implicits._
+    val (mod, rem) = (SimilarityIvf.ivfShardMod, SimilarityIvf.ivfShardRem)
+    val r1 = SimilarityKnn.annGraphAppend(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(r1.nonEmpty)
+    // every inserted node is a shard member; every target a corpus one
+    r1.foreach { case (src, _, dst, _) =>
+      assert(src % mod == rem, s"non-shard src $src in the appended adjacency")
+      assert(dst % mod != rem, s"append linked to a non-corpus node $dst")
+    }
+    // ranked lists, no duplicates
+    r1.groupBy(_._1).foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toList == (1L to rs.length).toList, s"node $src ranks")
+      assert(rs.map(_._3).distinct.length == rs.length, s"node $src dup targets")
+    }
+    // recall vs the EXACT per-shard truth restricted to corpus
+    // candidates (what the insert path can possibly link to)
+    val v: Map[Long, Array[Double]] = Similarity.vectors(s, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val shardIds = v.keys.filter(_ % mod == rem).toSeq
+    val rec = shardIds.map { q =>
+      val a = v(q)
+      val truth = v.toSeq.filter { case (j, _) => j % mod != rem }
+        .map { case (j, b) =>
+          val dot = a.zip(b).map { case (x, y) => x * y }.sum
+          (j, dot / (math.sqrt(a.map(x => x * x).sum) *
+            math.sqrt(b.map(x => x * x).sum)))
+        }.sortBy { case (j, c) => (-c, j) }
+        .take(SimilarityKnn.knnK).map(_._1).toSet
+      val got = r1.filter(_._1 == q).map(_._3).toSet
+      (truth & got).size.toDouble / truth.size
+    }
+    val recall = rec.sum / rec.size
+    assert(recall >= 0.5, s"insert-path recall $recall vs exact per-shard truth")
+    // rerun: base rebuild memo + exactly-once append — identical rows
+    val r2 = SimilarityKnn.annGraphAppend(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(r1.toSet == r2.toSet, "rerunning the append changed the adjacency")
+  }
+
   test("graph edges carry exact quantized cosines") {
     val s = spark; import s.implicits._
     val v: Map[Long, Array[Double]] = Similarity.vectors(s, sfDir).collect()
