@@ -83,11 +83,12 @@ object Similarity {
        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
        |  FROM v
        |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+       |bfq AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm FROM n WHERE vec_id < $nQueries),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |    ${rndSql("list_dot_product(q.v, c.v) / (q.nrm * c.nrm)", 6)} AS cosine
-       |  FROM n q JOIN n c ON c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < $nQueries)
+       |  FROM bfq q JOIN n c ON c.vec_id <> q.vec_id)
        |SELECT query_id,
        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
        |  neighbor_id, cosine
