@@ -624,6 +624,77 @@ object Dedup {
       .orderBy($"new_id", $"corpus_id")
   }
 
+  // ---- index lifecycle: retraction + compaction (35m on dedup) ----
+
+  /** The compacted signature index: [[incrementalIndexTable]]
+    * rewritten minus tombstones, same (band, bucket) layout. */
+  val retractCompactTable = "graft_minhash_index_cmp"
+
+  /** The SAME takedown event as the text and vector indexes
+    * ([[HybridSearch.retractMod]]/[[HybridSearch.retractRem]]): a
+    * deleted document must stop matching — as corpus member AND as
+    * probe — in the same instant it leaves retrieval. */
+  private[graft] def dedupTombstones(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.documents(s, dir)
+      .filter(col("doc_id") % HybridSearch.retractMod === HybridSearch.retractRem)
+      .select(col("doc_id"))
+
+  /** §2.4 — dedup-index RETRACTION: the [[HybridSearch.bm25Retract]]
+    * deletion lifecycle on the persisted MinHash band index. The
+    * bounded tombstone set broadcasts into anti-joins on BOTH sides
+    * of [[dedupIncremental]]'s probe — a deleted corpus document can
+    * no longer be reported as anyone's duplicate, and a deleted
+    * incoming document no longer probes — while the corpus-sized
+    * index files sit untouched until [[compactMinhashIndex]] makes
+    * the deletion physical. Unlike BM25 (whose idf/avgdl stay stale
+    * snapshots until rebuild), MinHash signatures are purely per-doc,
+    * so compaction parity vs a rebuild from the retained corpus is
+    * EXACT — DedupSpec proves probe-equality AND that row-set
+    * equality. */
+  def dedupRetract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildMinhashIndex(s, dir)
+    val tomb = dedupTombstones(s, dir)
+    val live = s.table(incrementalIndexTable)
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val probe = bandedSigs(minhashSignatures(s, dir).filter(isIncoming))
+      .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    live.as("i").join(probe.as("p"),
+        $"i.band" === $"p.band" && $"i.bucket" === $"p.bucket")
+      .select($"i.doc_id".as("corpus_id"), $"p.doc_id".as("new_id"),
+        $"i.sig".as("sig1"), $"p.sig".as("sig2"))
+      .dropDuplicates("corpus_id", "new_id")
+      .withColumn("est_jaccard", expr(estJaccard("sig1", "sig2")))
+      .select($"corpus_id", $"new_id", $"est_jaccard")
+      .orderBy($"new_id", $"corpus_id")
+  }
+
+  /** Compaction: rewrite the band index minus tombstones into
+    * [[retractCompactTable]] (same (band, bucket) bucketed-sorted
+    * layout — probe plans unchanged, one anti-join cheaper). */
+  private[graft] def compactMinhashIndex(s: SparkSession, dir: String): Unit = {
+    buildMinhashIndex(s, dir)
+    graft.sources.Sinks.writeBucketedOnce(dir, retractCompactTable,
+        Seq("band", "bucket"), incrementalIndexBuckets)(
+      s.table(incrementalIndexTable)
+        .join(broadcast(dedupTombstones(s, dir)), Seq("doc_id"), "left_anti"))
+  }
+
+  def dedupRetractSql(glob: String): String =
+    s"""WITH ${sigBandCtes(glob)},
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS corpus_id, p.doc_id AS new_id
+       |  FROM banded i JOIN banded p
+       |    ON i.band = p.band AND i.bucket = p.bucket
+       |  WHERE i.doc_id % $incrementalShardMod <> $incrementalShardRem
+       |    AND p.doc_id % $incrementalShardMod = $incrementalShardRem
+       |    AND i.doc_id % ${HybridSearch.retractMod} <> ${HybridSearch.retractRem}
+       |    AND p.doc_id % ${HybridSearch.retractMod} <> ${HybridSearch.retractRem})
+       |SELECT corpus_id, new_id, ${estJaccardDuck("s1.sig", "s2.sig")} AS est_jaccard
+       |FROM cand JOIN sigs s1 ON cand.corpus_id = s1.doc_id
+       |          JOIN sigs s2 ON cand.new_id = s2.doc_id
+       |ORDER BY new_id, corpus_id""".stripMargin
+
   /** The probe join alone (pre-distinct), exposed so the plan spec can
     * assert the index side is exchange-free. Requires the index table
     * to exist. */
@@ -1955,6 +2026,7 @@ object Dedup {
     "dedup_clusters_embedding" -> (dedupClustersEmbedding _),
     "dedup_clusters_embedding_indexed" -> (dedupClustersEmbeddingIndexed _),
     "dedup_incremental"   -> (dedupIncremental _),
+    "dedup_retract"       -> (dedupRetract _),
     "dedup_paragraph"     -> (dedupParagraph _),
     "dedup_substring"     -> (dedupSubstring _),
     "dedup_span_removal"  -> (dedupSpanRemoval _),
@@ -1999,6 +2071,7 @@ object Dedup {
       globOf("minhash_sigs").map(g => "dedup_minhash_bbit" -> dedupMinhashBbitSql(g)) ++
       globOf("minhash_sigs").map(g => "dedup_eval" -> dedupEvalSql(g)) ++
       globOf("minhash_sigs").map(g => "dedup_incremental" -> dedupIncrementalSql(g)) ++
+      globOf("minhash_sigs").map(g => "dedup_retract" -> dedupRetractSql(g)) ++
       globOf("simhash_sigs").map(g => "dedup_simhash" -> dedupSimhashSql(g)) ++
       globOf("source_sigs").map(g => "dedup_source_sketch" -> dedupSourceSketchSql(g))
   }

@@ -729,17 +729,97 @@ object HybridSearch {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- context assembly: the token-budgeted passage pack ----------
+
+  /** Context-window token budget for [[ragContextPack]]. Sized so the
+    * fused top-[[hybridK]] passages (≤ [[Pipeline.chunkSize]] = 32
+    * tokens each) typically OVERFLOW it — the budget cut, not the
+    * rank cut, is the operator's whole point. */
+  val ctxBudget = 96L
+
+  /** §2.5/§2.8 — CONTEXT ASSEMBLY: the step between retrieval and the
+    * prompt. [[searchChunkHybrid]]'s fused passage ranking is stuffed
+    * into a [[ctxBudget]]-token context window in rank order, stopping
+    * at the first overflow (rank order IS the relevance contract —
+    * skipping ahead to a smaller passage would reorder it), so the
+    * admitted set is exactly the maximal prefix whose running token
+    * sum fits. A vector-only hit (no text-side best passage) defaults
+    * to the document's head passage (chunk 0); a document with no
+    * passages (empty after token filtering) costs 0 tokens. Scale:
+    * the ranking is queries × k rows broadcast into ONE inner join
+    * against the single-column doc-length projection (passage length
+    * is row-local arithmetic on the doc's token count — the corpus
+    * never shuffles, no per-chunk frame materializes); the running
+    * sum windows over ≤ k rows per query. HybridSearchSpec pins
+    * budget-respect, prefix maximality (the first excluded passage
+    * would overflow), and passage-length agreement with corpus_chunk's
+    * boundaries. */
+  def ragContextPack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Pipeline, TextAnalysis => TA}
+    val (c0, s0) = (Pipeline.chunkSize, Pipeline.chunkStride)
+    val fused = searchChunkHybrid(s, dir)
+      .withColumn("chunk_idx", coalesce($"best_chunk_idx", lit(0L)))
+      .select($"query_id", $"rank", $"doc_id", $"chunk_idx")
+    val docLens = Tables.documents(s, dir)
+      .withColumn("n",
+        size(expr(s"coalesce(filter(${TA.toksExpr}, t -> t <> ''), array())")))
+      .select($"doc_id", $"n")
+    docLens.join(broadcast(fused), Seq("doc_id"))
+      .withColumn("n_tokens", expr(
+        s"""CAST(CASE WHEN n > 0 AND chunk_idx * $s0 < n
+           |  THEN least($c0, n - chunk_idx * $s0) ELSE 0 END AS BIGINT)"""
+          .stripMargin))
+      .withColumn("cum_tokens", sum($"n_tokens").over(
+        Window.partitionBy($"query_id").orderBy($"rank")))
+      .filter($"cum_tokens" <= ctxBudget)
+      .select($"query_id", $"rank", $"doc_id", $"chunk_idx",
+        $"n_tokens", $"cum_tokens")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle: the full [[searchChunkHybridSql]] chain as a subquery,
+    * the passage-length arithmetic replayed off the doc token counts,
+    * and the same running-sum prefix cut. */
+  def ragContextPackSql(centGlob: String): String = {
+    import graft.operators.{Pipeline, TextAnalysis => TA}
+    val (c0, s0) = (Pipeline.chunkSize, Pipeline.chunkStride)
+    s"""WITH fusedq AS MATERIALIZED (
+       |  SELECT query_id, rank, doc_id,
+       |    coalesce(best_chunk_idx, 0) AS chunk_idx
+       |  FROM (${searchChunkHybridSql(centGlob)})),
+       |dlens AS (
+       |  SELECT doc_id, len(list_filter(${TA.duckToks}, t -> t <> '')) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT query_id, rank, f.doc_id, chunk_idx,
+       |    CAST(CASE WHEN n > 0 AND chunk_idx * $s0 < n
+       |      THEN least($c0, n - chunk_idx * $s0) ELSE 0 END AS BIGINT) AS n_tokens
+       |  FROM fusedq f JOIN dlens d ON f.doc_id = d.doc_id),
+       |r AS (
+       |  SELECT query_id, rank, doc_id, chunk_idx, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY query_id ORDER BY rank)
+       |         AS BIGINT) AS cum_tokens
+       |  FROM c)
+       |SELECT query_id, rank, doc_id, chunk_idx, n_tokens, cum_tokens
+       |FROM r WHERE cum_tokens <= $ctxBudget
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "search_hybrid_filtered" -> (searchHybridFiltered _),
     "bm25_retract" -> (bm25Retract _),
-    "search_chunk_hybrid" -> (searchChunkHybrid _)
+    "search_chunk_hybrid" -> (searchChunkHybrid _),
+    "rag_context_pack" -> (ragContextPack _)
   )
 
   def oracles: Map[String, String] =
     graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
       "search_hybrid_rrf" -> searchHybridRrfSql(g),
       "search_hybrid_filtered" -> searchHybridFilteredSql(g),
-      "search_chunk_hybrid" -> searchChunkHybridSql(g))).toMap ++
+      "search_chunk_hybrid" -> searchChunkHybridSql(g),
+      "rag_context_pack" -> ragContextPackSql(g))).toMap ++
       Map("bm25_retract" -> bm25RetractSql)
 }

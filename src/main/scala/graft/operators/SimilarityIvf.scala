@@ -529,14 +529,15 @@ object SimilarityIvf {
        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
        |    FROM scoredc WHERE vec_id < $nq)
        |  WHERE rn <= ${probeSweep.max}),
+       |tq AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm FROM n WHERE vec_id < $nq),
        |truth AS MATERIALIZED (
        |  SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${rndSql("list_dot_product(q.v, c.v) / (q.nrm * c.nrm)", 6)} DESC,
        |          c.vec_id) AS rank
-       |    FROM n q JOIN n c ON c.vec_id <> q.vec_id
-       |    WHERE q.vec_id < $nq)
+       |    FROM tq q JOIN n c ON c.vec_id <> q.vec_id)
        |  WHERE rank <= $k),
        |$perP
        |$metricUnion
@@ -626,6 +627,154 @@ object SimilarityIvf {
        |  FROM scoredc)
        |WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
+
+  // ---- index lifecycle: retraction + compaction (35m on vectors) --
+
+  /** The retraction-path inverted file: the FULL assignment persisted
+    * bucketed on cid. Its own table (not [[ivfIndexTable]], which is
+    * the corpus/append split, nor [[ivfStreamTable]]) so the result
+    * can never depend on whether the append or ingest rows ran first
+    * in the same JVM. */
+  val ivfRetractTable = "graft_ivf_idx_ret"
+  /** The compacted inverted file: [[ivfRetractTable]] rewritten minus
+    * tombstoned vectors, same bucket layout. */
+  val ivfRetractCompactTable = "graft_ivf_idx_ret_cmp"
+
+  /** The SAME takedown event as the text index
+    * ([[HybridSearch.retractMod]]/[[HybridSearch.retractRem]]): a
+    * right-to-be-forgotten request deletes the DOCUMENT, so its
+    * embedding must leave the vector index in the same instant its
+    * postings leave the text index — one tombstone set drives both
+    * (the doc/vec id spaces coincide). */
+  private[graft] def ivfTombstones(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    vectors(s, dir)
+      .filter($"vec_id" % HybridSearch.retractMod === HybridSearch.retractRem)
+      .select($"vec_id")
+  }
+
+  private[graft] def buildIvfRetractIndex(s: SparkSession, dir: String): Unit = {
+    val (_, assigned) = kmeans(s, dir)
+    graft.sources.Sinks.writeBucketedOnce(dir, ivfRetractTable,
+      Seq("cid"), ivfIndexBuckets)(assigned)
+  }
+
+  /** The tombstone-aware IVF probe over an arbitrary inverted-file
+    * frame: the bounded tombstone set broadcasts into an anti-join
+    * BEFORE candidate generation, so a deleted vector can neither be
+    * returned nor serve as a query — the index behaves as if its rows
+    * are gone while the corpus-sized inverted file sits untouched.
+    * Centroids stay the build-time snapshot (deletions don't move the
+    * quantizer until the periodic rebuild — the same staleness
+    * contract as [[annIvfAppend]]'s). */
+  private[graft] def ivfRetractProbe(s: SparkSession, dir: String,
+                                     idx: DataFrame,
+                                     tomb: DataFrame): DataFrame = {
+    import s.implicits._
+    val (cents, _) = kmeans(s, dir)
+    val live = idx.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val probes = vectors(s, dir)
+      .filter($"vec_id" < Similarity.nQueries &&
+        $"vec_id" % HybridSearch.retractMod =!= HybridSearch.retractRem)
+      .withColumn("cents", typedLit(cents))
+      .withColumn("probes",
+        expr(s"""transform(slice(array_sort(
+                |  transform(sequence(0, ${nlist - 1}), i -> named_struct(
+                |    's', element_at(transform(cents, c -> graft_dot(c, c) - CAST(2 AS DOUBLE) * graft_dot(v, c)), i + 1),
+                |    'c', i))), 1, $nprobe), p -> p.c)""".stripMargin))
+      .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qnrm"),
+        explode($"probes").as("cid"))
+      // bounded driver collect (≤ nQueries × nprobe rows) — the
+      // annIvf idiom: broadcast shape + severs lineage between the
+      // two vector scans (constraint-propagation hazard, see annIvf)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2), r.getInt(3)))
+    val probesDf = broadcast(probes.toSeq.toDF("query_id", "qv", "qnrm", "cid"))
+    val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
+    live.join(probesDf,
+        live("cid") === probesDf("cid") && $"vec_id" =!= $"query_id")
+      .dropDuplicates("query_id", "vec_id")
+      .withColumn("cosine",
+        expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= Similarity.k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+  }
+
+  /** §2.5 — vector-index RETRACTION: the [[HybridSearch.bm25Retract]]
+    * deletion lifecycle applied to the persisted inverted file. A
+    * takedown must take effect at PROBE time — at 10¹¹ vectors a
+    * rebuild per deletion batch is a non-starter — so tombstoned
+    * vec_ids anti-join out of the inverted-list scan and out of the
+    * query set, while the index files stay untouched until
+    * [[compactIvfRetractIndex]] makes the deletion physical.
+    * SimilarityIvfSpec proves tombstone-probe ≡ compacted-probe and
+    * row-set parity of the compacted table vs assigning the retained
+    * corpus against the same snapshot centroids. */
+  def annIvfRetract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildIvfRetractIndex(s, dir)
+    ivfRetractProbe(s, dir, s.table(ivfRetractTable), ivfTombstones(s, dir))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Compaction: rewrite the inverted file minus tombstones into
+    * [[ivfRetractCompactTable]] (same cid-bucketed layout, so probe
+    * plans are unchanged and one anti-join cheaper). Run on
+    * maintenance cadence; centroids still carry pre-deletion geometry
+    * until the periodic retrain-rebuild. */
+  private[graft] def compactIvfRetractIndex(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    buildIvfRetractIndex(s, dir)
+    graft.sources.Sinks.writeBucketedOnce(dir, ivfRetractCompactTable,
+        Seq("cid"), ivfIndexBuckets)(
+      s.table(ivfRetractTable)
+        .join(broadcast(ivfTombstones(s, dir)), Seq("vec_id"), "left_anti"))
+  }
+
+  /** Oracle: [[annIvfSql]]'s assignment/probe/re-rank chain over the
+    * staged snapshot centroids, with tombstoned vectors excluded both
+    * as candidates and as queries — exactly the probe's semantics. */
+  def annIvfRetractSql(glob: String): String =
+    s"""WITH cents AS (SELECT cid, c FROM read_parquet('$glob')),
+       |v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM v
+       |  WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+       |scoredc AS (
+       |  SELECT n.vec_id, cents.cid,
+       |    list_dot_product(cents.c, cents.c) - CAST(2 AS DOUBLE) * list_dot_product(n.v, cents.c) AS s
+       |  FROM n, cents),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM scoredc)
+       |  WHERE rn = 1
+       |    AND vec_id % ${HybridSearch.retractMod} <> ${HybridSearch.retractRem}),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY s, cid) AS rn
+       |    FROM scoredc
+       |    WHERE vec_id < ${Similarity.nQueries}
+       |      AND vec_id % ${HybridSearch.retractMod} <> ${HybridSearch.retractRem})
+       |  WHERE rn <= $nprobe),
+       |cand AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assigned a ON a.cid = p.cid
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    ${rndSql("list_dot_product(qn.v, cn.v) / (qn.nrm * cn.nrm)", 6)} AS cosine
+       |  FROM cand JOIN n qn ON qn.vec_id = cand.query_id
+       |            JOIN n cn ON cn.vec_id = cand.neighbor_id)
+       |SELECT query_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank,
+       |  neighbor_id, cosine
+       |FROM scored
+       |QUALIFY rank <= ${Similarity.k}
+       |ORDER BY query_id, rank""".stripMargin
 
   // ---- streaming ingest into the inverted file (29l ∘ 31s) --------
 
@@ -759,7 +908,8 @@ object SimilarityIvf {
     "ann_ivf_probe_sweep" -> (annIvfProbeSweep _),
     "ivf_cluster_sizes" -> (ivfClusterSizes _),
     "embed_cluster_purity" -> (embedClusterPurity _),
-    "ann_ivf_append"    -> (annIvfAppend _)
+    "ann_ivf_append"    -> (annIvfAppend _),
+    "ann_ivf_retract"   -> (annIvfRetract _)
   )
 
   def oracles: Map[String, String] =
@@ -768,7 +918,8 @@ object SimilarityIvf {
       "ann_filtered"      -> annFilteredSql(g),
       "ann_ivf_probe_sweep" -> annIvfProbeSweepSql(g),
       "ivf_cluster_sizes" -> ivfClusterSizesSql(g),
-      "embed_cluster_purity" -> embedClusterPuritySql(g))) ++
+      "embed_cluster_purity" -> embedClusterPuritySql(g),
+      "ann_ivf_retract"   -> annIvfRetractSql(g))) ++
      graft.sources.OracleStage.globOf("ivf_corpus_centroids").toSeq.map(g =>
       "ann_ivf_append"    -> annIvfAppendSql(g))).toMap
 }

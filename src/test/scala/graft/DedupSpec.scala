@@ -453,6 +453,47 @@ class DedupSpec extends SparkSpec {
     assert(rows(5L) == ((7L, 0L, 0L, s"e1 $idiom e2 e3")))
   }
 
+  test("dedup retraction: probe = incremental minus tombstoned pairs; compaction = exact rebuild from retained corpus") {
+    val s = spark; import s.implicits._
+    import graft.operators.HybridSearch
+    val deleted = Tables.documents(s, sfDir)
+      .filter($"doc_id" % HybridSearch.retractMod === HybridSearch.retractRem)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty)
+    val res = Dedup.dedupRetract(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // retraction = the incremental probe with every pair touching a
+    // tombstone erased, nothing else
+    val inc = Dedup.dedupIncremental(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(res.toSet ==
+      inc.filter(p => !deleted.contains(p._1) && !deleted.contains(p._2)).toSet,
+      "retraction must equal the incremental probe minus tombstoned pairs")
+    res.foreach { case (c, n, _) =>
+      assert(!deleted.contains(c) && !deleted.contains(n))
+    }
+    // signatures are purely per-doc (no corpus-wide statistics), so a
+    // rebuild from the retained corpus would produce EXACTLY the
+    // retained rows — band/bucket of a doc never depends on other
+    // docs. Compaction must therefore reproduce the live index minus
+    // tombstones bit-for-bit through its anti-join + bucketed rewrite
+    // (the write round-trip BM25's stale-weight delta can't pin).
+    Dedup.compactMinhashIndex(s, sfDir)
+    val compacted = s.table(Dedup.retractCompactTable)
+      .select($"band", $"bucket", $"doc_id", $"sig").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList)).toSet
+    val retained = s.table(Dedup.incrementalIndexTable)
+      .select($"band", $"bucket", $"doc_id", $"sig").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getSeq[Long](3).toList))
+      .filter(r => !deleted.contains(r._3)).toSet
+    assert(compacted == retained,
+      "compacted band index must exactly equal the retained rows")
+    assert(compacted.exists(r => r._3 % Dedup.incrementalShardMod !=
+      Dedup.incrementalShardRem), "compacted index lost the corpus split")
+  }
+
   test("dedup_clusters_best keeps the best-quality copy where min-id keeps the first-crawled one") {
     val s = spark; import s.implicits._
     val dir = Files.createTempDirectory("graft-docs-best").toString

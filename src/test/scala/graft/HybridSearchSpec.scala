@@ -150,6 +150,52 @@ class HybridSearchSpec extends SparkSpec {
       "expected stale-statistics weight deltas vs the rebuilt index")
   }
 
+  test("context pack: budget-respecting maximal prefix with corpus_chunk-exact passage lengths") {
+    val s = spark; import s.implicits._
+    import graft.operators.Pipeline
+    val fused = HybridSearch.searchChunkHybrid(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3)))
+    val packed = HybridSearch.ragContextPack(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(packed.nonEmpty)
+    // ground truth passage lengths from the chunking operator itself
+    val lens = Pipeline.corpusChunk(s, sfDir)
+      .select($"doc_id", $"chunk_idx", $"n_toks").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    packed.foreach { case (_, _, d, c, n, _) =>
+      assert(n == lens.getOrElse((d, c), 0L),
+        s"passage ($d,$c) length $n disagrees with corpus_chunk")
+    }
+    val lenOf = fused.map { case (q, r, d, c) =>
+      (q, r) -> lens.getOrElse((d, c), 0L) }.toMap
+    val packedByQ = packed.groupBy(_._1)
+    fused.groupBy(_._1).foreach { case (q, frs) =>
+      val admitted = packedByQ.getOrElse(q, Array.empty).sortBy(_._2)
+      // admitted rows are a PREFIX of the fused ranking with an exact
+      // running sum that respects the budget
+      assert(admitted.map(_._2).toList ==
+        frs.map(_._2).sorted.take(admitted.length).toList,
+        s"query $q: admitted ranks are not a prefix")
+      var cum = 0L
+      admitted.foreach { r =>
+        cum += r._5
+        assert(cum == r._6, s"query $q rank ${r._2}: bad running sum")
+        assert(cum <= HybridSearch.ctxBudget, s"query $q: budget exceeded")
+      }
+      // maximality: the first excluded passage would overflow
+      if (admitted.length < frs.length) {
+        val nextRank = frs.map(_._2).sorted.apply(admitted.length)
+        assert(cum + lenOf((q, nextRank)) > HybridSearch.ctxBudget,
+          s"query $q: rank $nextRank would have fit but was cut")
+      }
+    }
+    // the budget must actually bite somewhere (else the operator
+    // degenerates to the fused ranking and tests nothing)
+    assert(packed.length < fused.length, "budget never cut a list")
+  }
+
   test("stream postings ingest: grown-table probe is idempotent across reruns and covers the shard") {
     val s = spark; import s.implicits._
     import graft.operators.Dedup

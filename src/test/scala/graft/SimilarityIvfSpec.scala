@@ -153,6 +153,47 @@ class SimilarityIvfSpec extends SparkSpec {
       s"index side must not reshuffle on cid after streamed append:\n$p")
   }
 
+  test("ivf retraction: tombstone probe = compacted probe; compacted index = retained assignment; deleted ids gone") {
+    import spark.implicits._
+    val s = spark
+    val deleted = graft.sources.Tables.embeddings(s, sfDir)
+      .filter($"vec_id" % graft.operators.HybridSearch.retractMod ===
+        graft.operators.HybridSearch.retractRem)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty)
+    val res = SimilarityIvf.annIvfRetract(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(res.nonEmpty)
+    res.foreach { case (q, _, nb, _) =>
+      assert(!deleted.contains(nb), s"deleted vector $nb returned")
+      assert(!deleted.contains(q), s"deleted vector $q issued a query")
+      assert(nb != q)
+    }
+    // probe-over-compacted (nothing left to tombstone) is
+    // row-identical to tombstone-at-probe over the live index
+    SimilarityIvf.compactIvfRetractIndex(s, sfDir)
+    val emptyTomb = Seq.empty[Long].toDF("vec_id")
+    val viaCompact = SimilarityIvf.ivfRetractProbe(s, sfDir,
+        s.table(SimilarityIvf.ivfRetractCompactTable), emptyTomb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(viaCompact == res.toSet,
+      s"compacted vs tombstoned probe diverged: ${viaCompact.size}/${res.size}")
+    // compaction keeps EXACTLY the retained assignment (signatures of
+    // membership are per-vector, so unlike BM25 there is no stale-
+    // statistics delta in the rows themselves — centroids alone stay
+    // snapshot geometry)
+    val compacted = s.table(SimilarityIvf.ivfRetractCompactTable)
+      .select($"vec_id", $"cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val retained = s.table(SimilarityIvf.ivfRetractTable)
+      .select($"vec_id", $"cid").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+      .filter { case (v, _) => !deleted.contains(v) }.toSet
+    assert(compacted == retained,
+      "compacted inverted file must equal the retained assignment")
+  }
+
   test("cluster purity accounts for every vector and bounds correctly") {
     val rows = SimilarityIvf.embedClusterPurity(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
