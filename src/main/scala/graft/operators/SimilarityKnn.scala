@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -472,16 +472,25 @@ object SimilarityKnn {
   }
 
   private[graft] def annGraphFilteredOn(s: SparkSession, dir: String,
-                                        keep: DataFrame): DataFrame = {
+                                        keep: DataFrame): DataFrame =
+    annGraphFilteredCore(s, dir, keep, lit(true))
+
+  /** The filtered-descent core with an extra QUERY predicate seam:
+    * [[annGraphFilteredOn]] keeps every query, [[annGraphRetract]]
+    * removes tombstoned ones (a deleted vector can't query). */
+  private def annGraphFilteredCore(s: SparkSession, dir: String,
+                                   keep: DataFrame,
+                                   qPred: Column): DataFrame = {
     import s.implicits._
     val v = Similarity.nonDegenerate(Similarity.vectors(s, dir))
       .localCheckpoint(true)
     val edges = searchEdges(s, dir).localCheckpoint(true)
-    val q = v.filter($"vec_id" < Similarity.nQueries)
+    val q = v.filter($"vec_id" < Similarity.nQueries).filter(qPred)
       .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn"))
     val (cents, assigned) = SimilarityIvf.kmeans(s, dir)
     val probes = SimilarityIvf.probePairsOf(
-      v.filter($"vec_id" < Similarity.nQueries).select($"vec_id", $"v"), cents)
+      v.filter($"vec_id" < Similarity.nQueries).filter(qPred)
+        .select($"vec_id", $"v"), cents)
     // in-slice entry points: lowest-id PASSING member per probed list
     val fleads = assigned.join(keep, "vec_id")
       .groupBy($"cid").agg(min($"vec_id").as("node"))
@@ -519,19 +528,30 @@ object SimilarityKnn {
   /** Oracle: the descent CTEs with in-slice leads, then the survivor
     * admission, the starved-query decision and both branches. */
   def annGraphFilteredSql(glob: String, centGlob: String): String = {
-    val cos = rndSql("list_dot_product(q.qv, c.v) / (q.qn * c.nrm)", 6)
     val leads =
       s"""leads AS (
          |  SELECT a.cid, min(a.vec_id) AS node
          |  FROM assigned a JOIN embeddings em ON em.vec_id = a.vec_id
          |  WHERE em.label = ${SimilarityIvf.filterLabel}
          |  GROUP BY a.cid)""".stripMargin
+    annGraphFilteredSqlOf(glob, centGlob,
+      keepBody = s"SELECT vec_id FROM embeddings WHERE label = ${SimilarityIvf.filterLabel}",
+      queryPred = s"vec_id < ${Similarity.nQueries}",
+      leadsCte = leads)
+  }
+
+  /** Parameterized filtered-descent oracle (shared with the
+    * retraction row): `keepBody` defines the admission/fallback
+    * slice, `queryPred` the query set, `leadsCte` the per-list
+    * entry-point rule. */
+  private def annGraphFilteredSqlOf(glob: String, centGlob: String,
+      keepBody: String, queryPred: String, leadsCte: String): String = {
+    val cos = rndSql("list_dot_product(q.qv, c.v) / (q.qn * c.nrm)", 6)
     s"""WITH ${gsDescentCtesOf(glob, centGlob,
-           queryPred = s"vec_id < ${Similarity.nQueries}",
-           assignedPred = "TRUE", leadsCte = leads)},
+           queryPred = queryPred,
+           assignedPred = "TRUE", leadsCte = leadsCte)},
        |keepset AS (
-       |  SELECT vec_id FROM embeddings
-       |  WHERE label = ${SimilarityIvf.filterLabel}),
+       |  $keepBody),
        |surv AS (
        |  SELECT w.query_id, w.node, w.cosine
        |  FROM vis$searchRounds w JOIN keepset k ON k.vec_id = w.node
@@ -558,6 +578,79 @@ object SimilarityKnn {
        |  FROM cand)
        |WHERE rank <= ${Similarity.k}
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- index lifecycle: retraction + compaction (35m, graph tier) --
+
+  /** The compacted search graph: the staged NN-descent edges
+    * rewritten minus tombstoned nodes with HNSW delete-repair
+    * relinking, bucketed on src. */
+  val knnEdgesRetCompactTable = "graft_knn_edges_ret_cmp"
+
+  private def graphTomb(c: Column): Column =
+    c % HybridSearch.retractMod === HybridSearch.retractRem
+
+  /** §2.5 — graph-index RETRACTION, completing the deletion lifecycle
+    * across all four persisted retrieval tiers (BM25 postings, IVF
+    * inverted file, MinHash bands, kNN edges — one takedown event
+    * drives them all). The HNSW delete contract: tombstoned nodes
+    * remain traversal WAYPOINTS (deleting a hub's routing role
+    * mid-flight would strand the beam — the same reason ACORN keeps
+    * the walk unrestricted) but can never be admitted to results or
+    * issue queries; seeds start from each probed list's lowest LIVE
+    * member; the starved fallback re-ranks the live slice. Physical
+    * deletion happens at [[compactKnnEdges]] time, where a live node
+    * that pointed at a deleted one inherits the deleted node's own
+    * live neighbors as relink candidates (the HNSW repair rule) —
+    * until then the corpus-sized edge artifact sits untouched.
+    * SimilarityKnnSpec pins deletion semantics, compaction
+    * well-formedness, and that relinking actually re-routes around
+    * deleted hubs. */
+  def annGraphRetract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val live = graft.sources.Tables.embeddings(s, dir)
+      .filter(!graphTomb($"vec_id")).select($"vec_id")
+    annGraphFilteredCore(s, dir, live, !graphTomb(col("vec_id")))
+  }
+
+  /** Compaction with HNSW delete-repair: drop tombstoned sources,
+    * replace each live→deleted edge by candidate edges to the deleted
+    * node's live neighbors, exact-rescore, keep top-[[searchK]] per
+    * source — so a region whose hub died stays reachable through the
+    * inherited links. One self-join of the n·k edge artifact on the
+    * (small) tombstoned-target slice; nothing corpus-quadratic. */
+  private[graft] def compactKnnEdges(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val v = Similarity.nonDegenerate(Similarity.vectors(s, dir))
+      .localCheckpoint(true)
+    val edges = searchEdges(s, dir).localCheckpoint(true)
+    val liveSrc = edges.filter(!graphTomb($"src"))
+    val direct = liveSrc.filter(!graphTomb($"dst")).select($"src", $"dst")
+    val relink = liveSrc.filter(graphTomb($"dst"))
+      .select($"src", $"dst".as("t"))
+      .join(edges.filter(!graphTomb($"dst"))
+        .select($"src".as("t"), $"dst"), "t")
+      .filter($"dst" =!= $"src")
+      .select($"src", $"dst")
+    graft.sources.Sinks.writeBucketedOnce(dir, knnEdgesRetCompactTable,
+        Seq("src"), knnEdgesBuckets)(
+      topK(score(direct.union(relink).distinct(), v), searchK)
+        .select($"src", $"dst", $"cosine"))
+  }
+
+  /** Oracle: the filtered-descent chain with the tombstone predicate
+    * as the slice — live leads, live admission, live queries, live
+    * fallback. */
+  def annGraphRetractSql(glob: String, centGlob: String): String = {
+    val (mod, rem) = (HybridSearch.retractMod, HybridSearch.retractRem)
+    annGraphFilteredSqlOf(glob, centGlob,
+      keepBody = s"SELECT vec_id FROM embeddings WHERE vec_id % $mod <> $rem",
+      queryPred = s"vec_id < ${Similarity.nQueries} AND vec_id % $mod <> $rem",
+      leadsCte = s"""leads AS (
+                    |  SELECT a.cid, min(a.vec_id) AS node
+                    |  FROM assigned a
+                    |  WHERE a.vec_id % $mod <> $rem
+                    |  GROUP BY a.cid)""".stripMargin)
   }
 
   // ---- incremental graph maintenance (the HNSW insert path) --------
@@ -776,6 +869,7 @@ object SimilarityKnn {
     "ann_knn_graph" -> (annKnnGraph _),
     "ann_graph_search" -> (annGraphSearch _),
     "ann_graph_filtered" -> (annGraphFiltered _),
+    "ann_graph_retract" -> (annGraphRetract _),
     "ann_graph_append" -> (annGraphAppend _),
     "ann_recall_report" -> (annRecallReport _)
   )
@@ -791,6 +885,10 @@ object SimilarityKnn {
         kg <- graft.sources.OracleStage.globOf("knn_candidates")
         cg <- graft.sources.OracleStage.globOf("ivf_centroids")
       } yield "ann_graph_filtered" -> annGraphFilteredSql(kg, cg)).toMap ++
+      (for {
+        kg <- graft.sources.OracleStage.globOf("knn_candidates")
+        cg <- graft.sources.OracleStage.globOf("ivf_centroids")
+      } yield "ann_graph_retract" -> annGraphRetractSql(kg, cg)).toMap ++
       (for {
         kg <- graft.sources.OracleStage.globOf("knn_corpus_candidates")
         cg <- graft.sources.OracleStage.globOf("ivf_corpus_centroids")

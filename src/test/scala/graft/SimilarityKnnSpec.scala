@@ -217,6 +217,63 @@ class SimilarityKnnSpec extends SparkSpec {
     assert(r1.toSet == r2.toSet, "rerunning the append changed the adjacency")
   }
 
+  test("graph retraction: deleted ids neither query nor return; compaction relinks around deleted hubs") {
+    val s = spark; import s.implicits._
+    import graft.operators.HybridSearch
+    val (mod, rem) = (HybridSearch.retractMod, HybridSearch.retractRem)
+    val deleted = Similarity.vectors(s, sfDir)
+      .filter($"vec_id" % mod === rem)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(deleted.nonEmpty)
+    val res = SimilarityKnn.annGraphRetract(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(res.nonEmpty)
+    res.foreach { case (q, _, nb, _, _) =>
+      assert(!deleted.contains(nb), s"deleted vector $nb returned")
+      assert(!deleted.contains(q), s"deleted vector $q issued a query")
+      assert(nb != q)
+    }
+    res.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toList == (1L to rs.length).toList,
+        s"query $q ranks not contiguous")
+    }
+    // compaction: no tombstoned node survives as src or dst, degrees
+    // bounded, every edge is explainable (direct live edge or an HNSW
+    // relink through a deleted hub), and at least one edge was
+    // actually INHERITED — relinking re-routes rather than filtering
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"src").orderBy($"cosine".desc, $"dst")
+    val search = SimilarityKnn.knnCandidatePool(s, sfDir)
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= SimilarityKnn.searchK)
+      .select($"src", $"dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val directLive = search.filter { case (a, b) =>
+      !deleted.contains(a) && !deleted.contains(b) }
+    val adj = search.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val relink = for {
+      (a, t) <- search if !deleted.contains(a) && deleted.contains(t)
+      u <- adj.getOrElse(t, Set.empty)
+      if !deleted.contains(u) && u != a
+    } yield (a, u)
+    SimilarityKnn.compactKnnEdges(s, sfDir)
+    val compacted = s.table(SimilarityKnn.knnEdgesRetCompactTable)
+      .select($"src", $"dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(compacted.nonEmpty)
+    compacted.foreach { case (a, b) =>
+      assert(!deleted.contains(a) && !deleted.contains(b),
+        s"tombstoned node survived compaction: ($a,$b)")
+      assert(directLive.contains((a, b)) || relink.contains((a, b)),
+        s"unexplainable compacted edge ($a,$b)")
+    }
+    val degrees = compacted.groupBy(_._1).map(_._2.length)
+    assert(degrees.max <= SimilarityKnn.searchK)
+    assert(compacted.exists(e => !directLive.contains(e)),
+      "compaction produced no inherited edges — relink rule inert")
+  }
+
   test("graph edges carry exact quantized cosines") {
     val s = spark; import s.implicits._
     val v: Map[Long, Array[Double]] = Similarity.vectors(s, sfDir).collect()
