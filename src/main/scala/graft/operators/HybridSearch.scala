@@ -807,7 +807,323 @@ object HybridSearch {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- MMR diversification: relevance vs redundancy ----------------
+
+  /** MMR trade-off weight λ: score = λ·rel − (1−λ)·max-sim-to-picked
+    * (Carbonell & Goldstein 1998). 0.7 leans relevance, the common
+    * production default. */
+  val mmrLambda = 0.7
+  /** Diversified results per query — a strict subset of the
+    * [[hybridK]]-deep fused candidate pool, so the selection has
+    * something to reject. */
+  val mmrK = 5
+
+  /** §2.5 — MAXIMAL MARGINAL RELEVANCE re-ranking of the fused hybrid
+    * list: a RAG context stuffed with [[hybridK]] near-identical
+    * passages wastes its budget on redundancy (the failure mode
+    * dedup_clusters measures corpus-side reappears retrieval-side),
+    * so the top-[[mmrK]] are picked GREEDILY — each step admits the
+    * candidate maximizing λ·rel − (1−λ)·max_cosine_to_already_picked,
+    * rel = the candidate's RRF score normalized per query to [0,1]
+    * (rank fusion and cosine live on incomparable scales), ties to
+    * the lowest doc_id. A candidate with no (or zero-norm) embedding
+    * has similarity 0 to everything — the vector space can't see it,
+    * so only its relevance argues. Scale: the candidate pool is
+    * queries×[[hybridK]] rows and the pairwise-cosine frame
+    * queries×k² — both driver-scale AFTER the hybrid probes did the
+    * corpus-sized work; the greedy loop is [[mmrK]] bounded
+    * iterations of window-argmax over those frames (lineage cut per
+    * pick — round N's plan must not replay rounds 1..N−1), with the
+    * corpus never re-scanned. Oracle: the full hybrid chain + a
+    * recursive-CTE replay of the greedy selection. */
+  def searchMmr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{rnd, rndSql}
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.partitionBy($"query_id")
+    // fused candidate pool with per-query [0,1]-normalized relevance;
+    // max(rrf) > 0 always (rank 1 exists), both factors 1e-6-quantized
+    val rel = searchHybridRrf(s, dir)
+      .withColumn("rel", rnd($"rrf" / max($"rrf").over(wq), 6))
+      .select($"query_id", $"doc_id", $"rel")
+      .localCheckpoint(true)
+    // pairwise candidate cosines within each query's pool (≤ q×k²);
+    // inner join against the cosine-space corpus view drops
+    // unembedded/zero-norm candidates from BOTH sides — their
+    // similarity contribution is the coalesce(0) below
+    val cv = rel.join(
+        Similarity.vectors(s, dir).withColumnRenamed("vec_id", "doc_id"),
+        Seq("doc_id"))
+      .select($"query_id", $"doc_id", $"v", $"nrm")
+    val pairs = cv.as("a").join(cv.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.query_id").as("query_id"), col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("sel_id"),
+        expr(rndSql(s"${graft.functions.VectorFns.dot("a.v", "b.v")} / (a.nrm * b.nrm)", 6)).as("sim"))
+      .localCheckpoint(true)
+    // greedy: seed with the most relevant, then mmrK-1 argmax rounds
+    var sel = rel
+      .withColumn("rn", row_number().over(wq.orderBy($"rel".desc, $"doc_id")))
+      .filter($"rn" === 1)
+      .select($"query_id", $"doc_id", lit(1L).as("mmr_rank"), $"rel",
+        rnd(lit(mmrLambda) * $"rel", 6).as("mmr_score"))
+      .localCheckpoint(true)
+    var remaining = rel.join(sel.select("query_id", "doc_id"),
+      Seq("query_id", "doc_id"), "left_anti")
+    for (i <- 2 to mmrK) {
+      val maxSim = pairs
+        .join(sel.select($"query_id", $"doc_id".as("sel_id")),
+          Seq("query_id", "sel_id"))
+        .groupBy($"query_id", $"doc_id").agg(max($"sim").as("max_sim"))
+      val pick = remaining
+        .join(maxSim, Seq("query_id", "doc_id"), "left")
+        .withColumn("mmr_score", rnd(lit(mmrLambda) * $"rel"
+          - lit(1.0 - mmrLambda) * coalesce($"max_sim", lit(0.0)), 6))
+        .withColumn("rn", row_number().over(
+          wq.orderBy($"mmr_score".desc, $"doc_id")))
+        .filter($"rn" === 1)
+        .select($"query_id", $"doc_id", lit(i.toLong).as("mmr_rank"),
+          $"rel", $"mmr_score")
+      sel = sel.unionByName(pick).localCheckpoint(true)
+      remaining = remaining.join(pick.select("query_id", "doc_id"),
+        Seq("query_id", "doc_id"), "left_anti")
+    }
+    sel.orderBy($"query_id", $"mmr_rank")
+  }
+
+  /** Oracle: [[searchHybridRrfSql]] verbatim as the candidate pool,
+    * the pairwise-cosine frame off the embeddings table, and the
+    * greedy loop UNROLLED as [[mmrK]] chained CTE rounds (argmax →
+    * accumulate → re-score) — identical arithmetic, identical 1e-6
+    * quantization, identical doc_id tie order. Unrolled, not a
+    * recursive CTE: DuckDB silently decorrelates a two-level-deep
+    * reference to the recursive table's list state to NULL inside
+    * the recursion, which zeroes the similarity penalty exactly
+    * where it must bite. */
+  def searchMmrSql(centGlob: String): String = {
+    import graft.functions.Agg.rndSql
+    val lam = mmrLambda
+    val oml = 1.0 - mmrLambda
+    s"""WITH fusedm AS MATERIALIZED (
+       |  SELECT * FROM (${searchHybridRrfSql(centGlob)})),
+       |mrel AS MATERIALIZED (
+       |  SELECT query_id, doc_id,
+       |    ${rndSql("rrf / max(rrf) OVER (PARTITION BY query_id)", 6)} AS rel
+       |  FROM fusedm),
+       |mv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |mn AS (
+       |  SELECT vec_id, v,
+       |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+       |  FROM mv WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+       |mcv AS (
+       |  SELECT r.query_id, r.doc_id, n.v, n.nrm
+       |  FROM mrel r JOIN mn n ON n.vec_id = r.doc_id),
+       |mpairs AS MATERIALIZED (
+       |  SELECT a.query_id, a.doc_id, b.doc_id AS sel_id,
+       |    ${rndSql("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)", 6)} AS sim
+       |  FROM mcv a JOIN mcv b
+       |    ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+       |sel1 AS (
+       |  SELECT query_id, doc_id, CAST(1 AS BIGINT) AS mmr_rank, rel,
+       |    ${rndSql(s"$lam * rel", 6)} AS mmr_score
+       |  FROM (SELECT query_id, doc_id, rel,
+       |          row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY rel DESC, doc_id) AS rn
+       |        FROM mrel) WHERE rn = 1),
+       |${(2 to mmrK).map { i =>
+          val prev = (1 until i).map(j => s"SELECT query_id, doc_id FROM sel$j")
+            .mkString(" UNION ALL ")
+          s"""selall${i - 1} AS ($prev),
+             |cand$i AS (
+             |  SELECT c.query_id, c.doc_id, c.rel,
+             |    ${rndSql(s"$lam * c.rel - $oml * coalesce(ms.ms, CAST(0 AS DOUBLE))", 6)} AS mmr_score
+             |  FROM mrel c
+             |  LEFT JOIN (
+             |    SELECT p.query_id, p.doc_id, max(p.sim) AS ms
+             |    FROM mpairs p JOIN selall${i - 1} s
+             |      ON s.query_id = p.query_id AND s.doc_id = p.sel_id
+             |    GROUP BY 1, 2) ms
+             |    ON ms.query_id = c.query_id AND ms.doc_id = c.doc_id
+             |  WHERE NOT EXISTS (SELECT 1 FROM selall${i - 1} s2
+             |    WHERE s2.query_id = c.query_id AND s2.doc_id = c.doc_id)),
+             |sel$i AS (
+             |  SELECT query_id, doc_id, CAST($i AS BIGINT) AS mmr_rank, rel,
+             |    mmr_score
+             |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |          ORDER BY mmr_score DESC, doc_id) AS rn
+             |        FROM cand$i) WHERE rn = 1)""".stripMargin
+        }.mkString(",\n")}
+       |SELECT query_id, doc_id, mmr_rank, rel, mmr_score FROM (
+       |  ${(1 to mmrK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
+       |ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
+  // ---- pseudo-relevance feedback: RM3 query expansion ---------------
+
+  /** Feedback depth: pass-1 docs whose vocabulary argues for the
+    * expansion. */
+  val prfFbDocs = 3
+  /** Expansion terms admitted per query. */
+  val prfFbTerms = 8
+  /** Interpolation weight on the ORIGINAL query's score (RM3's α). */
+  val prfAlpha = 0.6
+
+  /** §2.6 — PSEUDO-RELEVANCE FEEDBACK retrieval (the RM3 shape,
+    * Lavrenko & Croft 2001 as productionized in Anserini/Lucene): a
+    * more-like-this query misses documents that say the same thing in
+    * different words, so the top-[[prfFbDocs]] of a first BM25 pass
+    * "vote" for expansion vocabulary — each candidate term scores
+    * Σ_{d∈feedback} w(t,d) over the PERSISTED postings weights, the
+    * top [[prfFbTerms]] NEW terms (the original query's own terms are
+    * excluded — they already score via pass 1) get weights normalized
+    * to sum 1, and the final score interpolates
+    * α·orig + (1−α)·expansion. Docs reached only through expansion
+    * terms — invisible to pass 1, the operator's whole point — enter
+    * with orig 0 via the full outer join.
+    *
+    * Scale: THREE probes of the one persisted term-bucketed index —
+    * pass 1 (broadcast query-term join, bucket-local), feedback-doc
+    * vocabulary extraction (ONE linear scan semi-joined against the
+    * broadcast ≤ queries×[[prfFbDocs]] feedback set — the index is
+    * term-bucketed, so a doc-keyed read is a scan by design; it
+    * happens once, not per term), and pass 2 (broadcast expansion-term
+    * join, bucket-local again). Everything between the probes is
+    * queries×terms-bounded. All sums are the fixed-point [[graft
+    * .functions.Agg.dsum]], so scores are partitioning-independent. */
+  def searchPrfRm3(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{dsum, rnd}
+    buildBm25Index(s, dir)
+    val post = s.table(bm25IndexTable)
+    // pass 1: the 35l probe (self excluded)
+    val orig = bm25Tscores(s, dir).localCheckpoint(true)
+    val fb = graft.plans.TopK.perGroup(orig, Seq("query_id"),
+        Seq("score" -> true, "doc_id" -> false), prfFbDocs)
+      .select($"query_id", $"doc_id")
+    // the query's OWN term set (excluded from expansion)
+    val qterms = post.filter($"doc_id" < Similarity.nQueries)
+      .select($"doc_id".as("query_id"), $"term")
+    // feedback vocabulary: one scan of the index, feedback set broadcast
+    val u = post.join(broadcast(fb), "doc_id")
+      .groupBy($"query_id", $"term").agg(dsum($"w").as("u"))
+    val etop = graft.plans.TopK.perGroup(
+        u.join(qterms, Seq("query_id", "term"), "left_anti"),
+        Seq("query_id"), Seq("u" -> true, "term" -> false), prfFbTerms)
+      .select($"query_id", $"term", $"u")
+    val enorm = etop.join(
+        etop.groupBy($"query_id").agg(dsum($"u").as("su")), "query_id")
+      .select($"query_id", $"term", rnd($"u" / $"su", 6).as("ew"))
+    // pass 2: expansion probe, bucket-local again
+    val escore = post.join(broadcast(enorm), "term")
+      .filter($"doc_id" =!= $"query_id")
+      .groupBy($"query_id", $"doc_id")
+      .agg(dsum(rnd($"ew" * $"w", 6)).as("exp_score"))
+    val fused = orig.withColumnRenamed("score", "orig_score")
+      .join(escore, Seq("query_id", "doc_id"), "full")
+      .select($"query_id", $"doc_id",
+        coalesce($"orig_score", lit(0.0)).as("orig_score"),
+        coalesce($"exp_score", lit(0.0)).as("exp_score"))
+      .withColumn("score", rnd(lit(prfAlpha) * $"orig_score"
+        + lit(1.0 - prfAlpha) * $"exp_score", 6))
+    graft.plans.TopK.perGroup(fused, Seq("query_id"),
+        Seq("score" -> true, "doc_id" -> false), hybridK)
+      .select($"query_id", $"rank", $"doc_id", $"score",
+        $"orig_score", $"exp_score")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Oracle: the 35l tf/dl/idf/weight chain gives the full postings
+    * weight table; pass 1, the feedback vote, the normalized
+    * expansion model and pass 2 replay on top of it with the same
+    * fixed-point sums and tie orders. */
+  def searchPrfRm3Sql: String = {
+    import graft.functions.Agg.{dsumSql, rndSql}
+    import graft.operators.{TextAnalysis => TA}
+    val k1p1 = TA.bm25K1 + 1.0
+    val oneMinusB = 1.0 - TA.bm25B
+    val al = prfAlpha
+    val oma = 1.0 - prfAlpha
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${TA.duckToks}) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) /
+       |         (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS avgdl,
+       |         (SELECT count(*) FROM documents) AS n),
+       |idf AS (
+       |  SELECT term,
+       |    ${rndSql("ln(1.0 + (n - df + 0.5) / (df + 0.5))", 6)} AS idf,
+       |    avgdl
+       |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY 1), stats),
+       |wfull AS MATERIALIZED (
+       |  SELECT tf.doc_id, tf.term,
+       |    ${rndSql(s"idf.idf * ((tf.tf * $k1p1) / (tf.tf + ${TA.bm25K1} * " +
+                 s"($oneMinusB + ${TA.bm25B} * (CAST(dl.dl AS DOUBLE) / idf.avgdl))))", 6)} AS w
+       |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (term)),
+       |q AS (
+       |  SELECT DISTINCT doc_id AS query_id, term FROM tf
+       |  WHERE doc_id < ${Similarity.nQueries}),
+       |orig AS MATERIALIZED (
+       |  SELECT q.query_id, wf.doc_id, ${dsumSql("wf.w")} AS score
+       |  FROM wfull wf JOIN q USING (term)
+       |  WHERE wf.doc_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |fb AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT query_id, doc_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |                         ORDER BY score DESC, doc_id) AS rn
+       |    FROM orig) WHERE rn <= $prfFbDocs),
+       |u AS (
+       |  SELECT fb.query_id, wf.term, ${dsumSql("wf.w")} AS u
+       |  FROM wfull wf JOIN fb ON fb.doc_id = wf.doc_id
+       |  GROUP BY 1, 2),
+       |etop AS (
+       |  SELECT query_id, term, u FROM (
+       |    SELECT u.query_id, u.term, u.u,
+       |      row_number() OVER (PARTITION BY u.query_id
+       |                         ORDER BY u.u DESC, u.term) AS rn
+       |    FROM u LEFT JOIN q
+       |      ON q.query_id = u.query_id AND q.term = u.term
+       |    WHERE q.term IS NULL) WHERE rn <= $prfFbTerms),
+       |enorm AS (
+       |  SELECT e.query_id, e.term,
+       |    ${rndSql("e.u / s.su", 6)} AS ew
+       |  FROM etop e JOIN (
+       |    SELECT query_id, ${dsumSql("u")} AS su FROM etop GROUP BY 1) s
+       |    USING (query_id)),
+       |escore AS (
+       |  SELECT en.query_id, wf.doc_id,
+       |    ${dsumSql(rndSql("en.ew * wf.w", 6))} AS exp_score
+       |  FROM wfull wf JOIN enorm en USING (term)
+       |  WHERE wf.doc_id <> en.query_id
+       |  GROUP BY 1, 2),
+       |fused AS (
+       |  SELECT coalesce(o.query_id, e.query_id) AS query_id,
+       |         coalesce(o.doc_id, e.doc_id) AS doc_id,
+       |         coalesce(o.score, CAST(0 AS DOUBLE)) AS orig_score,
+       |         coalesce(e.exp_score, CAST(0 AS DOUBLE)) AS exp_score
+       |  FROM orig o FULL JOIN escore e
+       |    ON o.query_id = e.query_id AND o.doc_id = e.doc_id)
+       |SELECT query_id, rank, doc_id, score, orig_score, exp_score FROM (
+       |  SELECT query_id, doc_id, orig_score, exp_score,
+       |    ${rndSql(s"$al * orig_score + $oma * exp_score", 6)} AS score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${rndSql(s"$al * orig_score + $oma * exp_score", 6)} DESC,
+       |        doc_id) AS rank
+       |  FROM fused)
+       |WHERE rank <= $hybridK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_prf_rm3" -> (searchPrfRm3 _),
+    "search_mmr" -> (searchMmr _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
     "search_hybrid_filtered" -> (searchHybridFiltered _),
     "bm25_retract" -> (bm25Retract _),
@@ -818,8 +1134,10 @@ object HybridSearch {
   def oracles: Map[String, String] =
     graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
       "search_hybrid_rrf" -> searchHybridRrfSql(g),
+      "search_mmr" -> searchMmrSql(g),
       "search_hybrid_filtered" -> searchHybridFilteredSql(g),
       "search_chunk_hybrid" -> searchChunkHybridSql(g),
       "rag_context_pack" -> ragContextPackSql(g))).toMap ++
-      Map("bm25_retract" -> bm25RetractSql)
+      Map("bm25_retract" -> bm25RetractSql,
+        "search_prf_rm3" -> searchPrfRm3Sql)
 }

@@ -146,6 +146,115 @@ object Pipeline {
        |QUALIFY rank <= $weightedK
        |ORDER BY source, rank""".stripMargin
 
+  /** Hashed feature space for [[sampleDsir]]: 16³ md5-prefix buckets. */
+  val dsirBuckets = 4096
+  /** Docs returned by the DSIR importance ranking. */
+  val dsirN = 100
+  /** The target-domain slice: what the selected data should look
+    * like. `en` stands in for "the high-resource domain the model
+    * trains toward" — any deterministic predicate slots in. */
+  val dsirTargetLang = "en"
+
+  /** §2.8 — DSIR data selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank raw-corpus
+    * documents by how target-domain-like their hashed n-gram profile
+    * is. Features are unigrams + bigrams of the shared whitespace
+    * tokenizer hashed into [[dsirBuckets]] md5-prefix buckets (the
+    * 45g CMS device — a string bucket key, identical in both
+    * engines, no numeric hash conversion); the target distribution
+    * is the [[dsirTargetLang]] slice, the raw distribution the whole
+    * corpus, both add-1 smoothed over the bucket space; a document's
+    * importance logweight is Σ_b count_b(doc)·(ln p̂_target(b) −
+    * ln p̂_raw(b)) — the hashed bag-of-grams log-likelihood ratio —
+    * and the output is the top-[[dsirN]] by logweight (tie → lowest
+    * doc_id), the deterministic-ranking face of importance
+    * resampling. Scale: ONE corpus-linear exploded-gram partial-agg
+    * shuffle on (doc, bucket); the bucket-ratio table is ≤
+    * [[dsirBuckets]] rows broadcast back; the global top-N is
+    * TakeOrderedAndProject (no full sort). ln stays cross-engine
+    * safe under the repo's 1e-6 quantize-before-compare rule (the
+    * BM25-idf precedent). */
+  def sampleDsir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{dsum, rnd}
+    import graft.operators.{TextAnalysis => TA}
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id", $"lang",
+        expr(s"filter(${TA.toksExpr}, t -> t <> '')").as("tk"))
+    // unigrams + bigrams; sequence() would count DOWN for size<2, so
+    // the bigram arm is guarded (DuckDB's generate_series is empty)
+    val grams = toks.select($"doc_id", $"lang", explode(concat(
+      $"tk",
+      expr("""CASE WHEN size(tk) >= 2
+             |  THEN transform(sequence(2, size(tk)),
+             |         i -> concat(element_at(tk, i - 1), ' ', element_at(tk, i)))
+             |  ELSE array() END""".stripMargin))).as("g"))
+    val db = grams
+      .select($"doc_id", $"lang",
+        substring(md5($"g".cast("binary")), 1, 3).as("b"))
+      .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val rawb = db.groupBy($"b").agg(sum($"cnt").as("cr"))
+    val tgtb = db.filter($"lang" === dsirTargetLang)
+      .groupBy($"b").agg(sum($"cnt").as("ct"))
+    val tots = rawb.agg(sum($"cr").as("crt")).crossJoin(
+      tgtb.agg(coalesce(sum($"ct"), lit(0L)).as("ctt")))
+    val lamb = rawb.join(tgtb, Seq("b"), "full")
+      .crossJoin(broadcast(tots))
+      .select($"b", rnd(
+        log((coalesce($"ct", lit(0L)).cast("double") + 1.0)
+          / ($"ctt".cast("double") + lit(dsirBuckets.toDouble)))
+          - log((coalesce($"cr", lit(0L)).cast("double") + 1.0)
+            / ($"crt".cast("double") + lit(dsirBuckets.toDouble))), 6).as("lam"))
+    db.join(broadcast(lamb), "b")
+      .groupBy($"doc_id")
+      .agg(dsum(rnd($"cnt".cast("double") * $"lam", 6)).as("logw"),
+        sum($"cnt").as("n_grams"))
+      .orderBy($"logw".desc, $"doc_id")
+      .limit(dsirN)
+      .select($"doc_id", $"logw", $"n_grams")
+  }
+
+  val sampleDsirSql: String = {
+    import graft.functions.Agg.{dsumSql, rndSql}
+    import graft.operators.{TextAnalysis => TA}
+    val bd = dsirBuckets.toDouble
+    s"""WITH dtoks AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(${TA.duckToks}, t -> t <> '') AS tk
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang, unnest(tk) AS g FROM dtoks
+       |  UNION ALL
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(generate_series(2, len(tk)),
+       |      i -> tk[i - 1] || ' ' || tk[i])) AS g
+       |  FROM dtoks),
+       |db AS MATERIALIZED (
+       |  SELECT doc_id, lang, substr(md5(g), 1, 3) AS b, count(*) AS cnt
+       |  FROM grams GROUP BY 1, 2, 3),
+       |rawb AS (SELECT b, sum(cnt) AS cr FROM db GROUP BY 1),
+       |tgtb AS (SELECT b, sum(cnt) AS ct FROM db
+       |         WHERE lang = '$dsirTargetLang' GROUP BY 1),
+       |tots AS (
+       |  SELECT (SELECT CAST(sum(cnt) AS DOUBLE) FROM db) AS crt,
+       |         (SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) FROM db
+       |          WHERE lang = '$dsirTargetLang') AS ctt),
+       |lamb AS (
+       |  SELECT coalesce(r.b, t.b) AS b,
+       |    ${rndSql(s"ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0) / (ctt + $bd))" +
+            s" - ln((CAST(coalesce(cr, 0) AS DOUBLE) + 1.0) / (crt + $bd))", 6)} AS lam
+       |  FROM rawb r FULL JOIN tgtb t ON r.b = t.b, tots)
+       |SELECT doc_id, logw, n_grams FROM (
+       |  SELECT db.doc_id,
+       |    ${dsumSql(rndSql("CAST(cnt AS DOUBLE) * lam", 6))} AS logw,
+       |    CAST(sum(cnt) AS BIGINT) AS n_grams
+       |  FROM db JOIN lamb USING (b)
+       |  GROUP BY 1)
+       |ORDER BY logw DESC, doc_id
+       |LIMIT $dsirN""".stripMargin
+  }
+
   /** §2.8 — duplicate-TEMPERING sampler ("soft dedup"): exact-dup
     * clusters are flattened instead of eliminated — the canonical doc
     * of every content-hash cluster ALWAYS survives (unique content is
@@ -2229,6 +2338,7 @@ object Pipeline {
     "sample_stratified" -> (sampleStratified _),
     "sample_reservoir"  -> (sampleReservoir _),
     "sample_weighted"   -> (sampleWeighted _),
+    "sample_dsir"       -> (sampleDsir _),
     "sample_dedup_flatten" -> (sampleDedupFlatten _),
     "corpus_ngrams"     -> (corpusNgrams _),
     "quality_filter"    -> (qualityFilter _),
@@ -2267,6 +2377,7 @@ object Pipeline {
     "sample_stratified" -> sampleStratifiedSql,
     "sample_reservoir"  -> sampleReservoirSql,
     "sample_weighted"   -> sampleWeightedSql,
+    "sample_dsir"       -> sampleDsirSql,
     "sample_dedup_flatten" -> sampleDedupFlattenSql,
     "corpus_ngrams"     -> corpusNgramsSql,
     "quality_filter"    -> qualityFilterSql,

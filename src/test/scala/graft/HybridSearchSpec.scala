@@ -214,4 +214,84 @@ class HybridSearchSpec extends SparkSpec {
     assert(grown.exists(_ % Dedup.incrementalShardMod != Dedup.incrementalShardRem),
       "no corpus postings in the base")
   }
+
+  private def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+
+  test("mmr: exact agreement with an independent greedy replay") {
+    val s = spark; import s.implicits._
+    val out = HybridSearch.searchMmr(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    // independent replay: fused pool + embeddings, greedy in plain Scala
+    val fused = HybridSearch.searchHybridRrf(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val rel: Map[(Long, Long), Double] = fused.groupBy(_._1).flatMap {
+      case (q, rs) =>
+        val mx = rs.map(_._3).max
+        rs.map(t => (q, t._2) -> q6(t._3 / mx))
+    }
+    val emb = graft.sources.Tables.embeddings(s, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def nrm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def sim(a: Long, b: Long): Double = (emb.get(a), emb.get(b)) match {
+      case (Some(x), Some(y)) if nrm(x) > 0 && nrm(y) > 0 =>
+        q6(x.zip(y).map { case (p, r) => p * r }.sum / (nrm(x) * nrm(y)))
+      case _ => 0.0
+    }
+    val lam = HybridSearch.mmrLambda
+    val expected = fused.groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+      val pool = rs.map(_._2).toSet
+      var picked = List.empty[(Long, Double)] // (doc, score) in pick order
+      var remaining = pool
+      while (picked.size < HybridSearch.mmrK && remaining.nonEmpty) {
+        val scored = remaining.toSeq.map { d =>
+          val ms = if (picked.isEmpty) 0.0
+            else picked.map(p => sim(d, p._1)).max
+          d -> q6(lam * rel((q, d)) - (1.0 - lam) * ms)
+        }
+        val (d, sc) = scored.minBy { case (d, sc) => (-sc, d) }
+        picked = picked :+ (d -> sc)
+        remaining -= d
+      }
+      picked.zipWithIndex.map { case ((d, sc), i) =>
+        (q, d, (i + 1).toLong, rel((q, d)), sc) }
+    }.sortBy(t => (t._1, t._3))
+    assert(out.length == expected.length)
+    out.zip(expected).foreach { case (got, want) =>
+      assert(got._1 == want._1 && got._2 == want._2 && got._3 == want._3,
+        s"pick mismatch: got $got want $want")
+      assert(math.abs(got._4 - want._4) < 1e-9, s"rel drift: $got vs $want")
+      assert(math.abs(got._5 - want._5) < 1e-9, s"score drift: $got vs $want")
+    }
+    // the diversity penalty must actually bite somewhere: some pick's
+    // score is strictly below λ·rel (a nonzero max-sim was charged)
+    assert(out.exists(r => r._3 > 1 && r._5 < q6(lam * r._4) - 1e-9),
+      "no pick ever paid a similarity penalty — pool has no redundancy to diversify")
+  }
+
+  test("rm3: interpolation arithmetic, ranked lists, expansion contributes") {
+    val s = spark
+    val rows = HybridSearch.searchPrfRm3(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val al = HybridSearch.prfAlpha
+    rows.foreach { case (q, _, d, score, orig, exp) =>
+      assert(d != q, s"self in results: ($q,$d)")
+      assert(math.abs(q6(al * orig + (1 - al) * exp) - score) < 1e-9,
+        s"($q,$d): score $score is not the α-interpolation of ($orig, $exp)")
+      assert(orig >= 0.0 && exp >= 0.0)
+    }
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toList == (1L to rs.length).toList)
+      val sc = rs.sortBy(_._2).map(_._4)
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b },
+        s"query $q: scores not monotone")
+    }
+    // the expansion side must contribute (feedback docs contain their
+    // own vocabulary, so a zero expansion column means the second
+    // probe is broken)
+    assert(rows.exists(_._6 > 0.0), "expansion never scored anything")
+  }
 }

@@ -627,4 +627,40 @@ class PipelineSpec extends SparkSpec {
     assert(b == 1L && nb == 1L && bc.exists(_ >= Pipeline.semanticTau),
       s"eval 3 must read burned by the planted paraphrase: ${burn(3L)}")
   }
+
+  test("dsir: target-vocabulary content outranks raw-vocabulary content, whatever its own label") {
+    val s = spark; import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    // target (en) docs speak vocabulary A; the bulk raw corpus speaks
+    // vocabulary B; doc 100 is LABELLED raw-side (xx) but SPEAKS the
+    // target vocabulary — DSIR must rank it above every B-speaker,
+    // because selection reads content, not labels
+    val vocabA = "alpha beta gamma delta epsilon zeta"
+    val vocabB = "omega sigma tau rho kappa lambda"
+    val docs =
+      (0L until 5L).map(i => (i, s"$vocabA alpha beta", "en")) ++
+      (10L until 30L).map(i => (i, s"$vocabB omega sigma", "xx")) :+
+      ((100L, s"$vocabA gamma delta", "xx"))
+    docs.map { case (id, t, l) => (id, t, l, "spec", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.sampleDsir(s, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // output shape: sorted by logw desc then doc_id, n_grams > 0
+    val lw = rows.map(_._2)
+    assert(lw.zip(lw.tail).forall { case (a, b) => a >= b }, "not sorted")
+    assert(rows.forall(_._3 > 0))
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    val aSpeakers = Set(100L) ++ (0L until 5L)
+    val bSpeakers = (10L until 30L).toSet
+    assert(bSpeakers.forall(byId.contains), "raw docs missing from ranking")
+    aSpeakers.foreach { a =>
+      bSpeakers.foreach { b =>
+        assert(byId(a) > byId(b),
+          s"target-vocab doc $a (${byId(a)}) must outrank raw-vocab doc $b (${byId(b)})")
+      }
+    }
+    // and the mislabelled A-speaker specifically beats every B-speaker
+    assert(byId(100L) > bSpeakers.map(byId).max)
+  }
 }
