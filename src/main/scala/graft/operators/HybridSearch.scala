@@ -1121,7 +1121,125 @@ object HybridSearch {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- retrieval-quality evaluation across tiers --------------------
+
+  /** Graded-truth depth: the exact cosine top-[[Similarity.k]] is the
+    * relevance judgment, gain = k+1−truth_rank (5..1). */
+  val evalTruthK = Similarity.k
+
+  /** §2.5/§2.6 — RETRIEVAL QUALITY REPORT: nDCG@k, MRR and recall for
+    * every document-ranking retrieval variant this module ships
+    * (hybrid RRF, RM3 expansion, MMR diversification, chunk-granular
+    * hybrid) against one shared graded truth — the exact brute-force
+    * cosine top-[[evalTruthK]] (gain = k+1−rank). ann_recall_report
+    * answers "which INDEX tier finds the true neighbors"; this
+    * answers the question above it — "which RETRIEVAL STRATEGY ranks
+    * them best" — on rank-discounted metrics, where a strategy that
+    * finds truth but buries it at rank 9 scores accordingly. The MMR
+    * row doubles as the measured price of diversification (its
+    * relevance metrics can only be ≤ the hybrid row's — the
+    * redundancy trade made visible, not asserted away). Scale: every
+    * tier frame and the truth are queries×k rank lists — the
+    * corpus-sized work happened inside the tier operators; the report
+    * itself is joins and partial aggs over driver-scale frames, with
+    * fixed-point sums so per-tier averages are
+    * partitioning-independent. */
+  def searchEvalReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.{dsum, rnd}
+    val truth = Similarity.annBruteforce(s, dir)
+      .select($"query_id", $"neighbor_id".as("doc_id"),
+        (lit(evalTruthK + 1L) - $"rank").cast("double").as("gain"),
+        $"rank".as("trank"))
+      .localCheckpoint(true)
+    val idcg = truth.groupBy($"query_id")
+      .agg(dsum(rnd($"gain" / expr("ln(1 + trank) / ln(2)"), 6)).as("idcg"))
+    def tagged(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("tier"), $"query_id", $"rank", $"doc_id")
+    val tiers = tagged("hybrid_rrf", searchHybridRrf(s, dir))
+      .unionByName(tagged("prf_rm3", searchPrfRm3(s, dir)))
+      .unionByName(tagged("mmr", searchMmr(s, dir)
+        .withColumnRenamed("mmr_rank", "rank")))
+      .unionByName(tagged("chunk_hybrid", searchChunkHybrid(s, dir)))
+    val perQ = tiers
+      .join(truth.select($"query_id", $"doc_id", $"gain"),
+        Seq("query_id", "doc_id"), "left")
+      .groupBy($"tier", $"query_id")
+      .agg(
+        dsum(when($"gain".isNotNull,
+          rnd($"gain" / expr("ln(1 + rank) / ln(2)"), 6))
+          .otherwise(lit(0.0))).as("dcg"),
+        min(when($"gain".isNotNull, $"rank")).as("first_hit"),
+        sum(when($"gain".isNotNull, 1L).otherwise(0L)).as("hits"))
+      .join(idcg, "query_id")
+      .select($"tier", $"query_id",
+        rnd($"dcg" / $"idcg", 6).as("ndcg"),
+        coalesce(rnd(lit(1.0) / $"first_hit".cast("double"), 6), lit(0.0))
+          .as("mrr"),
+        rnd($"hits".cast("double") / lit(evalTruthK.toDouble), 6)
+          .as("recall"))
+    perQ.groupBy($"tier")
+      .agg(count(lit(1)).as("n_queries"),
+        rnd(dsum($"ndcg") / count(lit(1)).cast("double"), 6).as("ndcg_at_k"),
+        rnd(dsum($"mrr") / count(lit(1)).cast("double"), 6).as("mrr_at_k"),
+        rnd(dsum($"recall") / count(lit(1)).cast("double"), 6)
+          .as("recall_truth"))
+      .orderBy($"tier")
+  }
+
+  /** Oracle: the four tier chains verbatim as subqueries, the
+    * brute-force truth CTE, and the metric arithmetic replayed with
+    * the same quantization and ln(1+r)/ln(2) discount text. */
+  def searchEvalReportSql(centGlob: String): String = {
+    import graft.functions.Agg.{dsumSql, rndSql}
+    val tiers = Seq(
+      "hybrid_rrf" -> s"SELECT query_id, rank, doc_id FROM (${searchHybridRrfSql(centGlob)})",
+      "prf_rm3" -> s"SELECT query_id, rank, doc_id FROM ($searchPrfRm3Sql)",
+      "mmr" -> s"SELECT query_id, mmr_rank AS rank, doc_id FROM (${searchMmrSql(centGlob)})",
+      "chunk_hybrid" -> s"SELECT query_id, rank, doc_id FROM (${searchChunkHybridSql(centGlob)})")
+    val metricBlocks = tiers.map { case (name, sub) =>
+      s"""t_$name AS ($sub),
+         |m_$name AS (
+         |  SELECT '$name' AS tier, t.query_id,
+         |    ${dsumSql(s"CASE WHEN g.gain IS NOT NULL THEN ${
+                rndSql("g.gain / (ln(1 + t.rank) / ln(2))", 6)
+              } ELSE CAST(0 AS DOUBLE) END")} AS dcg,
+         |    min(CASE WHEN g.gain IS NOT NULL THEN t.rank END) AS first_hit,
+         |    sum(CASE WHEN g.gain IS NOT NULL THEN 1 ELSE 0 END) AS hits
+         |  FROM t_$name t LEFT JOIN tgain g
+         |    ON g.query_id = t.query_id AND g.doc_id = t.doc_id
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH truth0 AS (
+       |  SELECT query_id, neighbor_id AS doc_id,
+       |    CAST(${evalTruthK} + 1 - rank AS DOUBLE) AS gain, rank AS trank
+       |  FROM (${Similarity.annBruteforceSql})),
+       |tgain AS (SELECT query_id, doc_id, gain FROM truth0),
+       |idcg AS (
+       |  SELECT query_id,
+       |    ${dsumSql(rndSql("gain / (ln(1 + trank) / ln(2))", 6))} AS idcg
+       |  FROM truth0 GROUP BY 1),
+       |$metricBlocks,
+       |mall AS (${tiers.map { case (n, _) => s"SELECT * FROM m_$n" }
+            .mkString(" UNION ALL ")}),
+       |perq AS (
+       |  SELECT m.tier, m.query_id,
+       |    ${rndSql("m.dcg / i.idcg", 6)} AS ndcg,
+       |    coalesce(${rndSql("CAST(1 AS DOUBLE) / CAST(m.first_hit AS DOUBLE)", 6)},
+       |      CAST(0 AS DOUBLE)) AS mrr,
+       |    ${rndSql(s"CAST(m.hits AS DOUBLE) / CAST($evalTruthK AS DOUBLE)", 6)} AS recall
+       |  FROM mall m JOIN idcg i ON i.query_id = m.query_id)
+       |SELECT tier, CAST(count(*) AS BIGINT) AS n_queries,
+       |  ${rndSql(s"${dsumSql("ndcg")} / CAST(count(*) AS DOUBLE)", 6)} AS ndcg_at_k,
+       |  ${rndSql(s"${dsumSql("mrr")} / CAST(count(*) AS DOUBLE)", 6)} AS mrr_at_k,
+       |  ${rndSql(s"${dsumSql("recall")} / CAST(count(*) AS DOUBLE)", 6)} AS recall_truth
+       |FROM perq
+       |GROUP BY 1
+       |ORDER BY tier""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_eval_report" -> (searchEvalReport _),
     "search_prf_rm3" -> (searchPrfRm3 _),
     "search_mmr" -> (searchMmr _),
     "search_hybrid_rrf" -> (searchHybridRrf _),
@@ -1135,6 +1253,7 @@ object HybridSearch {
     graft.sources.OracleStage.globOf("ivf_centroids").toSeq.flatMap(g => Seq(
       "search_hybrid_rrf" -> searchHybridRrfSql(g),
       "search_mmr" -> searchMmrSql(g),
+      "search_eval_report" -> searchEvalReportSql(g),
       "search_hybrid_filtered" -> searchHybridFilteredSql(g),
       "search_chunk_hybrid" -> searchChunkHybridSql(g),
       "rag_context_pack" -> ragContextPackSql(g))).toMap ++

@@ -294,4 +294,24 @@ class HybridSearchSpec extends SparkSpec {
     // probe is broken)
     assert(rows.exists(_._6 > 0.0), "expansion never scored anything")
   }
+
+  test("eval report: all four tiers, metrics in range, diversification's price is visible") {
+    val rows = HybridSearch.searchEvalReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    assert(rows.keySet == Set("hybrid_rrf", "prf_rm3", "mmr", "chunk_hybrid"))
+    rows.foreach { case (t, (n, ndcg, mrr, rec)) =>
+      assert(n > 0, s"$t: no queries")
+      assert(ndcg >= 0.0 && ndcg <= 1.0, s"$t: ndcg $ndcg")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"$t: mrr $mrr")
+      assert(rec >= 0.0 && rec <= 1.0, s"$t: recall $rec")
+    }
+    // MMR picks a subset of the hybrid list with a diversity penalty:
+    // its pure-relevance metrics cannot EXCEED the list it selects from
+    assert(rows("mmr")._4 <= rows("hybrid_rrf")._4 + 1e-9,
+      "mmr recalled truth its own candidate pool didn't hold")
+    // the hybrid tier must actually find some truth at this SF, or the
+    // whole report is vacuous
+    assert(rows("hybrid_rrf")._4 > 0.0, "hybrid recall 0 — broken join?")
+  }
 }
