@@ -1238,7 +1238,110 @@ object HybridSearch {
        |ORDER BY tier""".stripMargin
   }
 
+  // ---- lifecycle observability across the four index tiers ---------
+
+  /** §2.5/§2.6 — INDEX LIFECYCLE REPORT: one table over the four
+    * persisted retrieval indexes the takedown event drives (BM25
+    * postings, IVF inverted file, MinHash band index, kNN edge
+    * artifact) — entries total / tombstoned / live and the tombstone
+    * fraction per tier. This is the observability face of the
+    * retract/compact family: the tombstone fraction IS the signal an
+    * operator watches to schedule compaction (probe-time anti-joins
+    * are O(tombstones) forever, but a tier drifting toward 10% dead
+    * rows is paying for deletions on every query), and the per-tier
+    * asymmetry is structural — a doc is one IVF row but ~hundreds of
+    * postings and [[graft.operators.Dedup.bands]] band rows, while
+    * kNN edges die at BOTH endpoints, so the same takedown shows a
+    * different dead fraction in every tier. Scale: four aggregate-only
+    * scans of the persisted tables (no joins, no shuffles beyond each
+    * scan's partial-agg), counting against the row-local tombstone
+    * predicate. */
+  def indexLifecycleReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.Agg.rnd
+    import graft.operators.{Dedup, SimilarityIvf, SimilarityKnn}
+    buildBm25Index(s, dir)
+    Dedup.buildMinhashIndex(s, dir)
+    SimilarityIvf.buildIvfRetractIndex(s, dir)
+    SimilarityKnn.buildKnnEdges(s, dir)
+    def row(tier: String, df: DataFrame,
+            dead: org.apache.spark.sql.Column): DataFrame =
+      df.agg(count(lit(1)).as("entries_total"),
+          sum(when(dead, 1L).otherwise(0L)).as("entries_tombstoned"))
+        .select(lit(tier).as("tier"), $"entries_total",
+          $"entries_tombstoned",
+          ($"entries_total" - $"entries_tombstoned").as("entries_live"),
+          rnd($"entries_tombstoned".cast("double")
+            / $"entries_total".cast("double"), 6).as("tombstone_frac"))
+    val dDead = col("doc_id") % retractMod === retractRem
+    row("bm25_postings", s.table(bm25IndexTable), dDead)
+      .unionByName(row("ivf_lists", s.table(SimilarityIvf.ivfRetractTable),
+        col("vec_id") % retractMod === retractRem))
+      .unionByName(row("minhash_bands",
+        s.table(Dedup.incrementalIndexTable), dDead))
+      .unionByName(row("knn_edges", s.table(SimilarityKnn.knnEdgesTable),
+        (col("src") % retractMod === retractRem) ||
+          (col("dst") % retractMod === retractRem)))
+      .orderBy($"tier")
+  }
+
+  /** Oracle: each tier's stored-row population re-derived — postings
+    * from the tf chain, IVF rows from the nonzero-norm vector count,
+    * band rows = bands × staged corpus signatures, edges = top-searchK
+    * over the staged corpus candidate pool — with the same tombstone
+    * predicates. */
+  def indexLifecycleReportSql(sigGlob: String, knnGlob: String): String = {
+    import graft.functions.Agg.rndSql
+    import graft.operators.{Dedup, SimilarityKnn, TextAnalysis => TA}
+    val (mod, rem) = (retractMod, retractRem)
+    def outRow(tier: String, cte: String) =
+      s"""SELECT '$tier' AS tier, total AS entries_total,
+         |  dead AS entries_tombstoned, total - dead AS entries_live,
+         |  ${rndSql("CAST(dead AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS tombstone_frac
+         |FROM $cte""".stripMargin
+    s"""WITH tf AS (
+       |  SELECT doc_id, t AS term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(${TA.duckToks}) AS t FROM documents)
+       |  GROUP BY 1, 2),
+       |bm AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS total,
+       |    CAST(coalesce(sum(CASE WHEN doc_id % $mod = $rem THEN 1 ELSE 0 END), 0) AS BIGINT) AS dead
+       |  FROM tf),
+       |iv AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS total,
+       |    CAST(coalesce(sum(CASE WHEN vec_id % $mod = $rem THEN 1 ELSE 0 END), 0) AS BIGINT) AS dead
+       |  FROM embeddings
+       |  WHERE list_sum(list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0),
+       |msig AS (
+       |  SELECT doc_id FROM read_parquet('$sigGlob')
+       |  WHERE doc_id % ${Dedup.incrementalShardMod} <> ${Dedup.incrementalShardRem}),
+       |mh AS (
+       |  SELECT CAST(count(*) * ${Dedup.bands} AS BIGINT) AS total,
+       |    CAST(coalesce(sum(CASE WHEN doc_id % $mod = $rem THEN 1 ELSE 0 END), 0)
+       |      * ${Dedup.bands} AS BIGINT) AS dead
+       |  FROM msig),
+       |kedges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      row_number() OVER (PARTITION BY src
+       |                         ORDER BY cosine DESC, dst) AS rn
+       |    FROM read_parquet('$knnGlob'))
+       |  WHERE rn <= ${SimilarityKnn.searchK}),
+       |kn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS total,
+       |    CAST(coalesce(sum(CASE WHEN src % $mod = $rem
+       |      OR dst % $mod = $rem THEN 1 ELSE 0 END), 0) AS BIGINT) AS dead
+       |  FROM kedges)
+       |${outRow("bm25_postings", "bm")}
+       |UNION ALL ${outRow("ivf_lists", "iv")}
+       |UNION ALL ${outRow("minhash_bands", "mh")}
+       |UNION ALL ${outRow("knn_edges", "kn")}
+       |ORDER BY tier""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "index_lifecycle_report" -> (indexLifecycleReport _),
     "search_eval_report" -> (searchEvalReport _),
     "search_prf_rm3" -> (searchPrfRm3 _),
     "search_mmr" -> (searchMmr _),
@@ -1258,5 +1361,9 @@ object HybridSearch {
       "search_chunk_hybrid" -> searchChunkHybridSql(g),
       "rag_context_pack" -> ragContextPackSql(g))).toMap ++
       Map("bm25_retract" -> bm25RetractSql,
-        "search_prf_rm3" -> searchPrfRm3Sql)
+        "search_prf_rm3" -> searchPrfRm3Sql) ++
+      (for {
+        sg <- graft.sources.OracleStage.globOf("minhash_sigs")
+        kg <- graft.sources.OracleStage.globOf("knn_corpus_candidates")
+      } yield "index_lifecycle_report" -> indexLifecycleReportSql(sg, kg)).toMap
 }

@@ -314,4 +314,30 @@ class HybridSearchSpec extends SparkSpec {
     // whole report is vacuous
     assert(rows("hybrid_rrf")._4 > 0.0, "hybrid recall 0 — broken join?")
   }
+
+  test("lifecycle report: four tiers, consistent arithmetic, structural asymmetry") {
+    val rows = HybridSearch.indexLifecycleReport(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    assert(rows.keySet ==
+      Set("bm25_postings", "ivf_lists", "minhash_bands", "knn_edges"))
+    rows.foreach { case (t, (total, dead, live, frac)) =>
+      assert(total > 0, s"$t: empty index")
+      assert(dead + live == total, s"$t: $dead + $live != $total")
+      assert(frac >= 0.0 && frac <= 1.0, s"$t: frac $frac")
+      assert(dead > 0, s"$t: the mod-$retractModStr takedown hit nothing")
+    }
+    // edges die at EITHER endpoint, so the graph tier's dead fraction
+    // structurally exceeds the single-id IVF tier's
+    assert(rows("knn_edges")._4 > rows("ivf_lists")._4,
+      s"knn ${rows("knn_edges")._4} should exceed ivf ${rows("ivf_lists")._4}")
+    // band rows are doc-proportional: minhash total = bands x corpus sigs
+    val sigs = graft.operators.Dedup.minhashSignatures(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id")
+        % graft.operators.Dedup.incrementalShardMod
+        =!= graft.operators.Dedup.incrementalShardRem).count()
+    assert(rows("minhash_bands")._1 == sigs * graft.operators.Dedup.bands)
+  }
+
+  private def retractModStr = HybridSearch.retractMod.toString
 }
