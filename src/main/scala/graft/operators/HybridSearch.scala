@@ -39,6 +39,13 @@ import graft.sources.Tables
   * independent); the RRF reciprocals are deterministic IEEE
   * divisions written identically on both engines, summed in fixed
   * textual order, quantized at 1e-6 — the oracle is unchanged. */
+/** One (query, candidate) text pair entering the rerank stage. */
+private[graft] case class RerankPair(query_id: Long, doc_id: Long,
+  prev_rank: Long, qtext: String, dtext: String)
+/** One scored pair leaving the stub cross-encoder. */
+private[graft] case class RerankScore(query_id: Long, doc_id: Long,
+  prev_rank: Long, ce_score: Double)
+
 object HybridSearch {
 
   /** The standard RRF dampening constant. */
@@ -1340,7 +1347,121 @@ object HybridSearch {
        |ORDER BY tier""".stripMargin
   }
 
+  // ---- cross-encoder rerank stage ----------------------------------
+
+  /** Results surviving the rerank cut. */
+  val rerankK = 5
+  /** Pairs per stub forward pass — the GPU micro-batch shape. */
+  val rerankBatchSize = 16
+
+  /** §2.5/§2.6 — CROSS-ENCODER RERANK: the stage between retrieval
+    * and context assembly that production RAG runs when first-stage
+    * rank quality isn't enough — the fused top-[[hybridK]] (query,
+    * candidate) TEXT pairs go through a batched model forward pass
+    * and the top-[[rerankK]] by model score survive. The Spark-side
+    * plumbing is the real deliverable (the [[Multimodal.mmBatchInfer]]
+    * contract on text pairs): pair texts are fetched with ONE corpus
+    * scan broadcast-semi-joined against the queries×k id list (the
+    * corpus never shuffles — only the ≤ queries×k selected texts
+    * move), then `mapPartitions` batches [[rerankBatchSize]] pairs
+    * per forward pass with per-partition model init — the exact
+    * shape a real cross-encoder inherits (swap the stub for the
+    * model call; batching and distribution don't change). The model
+    * itself is STUBBED deterministically (no ML runtime in this
+    * container): binary bag-of-words cosine |q∩d|/√(|q|·|d|) over
+    * the shared tokenizer's distinct-token sets, 1e-6-quantized —
+    * order-free, partitioning-free, and replayed token-for-token by
+    * the DuckDB oracle, so the plumbing is hash-gated even though
+    * the scorer is a stand-in. `prev_rank` (the fused rank) rides
+    * through so rank movement is visible. */
+  def searchRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fused = searchHybridRrf(s, dir)
+      .select($"query_id", $"rank".as("prev_rank"), $"doc_id")
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    val pairs = docs.join(broadcast(fused), "doc_id")
+      .select($"query_id", $"doc_id", $"prev_rank", $"text".as("dtext"))
+    val qtexts = docs.filter($"doc_id" < Similarity.nQueries)
+      .select($"doc_id".as("query_id"), $"text".as("qtext"))
+    val scored = pairs.join(broadcast(qtexts), "query_id")
+      .select($"query_id", $"doc_id", $"prev_rank", $"qtext", $"dtext")
+      .as[RerankPair]
+      .mapPartitions { it =>
+        // per-partition "model init" happens here (stub: nothing to
+        // load); a real cross-encoder loads weights once per task
+        def toks(t: String): Set[String] =
+          t.trim.split("\\s+").filter(_.nonEmpty).toSet
+        it.grouped(rerankBatchSize).flatMap { batch =>
+          // one stub forward pass over the whole batch
+          batch.iterator.map { p =>
+            val q = toks(p.qtext); val d = toks(p.dtext)
+            val sc =
+              if (q.isEmpty || d.isEmpty) 0.0
+              else math.floor(q.intersect(d).size.toDouble
+                / math.sqrt(q.size.toDouble * d.size.toDouble)
+                * 1e6 + 0.5) / 1e6
+            RerankScore(p.query_id, p.doc_id, p.prev_rank, sc)
+          }
+        }
+      }.toDF()
+    graft.plans.TopK.perGroup(scored, Seq("query_id"),
+        Seq("ce_score" -> true, "doc_id" -> false), rerankK)
+      .select($"query_id", $"rank", $"doc_id", $"ce_score", $"prev_rank")
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Batch-size observability for the spec (not a query): the sizes
+    * of every rerank micro-batch, tagged by partition — proves pairs
+    * actually ride [[rerankBatchSize]]-bounded forward passes. */
+  private[graft] def rerankBatchSizes(s: SparkSession, dir: String): Seq[(Int, Int)] = {
+    import s.implicits._
+    val fused = searchHybridRrf(s, dir)
+      .select($"query_id", $"rank".as("prev_rank"), $"doc_id")
+    Tables.documents(s, dir).select($"doc_id", $"text")
+      .join(broadcast(fused), "doc_id")
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        it.grouped(rerankBatchSize).map(b => (pid, b.size))
+      }.collect().toSeq
+  }
+
+  /** Oracle: the hybrid chain + the stub scorer's set arithmetic
+    * (distinct-token intersection over the shared tokenizer) + the
+    * rerank cut. */
+  def searchRerankSql(centGlob: String): String = {
+    import graft.functions.Agg.rndSql
+    import graft.operators.{TextAnalysis => TA}
+    s"""WITH fusedr AS MATERIALIZED (
+       |  SELECT query_id, rank AS prev_rank, doc_id
+       |  FROM (${searchHybridRrfSql(centGlob)})),
+       |rq AS (
+       |  SELECT doc_id AS query_id,
+       |    list_distinct(list_filter(${TA.duckToks}, t -> t <> '')) AS qtoks
+       |  FROM documents WHERE doc_id < ${Similarity.nQueries}),
+       |rd AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(${TA.duckToks}, t -> t <> '')) AS dtoks
+       |  FROM documents),
+       |rscored AS (
+       |  SELECT f.query_id, f.doc_id, f.prev_rank,
+       |    CASE WHEN len(qtoks) = 0 OR len(dtoks) = 0 THEN CAST(0 AS DOUBLE)
+       |      ELSE ${rndSql("CAST(len(list_intersect(qtoks, dtoks)) AS DOUBLE)" +
+              " / sqrt(CAST(len(qtoks) AS DOUBLE) * CAST(len(dtoks) AS DOUBLE))", 6)}
+       |    END AS ce_score
+       |  FROM fusedr f
+       |    JOIN rq ON rq.query_id = f.query_id
+       |    JOIN rd ON rd.doc_id = f.doc_id)
+       |SELECT query_id, rank, doc_id, ce_score, prev_rank FROM (
+       |  SELECT query_id, doc_id, prev_rank, ce_score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY ce_score DESC, doc_id) AS rank
+       |  FROM rscored)
+       |WHERE rank <= $rerankK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_rerank" -> (searchRerank _),
     "index_lifecycle_report" -> (indexLifecycleReport _),
     "search_eval_report" -> (searchEvalReport _),
     "search_prf_rm3" -> (searchPrfRm3 _),
@@ -1357,6 +1478,7 @@ object HybridSearch {
       "search_hybrid_rrf" -> searchHybridRrfSql(g),
       "search_mmr" -> searchMmrSql(g),
       "search_eval_report" -> searchEvalReportSql(g),
+      "search_rerank" -> searchRerankSql(g),
       "search_hybrid_filtered" -> searchHybridFilteredSql(g),
       "search_chunk_hybrid" -> searchChunkHybridSql(g),
       "rag_context_pack" -> ragContextPackSql(g))).toMap ++

@@ -340,4 +340,41 @@ class HybridSearchSpec extends SparkSpec {
   }
 
   private def retractModStr = HybridSearch.retractMod.toString
+
+  test("rerank: subset of the fused pool, scores recomputed independently, batched forward passes") {
+    val s = spark; import s.implicits._
+    val fusedSet = rows.map(r => (r._1, r._3)).toSet
+    val texts = graft.sources.Tables.documents(s, sfDir)
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def tokset(t: String) = t.trim.split("\\s+").filter(_.nonEmpty).toSet
+    val rr = HybridSearch.searchRerank(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rr.nonEmpty)
+    rr.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length <= HybridSearch.rerankK)
+      assert(rs.map(_._2).sorted.toList == (1L to rs.length).toList)
+    }
+    rr.foreach { case (q, _, d, ce, prev) =>
+      assert(fusedSet.contains((q, d)),
+        s"($q,$d) reranked but never retrieved")
+      assert(prev >= 1 && prev <= HybridSearch.hybridK)
+      val (qt, dt) = (tokset(texts(q)), tokset(texts(d)))
+      val want =
+        if (qt.isEmpty || dt.isEmpty) 0.0
+        else q6(qt.intersect(dt).size.toDouble /
+          math.sqrt(qt.size.toDouble * dt.size.toDouble))
+      assert(math.abs(ce - want) < 1e-9, s"($q,$d): ce $ce want $want")
+    }
+    // the micro-batch contract: every forward pass is <= batchSize,
+    // and every partition's batches are full except possibly the last
+    val sizes = HybridSearch.rerankBatchSizes(s, sfDir)
+    assert(sizes.nonEmpty)
+    assert(sizes.forall(_._2 <= HybridSearch.rerankBatchSize))
+    sizes.groupBy(_._1).foreach { case (pid, bs) =>
+      assert(bs.dropRight(1).forall(_._2 == HybridSearch.rerankBatchSize),
+        s"partition $pid: non-final batch underfilled: $bs")
+    }
+  }
 }
