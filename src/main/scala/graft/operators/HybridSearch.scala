@@ -1278,8 +1278,10 @@ object HybridSearch {
         .select(lit(tier).as("tier"), $"entries_total",
           $"entries_tombstoned",
           ($"entries_total" - $"entries_tombstoned").as("entries_live"),
-          rnd($"entries_tombstoned".cast("double")
-            / $"entries_total".cast("double"), 6).as("tombstone_frac"))
+          // empty-index guard: 0/0 would emit NaN, not a count of 0
+          when($"entries_total" === 0L, lit(0.0))
+            .otherwise(rnd($"entries_tombstoned".cast("double")
+              / $"entries_total".cast("double"), 6)).as("tombstone_frac"))
     val dDead = col("doc_id") % retractMod === retractRem
     row("bm25_postings", s.table(bm25IndexTable), dDead)
       .unionByName(row("ivf_lists", s.table(SimilarityIvf.ivfRetractTable),
@@ -1304,7 +1306,9 @@ object HybridSearch {
     def outRow(tier: String, cte: String) =
       s"""SELECT '$tier' AS tier, total AS entries_total,
          |  dead AS entries_tombstoned, total - dead AS entries_live,
-         |  ${rndSql("CAST(dead AS DOUBLE) / CAST(total AS DOUBLE)", 6)} AS tombstone_frac
+         |  CASE WHEN total = 0 THEN CAST(0 AS DOUBLE)
+         |    ELSE ${rndSql("CAST(dead AS DOUBLE) / CAST(total AS DOUBLE)", 6)}
+         |  END AS tombstone_frac
          |FROM $cte""".stripMargin
     s"""WITH tf AS (
        |  SELECT doc_id, t AS term, count(*) AS tf
@@ -1460,7 +1464,95 @@ object HybridSearch {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** §2.5/§2.8 — RAG PIPELINE E2E: per-query funnel attribution
+    * across the full retrieval chain — retrieve ([[searchHybridRrf]],
+    * [[hybridK]]-deep) → rerank ([[searchRerank]], [[rerankK]] cut) →
+    * pack (reranked docs' HEAD passages admitted in rerank order
+    * under the [[ctxBudget]] token budget, the [[ragContextPack]]
+    * prefix rule) — the n_retrieved / n_reranked / n_packed /
+    * context_tokens funnel an operator reads to see WHERE candidates
+    * die and how full the context window actually runs (the
+    * [[Multimodal.mmPipelineE2e]] attribution shape on the text
+    * chain). Every stage frame is queries×k; the report is
+    * driver-scale joins over them — the corpus-sized work happened
+    * inside the stage operators. */
+  def ragPipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Pipeline, TextAnalysis => TA}
+    val fusedc = searchHybridRrf(s, dir)
+      .groupBy($"query_id").agg(count(lit(1)).as("n_retrieved"))
+    val rr = searchRerank(s, dir)
+      .select($"query_id", $"rank", $"doc_id").localCheckpoint(true)
+    val docLens = Tables.documents(s, dir)
+      .withColumn("n",
+        size(expr(s"coalesce(filter(${TA.toksExpr}, t -> t <> ''), array())")))
+      .select($"doc_id", $"n")
+    val packed = docLens.join(broadcast(rr), Seq("doc_id"))
+      .withColumn("n_tokens", expr(
+        s"CAST(CASE WHEN n > 0 THEN least(${Pipeline.chunkSize}, n) ELSE 0 END AS BIGINT)"))
+      .withColumn("cum", sum($"n_tokens").over(
+        Window.partitionBy($"query_id").orderBy($"rank")))
+      .filter($"cum" <= ctxBudget)
+      .groupBy($"query_id")
+      .agg(count(lit(1)).as("n_packed"),
+        coalesce(max($"cum"), lit(0L)).as("context_tokens"))
+    val rc = rr.groupBy($"query_id").agg(count(lit(1)).as("n_reranked"))
+    val top = rr.filter($"rank" === 1L)
+      .select($"query_id", $"doc_id".as("top_doc_id"))
+    fusedc.join(rc, "query_id").join(top, "query_id")
+      .join(packed, Seq("query_id"), "left")
+      .select($"query_id", $"n_retrieved", $"n_reranked",
+        coalesce($"n_packed", lit(0L)).as("n_packed"),
+        coalesce($"context_tokens", lit(0L)).as("context_tokens"),
+        $"top_doc_id")
+      .orderBy($"query_id")
+  }
+
+  /** Oracle: the rerank chain + the fused count + head-passage length
+    * arithmetic + the running-sum prefix cut, replayed stage for
+    * stage. */
+  def ragPipelineE2eSql(centGlob: String): String = {
+    import graft.operators.{Pipeline, TextAnalysis => TA}
+    s"""WITH rrk AS MATERIALIZED (${searchRerankSql(centGlob)}),
+       |fusedc AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_retrieved
+       |  FROM (${searchHybridRrfSql(centGlob)}) GROUP BY 1),
+       |edl AS (
+       |  SELECT doc_id, len(list_filter(${TA.duckToks}, t -> t <> '')) AS n
+       |  FROM documents),
+       |ep AS (
+       |  SELECT r.query_id, r.rank,
+       |    CAST(CASE WHEN n > 0 THEN least(${Pipeline.chunkSize}, n)
+       |      ELSE 0 END AS BIGINT) AS n_tokens
+       |  FROM rrk r JOIN edl d ON d.doc_id = r.doc_id),
+       |ec AS (
+       |  SELECT query_id, rank, n_tokens,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY query_id ORDER BY rank)
+       |         AS BIGINT) AS cum
+       |  FROM ep),
+       |epk AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_packed,
+       |    CAST(coalesce(max(cum), 0) AS BIGINT) AS context_tokens
+       |  FROM ec WHERE cum <= $ctxBudget GROUP BY 1),
+       |erc AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_reranked
+       |  FROM rrk GROUP BY 1),
+       |etop AS (
+       |  SELECT query_id, doc_id AS top_doc_id FROM rrk WHERE rank = 1)
+       |SELECT f.query_id, f.n_retrieved, erc.n_reranked,
+       |  CAST(coalesce(epk.n_packed, 0) AS BIGINT) AS n_packed,
+       |  CAST(coalesce(epk.context_tokens, 0) AS BIGINT) AS context_tokens,
+       |  etop.top_doc_id
+       |FROM fusedc f
+       |  JOIN erc ON erc.query_id = f.query_id
+       |  JOIN etop ON etop.query_id = f.query_id
+       |  LEFT JOIN epk ON epk.query_id = f.query_id
+       |ORDER BY f.query_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rag_pipeline_e2e" -> (ragPipelineE2e _),
     "search_rerank" -> (searchRerank _),
     "index_lifecycle_report" -> (indexLifecycleReport _),
     "search_eval_report" -> (searchEvalReport _),
@@ -1479,6 +1571,7 @@ object HybridSearch {
       "search_mmr" -> searchMmrSql(g),
       "search_eval_report" -> searchEvalReportSql(g),
       "search_rerank" -> searchRerankSql(g),
+      "rag_pipeline_e2e" -> ragPipelineE2eSql(g),
       "search_hybrid_filtered" -> searchHybridFilteredSql(g),
       "search_chunk_hybrid" -> searchChunkHybridSql(g),
       "rag_context_pack" -> ragContextPackSql(g))).toMap ++

@@ -377,4 +377,28 @@ class HybridSearchSpec extends SparkSpec {
         s"partition $pid: non-final batch underfilled: $bs")
     }
   }
+
+  test("pipeline e2e: funnel monotone, budget respected, top doc is the rerank winner") {
+    val s = spark
+    val e2e = HybridSearch.ragPipelineE2e(s, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(e2e.nonEmpty)
+    val rerankTop = HybridSearch.searchRerank(s, sfDir).collect()
+      .filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    e2e.foreach { case (q, nRet, nRr, nPk, ctx, top) =>
+      assert(nRet >= 1 && nRet <= HybridSearch.hybridK)
+      assert(nRr <= math.min(HybridSearch.rerankK.toLong, nRet),
+        s"query $q: reranked $nRr out of $nRet")
+      assert(nPk <= nRr, s"query $q: packed $nPk of $nRr reranked")
+      assert(ctx <= HybridSearch.ctxBudget, s"query $q: context $ctx over budget")
+      assert((nPk == 0L) == (ctx == 0L))
+      assert(rerankTop(q) == top, s"query $q: top doc $top vs ${rerankTop(q)}")
+    }
+    // at this SF the funnel must actually narrow somewhere, or the
+    // report degenerates to three copies of one count
+    assert(e2e.exists { case (_, nRet, nRr, _, _, _) => nRr < nRet },
+      "rerank cut never narrowed the pool")
+  }
 }
