@@ -554,6 +554,32 @@ object HybridSearch {
       .orderBy($"query_id", $"rank")
   }
 
+  /** Accumulator table for takedown events arriving AS A STREAM
+    * ([[graft.streaming.StreamOps]] `stream_takedown`): each
+    * micro-batch appends the deletion ids it carries; the probe reads
+    * the accumulated set (distinct — re-delivery of a deletion is a
+    * no-op by construction, which is what makes the append-only
+    * accumulator idempotent under replay). */
+  val tombStreamTable = "graft_tombstones_stream"
+
+  /** The post-stream probe: [[bm25RetractProbe]] against whatever
+    * tombstones the stream accumulated. A takedown stream that
+    * delivered every deletion event yields EXACTLY [[bm25Retract]] —
+    * the parity the oracle and spec both check. */
+  private[graft] def streamTakedownProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    buildBm25Index(s, dir)
+    val tomb =
+      if (s.catalog.tableExists(tombStreamTable))
+        s.table(tombStreamTable).select($"doc_id").distinct()
+      else s.emptyDataset[Long].toDF("doc_id")
+    val scores = bm25RetractProbe(s, s.table(bm25IndexTable), tomb)
+    graft.plans.TopK.perGroup(scores, Seq("query_id"),
+        Seq("score" -> true, "doc_id" -> false), hybridK)
+      .select($"query_id", $"rank", $"doc_id", $"score")
+      .orderBy($"query_id", $"rank")
+  }
+
   /** The compaction pass: rewrite the postings minus tombstones into
     * [[bm25CompactTable]] (same term-bucketed layout, so every probe
     * plan is unchanged). Run on maintenance cadence — after it, the

@@ -1718,6 +1718,44 @@ object StreamOps {
   }
 
   // ------------------------------------------------------------------
+  // stream_takedown — deletion events arriving as a stream
+  // ------------------------------------------------------------------
+
+  /** §2.6 — TAKEDOWN AS A STREAM: right-to-be-forgotten requests
+    * don't arrive in maintenance windows — they arrive continuously,
+    * and the index must stop serving a deleted document from the
+    * micro-batch its deletion lands in. Deletion events (the shared
+    * [[graft.operators.HybridSearch.retractMod]] takedown slice of
+    * the documents stream) append their doc_ids into the
+    * [[graft.operators.HybridSearch.tombStreamTable]] accumulator per
+    * micro-batch — an append-only, naturally idempotent-under-replay
+    * sink (deleting twice is deleting once; the probe reads the set
+    * DISTINCT) — and the post-stream probe anti-joins the accumulated
+    * set exactly like the batch [[graft.operators.HybridSearch
+    * .bm25Retract]]: a stream that delivered every deletion yields
+    * the identical frame, which is the oracle (shared SQL) and the
+    * spec's parity assertion. The index files never rewrite on the
+    * ingest path; compaction stays a maintenance-cadence batch job. */
+  def runTakedownToCompletion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{HybridSearch => HS}
+    s.sql(s"DROP TABLE IF EXISTS ${HS.tombStreamTable}")
+    val deletions = StreamAcc.fileStream(s, dir, "documents")
+      .filter($"doc_id" % HS.retractMod === HS.retractRem)
+      .select($"doc_id")
+    val q = deletions.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.select("doc_id").distinct()
+          .write.format("parquet").mode("append")
+          .saveAsTable(HS.tombStreamTable)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    HS.streamTakedownProbe(s, dir)
+  }
+
+  // ------------------------------------------------------------------
   // stream_dau — exactly-once (user, day) activity dedup
   // ------------------------------------------------------------------
 
@@ -1813,6 +1851,7 @@ object StreamOps {
       runEmbedDedupToCompletion(s, dir, sink = "stream_embed_dedup_verify")),
     "stream_ivf_ingest" -> (runIvfIngestToCompletion _),
     "stream_bm25_ingest" -> (runBm25IngestToCompletion _),
+    "stream_takedown" -> (runTakedownToCompletion _),
     "stream_rate_limit" -> ((s, dir) =>
       runRateLimitToCompletion(s, dir, sink = "stream_rate_limit_verify")),
     "stream_anomaly" -> ((s, dir) =>
@@ -1938,7 +1977,8 @@ object StreamOps {
     // run to completion the grown postings table's search equals the
     // union priced with the frozen corpus statistics (the documented
     // staleness contract, replayed term-for-term)
-    "stream_bm25_ingest" -> graft.operators.HybridSearch.streamBm25IngestSql
+    "stream_bm25_ingest" -> graft.operators.HybridSearch.streamBm25IngestSql,
+    "stream_takedown" -> graft.operators.HybridSearch.bm25RetractSql
   ) ++ graft.sources.OracleStage.globOf("mm_phash_sigs")
     // run to completion the stream-static band probe equals the
     // cross-shard banding cut over the staged signatures

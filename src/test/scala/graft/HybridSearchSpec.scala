@@ -401,4 +401,21 @@ class HybridSearchSpec extends SparkSpec {
     assert(e2e.exists { case (_, nRet, nRr, _, _, _) => nRr < nRet },
       "rerank cut never narrowed the pool")
   }
+
+  test("takedown stream: full delivery equals batch retraction, and replay is idempotent") {
+    val s = spark
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val streamed =
+      graft.streaming.StreamOps.runTakedownToCompletion(s, sfDir)
+        .collect().map(key).toList
+    val batch = HybridSearch.bm25Retract(s, sfDir).collect().map(key).toList
+    assert(streamed == batch,
+      "a fully-delivered takedown stream must equal the batch retraction")
+    // re-delivery of every deletion event must change nothing
+    val replayed =
+      graft.streaming.StreamOps.runTakedownToCompletion(s, sfDir)
+        .collect().map(key).toList
+    assert(replayed == streamed, "takedown replay changed the probe")
+  }
 }
