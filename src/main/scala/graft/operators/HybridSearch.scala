@@ -175,8 +175,18 @@ object HybridSearch {
     val vranks = graft.sources.TierMemo.cached("ann_ivf", dir, s)(
         SimilarityIvf.annIvf(s, dir))
       .select($"query_id", $"neighbor_id".as("doc_id"), $"rank".as("vec_rank"))
-    fuse(s, tranks, vranks)
+    // standalone runs compute live and refresh the memo (TierMemo
+    // rule); downstream consumers (MMR, rerank, the reports) read the
+    // last computed frame instead of re-paying both probes
+    graft.sources.TierMemo.refresh("search_hybrid_rrf", dir, s)(
+      fuse(s, tranks, vranks))
   }
+
+  /** The memoized fused list, for consumers ranked above it in the
+    * chain. */
+  private def fusedCached(s: SparkSession, dir: String): DataFrame =
+    graft.sources.TierMemo.cached("search_hybrid_rrf", dir, s)(
+      searchHybridRrf(s, dir))
 
   /** The language predicate of [[searchHybridFiltered]] — stands in
     * for the license/source/date filter every production retrieval
@@ -406,6 +416,7 @@ object HybridSearch {
       .select($"query_id", $"rank", $"doc_id", $"best_chunk_idx", $"rrf",
         $"text_rank", $"vec_rank")
       .orderBy($"query_id", $"rank")
+      .transform(graft.sources.TierMemo.refresh("search_chunk_hybrid", dir, s)(_))
   }
 
   /** Oracle: the chunk postings (corpus_chunk's boundary arithmetic
@@ -876,7 +887,7 @@ object HybridSearch {
     val wq = Window.partitionBy($"query_id")
     // fused candidate pool with per-query [0,1]-normalized relevance;
     // max(rrf) > 0 always (rank 1 exists), both factors 1e-6-quantized
-    val rel = searchHybridRrf(s, dir)
+    val rel = fusedCached(s, dir)
       .withColumn("rel", rnd($"rrf" / max($"rrf").over(wq), 6))
       .select($"query_id", $"doc_id", $"rel")
       .localCheckpoint(true)
@@ -922,7 +933,8 @@ object HybridSearch {
       remaining = remaining.join(pick.select("query_id", "doc_id"),
         Seq("query_id", "doc_id"), "left_anti")
     }
-    sel.orderBy($"query_id", $"mmr_rank")
+    graft.sources.TierMemo.refresh("search_mmr", dir, s)(
+      sel.orderBy($"query_id", $"mmr_rank"))
   }
 
   /** Oracle: [[searchHybridRrfSql]] verbatim as the candidate pool,
@@ -1061,11 +1073,12 @@ object HybridSearch {
         coalesce($"exp_score", lit(0.0)).as("exp_score"))
       .withColumn("score", rnd(lit(prfAlpha) * $"orig_score"
         + lit(1.0 - prfAlpha) * $"exp_score", 6))
-    graft.plans.TopK.perGroup(fused, Seq("query_id"),
-        Seq("score" -> true, "doc_id" -> false), hybridK)
-      .select($"query_id", $"rank", $"doc_id", $"score",
-        $"orig_score", $"exp_score")
-      .orderBy($"query_id", $"rank")
+    graft.sources.TierMemo.refresh("search_prf_rm3", dir, s)(
+      graft.plans.TopK.perGroup(fused, Seq("query_id"),
+          Seq("score" -> true, "doc_id" -> false), hybridK)
+        .select($"query_id", $"rank", $"doc_id", $"score",
+          $"orig_score", $"exp_score")
+        .orderBy($"query_id", $"rank"))
   }
 
   /** Oracle: the 35l tf/dl/idf/weight chain gives the full postings
@@ -1189,11 +1202,15 @@ object HybridSearch {
       .agg(dsum(rnd($"gain" / expr("ln(1 + trank) / ln(2)"), 6)).as("idcg"))
     def tagged(name: String, df: DataFrame): DataFrame =
       df.select(lit(name).as("tier"), $"query_id", $"rank", $"doc_id")
-    val tiers = tagged("hybrid_rrf", searchHybridRrf(s, dir))
-      .unionByName(tagged("prf_rm3", searchPrfRm3(s, dir)))
-      .unionByName(tagged("mmr", searchMmr(s, dir)
-        .withColumnRenamed("mmr_rank", "rank")))
-      .unionByName(tagged("chunk_hybrid", searchChunkHybrid(s, dir)))
+    import graft.sources.TierMemo.cached
+    val tiers = tagged("hybrid_rrf", fusedCached(s, dir))
+      .unionByName(tagged("prf_rm3",
+        cached("search_prf_rm3", dir, s)(searchPrfRm3(s, dir))))
+      .unionByName(tagged("mmr",
+        cached("search_mmr", dir, s)(searchMmr(s, dir))
+          .withColumnRenamed("mmr_rank", "rank")))
+      .unionByName(tagged("chunk_hybrid",
+        cached("search_chunk_hybrid", dir, s)(searchChunkHybrid(s, dir))))
     val perQ = tiers
       .join(truth.select($"query_id", $"doc_id", $"gain"),
         Seq("query_id", "doc_id"), "left")
@@ -1404,9 +1421,15 @@ object HybridSearch {
     * the DuckDB oracle, so the plumbing is hash-gated even though
     * the scorer is a stand-in. `prev_rank` (the fused rank) rides
     * through so rank movement is visible. */
-  def searchRerank(s: SparkSession, dir: String): DataFrame = {
+  def searchRerank(s: SparkSession, dir: String): DataFrame =
+    graft.sources.TierMemo.refresh("search_rerank", dir, s)(
+      searchRerankLive(s, dir))
+
+  /** The un-memoized plan (PlanSpec inspects this — the memo's eager
+    * checkpoint would otherwise hide it behind a Scan ExistingRDD). */
+  private[graft] def searchRerankLive(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fused = searchHybridRrf(s, dir)
+    val fused = fusedCached(s, dir)
       .select($"query_id", $"rank".as("prev_rank"), $"doc_id")
     val docs = Tables.documents(s, dir).select($"doc_id", $"text")
     val pairs = docs.join(broadcast(fused), "doc_id")
@@ -1506,9 +1529,10 @@ object HybridSearch {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{Pipeline, TextAnalysis => TA}
-    val fusedc = searchHybridRrf(s, dir)
+    val fusedc = fusedCached(s, dir)
       .groupBy($"query_id").agg(count(lit(1)).as("n_retrieved"))
-    val rr = searchRerank(s, dir)
+    val rr = graft.sources.TierMemo.cached("search_rerank", dir, s)(
+        searchRerank(s, dir))
       .select($"query_id", $"rank", $"doc_id").localCheckpoint(true)
     val docLens = Tables.documents(s, dir)
       .withColumn("n",

@@ -698,4 +698,22 @@ class PlanSpec extends SparkSpec {
       assert(!pl.contains("CartesianProduct"), pl.take(2000))
     }
   }
+
+  test("sample_dsir: broadcast ratio table, global top-N without a full sort") {
+    val pl = plan(graft.operators.Pipeline.sampleDsir(spark, sfDir))
+    // the 4096-row bucket-ratio table rides back as a broadcast — the
+    // corpus-sized (doc, bucket) frame never reshuffles for it
+    assert(pl.contains("BroadcastHashJoin"), pl.take(3000))
+    // top-dsirN is TakeOrderedAndProject, not a global sort
+    assert(pl.contains("TakeOrderedAndProject"), pl.take(3000))
+    assert(!pl.contains("CartesianProduct"), pl.take(2000))
+  }
+
+  test("search_rerank: pair texts fetched via broadcast joins, corpus never shuffle-joined") {
+    val pl = plan(graft.operators.HybridSearch.searchRerankLive(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(pl).length >= 2,
+      s"both text fetches must broadcast the bounded id side:\n${pl.take(3000)}")
+    assert(!pl.contains("SortMergeJoin"),
+      s"corpus shuffle-joined for a queries x k id list:\n${pl.take(3000)}")
+  }
 }
