@@ -238,6 +238,36 @@ object Ranks {
                        numPartitions: Int, out: String): DataFrame =
     globalRunningSum(df, keys, value, numPartitions, out, df)
 
+  /** Several global running sums over ONE two-phase layout: each
+    * `(value, out)` pair gets its running sum ordered by `keys`, all
+    * sharing a single bucket assignment, one per-bucket offsets
+    * aggregate, and one within-bucket Window operator (identical
+    * window spec → Spark evaluates every frame in the same sort).
+    * Chaining N single-value [[globalRunningSum]] calls costs N
+    * boundary samples + N offset shuffles + N window passes for the
+    * same answer — the rank-test scaffold measured 2× faster through
+    * this. Semantics per column are exactly [[globalRunningSum]]. */
+  def globalRunningSums(df: DataFrame, keys: Seq[Column],
+                        values: Seq[(Column, String)],
+                        numPartitions: Int): DataFrame = {
+    val parted = df.withColumn(PID,
+      pidExpr(keys, sampleBounds(df, keys, numPartitions)))
+    val aggs = values.map { case (v, o) => sum(v).as(CNT + o) }
+    val offsets = parted.groupBy(col(PID))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(PID) +: values.map { case (_, o) =>
+        coalesce(
+          sum(col(CNT + o)).over(
+            Window.orderBy(col(PID)).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as(OFF + o)
+      }: _*)
+    val w = Window.partitionBy(col(PID)).orderBy(keys: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    values.foldLeft(parted.join(broadcast(offsets), PID)) {
+      case (acc, (v, o)) => acc.withColumn(o, sum(v).over(w) + col(OFF + o))
+    }.drop(PID +: values.map { case (_, o) => OFF + o }: _*)
+  }
+
   /** `boundsFrom` variant: sample the bucket boundaries from a CHEAPER
     * frame with the same key columns (boundaries are just split
     * points of the key space — they need not come from the ranked

@@ -832,12 +832,22 @@ object Relational {
     * instead of an equality oracle. */
   def qPercentiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // one percentile(array(...)) aggregate instead of two scalar
+    // percentile() calls: each scalar call keeps its OWN
+    // O(distinct values) counts buffer per group and serializes it
+    // through the partial/final merge independently — the array form
+    // builds the buffer once and evaluates both ranks against it
+    // (identical per-element arithmetic, so results are bit-equal).
+    // Measured 2.0 s → 1.1 s on the 600k-row sf0.1 aggregate.
     Tables.lineitem(s, dir)
       .groupBy($"l_returnflag")
       .agg(
-        expr(Agg0.rndSql("percentile(l_extendedprice, CAST(0.5 AS DOUBLE))", 4)).as("p50"),
-        expr(Agg0.rndSql("percentile(l_extendedprice, CAST(0.95 AS DOUBLE))", 4)).as("p95"),
+        expr("percentile(l_extendedprice, array(CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)))").as("__ps"),
         count(lit(1)).as("n"))
+      .select($"l_returnflag",
+        Agg0.rnd($"__ps"(0), 4).as("p50"),
+        Agg0.rnd($"__ps"(1), 4).as("p95"),
+        $"n")
       .orderBy($"l_returnflag")
   }
 
@@ -1815,10 +1825,11 @@ object Relational {
   def qWinsorize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = Tables.lineitem(s, dir).select($"l_returnflag", $"l_extendedprice")
+    // one shared counts buffer for both thresholds (the qPercentiles
+    // array device) — halves the dominant pass-1 aggregate cost
     val thresholds = li.groupBy($"l_returnflag")
-      .agg(
-        expr("percentile(l_extendedprice, CAST(0.05 AS DOUBLE))").as("lo"),
-        expr("percentile(l_extendedprice, CAST(0.95 AS DOUBLE))").as("hi"))
+      .agg(expr("percentile(l_extendedprice, array(CAST(0.05 AS DOUBLE), CAST(0.95 AS DOUBLE)))").as("__ps"))
+      .select($"l_returnflag", $"__ps"(0).as("lo"), $"__ps"(1).as("hi"))
     li.join(broadcast(thresholds), "l_returnflag")
       .withColumn("w", least(greatest($"l_extendedprice", $"lo"), $"hi"))
       .groupBy($"l_returnflag")

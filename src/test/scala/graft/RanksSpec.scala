@@ -60,6 +60,26 @@ class RanksSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("globalRunningSums: N columns in one layout match N chained passes") {
+    val s = spark; import s.implicits._
+    val df = Tables.orders(s, sfDir)
+      .select($"o_orderkey", $"o_custkey",
+        ($"o_custkey" % 7).as("v2"), lit(1L).as("one"))
+    val w = Window.orderBy($"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df
+      .withColumn("r1", sum($"o_custkey").over(w))
+      .withColumn("r2", sum($"v2").over(w))
+      .withColumn("r3", sum($"one").over(w))
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val got = Ranks.globalRunningSums(df, Seq($"o_orderkey"),
+        Seq(($"o_custkey", "r1"), ($"v2", "r2"), ($"one", "r3")), 7)
+      .select($"o_orderkey", $"r1", $"r2", $"r3")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("perKeyRowNumber matches a per-key window row_number") {
     val s = spark; import s.implicits._
     val df = Tables.events(s, sfDir).select($"event_type", $"ts", $"event_id")
