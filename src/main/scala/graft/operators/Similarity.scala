@@ -56,6 +56,20 @@ object Similarity {
       .withColumn("nrm", expr(VectorFns.norm("v"))))
   }
 
+  /** The corpus view as an eager checkpoint, memoized per (dataset,
+    * session): the iterative consumers (graph-ANN descent loops,
+    * embedding-cluster propagation) each need a lineage-cut vector
+    * frame to anchor their rounds, and were each re-checkpointing the
+    * same static 2-column projection per invocation. One artifact
+    * serves them all; plain [[vectors]] stays the lazy view for
+    * single-pass consumers. */
+  private val vecCkptMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, SparkSession), DataFrame]
+
+  private[graft] def vectorsCkpt(s: SparkSession, dir: String): DataFrame =
+    vecCkptMemo.getOrElseUpdate((dir, s),
+      vectors(s, dir).localCheckpoint(true))
+
   /** Exact cosine top-k for the query set. */
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -155,12 +169,14 @@ object Similarity {
       .select($"query_id", $"qv", $"qnrm", $"vec_id", $"v", $"nrm")
       .dropDuplicates("query_id", "vec_id")
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
-    cand
-      .withColumn("cosine",
-        expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+    // memoized for the recall report's tier re-use (TierMemo rules:
+    // a standalone run always computes live and refreshes)
+    graft.sources.TierMemo.refresh("ann_lsh", dir, s)(cand
+        .withColumn("cosine",
+          expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= k)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -238,10 +254,11 @@ object Similarity {
       .withColumn("cosine",
         expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
       .select($"query_id", $"vec_id", $"cosine")
-    graft.plans.TopK.perGroup(rescored, Seq("query_id"),
-        Seq("cosine" -> true, "vec_id" -> false), k)
-      .select($"query_id", $"rank".cast("long").as("rank"),
-        $"vec_id".as("neighbor_id"), $"cosine")
+    graft.sources.TierMemo.refresh("ann_matryoshka", dir, s)(
+        graft.plans.TopK.perGroup(rescored, Seq("query_id"),
+            Seq("cosine" -> true, "vec_id" -> false), k)
+          .select($"query_id", $"rank".cast("long").as("rank"),
+            $"vec_id".as("neighbor_id"), $"cosine"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -1103,11 +1120,12 @@ object Similarity {
     val q = codes.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"code".as("qcode"))
     val w = Window.partitionBy($"query_id").orderBy($"hamming", $"vec_id")
-    codes.join(broadcast(q), $"vec_id" =!= $"query_id")
-      .withColumn("hamming", expr("CAST(bit_count(qcode ^ code) AS INT)"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"hamming")
+    graft.sources.TierMemo.refresh("ann_hamming", dir, s)(
+        codes.join(broadcast(q), $"vec_id" =!= $"query_id")
+          .withColumn("hamming", expr("CAST(bit_count(qcode ^ code) AS INT)"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter($"rank" <= k)
+          .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"hamming"))
       .orderBy($"query_id", $"rank")
   }
 
@@ -1280,10 +1298,10 @@ object Similarity {
       .withColumn("cosine",
         expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
     val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
-    exact
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter($"rank" <= k)
-      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine")
+    graft.sources.TierMemo.refresh("ann_hamming_refine", dir, s)(exact
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= k)
+        .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"cosine"))
       .orderBy($"query_id", $"rank")
   }
 

@@ -57,7 +57,24 @@ object SimilarityIvf {
   def kmeans(s: SparkSession, dir: String): (Seq[Seq[Double]], DataFrame) =
     trainKmeans(s, vectors(s, dir), "ivf_centroids", "ivf_assigned", dir)
 
+  /** Session memo over [[trainKmeans]]: the centroids are a trained
+    * per-dataset index artifact (the PQ-codebook rule — EmbedPq
+    * caches its codebooks the same way), and ~15 registered queries
+    * seed from them; before this memo EVERY one of them re-paid the
+    * 5-iteration training loop (5 driver collects over the posexplode
+    * frame, ~0.8 s/invocation) even though the STAGED artifact write
+    * was already memoized. Keyed (centKey, dir, session); the
+    * assignment side stays the staged parquet read-back, so oracles
+    * are unchanged. */
+  private val kmCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, SparkSession), (Seq[Seq[Double]], DataFrame)]
+
   private def trainKmeans(s: SparkSession, v0: DataFrame, centKey: String,
+                          assignKey: String, dir: String): (Seq[Seq[Double]], DataFrame) =
+    kmCache.getOrElseUpdate((centKey, dir, s),
+      trainKmeansUncached(s, v0, centKey, assignKey, dir))
+
+  private def trainKmeansUncached(s: SparkSession, v0: DataFrame, centKey: String,
                           assignKey: String, dir: String): (Seq[Seq[Double]], DataFrame) = {
     import s.implicits._
     val v = v0
@@ -446,36 +463,72 @@ object SimilarityIvf {
         posexplode($"probes").as(Seq("prank", "cid")))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2),
         r.getInt(3) + 1, r.getInt(4)))
-    val truth = Similarity.annBruteforce(s, dir)
-      .select($"query_id", $"neighbor_id").localCheckpoint()
+    // truth through TierMemo like ann_recall_report (the report-side
+    // rule): the sweep is a tuning-curve READER of the brute-force
+    // tier, so it reuses the session's last computed truth instead of
+    // re-scoring the corpus per invocation; standalone ann_bruteforce
+    // still always computes live (the round-10 advice contract).
+    val truth = graft.sources.TierMemo.cached("ann_bruteforce", dir, s)(
+        Similarity.annBruteforce(s, dir))
+      .select($"query_id", $"neighbor_id")
     val corpus = assigned.agg(count(lit(1)).as("n_corpus"))
     val denomK = (Similarity.nQueries * Similarity.k).toDouble
-    probeSweep.map { p =>
-      val probesDf = broadcast(probes.filter(_._4 <= p).toSeq
-        .toDF("query_id", "qv", "qnrm", "prank", "cid"))
-      val cand = assigned.join(probesDf,
-          assigned("cid") === probesDf("cid") && $"vec_id" =!= $"query_id")
-        .dropDuplicates("query_id", "vec_id")
-      val w = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"vec_id")
-      val topk = cand
-        .withColumn("cosine",
-          expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
-        .withColumn("rank", row_number().over(w).cast("long"))
-        .filter($"rank" <= Similarity.k)
-        .select($"query_id", $"vec_id".as("neighbor_id"))
-      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-      val nHit = topk.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
-        .agg(count(lit(1)).as("n_hits"))
-      nCand.crossJoin(nHit).crossJoin(broadcast(corpus))
-        .select(lit(p).as("nprobe"), $"n_candidates",
-          // empty index: no searchable corpus → scan fraction
-          // undefined (DuckDB's 0/0 reads NULL; match it)
-          rnd(when($"n_corpus" > 0, $"n_candidates".cast("double") /
+    // ONE candidate join + dedup for the whole sweep: a (query,
+    // vector) pair belongs to sweep point p iff the SMALLEST probe
+    // rank reaching it is ≤ p, so scoring the maxP candidate set once
+    // with min(prank) lets every sweep point reduce to a row-local
+    // prefix filter over a checkpointed, candidate-bounded frame —
+    // before this, each of the |sweep| branches re-paid the
+    // assignment join, the pair dedup and the cosine (5 branches,
+    // measured ~2× slower for identical output).
+    val probesDf = broadcast(probes.toSeq
+      .toDF("query_id", "qv", "qnrm", "prank", "cid"))
+    // cosine BEFORE the pair dedup (row-local on the join output), so
+    // the groupBy shuffles (id, id, rank, cosine) — never the 64-dim
+    // vectors (guide §2.3: shuffle keys and metadata, not payloads)
+    val candAll = assigned.join(probesDf,
+        assigned("cid") === probesDf("cid") && $"vec_id" =!= $"query_id")
+      .withColumn("cosine",
+        expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
+      .groupBy($"query_id", $"vec_id")
+      .agg(min($"prank").as("first_prank"), first($"cosine").as("cosine"))
+      .localCheckpoint(true)
+    // every sweep point in ONE pass: replicate each candidate to the
+    // sweep values whose prefix contains it (row-local explode), rank
+    // within (query, nprobe) in a single Window, and roll both
+    // metrics up by nprobe — |sweep| windows + |sweep|·2 aggregates
+    // collapse to 1 window + 2 aggregates over the same rows
+    val expanded = candAll
+      .withColumn("nprobe", explode(expr(
+        s"filter(array(${probeSweep.mkString(", ")}), p -> p >= first_prank)")))
+    val w = Window.partitionBy($"query_id", $"nprobe")
+      .orderBy($"cosine".desc, $"vec_id")
+    val nCand = expanded.groupBy($"nprobe").agg(count(lit(1)).as("n_candidates"))
+    val nHit = expanded
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= Similarity.k)
+      .select($"nprobe", $"query_id", $"vec_id".as("neighbor_id"))
+      .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"nprobe").agg(count(lit(1)).as("n_hits"))
+    // spine over the sweep values so a 0-candidate point (degenerate
+    // corpus) still emits its row, exactly as the per-point branches
+    // did
+    probeSweep.toDF("nprobe")
+      .join(broadcast(nCand), Seq("nprobe"), "left")
+      .join(broadcast(nHit), Seq("nprobe"), "left")
+      .crossJoin(broadcast(corpus))
+      .select($"nprobe",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        // empty index: no searchable corpus → scan fraction
+        // undefined (DuckDB's 0/0 reads NULL; match it)
+        rnd(when($"n_corpus" > 0,
+          coalesce($"n_candidates", lit(0L)).cast("double") /
             (lit(Similarity.nQueries.toLong) * $"n_corpus").cast("double")), 6)
-            .as("scan_frac"),
-          $"n_hits",
-          rnd($"n_hits".cast("double") / lit(denomK), 6).as("recall"))
-    }.reduce(_ unionByName _).orderBy($"nprobe")
+          .as("scan_frac"),
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        rnd(coalesce($"n_hits", lit(0L)).cast("double") / lit(denomK), 6)
+          .as("recall"))
+      .orderBy($"nprobe")
   }
 
   /** Oracle: shared MATERIALIZED assignment/probe-ranking/truth CTEs

@@ -25,7 +25,20 @@ import org.apache.spark.sql.functions._
   * (SimilarityIvfSpec pins it). */
 object TierCost {
 
-  def tierCandidates(s: SparkSession, dir: String): DataFrame = {
+  /** Session memo of the 11-row counts frame: every count here is a
+    * deterministic function of the dataset's staged artifacts, and
+    * the report invokes this on every run — before the memo each
+    * invocation re-paid ~8 driver actions (LSH collision distinct,
+    * hamming shortlist join, IVF probe joins …). Keyed (dir, session)
+    * like TierMemo; the frame is 11 rows, checkpointed. */
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(String, SparkSession), DataFrame]
+
+  def tierCandidates(s: SparkSession, dir: String): DataFrame =
+    memo.getOrElseUpdate((dir, s),
+      tierCandidatesUncached(s, dir).localCheckpoint(true))
+
+  private def tierCandidatesUncached(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.Agg.countIf
     val k = Similarity.k
