@@ -78,6 +78,28 @@ object Graph {
       .unionAll(sup.select($"v".as("src"), $"u".as("dst")))
   }
 
+  /** The iteration-ready edge frame — [[edges]] hash-partitioned on
+    * the join key and eagerly checkpointed — memoized per (dataset,
+    * session): it is a static derived artifact of the staged
+    * co-purchase support (the round-6 shared-intermediate rule), and
+    * before the memo both PageRank variants and PPR re-paid the
+    * full-edge shuffle + materialization on every invocation. */
+  private val edgeCkptMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, SparkSession), DataFrame]
+
+  private def edgesCkpt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // partitioned on DST: each round's edge⋈state join builds the
+    // node-sized state as the broadcast side (see pagerankOver), so
+    // the join preserves the edge partitioning — and the mass sum
+    // groups by dst, which then needs NO exchange at all (guide §2.4:
+    // key consecutive operations the same way and they share one
+    // layout). Partitioning by src made every round pay a full
+    // edge-set shuffle for the dst aggregate.
+    edgeCkptMemo.getOrElseUpdate((dir, s),
+      edges(s, dir).repartition($"dst").localCheckpoint(true))
+  }
+
   /** §2.12 #53 — PageRank over the part co-purchase graph, fixed
     * [[pagerankIters]] rounds, damping [[damping]]. The graph is
     * symmetric by construction (every edge has its reverse), so there
@@ -89,7 +111,8 @@ object Graph {
     // and 5 rounds of edge⋈state over a 1-partition checkpoint
     // serialize — hash-partitioning on the join key restores
     // parallelism and pre-aligns the per-round join layout
-    pagerankOver(s, edges(s, dir).repartition($"src").localCheckpoint(true))
+    // (memoized per dataset: see edgesCkpt)
+    pagerankOver(s, edgesCkpt(s, dir), hintNodeBroadcast = true)
   }
 
   /** Bucketed edge artifact for [[graphPagerankIndexed]]: the ~6 s
@@ -129,8 +152,21 @@ object Graph {
       .groupBy($"dst").agg(sum($"cq").as("sq"))
   }
 
-  private def pagerankOver(s: SparkSession, e: DataFrame): DataFrame = {
+  /** `hintNodeBroadcast`: the live-edge variants hint the node-sized
+    * frames (contribution state, per-round mass sums) as broadcast
+    * sides — the planner cannot size a checkpoint-derived frame (its
+    * stats default to "unknown/huge"), so without the hint every
+    * round degraded to a sort-merge join that re-shuffled and
+    * re-sorted the FULL edge set (measured 5.4 s → 2.0 s at sf0.1 for
+    * the hint alone). The flat variant's contract already assumes
+    * node-frame broadcasts (seed tables, degree maps); the unbounded-
+    * node-count path is [[graphPagerankIndexed]], which keeps the
+    * shuffled join onto the bucketed edge layout and does NOT hint. */
+  private def pagerankOver(s: SparkSession, e: DataFrame,
+                           hintNodeBroadcast: Boolean = false): DataFrame = {
     import s.implicits._
+    def bc(df: DataFrame): DataFrame =
+      if (hintNodeBroadcast) broadcast(df) else df
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
     val n = deg.count() // one scalar to the driver: the vertex count
     // edge-free graph: the oracle returns 0 rows and the engine must
@@ -154,9 +190,9 @@ object Graph {
     for (k <- 1 to pagerankIters) {
       val contribs = state.select($"id",
         expr(s"CAST(floor(rank / outdeg * $Q + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("cq"))
-      val sums = e.join(contribs, e("src") === contribs("id"))
+      val sums = e.join(bc(contribs), e("src") === contribs("id"))
         .groupBy($"dst").agg(sum($"cq").as("sq"))
-      state = deg.join(sums, deg("src") === sums("dst"))
+      state = deg.join(bc(sums), deg("src") === sums("dst"))
         .select($"src".as("id"), $"outdeg",
           (lit(1.0 - damping) / lit(n.toDouble) +
             lit(damping) * ($"sq".cast("double") / expr(s"CAST($Q AS DOUBLE)"))).as("rank"))
@@ -1222,7 +1258,7 @@ object Graph {
     * rank > 0 rows only: the seed neighborhood IS the result. */
   def graphPpr(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val e = edges(s, dir).repartition($"src").localCheckpoint(true)
+    val e = edgesCkpt(s, dir)
     val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
     val seeds = deg.orderBy($"outdeg".desc, $"src").limit(pprSeedCount)
       .select($"src".as("sid"))
@@ -1235,9 +1271,12 @@ object Graph {
     for (k <- 1 to pprIters) {
       val contribs = state.filter($"rank" > 0.0).select($"id",
         expr(s"CAST(floor(rank / outdeg * $Q + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("cq"))
-      val sums = e.join(contribs, e("src") === contribs("id"))
+      // node-sized frames hinted broadcast — the pagerankOver rule:
+      // checkpoint-derived stats are unsizable and the fallback SMJ
+      // re-shuffles the edge set every round
+      val sums = e.join(broadcast(contribs), e("src") === contribs("id"))
         .groupBy($"dst").agg(sum($"cq").as("sq"))
-      state = rst.join(sums, rst("src") === sums("dst"), "left")
+      state = rst.join(broadcast(sums), rst("src") === sums("dst"), "left")
         .select($"src".as("id"), $"outdeg",
           (lit(1.0 - damping) * $"restart" +
             lit(damping) * (coalesce($"sq", lit(0L)).cast("double") / expr(s"CAST($Q AS DOUBLE)"))).as("rank"),

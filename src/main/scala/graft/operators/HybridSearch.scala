@@ -102,13 +102,14 @@ object HybridSearch {
     * documents frame — tf, dl and the corpus statistics all derive
     * from `docs`, so an index built on a RETAINED corpus (post-
     * compaction rebuild) gets fresh statistics by construction. */
-  private[graft] def bm25PostingsOf(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def bm25PostingsOf(s: SparkSession, docs: DataFrame,
+                                    tf0: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     import graft.functions.Agg.rnd
     import graft.operators.{TextAnalysis => TA}
     val k1p1 = TA.bm25K1 + 1.0
     val oneMinusB = 1.0 - TA.bm25B
-    val tf = bm25Tf(s, docs)
+    val tf = tf0.getOrElse(bm25Tf(s, docs))
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     tf.join(dl, "doc_id").join(bm25IdfOf(s, docs, Some(tf)), "term")
       .select($"term", $"doc_id",
@@ -682,23 +683,50 @@ object HybridSearch {
     * until the periodic rebuild, exactly the IVF-centroid staleness
     * contract, and the documented delta vs a batch rebuild on the
     * union. */
+  /** Corpus token statistics behind the stream rebuild, memoized per
+    * (documents-dir FINGERPRINT, session): tf and the idf/avgdl
+    * snapshot are pure functions of the corpus file, so repeated gate
+    * runs in one session reuse the checkpointed frames instead of
+    * re-tokenizing the corpus — while the fingerprint key (file
+    * count/bytes/mtime, the buildSpanIndex device) makes a documents
+    * dir that GAINS files between runs recompute instead of serving a
+    * stale snapshot. The TABLE rewrite below stays unconditional:
+    * that is the run-scoped contract (rebuild + append exactly once),
+    * not a statistic. */
+  private val bm25StatsMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, SparkSession), (DataFrame, DataFrame)]
+
+  private def bm25StreamStats(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bm25StatsMemo.getOrElseUpdate(
+      (graft.sources.Sinks.dirFingerprint(s"$dir/documents.parquet"), s), {
+        val corpus = bm25CorpusDocs(s, dir)
+        val tf = bm25Tf(s, corpus).localCheckpoint(true)
+        (tf, bm25IdfOf(s, corpus, Some(tf)).localCheckpoint(true))
+      })
+
   private[graft] def rebuildBm25StreamBase(s: SparkSession, dir: String): DataFrame = {
-    val corpus = bm25CorpusDocs(s, dir)
-    graft.sources.Sinks.writeBucketed(bm25PostingsOf(s, corpus),
+    val (tf, idf) = bm25StreamStats(s, dir)
+    graft.sources.Sinks.writeBucketed(
+      bm25PostingsOf(s, bm25CorpusDocs(s, dir), Some(tf)),
       bm25StreamTable, Seq("term"), bm25IndexBuckets)
-    bm25IdfOf(s, corpus).localCheckpoint(true)
+    idf
   }
 
   /** The unseen-term idf default: a term the corpus snapshot never saw
     * has df = 0 → idf = rnd(ln(1 + (n + 0.5) / 0.5)) with n = corpus
     * doc count — the same formula, continuously. */
-  private[graft] def bm25UnseenIdf(s: SparkSession, dir: String): Double = {
-    import graft.functions.Agg.rndSql
-    import s.implicits._
-    bm25CorpusDocs(s, dir).agg(count(lit(1)).as("n"))
-      .select(expr(rndSql("ln(1.0 + (CAST(n AS DOUBLE) + 0.5) / 0.5)", 6)))
-      .collect()(0).getDouble(0)
-  }
+  private val unseenIdfMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, SparkSession), Double]
+
+  private[graft] def bm25UnseenIdf(s: SparkSession, dir: String): Double =
+    unseenIdfMemo.getOrElseUpdate(
+      (graft.sources.Sinks.dirFingerprint(s"$dir/documents.parquet"), s), {
+        import graft.functions.Agg.rndSql
+        import s.implicits._
+        bm25CorpusDocs(s, dir).agg(count(lit(1)).as("n"))
+          .select(expr(rndSql("ln(1.0 + (CAST(n AS DOUBLE) + 0.5) / 0.5)", 6)))
+          .collect()(0).getDouble(0)
+      })
 
   /** The post-ingest probe: the standard BM25 search over the GROWN
     * stream table (query terms read back from it, one bounded

@@ -234,6 +234,15 @@ object Similarity {
     * a k'-bounded frame. */
   def annMatryoshka(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.sources.TierMemo.refresh("ann_matryoshka", dir, s)(
+        annMatryoshkaFrame(s, dir))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** The un-memoized ranking frame (PlanSpec audits this — the eager
+    * TierMemo checkpoint hides the stage plan from the final frame). */
+  private[graft] def annMatryoshkaFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val v = vectors(s, dir)
     val pv = v.select($"vec_id", expr(s"slice(v, 1, $mrlDims)").as("pv"))
       .withColumn("pnrm", expr(VectorFns.norm("pv")))
@@ -254,12 +263,10 @@ object Similarity {
       .withColumn("cosine",
         expr(rndSql(s"${VectorFns.dot("qv", "v")} / (qnrm * nrm)", 6)))
       .select($"query_id", $"vec_id", $"cosine")
-    graft.sources.TierMemo.refresh("ann_matryoshka", dir, s)(
-        graft.plans.TopK.perGroup(rescored, Seq("query_id"),
-            Seq("cosine" -> true, "vec_id" -> false), k)
-          .select($"query_id", $"rank".cast("long").as("rank"),
-            $"vec_id".as("neighbor_id"), $"cosine"))
-      .orderBy($"query_id", $"rank")
+    graft.plans.TopK.perGroup(rescored, Seq("query_id"),
+        Seq("cosine" -> true, "vec_id" -> false), k)
+      .select($"query_id", $"rank".cast("long").as("rank"),
+        $"vec_id".as("neighbor_id"), $"cosine")
   }
 
   /** Prefix lengths swept by [[annMatryoshkaSweep]] (64 = full dim). */
@@ -1114,19 +1121,25 @@ object Similarity {
     * downstream. */
   def annHamming(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.sources.TierMemo.refresh("ann_hamming", dir, s)(
+        annHammingFrame(s, dir))
+      .orderBy($"query_id", $"rank")
+  }
+
+  /** Un-memoized frame for PlanSpec (the annMatryoshkaFrame rule). */
+  private[graft] def annHammingFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val codes = Tables.embeddings(s, dir)
       .select($"vec_id", expr(VectorFns.asDouble("embedding")).as("v"))
       .select($"vec_id", expr(signCode("v")).as("code"))
     val q = codes.filter($"vec_id" < nQueries)
       .select($"vec_id".as("query_id"), $"code".as("qcode"))
     val w = Window.partitionBy($"query_id").orderBy($"hamming", $"vec_id")
-    graft.sources.TierMemo.refresh("ann_hamming", dir, s)(
-        codes.join(broadcast(q), $"vec_id" =!= $"query_id")
-          .withColumn("hamming", expr("CAST(bit_count(qcode ^ code) AS INT)"))
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter($"rank" <= k)
-          .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"hamming"))
-      .orderBy($"query_id", $"rank")
+    codes.join(broadcast(q), $"vec_id" =!= $"query_id")
+      .withColumn("hamming", expr("CAST(bit_count(qcode ^ code) AS INT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"rank", $"vec_id".as("neighbor_id"), $"hamming")
   }
 
   val annHammingSql: String =

@@ -20,9 +20,21 @@ object Sinks {
 
   /** Composite-key variant: a join whose equi-keys are exactly `keys`
     * reads this table exchange-free (the other side shuffles onto the
-    * bucket layout). */
+    * bucket layout).
+    *
+    * The input is repartitioned onto the bucket layout first:
+    * `repartition(buckets, keys)` and `bucketBy` share the same
+    * partition-id expression (pmod of the Murmur3 hash of the key
+    * columns), so each write task holds exactly one bucket and emits
+    * ONE file — without it every task writes a sliver of every
+    * bucket, nTasks×nBuckets tiny files, which is the small-files
+    * anti-pattern at write AND at every subsequent probe read (guide
+    * §6). At deployment scale the bucket count is the file-count
+    * knob; one shuffle per index build is the price of the layout
+    * either way. */
   def writeBucketed(df: DataFrame, name: String, keys: Seq[String], buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+      .write
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
@@ -93,7 +105,10 @@ object Sinks {
   def appendBucketedOnce(dataKey: String, name: String, keys: Seq[String],
                          buckets: Int)(df: => DataFrame): Unit = synchronized {
     if (!appended.contains((name, dataKey))) {
-      df.write
+      // same one-file-per-bucket repartition as [[writeBucketed]]:
+      // an appended shard otherwise adds nTasks×nBuckets slivers
+      df.repartition(buckets, keys.map(org.apache.spark.sql.functions.col): _*)
+        .write
         .bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
         .format("parquet")

@@ -504,7 +504,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ann_matryoshka: both ranking stages run on the bounded-heap top-k, no per-query global sort") {
-    val p = plan(graft.operators.Similarity.annMatryoshka(spark, sfDir))
+    val p = plan(graft.operators.Similarity.annMatryoshkaFrame(spark, sfDir))
     // each stage plans a partial + final TopKPerGroup pair
     assert("TopKPerGroup \\[".r.findAllIn(p).length >= 4,
       s"expected two bounded-heap stages (4 nodes):\n$p")
@@ -533,7 +533,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("ann_hamming bounds exchanged rows: partial WindowGroupLimit before the shuffle") {
-    val p = plan(graft.operators.Similarity.annHamming(spark, sfDir))
+    val p = plan(graft.operators.Similarity.annHammingFrame(spark, sfDir))
     // Spark 4's WindowGroupLimit caps each task at k rows per query
     // BEFORE the rank exchange — the corpus-sized scored set never
     // rides the shuffle

@@ -2,69 +2,55 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Throwaway micro-benchmark harness for the optimization round.
-  * Not a spec; edited freely per experiment. */
 object Scratch {
-  def time(name: String, reps: Int = 3)(f: => DataFrame): Unit = {
-    for (i <- 1 to reps) {
-      val t0 = System.nanoTime()
-      f.write.format("noop").mode("overwrite").save()
-      println(f"SCRATCH $name pass$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    }
+  def tm[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"SCRATCH $name: ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
   }
-
   def main(args: Array[String]): Unit = {
     val s = GraftSession.tune(SparkSession.builder().master("local[32]"), 32).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     import s.implicits._
     val dir = "/root/testdata/sf0.1"
-    val li = graft.sources.Tables.lineitem(s, dir)
-    println("scan partitions: " + li.rdd.getNumPartitions)
+    val sup = graft.sources.OracleStage.stage(s, "copurchase_support", dir) {
+      val li = graft.sources.Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
+      li.as("a").join(li.as("b"),
+          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
+        .agg(count(lit(1)).as("n_ab"))
+    }
+    val edges = sup.select($"u".as("src"), $"v".as("dst"))
+      .unionAll(sup.select($"v".as("src"), $"u".as("dst")))
+    val eSrc = edges.repartition($"src").localCheckpoint(true)
+    val eDst = edges.repartition($"dst").localCheckpoint(true)
 
-    println("distinct prices: " + li.select($"l_extendedprice").distinct().count())
-    time("percentile array") {
-      li.groupBy($"l_returnflag").agg(
-        expr("percentile(l_extendedprice, array(CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE)))").as("ps"),
-        count(lit(1)).as("n"))
-        .select($"l_returnflag", $"ps"(0).as("p50"), $"ps"(1).as("p95"), $"n")
+    def loop(e: DataFrame, ckptEvery: Int, bc: Boolean, tag: String): Unit = tm(tag) {
+      val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+      val n = deg.count()
+      var state = deg.select($"src".as("id"), $"outdeg",
+          (lit(1.0) / lit(n.toDouble)).as("rank")).localCheckpoint(true)
+      for (k <- 1 to 5) {
+        val contribs0 = state.select($"id",
+          expr("CAST(floor(rank / outdeg * 1e12 + 0.5D) AS BIGINT)").as("cq"))
+        val contribs = if (bc) broadcast(contribs0) else contribs0
+        val sums = e.join(contribs, e("src") === contribs("id"))
+          .groupBy($"dst").agg(sum($"cq").as("sq"))
+        val degj = if (bc) broadcast(deg) else deg
+        state = degj.join(sums, deg("src") === sums("dst"))
+          .select($"src".as("id"), $"outdeg",
+            (lit(0.15) / lit(n.toDouble) + lit(0.85) * ($"sq".cast("double") / lit(1e12))).as("rank"))
+        if (k % ckptEvery == 0 && k < 5) state = state.localCheckpoint(true)
+      }
+      state.select($"id".as("part_id"), $"rank").orderBy($"part_id")
+        .write.format("noop").mode("overwrite").save()
     }
-    def windowPct(pre: Boolean): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val v0 = li.select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
-      val v = if (pre) v0.groupBy($"flag", $"x").agg(count(lit(1)).as("c"))
-              else v0.withColumn("c", lit(1L))
-      val w = Window.partitionBy($"flag").orderBy($"x")
-      val cum = v.withColumn("cum", sum($"c").over(w))
-      val tot = v.groupBy($"flag").agg(sum($"c").as("n"))
-      val targets = tot.crossJoin(Seq(0.5, 0.95).toDF("p"))
-        .withColumn("pos", $"p" * ($"n" - 1).cast("double"))
-        .withColumn("lower", floor($"pos"))
-        .withColumn("higher", ceil($"pos"))
-        .withColumn("lo_rank", $"lower".cast("long") + 1)
-        .withColumn("hi_rank", $"higher".cast("long") + 1)
-      val picked = cum.as("r").join(broadcast(targets.as("t")),
-          $"r.flag" === $"t.flag" &&
-            (($"t.lo_rank" > $"r.cum" - $"r.c" && $"t.lo_rank" <= $"r.cum") ||
-             ($"t.hi_rank" > $"r.cum" - $"r.c" && $"t.hi_rank" <= $"r.cum")))
-        .groupBy($"t.flag".as("flag"), $"t.p".as("p"), $"t.pos".as("pos"),
-          $"t.lower".as("lower"), $"t.higher".as("higher"), $"t.n".as("n"))
-        .agg(min(when($"t.lo_rank" > $"r.cum" - $"r.c" && $"t.lo_rank" <= $"r.cum", $"r.x")).as("vlo"),
-             min(when($"t.hi_rank" > $"r.cum" - $"r.c" && $"t.hi_rank" <= $"r.cum", $"r.x")).as("vhi"))
-      picked.select($"flag", $"n",
-          when($"lower" === $"higher", $"vlo")
-            .otherwise(($"higher" - $"pos") * $"vlo" + ($"pos" - $"lower") * $"vhi").as("v"), $"p")
-        .groupBy($"flag", $"n")
-        .agg(expr(graft.functions.Agg.rndSql("min(CASE WHEN p = CAST(0.5 AS DOUBLE) THEN v END)", 4)).as("p50"),
-             expr(graft.functions.Agg.rndSql("min(CASE WHEN p = CAST(0.95 AS DOUBLE) THEN v END)", 4)).as("p95"))
-        .select($"flag", $"p50", $"p95", $"n").orderBy($"flag")
+    loop(eSrc, 1, false, "warm")
+    for (i <- 1 to 2) {
+      loop(eSrc, 1, false, s"src-auto$i")
+      loop(eSrc, 1, true, s"src-bc$i")
+      loop(eDst, 1, false, s"dst-auto$i")
+      loop(eDst, 1, true, s"dst-bc$i")
     }
-    time("window pct raw") { windowPct(false) }
-    time("window pct pre-agg") { windowPct(true) }
-    windowPct(true).show(5)
-    li.groupBy($"l_returnflag").agg(
-        expr(graft.functions.Agg.rndSql("percentile(l_extendedprice, CAST(0.5 AS DOUBLE))", 4)).as("p50"),
-        expr(graft.functions.Agg.rndSql("percentile(l_extendedprice, CAST(0.95 AS DOUBLE))", 4)).as("p95"),
-        count(lit(1)).as("n")).orderBy($"l_returnflag").show(5)
     s.stop()
   }
 }
