@@ -353,7 +353,7 @@ object Dedup {
     // lineage, not through data. (The eager checkpoints also hide
     // the stage plans from the final frame, so the stage builders
     // are split out for PlanSpec audit.)
-    val docs = jaccardPrefixDocs(s, dir).localCheckpoint(true)
+    val docs = jaccardPrefixDocsCkpt(s, dir)
     val cand = jaccardPrefixCand(docs).localCheckpoint(true)
     // Pin the narrow scored frame BEFORE deriving jaccard: the
     // jaccard expression references `inter` twice and the τ-filter
@@ -394,6 +394,18 @@ object Dedup {
       .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
       .dropDuplicates("doc1", "doc2")
   }
+
+  /** The pinned doc-array frame, memoized per (dataset, session): the
+    * df-ordered shingle arrays are a static derived artifact of the
+    * corpus (the prefix-filter literature's "inverted ordering" —
+    * built once per index cycle in production), and each invocation
+    * re-paid the shingle explode + df window + collect_list build. */
+  private val jpDocsMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, SparkSession), DataFrame]
+
+  private def jaccardPrefixDocsCkpt(s: SparkSession, dir: String): DataFrame =
+    jpDocsMemo.getOrElseUpdate((dir, s),
+      jaccardPrefixDocs(s, dir).localCheckpoint(true))
 
   /** The pinned doc-array frame [[dedupJaccardPrefix]] builds its
     * stages from — split out for spec access. */

@@ -168,16 +168,30 @@ object Layout {
     * the rest is a layouts×predicates-bounded frame. Duplicate rows
     * are interchangeable under the full-column sort, so group
     * envelopes are deterministic at any parallelism. */
+  /** The keyed+curve-indexed frame the four rankings run over,
+    * memoized per (dataset, session): beyond sharing the scan+curve
+    * math across the four layouts (the original checkpoint's job), a
+    * STABLE checkpoint identity lets Ranks' boundary-sample memo hit
+    * across invocations — a fresh checkpoint per run changes the
+    * canonicalized plan key, so all four layouts re-paid their
+    * boundary-sampling scans every time. */
+  private val pruneBaseMemo = scala.collection.concurrent.TrieMap
+    .empty[(String, SparkSession), DataFrame]
+
+  private def pruneBase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    pruneBaseMemo.getOrElseUpdate((dir, s),
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+        .withColumn("zval", expr(zvalExpr("l_partkey", "l_suppkey", sparkShift)))
+        .withColumn("hval", expr("graft_hilbert(l_partkey, l_suppkey)"))
+        .localCheckpoint())
+  }
+
   def scanPruneReport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.Agg.rnd
-    // one narrow frame feeds 4 rankings (each: sample pass + count
-    // pass + main pass) — checkpoint so the scan+curve math runs once
-    val base = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
-      .withColumn("zval", expr(zvalExpr("l_partkey", "l_suppkey", sparkShift)))
-      .withColumn("hval", expr("graft_hilbert(l_partkey, l_suppkey)"))
-      .localCheckpoint()
+    val base = pruneBase(s, dir)
     val layouts = Seq(
       "natural" -> Seq($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
       "sort_partkey" -> Seq($"l_partkey", $"l_orderkey", $"l_linenumber", $"l_suppkey"),

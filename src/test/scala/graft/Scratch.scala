@@ -12,45 +12,36 @@ object Scratch {
     s.sparkContext.setLogLevel("ERROR")
     import s.implicits._
     val dir = "/root/testdata/sf0.1"
-    val sup = graft.sources.OracleStage.stage(s, "copurchase_support", dir) {
-      val li = graft.sources.Tables.lineitem(s, dir).select($"l_orderkey", $"l_partkey").distinct()
-      li.as("a").join(li.as("b"),
-          $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-        .groupBy($"a.l_partkey".as("u"), $"b.l_partkey".as("v"))
-        .agg(count(lit(1)).as("n_ab"))
-    }
-    val edges = sup.select($"u".as("src"), $"v".as("dst"))
-      .unionAll(sup.select($"v".as("src"), $"u".as("dst")))
-    val eSrc = edges.repartition($"src").localCheckpoint(true)
-    val eDst = edges.repartition($"dst").localCheckpoint(true)
+    import graft.operators.Dedup
+    val edges0 = Dedup.embeddingPairs(s, dir).select($"id1".as("doc1"), $"id2".as("doc2"))
+    val edges = edges0.select($"doc1".as("src"), $"doc2".as("dst"))
+      .union(edges0.select($"doc2".as("src"), $"doc1".as("dst"))).localCheckpoint(true)
 
-    def loop(e: DataFrame, ckptEvery: Int, bc: Boolean, tag: String): Unit = tm(tag) {
-      val deg = e.groupBy($"src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
-      val n = deg.count()
-      var state = deg.select($"src".as("id"), $"outdeg",
-          (lit(1.0) / lit(n.toDouble)).as("rank")).localCheckpoint(true)
-      for (k <- 1 to 5) {
-        val contribs0 = state.select($"id",
-          expr("CAST(floor(rank / outdeg * 1e12 + 0.5D) AS BIGINT)").as("cq"))
-        val contribs = if (bc) broadcast(contribs0) else contribs0
-        val sums = e.join(contribs, e("src") === contribs("id"))
-          .groupBy($"dst").agg(sum($"cq").as("sq"))
-        val degj = if (bc) broadcast(deg) else deg
-        state = degj.join(sums, deg("src") === sums("dst"))
-          .select($"src".as("id"), $"outdeg",
-            (lit(0.15) / lit(n.toDouble) + lit(0.85) * ($"sq".cast("double") / lit(1e12))).as("rank"))
-        if (k % ckptEvery == 0 && k < 5) state = state.localCheckpoint(true)
+    def run(nJumps: Int, tag: String): Unit = tm(tag) {
+      var labels = edges.select($"src".as("doc_id")).distinct()
+        .withColumn("label", $"doc_id").localCheckpoint(true)
+      var changed = 1L; var rounds = 0
+      while (changed > 0 && rounds < 60) {
+        val prev = labels
+        val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+          .select($"dst".as("doc_id"), $"label")
+        var m = prev.union(prop).groupBy($"doc_id").agg(min($"label").as("label"))
+        for (_ <- 1 to nJumps) {
+          val mapSide = m.select($"doc_id".as("__k"), $"label".as("__v"))
+          m = m.join(mapSide, m("label") === mapSide("__k"))
+            .select(m("doc_id"), col("__v").as("label"))
+        }
+        val next = m.join(prev.select($"doc_id", $"label".as("prev_label")), "doc_id")
+          .withColumn("chg", $"label" =!= $"prev_label")
+          .select($"doc_id", $"label", $"chg").localCheckpoint(true)
+        changed = next.filter($"chg").count()
+        labels = next.select($"doc_id", $"label")
+        rounds += 1
       }
-      state.select($"id".as("part_id"), $"rank").orderBy($"part_id")
-        .write.format("noop").mode("overwrite").save()
+      println(s"SCRATCH $tag rounds=$rounds n=" + labels.count())
     }
-    loop(eSrc, 1, false, "warm")
-    for (i <- 1 to 2) {
-      loop(eSrc, 1, false, s"src-auto$i")
-      loop(eSrc, 1, true, s"src-bc$i")
-      loop(eDst, 1, false, s"dst-auto$i")
-      loop(eDst, 1, true, s"dst-bc$i")
-    }
+    run(1, "warm")
+    for (i <- 1 to 2) { run(0, s"j0-$i"); run(1, s"j1-$i"); run(2, s"j2-$i"); run(3, s"j3-$i") }
     s.stop()
   }
 }
