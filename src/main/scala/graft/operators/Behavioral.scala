@@ -1671,37 +1671,16 @@ object Behavioral {
   def qPercentilesGrouped(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.Ranks
-    val pid = "__ppg_pid"
     val v = Tables.events(s, dir)
       .select($"event_type", to_date($"ts").as("day"), $"value".as("x"))
-    val parted = Ranks.withBucket(v, Seq($"event_type", $"day", $"x"),
-      Ranks.defaultPartitions(v), pid)
-    val cnt = parted.groupBy($"event_type", $"day", col(pid)).agg(count(lit(1)).as("c"))
-    val off = cnt.withColumn("off", coalesce(
-        sum($"c").over(Window.partitionBy($"event_type", $"day").orderBy(col(pid))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"event_type", $"day", col(pid), $"off")
-    val tot = cnt.groupBy($"event_type", $"day").agg(sum($"c").as("n"))
-    val ranked = parted.join(broadcast(off), Seq("event_type", "day", pid))
-      .withColumn("rank",
-        row_number().over(
-          Window.partitionBy($"event_type", $"day", col(pid)).orderBy($"x"))
-          .cast("long") + $"off")
-    val targets = tot
-      .crossJoin(Seq(0.5, 0.95).toDF("p"))
-      .withColumn("pos", $"p" * ($"n" - 1).cast("double"))
-      .withColumn("lower", floor($"pos"))
-      .withColumn("higher", ceil($"pos"))
-      .withColumn("lo_rank", $"lower".cast("long") + 1)
-      .withColumn("hi_rank", $"higher".cast("long") + 1)
-    val picked = ranked.as("r").join(broadcast(targets.as("t")),
-        $"r.event_type" === $"t.event_type" && $"r.day" === $"t.day" &&
-          ($"r.rank" === $"t.lo_rank" || $"r.rank" === $"t.hi_rank"))
-      .groupBy($"t.event_type".as("event_type"), $"t.day".as("day"),
-        $"t.p".as("p"), $"t.pos".as("pos"),
-        $"t.lower".as("lower"), $"t.higher".as("higher"), $"t.n".as("n"))
-      .agg(min(when($"r.rank" === $"t.lo_rank", $"r.x")).as("vlo"),
-           min(when($"r.rank" === $"t.hi_rank", $"r.x")).as("vhi"))
+    // bucketed rank SELECTION (graft.functions.Quantiles): the
+    // qPercentilesDist device generalized per group — counts locate
+    // each target rank's bucket, only located buckets sort; no stage
+    // buffers a group's values and no driver collect, at any group
+    // count and any skew.
+    val picked = graft.functions.Quantiles.bracketed(v,
+      Seq("event_type", "day"), "x", Seq(0.5, 0.95),
+      Ranks.defaultPartitions(v))
     picked.select($"event_type", $"day", $"p", $"n",
         when($"lower" === $"higher", $"vlo")
           .otherwise(($"higher" - $"pos") * $"vlo" + ($"pos" - $"lower") * $"vhi")

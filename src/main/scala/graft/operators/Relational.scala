@@ -911,41 +911,16 @@ object Relational {
     * [[qPercentiles]] and share its oracle. */
   def qPercentilesDist(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val pid = "__pp_pid"
     val v = Tables.lineitem(s, dir)
       .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
-    // deterministic boundary buckets (Ranks.withBucket), NOT
-    // spark_partition_id over repartitionByRange: the physical pid is
-    // only consistent across the cnt/ranked branches while the
-    // optimizer reuses one exchange for both — a pruning divergence
-    // silently corrupts every rank (see Ranks scaladoc)
-    val parted = graft.functions.Ranks.withBucket(v, Seq($"flag", $"x"),
-      graft.functions.Ranks.defaultPartitions(v), pid)
-    val cnt = parted.groupBy($"flag", col(pid)).agg(count(lit(1)).as("c"))
-    // per-flag exclusive prefix over ≤32 rows/flag — driver-scale window
-    val off = cnt.withColumn("off", coalesce(
-        sum($"c").over(Window.partitionBy($"flag").orderBy(col(pid))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select($"flag", col(pid), $"off")
-    val tot = cnt.groupBy($"flag").agg(sum($"c").as("n"))
-    val ranked = parted.join(broadcast(off), Seq("flag", pid))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy($"flag", col(pid)).orderBy($"x"))
-          .cast("long") + $"off")
-    val targets = tot
-      .crossJoin(Seq(0.5, 0.95).toDF("p"))
-      .withColumn("pos", $"p" * ($"n" - 1).cast("double"))
-      .withColumn("lower", floor($"pos"))
-      .withColumn("higher", ceil($"pos"))
-      .withColumn("lo_rank", $"lower".cast("long") + 1)
-      .withColumn("hi_rank", $"higher".cast("long") + 1)
-    val picked = ranked.as("r").join(broadcast(targets.as("t")),
-        $"r.flag" === $"t.flag" &&
-          ($"r.rank" === $"t.lo_rank" || $"r.rank" === $"t.hi_rank"))
-      .groupBy($"t.flag".as("flag"), $"t.p".as("p"), $"t.pos".as("pos"),
-        $"t.lower".as("lower"), $"t.higher".as("higher"), $"t.n".as("n"))
-      .agg(min(when($"r.rank" === $"t.lo_rank", $"r.x")).as("vlo"),
-           min(when($"r.rank" === $"t.hi_rank", $"r.x")).as("vhi"))
+    // deterministic boundary buckets + rank SELECTION
+    // (graft.functions.Quantiles): per-bucket counts locate each
+    // target rank's bucket with a bounded range join and only the
+    // located buckets are sorted — the previous layout ranked every
+    // row (full within-bucket sort + data-sized rank join) to keep 12
+    // of them. Same bracketing values, same interpolation, bit-equal.
+    val picked = graft.functions.Quantiles.bracketed(v, Seq("flag"), "x",
+      Seq(0.5, 0.95), graft.functions.Ranks.defaultPartitions(v))
     picked.select($"flag", $"p", $"n",
         when($"lower" === $"higher", $"vlo")
           .otherwise(($"higher" - $"pos") * $"vlo" + ($"pos" - $"lower") * $"vhi")
