@@ -831,7 +831,13 @@ object HybridSearch {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{Pipeline, TextAnalysis => TA}
     val (c0, s0) = (Pipeline.chunkSize, Pipeline.chunkStride)
-    val fused = searchChunkHybrid(s, dir)
+    // the retrieval stage reads through TierMemo (the ragPipelineE2e
+    // rule): context assembly is a CONSUMER of the chunk-hybrid
+    // ranking, and re-running the whole retrieval chain live per pack
+    // invocation double-paid it; standalone search_chunk_hybrid still
+    // computes live and refreshes.
+    val fused = graft.sources.TierMemo.cached("search_chunk_hybrid", dir, s)(
+        searchChunkHybrid(s, dir))
       .withColumn("chunk_idx", coalesce($"best_chunk_idx", lit(0L)))
       .select($"query_id", $"rank", $"doc_id", $"chunk_idx")
     val docLens = Tables.documents(s, dir)
@@ -958,7 +964,12 @@ object HybridSearch {
         .select($"query_id", $"doc_id", lit(i.toLong).as("mmr_rank"),
           $"rel", $"mmr_score")
       sel = sel.unionByName(pick).localCheckpoint(true)
-      remaining = remaining.join(pick.select("query_id", "doc_id"),
+      // re-derive remaining from the CHECKPOINTED cumulative
+      // selection instead of chaining an anti-join per round: the
+      // chained form grows the plan one anti-join deeper each round
+      // (re-planned at every action), the re-derived form is one
+      // anti-join off a lineage-cut frame at any round count
+      remaining = rel.join(sel.select("query_id", "doc_id"),
         Seq("query_id", "doc_id"), "left_anti")
     }
     graft.sources.TierMemo.refresh("search_mmr", dir, s)(

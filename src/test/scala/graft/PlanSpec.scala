@@ -125,7 +125,7 @@ class PlanSpec extends SparkSpec {
     val p = plan(Relational.qPercentilesDist(spark, sfDir))
     val rowWindows = p.linesIterator
       .filter(l => l.contains("Window [row_number()")).toList
-    assert(rowWindows.nonEmpty && rowWindows.forall(_.contains("__pp_pid")),
+    assert(rowWindows.nonEmpty && rowWindows.forall(_.contains("__q_pid")),
       s"rank window must be (group, bucket)-partitioned:\n$p")
     assert(!p.toLowerCase.contains("percentile("),
       s"must not fall back to the unbounded percentile aggregate:\n$p")
@@ -340,7 +340,7 @@ class PlanSpec extends SparkSpec {
     val p = plan(graft.operators.Behavioral.qPercentilesGrouped(spark, sfDir))
     assert(!p.contains("percentile"), s"must not fall back to the buffering aggregate:\n$p")
     // the rank window partitions by (group, bucket), never by group alone
-    assert(p.contains("__ppg_pid"), p)
+    assert(p.contains("__q_pid"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
 
