@@ -190,7 +190,17 @@ object Graph {
     for (k <- 1 to pagerankIters) {
       val contribs = state.select($"id",
         expr(s"CAST(floor(rank / outdeg * $Q + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("cq"))
-      val sums = e.join(bc(contribs), e("src") === contribs("id"))
+      // unhinted, the planner BROADCASTS THE EDGE TABLE from round 2
+      // on (the checkpoint-derived state has no stats, and the
+      // bucketed parquet's compressed size sits under the broadcast
+      // threshold) — shipping the whole edge set to every task each
+      // round. The indexed variant pins its documented shape instead:
+      // SMJ, edge side read in its bucket layout (no exchange, no
+      // sort — one sorted file per bucket), state side hashing onto
+      // it (the node-sized exchange its contract names).
+      val cside = if (hintNodeBroadcast) broadcast(contribs)
+                  else contribs.hint("merge")
+      val sums = e.join(cside, e("src") === contribs("id"))
         .groupBy($"dst").agg(sum($"cq").as("sq"))
       state = deg.join(bc(sums), deg("src") === sums("dst"))
         .select($"src".as("id"), $"outdeg",
