@@ -30,13 +30,20 @@ import org.apache.spark.sql.functions._
 object Quantiles {
 
   def bracketed(v: DataFrame, groupCols: Seq[String], xCol: String,
-                ps: Seq[Double], numPartitions: Int): DataFrame = {
+                ps: Seq[Double], numPartitions: Int,
+                bucketCols: Option[Seq[Column]] = None): DataFrame = {
     val s = v.sparkSession
     import s.implicits._
     val pid = "__q_pid"
     val gcols = groupCols.map(col)
     val x = col(xCol)
-    val parted = Ranks.withBucket(v, gcols :+ x, numPartitions, pid)
+    // `bucketCols` may drop group columns from the bucket key (the
+    // Ranks bucketPrefix rationale: a wide lexicographic boundary
+    // tree falls out of codegen): any subset of the group columns
+    // plus x stays monotone in x WITHIN a group, which is all the
+    // per-group offsets require.
+    val parted = Ranks.withBucket(v, bucketCols.getOrElse(gcols :+ x),
+      numPartitions, pid)
     val cnt = parted.groupBy((groupCols :+ pid).map(col): _*)
       .agg(count(lit(1)).as("__c"))
     // per-group exclusive prefix over ≤ numPartitions rows per group

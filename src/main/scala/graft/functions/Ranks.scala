@@ -205,9 +205,21 @@ object Ranks {
     * row-bearing stage is data-parallel. (key ++ order) must be a
     * unique composite or ties land in bucket-dependent order. */
   def perKeyRowNumber(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
-                      numPartitions: Int, out: String): DataFrame = {
+                      numPartitions: Int, out: String): DataFrame =
+    perKeyRowNumber(df, keyCols, order, numPartitions, out, None)
+
+  /** `bucketPrefix` — optional PREFIX of (keys ++ order) to bucket on
+    * (the [[globalRowNumber]] bucketKeys contract): the full tuple's
+    * boundary-comparison tree can exceed whole-stage codegen limits
+    * and run interpreted on every row; a high-cardinality prefix
+    * keeps it codegen-sized while rows tied on the prefix still land
+    * in one bucket (correct at any split). */
+  def perKeyRowNumber(df: DataFrame, keyCols: Seq[String], order: Seq[Column],
+                      numPartitions: Int, out: String,
+                      bucketPrefix: Option[Seq[Column]]): DataFrame = {
     val keys = keyCols.map(col)
-    val parted = withBucket(df, keys ++ order, numPartitions, PID)
+    val parted = withBucket(df, bucketPrefix.getOrElse(keys ++ order),
+      numPartitions, PID)
     val cnt = parted.groupBy(keys :+ col(PID): _*).agg(count(lit(1)).as(CNT))
     val offsets = cnt.withColumn(OFF, coalesce(
         sum(col(CNT)).over(
@@ -276,9 +288,20 @@ object Ranks {
     * on its cheap component instead. */
   def globalRunningSum(df: DataFrame, keys: Seq[Column], value: Column,
                        numPartitions: Int, out: String,
-                       boundsFrom: DataFrame): DataFrame = {
+                       boundsFrom: DataFrame): DataFrame =
+    globalRunningSum(df, keys, value, numPartitions, out, boundsFrom, keys)
+
+  /** `bucketKeys` — a PREFIX of the sum ordering, same contract as
+    * [[globalRowNumber]]'s: a deep lexicographic boundary tree (31
+    * boundaries × a 3-deep compare) falls out of whole-stage codegen
+    * and runs interpreted on every row of both the offsets and the
+    * main branch; a near-unique leading key alone keeps the
+    * comparison chain codegen-sized. */
+  def globalRunningSum(df: DataFrame, keys: Seq[Column], value: Column,
+                       numPartitions: Int, out: String,
+                       boundsFrom: DataFrame, bucketKeys: Seq[Column]): DataFrame = {
     val parted = df.withColumn(PID,
-      pidExpr(keys, sampleBounds(boundsFrom, keys, numPartitions)))
+      pidExpr(bucketKeys, sampleBounds(boundsFrom, bucketKeys, numPartitions)))
     val offsets = parted.groupBy(col(PID)).agg(sum(value).as(CNT))
       .withColumn(OFF, coalesce(
         sum(col(CNT)).over(

@@ -403,7 +403,9 @@ object Behavioral {
         |  'm', monetary) AS (kind, value)""".stripMargin))
     val ranked = graft.functions.Ranks.perKeyRowNumber(
         longForm, Seq("kind"), Seq($"value", $"o_custkey"),
-        graft.functions.Ranks.defaultPartitions(longForm), "rk")
+        graft.functions.Ranks.defaultPartitions(longForm), "rk",
+        // (kind, value) prefix: codegen-sized boundary tree
+        bucketPrefix = Some(Seq(col("kind"), $"value")))
       .withColumn("score", expr(s"((rk - 1L) * 5L) div ${n}L + 1L"))
     val scored = ranked.groupBy($"o_custkey")
       .agg(max(when($"kind" === "r", $"score")).as("r_score"),
@@ -1680,7 +1682,9 @@ object Behavioral {
     // count and any skew.
     val picked = graft.functions.Quantiles.bracketed(v,
       Seq("event_type", "day"), "x", Seq(0.5, 0.95),
-      Ranks.defaultPartitions(v))
+      Ranks.defaultPartitions(v),
+      // bucket on (type, x): the full 3-deep tree is codegen-too-wide
+      bucketCols = Some(Seq(col("event_type"), col("x"))))
     picked.select($"event_type", $"day", $"p", $"n",
         when($"lower" === $"higher", $"vlo")
           .otherwise(($"higher" - $"pos") * $"vlo" + ($"pos" - $"lower") * $"vhi")

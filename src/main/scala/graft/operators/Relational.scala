@@ -373,11 +373,14 @@ object Relational {
     // split points of the (us, kind, id) space, and the probe side is
     // a plain events scan — the union would recompute the whole
     // sessionization twice just to be sampled
+    // bucket on the leading `us` alone (micro-timestamps, near-unique):
+    // the full 3-key boundary tree is too wide for whole-stage codegen
+    // and ran interpreted on every row of both two-phase branches
     val swept = graft.functions.Ranks.globalRunningSum(
       sessionMarkers.union(probes),
       Seq($"us", $"kind", $"id"), $"delta",
       graft.functions.Ranks.defaultPartitions(probes), "n_active",
-      boundsFrom = probes)
+      boundsFrom = probes, bucketKeys = Seq($"us"))
     swept.filter($"kind" === 1)
       .select($"id".as("event_id"), $"n_active")
       .orderBy($"event_id")

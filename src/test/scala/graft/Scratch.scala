@@ -12,27 +12,14 @@ object Scratch {
     s.sparkContext.setLogLevel("ERROR")
     import s.implicits._
     val dir = "/root/testdata/sf0.1"
-    graft.operators.Graph.buildPagerankIndex(s, dir)
-    val e = s.table("graft_pagerank_edges")
-    val deg = tm("deg") { e.groupBy($"src").agg(count(lit(1)).as("outdeg")).localCheckpoint(true) }
-    val n = deg.count()
-    var state = deg.select($"src".as("id"), $"outdeg", (lit(1.0)/lit(n.toDouble)).as("rank")).localCheckpoint(true)
-    for (k <- 1 to 5) {
-      tm(s"round$k") {
-        val contribs = state.select($"id", expr("CAST(floor(rank / outdeg * 1e12 + 0.5D) AS BIGINT)").as("cq"))
-        val sums = e.join(contribs, e("src") === contribs("id"))
-          .groupBy($"dst").agg(sum($"cq").as("sq"))
-        state = deg.join(sums, deg("src") === sums("dst"))
-          .select($"src".as("id"), $"outdeg",
-            (lit(0.15)/lit(n.toDouble) + lit(0.85) * ($"sq".cast("double")/lit(1e12))).as("rank"))
-          .localCheckpoint(true)
-      }
-      if (k == 2) {
-        val contribs = state.select($"id", expr("CAST(floor(rank / outdeg * 1e12 + 0.5D) AS BIGINT)").as("cq"))
-        val sums = e.join(contribs, e("src") === contribs("id")).groupBy($"dst").agg(sum($"cq").as("sq"))
-        println("SCRATCH === round-3 plan (state from loop) ===")
-        println(sums.queryExecution.executedPlan.toString.take(1800))
-      }
+    val q = graft.operators.Relational.queries("q_interval_overlap")
+    q(s, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    for (i <- 1 to 3) {
+      tm(s"interval$i") { q(s, dir).write.format("noop").mode("overwrite").save() }
+    }
+    val q2 = graft.operators.Relational.queries("q_events_sessionize")
+    for (i <- 1 to 2) {
+      tm(s"sessionize$i") { q2(s, dir).write.format("noop").mode("overwrite").save() }
     }
     s.stop()
   }
