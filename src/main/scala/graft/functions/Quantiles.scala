@@ -29,14 +29,18 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  def bracketed(v: DataFrame, groupCols: Seq[String], xCol: String,
+  def bracketed(v0: DataFrame, groupCols: Seq[String], xCol: String,
                 ps: Seq[Double], numPartitions: Int,
                 bucketCols: Option[Seq[Column]] = None): DataFrame = {
-    val s = v.sparkSession
+    val s = v0.sparkSession
     import s.implicits._
     val pid = "__q_pid"
     val gcols = groupCols.map(col)
     val x = col(xCol)
+    // percentile()/quantile_cont skip NULLs; rank NULL-free so the
+    // bit-for-bit claim holds for nullable callers too (NULLs would
+    // otherwise sort first and shift every rank).
+    val v = v0.filter(x.isNotNull)
     // `bucketCols` may drop group columns from the bucket key (the
     // Ranks bucketPrefix rationale: a wide lexicographic boundary
     // tree falls out of codegen): any subset of the group columns
@@ -72,14 +76,25 @@ object Quantiles {
       .filter($"__r" > $"__off" && $"__r" <= $"__off" + $"__c")
       .select(gcols ++ Seq(col("__wpid").as(pid), ($"__r" - $"__off").as("__lr"),
         $"p", $"pos", $"lower", $"higher", $"n", $"__r"): _*)
-    // sort ONLY the buckets holding a target rank
+    // sort ONLY the buckets holding a target rank. The broadcast of
+    // `wanted` is |groups|·|ps|·2-proportional while the helper's
+    // contract is an UNBOUNDED group count — so the hint is GATED on a
+    // measured bound instead of forced: `off` is already checkpointed,
+    // its row count (groups × non-empty buckets ≥ |groups|) is a free
+    // upper bound, and past the cap the hint is dropped and AQE picks
+    // the strategy from runtime sizes (broadcast while it fits, shuffle
+    // join when a 100 TB high-cardinality group key would OOM the
+    // driver). At test SFs the bound always holds, so the plan keeps
+    // the exact pre-gate shape.
+    val smallWanted = off.count() * ps.size * 2 <= (1L << 20)
+    def bcast(df: DataFrame): DataFrame = if (smallWanted) broadcast(df) else df
     val slice = parted.join(
-      broadcast(wanted.select((groupCols :+ pid).map(col): _*).distinct()),
+      bcast(wanted.select((groupCols :+ pid).map(col): _*).distinct()),
       groupCols :+ pid)
     val ranked = slice.withColumn("__lr",
       row_number().over(Window.partitionBy((groupCols :+ pid).map(col): _*)
         .orderBy(x)).cast("long"))
-    val hits = ranked.join(broadcast(wanted), (groupCols :+ pid) :+ "__lr")
+    val hits = ranked.join(bcast(wanted), (groupCols :+ pid) :+ "__lr")
     hits.groupBy((gcols ++ Seq($"p", $"pos", $"lower", $"higher", $"n")): _*)
       .agg(min(when($"__r" === $"lower".cast("long") + 1, x)).as("vlo"),
            min(when($"__r" === $"higher".cast("long") + 1, x)).as("vhi"))

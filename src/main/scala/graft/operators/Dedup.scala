@@ -381,18 +381,41 @@ object Dedup {
     * with PPJoin's conjoined length filter — Jaccard ≥ τ forces
     * inter ≥ τ·max(n1,n2) and inter ≤ min, so min ≥ τ·max and
     * size-mismatched pairs die inside the codegen'd join instead of
-    * riding the pair-distinct (300k → 193k candidates at sf0.1).
-    * Shuffle-hash, never broadcast: prefixes are corpus-sized. */
+    * riding the pair aggregate (300k → 193k candidates at sf0.1) —
+    * AND PPJoin's POSITIONAL filter: prefixes explode with their
+    * 0-based position in the df-ascending order, and because that
+    * order is ONE global total order, a pair's shared prefix tokens
+    * appear in the same relative order in both documents, so
+    * max(pa)/max(pb) name the SAME last shared prefix token t_last.
+    * Every shared token ≤ t_last is necessarily in BOTH prefixes
+    * (arrays are sorted: u ≤ t_last and u ∈ doc puts u at a position
+    * ≤ that doc's t_last position, which is inside the prefix), so
+    * |d1 ∩ d2| ≤ npfx + min(n1−1−max(pa), n2−1−max(pb)) — the shared
+    * prefix tokens plus the shorter tail after t_last. J ≥ τ forces
+    * inter·(1+τ) ≥ τ·(n1+n2); a pair whose UPPER BOUND cannot reach
+    * that dies here, BEFORE the array-verify joins ship its shingle
+    * arrays (193k → ~50k verified candidates at sf0.1). The 1e-9
+    * slack guards double rounding — a surviving false candidate only
+    * costs its exact verification, a dropped true pair would be a
+    * recall bug. Shuffle-hash, never broadcast: prefixes are
+    * corpus-sized. */
   private[graft] def jaccardPrefixCand(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val prefixEx = docs.select($"doc_id", $"n_sh", explode($"pfx").as("s"))
+    val prefixEx = docs.select($"doc_id", $"n_sh",
+      posexplode($"pfx").as(Seq("p", "s")))
     prefixEx.as("a").hint("shuffle_hash").join(prefixEx.as("b"),
         $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id" &&
           $"b.n_sh" >= $"a.n_sh" * jaccardTau &&
           $"a.n_sh" >= $"b.n_sh" * jaccardTau)
-      .select($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
-      .dropDuplicates("doc1", "doc2")
+      .groupBy($"a.doc_id".as("doc1"), $"b.doc_id".as("doc2"))
+      .agg(count(lit(1)).as("npfx"),
+        max($"a.p").as("qa"), max($"b.p").as("qb"),
+        max($"a.n_sh").as("n1"), max($"b.n_sh").as("n2"))
+      .filter(($"npfx" + least($"n1" - 1 - $"qa", $"n2" - 1 - $"qb"))
+          .cast("double") * (1.0 + jaccardTau) >=
+        ($"n1" + $"n2").cast("double") * jaccardTau - 1e-9)
+      .select($"doc1", $"doc2")
   }
 
   /** The pinned doc-array frame, memoized per (dataset, session): the
@@ -1096,6 +1119,28 @@ object Dedup {
       .groupBy($"doc_id").agg(min($"label").as("label"))
   }
 
+  /** One FULL propagation round exactly as [[clustersOfEdges]] builds
+    * it (edge⋈label join, union-min aggregate, pointer jump) over the
+    * persisted embed-cluster edge index — split out so plan evidence
+    * can show the real round shape: the loop's own output hides every
+    * round behind its checkpoint, making the query-level explain
+    * vacuous. */
+  private[graft] def clusterRoundPlan(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val edges = s.table(embedClusterIndexTable)
+    val labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("label", $"doc_id").localCheckpoint(true)
+    def hop(l: DataFrame): DataFrame = {
+      val prop = edges.join(l.withColumnRenamed("doc_id", "src"), "src")
+        .select($"dst".as("doc_id"), $"label")
+      l.union(prop).groupBy($"doc_id").agg(min($"label").as("label"))
+    }
+    val minned = hop(labels)
+    minned.join(
+        minned.select($"doc_id".as("label"), $"label".as("jump")), Seq("label"))
+      .select($"doc_id", $"jump".as("label"))
+  }
+
   /** Round count of the most recent [[clustersOf]] run — spec
     * observability for the pointer-jumping convergence bound. */
   private[graft] val lastClusterRounds = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -1131,14 +1176,40 @@ object Dedup {
     // alone covers every vertex.
     var labels = edges.select($"src".as("doc_id")).distinct()
       .withColumn("label", $"doc_id").localCheckpoint(true)
-    var changed = 1L
+    // Convergence probe: every step of a round (min-step, jump) is a
+    // POINTWISE NON-INCREASING map on labels (prev ∪ prop contains
+    // prev, so the min can only drop; label(v) ≤ v inductively, so
+    // jumping to label(label) can only drop), so the EXACT sum of
+    // labels strictly decreases until the fixed point and is constant
+    // exactly there. Comparing the scalar replaces the old prev-join +
+    // changed-row count — one join fewer in every round's plan, and
+    // the round's single action (the sum aggregate) also materializes
+    // the lazy checkpoint. decimal(38,0) keeps the sum exact: a
+    // wrapping long sum could alias two different label states.
+    def sig(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum($"label".cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSig = sig(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < maxIters) {
-      val prev = labels
-      val prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src")
+    // One neighbor-min hop: label := min(label, labels of in-neighbors).
+    // Pointwise non-increasing (the union contains the input).
+    def hop(l: DataFrame): DataFrame = {
+      val prop = edges.join(l.withColumnRenamed("doc_id", "src"), "src")
         .select($"dst".as("doc_id"), $"label")
-      val minned = prev.union(prop).groupBy($"doc_id")
-        .agg(min($"label").as("label"))
+      l.union(prop).groupBy($"doc_id").agg(min($"label").as("label"))
+    }
+    while (changed && rounds < maxIters) {
+      val prev = labels
+      // ONE hop per round. Two hops per round were tried this round
+      // (rounds fell 7→4 on components, 11→7 on embedding clusters)
+      // and REVERTED: without a checkpoint the inner hop's subtree is
+      // referenced twice by the outer hop (join side + union side), so
+      // the physical plan duplicates it and per-round cost more than
+      // doubled — the A/B mini-bench read +0.3–0.9 s per cluster key.
+      // Checkpointing the inner hop would re-add the second per-round
+      // action the sig probe just removed.
+      val minned = hop(prev)
       // Pointer-jump (path halving): label := label(label). Labels are
       // always edge-vertex ids (they start as vertex ids and only ever
       // take values other vertices hold), so the self-join is total.
@@ -1147,7 +1218,7 @@ object Dedup {
       // 100 TB near-dup graph can chain far deeper; halving the
       // pointer depth each round makes it O(log diameter). Labels stay
       // component minima-bounded (jump composes two non-increasing
-      // maps), and a fixed point of min-then-jump is a fixed point of
+      // maps), and a fixed point of hop-hop-jump is a fixed point of
       // the min step alone (next ≤ minned ≤ prev pointwise), so the
       // convergence proof — labels constant per component, component
       // min labels itself — is unchanged. The extra join is on the
@@ -1155,16 +1226,18 @@ object Dedup {
       val jumped = minned.join(
           minned.select($"doc_id".as("label"), $"label".as("jump")), Seq("label"))
         .select($"doc_id", $"jump".as("label"))
-      // fold the changed-flag into the checkpointed round plan: one
-      // materialization job per round, the convergence count then
-      // reads the checkpoint instead of re-running the join
-      val next = jumped
-        .join(prev.select($"doc_id", $"label".as("prev_label")), "doc_id")
-        .withColumn("chg", $"label" =!= $"prev_label")
-        .select($"doc_id", $"label", $"chg")
-        .localCheckpoint(true)
-      changed = next.filter($"chg").count()
-      labels = next.select($"doc_id", $"label")
+      // lazy checkpoint: the sig aggregate below is the round's one
+      // materializing job (an eager checkpoint + separate count was
+      // two)
+      val next = jumped.localCheckpoint(false)
+      val t0 = System.nanoTime()
+      val nextSig = sig(next)
+      changed = nextSig.compareTo(prevSig) != 0
+      prevSig = nextSig
+      labels = next
+      if (sys.env.contains("GRAFT_LOOP_DEBUG"))
+        System.err.println(f"[clusters] round ${rounds + 1} " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3f s changed=$changed")
       // Dataset.unpersist is a no-op for localCheckpoint blocks —
       // free the RDD-level storage behind the superseded snapshot
       org.apache.spark.sql.classic.GraftPlans.unpersistLocalCheckpoint(prev)
@@ -1173,10 +1246,10 @@ object Dedup {
     lastClusterRounds.set(rounds)
     // A silent cap-exit would return labels that are NOT component
     // minima and quietly diverge from the transitive-closure oracle.
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"dedupClusters did not converge in $maxIters rounds " +
-          s"($changed labels still changing): the pair graph has a component " +
+          "(labels still changing): the pair graph has a component " +
           "with diameter exceeding the cap; raise maxClusterIters")
     val lab = universe
       .join(labels, Seq("doc_id"), "left")

@@ -197,17 +197,36 @@ object Layout {
       "sort_partkey" -> Seq($"l_partkey", $"l_orderkey", $"l_linenumber", $"l_suppkey"),
       "zorder" -> Seq($"zval", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"),
       "hilbert" -> Seq($"hval", $"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey"))
-    val stats = layouts.map { case (name, keys) =>
-      Ranks.globalRowNumber(base, keys, Ranks.defaultPartitions(base), "pos",
-          bucketKeys = Seq(keys.head))
-        .select(expr(s"(pos - 1) div $pruneGroupRows").as("gid"),
-          $"l_partkey", $"l_suppkey")
-        .groupBy($"gid")
-        .agg(min($"l_partkey").as("min_pk"), max($"l_partkey").as("max_pk"),
-          min($"l_suppkey").as("min_sk"), max($"l_suppkey").as("max_sk"),
-          count(lit(1)).as("n_rows"))
-        .withColumn("layout", lit(name))
+    // FUSED ranking: the four orderings run as ONE two-phase layout —
+    // each layout's key tuple is tagged with its index and padded to a
+    // uniform (k1..k5) long schema (appending a constant never changes
+    // a sort; every per-row position is unchanged), then a single
+    // [[Ranks.perKeyRowNumber]] keyed on the tag ranks all four at
+    // once. One boundary sample + one counts shuffle + one window pass
+    // over 4n rows replaces four of each over n (guide §2.4 —
+    // same-keyed operations share one exchange; the four passes'
+    // fixed costs dominated at bench scale, and at 100 TB one pass
+    // over 4n rows schedules far fewer shuffle blocks than four
+    // independent pipelines).
+    val tagged = layouts.zipWithIndex.map { case ((_, keys), i) =>
+      val ks = keys.padTo(5, lit(0L)).zipWithIndex.map {
+        case (c, j) => c.cast("long").as(s"k${j + 1}")
+      }
+      base.select(lit(i).as("lidx") +: ks :+ $"l_partkey" :+ $"l_suppkey": _*)
     }.reduce(_ unionByName _)
+    val layoutName = element_at(
+      array(layouts.map { case (n, _) => lit(n) }: _*), $"lidx" + 1)
+    val stats = Ranks.perKeyRowNumber(tagged, Seq("lidx"),
+        (1 to 5).map(j => col(s"k$j")), Ranks.defaultPartitions(base), "pos",
+        bucketPrefix = Some(Seq($"lidx", $"k1")))
+      .select($"lidx", expr(s"(pos - 1) div $pruneGroupRows").as("gid"),
+        $"l_partkey", $"l_suppkey")
+      .groupBy($"lidx", $"gid")
+      .agg(min($"l_partkey").as("min_pk"), max($"l_partkey").as("max_pk"),
+        min($"l_suppkey").as("min_sk"), max($"l_suppkey").as("max_sk"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("layout", layoutName)
+      .drop("lidx")
     val bounds = Tables.lineitem(s, dir)
       .agg(max($"l_partkey").as("maxpk"), max($"l_suppkey").as("maxsk"))
       .selectExpr("(maxpk * 40) div 100 AS pk_lo", "(maxpk * 45) div 100 AS pk_hi",

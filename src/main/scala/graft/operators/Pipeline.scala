@@ -194,12 +194,16 @@ object Pipeline {
         substring(md5($"g".cast("binary")), 1, 3).as("b"))
       .groupBy($"doc_id", $"lang", $"b").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val rawb = db.groupBy($"b").agg(sum($"cnt").as("cr"))
-    val tgtb = db.filter($"lang" === dsirTargetLang)
-      .groupBy($"b").agg(sum($"cnt").as("ct"))
-    val tots = rawb.agg(sum($"cr").as("crt")).crossJoin(
-      tgtb.agg(coalesce(sum($"ct"), lit(0L)).as("ctt")))
-    val lamb = rawb.join(tgtb, Seq("b"), "full")
+    // raw and target bucket counts in ONE aggregate over the
+    // checkpoint (the target slice is a sum-filter of the same rows),
+    // replacing two separate scans + a bucket-keyed FULL join — the
+    // target buckets are a subset of the raw buckets by construction,
+    // so the single frame carries exactly the full join's key set.
+    val byB = db.groupBy($"b").agg(sum($"cnt").as("cr"),
+      sum(when($"lang" === dsirTargetLang, $"cnt")).as("ct"))
+    val tots = byB.agg(sum($"cr").as("crt"),
+      coalesce(sum($"ct"), lit(0L)).as("ctt"))
+    val lamb = byB
       .crossJoin(broadcast(tots))
       .select($"b", rnd(
         log((coalesce($"ct", lit(0L)).cast("double") + 1.0)

@@ -674,6 +674,12 @@ object SimilarityKnn {
   val knnEdgesTable = "graft_knn_edges"
   val knnEdgesBuckets = 8
 
+  /** Corpus-only cut of [[knnEdgesTable]] for the insert descent,
+    * checkpoint memoized per (dataset, session) — the searchEdges
+    * pattern. */
+  private val corpusEdgeMemo =
+    scala.collection.concurrent.TrieMap[(String, SparkSession), DataFrame]()
+
   /** NN-descent candidate pool over the ESTABLISHED corpus only
     * ([[SimilarityIvf.ivfShardMod]] split — the same continuous-
     * ingest split the IVF maintenance path uses, so one arrival
@@ -719,10 +725,15 @@ object SimilarityKnn {
     val entryPairs = leads.join(broadcast(probes), "cid")
       .select($"query_id", $"node")
     // walk CORPUS edges only: deterministic across reruns even after
-    // the shard's own rows landed in the table
-    val edges = s.table(knnEdgesTable)
-      .filter($"src" % SimilarityIvf.ivfShardMod =!= SimilarityIvf.ivfShardRem)
-      .select($"src", $"dst").localCheckpoint(true)
+    // the shard's own rows landed in the table. The filtered cut is a
+    // static artifact of the corpus (identical on every invocation —
+    // the filter excludes exactly the appended shard), so the eager
+    // checkpoint is memoized per (dataset, session) like searchEdges
+    // instead of re-materializing the table scan on every run.
+    val edges = corpusEdgeMemo.getOrElseUpdate((dir, s),
+      s.table(knnEdgesTable)
+        .filter($"src" % SimilarityIvf.ivfShardMod =!= SimilarityIvf.ivfShardRem)
+        .select($"src", $"dst").localCheckpoint(true))
     val visited = beamDescent(v, edges, q, entryPairs)
     val newEdges = topK(visited.select($"query_id".as("src"),
         $"node".as("dst"), $"cosine"), searchK)

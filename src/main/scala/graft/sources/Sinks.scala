@@ -77,18 +77,24 @@ object Sinks {
 
   /** Cheap dataset fingerprint for [[writeBucketedOnce]] memo keys
     * over paths an INGEST SIMULATION may grow between two runs in one
-    * session: file count + total bytes + max mtime under `path`. A
-    * grown dir changes the key, so the next build call rebuilds
-    * instead of probing a stale index. Plain `dir` keys assume
-    * per-session immutability — right for the static testdata tables,
-    * wrong for any index whose base table is also a stream source. */
+    * session: a digest over every file's (path, length, mtime). A
+    * grown OR in-place-rewritten dir changes the key, so the next
+    * build call rebuilds instead of probing a stale index — aggregate
+    * count/bytes/max-mtime alone would miss an equal-size rewrite
+    * inside mtime resolution of a sibling file. Plain `dir` keys
+    * assume per-session immutability — right for the static testdata
+    * tables, wrong for any index whose base table is also a stream
+    * source. */
   def dirFingerprint(path: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
       else if (f.exists()) Seq(f) else Seq.empty
-    val fs = walk(new java.io.File(path))
-    val mt = if (fs.isEmpty) 0L else fs.map(_.lastModified()).max
-    s"$path#${fs.size}#${fs.map(_.length()).sum}#$mt"
+    val fs = walk(new java.io.File(path)).sortBy(_.getPath)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    fs.foreach { f =>
+      md.update(s"${f.getPath}#${f.length()}#${f.lastModified()};".getBytes("UTF-8"))
+    }
+    s"$path#${fs.size}#${md.digest().map("%02x".format(_)).mkString}"
   }
 
   private val appended =
