@@ -1464,34 +1464,58 @@ object Dedup {
   private[graft] def spanRemovalFromCovered(s: SparkSession, dir: String,
       covered: DataFrame, minRun: Int = spanRemovalMinTokens): DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .withColumn("toks", expr(toksExpr))
-      .withColumn("n_tokens", size($"toks").cast("long"))
-    // gaps-and-islands: consecutive covered offsets share (off - rn)
+    // gaps-and-islands: consecutive covered offsets share (off - rn).
+    // spans feeds TWO consumers (the cut offsets and the per-doc span
+    // stats): without the checkpoint the physical plan duplicated the
+    // whole covered subtree — for the batch operators that is the
+    // index-probe join + explode + distinct replayed twice (the plan
+    // showed two Window towers). The frame is span-bounded (≤ one row
+    // per removed run), the cheapest thing in the pipeline to pin.
     val iw = Window.partitionBy($"doc_id").orderBy($"off")
     val spans = covered
       .withColumn("grp", $"off" - row_number().over(iw))
       .groupBy($"doc_id", $"grp")
       .agg(min($"off").as("span_start"), count(lit(1)).as("span_len"))
       .filter($"span_len" >= minRun)
-    val removedOffs = spans.select($"doc_id",
-      explode(expr("sequence(span_start, span_start + span_len - 1)")).as("off"))
-    val tokPos = toks
+      .localCheckpoint(true)
+    // The corpus-token explode shuffles ONCE, on doc_id alone: the cut
+    // set rides as a per-doc SPAN ARRAY (span-bounded, not
+    // offset-exploded), the join key is doc_id, and the rebuild's
+    // groupBy(doc_id) reuses the join's layout — the previous plan
+    // anti-joined on (doc_id, off), shuffling the exploded corpus once
+    // for the join and AGAIN on doc_id for the rebuild. The position
+    // test is a codegen'd `exists` over the (few) spans of the doc.
+    val spansByDoc = spans.groupBy($"doc_id")
+      .agg(collect_list(struct($"span_start", $"span_len")).as("__spans"))
+    val tokPos = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksExpr))
       .select($"doc_id", posexplode($"toks").as(Seq("off", "tok")))
       .withColumn("off", $"off".cast("long"))
+      .repartition($"doc_id")
     val rebuilt = tokPos
-      .join(removedOffs, Seq("doc_id", "off"), "left_anti")
+      .join(spansByDoc, Seq("doc_id"), "left")
+      .filter(coalesce(not(expr(
+          "exists(__spans, s -> off >= s.span_start AND off < s.span_start + s.span_len)")),
+        lit(true)))
       .groupBy($"doc_id")
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(off, tok))), t -> t.tok), ' ')")
-        .as("clean_text"))
+        .as("clean_text"),
+        count(lit(1)).as("__n_kept"))
     val stats = spans.groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans_removed"),
         sum($"span_len").as("n_tokens_removed"))
-    toks.select($"doc_id", $"n_tokens")
+    // n_tokens = kept + removed: every token position is either cut or
+    // kept, so the count reconstructs exactly and the spine needs only
+    // doc_id — no third tokenize pass over the corpus. A doc absent
+    // from both frames has zero tokens (any tokenized doc keeps at
+    // least one position or has every position removed).
+    Tables.documents(s, dir).select($"doc_id")
       .join(rebuilt, Seq("doc_id"), "left")
       .join(stats, Seq("doc_id"), "left")
-      .select($"doc_id", $"n_tokens",
+      .select($"doc_id",
+        (coalesce($"__n_kept", lit(0L)) +
+          coalesce($"n_tokens_removed", lit(0L))).as("n_tokens"),
         coalesce($"n_spans_removed", lit(0L)).as("n_spans_removed"),
         coalesce($"n_tokens_removed", lit(0L)).as("n_tokens_removed"),
         coalesce($"clean_text", lit("")).as("clean_text"))

@@ -1283,7 +1283,12 @@ object Graph {
         expr(s"CAST(floor(rank / outdeg * $Q + CAST(0.5 AS DOUBLE)) AS BIGINT)").as("cq"))
       // node-sized frames hinted broadcast — the pagerankOver rule:
       // checkpoint-derived stats are unsizable and the fallback SMJ
-      // re-shuffles the edge set every round
+      // re-shuffles the edge set every round. NOTE this inherits
+      // pagerankOver's BOUNDED-NODE-COUNT contract explicitly: the
+      // rank>0 frontier grows toward the full node set within a few
+      // rounds, so the forced broadcast is node-sized at saturation —
+      // a billion-node graph must route through the indexed variant
+      // (graph_pagerank_indexed's bucket-layout SMJ), not this one.
       val sums = e.join(broadcast(contribs), e("src") === contribs("id"))
         .groupBy($"dst").agg(sum($"cq").as("sq"))
       state = rst.join(broadcast(sums), rst("src") === sums("dst"), "left")
